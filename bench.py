@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds over the headline set (excluding Spark startup and
+a warm-up run of the catalog reads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # the canonical read path + every operator family with nontrivial cost
+    "filter_sort_page",
+    "group_agg",
+    "join_enrich",
+    "semi_join",
+    "inout_pivot",
+    "self_join_adjacent",
+    "first_per_group",
+    "latest_state",
+    "ordered_collect",
+    "sessionize",
+    "connected_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "token_count",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ton_indexer_spark.queries import all_specs
+    from ton_indexer_spark.session import get_spark
+
+    spark = get_spark(app_name="ton_indexer_spark_bench")
+    specs = all_specs()
+
+    # warm-up: touch every table once so JVM/parquet-footer costs don't
+    # pollute the first query's number
+    from ton_indexer_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    for name in cat.available():
+        cat.table(name).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

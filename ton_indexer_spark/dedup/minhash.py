@@ -1,0 +1,81 @@
+"""MinHash + LSH banding near-duplicate candidate generation.
+
+Hash family: h_i(shingle) = md5(i ‖ ':' ‖ shingle) compared as hex strings —
+deterministic, engine-portable (the DuckDB oracle computes the identical
+signature), and uniform enough for LSH banding.  Signature = per-doc MIN of
+each h_i, computed as ONE groupBy with n_hashes min() aggregates (a single
+shuffle with full map-side combine).
+
+Banding: the signature splits into bands of r rows; band hash =
+md5(h_{br} ‖ … ‖ h_{br+r-1}).  Candidate pairs = docs sharing any
+(band_id, band_hash) bucket — a self-join that shuffles on the bucket key,
+never on the cross product.  With n=16, b=4, r=4 the usual S-curve puts the
+50% detection point near jaccard ≈ (1/b)^(1/r) ≈ 0.71.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.dedup.shingles import shingles
+
+N_HASHES = 16
+N_BANDS = 4
+
+
+def _h(i: int) -> F.Column:
+    return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h0..h{n-1}) — min of each hash function over the doc's shingles."""
+    sh = shingles(docs, id_col, text_col, k)
+    aggs = [F.min(_h(i)).alias(f"h{i}") for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) with doc_a < doc_b sharing ≥1 LSH band bucket."""
+    assert n_hashes % n_bands == 0
+    r = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -1,0 +1,71 @@
+"""n-gram Jaccard near-duplicate pairs.
+
+shingle self-join → |A ∩ B| per pair → Jaccard = common / (|A|+|B|-common).
+The threshold test is done in INTEGER arithmetic
+(``common * denom_scale >= thresh_scaled * union``) so the cut is exact and
+engine-independent; the reported jaccard double is a deterministic division
+of those same integers.
+
+Scale: the self-join shuffles on the shingle; hot shingles (stop-phrase
+skew) are capped with a document-frequency filter — standard practice, and
+the reason this beats |docs|² at 100 TB.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.dedup.shingles import shingles
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Return (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs with
+    Jaccard >= threshold (doc_a < doc_b)."""
+    sh = shingles(docs, id_col, text_col, k)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            "shingle",
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    frac = Fraction(threshold).limit_denominator(10**6)
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("size").alias("size_b")), "doc_b")
+        .withColumn("union_size", F.col("size_a") + F.col("size_b") - F.col("common"))
+        .filter(
+            F.col("common") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("union_size")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            "size_a",
+            "size_b",
+            (F.col("common").cast("double") / F.col("union_size").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return out

@@ -1,0 +1,77 @@
+"""Distributed connected components — batch trace assembly v0
+(SURVEY.md §2.8 T2 / §7 step 4).
+
+The reference assembles traces single-threaded and in-order
+(TraceAssembler.cpp:285-412): each transaction joins the open trace that
+produced its in-message, else roots a new trace.  Because a trace IS the
+connected component of transactions linked by message hashes, the batch
+equivalent is CC over the (tx, msg_hash) bipartite edge list.
+
+Algorithm: large-star / small-star style alternating label propagation
+("Connected Components in MapReduce and Beyond", Kiveris et al., SOCC'14,
+simplified to hash-min propagation): every node starts labeled with its own
+id; each round propagates min(label) across edges; converges in
+O(log(diameter)) rounds.  Trace graphs are shallow (FIXTURES.md §2: depth
+2-5 typical, <= 4000 nodes max), so 3-6 rounds suffice; each round is one
+shuffle on node id.  Checkpointing every few rounds truncates the lineage so
+plans don't blow up at 100 TB.
+
+The DuckDB oracle for this operator is a recursive CTE doing the same
+min-label propagation, so correctness is gate-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label each node with min(node id) of its component.
+
+    edges — DataFrame with two node-id columns (any orderable type).
+    Returns (node, component).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+
+    for i in range(max_iter):
+        # candidate label for each node = min over neighbors' labels ∪ own
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"], "inner")
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,82 @@
+"""Query registry — the contract consumed by ``__spark_entry__``.
+
+Each implemented operator from SURVEY.md §2 (plus the beyond-reference
+training-data operators) registers a QuerySpec: a PySpark builder
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, the equivalent
+DuckDB oracle SQL over the same parquet tables.  The driver hash-compares
+the two at sf=0.01; tests/test_oracle_parity.py runs the same comparison
+locally at sf=0.001.
+
+Column-name parity rule: every computed column is aliased identically in
+the Spark builder and the oracle SQL (the driver sorts columns by name
+before hashing).
+
+Value parity rules (so hashes match bit-for-bit):
+- double-typed measures are summed as DECIMAL(18,2) (exact, order-
+  independent) and cast back to DOUBLE at the end;
+- raw double columns pass through untouched (same parquet bits);
+- timestamps are returned as epoch microseconds (BIGINT) or ISO strings;
+- ratio outputs divide exact integers/decimals in DOUBLE (deterministic
+  IEEE ops on identical inputs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    survey_ops: tuple[str, ...] = field(default_factory=tuple)
+    description: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    survey_ops: tuple[str, ...] = (),
+    description: str = "",
+):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, survey_ops, description)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_modules()
+    return dict(_REGISTRY)
+
+
+_LOADED = False
+
+
+def _load_modules() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for side effect: each module registers its QuerySpecs
+    from ton_indexer_spark.queries import (  # noqa: F401
+        core,
+        windows,
+        graph,
+        text,
+        dedup,
+        similarity,
+    )
+
+    _LOADED = True

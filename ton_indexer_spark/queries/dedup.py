@@ -1,0 +1,168 @@
+"""Deduplication gate queries over `documents`.
+
+The oracle SQL re-derives the identical md5-based shingle/signature algebra
+in DuckDB, so exact, jaccard, minhash-LSH and simhash are all value-checked
+end to end (SURVEY.md beyond-reference dedup set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from ton_indexer_spark.dedup.minhash import N_BANDS, N_HASHES
+from ton_indexer_spark.dedup.simhash import N_BITS
+from ton_indexer_spark.queries import register
+
+_SHINGLE_CTE = r"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                               THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                               ELSE [] END) AS shingle
+            FROM toks
+        )
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+    survey_ops=("beyond:dedup-exact",),
+    description="exact dedup: hash-groupBy on normalized-content fingerprint",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return exact_dedup(d).orderBy("fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 10 >= 3 * (sa.sz + sb.sz - common)
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ops=("beyond:dedup-ngram",),
+    description="3-gram shingle Jaccard pairs >= 0.3 (integer-exact threshold)",
+)
+def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    out = ngram_jaccard_pairs(d, threshold=0.3, k=3)
+    return (
+        out.withColumnRenamed("size_a", "size_a")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_oracle() -> str:
+    r = N_HASHES // N_BANDS
+    mins = ",\n               ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+    )
+    sep = " || '|' || "
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5({sep.join(f'h{b * r + j}' for j in range(r))}) AS band_hash "
+        "FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    buckets AS (
+        {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a
+    JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    survey_ops=("beyond:dedup-minhash",),
+    description=f"MinHash({N_HASHES}) + LSH banding ({N_BANDS} bands) "
+    "candidate pairs; md5 hash family is engine-portable",
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return lsh_candidate_pairs(d).orderBy("doc_a", "doc_b")
+
+
+def _simhash_oracle() -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN substr(th, {j + 1}, 1) IN {odd} THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(N_BITS)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(N_BITS)
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    th AS (SELECT doc_id, md5(token) AS th FROM tok WHERE length(token) > 0),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM th GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    survey_ops=("beyond:dedup-simhash",),
+    description=f"{N_BITS}-bit SimHash signatures (md5-parity bit source)",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return simhash_signature(d).orderBy("doc_id")

@@ -1,0 +1,174 @@
+"""Window-operator queries (SURVEY.md §2.5 W1-W4, §2.8 sessionization analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.operators import (
+    first_per_group,
+    latest_by,
+    ordered_collect,
+    sessionize_by_gap,
+    with_prev_pointer,
+)
+from ton_indexer_spark.queries import register
+
+
+@register(
+    "first_per_group",
+    """
+    SELECT c_nationkey AS nationkey, c_custkey AS custkey, c_acctbal AS acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    ORDER BY nationkey
+    """,
+    survey_ops=("W1", "A3"),
+    description="DISTINCT ON / first-row-per-group (shortest-domain rule, "
+    "crud.go:297-300)",
+)
+def first_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return (
+        first_per_group(c, ["c_nationkey"], [("c_acctbal", "desc"), ("c_custkey", "asc")])
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "latest_state",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    survey_ops=("W2",),
+    description="last-writer-wins latest-state view (latest_account_states "
+    "semantics, InsertManagerPostgres.cpp:1019-1460 / ReplacingMergeTree)",
+)
+def latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        latest_by(ev, ["user_id"], "ts", tiebreakers=["event_id"])
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "prev_pointer",
+    """
+    SELECT event_id, user_id,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_event_id
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    survey_ops=("W3",),
+    description="precomputed lag() prev-pointers (prev_trans_hash/lt, "
+    "migrate.cpp:170-171)",
+)
+def prev_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        with_prev_pointer(ev, ["user_id"], [("ts", "asc"), ("event_id", "asc")], ["event_id"])
+        .select("event_id", "user_id", "prev_event_id")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "ordered_collect",
+    """
+    SELECT l_orderkey,
+           string_agg(l_linenumber || ':' || l_partkey, ','
+                      ORDER BY l_linenumber, l_partkey) AS line_sig
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    survey_ops=("W4", "O3"),
+    description="ordered within-group assembly (trace tx-tree assembly, "
+    "crud_traces.go:389-420; out-msg sort crud_transactions.go:251-261)",
+)
+def ordered_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    collected = ordered_collect(
+        li, ["l_orderkey"], ["l_linenumber"], ["l_partkey"], out_col="items"
+    )
+    return (
+        collected.select(
+            "l_orderkey",
+            F.array_join(
+                F.transform(
+                    F.col("items"),
+                    lambda x: F.concat_ws(":", x["l_linenumber"].cast("string"),
+                                          x["l_partkey"].cast("string")),
+                ),
+                ",",
+            ).alias("line_sig"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+GAP_US = 1800 * 1_000_000  # 30 min in epoch-micros (catalog ts convention)
+
+
+@register(
+    "sessionize",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_seq,
+               ts
+        FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    survey_ops=("T2-analog", "W3"),
+    description="gap-based sessionization (30 min) — the window-algebra "
+    "sibling of causal trace sessionization (TraceAssembler.cpp:285-412)",
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    sess = sessionize_by_gap(ev, "user_id", "ts", GAP_US, tiebreakers=["event_id"])
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_us"),
+            F.max("ts").alias("end_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -1,0 +1,13 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute: exact cosine top-k (the baseline) — cross join + zip_with dot
+  product, TakeOrdered per query.
+- lsh:   sign-pattern bucketed ANN (the scale path) — candidates only
+  within a bucket, so the join shuffles on the bucket key instead of
+  materializing |queries| × |corpus|.
+"""
+
+from ton_indexer_spark.similarity.brute import cosine_topk
+from ton_indexer_spark.similarity.lsh import sign_lsh_topk
+
+__all__ = ["cosine_topk", "sign_lsh_topk"]
