@@ -1,0 +1,288 @@
+"""Endpoint plans vs DuckDB oracle over the TON-schema fixture.
+
+Same comparison discipline as tests/test_oracle_parity.py, but against the
+reference's endpoint semantics (FIXTURES.md §5) on synthetic TON data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from ton_indexer_spark.catalog import Catalog
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    from tests.fixture_gen import generate
+
+    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
+
+
+@pytest.fixture(scope="session")
+def ton(spark, fixture_dir):
+    return Catalog(spark, fixture_dir)
+
+
+@pytest.fixture(scope="session")
+def tduck(fixture_dir):
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(fixture_dir, "*.parquet")):
+        name = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    yield con
+    con.close()
+
+
+def rows(df, cols):
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.select(cols).collect()
+    )
+
+
+def drows(con, sql, ncols):
+    return sorted(tuple(str(v) for v in r) for r in con.execute(sql).fetchall())
+
+
+def pick(con, sql):
+    return con.execute(sql).fetchone()[0]
+
+
+def test_transactions_by_account(ton, tduck):
+    from ton_indexer_spark.plans import transactions_query
+
+    acc = pick(tduck, "SELECT account FROM transactions GROUP BY account ORDER BY count(*) DESC, account LIMIT 1")
+    lo = pick(tduck, "SELECT min(now) FROM transactions")
+    hi = pick(tduck, "SELECT max(now) FROM transactions")
+    mid = (lo + hi) // 2
+    got = transactions_query(
+        ton, accounts=[acc], start_utime=lo, end_utime=mid, sort="desc",
+        limit=50, with_messages=False,
+    )
+    cols = ["hash", "lt", "account", "now"]
+    want = drows(
+        tduck,
+        f"""
+        SELECT hash, lt, account, now FROM transactions
+        WHERE account = '{acc}' AND now >= {lo} AND now <= {mid}
+        ORDER BY now DESC, lt DESC, account ASC, hash ASC LIMIT 50
+        """,
+        4,
+    )
+    assert rows(got, cols) == want
+
+
+def test_transactions_by_msg_opcode(ton, tduck):
+    from ton_indexer_spark.plans import transactions_query
+
+    got = transactions_query(
+        ton, msg_opcode=0x0F8A7EA5, msg_direction="in", sort="asc", limit=100,
+        with_messages=False,
+    )
+    want = drows(
+        tduck,
+        f"""
+        SELECT T.hash, T.lt FROM transactions T
+        WHERE EXISTS (SELECT 1 FROM messages M
+                      WHERE M.tx_hash = T.hash AND M.tx_lt = T.lt
+                        AND M.opcode = {0x0F8A7EA5} AND M.direction = 'in')
+        ORDER BY T.lt ASC, T.account ASC, T.hash ASC LIMIT 100
+        """,
+        2,
+    )
+    assert rows(got, ["hash", "lt"]) == want
+
+
+def test_transactions_message_enrichment(ton, tduck):
+    from ton_indexer_spark.plans import transactions_query
+
+    tx = pick(
+        tduck,
+        """
+        SELECT tx_hash FROM messages WHERE direction = 'out'
+        GROUP BY tx_hash HAVING count(*) >= 2 ORDER BY tx_hash LIMIT 1
+        """,
+    )
+    got = transactions_query(ton, hashes=[tx], with_messages=True).collect()
+    assert len(got) == 1
+    row = got[0]
+    n_out = pick(
+        tduck,
+        f"SELECT count(*) FROM messages WHERE tx_hash='{tx}' AND direction='out'",
+    )
+    assert len(row["out_msgs"]) == n_out
+    # out messages sorted by created_lt (crud_transactions.go:251-261)
+    lts = [m["created_lt"] for m in row["out_msgs"]]
+    assert lts == sorted(lts)
+    assert row["in_msg"] is not None
+
+
+def test_messages_inout_fold(ton, tduck):
+    from ton_indexer_spark.plans import messages_query
+
+    got = messages_query(ton, exclude_externals=True, sort="asc", limit=200,
+                         with_body=False)
+    want = drows(
+        tduck,
+        """
+        WITH folded AS (
+            SELECT msg_hash,
+                   MAX(CASE WHEN direction='in' THEN tx_hash END) AS in_tx_hash,
+                   MAX(CASE WHEN direction='out' THEN tx_hash END) AS out_tx_hash,
+                   MIN(created_lt) AS created_lt
+            FROM messages WHERE source IS NOT NULL
+            GROUP BY msg_hash
+        )
+        SELECT msg_hash, in_tx_hash, out_tx_hash FROM folded
+        ORDER BY created_lt ASC, msg_hash ASC LIMIT 200
+        """,
+        3,
+    )
+    assert rows(got, ["msg_hash", "in_tx_hash", "out_tx_hash"]) == want
+
+
+def test_actions_by_account_with_suppression(ton, tduck):
+    from ton_indexer_spark.plans import actions_by_account
+
+    acc = pick(tduck, "SELECT account FROM action_accounts GROUP BY account ORDER BY count(*) DESC, account LIMIT 1")
+    got = actions_by_account(
+        ton, account=acc, suppress_ancestor_types=["ton_transfer", "call_contract"],
+        limit=500,
+    )
+    want = drows(
+        tduck,
+        f"""
+        SELECT A.action_id, A.trace_id FROM actions A
+        WHERE EXISTS (SELECT 1 FROM action_accounts AA
+                      WHERE AA.action_id = A.action_id
+                        AND AA.trace_id = A.trace_id AND AA.account = '{acc}')
+          AND NOT (A.ancestor_type && ['ton_transfer', 'call_contract'])
+        ORDER BY A.trace_end_lt DESC, A.trace_id, A.end_lt DESC, A.action_id
+        LIMIT 500
+        """,
+        2,
+    )
+    assert rows(got, ["action_id", "trace_id"]) == want
+
+
+def test_actions_by_tx_hash_array_contains(ton, tduck):
+    from ton_indexer_spark.plans import actions_by_account
+
+    tx = pick(tduck, "SELECT tx_hashes[1] FROM actions ORDER BY action_id LIMIT 1")
+    got = actions_by_account(ton, tx_hash=tx, limit=100)
+    want = drows(
+        tduck,
+        f"""
+        SELECT action_id FROM actions WHERE list_contains(tx_hashes, '{tx}')
+        ORDER BY trace_end_lt DESC, trace_id, end_lt DESC, action_id LIMIT 100
+        """,
+        1,
+    )
+    assert rows(got, ["action_id"]) == want
+
+
+def test_traces_by_account_semi_join(ton, tduck):
+    from ton_indexer_spark.plans import traces_query
+
+    acc = pick(tduck, "SELECT account FROM transactions GROUP BY account ORDER BY count(*) DESC, account LIMIT 1")
+    got = traces_query(ton, account=acc, limit=100, hydrate=False)
+    want = drows(
+        tduck,
+        f"""
+        SELECT trace_id, state FROM traces T
+        WHERE EXISTS (SELECT 1 FROM transactions TX
+                      WHERE TX.trace_id = T.trace_id AND TX.account = '{acc}')
+        ORDER BY end_lt DESC, trace_id LIMIT 100
+        """,
+        2,
+    )
+    assert rows(got, ["trace_id", "state"]) == want
+
+
+def test_traces_hydration_ordered(ton, tduck):
+    from ton_indexer_spark.plans import traces_query
+
+    tid = pick(tduck, "SELECT trace_id FROM traces WHERE nodes_ >= 5 ORDER BY trace_id LIMIT 1")
+    got = traces_query(ton, trace_ids=[tid], hydrate=True).collect()
+    assert len(got) == 1
+    txs = got[0]["transactions"]
+    assert len(txs) == got[0]["nodes_"]
+    keys = [(t["lt"], t["account"]) for t in txs]
+    assert keys == sorted(keys)  # ordered by (lt, account) — crud_traces.go:389
+
+
+def test_wallets_by_jetton_mintless(ton, tduck):
+    from ton_indexer_spark.plans import wallets_by_jetton
+
+    jet = pick(tduck, "SELECT jetton FROM jetton_wallets GROUP BY jetton ORDER BY count(*) DESC, jetton LIMIT 1")
+    got = wallets_by_jetton(ton, jetton=jet, limit=1000)
+    want = drows(
+        tduck,
+        f"""
+        SELECT address FROM jetton_wallets
+        WHERE jetton = '{jet}' AND balance + COALESCE(mintless_amount, 0) > 0
+        ORDER BY balance DESC, address LIMIT 1000
+        """,
+        1,
+    )
+    assert rows(got, ["address"]) == want
+
+
+def test_metadata_union(ton, tduck):
+    from ton_indexer_spark.plans import metadata_union
+
+    got = metadata_union(ton)
+    want = drows(
+        tduck,
+        """
+        SELECT x.address, x.entity_type,
+               COALESCE(m.valid, FALSE) AS valid
+        FROM (
+            SELECT address, 'nft_items' AS entity_type FROM nft_items
+            UNION ALL SELECT address, 'nft_collections' FROM nft_collections
+            UNION ALL SELECT address, 'jetton_masters' FROM jetton_masters
+        ) x
+        LEFT JOIN address_metadata m
+               ON m.address = x.address AND m.type = x.entity_type
+        """,
+        3,
+    )
+    assert rows(got, ["address", "entity_type", "valid"]) == want
+
+
+def test_address_book_shortest_domain(ton, tduck):
+    from ton_indexer_spark.plans import address_book
+
+    got = address_book(ton)
+    want = drows(
+        tduck,
+        """
+        WITH doms AS (
+            SELECT nft_item_owner, domain,
+                   ROW_NUMBER() OVER (PARTITION BY nft_item_owner
+                                      ORDER BY length(domain), domain) AS rn
+            FROM dns_entries WHERE dns_wallet = nft_item_owner
+        )
+        SELECT s.account, s.code_hash, d.domain
+        FROM latest_account_states s
+        LEFT JOIN doms d ON d.nft_item_owner = s.account AND d.rn = 1
+        """,
+        3,
+    )
+    assert rows(got, ["account", "code_hash", "domain"]) == want
+
+
+def test_top_accounts(ton, tduck):
+    from ton_indexer_spark.plans import top_accounts_by_balance
+
+    got = top_accounts_by_balance(ton, k=50)
+    want = drows(
+        tduck,
+        "SELECT account, balance FROM latest_account_states "
+        "ORDER BY balance DESC, account LIMIT 50",
+        2,
+    )
+    assert rows(got, ["account", "balance"]) == want

@@ -1,0 +1,34 @@
+"""Endpoint-shaped query builders mirroring the reference's REST surface
+(`ton-index-go/main.go:2306-2396` routes → `index/crud/*` SQL builders).
+
+Each builder is a pure DataFrame function over a Catalog of TON-schema
+tables: filters → joins → deterministic sort → page → enrichment, composed
+from operators/.  Where the reference runs 4-5 sequential SQL queries per
+request and stitches results in Go hash maps (crud_transactions.go:202-261),
+these plans express the whole request as ONE composed Spark plan — broadcast
+enrichment joins + collect_list(struct) replace the app-side loops.
+"""
+
+from ton_indexer_spark.plans.transactions import transactions_query
+from ton_indexer_spark.plans.messages import messages_query
+from ton_indexer_spark.plans.actions import actions_by_account
+from ton_indexer_spark.plans.traces import traces_query
+from ton_indexer_spark.plans.dimensions import (
+    address_book,
+    metadata_union,
+    nft_items_listing,
+    top_accounts_by_balance,
+    wallets_by_jetton,
+)
+
+__all__ = [
+    "transactions_query",
+    "messages_query",
+    "actions_by_account",
+    "traces_query",
+    "address_book",
+    "metadata_union",
+    "nft_items_listing",
+    "top_accounts_by_balance",
+    "wallets_by_jetton",
+]

@@ -1,0 +1,80 @@
+"""`GET /api/v3/actions` (v2) equivalent — actions by account.
+
+Mirrors ton-index-go/index/crud/crud_actions_v2.go:
+- :341-351 account scoping through the pre-exploded ``action_accounts``
+  table + DISTINCT ON dedup (the write-time materialized access path that
+  replaces a per-account secondary index at 100 TB);
+- :375-382 type allowlist / excludelist (= ANY($1));
+- :437 ancestor suppression ``NOT (A.ancestor_type && $1)`` — child actions
+  whose ancestor type is already returned are dropped;
+- :352-363 tx-hash scoping via ``tx_hashes @> array[hash]``;
+- :416-432 order by (trace_end_lt, trace_id, action_end_lt, action_id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.operators import first_per_group, paginate
+
+
+def actions_by_account(
+    cat: Catalog,
+    account: str | None = None,
+    action_types: Sequence[str] | None = None,
+    exclude_types: Sequence[str] | None = None,
+    suppress_ancestor_types: Sequence[str] | None = None,
+    tx_hash: str | None = None,
+    start_utime: int | None = None,
+    end_utime: int | None = None,
+    sort: str = "desc",
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    a = cat.actions
+    if account is not None:
+        aa = cat.action_accounts.filter(F.col("account") == account).select(
+            "action_id", "trace_id"
+        )
+        a = a.join(aa, ["action_id", "trace_id"], "left_semi")
+    if action_types:
+        a = a.filter(F.col("type").isin(list(action_types)))
+    if exclude_types:
+        a = a.filter(~F.col("type").isin(list(exclude_types)))
+    if suppress_ancestor_types:
+        # crud_actions_v2.go:437 — NOT (ancestor_type && $1)
+        a = a.filter(
+            ~F.arrays_overlap(
+                F.coalesce(F.col("ancestor_type"), F.array().cast("array<string>")),
+                F.array(*[F.lit(t) for t in suppress_ancestor_types]),
+            )
+        )
+    if tx_hash is not None:
+        a = a.filter(F.array_contains(F.col("tx_hashes"), tx_hash))
+    if start_utime is not None:
+        a = a.filter(F.col("end_utime") >= start_utime)
+    if end_utime is not None:
+        a = a.filter(F.col("end_utime") <= end_utime)
+
+    # post-join dedup (DISTINCT ON) — a trace/action pair may match through
+    # several accounts of the same action
+    a = first_per_group(
+        a,
+        ["trace_id", "action_id"],
+        [("end_lt", "desc")],
+    )
+    return paginate(
+        a,
+        sort=[
+            ("trace_end_lt", sort),
+            ("trace_id", "asc"),
+            ("end_lt", sort),
+            ("action_id", "asc"),
+        ],
+        limit=limit,
+        offset=offset,
+    )

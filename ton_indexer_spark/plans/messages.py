@@ -1,0 +1,76 @@
+"""`GET /api/v3/messages` equivalent.
+
+Mirrors ton-index-go/index/crud/crud_messages.go:
+- :25-29 the in/out fold — each internal message is stored twice
+  (direction in/out); the endpoint collapses the pair into one row with
+  ``max(CASE WHEN direction='in' THEN tx_hash END)`` per msg_hash (A1);
+- :43-55,82-87 null-predicate filters (externals) and opcode/direction;
+- :89-96 deterministic sort (created_lt, msg_hash).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.operators import filter_by_array, filter_range, paginate
+from ton_indexer_spark.operators.pivots import inout_pivot
+
+
+def messages_query(
+    cat: Catalog,
+    msg_hashes: Sequence[str] | None = None,
+    sources: Sequence[str] | None = None,
+    destinations: Sequence[str] | None = None,
+    opcode: int | None = None,
+    start_lt: int | None = None,
+    end_lt: int | None = None,
+    exclude_externals: bool = False,
+    only_externals: bool = False,
+    sort: str = "desc",
+    limit: int = 100,
+    offset: int = 0,
+    with_body: bool = True,
+) -> DataFrame:
+    m = cat.messages
+    m = filter_by_array(m, "msg_hash", msg_hashes)
+    m = filter_by_array(m, "source", sources)
+    m = filter_by_array(m, "destination", destinations)
+    m = filter_range(m, "created_lt", start_lt, end_lt)
+    if opcode is not None:
+        m = m.filter(F.col("opcode") == opcode)
+    if exclude_externals:  # crud_messages.go:82-87
+        m = m.filter(F.col("source").isNotNull())
+    if only_externals:
+        m = m.filter(F.col("source").isNull())
+
+    folded = inout_pivot(
+        m,
+        group_by=["msg_hash"],
+        tag_col="direction",
+        tag_values=["in", "out"],
+        payload_cols=["tx_hash", "tx_lt"],
+    ).join(
+        # message payload is direction-invariant; keep one representative row
+        m.select(
+            "msg_hash", "source", "destination", "value", "opcode",
+            "created_lt", "created_at", "body_hash", "trace_id",
+        ).dropDuplicates(["msg_hash"]),
+        "msg_hash",
+    )
+
+    if with_body:
+        contents = cat.message_contents.select(
+            F.col("hash").alias("body_hash"), F.col("body")
+        )
+        folded = folded.join(contents, "body_hash", "left")
+
+    return paginate(
+        folded,
+        sort=[("created_lt", sort), ("msg_hash", "asc")],
+        limit=limit,
+        offset=offset,
+    )
