@@ -44,8 +44,13 @@ class AssembledTraces:
 
 
 def assemble_traces(transactions: DataFrame, messages: DataFrame) -> AssembledTraces:
-    """Reproduce trace_id / state / counters from transactions+messages alone."""
-    txs = transactions
+    """Reproduce trace_id / state / counters from transactions+messages alone.
+
+    Any pre-existing ``trace_id`` column on the input is dropped — this
+    operator is the assigner of trace ids (ingest-time semantics,
+    IndexScheduler.cpp:306 stage `assemble_traces`).
+    """
+    txs = transactions.drop("trace_id")
     msgs = messages.select(
         "tx_hash", "tx_lt", "msg_hash", "direction", "source", "destination"
     )
