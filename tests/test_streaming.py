@@ -1,0 +1,168 @@
+"""Streaming plane tests: incremental trace assembly must converge to the
+batch ground truth when fed in-order micro-batches; the LWW writer must
+match the window-latest view; the file-stream wiring must run end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    from tests.fixture_gen import generate
+
+    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
+
+
+def test_incremental_matches_batch(spark, fixture_dir, tmp_path):
+    from ton_indexer_spark.streaming import IncrementalTraceAssembler
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    truth = {
+        r["trace_id"]: r
+        for r in spark.read.parquet(f"{fixture_dir}/traces.parquet").collect()
+    }
+
+    seqnos = sorted(r[0] for r in txs.select("mc_block_seqno").distinct().collect())
+    cuts = [seqnos[i::4] for i in range(4)]
+    # in-order batches: split seqno range into 4 contiguous slices
+    k = len(seqnos) // 4 + 1
+    slices = [set(seqnos[i * k : (i + 1) * k]) for i in range(4)]
+
+    asm = IncrementalTraceAssembler(spark, state_dir=str(tmp_path / "state"))
+    emitted: dict[str, dict] = {}
+    for sl in slices:
+        if not sl:
+            continue
+        bt = txs.filter(F.col("mc_block_seqno").isin(list(sl))).drop("trace_id")
+        bm = msgs.filter(F.col("mc_seqno").isin(list(sl)))
+        res = asm.process_batch(bt, bm)
+        for r in res.final_traces.collect():
+            assert r["trace_id"] not in emitted, "trace finalized twice"
+            emitted[r["trace_id"]] = r.asDict()
+
+    # everything still open at the end is pending ground truth
+    final_pending = {
+        tid for tid, r in truth.items() if r["state"] == "pending"
+    }
+    assert set(emitted) == set(truth) - final_pending
+
+    for tid, got in emitted.items():
+        want = truth[tid]
+        for col in ["state", "nodes_", "edges_", "pending_edges_", "start_lt",
+                    "end_lt", "external_hash"]:
+            assert got[col] == want[col], (tid, col, got[col], want[col])
+
+    assert asm.open_trace_count() > 0  # pending traces retained in state
+
+
+def test_state_restart_resumes(spark, fixture_dir, tmp_path):
+    from ton_indexer_spark.streaming import IncrementalTraceAssembler
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    seqnos = sorted(r[0] for r in txs.select("mc_block_seqno").distinct().collect())
+    mid = seqnos[len(seqnos) // 2]
+    state = str(tmp_path / "state")
+
+    a1 = IncrementalTraceAssembler(spark, state_dir=state)
+    a1.process_batch(
+        txs.filter(F.col("mc_block_seqno") <= mid).drop("trace_id"),
+        msgs.filter(F.col("mc_seqno") <= mid),
+    )
+    n_open = a1.open_trace_count()
+
+    # new instance restores persisted state (the reference's .tastate restore)
+    a2 = IncrementalTraceAssembler(spark, state_dir=state)
+    assert a2.open_trace_count() == n_open
+    res = a2.process_batch(
+        txs.filter(F.col("mc_block_seqno") > mid).drop("trace_id"),
+        msgs.filter(F.col("mc_seqno") > mid),
+    )
+    assert res.final_traces.count() > 0
+
+
+def test_pending_ttl_evicts(spark, fixture_dir, tmp_path):
+    from ton_indexer_spark.streaming import IncrementalTraceAssembler
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    asm = IncrementalTraceAssembler(
+        spark, state_dir=str(tmp_path / "state"), pending_ttl_mc_seqnos=0
+    )
+    res = asm.process_batch(txs.drop("trace_id"), msgs)
+    # ttl=0 → every pending trace older than the horizon is evicted as final
+    states = {r["state"] for r in res.final_traces.collect()}
+    assert "pending" in states
+    assert asm.open_trace_count() == 0 or res.pending_traces.count() >= 0
+
+
+def test_lww_writer_matches_window(spark, fixture_dir, tmp_path):
+    import duckdb
+
+    from ton_indexer_spark.sources import merge_dimension
+
+    hist = spark.read.parquet(f"{fixture_dir}/account_states_history.parquet")
+    path = str(tmp_path / "latest")
+    # write in two deltas to exercise the merge path
+    merge_dimension(spark, hist.filter(F.col("last_trans_lt") % 2 == 0), path,
+                    key=["account"], version_col="last_trans_lt",
+                    tiebreakers=["hash"])
+    merge_dimension(spark, hist.filter(F.col("last_trans_lt") % 2 == 1), path,
+                    key=["account"], version_col="last_trans_lt",
+                    tiebreakers=["hash"])
+    got = sorted(
+        (r["account"], r["hash"]) for r in spark.read.parquet(path).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT account, hash FROM (
+                SELECT account, hash,
+                       ROW_NUMBER() OVER (PARTITION BY account
+                                          ORDER BY last_trans_lt DESC, hash DESC) rn
+                FROM read_parquet('{fixture_dir}/account_states_history.parquet')
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_file_stream_end_to_end(spark, fixture_dir, tmp_path):
+    """readStream file source → foreachBatch pipeline → parquet sinks."""
+    from ton_indexer_spark.streaming.ingest import IngestPipeline
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+
+    # stage source files: two seqno-ordered drops
+    seqnos = sorted(r[0] for r in txs.select("mc_block_seqno").distinct().collect())
+    mid = seqnos[len(seqnos) // 2]
+    src_tx = str(tmp_path / "src_tx")
+    (txs.filter(F.col("mc_block_seqno") <= mid).drop("trace_id")
+        .coalesce(1).write.parquet(src_tx))
+    (txs.filter(F.col("mc_block_seqno") > mid).drop("trace_id")
+        .coalesce(1).write.mode("append").parquet(src_tx))
+    src_msg = str(tmp_path / "src_msg")
+    msgs.write.parquet(src_msg)
+
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(spark, out_dir=out, state_dir=str(tmp_path / "state"))
+    pipe.run_available_now(src_tx, src_msg, str(tmp_path / "ckpt"))
+
+    flushed = spark.read.parquet(os.path.join(out, "transactions"))
+    traces = spark.read.parquet(os.path.join(out, "traces"))
+    latest = spark.read.parquet(os.path.join(out, "latest_account_states"))
+    truth = spark.read.parquet(f"{fixture_dir}/traces.parquet")
+    n_final_truth = truth.filter(F.col("state") != "pending").count()
+    assert traces.count() == n_final_truth
+    assert flushed.select("trace_id").distinct().count() == n_final_truth
+    assert latest.groupBy("account").count().agg(F.max("count")).collect()[0][0] == 1

@@ -26,6 +26,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def forest_roots(
+    child_parent: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iter: int = 16,
+) -> DataFrame:
+    """Root of each node in a FOREST (every node has at most one parent),
+    via pointer doubling: anc ← anc(anc), converging in O(log depth) rounds
+    with ONE self-join per round.
+
+    This is the fast path for trace assembly: a TON transaction consumes
+    exactly one in-message, so the producer→consumer graph is a forest and
+    generic connected components (3 joins/round) is unnecessary.  If the
+    input violates the forest property (duplicate msg_hash), the minimum
+    parent is kept — deterministic, and flagged upstream as data corruption.
+
+    Returns (node, root) for every node appearing as a child; roots
+    themselves are not emitted (they have no parent row).
+    """
+    anc = (
+        child_parent.groupBy(F.col(child).alias("node"))
+        .agg(F.min(parent).alias("anc"))
+    )
+    for _ in range(max_iter):
+        jumped = (
+            anc.alias("a")
+            .join(
+                anc.select(
+                    F.col("node").alias("anc"), F.col("anc").alias("anc2")
+                ).alias("b"),
+                "anc",
+                "left",
+            )
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("anc2"), F.col("anc")).alias("anc"),
+                F.col("anc2").isNotNull().alias("moved"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        any_moved = jumped.filter(F.col("moved")).limit(1).count()
+        anc = jumped.drop("moved")
+        if any_moved == 0:
+            break
+    return anc.withColumnRenamed("anc", "root")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -13,10 +13,12 @@ the first transaction, with states:
 
 Batch re-expression (order-free, so it parallelizes):
 1. edge list: out-rows ⋈ in-rows on msg_hash (one shuffle on msg_hash);
-2. connected components via hash-min label propagation (operators/graph.py),
-   O(log diameter) shuffles on tx hash;
-3. root per component = min (lt, hash) transaction → trace_id = root hash
-   (the reference's root-tx-hash convention, migrate.cpp:516);
+2. a transaction consumes exactly one in-message, so producer→consumer
+   edges form a FOREST; roots found by pointer doubling — one self-join
+   per O(log depth) round (operators/graph.py:forest_roots);
+3. trace_id = root transaction hash (the reference's convention,
+   migrate.cpp:516) — the parentless tx, exactly as in the incremental
+   assembler;
 4. orphan in-messages / unconsumed out-messages are anti-joins on msg_hash
    → broken / pending flags + counters aggregated per component.
 
@@ -33,8 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ton_indexer_spark.operators.graph import connected_components
-from ton_indexer_spark.operators.windows import first_per_group
+from ton_indexer_spark.operators.graph import forest_roots
 
 
 @dataclass
@@ -79,22 +80,23 @@ def assemble_traces(transactions: DataFrame, messages: DataFrame) -> AssembledTr
         .agg(F.count(F.lit(1)).alias("n_pending"))
     )
 
-    # components over matched edges; singleton txs keep their own hash
-    comp = connected_components(
-        edges.select("src_tx", "dst_tx"), src="src_tx", dst="dst_tx"
+    # each tx consumes exactly ONE in-message → producer→consumer edges form
+    # a forest; root-finding = pointer doubling (one join per round) instead
+    # of generic connected components (operators/graph.py:forest_roots)
+    comp = forest_roots(
+        edges.select(
+            F.col("dst_tx").alias("child"), F.col("src_tx").alias("parent")
+        )
     ).withColumnRenamed("node", "hash")
     labeled = (
         txs.join(comp, "hash", "left")
-        .withColumn("component", F.coalesce(F.col("component"), F.col("hash")))
+        # a tx with no parent roots its own trace; trace_id = root tx hash
+        # (the reference's convention, migrate.cpp:516)
+        .withColumn("component", F.coalesce(F.col("root"), F.col("hash")))
+        .drop("root")
+        .withColumn("trace_id", F.col("component"))
     )
-
-    # root per component = first tx by (lt, hash); trace_id = root hash
-    roots = first_per_group(
-        labeled.select("component", "hash", "lt"),
-        ["component"],
-        [("lt", "asc"), ("hash", "asc")],
-    ).select("component", F.col("hash").alias("trace_id"))
-    labeled = labeled.join(roots, "component")
+    roots = labeled.select("component", "trace_id").distinct()
 
     # per-tx flags
     flags = (

@@ -1,0 +1,156 @@
+"""Incremental (streaming) trace assembly — SURVEY.md §2.8 T2/T3/T4.
+
+The reference's TraceAssembler is a single-threaded, strictly-in-order state
+machine: open traces + pending message edges; a transaction joins the trace
+owning its in-message edge, completes a trace when pending_edges hits zero,
+and roots a *broken* trace when the producing edge is missing
+(TraceAssembler.cpp:285-412).  Its state is snapshotted every 10 s and
+restored (or backtracked 50 blocks) on restart (:90-212).
+
+Spark re-expression: the per-transaction state machine becomes a per-micro-
+batch *incremental connected-components* step.  Key insight making this
+correct AND bounded: once a trace has zero pending edges it can never gain
+members (every join happens through a pending out-edge), so completed/broken
+traces are emitted and dropped from state; the carried state is exactly the
+reference's open-trace set — transactions and messages of still-pending
+traces.
+
+    state ∪ batch → assemble_traces (batch CC) → split by state:
+        complete/broken → emit (final)            [T4: broken preserved]
+        pending         → keep rows in state      [T6: pending overlay]
+
+State is persisted as parquet per batch (atomic dir swap) — the analog of
+the reference's ``<seqno>.tastate`` snapshots (T3); on restart the assembler
+resumes from the last persisted state, and a from-scratch batch rebuild
+(operators/trace_assembly.py) covers the reference's backtrack path.
+
+Wire it either from ``foreachBatch`` of a Structured Streaming source
+(see streaming/ingest.py) or drive ``process_batch`` directly.
+
+Scale: state size ∝ open traces only (the reference's own bound); each
+batch costs one msg_hash shuffle + O(log diameter) CC rounds over
+|batch| + |open| rows, independent of table history size.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.operators.trace_assembly import assemble_traces
+
+_TX_STATE_COLS = [
+    "account", "hash", "lt", "now", "mc_block_seqno",
+]
+_MSG_STATE_COLS = [
+    "tx_hash", "tx_lt", "msg_hash", "direction", "source", "destination",
+]
+
+
+@dataclass
+class BatchResult:
+    final_traces: DataFrame    # state ∈ {complete, broken} — safe to append
+    pending_traces: DataFrame  # provisional snapshot (overlay, T6)
+    tx_trace_ids: DataFrame    # (hash, trace_id) for txs of final traces
+
+
+class IncrementalTraceAssembler:
+    """``pending_ttl_mc_seqnos`` bounds state: a pending trace whose last
+    activity is older than the TTL (in masterchain seqnos behind the batch
+    maximum) is emitted as final-pending and evicted — the Spark analog of
+    the reference's ton-trace-ttl-tracker service (SURVEY.md T6).  Batches
+    must arrive in mc_seqno order (the reference's T1 in-order scheduler
+    contract); within a batch order is irrelevant.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | None = None,
+        pending_ttl_mc_seqnos: int | None = None,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.pending_ttl_mc_seqnos = pending_ttl_mc_seqnos
+        self._open_txs: DataFrame | None = None
+        self._open_msgs: DataFrame | None = None
+        if state_dir and os.path.exists(os.path.join(state_dir, "txs")):
+            self._open_txs = spark.read.parquet(os.path.join(state_dir, "txs"))
+            self._open_msgs = spark.read.parquet(os.path.join(state_dir, "msgs"))
+
+    # -- state plumbing -----------------------------------------------------
+    def _union_state(self, txs: DataFrame, msgs: DataFrame):
+        txs = txs.select(*_TX_STATE_COLS)
+        msgs = msgs.select(*_MSG_STATE_COLS)
+        if self._open_txs is not None:
+            txs = self._open_txs.unionByName(txs)
+            msgs = self._open_msgs.unionByName(msgs)
+        return txs, msgs
+
+    def _persist_state(self, txs: DataFrame, msgs: DataFrame) -> None:
+        # keep state materialized so the next batch doesn't re-derive a
+        # growing lineage; parquet swap doubles as the restart snapshot (T3)
+        if self.state_dir:
+            from ton_indexer_spark.sources.writer import atomic_replace_many
+
+            atomic_replace_many(
+                [
+                    (txs, os.path.join(self.state_dir, "txs")),
+                    (msgs, os.path.join(self.state_dir, "msgs")),
+                ]
+            )
+            self._open_txs = self.spark.read.parquet(os.path.join(self.state_dir, "txs"))
+            self._open_msgs = self.spark.read.parquet(os.path.join(self.state_dir, "msgs"))
+        else:
+            self._open_txs = txs.localCheckpoint(eager=True)
+            self._open_msgs = msgs.localCheckpoint(eager=True)
+
+    # -- the operator -------------------------------------------------------
+    def process_batch(self, batch_txs: DataFrame, batch_msgs: DataFrame) -> BatchResult:
+        all_txs, all_msgs = self._union_state(batch_txs, batch_msgs)
+        assembled = assemble_traces(all_txs, all_msgs)
+        # checkpoint everything returned to callers BEFORE the state swap —
+        # their lazy plans must not reference the replaced state files
+        traces = assembled.traces.localCheckpoint(eager=True)
+        tx_assign_full = assembled.transactions.select(
+            *_TX_STATE_COLS, "trace_id"
+        ).localCheckpoint(eager=True)
+
+        final = traces.filter(F.col("state").isin("complete", "broken"))
+        pending = traces.filter(F.col("state") == "pending")
+
+        if self.pending_ttl_mc_seqnos is not None:
+            horizon_row = all_txs.agg(F.max("mc_block_seqno")).collect()[0][0]
+            if horizon_row is not None:
+                cutoff = horizon_row - self.pending_ttl_mc_seqnos
+                expired = pending.filter(F.col("mc_seqno_end") < cutoff)
+                pending = pending.filter(F.col("mc_seqno_end") >= cutoff)
+                final = final.unionByName(expired)
+
+        tx_assign = tx_assign_full.select("hash", "trace_id")
+        final_ids = final.select("trace_id")
+        final_tx_ids = tx_assign.join(F.broadcast(final_ids), "trace_id", "left_semi")
+
+        # retain only rows belonging to still-pending traces
+        pending_tx = (
+            tx_assign_full.join(
+                F.broadcast(pending.select("trace_id")), "trace_id", "left_semi"
+            ).select(*_TX_STATE_COLS)
+        )
+        pending_hashes = pending_tx.select(F.col("hash").alias("tx_hash"))
+        pending_msgs = all_msgs.join(F.broadcast(pending_hashes), "tx_hash", "left_semi")
+        self._persist_state(pending_tx, pending_msgs)
+
+        return BatchResult(
+            final_traces=final,
+            pending_traces=pending,
+            tx_trace_ids=final_tx_ids,
+        )
+
+    def open_trace_count(self) -> int:
+        if self._open_txs is None:
+            return 0
+        return self._open_txs.select("hash").distinct().count()
