@@ -1,0 +1,235 @@
+"""Golden-output classifier tests (reference test strategy, SURVEY.md §5:
+per-trace expected action lists — indexer/tests/test_cases/*.yaml analog,
+here as inline expectations over hand-built traces)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.classifier.matchers import (
+    BURN_NOTIFY,
+    EXCESSES,
+    JETTON_BURN,
+    JETTON_INTERNAL,
+    JETTON_NOTIFY,
+    JETTON_TRANSFER,
+    NFT_TRANSFER,
+    OWNERSHIP_ASSIGNED,
+)
+
+A = [f"0:{i:064x}" for i in range(10)]  # accounts
+W1, W2, ITEM = "0:w1" + "0" * 60, "0:w2" + "0" * 60, "0:item" + "0" * 58
+
+
+def body_of(payload: dict) -> str:
+    return base64.b64encode(json.dumps(payload).encode()).decode()
+
+
+class TraceBuilder:
+    """Builds (transactions, messages) rows for one trace."""
+
+    def __init__(self, trace_id="trace0"):
+        self.trace_id = trace_id
+        self.txs: list[dict] = []
+        self.msgs: list[dict] = []
+        self._lt = 100
+        self._n = 0
+
+    def tx(self, account, in_source, opcode=None, value=None, body=None,
+           orig_status="active", end_status="active", aborted=False,
+           in_msg_hash=None):
+        self._lt += 10
+        self._n += 1
+        h = f"{self.trace_id}-tx{self._n}"
+        self.txs.append({
+            "hash": h, "account": account, "lt": self._lt, "now": 1000 + self._lt,
+            "aborted": aborted, "orig_status": orig_status,
+            "end_status": end_status,
+        })
+        mh = in_msg_hash or f"{self.trace_id}-m{self._n}"
+        self.msgs.append({
+            "trace_id": self.trace_id, "tx_hash": h, "tx_lt": self._lt,
+            "msg_hash": mh, "direction": "in", "source": in_source,
+            "destination": account, "value": value, "opcode": opcode,
+            "created_lt": self._lt - 2,
+            "body_hash": f"bh-{mh}" if body else None,
+        })
+        if body:
+            self.bodies = getattr(self, "bodies", [])
+            self.bodies.append({"hash": f"bh-{mh}", "body": body})
+        return h
+
+    def out(self, tx_hash, destination, opcode=None, value=None, body=None):
+        """Emit an out message from tx_hash; returns msg_hash for linking."""
+        tx = next(t for t in self.txs if t["hash"] == tx_hash)
+        mh = f"{self.trace_id}-om{len(self.msgs)}"
+        self.msgs.append({
+            "trace_id": self.trace_id, "tx_hash": tx_hash, "tx_lt": tx["lt"],
+            "msg_hash": mh, "direction": "out", "source": tx["account"],
+            "destination": destination, "value": value, "opcode": opcode,
+            "created_lt": tx["lt"] + 1,
+            "body_hash": f"bh-{mh}" if body else None,
+        })
+        if body:
+            self.bodies = getattr(self, "bodies", [])
+            self.bodies.append({"hash": f"bh-{mh}", "body": body})
+        return mh
+
+    def chain(self, tx_hash, account, opcode=None, value=None, body=None,
+              **tx_kw):
+        """out-msg from tx_hash consumed by a new tx at `account`."""
+        src = next(t for t in self.txs if t["hash"] == tx_hash)["account"]
+        mh = self.out(tx_hash, account, opcode=opcode, value=value, body=body)
+        return self.tx(account, src, opcode=opcode, value=value, body=body,
+                       in_msg_hash=mh, **tx_kw)
+
+
+def run(spark, builders, jetton_wallets=None, nft_items=None,
+        big_trace_cutoff=4000):
+    from ton_indexer_spark.classifier import classify_traces
+
+    txs = [t for b in builders for t in b.txs]
+    msgs = [m for b in builders for m in b.msgs]
+    bodies = [x for b in builders for x in getattr(b, "bodies", [])]
+    tx_schema = ("hash string, account string, lt long, now long, "
+                 "aborted boolean, orig_status string, end_status string")
+    msg_schema = ("trace_id string, tx_hash string, tx_lt long, "
+                  "msg_hash string, direction string, source string, "
+                  "destination string, value long, opcode long, "
+                  "created_lt long, body_hash string")
+    txs_df = spark.createDataFrame([tuple(t[k] for k in (
+        "hash", "account", "lt", "now", "aborted", "orig_status",
+        "end_status")) for t in txs], tx_schema)
+    msgs_df = spark.createDataFrame([tuple(m[k] for k in (
+        "trace_id", "tx_hash", "tx_lt", "msg_hash", "direction", "source",
+        "destination", "value", "opcode", "created_lt", "body_hash"))
+        for m in msgs], msg_schema)
+    bodies_df = spark.createDataFrame(
+        [(x["hash"], x["body"]) for x in bodies], "hash string, body string"
+    ) if bodies else spark.createDataFrame([], "hash string, body string")
+    jw = spark.createDataFrame(
+        [(w["address"], w["owner"], w["jetton"]) for w in jetton_wallets],
+        "address string, owner string, jetton string",
+    ) if jetton_wallets else None
+    ni = spark.createDataFrame(
+        [(n["address"],) for n in nft_items], "address string"
+    ) if nft_items else None
+    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni,
+                           big_trace_cutoff=big_trace_cutoff)
+
+
+def acts_of(result, trace_id):
+    return sorted(
+        (r.asDict(recursive=True) for r in result.actions.filter(
+            F.col("trace_id") == trace_id).collect()),
+        key=lambda a: a["start_lt"],
+    )
+
+
+def test_ton_transfer_and_call(spark):
+    b = TraceBuilder("t1")
+    root = b.tx(A[0], None)                      # external root
+    b.chain(root, A[1], opcode=0, value=10**9)   # simple value transfer
+    b2 = TraceBuilder("t2")
+    r2 = b2.tx(A[2], None)
+    b2.chain(r2, A[3], opcode=0x12345678, value=5)  # contract call
+
+    res = run(spark, [b, b2])
+    a1 = acts_of(res, "t1")
+    assert [a["type"] for a in a1] == ["ton_transfer"]
+    assert a1[0]["source"] == A[0] and a1[0]["destination"] == A[1]
+    assert a1[0]["value"] == 10**9 and a1[0]["asset"] == "TON"
+    a2 = acts_of(res, "t2")
+    assert [a["type"] for a in a2] == ["call_contract"]
+    states = {r["trace_id"]: r["classification_state"]
+              for r in res.classification_states.collect()}
+    assert states == {"t1": "ok", "t2": "ok"}
+
+
+def test_jetton_transfer_chain(spark):
+    b = TraceBuilder("j1")
+    root = b.tx(A[0], None)  # owner wallet-contract tx (external root)
+    w1 = b.chain(root, W1, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 5000, "destination": A[1]}))
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
+    b.chain(w2, A[1], opcode=JETTON_NOTIFY)   # notify new owner
+    b.chain(w2, A[0], opcode=EXCESSES)        # excesses back
+
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:jetton1"},
+        {"address": W2, "owner": A[1], "jetton": "0:jetton1"},
+    ])
+    acts = acts_of(res, "j1")
+    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    a = acts[0]
+    assert a["source"] == A[0]
+    assert a["source_secondary"] == W1
+    assert a["destination"] == A[1]
+    assert a["destination_secondary"] == W2
+    assert a["asset"] == "0:jetton1"
+    assert a["amount"] == 5000
+    assert len(a["tx_hashes"]) == 4  # W1, W2, notify, excesses
+
+
+def test_jetton_burn(spark):
+    b = TraceBuilder("burn1")
+    root = b.tx(A[0], None)
+    w1 = b.chain(root, W1, opcode=JETTON_BURN, body=body_of({"amount": 77}))
+    b.chain(w1, "0:master" + "0" * 56, opcode=BURN_NOTIFY)
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:jetton1"},
+    ])
+    acts = acts_of(res, "burn1")
+    assert [a["type"] for a in acts] == ["jetton_burn"]
+    assert acts[0]["amount"] == 77 and acts[0]["asset"] == "0:jetton1"
+    assert len(acts[0]["tx_hashes"]) == 2
+
+
+def test_nft_transfer(spark):
+    b = TraceBuilder("n1")
+    root = b.tx(A[0], None)
+    item = b.chain(root, ITEM, opcode=NFT_TRANSFER,
+                   body=body_of({"new_owner": A[2]}))
+    b.chain(item, A[2], opcode=OWNERSHIP_ASSIGNED)
+    res = run(spark, [b], nft_items=[{"address": ITEM}])
+    acts = acts_of(res, "n1")
+    assert [a["type"] for a in acts] == ["nft_transfer"]
+    assert acts[0]["destination"] == A[2] and acts[0]["asset"] == ITEM
+
+
+def test_contract_deploy_and_unknown(spark):
+    b = TraceBuilder("d1")
+    root = b.tx(A[0], None)
+    b.chain(root, A[4], opcode=0x11, orig_status="uninit")  # deploy
+    b2 = TraceBuilder("u1")
+    r2 = b2.tx(A[5], None)
+    b2.chain(r2, A[6], opcode=None, value=0)  # nothing matches → unknown
+    res = run(spark, [b, b2])
+    assert [a["type"] for a in acts_of(res, "d1")] == ["contract_deploy"]
+    assert [a["type"] for a in acts_of(res, "u1")] == ["unknown"]
+
+
+def test_big_trace_skipped(spark):
+    b = TraceBuilder("big1")
+    root = b.tx(A[0], None)
+    cur = root
+    for _ in range(5):
+        cur = b.chain(cur, A[1], opcode=0, value=1)
+    res = run(spark, [b], big_trace_cutoff=3)
+    states = {r["trace_id"]: r["classification_state"]
+              for r in res.classification_states.collect()}
+    assert states["big1"] == "skipped"
+    assert res.actions.count() == 0
+
+
+def test_action_accounts_explode(spark):
+    b = TraceBuilder("aa1")
+    root = b.tx(A[0], None)
+    b.chain(root, A[1], opcode=0, value=100)
+    res = run(spark, [b])
+    accs = sorted(r["account"] for r in res.action_accounts.collect())
+    assert accs == sorted([A[0], A[1]])

@@ -1,0 +1,218 @@
+"""Spark wrapper for the classifier (C2+C5+C6) — SURVEY.md §3.3 re-expressed.
+
+Reference lifecycle: claim task batch → hydrate traces via 3 batched queries
+→ load interface context into Redis → classify in 4 worker processes →
+delete-and-reinsert actions (event_classifier.py:93-352).  Spark shape:
+
+    rows = messages ⋈ transaction attrs ⋈ message bodies
+    rows = rows ⋈ broadcast(jetton_wallets / nft_items)      # C6: the
+        # interface repository becomes per-row broadcast-join columns —
+        # no Redis, no IN-list batches of 5000, and it scales with the
+        # dimension tables instead of driver memory
+    actions = rows.groupBy(trace_id).applyInPandas(classify)  # C1-C5
+    action_accounts = explode(involved accounts)              # J6 table
+
+The task-queue/mp.Queue machinery disappears into Spark's scheduler; the
+big-trace cutoff (nodes > 4000, event_classifier.py:405) and per-trace
+failure capture (``_classifier_failed_traces``) become sentinel rows folded
+into a ``classification_states`` output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ton_indexer_spark.classifier.matchers import classify_tree
+from ton_indexer_spark.classifier.tree import build_tree
+
+BIG_TRACE_CUTOFF = 4000  # event_classifier.py:405
+
+ACTIONS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("action_id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("source_secondary", T.StringType()),
+        T.StructField("destination", T.StringType()),
+        T.StructField("destination_secondary", T.StringType()),
+        T.StructField("asset", T.StringType()),
+        T.StructField("opcode", T.LongType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("amount", T.LongType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("tx_hashes", T.ArrayType(T.StringType())),
+        T.StructField("start_lt", T.LongType()),
+        T.StructField("end_lt", T.LongType()),
+        T.StructField("start_utime", T.LongType()),
+        T.StructField("end_utime", T.LongType()),
+        T.StructField("classification_state", T.StringType()),
+    ]
+)
+
+_ROW_COLS = [
+    "trace_id", "tx_hash", "tx_lt", "tx_now", "account", "aborted",
+    "orig_status", "end_status", "msg_hash", "direction", "source",
+    "destination", "value", "opcode", "created_lt", "body",
+    "acc_jw_owner", "acc_jw_jetton", "acc_is_nft",
+]
+
+
+def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
+    trace_id = pdf["trace_id"].iloc[0]
+
+    def sentinel(state: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{c.name: None for c in ACTIONS_OUT_SCHEMA}
+             | {"trace_id": trace_id, "classification_state": state}]
+        )
+
+    if pdf["tx_hash"].nunique() > big_trace_cutoff:
+        return sentinel("skipped")
+    try:
+        # object-cast first: assigning None into a float64 column silently
+        # re-coerces to NaN, and NaN != None breaks opcode matching
+        rows = pdf.astype(object).where(pd.notnull(pdf), None).to_dict("records")
+        for r in rows:
+            for k in ("tx_lt", "tx_now", "value", "opcode", "created_lt"):
+                if r[k] is not None:
+                    r[k] = int(r[k])
+        ctx = {
+            "jetton_wallets": {
+                r["account"]: (r["acc_jw_owner"], r["acc_jw_jetton"])
+                for r in rows
+                if r["acc_jw_jetton"] is not None
+            },
+            "nft_items": {r["account"] for r in rows if r["acc_is_nft"]},
+        }
+        nodes = build_tree(rows)
+        acts = classify_tree(nodes, ctx)
+        if not acts:
+            # sentinel keeps the trace visible in classification_states
+            # (action_id NULL rows are filtered out of the actions table)
+            return sentinel("ok")
+        out = []
+        for i, a in enumerate(acts):
+            aid = hashlib.sha256(f"{trace_id}:{i}".encode()).hexdigest()
+            out.append(
+                {
+                    "trace_id": trace_id,
+                    "action_id": aid,
+                    "classification_state": "ok",
+                    **{
+                        k: a.get(k)
+                        for k in (
+                            "type", "source", "source_secondary", "destination",
+                            "destination_secondary", "asset", "opcode", "value",
+                            "amount", "success", "tx_hashes", "start_lt",
+                            "end_lt", "start_utime", "end_utime",
+                        )
+                    },
+                }
+            )
+        return pd.DataFrame(out)
+    except Exception:
+        return sentinel("failed")
+
+
+@dataclass
+class ClassifiedActions:
+    actions: DataFrame
+    action_accounts: DataFrame
+    classification_states: DataFrame  # (trace_id, classification_state)
+
+
+def classify_traces(
+    transactions: DataFrame,
+    messages: DataFrame,
+    message_contents: DataFrame | None = None,
+    jetton_wallets: DataFrame | None = None,
+    nft_items: DataFrame | None = None,
+    big_trace_cutoff: int = BIG_TRACE_CUTOFF,
+) -> ClassifiedActions:
+    tx_attrs = transactions.select(
+        F.col("hash").alias("tx_hash"),
+        F.col("now").alias("tx_now"),
+        "account", "aborted", "orig_status", "end_status",
+    )
+    rows = messages.select(
+        "trace_id", "tx_hash", "tx_lt", "msg_hash", "direction", "source",
+        "destination", "value", "opcode", "created_lt", "body_hash",
+    ).join(tx_attrs, "tx_hash")
+
+    if message_contents is not None:
+        rows = rows.join(
+            message_contents.select(
+                F.col("hash").alias("body_hash"), F.col("body")
+            ),
+            "body_hash",
+            "left",
+        )
+    else:
+        rows = rows.withColumn("body", F.lit(None).cast("string"))
+
+    # C6: interface repository as broadcast joins on the tx account
+    if jetton_wallets is not None:
+        jw = jetton_wallets.select(
+            F.col("address").alias("account"),
+            F.col("owner").alias("acc_jw_owner"),
+            F.col("jetton").alias("acc_jw_jetton"),
+        )
+        rows = rows.join(F.broadcast(jw), "account", "left")
+    else:
+        rows = rows.withColumn("acc_jw_owner", F.lit(None).cast("string"))
+        rows = rows.withColumn("acc_jw_jetton", F.lit(None).cast("string"))
+    if nft_items is not None:
+        ni = nft_items.select(F.col("address").alias("account")).withColumn(
+            "acc_is_nft", F.lit(True)
+        )
+        rows = rows.join(F.broadcast(ni), "account", "left")
+        rows = rows.withColumn("acc_is_nft", F.coalesce("acc_is_nft", F.lit(False)))
+    else:
+        rows = rows.withColumn("acc_is_nft", F.lit(False))
+
+    raw = (
+        rows.select(*_ROW_COLS)
+        .groupBy("trace_id")
+        .applyInPandas(
+            lambda pdf: _classify_group(pdf, big_trace_cutoff),
+            schema=ACTIONS_OUT_SCHEMA,
+        )
+    )
+
+    actions = raw.filter(F.col("action_id").isNotNull()).drop(
+        "classification_state"
+    )
+    states = (
+        raw.select("trace_id", "classification_state")
+        .groupBy("trace_id")
+        .agg(F.min("classification_state").alias("classification_state"))
+        # min: failed < ok < skipped alphabetically — failed/skipped dominate
+    )
+    action_accounts = (
+        actions.select(
+            "action_id", "trace_id", "end_lt", "end_utime",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array("source", "destination", "source_secondary",
+                                "destination_secondary"),
+                        lambda c: c.isNotNull(),
+                    )
+                )
+            ).alias("account"),
+        )
+        .withColumnRenamed("end_lt", "action_end_lt")
+        .withColumnRenamed("end_utime", "action_end_utime")
+    )
+    return ClassifiedActions(
+        actions=actions,
+        action_accounts=action_accounts,
+        classification_states=states,
+    )

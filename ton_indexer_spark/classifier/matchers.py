@@ -1,0 +1,197 @@
+"""Protocol matchers (C3/C4 — representative subset of the reference's ~95).
+
+Each matcher inspects an unconsumed tree node (plus its subtree and the
+broadcast dimension context) and either returns an action dict and marks the
+claimed nodes consumed, or returns None.  Matchers run in priority order per
+node, BFS over the trace — the same discipline as the reference's
+``event_processing.py:313-323`` matcher loop, re-implemented from scratch.
+
+Opcodes are the public TEP standards (TEP-74 jettons, TEP-62 NFTs):
+    0x0f8a7ea5 jetton transfer      0x178d4519 jetton internal transfer
+    0x7362d09c transfer notification 0xd53276db excesses
+    0x595f07bc jetton burn          0x7bdd97de burn notification
+    0x5fcc3d14 nft transfer         0x05138d91 ownership assigned
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from ton_indexer_spark.classifier.tree import Node
+
+JETTON_TRANSFER = 0x0F8A7EA5
+JETTON_INTERNAL = 0x178D4519
+JETTON_NOTIFY = 0x7362D09C
+EXCESSES = -0x2CAD8925  # 0xd53276db as signed int32
+JETTON_BURN = 0x595F07BC
+BURN_NOTIFY = 0x7BDD97DE
+NFT_TRANSFER = 0x5FCC3D14
+OWNERSHIP_ASSIGNED = 0x05138D91
+
+Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
+
+
+def _base(node: Node, typ: str, **kw) -> dict:
+    claimed = kw.pop("claimed", [node])
+    act = {
+        "type": typ,
+        "source": node.in_msg.source if node.in_msg else None,
+        "source_secondary": None,
+        "destination": node.account,
+        "destination_secondary": None,
+        "asset": None,
+        "opcode": node.in_msg.opcode if node.in_msg else None,
+        "value": node.in_msg.value if node.in_msg else None,
+        "amount": None,
+        "success": not any(n.aborted for n in claimed),
+        "tx_hashes": sorted(n.tx_hash for n in claimed),
+        "start_lt": min(n.tx_lt for n in claimed),
+        "end_lt": max(n.tx_lt for n in claimed),
+        "start_utime": min(n.tx_now for n in claimed),
+        "end_utime": max(n.tx_now for n in claimed),
+    }
+    act.update(kw)
+    for n in claimed:
+        n.consumed = True
+    return act
+
+
+def match_contract_deploy(node: Node, ctx: Ctx) -> dict | None:
+    if node.orig_status != "active" and node.end_status == "active":
+        return _base(node, "contract_deploy")
+    return None
+
+
+def match_jetton_transfer(node: Node, ctx: Ctx) -> dict | None:
+    """owner → sender-wallet (0x0f8a7ea5) → receiver-wallet (0x178d4519)
+    [→ owner notify (0x7362d09c)] [→ excesses (0xd53276db)]"""
+    if node.in_msg is None or node.in_msg.opcode != JETTON_TRANSFER:
+        return None
+    internal = node.child_via(JETTON_INTERNAL)
+    if internal is None:
+        return None
+    claimed = [node, internal]
+    notify = internal.child_via(JETTON_NOTIFY)
+    if notify is not None:
+        claimed.append(notify)
+    excess = internal.child_via(EXCESSES) or node.child_via(EXCESSES)
+    if excess is not None and excess not in claimed:
+        claimed.append(excess)
+
+    payload = node.in_msg.decoded_body()
+    wallets = ctx.get("jetton_wallets", {})
+    sender_wallet = node.account
+    receiver_wallet = internal.account
+    owner_jetton = wallets.get(sender_wallet, (None, None))
+    dest_owner = (
+        notify.account
+        if notify is not None
+        else wallets.get(receiver_wallet, (None, None))[0]
+    )
+    return _base(
+        node,
+        "jetton_transfer",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=sender_wallet,
+        destination=payload.get("destination", dest_owner),
+        destination_secondary=receiver_wallet,
+        asset=owner_jetton[1],
+        amount=payload.get("amount"),
+    )
+
+
+def match_jetton_burn(node: Node, ctx: Ctx) -> dict | None:
+    if node.in_msg is None or node.in_msg.opcode != JETTON_BURN:
+        return None
+    claimed = [node]
+    notify = node.child_via(BURN_NOTIFY)
+    if notify is not None:
+        claimed.append(notify)
+    payload = node.in_msg.decoded_body()
+    wallets = ctx.get("jetton_wallets", {})
+    owner, jetton = wallets.get(node.account, (None, None))
+    return _base(
+        node,
+        "jetton_burn",
+        claimed=claimed,
+        source=node.in_msg.source or owner,
+        source_secondary=node.account,
+        destination=None,
+        asset=jetton,
+        amount=payload.get("amount"),
+    )
+
+
+def match_nft_transfer(node: Node, ctx: Ctx) -> dict | None:
+    """old-owner → nft item (0x5fcc3d14) [→ new-owner (0x05138d91)]"""
+    if node.in_msg is None or node.in_msg.opcode != NFT_TRANSFER:
+        return None
+    if ctx.get("nft_items") is not None and node.account not in ctx["nft_items"]:
+        return None
+    claimed = [node]
+    assigned = node.child_via(OWNERSHIP_ASSIGNED)
+    if assigned is not None:
+        claimed.append(assigned)
+    excess = node.child_via(EXCESSES)
+    if excess is not None:
+        claimed.append(excess)
+    payload = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "nft_transfer",
+        claimed=claimed,
+        source=node.in_msg.source,
+        destination=payload.get(
+            "new_owner", assigned.account if assigned else None
+        ),
+        asset=node.account,
+    )
+
+
+def match_ton_transfer(node: Node, ctx: Ctx) -> dict | None:
+    m = node.in_msg
+    if m is None or m.source is None:  # externals are not transfers
+        return None
+    if (m.opcode in (None, 0)) and (m.value or 0) > 0:
+        return _base(node, "ton_transfer", asset="TON")
+    return None
+
+
+def match_call_contract(node: Node, ctx: Ctx) -> dict | None:
+    m = node.in_msg
+    if m is None or m.source is None or m.opcode in (None, 0):
+        return None
+    return _base(node, "call_contract")
+
+
+# priority order mirrors specificity (deploy before generic call, token
+# chains before plain transfers) — reference registry event_processing.py:209+
+MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
+    ("contract_deploy", match_contract_deploy),
+    ("jetton_transfer", match_jetton_transfer),
+    ("jetton_burn", match_jetton_burn),
+    ("nft_transfer", match_nft_transfer),
+    ("ton_transfer", match_ton_transfer),
+    ("call_contract", match_call_contract),
+]
+
+
+def classify_tree(nodes: list[Node], ctx: Ctx) -> list[dict]:
+    """Run matchers over the trace in lt order; unmatched non-external
+    nodes fall back to 'unknown' (the reference's fallback action)."""
+    actions: list[dict] = []
+    for node in nodes:
+        if node.consumed:
+            continue
+        for _, matcher in MATCHERS:
+            act = matcher(node, ctx)
+            if act is not None:
+                actions.append(act)
+                break
+        else:
+            if node.in_msg is not None and node.in_msg.source is not None:
+                actions.append(_base(node, "unknown"))
+            else:
+                node.consumed = True  # external-rooted node with no pattern
+    return actions
