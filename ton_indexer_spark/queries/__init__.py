@@ -77,6 +77,7 @@ def _load_modules() -> None:
         text,
         dedup,
         similarity,
+        functions_q,
     )
 
     _LOADED = True

@@ -1,0 +1,124 @@
+"""Scalar-function gate queries (SURVEY.md §2.9 F1/F4/F6/F8) plus the
+multimodal metadata pass and keyset pagination."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.multimodal import binary_metadata, with_binary_payload
+from ton_indexer_spark.operators import paginate
+from ton_indexer_spark.queries import register
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    ORDER BY event_id
+    """,
+    survey_ops=("F6",),
+    description="JSON field extraction from a string column (jsonb extra "
+    "currencies analog, migrate.cpp:176)",
+)
+def json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    ).orderBy("event_id")
+
+
+@register(
+    "base64_roundtrip",
+    """
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 48))) AS b64,
+           CAST(from_base64(to_base64(encode(substr(text, 1, 48)))) AS VARCHAR)
+               AS roundtrip
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ops=("F1",),
+    description="base64 encode/decode of payload bytes (hash/BOC rendering "
+    "convention, balances.go:273)",
+)
+def base64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    payload = F.encode(F.substring("text", 1, 48), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(payload).alias("b64"),
+        F.decode(F.unbase64(F.base64(payload)), "UTF-8").alias("roundtrip"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "opcode_conversion",
+    """
+    SELECT event_id,
+           CAST(user_id - 128 AS INTEGER) AS op_signed,
+           ((user_id - 128) & 4294967295) AS op_unsigned
+    FROM events
+    ORDER BY event_id
+    """,
+    survey_ops=("F8",),
+    description="signed int32 ↔ unsigned opcode view (opcode & 0xFFFFFFFF, "
+    "tree_utils.py:46-49)",
+)
+def opcode_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    signed = (F.col("user_id") - 128).cast("int")
+    return ev.select(
+        "event_id",
+        signed.alias("op_signed"),
+        signed.cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("op_unsigned"),
+    ).orderBy("event_id")
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           'unknown' AS format
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:multimodal",),
+    description="binary-column metadata pass via Arrow mapInPandas (byte "
+    "length + digest + magic sniff); payload derived from text since the "
+    "container ships no media files — the plumbing is the product",
+)
+def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return binary_metadata(with_binary_payload(d)).orderBy("doc_id")
+
+
+@register(
+    "keyset_pagination",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 1000
+    ORDER BY o_orderkey ASC
+    LIMIT 50
+    """,
+    survey_ops=("O2",),
+    description="keyset-cursor page (the lt-cursor pattern that replaces "
+    "deep OFFSET at scale — start_lt filters, crud_transactions.go:56-69)",
+)
+def keyset_pagination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return paginate(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        sort=[("o_orderkey", "asc")],
+        limit=50,
+        keyset={"o_orderkey": 1000},
+    )
