@@ -1,0 +1,99 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the right rows come back; these prove the right
+PLAN produces them — the properties that matter at 100 TB:
+filters pushed into the parquet scan, dimensions broadcast, aggregations
+partial (map-side), top-k as TakeOrderedAndProject, and no Python UDFs in
+the relational paths.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from ton_indexer_spark.queries import all_specs
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="session")
+def specs():
+    return all_specs()
+
+
+def test_filter_pushdown_reaches_scan(spark, specs):
+    plan = plan_of(specs["filter_sort_page"].builder(spark, SF_SMALL))
+    assert "PushedFilters" in plan
+    assert "In(l_returnflag" in plan  # IN filter pushed to parquet
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, specs):
+    plan = plan_of(specs["filter_sort_page"].builder(spark, SF_SMALL))
+    # ReadSchema must not include unprojected columns like l_comment-ish ones
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_broadcast_join_for_dims(spark, specs):
+    plan = plan_of(specs["join_enrich"].builder(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark, specs):
+    plan = plan_of(specs["group_agg"].builder(spark, SF_SMALL))
+    # two HashAggregate nodes = map-side partial + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_is_take_ordered(spark, specs):
+    plan = plan_of(specs["top_k"].builder(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark, specs):
+    plan = plan_of(specs["semi_join"].builder(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark, specs):
+    # everything except the explicitly-Python surfaces must stay JVM-side
+    python_allowed = {"multimodal_metadata"}
+    for name, spec in specs.items():
+        if name in python_allowed:
+            continue
+        plan = plan_of(spec.builder(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_wholestage_codegen_active(spark, specs):
+    # AQE defers the final plan until execution — run it, then inspect
+    df = specs["group_agg"].builder(spark, SF_SMALL)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the "*(<stage>)" prefix in the final plan
+    assert re.search(r"\*\(\d+\)", executed), executed[:500]
+
+
+def test_transactions_plan_pushdown(spark, tmp_path_factory):
+    from tests.fixture_gen import generate
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.plans import transactions_query
+
+    fx = generate(str(tmp_path_factory.mktemp("fx_explain")), n_traces=50)
+    cat = Catalog(spark, fx)
+    plan = plan_of(
+        transactions_query(cat, accounts=["0:ab"], start_lt=5, end_lt=10,
+                           with_messages=False)
+    )
+    assert "EqualTo(account,0:ab)" in plan
+    assert "GreaterThanOrEqual(lt,5)" in plan

@@ -64,9 +64,11 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    # cache: the bucket table feeds both sides of the candidate self-join —
+    # uncached, the whole shingle→signature pipeline executes twice
     buckets = sig.select(
         F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash").cache()
     a = buckets.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )

@@ -38,6 +38,9 @@ def ngram_jaccard_pairs(
             df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
             "shingle",
         )
+    # the shingle set feeds three plan branches (a-side, b-side, sizes);
+    # without caching, Catalyst re-runs tokenize+explode per branch
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")

@@ -19,7 +19,13 @@ def shingles(
     Documents with fewer than k tokens produce no shingles (matching the
     conventional MinHash definition — they can only be exact-dup matched).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # bind the token array to a column FIRST: inlining the split() expression
+    # at every element_at use site makes Catalyst re-split the text once per
+    # shingle position — O(len²) per document
+    toked = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
@@ -31,6 +37,6 @@ def shingles(
         ),
     )
     return (
-        docs.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        toked.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )

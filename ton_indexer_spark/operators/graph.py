@@ -94,7 +94,7 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("node"))
 
     for i in range(max_iter):
-        # candidate label for each node = min over neighbors' labels ∪ own
+        # step 1: candidate label = min over neighbors' labels ∪ own
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"], "inner")
             .groupBy(sym["a"].alias("node"))
@@ -107,6 +107,22 @@ def connected_components(
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # step 2: pointer-jump — component ← component's component.  Plain
+        # hash-min needs O(diameter) rounds (linear on chain graphs); the
+        # jump shortcuts label chains for O(log n) total rounds.
+        jump = new_labels.select(
+            F.col("node").alias("component"), F.col("component").alias("component2")
+        )
+        new_labels = (
+            new_labels.join(jump, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("component2"), F.col("component")),
                 ).alias("component"),
             )
         )
