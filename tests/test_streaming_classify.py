@@ -1,0 +1,110 @@
+"""T5/T6/T7: classification-in-stream, pending overlay, push fan-out."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    from tests.fixture_gen import generate
+
+    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
+
+
+def test_pipeline_with_classification_and_push(spark, fixture_dir, tmp_path):
+    from ton_indexer_spark.streaming.ingest import IngestPipeline
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet").drop("trace_id")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet").drop("trace_id")
+    contents = spark.read.parquet(f"{fixture_dir}/message_contents.parquet")
+    jw = spark.read.parquet(f"{fixture_dir}/jetton_wallets.parquet")
+
+    channels: dict[str, list] = {}
+
+    def publisher(channel: str, payloads: list[dict]) -> None:
+        channels.setdefault(channel, []).extend(payloads)
+
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(
+        spark,
+        out_dir=out,
+        state_dir=str(tmp_path / "state"),
+        classify=True,
+        message_contents=contents,
+        jetton_wallets=jw,
+        publisher=publisher,
+    )
+
+    seqnos = sorted(r[0] for r in txs.select("mc_block_seqno").distinct().collect())
+    mid = seqnos[len(seqnos) // 2]
+    pipe.process_batch(
+        txs.filter(F.col("mc_block_seqno") <= mid),
+        msgs.filter(F.col("mc_seqno") <= mid),
+    )
+    pipe.process_batch(
+        txs.filter(F.col("mc_block_seqno") > mid),
+        msgs.filter(F.col("mc_seqno") > mid),
+    )
+
+    actions = spark.read.parquet(os.path.join(out, "actions"))
+    assert actions.count() > 0
+    assert actions.filter(F.col("trace_end_lt").isNull()).count() == 0
+    aa = spark.read.parquet(os.path.join(out, "action_accounts"))
+    assert aa.count() >= actions.count()
+
+    # T7: both channels got payloads with finality markers
+    assert set(channels) == {"traces", "transactions"}
+    assert all(p["finality"] == "finalized" for p in channels["traces"])
+
+    # flushed transactions cover every finalized trace exactly
+    flushed = spark.read.parquet(os.path.join(out, "transactions"))
+    traces = spark.read.parquet(os.path.join(out, "traces"))
+    assert (
+        flushed.select("trace_id").distinct().count()
+        == traces.select("trace_id").distinct().count()
+    )
+
+
+def test_pending_overlay(spark, fixture_dir):
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.plans import traces_query
+    from ton_indexer_spark.plans.traces import pending_overlay
+
+    cat = Catalog(spark, fixture_dir)
+    finalized = cat.traces.filter(F.col("state") != "pending")
+    pending = cat.traces.filter(F.col("state") == "pending")
+
+    over = pending_overlay(finalized, pending)
+    counts = {r["finality"]: r["count"]
+              for r in over.groupBy("finality").count().collect()}
+    assert counts["pending"] == pending.count()
+    assert counts["finalized"] == finalized.count()
+
+    # finalized rows shadow same-id pending rows
+    over2 = pending_overlay(cat.traces, pending)
+    assert over2.filter(F.col("finality") == "pending").count() == 0
+
+
+def test_nsfw_presentation_transform(spark):
+    from ton_indexer_spark.functions.presentation import (
+        BLUR_PLACEHOLDER,
+        apply_nsfw_policy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "https://x/1.png", False),
+            ("b", "https://x/2.png", True),
+            ("c", None, False),
+        ],
+        "address string, image string, nsfw boolean",
+    )
+    rows = {r["address"]: r["image"]
+            for r in apply_nsfw_policy(df).collect()}
+    assert rows["b"] == BLUR_PLACEHOLDER
+    assert rows["a"].startswith("https://imgproxy.local/")
+    assert rows["c"] is None

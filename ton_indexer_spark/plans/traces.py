@@ -24,9 +24,26 @@ from ton_indexer_spark.operators import filter_by_array, filter_range, paginate
 MAX_TRACE_TRANSACTIONS = 4000  # crud_traces.go guard
 
 
+def pending_overlay(finalized: DataFrame, pending: DataFrame | None) -> DataFrame:
+    """T6 pending/emulated overlay: union not-yet-finalized traces (from the
+    incremental assembler's state or the emulator) over finalized data with
+    a ``finality`` discriminator; finalized rows shadow pending ones by
+    trace_id (the invalidation-on-finalize rule, ton-trace-ttl-tracker).
+    """
+    finalized = finalized.withColumn("finality", F.lit("finalized"))
+    if pending is None:
+        return finalized
+    pending = (
+        pending.join(finalized.select("trace_id"), "trace_id", "left_anti")
+        .withColumn("finality", F.lit("pending"))
+    )
+    return finalized.unionByName(pending, allowMissingColumns=True)
+
+
 def traces_query(
     cat: Catalog,
     trace_ids: Sequence[str] | None = None,
+    pending: DataFrame | None = None,
     account: str | None = None,
     tx_hash: str | None = None,
     msg_hash: str | None = None,
@@ -40,7 +57,7 @@ def traces_query(
     offset: int = 0,
     hydrate: bool = True,
 ) -> DataFrame:
-    tr = cat.traces
+    tr = pending_overlay(cat.traces, pending)
     tr = filter_by_array(tr, "trace_id", trace_ids)
     tr = filter_by_array(tr, "state", states)
     tr = filter_range(tr, "end_lt", start_lt, end_lt)

@@ -1,20 +1,19 @@
-"""Streaming ingest pipeline (SURVEY.md §3.2 re-expressed, T1/T5/T8).
+"""Streaming ingest pipeline (SURVEY.md §3.2 re-expressed, T1/T5/T7/T8).
 
 Reference write path: scheduler discovers seqnos in order → fetch → parse →
 assemble traces (stateful) → detect interfaces → per-seqno transactional
-COPY (IndexScheduler.cpp:212-386).  Spark shape:
+COPY (IndexScheduler.cpp:212-386); a DB trigger then queues classification
+(T5, migrate.cpp:707-718) and results fan out over pub/sub (T7).
+Spark shape — one foreachBatch, no queues, no triggers:
 
     readStream (file source over per-seqno-bucket parquet drops,
                 maxFilesPerTrigger = the reference's --max-active-tasks)
       → foreachBatch:
-            1. split batch into transactions/messages
-            2. IncrementalTraceAssembler.process_batch  (T2 state op)
-            3. write_facts(txs+trace ids, traces)        (T8 idempotent sink)
-            4. merge_dimension(latest account states …)  (W2 LWW)
-
-The classifier stage (T5) consumes the completed-traces output the same way
-— a second stream over the traces table; no task-queue tables needed, the
-micro-batch scheduler replaces them.
+            1. IncrementalTraceAssembler.process_batch   (T2 state op)
+            2. classify finalized traces                  (T5, optional)
+            3. write_facts(txs, traces, actions)          (T8 idempotent sink)
+            4. merge_dimension(latest account states)     (W2 LWW)
+            5. publish_batch(...)                         (T7, optional)
 
 ``run_available_now`` processes everything currently in the source dir and
 stops — used by tests and backfills; a production deployment passes a
@@ -28,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ton_indexer_spark.sources.writer import merge_dimension, write_facts
+from ton_indexer_spark.streaming.push import Publisher, publish_batch
 from ton_indexer_spark.streaming.trace_assembler import IncrementalTraceAssembler
 
 
@@ -38,18 +38,26 @@ class IngestPipeline:
         out_dir: str,
         state_dir: str,
         pending_ttl_mc_seqnos: int | None = None,
+        classify: bool = False,
+        message_contents: DataFrame | None = None,
+        jetton_wallets: DataFrame | None = None,
+        nft_items: DataFrame | None = None,
+        publisher: Publisher | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
         self.assembler = IncrementalTraceAssembler(
             spark, state_dir=state_dir, pending_ttl_mc_seqnos=pending_ttl_mc_seqnos
         )
+        self.classify = classify
+        self.message_contents = message_contents
+        self.jetton_wallets = jetton_wallets
+        self.nft_items = nft_items
+        self.publisher = publisher
 
     def process_batch(self, txs: DataFrame, msgs: DataFrame) -> None:
         res = self.assembler.process_batch(txs, msgs)
-        # facts: transactions with assigned trace ids (only final traces get
-        # flushed; pending rows stay in assembler state, the T6 overlay)
-        flushed = txs.join(res.tx_trace_ids, "hash")
+        flushed = res.final_transactions
         if flushed.head(1):
             write_facts(
                 flushed,
@@ -59,10 +67,50 @@ class IngestPipeline:
         final = res.final_traces
         if final.head(1):
             write_facts(
-                final.withColumnRenamed("mc_seqno_end", "mc_block_seqno"),
+                final.withColumn("mc_block_seqno", final["mc_seqno_end"]),
                 os.path.join(self.out_dir, "traces"),
                 sort_cols=["end_lt", "trace_id"],
             )
+            if self.classify:  # T5: classification follows finalization
+                from ton_indexer_spark.classifier import classify_traces
+
+                cls = classify_traces(
+                    flushed,
+                    res.final_messages,
+                    self.message_contents,
+                    self.jetton_wallets,
+                    self.nft_items,
+                )
+                actions = cls.actions.join(
+                    final.select(
+                        "trace_id",
+                        final["end_lt"].alias("trace_end_lt"),
+                        final["end_utime"].alias("trace_end_utime"),
+                        final["mc_seqno_end"].alias("trace_mc_seqno_end"),
+                    ),
+                    "trace_id",
+                )
+                if actions.head(1):
+                    write_facts(
+                        actions.withColumn(
+                            "mc_block_seqno", actions["trace_mc_seqno_end"]
+                        ),
+                        os.path.join(self.out_dir, "actions"),
+                        sort_cols=["trace_end_lt", "trace_id", "action_id"],
+                    )
+                    write_facts(
+                        cls.action_accounts.join(
+                            final.select(
+                                "trace_id",
+                                final["end_lt"].alias("trace_end_lt"),
+                                final["mc_seqno_end"].alias("mc_block_seqno"),
+                            ),
+                            "trace_id",
+                        ),
+                        os.path.join(self.out_dir, "action_accounts"),
+                        sort_cols=["account", "trace_end_lt"],
+                    )
+
         # derived dimension: latest account state per account (W2)
         merge_dimension(
             self.spark,
@@ -78,6 +126,13 @@ class IngestPipeline:
             version_col="last_trans_lt",
             tiebreakers=["hash"],
         )
+
+        if self.publisher is not None:  # T7 fan-out
+            publish_batch(
+                self.publisher,
+                final_traces=final,
+                transactions=flushed.select("hash", "lt", "account", "trace_id"),
+            )
 
     def run_available_now(self, tx_source_dir: str, msg_source_dir: str,
                           checkpoint_dir: str):

@@ -42,19 +42,23 @@ from pyspark.sql import functions as F
 
 from ton_indexer_spark.operators.trace_assembly import assemble_traces
 
+# wide enough for downstream classification (T5), not just CC linkage
 _TX_STATE_COLS = [
     "account", "hash", "lt", "now", "mc_block_seqno",
+    "aborted", "orig_status", "end_status", "total_fees",
 ]
 _MSG_STATE_COLS = [
     "tx_hash", "tx_lt", "msg_hash", "direction", "source", "destination",
+    "value", "opcode", "created_lt", "body_hash",
 ]
 
 
 @dataclass
 class BatchResult:
-    final_traces: DataFrame    # state ∈ {complete, broken} — safe to append
-    pending_traces: DataFrame  # provisional snapshot (overlay, T6)
-    tx_trace_ids: DataFrame    # (hash, trace_id) for txs of final traces
+    final_traces: DataFrame        # state ∈ {complete, broken} — safe to append
+    pending_traces: DataFrame      # provisional snapshot (overlay, T6)
+    final_transactions: DataFrame  # full tx rows of final traces + trace_id
+    final_messages: DataFrame      # message rows of final traces + trace_id
 
 
 class IncrementalTraceAssembler:
@@ -130,9 +134,22 @@ class IncrementalTraceAssembler:
                 pending = pending.filter(F.col("mc_seqno_end") >= cutoff)
                 final = final.unionByName(expired)
 
-        tx_assign = tx_assign_full.select("hash", "trace_id")
         final_ids = final.select("trace_id")
-        final_tx_ids = tx_assign.join(F.broadcast(final_ids), "trace_id", "left_semi")
+        final_txs = tx_assign_full.join(
+            F.broadcast(final_ids), "trace_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        final_msgs = (
+            all_msgs.join(
+                F.broadcast(final_txs.select(F.col("hash").alias("tx_hash"))),
+                "tx_hash",
+                "left_semi",
+            )
+            .join(
+                final_txs.select(F.col("hash").alias("tx_hash"), "trace_id"),
+                "tx_hash",
+            )
+            .localCheckpoint(eager=True)
+        )
 
         # retain only rows belonging to still-pending traces
         pending_tx = (
@@ -147,7 +164,8 @@ class IncrementalTraceAssembler:
         return BatchResult(
             final_traces=final,
             pending_traces=pending,
-            tx_trace_ids=final_tx_ids,
+            final_transactions=final_txs,
+            final_messages=final_msgs,
         )
 
     def open_trace_count(self) -> int:
