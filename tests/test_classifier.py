@@ -17,6 +17,7 @@ from ton_indexer_spark.classifier.matchers import (
     JETTON_INTERNAL,
     JETTON_NOTIFY,
     JETTON_TRANSFER,
+    MULTISIG_NEW_ORDER,
     NFT_TRANSFER,
     OWNERSHIP_ASSIGNED,
 )
@@ -89,7 +90,7 @@ class TraceBuilder:
 
 
 def run(spark, builders, jetton_wallets=None, nft_items=None,
-        big_trace_cutoff=4000):
+        dex_pools=None, multisig=None, big_trace_cutoff=4000):
     from ton_indexer_spark.classifier import classify_traces
 
     txs = [t for b in builders for t in b.txs]
@@ -118,7 +119,14 @@ def run(spark, builders, jetton_wallets=None, nft_items=None,
     ni = spark.createDataFrame(
         [(n["address"],) for n in nft_items], "address string"
     ) if nft_items else None
-    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni,
+    dp = spark.createDataFrame(
+        [(p["address"], p["dex"]) for p in dex_pools],
+        "address string, dex string",
+    ) if dex_pools else None
+    ms = spark.createDataFrame(
+        [(m["address"],) for m in multisig], "address string"
+    ) if multisig else None
+    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni, dp, ms,
                            big_trace_cutoff=big_trace_cutoff)
 
 
@@ -199,6 +207,58 @@ def test_nft_transfer(spark):
     acts = acts_of(res, "n1")
     assert [a["type"] for a in acts] == ["nft_transfer"]
     assert acts[0]["destination"] == A[2] and acts[0]["asset"] == ITEM
+
+
+def test_jetton_swap_two_legs(spark):
+    """user → W1 → W2(pool wallet) → notify POOL → pool sends W3 → W4 →
+    notify user: one jetton_swap action with nested payload struct."""
+    POOL = "0:pool" + "0" * 58
+    W3, W4 = "0:w3" + "0" * 60, "0:w4" + "0" * 60
+    b = TraceBuilder("s1")
+    root = b.tx(A[0], None)
+    w1 = b.chain(root, W1, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 1000}))
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
+    pool = b.chain(w2, POOL, opcode=JETTON_NOTIFY)
+    # pool reacts: transfer of token B back to the user
+    w3 = b.chain(pool, W3, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 950}))
+    w4 = b.chain(w3, W4, opcode=JETTON_INTERNAL)
+    b.chain(w4, A[0], opcode=JETTON_NOTIFY)
+
+    res = run(
+        spark, [b],
+        jetton_wallets=[
+            {"address": W1, "owner": A[0], "jetton": "0:tokA"},
+            {"address": W2, "owner": POOL, "jetton": "0:tokA"},
+            {"address": W3, "owner": POOL, "jetton": "0:tokB"},
+            {"address": W4, "owner": A[0], "jetton": "0:tokB"},
+        ],
+        dex_pools=[{"address": POOL, "dex": "stonfi"}],
+    )
+    acts = acts_of(res, "s1")
+    assert [a["type"] for a in acts] == ["jetton_swap"]
+    a = acts[0]
+    assert a["source"] == A[0] and a["destination"] == A[0]
+    assert a["asset"] == "0:tokA"
+    sd = a["jetton_swap_data"]
+    assert sd["dex"] == "stonfi"
+    assert sd["amount_in"] == 1000 and sd["asset_in"] == "0:tokA"
+    assert sd["amount_out"] == 950 and sd["asset_out"] == "0:tokB"
+    assert sd["peer_address"] == POOL
+    assert len(a["tx_hashes"]) == 6  # both 3-node legs (pool node shared)
+
+
+def test_multisig_create_order(spark):
+    MS = "0:msig" + "0" * 58
+    b = TraceBuilder("m1")
+    root = b.tx(A[0], None)
+    ms = b.chain(root, MS, opcode=MULTISIG_NEW_ORDER)
+    b.chain(ms, A[7], opcode=0x11, orig_status="uninit")  # order deploy leg
+    res = run(spark, [b], multisig=[{"address": MS}])
+    acts = acts_of(res, "m1")
+    assert [a["type"] for a in acts] == ["multisig_create_order"]
+    assert len(acts[0]["tx_hashes"]) == 2
 
 
 def test_contract_deploy_and_unknown(spark):

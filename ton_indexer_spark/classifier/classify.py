@@ -52,6 +52,21 @@ ACTIONS_OUT_SCHEMA = T.StructType(
         T.StructField("end_lt", T.LongType()),
         T.StructField("start_utime", T.LongType()),
         T.StructField("end_utime", T.LongType()),
+        # composite payload (F5) — nested struct, exactly the reference's
+        # Postgres composite-type pattern (migrate.cpp:83-105)
+        T.StructField(
+            "jetton_swap_data",
+            T.StructType(
+                [
+                    T.StructField("dex", T.StringType()),
+                    T.StructField("amount_in", T.LongType()),
+                    T.StructField("asset_in", T.StringType()),
+                    T.StructField("amount_out", T.LongType()),
+                    T.StructField("asset_out", T.StringType()),
+                    T.StructField("peer_address", T.StringType()),
+                ]
+            ),
+        ),
         T.StructField("classification_state", T.StringType()),
     ]
 )
@@ -60,7 +75,8 @@ _ROW_COLS = [
     "trace_id", "tx_hash", "tx_lt", "tx_now", "account", "aborted",
     "orig_status", "end_status", "msg_hash", "direction", "source",
     "destination", "value", "opcode", "created_lt", "body",
-    "acc_jw_owner", "acc_jw_jetton", "acc_is_nft",
+    "acc_jw_owner", "acc_jw_jetton", "acc_is_nft", "acc_pool_dex",
+    "acc_is_multisig",
 ]
 
 
@@ -90,6 +106,16 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
                 if r["acc_jw_jetton"] is not None
             },
             "nft_items": {r["account"] for r in rows if r["acc_is_nft"]},
+            "dex_pools": {
+                r["account"] for r in rows if r["acc_pool_dex"] is not None
+            },
+            "pool_dex": {
+                r["account"]: r["acc_pool_dex"]
+                for r in rows
+                if r["acc_pool_dex"] is not None
+            },
+            "multisig": {r["account"] for r in rows if r["acc_is_multisig"]}
+            or None,
         }
         nodes = build_tree(rows)
         acts = classify_tree(nodes, ctx)
@@ -112,6 +138,7 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
                             "destination_secondary", "asset", "opcode", "value",
                             "amount", "success", "tx_hashes", "start_lt",
                             "end_lt", "start_utime", "end_utime",
+                            "jetton_swap_data",
                         )
                     },
                 }
@@ -134,6 +161,8 @@ def classify_traces(
     message_contents: DataFrame | None = None,
     jetton_wallets: DataFrame | None = None,
     nft_items: DataFrame | None = None,
+    dex_pools: DataFrame | None = None,
+    multisig: DataFrame | None = None,
     big_trace_cutoff: int = BIG_TRACE_CUTOFF,
 ) -> ClassifiedActions:
     tx_attrs = transactions.select(
@@ -176,6 +205,23 @@ def classify_traces(
         rows = rows.withColumn("acc_is_nft", F.coalesce("acc_is_nft", F.lit(False)))
     else:
         rows = rows.withColumn("acc_is_nft", F.lit(False))
+    if dex_pools is not None:
+        dp = dex_pools.select(
+            F.col("address").alias("account"), F.col("dex").alias("acc_pool_dex")
+        )
+        rows = rows.join(F.broadcast(dp), "account", "left")
+    else:
+        rows = rows.withColumn("acc_pool_dex", F.lit(None).cast("string"))
+    if multisig is not None:
+        ms = multisig.select(F.col("address").alias("account")).withColumn(
+            "acc_is_multisig", F.lit(True)
+        )
+        rows = rows.join(F.broadcast(ms), "account", "left")
+        rows = rows.withColumn(
+            "acc_is_multisig", F.coalesce("acc_is_multisig", F.lit(False))
+        )
+    else:
+        rows = rows.withColumn("acc_is_multisig", F.lit(False))
 
     raw = (
         rows.select(*_ROW_COLS)

@@ -27,6 +27,8 @@ JETTON_BURN = 0x595F07BC
 BURN_NOTIFY = 0x7BDD97DE
 NFT_TRANSFER = 0x5FCC3D14
 OWNERSHIP_ASSIGNED = 0x05138D91
+MULTISIG_NEW_ORDER = 0x75097F5D  # multisig v2 new_order (TEP-style public op)
+MULTISIG_APPROVE = 0x0A8EF1ED
 
 Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
 
@@ -60,6 +62,98 @@ def match_contract_deploy(node: Node, ctx: Ctx) -> dict | None:
     if node.orig_status != "active" and node.end_status == "active":
         return _base(node, "contract_deploy")
     return None
+
+
+def _jetton_chain(node: Node, ctx: Ctx) -> dict | None:
+    """Structural jetton-transfer chain rooted at `node` (wallet tx with
+    in-op 0x0f8a7ea5).  Returns {claimed, sender_wallet, receiver_wallet,
+    dest_owner, notify, amount, asset} or None — shared by the transfer and
+    swap matchers."""
+    if node.in_msg is None or node.in_msg.opcode != JETTON_TRANSFER:
+        return None
+    internal = node.child_via(JETTON_INTERNAL)
+    if internal is None:
+        return None
+    claimed = [node, internal]
+    notify = internal.child_via(JETTON_NOTIFY)
+    if notify is not None:
+        claimed.append(notify)
+    excess = internal.child_via(EXCESSES) or node.child_via(EXCESSES)
+    if excess is not None and excess not in claimed:
+        claimed.append(excess)
+    wallets = ctx.get("jetton_wallets", {})
+    payload = node.in_msg.decoded_body()
+    dest_owner = (
+        notify.account if notify is not None
+        else wallets.get(internal.account, (None, None))[0]
+    )
+    return {
+        "claimed": claimed,
+        "sender_wallet": node.account,
+        "receiver_wallet": internal.account,
+        "dest_owner": payload.get("destination", dest_owner),
+        "notify": notify,
+        "amount": payload.get("amount"),
+        "asset": wallets.get(node.account, (None, None))[1],
+    }
+
+
+def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
+    """DEX swap: a jetton-transfer chain INTO a pool account, whose notify
+    triggers a second jetton-transfer chain OUT of the pool back to the
+    sender — the two-leg structure of Stonfi/DeDust-style swaps
+    (swaps.py:189-209 pattern family, re-derived structurally)."""
+    leg_in = _jetton_chain(node, ctx)
+    if leg_in is None:
+        return None
+    pools = ctx.get("dex_pools", set())
+    if leg_in["notify"] is None or leg_in["notify"].account not in pools:
+        return None
+    pool_node = leg_in["notify"]
+    # the pool's reaction: a transfer chain rooted at one of its children
+    leg_out = None
+    for child in pool_node.children:
+        leg_out = _jetton_chain(child, ctx)
+        if leg_out is not None:
+            break
+    if leg_out is None:
+        return None
+    claimed = leg_in["claimed"] + leg_out["claimed"] + [pool_node]
+    claimed = list(dict.fromkeys(claimed))
+    sender = node.in_msg.source
+    return _base(
+        node,
+        "jetton_swap",
+        claimed=claimed,
+        source=sender,
+        source_secondary=leg_in["sender_wallet"],
+        destination=leg_out["dest_owner"],
+        destination_secondary=leg_out["receiver_wallet"],
+        asset=leg_in["asset"],
+        amount=leg_in["amount"],
+        jetton_swap_data={
+            "dex": ctx.get("pool_dex", {}).get(pool_node.account, "unknown"),
+            "amount_in": leg_in["amount"],
+            "asset_in": leg_in["asset"],
+            "amount_out": leg_out["amount"],
+            "asset_out": leg_out["asset"],
+            "peer_address": pool_node.account,
+        },
+    )
+
+
+def match_multisig_create_order(node: Node, ctx: Ctx) -> dict | None:
+    if node.in_msg is None or node.in_msg.opcode != MULTISIG_NEW_ORDER:
+        return None
+    if ctx.get("multisig") is not None and node.account not in ctx["multisig"]:
+        return None
+    claimed = [node] + node.children  # order-contract deploy leg, if any
+    return _base(
+        node,
+        "multisig_create_order",
+        claimed=claimed,
+        destination=node.account,
+    )
 
 
 def match_jetton_transfer(node: Node, ctx: Ctx) -> dict | None:
@@ -169,9 +263,11 @@ def match_call_contract(node: Node, ctx: Ctx) -> dict | None:
 # chains before plain transfers) — reference registry event_processing.py:209+
 MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("contract_deploy", match_contract_deploy),
+    ("jetton_swap", match_jetton_swap),       # before plain transfer: more specific
     ("jetton_transfer", match_jetton_transfer),
     ("jetton_burn", match_jetton_burn),
     ("nft_transfer", match_nft_transfer),
+    ("multisig_create_order", match_multisig_create_order),
     ("ton_transfer", match_ton_transfer),
     ("call_contract", match_call_contract),
 ]

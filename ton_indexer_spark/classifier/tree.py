@@ -40,7 +40,7 @@ class Msg:
             return {}
 
 
-@dataclass
+@dataclass(eq=False)  # identity equality/hash — nodes live in sets/dicts
 class Node:
     tx_hash: str
     tx_lt: int
