@@ -1,0 +1,37 @@
+"""Approx-distinct accuracy and salted-join equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from ton_indexer_spark.queries import all_specs
+
+
+def test_approx_distinct_error_bound(spark):
+    rows = all_specs()["approx_distinct"].builder(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel_err < 0.05, r
+
+
+def test_salted_join_matches_plain_join(spark):
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.operators.skew import salted_join
+
+    t = Catalog(spark, SF_SMALL)
+    plain = (
+        t.lineitem.join(t.orders, t.lineitem["l_orderkey"] == t.orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    li = t.lineitem.withColumnRenamed("l_orderkey", "k")
+    od = t.orders.withColumnRenamed("o_orderkey", "k")
+    salted = (
+        salted_join(li, od, on="k", salt=8)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

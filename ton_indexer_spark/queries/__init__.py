@@ -78,6 +78,7 @@ def _load_modules() -> None:
         dedup,
         similarity,
         functions_q,
+        analytics,
     )
 
     _LOADED = True

@@ -1,0 +1,103 @@
+"""Beyond-reference analytics gate queries: time windows, approximate
+distinct, embedding near-duplicate pairs (SURVEY.md §2.4/§2.8 'absent'
+rows — available natively in this engine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.queries import register
+from ton_indexer_spark.similarity.brute import cosine
+
+HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "tumbling_window",
+    f"""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket_us, event_type
+    """,
+    survey_ops=("beyond:time-window",),
+    description="tumbling 1-hour window aggregation (F.window — the "
+    "streaming-window operator, batch-checked; reference sessions by "
+    "causality, not time, so this is additive)",
+)
+def tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.withColumn("tsx", F.timestamp_micros("ts"))
+        .groupBy(F.window("tsx", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
+@register(
+    "approx_distinct",
+    None,  # HLL sketches are engine-specific — driver runs rows-only check;
+    # tests/test_analytics.py asserts <5% relative error vs exact
+    survey_ops=("beyond:approx-distinct",),
+    description="approx_count_distinct (HLL) per event_type vs exact — "
+    "sketch aggregation for 100 TB cardinality estimation",
+)
+def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    survey_ops=("beyond:dedup-embedding",),
+    description="embedding-cosine near-duplicate pairs (sim >= 0.4) — the "
+    "semantic-dedup variant of the dedup family",
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
