@@ -17,6 +17,31 @@ def test_approx_distinct_error_bound(spark):
         assert rel_err < 0.05, r
 
 
+def test_window_operator_matches_integer_bucketing(spark):
+    """F.window (the Structured Streaming window operator) produces the same
+    hourly buckets as the tz-free integer form used in the gate query —
+    valid under the engine's UTC session contract."""
+    from ton_indexer_spark.catalog import Catalog
+
+    ev = Catalog(spark, SF_SMALL).events
+    via_window = (
+        ev.withColumn("tsx", F.timestamp_micros("ts"))
+        .groupBy(F.window("tsx", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("bucket_us"), "n")
+    )
+    via_int = (
+        ev.groupBy(
+            (F.col("ts") - F.pmod(F.col("ts"), F.lit(3600 * 1_000_000))).alias(
+                "bucket_us"
+            )
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, via_window.collect())) == sorted(
+        map(tuple, via_int.collect())
+    )
+
+
 def test_salted_join_matches_plain_join(spark):
     from ton_indexer_spark.catalog import Catalog
     from ton_indexer_spark.operators.skew import salted_join

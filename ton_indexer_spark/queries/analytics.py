@@ -26,25 +26,19 @@ HOUR_US = 3600 * 1_000_000
     ORDER BY bucket_us, event_type
     """,
     survey_ops=("beyond:time-window",),
-    description="tumbling 1-hour window aggregation (F.window — the "
-    "streaming-window operator, batch-checked; reference sessions by "
-    "causality, not time, so this is additive)",
+    description="tumbling 1-hour window aggregation; gate path uses "
+    "timezone-free integer bucketing (robust to the driver session tz), "
+    "F.window equivalence is pinned in tests/test_analytics.py",
 )
 def tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
+    bucket = (F.col("ts") - F.pmod(F.col("ts"), F.lit(HOUR_US))).alias("bucket_us")
     return (
-        ev.withColumn("tsx", F.timestamp_micros("ts"))
-        .groupBy(F.window("tsx", "1 hour").alias("w"), "event_type")
+        ev.groupBy(bucket, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
             .alias("sum_value"),
-        )
-        .select(
-            F.unix_micros(F.col("w.start")).alias("bucket_us"),
-            "event_type",
-            "n",
-            "sum_value",
         )
         .orderBy("bucket_us", "event_type")
     )
