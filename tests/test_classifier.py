@@ -237,8 +237,16 @@ def test_jetton_swap_two_legs(spark):
         dex_pools=[{"address": POOL, "dex": "stonfi"}],
     )
     acts = acts_of(res, "s1")
-    assert [a["type"] for a in acts] == ["jetton_swap"]
+    assert [a["type"] for a in acts] == [
+        "jetton_swap", "jetton_transfer", "jetton_transfer"
+    ]
+    # the two transfer legs are children, ancestor-tagged for P7 suppression
+    swap_id = acts[0]["action_id"]
+    for child in acts[1:]:
+        assert child["parent_action_id"] == swap_id
+        assert child["ancestor_type"] == ["jetton_swap"]
     a = acts[0]
+    assert a["parent_action_id"] is None
     assert a["source"] == A[0] and a["destination"] == A[0]
     assert a["asset"] == "0:tokA"
     sd = a["jetton_swap_data"]

@@ -67,6 +67,8 @@ ACTIONS_OUT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        T.StructField("parent_action_id", T.StringType()),
+        T.StructField("ancestor_type", T.ArrayType(T.StringType())),
         T.StructField("classification_state", T.StringType()),
     ]
 )
@@ -124,25 +126,32 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
             # (action_id NULL rows are filtered out of the actions table)
             return sentinel("ok")
         out = []
-        for i, a in enumerate(acts):
-            aid = hashlib.sha256(f"{trace_id}:{i}".encode()).hexdigest()
+        payload_keys = (
+            "type", "source", "source_secondary", "destination",
+            "destination_secondary", "asset", "opcode", "value",
+            "amount", "success", "tx_hashes", "start_lt",
+            "end_lt", "start_utime", "end_utime", "jetton_swap_data",
+            "ancestor_type",
+        )
+
+        def serialize(a: dict, parent_id: str | None) -> None:
+            aid = hashlib.sha256(
+                f"{trace_id}:{len(out)}".encode()
+            ).hexdigest()
             out.append(
                 {
                     "trace_id": trace_id,
                     "action_id": aid,
                     "classification_state": "ok",
-                    **{
-                        k: a.get(k)
-                        for k in (
-                            "type", "source", "source_secondary", "destination",
-                            "destination_secondary", "asset", "opcode", "value",
-                            "amount", "success", "tx_hashes", "start_lt",
-                            "end_lt", "start_utime", "end_utime",
-                            "jetton_swap_data",
-                        )
-                    },
+                    "parent_action_id": parent_id,
+                    **{k: a.get(k) for k in payload_keys},
                 }
             )
+            for child in a.get("children", ()):  # C5 hierarchy serialization
+                serialize(child, aid)
+
+        for a in acts:
+            serialize(a, None)
         return pd.DataFrame(out)
     except Exception:
         return sentinel("failed")

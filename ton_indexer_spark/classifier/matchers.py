@@ -121,7 +121,7 @@ def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
     claimed = leg_in["claimed"] + leg_out["claimed"] + [pool_node]
     claimed = list(dict.fromkeys(claimed))
     sender = node.in_msg.source
-    return _base(
+    parent = _base(
         node,
         "jetton_swap",
         claimed=claimed,
@@ -140,6 +140,25 @@ def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
             "peer_address": pool_node.account,
         },
     )
+    # child actions: the two transfer legs, ancestor-tagged so the API's
+    # suppression predicate (P7, crud_actions_v2.go:437) can drop them when
+    # the parent swap is already returned
+    children = []
+    for leg in (leg_in, leg_out):
+        root_node = leg["claimed"][0]
+        children.append(
+            {
+                **_base(root_node, "jetton_transfer", claimed=leg["claimed"]),
+                "source_secondary": leg["sender_wallet"],
+                "destination": leg["dest_owner"],
+                "destination_secondary": leg["receiver_wallet"],
+                "asset": leg["asset"],
+                "amount": leg["amount"],
+                "ancestor_type": ["jetton_swap"],
+            }
+        )
+    parent["children"] = children
+    return parent
 
 
 def match_multisig_create_order(node: Node, ctx: Ctx) -> dict | None:
