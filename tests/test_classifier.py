@@ -89,13 +89,13 @@ class TraceBuilder:
                        in_msg_hash=mh, **tx_kw)
 
 
-def run(spark, builders, jetton_wallets=None, nft_items=None,
-        dex_pools=None, multisig=None, big_trace_cutoff=4000):
-    from ton_indexer_spark.classifier import classify_traces
-
+def build_dfs(spark, builders):
+    """(transactions, messages, bodies) DataFrames from TraceBuilders."""
     txs = [t for b in builders for t in b.txs]
     msgs = [m for b in builders for m in b.msgs]
-    bodies = [x for b in builders for x in getattr(b, "bodies", [])]
+    bodies = list(
+        {x["hash"]: x for b in builders for x in getattr(b, "bodies", [])}.values()
+    )
     tx_schema = ("hash string, account string, lt long, now long, "
                  "aborted boolean, orig_status string, end_status string")
     msg_schema = ("trace_id string, tx_hash string, tx_lt long, "
@@ -112,6 +112,14 @@ def run(spark, builders, jetton_wallets=None, nft_items=None,
     bodies_df = spark.createDataFrame(
         [(x["hash"], x["body"]) for x in bodies], "hash string, body string"
     ) if bodies else spark.createDataFrame([], "hash string, body string")
+    return txs_df, msgs_df, bodies_df
+
+
+def run(spark, builders, jetton_wallets=None, nft_items=None,
+        dex_pools=None, multisig=None, big_trace_cutoff=4000):
+    from ton_indexer_spark.classifier import classify_traces
+
+    txs_df, msgs_df, bodies_df = build_dfs(spark, builders)
     jw = spark.createDataFrame(
         [(w["address"], w["owner"], w["jetton"]) for w in jetton_wallets],
         "address string, owner string, jetton string",
