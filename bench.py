@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_simhash",
     "embed_cosine_topk",
     "embed_lsh_topk",
+    "dedup_embedding_cosine",
+    "tumbling_window",
     "token_count",
     "text_quality",
     "doc_fingerprint",

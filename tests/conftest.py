@@ -23,3 +23,11 @@ def duck():
     con = duckdb.connect()
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory):
+    """Shared TON-schema fixture — generated once per test session."""
+    from tests.fixture_gen import generate
+
+    return generate(str(tmp_path_factory.mktemp("ton_fixture")))

@@ -11,13 +11,6 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
-@pytest.fixture(scope="session")
-def fixture_dir(tmp_path_factory):
-    from tests.fixture_gen import generate
-
-    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
-
-
 def test_ton_balance_changes_oracle(spark, fixture_dir):
     from ton_indexer_spark.operators.balances import ton_balance_changes
 

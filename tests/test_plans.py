@@ -16,13 +16,6 @@ from ton_indexer_spark.catalog import Catalog
 
 
 @pytest.fixture(scope="session")
-def fixture_dir(tmp_path_factory):
-    from tests.fixture_gen import generate
-
-    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
-
-
-@pytest.fixture(scope="session")
 def ton(spark, fixture_dir):
     return Catalog(spark, fixture_dir)
 

@@ -8,13 +8,6 @@ import pytest
 from ton_indexer_spark.catalog import Catalog
 
 
-@pytest.fixture(scope="session")
-def fixture_dir(tmp_path_factory):
-    from tests.fixture_gen import generate
-
-    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
-
-
 def test_sql_equals_dataframe_plan(spark, fixture_dir):
     from ton_indexer_spark.plans import transactions_query
 

@@ -11,13 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 
-@pytest.fixture(scope="session")
-def fixture_dir(tmp_path_factory):
-    from tests.fixture_gen import generate
-
-    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
-
-
 def test_incremental_matches_batch(spark, fixture_dir, tmp_path):
     from ton_indexer_spark.streaming import IncrementalTraceAssembler
 

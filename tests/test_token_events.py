@@ -11,13 +11,6 @@ from tests.test_classifier import A, TraceBuilder, W1, W2, body_of, build_dfs
 from ton_indexer_spark.classifier.matchers import JETTON_BURN, JETTON_TRANSFER
 
 
-@pytest.fixture(scope="session")
-def fixture_dir(tmp_path_factory):
-    from tests.fixture_gen import generate
-
-    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
-
-
 def test_derive_jetton_transfers_decodes_body(spark):
     from ton_indexer_spark.operators.token_events import (
         derive_jetton_burns,

@@ -5,13 +5,6 @@ from __future__ import annotations
 import pytest
 
 
-@pytest.fixture(scope="session")
-def fixture_dir(tmp_path_factory):
-    from tests.fixture_gen import generate
-
-    return generate(str(tmp_path_factory.mktemp("ton_fixture")))
-
-
 def test_assembly_reproduces_ground_truth(spark, fixture_dir):
     from ton_indexer_spark.operators.trace_assembly import assemble_traces
 
