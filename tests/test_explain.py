@@ -67,7 +67,7 @@ def test_semi_join_stays_semi(spark, specs):
 
 def test_no_python_udf_in_relational_queries(spark, specs):
     # everything except the explicitly-Python surfaces must stay JVM-side
-    python_allowed = {"multimodal_metadata"}
+    python_allowed = {"multimodal_metadata", "dedup_embedding_cosine"}
     for name, spec in specs.items():
         if name in python_allowed:
             continue

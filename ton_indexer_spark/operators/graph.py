@@ -90,6 +90,14 @@ def connected_components(
         .distinct()
     )
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # pin a partitioning proportional to the edge count: the loop pays fixed
+    # per-partition cost every round, so small graphs should not inherit the
+    # session-wide shuffle parallelism (AQE can't help inside the loop —
+    # localCheckpoint materializes before coalescing)
+    n_edges = sym.count()
+    n_parts = max(2, min(int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                         n_edges // 50_000 + 2))
+    sym = sym.repartition(n_parts, "b").localCheckpoint(eager=True)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
 
@@ -104,6 +112,7 @@ def connected_components(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -120,21 +129,19 @@ def connected_components(
             new_labels.join(jump, "component", "left")
             .select(
                 "node",
+                "old_component",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("component2"), F.col("component")),
                 ).alias("component"),
             )
+            # convergence flag rides along — no extra join-per-round
+            .withColumn("moved", F.col("component") != F.col("old_component"))
+            .drop("old_component")
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("moved")).limit(1).count()
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     return labels

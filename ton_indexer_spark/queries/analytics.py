@@ -77,21 +77,12 @@ def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY vec_a, vec_b
     """,
     survey_ops=("beyond:dedup-embedding",),
-    description="embedding-cosine near-duplicate pairs (sim >= 0.4) — the "
+    description="embedding-cosine near-duplicate pairs (sim >= 0.4) via "
+    "blocked numpy matmul over a broadcast normalized corpus — the "
     "semantic-dedup variant of the dedup family",
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.similarity.neardup import cosine_neardup_pairs
+
     emb = Catalog(spark, sf_dir).embeddings
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.4)
-        .orderBy("vec_a", "vec_b")
-    )
+    return cosine_neardup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
