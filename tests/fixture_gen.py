@@ -422,6 +422,27 @@ def generate(out_dir: str, n_traces: int = 300, seed: int = 42) -> str:
     } for i in range(40)]
     _write(f"{out_dir}/nft_items.parquet", items, decimals=("index",))
 
+    nft_tr = []
+    for i in range(60):
+        t = g.txs[int(rng.integers(0, len(g.txs)))]
+        it = items[int(rng.integers(0, len(items)))]
+        old_owner = g.accounts[int(rng.integers(0, len(g.accounts)))]
+        nft_tr.append({
+            "tx_hash": t["hash"], "tx_lt": t["lt"], "tx_now": t["now"],
+            "tx_aborted": t["aborted"], "mc_seqno": t["mc_block_seqno"],
+            "query_id": int(rng.integers(0, 2**62)),
+            "nft_item_address": it["address"],
+            "nft_item_index": int(it["index"]),
+            "nft_collection_address": it["collection_address"],
+            "old_owner": old_owner,
+            "new_owner": it["owner_address"],
+            "response_destination": old_owner,
+            "forward_amount": int(rng.integers(0, 10**7)),
+            "trace_id": t["trace_id"],
+        })
+    _write(f"{out_dir}/nft_transfers.parquet", nft_tr,
+           decimals=("query_id", "nft_item_index", "forward_amount"))
+
     sales = [{
         "address": _addr(5000 + i),
         "nft_address": items[int(rng.integers(0, len(items)))]["address"],

@@ -279,3 +279,67 @@ def test_top_accounts(ton, tduck):
         2,
     )
     assert rows(got, ["account", "balance"]) == want
+
+def test_jetton_transfers_listing(ton, tduck):
+    from ton_indexer_spark.plans import jetton_transfers_query
+
+    acc = pick(tduck, "SELECT source FROM jetton_transfers GROUP BY source ORDER BY count(*) DESC, source LIMIT 1")
+    got = jetton_transfers_query(ton, account=acc, sort="desc", limit=100)
+    want = drows(
+        tduck,
+        f"""
+        SELECT tx_hash, tx_lt FROM jetton_transfers
+        WHERE source = '{acc}' OR destination = '{acc}'
+        ORDER BY tx_now DESC, tx_lt DESC, tx_hash ASC LIMIT 100
+        """,
+        2,
+    )
+    assert rows(got, ["tx_hash", "tx_lt"]) == want
+
+
+def test_nft_transfers_listing(ton, tduck):
+    from ton_indexer_spark.plans import nft_transfers_query
+
+    col = pick(tduck, "SELECT nft_collection_address FROM nft_transfers WHERE nft_collection_address IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1")
+    got = nft_transfers_query(ton, collection=col, sort="asc", limit=100)
+    want = drows(
+        tduck,
+        f"""
+        SELECT tx_hash, nft_item_address FROM nft_transfers
+        WHERE nft_collection_address = '{col}'
+        ORDER BY tx_now ASC, tx_lt ASC, tx_hash ASC LIMIT 100
+        """,
+        2,
+    )
+    assert rows(got, ["tx_hash", "nft_item_address"]) == want
+
+
+def test_multisig_by_signer(ton, tduck):
+    from ton_indexer_spark.plans import multisig_query
+
+    signer = pick(tduck, "SELECT signers[1] FROM multisig ORDER BY address LIMIT 1")
+    got = multisig_query(ton, signer=signer)
+    want = drows(
+        tduck,
+        f"""
+        SELECT address FROM multisig
+        WHERE list_contains(signers, '{signer}')
+        ORDER BY address LIMIT 100
+        """,
+        1,
+    )
+    assert rows(got, ["address"]) == want
+
+
+def test_jetton_masters_listing(ton, tduck):
+    from ton_indexer_spark.plans import jetton_masters_query
+
+    admin = pick(tduck, "SELECT admin_address FROM jetton_masters ORDER BY address LIMIT 1")
+    got = jetton_masters_query(ton, admin=admin)
+    want = drows(
+        tduck,
+        f"SELECT address FROM jetton_masters WHERE admin_address = '{admin}' "
+        "ORDER BY address LIMIT 100",
+        1,
+    )
+    assert rows(got, ["address"]) == want

@@ -20,6 +20,13 @@ from ton_indexer_spark.plans.dimensions import (
     top_accounts_by_balance,
     wallets_by_jetton,
 )
+from ton_indexer_spark.plans.blocks import block_exists, blocks_query
+from ton_indexer_spark.plans.listings import (
+    jetton_masters_query,
+    jetton_transfers_query,
+    multisig_query,
+    nft_transfers_query,
+)
 
 __all__ = [
     "transactions_query",
@@ -31,4 +38,10 @@ __all__ = [
     "nft_items_listing",
     "top_accounts_by_balance",
     "wallets_by_jetton",
+    "blocks_query",
+    "block_exists",
+    "jetton_masters_query",
+    "jetton_transfers_query",
+    "nft_transfers_query",
+    "multisig_query",
 ]
