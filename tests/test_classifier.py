@@ -42,7 +42,7 @@ class TraceBuilder:
 
     def tx(self, account, in_source, opcode=None, value=None, body=None,
            orig_status="active", end_status="active", aborted=False,
-           in_msg_hash=None):
+           in_msg_hash=None, no_in=False):
         self._lt += 10
         self._n += 1
         h = f"{self.trace_id}-tx{self._n}"
@@ -51,6 +51,8 @@ class TraceBuilder:
             "aborted": aborted, "orig_status": orig_status,
             "end_status": end_status,
         })
+        if no_in:  # tick-tock system transactions consume no message
+            return h
         mh = in_msg_hash or f"{self.trace_id}-m{self._n}"
         self.msgs.append({
             "trace_id": self.trace_id, "tx_hash": h, "tx_lt": self._lt,
@@ -97,14 +99,16 @@ def build_dfs(spark, builders):
         {x["hash"]: x for b in builders for x in getattr(b, "bodies", [])}.values()
     )
     tx_schema = ("hash string, account string, lt long, now long, "
-                 "aborted boolean, orig_status string, end_status string")
+                 "aborted boolean, orig_status string, end_status string, "
+                 "trace_id string")
     msg_schema = ("trace_id string, tx_hash string, tx_lt long, "
                   "msg_hash string, direction string, source string, "
                   "destination string, value long, opcode long, "
                   "created_lt long, body_hash string")
     txs_df = spark.createDataFrame([tuple(t[k] for k in (
         "hash", "account", "lt", "now", "aborted", "orig_status",
-        "end_status")) for t in txs], tx_schema)
+        "end_status")) + (t["hash"].rsplit("-tx", 1)[0],) for t in txs],
+        tx_schema)
     msgs_df = spark.createDataFrame([tuple(m[k] for k in (
         "trace_id", "tx_hash", "tx_lt", "msg_hash", "direction", "source",
         "destination", "value", "opcode", "created_lt", "body_hash"))
@@ -116,7 +120,7 @@ def build_dfs(spark, builders):
 
 
 def run(spark, builders, jetton_wallets=None, nft_items=None,
-        dex_pools=None, multisig=None, big_trace_cutoff=4000):
+        dex_pools=None, multisig=None, auctions=None, big_trace_cutoff=4000):
     from ton_indexer_spark.classifier import classify_traces
 
     txs_df, msgs_df, bodies_df = build_dfs(spark, builders)
@@ -134,7 +138,10 @@ def run(spark, builders, jetton_wallets=None, nft_items=None,
     ms = spark.createDataFrame(
         [(m["address"],) for m in multisig], "address string"
     ) if multisig else None
-    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni, dp, ms,
+    au = spark.createDataFrame(
+        [(a["address"],) for a in auctions], "address string"
+    ) if auctions else None
+    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni, dp, ms, au,
                            big_trace_cutoff=big_trace_cutoff)
 
 
@@ -300,6 +307,58 @@ def test_big_trace_skipped(spark):
               for r in res.classification_states.collect()}
     assert states["big1"] == "skipped"
     assert res.actions.count() == 0
+
+
+def test_tick_tock_and_stake(spark):
+    from ton_indexer_spark.classifier.matchers import STAKE_DEPOSIT_OP
+
+    b = TraceBuilder("tt1")
+    b.tx("-1:" + "e" * 64, None, no_in=True)  # system tx, no in-message
+    b2 = TraceBuilder("st1")
+    r2 = b2.tx(A[0], None)
+    pool_tx = b2.chain(r2, A[8], opcode=STAKE_DEPOSIT_OP, value=10**10)
+    b2.chain(pool_tx, A[0], opcode=EXCESSES)
+    res = run(spark, [b, b2])
+    assert [a["type"] for a in acts_of(res, "tt1")] == ["tick_tock"]
+    st = acts_of(res, "st1")
+    assert [a["type"] for a in st] == ["stake_deposit"]
+    assert len(st[0]["tx_hashes"]) == 2
+
+
+def test_jetton_mint_from_master(spark):
+    MASTER = "0:master" + "0" * 56
+    b = TraceBuilder("jm1")
+    root = b.tx(MASTER, None)
+    w1 = b.chain(root, W1, opcode=JETTON_INTERNAL,
+                 body=body_of({"amount": 31337}))
+    b.chain(w1, A[1], opcode=JETTON_NOTIFY)
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[1], "jetton": MASTER},
+    ])
+    acts = acts_of(res, "jm1")
+    assert [a["type"] for a in acts] == ["jetton_mint"]
+    a = acts[0]
+    assert a["amount"] == 31337 and a["asset"] == MASTER
+    assert a["destination"] == A[1] and a["destination_secondary"] == W1
+
+
+def test_nft_mint_and_auction_bid(spark):
+    AUC = "0:auction" + "0" * 55
+    b = TraceBuilder("nm1")
+    root = b.tx(A[0], None)
+    item_tx = b.chain(root, ITEM, opcode=0x1, orig_status="uninit")
+    b.chain(item_tx, A[2], opcode=OWNERSHIP_ASSIGNED)
+    b2 = TraceBuilder("ab1")
+    r2 = b2.tx(A[3], None)
+    b2.chain(r2, AUC, opcode=0, value=5 * 10**9)
+    res = run(spark, [b, b2], nft_items=[{"address": ITEM}],
+              auctions=[{"address": AUC}])
+    nm = acts_of(res, "nm1")
+    assert [a["type"] for a in nm] == ["nft_mint"]
+    assert nm[0]["asset"] == ITEM and len(nm[0]["tx_hashes"]) == 2
+    ab = acts_of(res, "ab1")
+    assert [a["type"] for a in ab] == ["auction_bid"]
+    assert ab[0]["destination"] == AUC and ab[0]["value"] == 5 * 10**9
 
 
 def test_action_accounts_explode(spark):

@@ -78,7 +78,7 @@ _ROW_COLS = [
     "orig_status", "end_status", "msg_hash", "direction", "source",
     "destination", "value", "opcode", "created_lt", "body",
     "acc_jw_owner", "acc_jw_jetton", "acc_is_nft", "acc_pool_dex",
-    "acc_is_multisig",
+    "acc_is_multisig", "acc_is_auction",
 ]
 
 
@@ -118,6 +118,7 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
             },
             "multisig": {r["account"] for r in rows if r["acc_is_multisig"]}
             or None,
+            "auctions": {r["account"] for r in rows if r["acc_is_auction"]},
         }
         nodes = build_tree(rows)
         acts = classify_tree(nodes, ctx)
@@ -172,17 +173,23 @@ def classify_traces(
     nft_items: DataFrame | None = None,
     dex_pools: DataFrame | None = None,
     multisig: DataFrame | None = None,
+    auctions: DataFrame | None = None,
     big_trace_cutoff: int = BIG_TRACE_CUTOFF,
 ) -> ClassifiedActions:
+    # transaction-driven row build: a LEFT join keeps messageless
+    # transactions (tick-tock system txs) in their trace's group
     tx_attrs = transactions.select(
+        "trace_id",
         F.col("hash").alias("tx_hash"),
+        F.col("lt").alias("tx_lt"),
         F.col("now").alias("tx_now"),
         "account", "aborted", "orig_status", "end_status",
     )
-    rows = messages.select(
-        "trace_id", "tx_hash", "tx_lt", "msg_hash", "direction", "source",
+    msg_cols = messages.select(
+        "tx_hash", "msg_hash", "direction", "source",
         "destination", "value", "opcode", "created_lt", "body_hash",
-    ).join(tx_attrs, "tx_hash")
+    )
+    rows = tx_attrs.join(msg_cols, "tx_hash", "left")
 
     if message_contents is not None:
         rows = rows.join(
@@ -231,6 +238,16 @@ def classify_traces(
         )
     else:
         rows = rows.withColumn("acc_is_multisig", F.lit(False))
+    if auctions is not None:
+        au = auctions.select(F.col("address").alias("account")).withColumn(
+            "acc_is_auction", F.lit(True)
+        )
+        rows = rows.join(F.broadcast(au), "account", "left")
+        rows = rows.withColumn(
+            "acc_is_auction", F.coalesce("acc_is_auction", F.lit(False))
+        )
+    else:
+        rows = rows.withColumn("acc_is_auction", F.lit(False))
 
     raw = (
         rows.select(*_ROW_COLS)

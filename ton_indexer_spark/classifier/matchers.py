@@ -29,6 +29,7 @@ NFT_TRANSFER = 0x5FCC3D14
 OWNERSHIP_ASSIGNED = 0x05138D91
 MULTISIG_NEW_ORDER = 0x75097F5D  # multisig v2 new_order (TEP-style public op)
 MULTISIG_APPROVE = 0x0A8EF1ED
+STAKE_DEPOSIT_OP = 0x47D54391  # staking-pool deposit
 
 Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
 
@@ -58,10 +59,80 @@ def _base(node: Node, typ: str, **kw) -> dict:
     return act
 
 
+def match_tick_tock(node: Node, ctx: Ctx) -> dict | None:
+    """System tick-tock transactions have no in-message at all."""
+    if node.in_msg is None:
+        return _base(node, "tick_tock", source=None, destination=node.account)
+    return None
+
+
+def match_nft_mint(node: Node, ctx: Ctx) -> dict | None:
+    """Deploy of a known NFT item account = mint (priority over the generic
+    contract_deploy)."""
+    if node.orig_status != "active" and node.end_status == "active":
+        items = ctx.get("nft_items") or set()
+        if node.account in items:
+            claimed = [node] + [
+                c for c in node.children
+                if c.in_msg is not None and c.in_msg.opcode == OWNERSHIP_ASSIGNED
+            ]
+            return _base(node, "nft_mint", claimed=claimed, asset=node.account)
+    return None
+
+
 def match_contract_deploy(node: Node, ctx: Ctx) -> dict | None:
     if node.orig_status != "active" and node.end_status == "active":
         return _base(node, "contract_deploy")
     return None
+
+
+def match_jetton_mint(node: Node, ctx: Ctx) -> dict | None:
+    """Internal transfer (0x178d4519) arriving at a jetton wallet DIRECTLY
+    from its master (not from a peer wallet) = mint."""
+    if node.in_msg is None or node.in_msg.opcode != JETTON_INTERNAL:
+        return None
+    wallets = ctx.get("jetton_wallets", {})
+    info = wallets.get(node.account)
+    if info is None or node.in_msg.source != info[1]:
+        return None
+    payload = node.in_msg.decoded_body()
+    claimed = [node]
+    notify = node.child_via(JETTON_NOTIFY)
+    if notify is not None:
+        claimed.append(notify)
+    return _base(
+        node,
+        "jetton_mint",
+        claimed=claimed,
+        source=info[1],
+        destination=info[0],
+        destination_secondary=node.account,
+        asset=info[1],
+        amount=payload.get("amount"),
+    )
+
+
+def match_auction_bid(node: Node, ctx: Ctx) -> dict | None:
+    """Plain value transfer into a known auction contract = bid."""
+    m = node.in_msg
+    if m is None or m.source is None or (m.value or 0) <= 0:
+        return None
+    if m.opcode not in (None, 0):
+        return None
+    if node.account not in (ctx.get("auctions") or set()):
+        return None
+    return _base(node, "auction_bid", destination=node.account)
+
+
+def match_stake_deposit(node: Node, ctx: Ctx) -> dict | None:
+    if node.in_msg is None or node.in_msg.opcode != STAKE_DEPOSIT_OP:
+        return None
+    claimed = [node] + [
+        c for c in node.children
+        if c.in_msg is not None and c.in_msg.opcode == EXCESSES
+    ]
+    return _base(node, "stake_deposit", claimed=claimed,
+                 destination=node.account)
 
 
 def _jetton_chain(node: Node, ctx: Ctx) -> dict | None:
@@ -281,12 +352,17 @@ def match_call_contract(node: Node, ctx: Ctx) -> dict | None:
 # priority order mirrors specificity (deploy before generic call, token
 # chains before plain transfers) — reference registry event_processing.py:209+
 MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
+    ("tick_tock", match_tick_tock),
+    ("nft_mint", match_nft_mint),             # before generic deploy
     ("contract_deploy", match_contract_deploy),
     ("jetton_swap", match_jetton_swap),       # before plain transfer: more specific
     ("jetton_transfer", match_jetton_transfer),
+    ("jetton_mint", match_jetton_mint),
     ("jetton_burn", match_jetton_burn),
     ("nft_transfer", match_nft_transfer),
     ("multisig_create_order", match_multisig_create_order),
+    ("stake_deposit", match_stake_deposit),
+    ("auction_bid", match_auction_bid),       # before plain ton_transfer
     ("ton_transfer", match_ton_transfer),
     ("call_contract", match_call_contract),
 ]

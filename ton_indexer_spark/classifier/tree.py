@@ -85,6 +85,8 @@ def build_tree(rows: list[dict]) -> list[Node]:
                 end_status=r.get("end_status"),
             )
             nodes[r["tx_hash"]] = n
+        if r.get("msg_hash") is None:
+            continue  # messageless transaction (tick-tock) — node only
         msg = Msg(
             msg_hash=r["msg_hash"],
             direction=r["direction"],
