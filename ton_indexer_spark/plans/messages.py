@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from ton_indexer_spark.catalog import Catalog
 from ton_indexer_spark.operators import filter_by_array, filter_range, paginate
-from ton_indexer_spark.operators.pivots import inout_pivot
 
 
 def messages_query(
@@ -47,19 +46,21 @@ def messages_query(
     if only_externals:
         m = m.filter(F.col("source").isNull())
 
-    folded = inout_pivot(
-        m,
-        group_by=["msg_hash"],
-        tag_col="direction",
-        tag_values=["in", "out"],
-        payload_cols=["tx_hash", "tx_lt"],
-    ).join(
-        # message payload is direction-invariant; keep one representative row
-        m.select(
-            "msg_hash", "source", "destination", "value", "opcode",
-            "created_lt", "created_at", "body_hash", "trace_id",
-        ).dropDuplicates(["msg_hash"]),
-        "msg_hash",
+    # ONE aggregation: the in/out pivot and the direction-invariant payload
+    # fold together (max() is deterministic on identical duplicate values),
+    # so the whole fold costs a single map-side-combinable shuffle — the
+    # reference needs the same single GROUP BY (crud_messages.go:25-29)
+    payload = [
+        F.max(c).alias(c)
+        for c in ("source", "destination", "value", "opcode", "created_lt",
+                  "created_at", "body_hash", "trace_id")
+    ]
+    folded = m.groupBy("msg_hash").agg(
+        F.max(F.when(F.col("direction") == "in", F.col("tx_hash"))).alias("in_tx_hash"),
+        F.max(F.when(F.col("direction") == "in", F.col("tx_lt"))).alias("in_tx_lt"),
+        F.max(F.when(F.col("direction") == "out", F.col("tx_hash"))).alias("out_tx_hash"),
+        F.max(F.when(F.col("direction") == "out", F.col("tx_lt"))).alias("out_tx_lt"),
+        *payload,
     )
 
     if with_body:
