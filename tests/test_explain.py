@@ -97,3 +97,24 @@ def test_transactions_plan_pushdown(spark, tmp_path_factory):
     )
     assert "EqualTo(account,0:ab)" in plan
     assert "GreaterThanOrEqual(lt,5)" in plan
+
+
+def test_partition_pruning_on_written_facts(spark, fixture_dir, tmp_path):
+    """write_facts partitions by mc_bucket; a seqno-range query must prune
+    partition directories (the 100 TB access-path contract)."""
+    from ton_indexer_spark.sources.writer import write_facts
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    path = str(tmp_path / "facts")
+    write_facts(txs, path, sort_cols=["lt", "account", "hash"], bucket_size=1)
+
+    full = spark.read.parquet(path)
+    buckets = sorted(r[0] for r in full.select("mc_bucket").distinct().collect())
+    assert len(buckets) >= 2, buckets
+    df = full.filter(full["mc_bucket"] == buckets[-1])
+    plan = plan_of(df)
+    # the predicate must land in PartitionFilters (directory pruning), not
+    # in PushedFilters (row-group filtering)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "mc_bucket" in pf_line
+    assert df.count() > 0

@@ -44,3 +44,34 @@ def test_assembly_reproduces_ground_truth(spark, fixture_dir):
         if got[tid].asDict() != want[tid].asDict()
     ]
     assert not diffs, f"{len(diffs)} trace mismatches, first: {diffs[:2]}"
+
+
+def test_duplicate_msg_hash_is_deterministic(spark):
+    """Corrupt input (same msg_hash produced twice) must not crash or
+    produce nondeterministic trace ids: forest_roots keeps the min parent."""
+    from ton_indexer_spark.operators.trace_assembly import assemble_traces
+
+    txs = spark.createDataFrame(
+        [(f"tx{i}", f"0:{i:064x}", 100 + i * 10, 1, 1000 + i, 0, -1, 2,
+          False, "active", "active", 0, "ord") for i in range(3)],
+        "hash string, account string, lt long, mc_block_seqno int, now long, "
+        "block_workchain int, block_shard long, block_seqno int, "
+        "aborted boolean, orig_status string, end_status string, "
+        "total_fees long, descr string",
+    )
+    msgs = spark.createDataFrame(
+        [
+            ("tx0", 100, "mdup", "out", "0:" + "0" * 64, "0:" + "2" * 64, 99),
+            ("tx1", 110, "mdup", "out", "0:" + "1" * 64, "0:" + "2" * 64, 109),
+            ("tx2", 120, "mdup", "in", "0:" + "0" * 64, "0:" + "2" * 64, 99),
+        ],
+        "tx_hash string, tx_lt long, msg_hash string, direction string, "
+        "source string, destination string, created_lt long",
+    )
+    out1 = assemble_traces(txs, msgs).transactions.select("hash", "trace_id")
+    out2 = assemble_traces(txs, msgs).transactions.select("hash", "trace_id")
+    a = sorted(map(tuple, out1.collect()))
+    assert a == sorted(map(tuple, out2.collect()))
+    # tx2's parent is deterministically the min of the duplicate producers
+    assignment = dict(a)
+    assert assignment["tx2"] == assignment["tx0"]
