@@ -169,6 +169,8 @@ class IncrementalTraceAssembler:
         )
 
     def open_trace_count(self) -> int:
+        """Number of transactions held in open-trace state (the state-size
+        bound; pending traces average a handful of transactions each)."""
         if self._open_txs is None:
             return 0
         return self._open_txs.select("hash").distinct().count()
