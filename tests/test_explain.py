@@ -118,3 +118,47 @@ def test_partition_pruning_on_written_facts(spark, fixture_dir, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "mc_bucket" in pf_line
     assert df.count() > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, fixture_dir):
+    """Both sides bucketed on msg_hash → the self-join plans ZERO shuffles
+    (the co-located layout for trace assembly's hottest join)."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.sources.bucketed import read_table, write_bucketed
+
+    # the planner auto-disables bucketed scans on tiny tables; force it so
+    # the plan shape (not the cost model) is under test
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    write_bucketed(
+        msgs.filter(F.col("direction") == "out"), "b_out",
+        bucket_cols=["msg_hash"], n_buckets=8, sort_cols=["msg_hash"],
+    )
+    write_bucketed(
+        msgs.filter(F.col("direction") == "in"), "b_in",
+        bucket_cols=["msg_hash"], n_buckets=8, sort_cols=["msg_hash"],
+    )
+    try:
+        joined = (
+            read_table(spark, "b_out").alias("o").hint("merge")
+            .join(read_table(spark, "b_in").alias("i"), "msg_hash")
+            .select("msg_hash", "o.tx_hash", "i.tx_hash")
+        )
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        # sort-merge over co-located buckets: no shuffle exchange anywhere
+        assert "SortMergeJoin" in executed, executed[:800]
+        assert "Exchange hashpartitioning" not in executed, executed[:800]
+        # sanity: same result as the plain shuffle join
+        plain = (
+            msgs.filter(F.col("direction") == "out").alias("o")
+            .join(msgs.filter(F.col("direction") == "in").alias("i"), "msg_hash")
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_out")
+        spark.sql("DROP TABLE IF EXISTS b_in")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )

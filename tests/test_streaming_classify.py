@@ -61,6 +61,15 @@ def test_pipeline_with_classification_and_push(spark, fixture_dir, tmp_path):
         == traces.select("trace_id").distinct().count()
     )
 
+    # T6: provisional actions exist for the still-pending traces
+    pending_actions = spark.read.parquet(os.path.join(out, "pending_actions"))
+    assert pending_actions.count() > 0
+    assert {r["finality"] for r in pending_actions.collect()} == {"pending"}
+    assert (
+        pending_actions.join(traces.select("trace_id"), "trace_id", "left_semi")
+        .count() == 0
+    )  # pending overlay never overlaps finalized traces
+
 
 def test_pending_overlay(spark, fixture_dir):
     from ton_indexer_spark.catalog import Catalog

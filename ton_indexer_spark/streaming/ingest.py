@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ton_indexer_spark.sources.writer import merge_dimension, write_facts
 from ton_indexer_spark.streaming.push import Publisher, publish_batch
@@ -126,6 +127,26 @@ class IngestPipeline:
             version_col="last_trans_lt",
             tiebreakers=["hash"],
         )
+
+        # T6: provisional actions for still-pending traces, overwritten each
+        # batch (the emulated/pending overlay the reference keeps in Redis)
+        if self.classify:
+            open_rows = self.assembler.open_rows()
+            if open_rows is not None and open_rows[0].head(1):
+                from ton_indexer_spark.classifier import classify_traces
+                from ton_indexer_spark.sources.writer import atomic_replace
+
+                pend = classify_traces(
+                    open_rows[0],
+                    open_rows[1],
+                    self.message_contents,
+                    self.jetton_wallets,
+                    self.nft_items,
+                )
+                atomic_replace(
+                    pend.actions.withColumn("finality", F.lit("pending")),
+                    os.path.join(self.out_dir, "pending_actions"),
+                )
 
         if self.publisher is not None:  # T7 fan-out
             publish_batch(

@@ -90,9 +90,22 @@ class IncrementalTraceAssembler:
         txs = txs.select(*_TX_STATE_COLS)
         msgs = msgs.select(*_MSG_STATE_COLS)
         if self._open_txs is not None:
-            txs = self._open_txs.unionByName(txs)
+            txs = self._open_txs.select(*_TX_STATE_COLS).unionByName(txs)
             msgs = self._open_msgs.unionByName(msgs)
         return txs, msgs
+
+    def open_rows(self) -> tuple[DataFrame, DataFrame] | None:
+        """(transactions incl. provisional trace_id, messages) of the
+        traces currently pending in state — the T6 overlay input."""
+        if self._open_txs is None:
+            return None
+        open_msgs = self._open_msgs.join(
+            self._open_txs.select(
+                F.col("hash").alias("tx_hash"), "trace_id"
+            ),
+            "tx_hash",
+        )
+        return self._open_txs, open_msgs
 
     def _persist_state(self, txs: DataFrame, msgs: DataFrame) -> None:
         # keep state materialized so the next batch doesn't re-derive a
@@ -151,11 +164,13 @@ class IncrementalTraceAssembler:
             .localCheckpoint(eager=True)
         )
 
-        # retain only rows belonging to still-pending traces
+        # retain only rows belonging to still-pending traces; the provisional
+        # trace_id rides along so the pending overlay (T6) can classify and
+        # serve these traces before finalization
         pending_tx = (
             tx_assign_full.join(
                 F.broadcast(pending.select("trace_id")), "trace_id", "left_semi"
-            ).select(*_TX_STATE_COLS)
+            ).select(*_TX_STATE_COLS, "trace_id")
         )
         pending_hashes = pending_tx.select(F.col("hash").alias("tx_hash"))
         pending_msgs = all_msgs.join(F.broadcast(pending_hashes), "tx_hash", "left_semi")
