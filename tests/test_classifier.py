@@ -361,6 +361,36 @@ def test_nft_mint_and_auction_bid(spark):
     assert ab[0]["destination"] == AUC and ab[0]["value"] == 5 * 10**9
 
 
+def test_dns_and_election(spark):
+    from ton_indexer_spark.classifier.matchers import (
+        CHANGE_DNS_OP,
+        ELECTOR_NEW_STAKE,
+        ELECTOR_RECOVER_STAKE,
+    )
+
+    b = TraceBuilder("dns1")
+    r = b.tx(A[0], None)
+    b.chain(r, A[5], opcode=CHANGE_DNS_OP, body=body_of({"value": "wallet=0:abc"}))
+    b2 = TraceBuilder("dns2")
+    r2 = b2.tx(A[0], None)
+    b2.chain(r2, A[5], opcode=CHANGE_DNS_OP, body=body_of({"value": ""}))
+    b3 = TraceBuilder("el1")
+    r3 = b3.tx(A[6], None)
+    el = b3.chain(r3, A[9], opcode=ELECTOR_NEW_STAKE, value=10**12)
+    b3.chain(el, A[6], opcode=0x10)  # confirmation
+    b4 = TraceBuilder("el2")
+    r4 = b4.tx(A[6], None)
+    b4.chain(r4, A[9], opcode=ELECTOR_RECOVER_STAKE)
+
+    res = run(spark, [b, b2, b3, b4])
+    assert [a["type"] for a in acts_of(res, "dns1")] == ["change_dns"]
+    assert [a["type"] for a in acts_of(res, "dns2")] == ["delete_dns"]
+    el_acts = acts_of(res, "el1")
+    assert [a["type"] for a in el_acts] == ["election_deposit"]
+    assert len(el_acts[0]["tx_hashes"]) == 2
+    assert [a["type"] for a in acts_of(res, "el2")] == ["election_recover"]
+
+
 def test_action_accounts_explode(spark):
     b = TraceBuilder("aa1")
     root = b.tx(A[0], None)

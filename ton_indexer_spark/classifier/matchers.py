@@ -30,6 +30,9 @@ OWNERSHIP_ASSIGNED = 0x05138D91
 MULTISIG_NEW_ORDER = 0x75097F5D  # multisig v2 new_order (TEP-style public op)
 MULTISIG_APPROVE = 0x0A8EF1ED
 STAKE_DEPOSIT_OP = 0x47D54391  # staking-pool deposit
+CHANGE_DNS_OP = 0x4EB1F0F9     # TEP-81 change_dns_record
+ELECTOR_NEW_STAKE = 0x4E73744B     # elector new_stake ('NstK')
+ELECTOR_RECOVER_STAKE = 0x47657424  # elector recover_stake ('Get$')
 
 Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
 
@@ -333,6 +336,32 @@ def match_nft_transfer(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
+def match_change_dns(node: Node, ctx: Ctx) -> dict | None:
+    """change_dns_record at a DNS item; an empty record payload means
+    deletion (the reference's change_dns vs delete_dns distinction)."""
+    if node.in_msg is None or node.in_msg.opcode != CHANGE_DNS_OP:
+        return None
+    payload = node.in_msg.decoded_body()
+    typ = "delete_dns" if payload.get("value") in (None, "") else "change_dns"
+    return _base(node, typ, asset=node.account)
+
+
+def match_election(node: Node, ctx: Ctx) -> dict | None:
+    m = node.in_msg
+    if m is None:
+        return None
+    if m.opcode == ELECTOR_NEW_STAKE:
+        claimed = [node] + [
+            c for c in node.children
+            if c.in_msg is not None and c.in_msg.opcode is not None
+        ][:1]  # confirmation leg
+        return _base(node, "election_deposit", claimed=claimed,
+                     destination=node.account)
+    if m.opcode == ELECTOR_RECOVER_STAKE:
+        return _base(node, "election_recover", destination=m.source)
+    return None
+
+
 def match_ton_transfer(node: Node, ctx: Ctx) -> dict | None:
     m = node.in_msg
     if m is None or m.source is None:  # externals are not transfers
@@ -362,6 +391,8 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("nft_transfer", match_nft_transfer),
     ("multisig_create_order", match_multisig_create_order),
     ("stake_deposit", match_stake_deposit),
+    ("change_dns", match_change_dns),
+    ("election", match_election),
     ("auction_bid", match_auction_bid),       # before plain ton_transfer
     ("ton_transfer", match_ton_transfer),
     ("call_contract", match_call_contract),
