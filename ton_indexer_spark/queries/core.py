@@ -42,7 +42,7 @@ def _dec_sum(col, alias: str, scale: int = 2):
     "filter_sort_page",
     f"""
     SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_quantity,
-           l_shipdate AS ship_ts
+           epoch_us(l_shipdate) AS ship_us
     FROM lineitem
     WHERE l_returnflag IN ('R', 'A')
       AND l_shipdate >= TIMESTAMP '{TS_LO}' AND l_shipdate <= TIMESTAMP '{TS_HI}'
@@ -63,11 +63,18 @@ def filter_sort_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_returnflag",
         "l_quantity",
-        F.col("l_shipdate").alias("ship_ts"),
+        # epoch-micros BIGINT, not a raw timestamp: engines materialize
+        # timestamps at different arrow precisions (ns vs us), which a
+        # byte-level value hash would see as different values.  Pure NTZ
+        # difference — immune to the driver session's timezone.
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            "l_shipdate)"
+        ).alias("ship_us"),
     )
     return paginate(
         df,
-        sort=[("ship_ts", "desc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        sort=[("ship_us", "desc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
         limit=100,
     )
 
