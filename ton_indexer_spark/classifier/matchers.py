@@ -291,6 +291,11 @@ def match_jetton_transfer(node: Node, ctx: Ctx) -> dict | None:
 def match_jetton_burn(node: Node, ctx: Ctx) -> dict | None:
     if node.in_msg is None or node.in_msg.opcode != JETTON_BURN:
         return None
+    wallets_ctx = ctx.get("jetton_wallets", {})
+    if wallets_ctx and node.account not in wallets_ctx:
+        # burn requests are only valid at jetton-wallet contracts — without
+        # the interface the opcode is just a call (interface gating, C6)
+        return None
     claimed = [node]
     notify = node.child_via(BURN_NOTIFY)
     if notify is not None:
