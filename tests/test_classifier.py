@@ -156,7 +156,8 @@ def acts_of(result, trace_id):
 def test_ton_transfer_and_call(spark):
     b = TraceBuilder("t1")
     root = b.tx(A[0], None)                      # external root
-    b.chain(root, A[1], opcode=0, value=10**9)   # simple value transfer
+    b.chain(root, A[1], opcode=0, value=10**9,   # simple value transfer
+            body=body_of({"comment": "hello ton"}))
     b2 = TraceBuilder("t2")
     r2 = b2.tx(A[2], None)
     b2.chain(r2, A[3], opcode=0x12345678, value=5)  # contract call
@@ -166,6 +167,8 @@ def test_ton_transfer_and_call(spark):
     assert [a["type"] for a in a1] == ["ton_transfer"]
     assert a1[0]["source"] == A[0] and a1[0]["destination"] == A[1]
     assert a1[0]["value"] == 10**9 and a1[0]["asset"] == "TON"
+    assert a1[0]["ton_transfer_data"]["content"] == "hello ton"
+    assert a1[0]["ton_transfer_data"]["encrypted"] is False
     a2 = acts_of(res, "t2")
     assert [a["type"] for a in a2] == ["call_contract"]
     states = {r["trace_id"]: r["classification_state"]

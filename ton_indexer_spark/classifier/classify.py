@@ -67,6 +67,15 @@ ACTIONS_OUT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        T.StructField(
+            "ton_transfer_data",
+            T.StructType(
+                [
+                    T.StructField("content", T.StringType()),
+                    T.StructField("encrypted", T.BooleanType()),
+                ]
+            ),
+        ),
         T.StructField("parent_action_id", T.StringType()),
         T.StructField("ancestor_type", T.ArrayType(T.StringType())),
         T.StructField("classification_state", T.StringType()),
@@ -132,7 +141,7 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
             "destination_secondary", "asset", "opcode", "value",
             "amount", "success", "tx_hashes", "start_lt",
             "end_lt", "start_utime", "end_utime", "jetton_swap_data",
-            "ancestor_type",
+            "ton_transfer_data", "ancestor_type",
         )
 
         def serialize(a: dict, parent_id: str | None) -> None:

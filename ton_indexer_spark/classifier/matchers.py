@@ -372,7 +372,16 @@ def match_ton_transfer(node: Node, ctx: Ctx) -> dict | None:
     if m is None or m.source is None:  # externals are not transfers
         return None
     if (m.opcode in (None, 0)) and (m.value or 0) > 0:
-        return _base(node, "ton_transfer", asset="TON")
+        payload = m.decoded_body()
+        return _base(
+            node,
+            "ton_transfer",
+            asset="TON",
+            ton_transfer_data={
+                "content": payload.get("comment"),
+                "encrypted": bool(payload.get("is_encrypted", False)),
+            },
+        )
     return None
 
 
