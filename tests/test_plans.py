@@ -343,3 +343,24 @@ def test_jetton_masters_listing(ton, tduck):
         1,
     )
     assert rows(got, ["address"]) == want
+
+
+def test_api_facade_routes(spark, fixture_dir):
+    from ton_indexer_spark.api import TonIndexerApi
+
+    api = TonIndexerApi(spark, fixture_dir)
+    assert api.blocks(workchain=-1, limit=5).count() == 5
+    assert api.transactions(limit=5, with_messages=False).count() == 5
+    assert api.messages(limit=5, with_body=False).count() == 5
+    assert api.actions(limit=5).count() == 5
+    assert api.traces(limit=5, hydrate=False).count() == 5
+    assert api.jetton_masters(limit=3).count() == 3
+    assert api.jetton_wallets(limit=3).count() == 3
+    assert api.jetton_transfers(limit=3).count() == 3
+    assert api.nft_items(limit=3).count() == 3
+    assert api.nft_transfers(limit=3).count() == 3
+    assert api.multisig(limit=3).count() == 3
+    assert api.address_book().count() > 0
+    assert api.metadata().count() > 0
+    assert api.top_accounts(5).count() == 5
+    assert api.block_exists(-1, 1)

@@ -1,0 +1,90 @@
+"""Reference-compatible API facade.
+
+One object, one method per `/api/v3/*` read route (ton-index-go/
+main.go:2306-2396), with the reference's parameter names.  Each method
+returns the DataFrame plan — a serving tier calls `.collect()` /
+`.toJSON()` per request, or registers the plans as views for SQL access.
+
+Route map (reference → here):
+
+| /api/v3 route                 | method                         |
+|-------------------------------|--------------------------------|
+| /blocks, /masterchainInfo     | blocks                         |
+| /transactions                 | transactions                   |
+| /transactionsByMessage        | transactions(msg_opcode/…)     |
+| /messages                     | messages                       |
+| /actions (v2)                 | actions                        |
+| /traces                       | traces                         |
+| /jetton/masters               | jetton_masters                 |
+| /jetton/wallets               | jetton_wallets                 |
+| /jetton/transfers             | jetton_transfers               |
+| /jetton/burns                 | (jetton_transfers shape; burns table via catalog) |
+| /nft/items                    | nft_items                      |
+| /nft/transfers                | nft_transfers                  |
+| /multisig                     | multisig                       |
+| /addressBook                  | address_book                   |
+| /metadata                     | metadata                       |
+| /topAccountsByBalance         | top_accounts                   |
+| /pendingTraces (overlay)      | traces(pending=...)            |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ton_indexer_spark import plans
+from ton_indexer_spark.catalog import Catalog
+
+
+class TonIndexerApi:
+    def __init__(self, spark: SparkSession, data_dir: str):
+        self.cat = Catalog(spark, data_dir)
+
+    # -- blocks -------------------------------------------------------------
+    def blocks(self, **kw) -> DataFrame:
+        return plans.blocks_query(self.cat, **kw)
+
+    def block_exists(self, workchain: int, seqno: int) -> bool:
+        return plans.block_exists(self.cat, workchain, seqno)
+
+    # -- facts --------------------------------------------------------------
+    def transactions(self, **kw) -> DataFrame:
+        return plans.transactions_query(self.cat, **kw)
+
+    def messages(self, **kw) -> DataFrame:
+        return plans.messages_query(self.cat, **kw)
+
+    def actions(self, **kw) -> DataFrame:
+        return plans.actions_by_account(self.cat, **kw)
+
+    def traces(self, **kw) -> DataFrame:
+        return plans.traces_query(self.cat, **kw)
+
+    # -- tokens -------------------------------------------------------------
+    def jetton_masters(self, **kw) -> DataFrame:
+        return plans.jetton_masters_query(self.cat, **kw)
+
+    def jetton_wallets(self, **kw) -> DataFrame:
+        return plans.wallets_by_jetton(self.cat, **kw)
+
+    def jetton_transfers(self, **kw) -> DataFrame:
+        return plans.jetton_transfers_query(self.cat, **kw)
+
+    def nft_items(self, **kw) -> DataFrame:
+        return plans.nft_items_listing(self.cat, **kw)
+
+    def nft_transfers(self, **kw) -> DataFrame:
+        return plans.nft_transfers_query(self.cat, **kw)
+
+    def multisig(self, **kw) -> DataFrame:
+        return plans.multisig_query(self.cat, **kw)
+
+    # -- enrichment dims ----------------------------------------------------
+    def address_book(self) -> DataFrame:
+        return plans.address_book(self.cat)
+
+    def metadata(self) -> DataFrame:
+        return plans.metadata_union(self.cat)
+
+    def top_accounts(self, k: int = 100) -> DataFrame:
+        return plans.top_accounts_by_balance(self.cat, k)
