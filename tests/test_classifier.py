@@ -394,6 +394,30 @@ def test_dns_and_election(spark):
     assert [a["type"] for a in acts_of(res, "el2")] == ["election_recover"]
 
 
+def test_subscription_and_multisig_approve(spark):
+    from ton_indexer_spark.classifier.matchers import (
+        MULTISIG_APPROVE,
+        MULTISIG_EXECUTE,
+        SUBSCRIPTION_PAYMENT,
+    )
+
+    b = TraceBuilder("sub1")
+    r = b.tx(A[0], None)
+    w = b.chain(r, A[4], opcode=SUBSCRIPTION_PAYMENT)
+    b.chain(w, A[5], opcode=0, value=10**8)  # payment leg to beneficiary
+    b2 = TraceBuilder("ma1")
+    r2 = b2.tx(A[1], None)
+    ms = b2.chain(r2, A[6], opcode=MULTISIG_APPROVE)
+    b2.chain(ms, A[7], opcode=MULTISIG_EXECUTE)
+
+    res = run(spark, [b, b2])
+    sub = acts_of(res, "sub1")
+    assert [a["type"] for a in sub] == ["subscribe"]
+    assert sub[0]["destination"] == A[5] and len(sub[0]["tx_hashes"]) == 2
+    ma = acts_of(res, "ma1")
+    assert [a["type"] for a in ma] == ["multisig_approve", "multisig_execute"]
+
+
 def test_action_accounts_explode(spark):
     b = TraceBuilder("aa1")
     root = b.tx(A[0], None)

@@ -33,6 +33,8 @@ STAKE_DEPOSIT_OP = 0x47D54391  # staking-pool deposit
 CHANGE_DNS_OP = 0x4EB1F0F9     # TEP-81 change_dns_record
 ELECTOR_NEW_STAKE = 0x4E73744B     # elector new_stake ('NstK')
 ELECTOR_RECOVER_STAKE = 0x47657424  # elector recover_stake ('Get$')
+SUBSCRIPTION_PAYMENT = 0x73756250   # subscription payment request ('subP')
+MULTISIG_EXECUTE = 0x75097F5E       # order executed callback to wallet
 
 Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
 
@@ -341,6 +343,36 @@ def match_nft_transfer(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
+def match_subscription(node: Node, ctx: Ctx) -> dict | None:
+    """Subscription payment request at the subscriber wallet, paid leg to
+    the beneficiary."""
+    if node.in_msg is None or node.in_msg.opcode != SUBSCRIPTION_PAYMENT:
+        return None
+    claimed = [node]
+    paid = next(
+        (c for c in node.children
+         if c.in_msg is not None and (c.in_msg.value or 0) > 0),
+        None,
+    )
+    if paid is not None:
+        claimed.append(paid)
+    return _base(
+        node, "subscribe", claimed=claimed,
+        destination=paid.account if paid is not None else None,
+    )
+
+
+def match_multisig_approve(node: Node, ctx: Ctx) -> dict | None:
+    m = node.in_msg
+    if m is None:
+        return None
+    if m.opcode == MULTISIG_APPROVE:
+        return _base(node, "multisig_approve", destination=node.account)
+    if m.opcode == MULTISIG_EXECUTE:
+        return _base(node, "multisig_execute", destination=node.account)
+    return None
+
+
 def match_change_dns(node: Node, ctx: Ctx) -> dict | None:
     """change_dns_record at a DNS item; an empty record payload means
     deletion (the reference's change_dns vs delete_dns distinction)."""
@@ -404,6 +436,8 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("jetton_burn", match_jetton_burn),
     ("nft_transfer", match_nft_transfer),
     ("multisig_create_order", match_multisig_create_order),
+    ("multisig_approve", match_multisig_approve),
+    ("subscription", match_subscription),
     ("stake_deposit", match_stake_deposit),
     ("change_dns", match_change_dns),
     ("election", match_election),
