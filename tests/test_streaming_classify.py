@@ -110,3 +110,35 @@ def test_nsfw_presentation_transform(spark):
     assert rows["b"] == BLUR_PLACEHOLDER
     assert rows["a"].startswith("https://imgproxy.local/")
     assert rows["c"] is None
+
+
+def test_reclassification_replaces_per_trace(spark, fixture_dir, tmp_path):
+    """Reclassifying a trace replaces exactly its actions (delete-then-
+    reinsert semantics, idempotent)."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.sources.writer import replace_by_key
+
+    actions = spark.read.parquet(f"{fixture_dir}/actions.parquet")
+    path = str(tmp_path / "actions")
+    actions.write.parquet(path)
+
+    victims = [r[0] for r in actions.select("trace_id").distinct().limit(3).collect()]
+    # one replacement action per victim trace (the reclassifier's output)
+    new_rows = (
+        actions.filter(F.col("trace_id").isin(victims))
+        .dropDuplicates(["trace_id"])
+        .withColumn("type", F.lit("reclassified"))
+    )
+    replace_by_key(spark, path, new_rows, key=["trace_id"])
+    replace_by_key(spark, path, new_rows, key=["trace_id"])  # idempotent
+
+    after = spark.read.parquet(path)
+    got_victim = after.filter(F.col("trace_id").isin(victims))
+    assert got_victim.count() == len(victims)
+    assert {r["type"] for r in got_victim.collect()} == {"reclassified"}
+    # untouched traces keep their original action count
+    assert (
+        after.filter(~F.col("trace_id").isin(victims)).count()
+        == actions.filter(~F.col("trace_id").isin(victims)).count()
+    )

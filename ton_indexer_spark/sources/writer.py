@@ -80,6 +80,27 @@ def merge_dimension(
     atomic_replace(latest, path)
 
 
+def replace_by_key(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key: Sequence[str],
+) -> None:
+    """Replace all rows sharing a key with ``delta``'s rows — the engine's
+    reclassification primitive (the reference deletes-then-reinserts actions
+    per trace, indexer/event_classifier.py:261-267).  Idempotent: applying
+    the same delta twice converges.  Implemented as anti-join ∪ delta with
+    an atomic swap, so readers see either the old or the new classification
+    of a trace, never a mix."""
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        keep = current.join(delta.select(*key).distinct(), list(key), "left_anti")
+        merged = keep.unionByName(delta, allowMissingColumns=True)
+    else:
+        merged = delta
+    atomic_replace(merged, path)
+
+
 def atomic_replace(df: DataFrame, path: str) -> None:
     """Write ``df`` (whose plan may read from ``path``) to a temp dir, then
     swap directories.  Needed whenever a table is rebuilt from itself —
