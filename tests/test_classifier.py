@@ -120,7 +120,8 @@ def build_dfs(spark, builders):
 
 
 def run(spark, builders, jetton_wallets=None, nft_items=None,
-        dex_pools=None, multisig=None, auctions=None, big_trace_cutoff=4000):
+        dex_pools=None, multisig=None, auctions=None, nft_sales=None,
+        big_trace_cutoff=4000):
     from ton_indexer_spark.classifier import classify_traces
 
     txs_df, msgs_df, bodies_df = build_dfs(spark, builders)
@@ -141,7 +142,11 @@ def run(spark, builders, jetton_wallets=None, nft_items=None,
     au = spark.createDataFrame(
         [(a["address"],) for a in auctions], "address string"
     ) if auctions else None
-    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni, dp, ms, au,
+    ns = spark.createDataFrame(
+        [(s["address"], s["nft_address"]) for s in nft_sales],
+        "address string, nft_address string",
+    ) if nft_sales else None
+    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni, dp, ms, au, ns,
                            big_trace_cutoff=big_trace_cutoff)
 
 
@@ -416,6 +421,84 @@ def test_subscription_and_multisig_approve(spark):
     assert sub[0]["destination"] == A[5] and len(sub[0]["tx_hashes"]) == 2
     ma = acts_of(res, "ma1")
     assert [a["type"] for a in ma] == ["multisig_approve", "multisig_execute"]
+
+
+def test_nft_sale_lifecycle(spark):
+    """put-on-sale (sale deploy) and fix-price purchase (value in → NFT out
+    to buyer + payout legs) — the getgems marketplace flow."""
+    SALE = "0:sale" + "0" * 58
+    SELLER, BUYER, MARKET = A[3], A[4], A[7]
+
+    b = TraceBuilder("ps1")
+    r = b.tx(SELLER, None)
+    b.chain(r, SALE, opcode=0x5, orig_status="uninit")  # sale deploy
+
+    b2 = TraceBuilder("buy1")
+    r2 = b2.tx(BUYER, None)
+    sale_tx = b2.chain(r2, SALE, opcode=0, value=10**10)  # payment in
+    item_tx = b2.chain(sale_tx, ITEM, opcode=NFT_TRANSFER,
+                       body=body_of({"new_owner": BUYER}))
+    b2.chain(item_tx, BUYER, opcode=OWNERSHIP_ASSIGNED)
+    b2.chain(sale_tx, SELLER, opcode=0, value=9 * 10**9)   # seller payout
+    b2.chain(sale_tx, MARKET, opcode=0, value=5 * 10**8)   # marketplace fee
+
+    res = run(spark, [b, b2], nft_items=[{"address": ITEM}],
+              nft_sales=[{"address": SALE, "nft_address": ITEM}])
+    ps = acts_of(res, "ps1")
+    assert [a["type"] for a in ps] == ["nft_put_on_sale"]
+    assert ps[0]["asset"] == ITEM
+
+    buy = acts_of(res, "buy1")
+    assert [a["type"] for a in buy] == ["nft_purchase"]
+    a = buy[0]
+    assert a["source"] == BUYER and a["source_secondary"] == SALE
+    assert a["asset"] == ITEM and a["value"] == 10**10
+    assert len(a["tx_hashes"]) == 5  # sale, item, assigned, 2 payouts
+
+
+def test_classifier_feeds_actions_endpoint(spark):
+    """Integration: classifier output + actions endpoint — child swap legs
+    are suppressed when the parent type is requested (P7 over C5 output)."""
+    import os
+    import tempfile
+
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.plans import actions_by_account
+
+    POOL = "0:pool" + "0" * 58
+    W3, W4 = "0:w3" + "0" * 60, "0:w4" + "0" * 60
+    b = TraceBuilder("swapx")
+    root = b.tx(A[0], None)
+    w1 = b.chain(root, W1, opcode=JETTON_TRANSFER, body=body_of({"amount": 10}))
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
+    pool = b.chain(w2, POOL, opcode=JETTON_NOTIFY)
+    w3 = b.chain(pool, W3, opcode=JETTON_TRANSFER, body=body_of({"amount": 9}))
+    w4 = b.chain(w3, W4, opcode=JETTON_INTERNAL)
+    b.chain(w4, A[0], opcode=JETTON_NOTIFY)
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:tokA"},
+        {"address": W2, "owner": POOL, "jetton": "0:tokA"},
+        {"address": W3, "owner": POOL, "jetton": "0:tokB"},
+        {"address": W4, "owner": A[0], "jetton": "0:tokB"},
+    ], dex_pools=[{"address": POOL, "dex": "stonfi"}])
+
+    d = tempfile.mkdtemp()
+    res.actions.withColumn("trace_end_lt", res.actions["end_lt"]) \
+        .withColumn("trace_end_utime", res.actions["end_utime"]) \
+        .withColumn("trace_mc_seqno_end", res.actions["end_lt"].cast("int")) \
+        .write.parquet(os.path.join(d, "actions.parquet"))
+    res.action_accounts.write.parquet(os.path.join(d, "action_accounts.parquet"))
+    cat = Catalog(spark, d)
+
+    all_types = [r["type"] for r in actions_by_account(cat, limit=10).collect()]
+    assert sorted(all_types) == ["jetton_swap", "jetton_transfer", "jetton_transfer"]
+    suppressed = [
+        r["type"]
+        for r in actions_by_account(
+            cat, suppress_ancestor_types=["jetton_swap"], limit=10
+        ).collect()
+    ]
+    assert suppressed == ["jetton_swap"]  # child legs hidden
 
 
 def test_action_accounts_explode(spark):

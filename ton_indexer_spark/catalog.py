@@ -52,10 +52,12 @@ class Catalog:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def _nanos_cols(self, name: str) -> list[str]:
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as pads
         import pyarrow.types as pat
 
-        schema = pq.read_schema(self.path(name))
+        # dataset() handles both single parquet files (driver testdata) and
+        # Spark-written directories (this engine's own sinks)
+        schema = pads.dataset(self.path(name), format="parquet").schema
         return [
             f.name
             for f in schema

@@ -87,7 +87,7 @@ _ROW_COLS = [
     "orig_status", "end_status", "msg_hash", "direction", "source",
     "destination", "value", "opcode", "created_lt", "body",
     "acc_jw_owner", "acc_jw_jetton", "acc_is_nft", "acc_pool_dex",
-    "acc_is_multisig", "acc_is_auction",
+    "acc_is_multisig", "acc_is_auction", "acc_sale_nft",
 ]
 
 
@@ -128,6 +128,11 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
             "multisig": {r["account"] for r in rows if r["acc_is_multisig"]}
             or None,
             "auctions": {r["account"] for r in rows if r["acc_is_auction"]},
+            "nft_sales": {
+                r["account"]: r["acc_sale_nft"]
+                for r in rows
+                if r["acc_sale_nft"] is not None
+            },
         }
         nodes = build_tree(rows)
         acts = classify_tree(nodes, ctx)
@@ -183,6 +188,7 @@ def classify_traces(
     dex_pools: DataFrame | None = None,
     multisig: DataFrame | None = None,
     auctions: DataFrame | None = None,
+    nft_sales: DataFrame | None = None,
     big_trace_cutoff: int = BIG_TRACE_CUTOFF,
 ) -> ClassifiedActions:
     # transaction-driven row build: a LEFT join keeps messageless
@@ -257,6 +263,14 @@ def classify_traces(
         )
     else:
         rows = rows.withColumn("acc_is_auction", F.lit(False))
+    if nft_sales is not None:
+        ns = nft_sales.select(
+            F.col("address").alias("account"),
+            F.col("nft_address").alias("acc_sale_nft"),
+        )
+        rows = rows.join(F.broadcast(ns), "account", "left")
+    else:
+        rows = rows.withColumn("acc_sale_nft", F.lit(None).cast("string"))
 
     raw = (
         rows.select(*_ROW_COLS)

@@ -117,6 +117,62 @@ def match_jetton_mint(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
+def match_nft_put_on_sale(node: Node, ctx: Ctx) -> dict | None:
+    """Deploy of a known sale contract followed by the NFT moving into it
+    (nft_transfer whose new owner is the sale) = put-on-sale."""
+    if not (node.orig_status != "active" and node.end_status == "active"):
+        return None
+    sales = ctx.get("nft_sales", {})
+    if node.account not in sales:
+        return None
+    return _base(
+        node,
+        "nft_put_on_sale",
+        claimed=[node],
+        destination=node.account,
+        asset=sales[node.account],  # the listed NFT item
+    )
+
+
+def match_nft_purchase(node: Node, ctx: Ctx) -> dict | None:
+    """Value transfer into a sale contract that triggers the NFT transfer
+    chain to the buyer = purchase (the getgems fix-price flow)."""
+    m = node.in_msg
+    sales = ctx.get("nft_sales", {})
+    if m is None or m.source is None or node.account not in sales:
+        return None
+    if (m.value or 0) <= 0:
+        return None
+    # the sale's reaction: transfer the item to the buyer
+    nft_leg = next(
+        (c for c in node.children
+         if c.in_msg is not None and c.in_msg.opcode == NFT_TRANSFER),
+        None,
+    )
+    if nft_leg is None:
+        return None
+    claimed = [node, nft_leg]
+    assigned = nft_leg.child_via(OWNERSHIP_ASSIGNED)
+    if assigned is not None:
+        claimed.append(assigned)
+    # payout legs to the seller/marketplace/royalty are part of the action
+    claimed += [
+        c for c in node.children
+        if c is not nft_leg and c.in_msg is not None
+        and (c.in_msg.value or 0) > 0 and c not in claimed
+    ]
+    return _base(
+        node,
+        "nft_purchase",
+        claimed=claimed,
+        source=m.source,                 # buyer
+        destination=m.source,            # new owner
+        source_secondary=node.account,   # sale contract
+        asset=sales[node.account] or nft_leg.account,
+        value=m.value,
+    )
+
+
 def match_auction_bid(node: Node, ctx: Ctx) -> dict | None:
     """Plain value transfer into a known auction contract = bid."""
     m = node.in_msg
@@ -429,7 +485,9 @@ def match_call_contract(node: Node, ctx: Ctx) -> dict | None:
 MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("tick_tock", match_tick_tock),
     ("nft_mint", match_nft_mint),             # before generic deploy
+    ("nft_put_on_sale", match_nft_put_on_sale),
     ("contract_deploy", match_contract_deploy),
+    ("nft_purchase", match_nft_purchase),     # before plain transfers
     ("jetton_swap", match_jetton_swap),       # before plain transfer: more specific
     ("jetton_transfer", match_jetton_transfer),
     ("jetton_mint", match_jetton_mint),
