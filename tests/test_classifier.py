@@ -206,6 +206,51 @@ def test_jetton_transfer_chain(spark):
     assert len(a["tx_hashes"]) == 4  # W1, W2, notify, excesses
 
 
+def test_jetton_swap_multi_hop(spark):
+    """A → B → C through two pools: one swap action, two peer_swaps hops,
+    four child transfer legs."""
+    P1, P2 = "0:p1" + "0" * 60, "0:p2" + "0" * 60
+    WA1, WA2 = "0:wa1" + "0" * 59, "0:wa2" + "0" * 59
+    WB1, WB2 = "0:wb1" + "0" * 59, "0:wb2" + "0" * 59
+    WC1, WC2 = "0:wc1" + "0" * 59, "0:wc2" + "0" * 59
+    b = TraceBuilder("mh1")
+    root = b.tx(A[0], None)
+    # leg 1: user's tokA → pool1
+    wa1 = b.chain(root, WA1, opcode=JETTON_TRANSFER, body=body_of({"amount": 100}))
+    wa2 = b.chain(wa1, WA2, opcode=JETTON_INTERNAL)
+    p1 = b.chain(wa2, P1, opcode=JETTON_NOTIFY)
+    # leg 2: pool1's tokB → pool2
+    wb1 = b.chain(p1, WB1, opcode=JETTON_TRANSFER, body=body_of({"amount": 90}))
+    wb2 = b.chain(wb1, WB2, opcode=JETTON_INTERNAL)
+    p2 = b.chain(wb2, P2, opcode=JETTON_NOTIFY)
+    # leg 3: pool2's tokC → user
+    wc1 = b.chain(p2, WC1, opcode=JETTON_TRANSFER, body=body_of({"amount": 80}))
+    wc2 = b.chain(wc1, WC2, opcode=JETTON_INTERNAL)
+    b.chain(wc2, A[0], opcode=JETTON_NOTIFY)
+
+    res = run(
+        spark, [b],
+        jetton_wallets=[
+            {"address": WA1, "owner": A[0], "jetton": "0:tokA"},
+            {"address": WA2, "owner": P1, "jetton": "0:tokA"},
+            {"address": WB1, "owner": P1, "jetton": "0:tokB"},
+            {"address": WB2, "owner": P2, "jetton": "0:tokB"},
+            {"address": WC1, "owner": P2, "jetton": "0:tokC"},
+            {"address": WC2, "owner": A[0], "jetton": "0:tokC"},
+        ],
+        dex_pools=[{"address": P1, "dex": "stonfi"}, {"address": P2, "dex": "stonfi"}],
+    )
+    acts = acts_of(res, "mh1")
+    assert [a["type"] for a in acts if a["parent_action_id"] is None] == ["jetton_swap"]
+    swap = next(a for a in acts if a["type"] == "jetton_swap")
+    sd = swap["jetton_swap_data"]
+    assert sd["asset_in"] == "0:tokA" and sd["asset_out"] == "0:tokC"
+    assert sd["amount_in"] == 100 and sd["amount_out"] == 80
+    assert [p["asset_out"] for p in sd["peer_swaps"]] == ["0:tokB", "0:tokC"]
+    children = [a for a in acts if a["parent_action_id"] == swap["action_id"]]
+    assert len(children) == 3  # one transfer leg per hop segment
+
+
 def test_jetton_burn(spark):
     b = TraceBuilder("burn1")
     root = b.tx(A[0], None)
@@ -277,6 +322,10 @@ def test_jetton_swap_two_legs(spark):
     assert sd["amount_in"] == 1000 and sd["asset_in"] == "0:tokA"
     assert sd["amount_out"] == 950 and sd["asset_out"] == "0:tokB"
     assert sd["peer_address"] == POOL
+    assert sd["peer_swaps"] == [
+        {"asset_in": "0:tokA", "amount_in": 1000,
+         "asset_out": "0:tokB", "amount_out": 950}
+    ]
     assert len(a["tx_hashes"]) == 6  # both 3-node legs (pool node shared)
 
 

@@ -64,6 +64,19 @@ ACTIONS_OUT_SCHEMA = T.StructType(
                     T.StructField("amount_out", T.LongType()),
                     T.StructField("asset_out", T.StringType()),
                     T.StructField("peer_address", T.StringType()),
+                    T.StructField(
+                        "peer_swaps",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("asset_in", T.StringType()),
+                                    T.StructField("amount_in", T.LongType()),
+                                    T.StructField("asset_out", T.StringType()),
+                                    T.StructField("amount_out", T.LongType()),
+                                ]
+                            )
+                        ),
+                    ),
                 ]
             ),
         ),

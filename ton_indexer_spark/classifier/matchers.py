@@ -241,16 +241,38 @@ def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
     pools = ctx.get("dex_pools", set())
     if leg_in["notify"] is None or leg_in["notify"].account not in pools:
         return None
-    pool_node = leg_in["notify"]
-    # the pool's reaction: a transfer chain rooted at one of its children
-    leg_out = None
-    for child in pool_node.children:
-        leg_out = _jetton_chain(child, ctx)
-        if leg_out is not None:
-            break
-    if leg_out is None:
+
+    # follow the hop chain: each pool's notification may feed the NEXT
+    # pool's transfer (multi-hop peer swaps, FIXTURES.md peer_swaps[])
+    legs = [leg_in]
+    pool_nodes = []
+    cur = leg_in
+    while cur["notify"] is not None and cur["notify"].account in pools:
+        pool_node = cur["notify"]
+        pool_nodes.append(pool_node)
+        nxt = None
+        for child in pool_node.children:
+            nxt = _jetton_chain(child, ctx)
+            if nxt is not None:
+                break
+        if nxt is None:
+            return None  # pool consumed the transfer but produced nothing
+        legs.append(nxt)
+        cur = nxt
+    if len(legs) < 2:
         return None
-    claimed = leg_in["claimed"] + leg_out["claimed"] + [pool_node]
+    leg_out = legs[-1]
+    pool_node = pool_nodes[0]
+    peer_swaps = [
+        {
+            "asset_in": a["asset"],
+            "amount_in": a["amount"],
+            "asset_out": b["asset"],
+            "amount_out": b["amount"],
+        }
+        for a, b in zip(legs[:-1], legs[1:])
+    ]
+    claimed = [n for leg in legs for n in leg["claimed"]] + pool_nodes
     claimed = list(dict.fromkeys(claimed))
     sender = node.in_msg.source
     parent = _base(
@@ -270,13 +292,14 @@ def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
             "amount_out": leg_out["amount"],
             "asset_out": leg_out["asset"],
             "peer_address": pool_node.account,
+            "peer_swaps": peer_swaps,
         },
     )
-    # child actions: the two transfer legs, ancestor-tagged so the API's
+    # child actions: every transfer leg, ancestor-tagged so the API's
     # suppression predicate (P7, crud_actions_v2.go:437) can drop them when
     # the parent swap is already returned
     children = []
-    for leg in (leg_in, leg_out):
+    for leg in legs:
         root_node = leg["claimed"][0]
         children.append(
             {
