@@ -20,7 +20,17 @@ from ton_indexer_spark.operators.windows import (
 from ton_indexer_spark.operators.pivots import inout_pivot
 from ton_indexer_spark.operators.topk import top_k
 from ton_indexer_spark.operators.sessionize import sessionize_by_gap
-from ton_indexer_spark.operators.graph import connected_components
+from ton_indexer_spark.operators.graph import connected_components, forest_roots
+from ton_indexer_spark.operators.trace_assembly import assemble_traces
+from ton_indexer_spark.operators.balances import (
+    jetton_balance_changes,
+    ton_balance_changes,
+)
+from ton_indexer_spark.operators.skew import salted_join
+from ton_indexer_spark.operators.token_events import (
+    derive_jetton_burns,
+    derive_jetton_transfers,
+)
 
 __all__ = [
     "filter_by_array",
@@ -34,4 +44,11 @@ __all__ = [
     "top_k",
     "sessionize_by_gap",
     "connected_components",
+    "forest_roots",
+    "assemble_traces",
+    "ton_balance_changes",
+    "jetton_balance_changes",
+    "salted_join",
+    "derive_jetton_transfers",
+    "derive_jetton_burns",
 ]
