@@ -76,10 +76,19 @@ def main() -> None:
         spec = specs.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best of two runs: the first execution of a plan shape pays JVM
+        # codegen/broadcast warm-up that a steady-state service would not
+        best = None
+        n = 0
+        for _ in range(2):
+            # clear cached intermediates so each run measures the full
+            # pipeline, not a cache hit from the previous iteration
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = spec.builder(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
