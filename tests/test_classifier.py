@@ -18,8 +18,17 @@ from ton_indexer_spark.classifier.matchers import (
     JETTON_NOTIFY,
     JETTON_TRANSFER,
     MULTISIG_NEW_ORDER,
+    NFT_DISCOVERY,
+    NFT_REPORT_STATIC,
     NFT_TRANSFER,
     OWNERSHIP_ASSIGNED,
+    POOL_WITHDRAWAL,
+    STAKE_WITHDRAW_OP,
+    UNSUBSCRIBE_OP,
+    VESTING_ADD_WHITELIST,
+    VESTING_ADD_WHITELIST_RESP,
+    VESTING_SEND,
+    VESTING_SEND_RESP,
 )
 
 A = [f"0:{i:064x}" for i in range(10)]  # accounts
@@ -557,3 +566,141 @@ def test_action_accounts_explode(spark):
     res = run(spark, [b])
     accs = sorted(r["account"] for r in res.action_accounts.collect())
     assert accs == sorted([A[0], A[1]])
+
+
+def test_stake_withdraw(spark):
+    """Withdraw request + payout leg = completed stake_withdrawal; a lone
+    request (payout deferred past the trace) = stake_withdrawal_request."""
+    POOL = "0:pool" + "0" * 58
+    b = TraceBuilder("sw1")
+    r = b.tx(A[0], None)
+    p = b.chain(r, POOL, opcode=STAKE_WITHDRAW_OP)
+    b.chain(p, A[0], opcode=POOL_WITHDRAWAL, value=7 * 10**9)
+    b2 = TraceBuilder("sw2")
+    r2 = b2.tx(A[1], None)
+    b2.chain(r2, POOL, opcode=STAKE_WITHDRAW_OP)
+
+    res = run(spark, [b, b2])
+    a1 = acts_of(res, "sw1")
+    assert [a["type"] for a in a1] == ["stake_withdrawal"]
+    assert a1[0]["amount"] == 7 * 10**9
+    assert a1[0]["destination"] == A[0]
+    assert len(a1[0]["tx_hashes"]) == 2
+    a2 = acts_of(res, "sw2")
+    assert [a["type"] for a in a2] == ["stake_withdrawal_request"]
+
+
+def test_vesting_and_unsubscribe(spark):
+    """Vesting send_message claims only the request+ack; the forwarded inner
+    message classifies as its own action (reference vesting semantics)."""
+    VEST = "0:vest" + "0" * 58
+    b = TraceBuilder("v1")
+    r = b.tx(A[0], None)
+    v = b.chain(r, VEST, opcode=VESTING_SEND)
+    b.chain(v, A[0], opcode=VESTING_SEND_RESP)       # ack back to owner
+    b.chain(v, A[5], opcode=0, value=10**9)          # forwarded message
+    b2 = TraceBuilder("v2")
+    r2 = b2.tx(A[1], None)
+    v2 = b2.chain(r2, VEST, opcode=VESTING_ADD_WHITELIST)
+    b2.chain(v2, A[1], opcode=VESTING_ADD_WHITELIST_RESP)
+    b3 = TraceBuilder("u1")
+    r3 = b3.tx(A[2], None)
+    b3.chain(r3, A[6], opcode=UNSUBSCRIBE_OP)
+
+    res = run(spark, [b, b2, b3])
+    a1 = acts_of(res, "v1")
+    assert [a["type"] for a in a1] == ["vesting_send_message", "ton_transfer"]
+    assert len(a1[0]["tx_hashes"]) == 2
+    assert a1[1]["source"] == VEST and a1[1]["destination"] == A[5]
+    a2 = acts_of(res, "v2")
+    assert [a["type"] for a in a2] == ["vesting_add_whitelist"]
+    assert acts_of(res, "u1")[0]["type"] == "unsubscribe"
+
+
+def test_nft_discovery(spark):
+    b = TraceBuilder("nd1")
+    r = b.tx(A[0], None)
+    i = b.chain(r, ITEM, opcode=NFT_DISCOVERY)
+    b.chain(i, A[0], opcode=NFT_REPORT_STATIC)
+    res = run(spark, [b], nft_items=[{"address": ITEM}])
+    acts = acts_of(res, "nd1")
+    assert [a["type"] for a in acts] == ["nft_discovery"]
+    assert acts[0]["asset"] == ITEM
+    assert len(acts[0]["tx_hashes"]) == 2
+
+
+def test_dex_liquidity(spark):
+    """Provide-liquidity (jetton chain into pool → LP mint) and
+    withdraw-liquidity (LP burn → pool pays out jetton + value legs)."""
+    POOL = "0:pool" + "0" * 58
+    LPW = "0:lpw" + "0" * 59
+    b = TraceBuilder("dl1")
+    r = b.tx(A[0], None)
+    w1 = b.chain(r, W1, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 1000}))
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
+    pool = b.chain(w2, POOL, opcode=JETTON_NOTIFY)
+    lp = b.chain(pool, LPW, opcode=JETTON_INTERNAL)  # bare LP mint
+    b.chain(lp, A[0], opcode=JETTON_NOTIFY)
+
+    b2 = TraceBuilder("dl2")
+    r2 = b2.tx(A[0], None)
+    burn = b2.chain(r2, LPW, opcode=JETTON_BURN,
+                    body=body_of({"amount": 500}))
+    notif = b2.chain(burn, POOL, opcode=BURN_NOTIFY)
+    w3 = b2.chain(notif, W2, opcode=JETTON_TRANSFER,
+                  body=body_of({"amount": 400}))
+    w4 = b2.chain(w3, W1, opcode=JETTON_INTERNAL)
+    b2.chain(w4, A[0], opcode=JETTON_NOTIFY)
+    b2.chain(notif, A[0], opcode=0, value=3 * 10**9)  # TON side payout
+
+    res = run(
+        spark, [b, b2],
+        jetton_wallets=[
+            {"address": W1, "owner": A[0], "jetton": "0:tokA"},
+            {"address": W2, "owner": POOL, "jetton": "0:tokA"},
+            {"address": LPW, "owner": A[0], "jetton": "0:lp"},
+        ],
+        dex_pools=[{"address": POOL, "dex": "stonfi"}],
+    )
+    d = acts_of(res, "dl1")
+    assert [a["type"] for a in d] == ["dex_deposit_liquidity"]
+    assert d[0]["asset"] == "0:tokA" and d[0]["amount"] == 1000
+    assert d[0]["destination"] == POOL and d[0]["destination_secondary"] == LPW
+    assert len(d[0]["tx_hashes"]) == 5
+    w = acts_of(res, "dl2")
+    assert [a["type"] for a in w] == ["dex_withdraw_liquidity"]
+    assert w[0]["asset"] == "0:lp" and w[0]["amount"] == 500
+    assert w[0]["source"] == A[0] and w[0]["destination"] == POOL
+    assert len(w[0]["tx_hashes"]) == 6
+
+
+def test_nft_cancel_and_finish(spark):
+    """Text-comment-driven sale/auction lifecycle: 'cancel' at a sale
+    returns the item; 'finish' at an auction transfers + pays out."""
+    SALE = "0:sale" + "0" * 58
+    AUC = "0:auc" + "0" * 59
+    b = TraceBuilder("c1")
+    r = b.tx(A[3], None)
+    s = b.chain(r, SALE, opcode=0, body=body_of({"comment": "cancel"}))
+    item = b.chain(s, ITEM, opcode=NFT_TRANSFER,
+                   body=body_of({"new_owner": A[3]}))
+    b.chain(item, A[3], opcode=OWNERSHIP_ASSIGNED)
+
+    b2 = TraceBuilder("f1")
+    r2 = b2.tx(A[4], None)
+    a_tx = b2.chain(r2, AUC, opcode=0, body=body_of({"comment": "finish"}))
+    item2 = b2.chain(a_tx, ITEM, opcode=NFT_TRANSFER,
+                     body=body_of({"new_owner": A[5]}))
+    b2.chain(item2, A[5], opcode=OWNERSHIP_ASSIGNED)
+    b2.chain(a_tx, A[4], opcode=0, value=8 * 10**9)  # seller payout
+
+    res = run(spark, [b, b2], nft_items=[{"address": ITEM}],
+              nft_sales=[{"address": SALE, "nft_address": ITEM}],
+              auctions=[{"address": AUC}])
+    c = acts_of(res, "c1")
+    assert [a["type"] for a in c] == ["nft_cancel_sale"]
+    assert c[0]["asset"] == ITEM and len(c[0]["tx_hashes"]) == 3
+    f = acts_of(res, "f1")
+    assert [a["type"] for a in f] == ["nft_finish_auction"]
+    assert len(f[0]["tx_hashes"]) == 4

@@ -27,14 +27,23 @@ JETTON_BURN = 0x595F07BC
 BURN_NOTIFY = 0x7BDD97DE
 NFT_TRANSFER = 0x5FCC3D14
 OWNERSHIP_ASSIGNED = 0x05138D91
-MULTISIG_NEW_ORDER = 0x75097F5D  # multisig v2 new_order (TEP-style public op)
-MULTISIG_APPROVE = 0x0A8EF1ED
-STAKE_DEPOSIT_OP = 0x47D54391  # staking-pool deposit
+MULTISIG_NEW_ORDER = 0xF718510F  # multisig v2 new_order (messages/multisig.py:14)
+MULTISIG_APPROVE = 0xA762230F    # approve (messages/multisig.py:73)
+MULTISIG_EXECUTE = 0x75097F5D    # execute order → wallet (messages/multisig.py:103)
+STAKE_DEPOSIT_OP = 0x47D54391  # liquid-staking pool deposit (messages/staking.py:18)
+STAKE_WITHDRAW_OP = 0x319B0CDC  # withdraw request (messages/staking.py:22)
+POOL_WITHDRAWAL = 0x0A77535C    # pool payout (messages/staking.py:57)
 CHANGE_DNS_OP = 0x4EB1F0F9     # TEP-81 change_dns_record
 ELECTOR_NEW_STAKE = 0x4E73744B     # elector new_stake ('NstK')
 ELECTOR_RECOVER_STAKE = 0x47657424  # elector recover_stake ('Get$')
-SUBSCRIPTION_PAYMENT = 0x73756250   # subscription payment request ('subP')
-MULTISIG_EXECUTE = 0x75097F5E       # order executed callback to wallet
+SUBSCRIPTION_PAYMENT = 0x706C7567   # payment request 'plug' (messages/subscriptions.py:7)
+UNSUBSCRIBE_OP = 0x64737472         # wallet plugin destruct 'dstr' (subscriptions.py:24)
+VESTING_SEND = 0xA7733ACD           # vesting send_message (messages/vesting.py:12)
+VESTING_SEND_RESP = 0xF7733ACD
+VESTING_ADD_WHITELIST = 0x7258A69B  # (messages/vesting.py:33)
+VESTING_ADD_WHITELIST_RESP = 0xF258A69B
+NFT_DISCOVERY = 0x2FCB26A2          # TEP-62 get_static_data (messages/nft.py:79)
+NFT_REPORT_STATIC = 0x8B771735      # report_static_data (messages/nft.py:92)
 
 Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
 
@@ -478,6 +487,173 @@ def match_election(node: Node, ctx: Ctx) -> dict | None:
     return None
 
 
+def match_stake_withdraw(node: Node, ctx: Ctx) -> dict | None:
+    """Liquid-staking withdraw (staking.py TONStakersWithdraw family):
+    a withdraw request at the pool; when the payout leg (pool_withdrawal
+    op or plain value) fires in the same trace it's a completed
+    `stake_withdrawal`, else a `stake_withdrawal_request`."""
+    m = node.in_msg
+    if m is None or m.opcode != STAKE_WITHDRAW_OP:
+        return None
+    payout = next(
+        (c for c in node.children
+         if c.in_msg is not None
+         and (c.in_msg.opcode == POOL_WITHDRAWAL or (c.in_msg.value or 0) > 0)),
+        None,
+    )
+    if payout is not None:
+        return _base(
+            node, "stake_withdrawal", claimed=[node, payout],
+            source=node.account, destination=m.source,
+            amount=payout.in_msg.value,
+        )
+    return _base(node, "stake_withdrawal_request", destination=node.account)
+
+
+def match_vesting(node: Node, ctx: Ctx) -> dict | None:
+    """Vesting wallet ops (vesting.py): send_message forwards an inner
+    message (left unclaimed — it classifies as its own action, as in the
+    reference); add_whitelist extends the allowed-destination list.  The
+    ack leg (response_opcode) is claimed with the request."""
+    m = node.in_msg
+    if m is None:
+        return None
+    if m.opcode == VESTING_SEND:
+        typ, resp_op = "vesting_send_message", VESTING_SEND_RESP
+    elif m.opcode == VESTING_ADD_WHITELIST:
+        typ, resp_op = "vesting_add_whitelist", VESTING_ADD_WHITELIST_RESP
+    else:
+        return None
+    claimed = [node]
+    resp = node.child_via(resp_op)
+    if resp is not None:
+        claimed.append(resp)
+    return _base(node, typ, claimed=claimed, destination=node.account)
+
+
+def match_unsubscribe(node: Node, ctx: Ctx) -> dict | None:
+    """Wallet plugin destruct ('dstr') = unsubscribe."""
+    if node.in_msg is None or node.in_msg.opcode != UNSUBSCRIBE_OP:
+        return None
+    return _base(node, "unsubscribe", destination=node.account)
+
+
+def match_nft_discovery(node: Node, ctx: Ctx) -> dict | None:
+    """TEP-62 get_static_data → report_static_data round trip."""
+    if node.in_msg is None or node.in_msg.opcode != NFT_DISCOVERY:
+        return None
+    claimed = [node]
+    report = node.child_via(NFT_REPORT_STATIC)
+    if report is not None:
+        claimed.append(report)
+    return _base(node, "nft_discovery", claimed=claimed, asset=node.account)
+
+
+def match_dex_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """Provide-liquidity: a jetton-transfer chain INTO a pool whose
+    notification makes the pool mint LP tokens straight from its own
+    wallet (a bare 0x178d4519 child, not a full transfer chain — which is
+    what distinguishes it from a swap's second leg)."""
+    leg = _jetton_chain(node, ctx)
+    if leg is None:
+        return None
+    pools = ctx.get("dex_pools", set())
+    notify = leg["notify"]
+    if notify is None or notify.account not in pools:
+        return None
+    lp_mint = notify.child_via(JETTON_INTERNAL)
+    if lp_mint is None:
+        return None
+    claimed = list(leg["claimed"]) + [lp_mint]  # notify already in the leg
+    lp_notify = lp_mint.child_via(JETTON_NOTIFY)
+    if lp_notify is not None:
+        claimed.append(lp_notify)
+    return _base(
+        node,
+        "dex_deposit_liquidity",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=leg["sender_wallet"],
+        destination=notify.account,
+        destination_secondary=lp_mint.account,
+        asset=leg["asset"],
+        amount=leg["amount"],
+    )
+
+
+def match_dex_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """Withdraw-liquidity: LP-token burn whose burn-notification lands at
+    a pool, which pays the underlying assets back out (jetton chains
+    and/or plain value legs)."""
+    if node.in_msg is None or node.in_msg.opcode != JETTON_BURN:
+        return None
+    notify = node.child_via(BURN_NOTIFY)
+    pools = ctx.get("dex_pools", set())
+    if notify is None or notify.account not in pools:
+        return None
+    claimed = [node, notify]
+    for c in notify.children:
+        out_leg = _jetton_chain(c, ctx)
+        if out_leg is not None:
+            claimed += out_leg["claimed"]
+        elif c.in_msg is not None and (c.in_msg.value or 0) > 0:
+            claimed.append(c)
+    wallets = ctx.get("jetton_wallets", {})
+    owner, lp_jetton = wallets.get(node.account, (None, None))
+    payload = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "dex_withdraw_liquidity",
+        claimed=claimed,
+        source=node.in_msg.source or owner,
+        source_secondary=node.account,
+        destination=notify.account,
+        asset=lp_jetton,
+        amount=payload.get("amount"),
+    )
+
+
+def match_nft_sale_cancel_or_finish(node: Node, ctx: Ctx) -> dict | None:
+    """Getgems sale/auction lifecycle ops are driven by text comments
+    ('cancel', 'finish'/'stop' — nft.py:154,208): the contract returns the
+    item (and, on auction finish, pays out the seller)."""
+    m = node.in_msg
+    if m is None or m.source is None:
+        return None
+    sales = ctx.get("nft_sales", {})
+    auctions = ctx.get("auctions") or set()
+    is_sale, is_auction = node.account in sales, node.account in auctions
+    if not (is_sale or is_auction):
+        return None
+    comment = m.decoded_body().get("comment")
+    if comment == "cancel":
+        typ = "nft_cancel_sale" if is_sale else "nft_cancel_auction"
+    elif comment in ("finish", "stop") and is_auction:
+        typ = "nft_finish_auction"
+    else:
+        return None
+    claimed = [node]
+    nft_leg = node.child_via(NFT_TRANSFER)
+    if nft_leg is not None:
+        claimed.append(nft_leg)
+        assigned = nft_leg.child_via(OWNERSHIP_ASSIGNED)
+        if assigned is not None:
+            claimed.append(assigned)
+    claimed += [
+        c for c in node.children
+        if c not in claimed and c.in_msg is not None
+        and (c.in_msg.value or 0) > 0
+    ]
+    return _base(
+        node,
+        typ,
+        claimed=claimed,
+        source=m.source,
+        destination=node.account,
+        asset=sales.get(node.account) or (nft_leg.account if nft_leg else None),
+    )
+
+
 def match_ton_transfer(node: Node, ctx: Ctx) -> dict | None:
     m = node.in_msg
     if m is None or m.source is None:  # externals are not transfers
@@ -511,17 +687,24 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("nft_put_on_sale", match_nft_put_on_sale),
     ("contract_deploy", match_contract_deploy),
     ("nft_purchase", match_nft_purchase),     # before plain transfers
+    ("dex_deposit_liquidity", match_dex_deposit_liquidity),  # LP mint: more specific than swap
     ("jetton_swap", match_jetton_swap),       # before plain transfer: more specific
     ("jetton_transfer", match_jetton_transfer),
     ("jetton_mint", match_jetton_mint),
+    ("dex_withdraw_liquidity", match_dex_withdraw_liquidity),  # burn→pool: before plain burn
     ("jetton_burn", match_jetton_burn),
     ("nft_transfer", match_nft_transfer),
+    ("nft_discovery", match_nft_discovery),
     ("multisig_create_order", match_multisig_create_order),
     ("multisig_approve", match_multisig_approve),
     ("subscription", match_subscription),
+    ("unsubscribe", match_unsubscribe),
     ("stake_deposit", match_stake_deposit),
+    ("stake_withdraw", match_stake_withdraw),
+    ("vesting", match_vesting),
     ("change_dns", match_change_dns),
     ("election", match_election),
+    ("nft_sale_lifecycle", match_nft_sale_cancel_or_finish),  # before plain ton_transfer
     ("auction_bid", match_auction_bid),       # before plain ton_transfer
     ("ton_transfer", match_ton_transfer),
     ("call_contract", match_call_contract),
