@@ -675,6 +675,50 @@ def test_dex_liquidity(spark):
     assert len(w[0]["tx_hashes"]) == 6
 
 
+def test_signed_opcode_normalization(spark):
+    """Ingest sources may store opcodes as signed int32 (the reference's
+    Postgres column); the tree normalizes via `opcode & 0xFFFFFFFF`
+    (tree_utils.py:47 analog) so unsigned matcher constants still claim the
+    legs.  0xD53276DB (excesses) as signed int32 is -718113061."""
+    signed_excesses = EXCESSES - (1 << 32)
+    assert signed_excesses == -718113061
+    b = TraceBuilder("sg1")
+    root = b.tx(A[0], None)
+    w1 = b.chain(root, W1, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 123, "destination": A[1]}))
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
+    b.chain(w2, A[1], opcode=JETTON_NOTIFY)
+    b.chain(w2, A[0], opcode=signed_excesses)  # signed on the wire
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:jetton1"},
+        {"address": W2, "owner": A[1], "jetton": "0:jetton1"},
+    ])
+    acts = acts_of(res, "sg1")
+    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    assert len(acts[0]["tx_hashes"]) == 4  # excesses leg claimed, not stray
+
+
+def test_deploy_in_first_transfer(spark):
+    """A wallet deployed in the same transaction as its first incoming
+    jetton internal-transfer still classifies the chain as jetton_transfer,
+    not contract_deploy (reference: ContractDeploy is a child block that
+    never suppresses the main action, basic_blocks.py:102)."""
+    b = TraceBuilder("dp1")
+    root = b.tx(A[0], None)
+    w1 = b.chain(root, W1, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 42, "destination": A[1]}))
+    # receiver wallet deployed by this very transfer (state_init attached)
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL, orig_status="uninit")
+    b.chain(w2, A[1], opcode=JETTON_NOTIFY)
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:jetton1"},
+        {"address": W2, "owner": A[1], "jetton": "0:jetton1"},
+    ])
+    acts = acts_of(res, "dp1")
+    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    assert acts[0]["amount"] == 42
+
+
 def test_nft_cancel_and_finish(spark):
     """Text-comment-driven sale/auction lifecycle: 'cancel' at a sale
     returns the item; 'finish' at an auction transfers + pays out."""

@@ -22,7 +22,7 @@ from ton_indexer_spark.classifier.tree import Node
 JETTON_TRANSFER = 0x0F8A7EA5
 JETTON_INTERNAL = 0x178D4519
 JETTON_NOTIFY = 0x7362D09C
-EXCESSES = -0x2CAD8925  # 0xd53276db as signed int32
+EXCESSES = 0xD53276DB  # excesses (TEP-74); tree normalizes opcodes unsigned
 JETTON_BURN = 0x595F07BC
 BURN_NOTIFY = 0x7BDD97DE
 NFT_TRANSFER = 0x5FCC3D14
@@ -94,8 +94,19 @@ def match_nft_mint(node: Node, ctx: Ctx) -> dict | None:
     return None
 
 
+# Opcodes that root a token chain: a wallet/item deployed in the same
+# transaction as its first transfer must still classify as the chain action
+# (the reference emits ContractDeploy as a child block without suppressing
+# the main action, basic_blocks.py:102) — so deploy yields to these.
+_TOKEN_CHAIN_OPS = frozenset(
+    {JETTON_TRANSFER, JETTON_INTERNAL, JETTON_BURN, NFT_TRANSFER}
+)
+
+
 def match_contract_deploy(node: Node, ctx: Ctx) -> dict | None:
     if node.orig_status != "active" and node.end_status == "active":
+        if node.in_msg is not None and node.in_msg.opcode in _TOKEN_CHAIN_OPS:
+            return None  # deployed-in-first-transfer: chain matcher claims it
         return _base(node, "contract_deploy")
     return None
 

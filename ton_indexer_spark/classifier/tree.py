@@ -14,6 +14,17 @@ import json
 from dataclasses import dataclass, field
 
 
+def norm_opcode(op: int | None) -> int | None:
+    """Normalize an opcode to its unsigned-uint32 view.
+
+    Ingest sources may deliver opcodes as signed int32 (the reference's
+    Postgres column) or unsigned; every matcher constant is unsigned, so the
+    tree normalizes once here — the same discipline as the reference's
+    ``opcode & 0xFFFFFFFF`` (tree_utils.py:47).
+    """
+    return None if op is None else op & 0xFFFFFFFF
+
+
 @dataclass
 class Msg:
     msg_hash: str
@@ -93,7 +104,7 @@ def build_tree(rows: list[dict]) -> list[Node]:
             source=r.get("source"),
             destination=r.get("destination"),
             value=r.get("value"),
-            opcode=r.get("opcode"),
+            opcode=norm_opcode(r.get("opcode")),
             created_lt=r.get("created_lt"),
             body=r.get("body"),
         )

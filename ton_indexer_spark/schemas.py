@@ -98,7 +98,12 @@ MESSAGES = T.StructType(
         T.StructField("ihr_fee", T.LongType()),
         T.StructField("created_lt", T.LongType()),
         T.StructField("created_at", T.LongType()),
-        T.StructField("opcode", T.IntegerType()),
+        # LongType: opcodes are uint32 on the wire; a signed int32 column
+        # cannot hold e.g. 0xd53276db (excesses) without sign games — the
+        # reference normalizes every comparison via `opcode & 0xFFFFFFFF`
+        # (tree_utils.py:47); we store unsigned-capable and normalize at
+        # tree-build time (classifier/tree.py::norm_opcode)
+        T.StructField("opcode", T.LongType()),
         T.StructField("bounce", T.BooleanType()),
         T.StructField("bounced", T.BooleanType()),
         T.StructField("body_hash", T.StringType()),
