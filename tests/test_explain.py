@@ -162,3 +162,71 @@ def test_bucketed_join_has_no_exchange(spark, fixture_dir):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
         )
+
+
+def test_classifier_dims_account_scoped_not_broadcast(spark):
+    """classify_traces must never broadcast a RAW dimension table — TON
+    mainnet has tens of millions of jetton wallets, so an unconditional
+    ``F.broadcast(dim)`` OOMs the driver at scale.  The fix scopes each dim
+    to the batch's account set with a broadcast semi-join of the (small)
+    ACCOUNT SET (the reference's 5000-account IN-list analog,
+    interface_repository.py:512-534).  With auto-broadcast disabled, a
+    ``BroadcastHashJoin … LeftOuter`` could only come from a forced dim
+    broadcast — assert none exists, while semi scoping and the classified
+    result stay intact."""
+    from pyspark.sql import functions as F
+
+    from tests.test_classifier import (
+        A,
+        W1,
+        W2,
+        TraceBuilder,
+        body_of,
+        build_dfs,
+    )
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.matchers import (
+        JETTON_INTERNAL,
+        JETTON_NOTIFY,
+        JETTON_TRANSFER,
+    )
+
+    b = TraceBuilder("sc1")
+    root = b.tx(A[0], None)
+    w1 = b.chain(root, W1, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 5, "destination": A[1]}))
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
+    b.chain(w2, A[1], opcode=JETTON_NOTIFY)
+    txs_df, msgs_df, bodies_df = build_dfs(spark, [b])
+
+    # dimension much wider than any broadcast budget stand-in: 20k synthetic
+    # wallets + the 2 wallets the trace actually touches
+    big_dim = spark.range(20_000).select(
+        F.concat(F.lit("0:"), F.lpad(F.hex("id"), 64, "0")).alias("address"),
+        F.lit("0:owner").alias("owner"),
+        F.lit("0:jetton").alias("jetton"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(W1, A[0], "0:jetton1"), (W2, A[1], "0:jetton1")],
+            "address string, owner string, jetton string",
+        )
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = classify_traces(txs_df, msgs_df, bodies_df, jetton_wallets=big_dim)
+        acts = res.actions.collect()
+        assert [a["type"] for a in acts] == ["jetton_transfer"]
+        assert acts[0]["asset"] == "0:jetton1"
+
+        executed = (
+            res.actions._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftSemi" in executed, executed[:1200]
+        # no broadcast node may appear with LeftOuter type (= dim broadcast)
+        for line in executed.splitlines():
+            if "BroadcastHashJoin" in line:
+                assert "LeftOuter" not in line, line
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -5,10 +5,11 @@ Reference lifecycle: claim task batch → hydrate traces via 3 batched queries
 delete-and-reinsert actions (event_classifier.py:93-352).  Spark shape:
 
     rows = messages ⋈ transaction attrs ⋈ message bodies
-    rows = rows ⋈ broadcast(jetton_wallets / nft_items)      # C6: the
-        # interface repository becomes per-row broadcast-join columns —
-        # no Redis, no IN-list batches of 5000, and it scales with the
-        # dimension tables instead of driver memory
+    rows = rows ⋈ (dims ⋉ broadcast(batch accounts))          # C6: each
+        # dimension is semi-join-scoped to the batch's account set before
+        # the row join — the Spark analog of the reference's 5000-account
+        # IN-list batches (interface_repository.py:512-534); the full
+        # dimension is never shuffled or broadcast
     actions = rows.groupBy(trace_id).applyInPandas(classify)  # C1-C5
     action_accounts = explode(involved accounts)              # J6 table
 
@@ -230,14 +231,25 @@ def classify_traces(
     else:
         rows = rows.withColumn("body", F.lit(None).cast("string"))
 
-    # C6: interface repository as broadcast joins on the tx account
+    # C6: interface repository as account-scoped dimension joins.  The
+    # Spark analog of the reference's 5000-account IN-list batches
+    # (interface_repository.py:512-534): broadcast the batch's (small)
+    # distinct account set, semi-join each dimension down to it MAP-SIDE —
+    # the full dimension is never shuffled or broadcast, so a
+    # tens-of-millions-row jetton_wallets table costs one pruned scan —
+    # then let AQE pick the strategy for the now batch-bounded row join.
+    batch_accounts = tx_attrs.select("account").distinct()
+
+    def scoped(dim: DataFrame) -> DataFrame:
+        return dim.join(F.broadcast(batch_accounts), "account", "left_semi")
+
     if jetton_wallets is not None:
         jw = jetton_wallets.select(
             F.col("address").alias("account"),
             F.col("owner").alias("acc_jw_owner"),
             F.col("jetton").alias("acc_jw_jetton"),
         )
-        rows = rows.join(F.broadcast(jw), "account", "left")
+        rows = rows.join(scoped(jw), "account", "left")
     else:
         rows = rows.withColumn("acc_jw_owner", F.lit(None).cast("string"))
         rows = rows.withColumn("acc_jw_jetton", F.lit(None).cast("string"))
@@ -245,7 +257,7 @@ def classify_traces(
         ni = nft_items.select(F.col("address").alias("account")).withColumn(
             "acc_is_nft", F.lit(True)
         )
-        rows = rows.join(F.broadcast(ni), "account", "left")
+        rows = rows.join(scoped(ni), "account", "left")
         rows = rows.withColumn("acc_is_nft", F.coalesce("acc_is_nft", F.lit(False)))
     else:
         rows = rows.withColumn("acc_is_nft", F.lit(False))
@@ -253,14 +265,14 @@ def classify_traces(
         dp = dex_pools.select(
             F.col("address").alias("account"), F.col("dex").alias("acc_pool_dex")
         )
-        rows = rows.join(F.broadcast(dp), "account", "left")
+        rows = rows.join(scoped(dp), "account", "left")
     else:
         rows = rows.withColumn("acc_pool_dex", F.lit(None).cast("string"))
     if multisig is not None:
         ms = multisig.select(F.col("address").alias("account")).withColumn(
             "acc_is_multisig", F.lit(True)
         )
-        rows = rows.join(F.broadcast(ms), "account", "left")
+        rows = rows.join(scoped(ms), "account", "left")
         rows = rows.withColumn(
             "acc_is_multisig", F.coalesce("acc_is_multisig", F.lit(False))
         )
@@ -270,7 +282,7 @@ def classify_traces(
         au = auctions.select(F.col("address").alias("account")).withColumn(
             "acc_is_auction", F.lit(True)
         )
-        rows = rows.join(F.broadcast(au), "account", "left")
+        rows = rows.join(scoped(au), "account", "left")
         rows = rows.withColumn(
             "acc_is_auction", F.coalesce("acc_is_auction", F.lit(False))
         )
@@ -281,7 +293,7 @@ def classify_traces(
             F.col("address").alias("account"),
             F.col("nft_address").alias("acc_sale_nft"),
         )
-        rows = rows.join(F.broadcast(ns), "account", "left")
+        rows = rows.join(scoped(ns), "account", "left")
     else:
         rows = rows.withColumn("acc_sale_nft", F.lit(None).cast("string"))
 
