@@ -1,0 +1,219 @@
+"""BOC codec + TL-B decode tests (S2/F2).
+
+Round-trips the pure-Python cell reader/writer, property-tests the bit
+packing with hypothesis, and runs the jetton/NFT golden classifier flows
+against REAL BOC-encoded message bodies (VERDICT round-1 item 5)."""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ton_indexer_spark.functions.boc import (
+    Builder,
+    Cell,
+    decode_message_body,
+    encode_comment,
+    encode_jetton_burn,
+    encode_jetton_internal,
+    encode_jetton_transfer,
+    encode_nft_transfer,
+    parse_boc,
+    serialize_boc,
+)
+
+ADDR_A = "0:" + "ab" * 32
+ADDR_B = "-1:" + "cd" * 32
+
+
+def roundtrip(cell: Cell) -> Cell:
+    return parse_boc(serialize_boc(cell))
+
+
+def test_empty_cell_roundtrip():
+    c = roundtrip(Builder().end_cell())
+    assert c.bits == 0 and c.refs == []
+
+
+def test_unaligned_bits_roundtrip():
+    # 13 bits — completion tag must be added and stripped exactly
+    c = roundtrip(Builder().store_uint(0b1010110011011, 13).end_cell())
+    assert c.bits == 13
+    assert c.begin_parse().load_uint(13) == 0b1010110011011
+
+
+def test_refs_and_tree_roundtrip():
+    leaf = Builder().store_uint(7, 8).end_cell()
+    mid = Builder().store_uint(1, 1).store_ref(leaf).end_cell()
+    root = Builder().store_uint(0xDEAD, 16).store_ref(mid).store_ref(
+        leaf
+    ).end_cell()
+    r = roundtrip(root)
+    s = r.begin_parse()
+    assert s.load_uint(16) == 0xDEAD
+    m = s.load_ref().begin_parse()
+    assert m.load_bit() == 1
+    assert m.load_ref().begin_parse().load_uint(8) == 7
+    assert s.load_ref().begin_parse().load_uint(8) == 7
+
+
+def test_address_and_coins_roundtrip():
+    cell = (
+        Builder()
+        .store_address(ADDR_A)
+        .store_address(None)
+        .store_address(ADDR_B)
+        .store_coins(0)
+        .store_coins(10**18)
+        .end_cell()
+    )
+    s = roundtrip(cell).begin_parse()
+    assert s.load_address() == ADDR_A
+    assert s.load_address() is None
+    assert s.load_address() == ADDR_B
+    assert s.load_coins() == 0
+    assert s.load_coins() == 10**18
+
+
+def test_snake_string_spans_refs():
+    long = "x" * 500  # > 1023 bits, must chain through refs
+    cell = Builder().store_snake_string(long).end_cell()
+    assert roundtrip(cell).begin_parse().load_snake_string() == long
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=64), st.data()),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_uint_packing_property(vals):
+    b = Builder()
+    expect = []
+    for n, data in vals:
+        v = data.draw(st.integers(min_value=0, max_value=(1 << n) - 1))
+        b.store_uint(v, n)
+        expect.append((n, v))
+    s = roundtrip(b.end_cell()).begin_parse()
+    for n, v in expect:
+        assert s.load_uint(n) == v
+    assert s.remaining_bits == 0
+
+
+def test_decode_comment():
+    d = decode_message_body(encode_comment("hello ton"))
+    assert d == {"comment": "hello ton", "is_encrypted": False}
+
+
+def test_decode_jetton_transfer():
+    b64 = encode_jetton_transfer(
+        query_id=42, amount=5000, destination=ADDR_A, response=ADDR_B,
+        forward_ton_amount=1, forward_comment="gift",
+    )
+    d = decode_message_body(b64)
+    assert d["opcode"] == 0x0F8A7EA5
+    assert d["query_id"] == 42
+    assert d["amount"] == 5000
+    assert d["destination"] == ADDR_A
+    assert d["response_destination"] == ADDR_B
+    assert d["forward_ton_amount"] == 1
+    assert d["forward_comment"] == "gift"
+
+
+def test_decode_jetton_internal_and_burn():
+    d = decode_message_body(encode_jetton_internal(1, 777, ADDR_A))
+    assert d["opcode"] == 0x178D4519 and d["amount"] == 777
+    assert d["from"] == ADDR_A
+    d = decode_message_body(encode_jetton_burn(2, 88, ADDR_B))
+    assert d["opcode"] == 0x595F07BC and d["amount"] == 88
+
+
+def test_decode_nft_transfer():
+    d = decode_message_body(encode_nft_transfer(3, ADDR_A, ADDR_B, 5))
+    assert d["opcode"] == 0x5FCC3D14
+    assert d["new_owner"] == ADDR_A
+    assert d["forward_amount"] == 5
+
+
+def test_garbage_degrades_to_empty():
+    assert decode_message_body("not-base64!!") == {}
+    assert decode_message_body(base64.b64encode(b"junkjunk").decode()) == {}
+
+
+# ------------------------------------------------ classifier over BOC bodies
+
+
+def test_jetton_transfer_chain_boc_bodies(spark):
+    """The jetton-transfer golden flow with REAL BOC message bodies instead
+    of the JSON stand-in: amount/destination come out of the cell reader."""
+    from pyspark.sql import functions as F
+
+    from tests.test_classifier import A, W1, W2, TraceBuilder, run
+    from ton_indexer_spark.classifier.matchers import (
+        EXCESSES,
+        JETTON_INTERNAL,
+        JETTON_NOTIFY,
+        JETTON_TRANSFER,
+    )
+
+    b = TraceBuilder("boc1")
+    root = b.tx(A[0], None)
+    w1 = b.chain(
+        root, W1, opcode=JETTON_TRANSFER,
+        body=encode_jetton_transfer(7, 1234, A[1], A[0]),
+    )
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL,
+                 body=encode_jetton_internal(7, 1234, A[0]))
+    b.chain(w2, A[1], opcode=JETTON_NOTIFY)
+    b.chain(w2, A[0], opcode=EXCESSES)
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:jetton1"},
+        {"address": W2, "owner": A[1], "jetton": "0:jetton1"},
+    ])
+    acts = [r.asDict() for r in res.actions.filter(
+        F.col("trace_id") == "boc1").collect()]
+    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    assert acts[0]["amount"] == 1234
+    assert acts[0]["destination"] == A[1]
+    assert len(acts[0]["tx_hashes"]) == 4
+
+
+def test_nft_transfer_boc_body(spark):
+    from pyspark.sql import functions as F
+
+    from tests.test_classifier import A, ITEM, TraceBuilder, run
+    from ton_indexer_spark.classifier.matchers import (
+        NFT_TRANSFER,
+        OWNERSHIP_ASSIGNED,
+    )
+
+    b = TraceBuilder("boc2")
+    root = b.tx(A[0], None)
+    item = b.chain(root, ITEM, opcode=NFT_TRANSFER,
+                   body=encode_nft_transfer(9, A[2], A[0]))
+    b.chain(item, A[2], opcode=OWNERSHIP_ASSIGNED)
+    res = run(spark, [b], nft_items=[{"address": ITEM}])
+    acts = [r.asDict() for r in res.actions.filter(
+        F.col("trace_id") == "boc2").collect()]
+    assert [a["type"] for a in acts] == ["nft_transfer"]
+    assert acts[0]["destination"] == A[2]
+
+
+def test_ton_transfer_boc_comment(spark):
+    from pyspark.sql import functions as F
+
+    from tests.test_classifier import A, TraceBuilder, run
+
+    b = TraceBuilder("boc3")
+    root = b.tx(A[0], None)
+    b.chain(root, A[1], opcode=0, value=10**9,
+            body=encode_comment("boc says hi"))
+    res = run(spark, [b])
+    acts = [r.asDict(recursive=True) for r in res.actions.filter(
+        F.col("trace_id") == "boc3").collect()]
+    assert [a["type"] for a in acts] == ["ton_transfer"]
+    assert acts[0]["ton_transfer_data"]["content"] == "boc says hi"

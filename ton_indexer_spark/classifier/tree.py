@@ -37,16 +37,26 @@ class Msg:
     body: str | None = None
 
     def decoded_body(self) -> dict:
-        """Decode the message payload (the engine's F2 'BOC parse' seam).
+        """Decode the message payload (the engine's F2 BOC-parse surface).
 
-        Real deployments plug a TL-B cell parser here; the synthetic fixture
-        carries base64 JSON, which keeps the UDF plumbing — schema, batch
-        shape, null handling — identical.
+        Real chain data is a base64 BOC — parsed by the pure-Python cell
+        reader (functions/boc.py, TEP-74/62 shapes; reference analog
+        blocks/messages/jettons.py / nft.py).  Synthetic fixtures carrying
+        base64 JSON decode through the fallback, keeping the UDF plumbing
+        identical for both.
         """
         if not self.body:
             return {}
         try:
-            return json.loads(base64.b64decode(self.body))
+            raw = base64.b64decode(self.body)
+        except Exception:
+            return {}
+        if raw[:4] == b"\xb5\xee\x9c\x72":  # serialized_boc magic
+            from ton_indexer_spark.functions.boc import decode_message_body
+
+            return decode_message_body(self.body)
+        try:
+            return json.loads(raw)
         except Exception:
             return {}
 

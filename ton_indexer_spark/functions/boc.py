@@ -1,0 +1,507 @@
+"""Pure-Python BOC (bag-of-cells) codec + TL-B message-body decoders (S2/F2).
+
+The reference parses message bodies with native cell readers
+(ton-index-worker/tondb-scanner/src/DataParser.cpp:201, and ~6,000 loc of
+pytoniq-based parsers under indexer/indexer/events/blocks/messages/*).  This
+module is a fresh clean-room implementation of the PUBLIC TON serialization
+format (github.com/ton-blockchain/ton, crypto/tl/boc.tlb) sufficient for the
+standard token opcodes:
+
+    BOC wire layout (serialized_boc, no index / no CRC variant):
+      magic 0xB5EE9C72 | flags+ref_byte_size | offset_byte_size
+      | cells | roots | absent | tot_cells_size | root_list | cell_data*
+    Cell layout: d1 = refs + 8*exotic + 32*level, d2 = ⌈bits/8⌉+⌊bits/8⌋,
+      data (completion-tagged when bits%8 != 0), ref indices.
+
+    TL-B shapes decoded (TEP-74 / TEP-62, public standards):
+      jetton transfer   0x0f8a7ea5: query_id amount destination response
+                        custom_payload forward_ton forward_payload
+      internal transfer 0x178d4519: query_id amount from response fwd …
+      jetton burn       0x595f07bc: query_id amount response custom_payload
+      nft transfer      0x5fcc3d14: query_id new_owner response
+                        custom_payload forward_amount forward_payload
+      text comment      0x00000000: snake string
+      encrypted comment 0x2167da4b: snake bytes
+
+Used by the classifier's ``Msg.decoded_body`` seam: real BOC bodies decode
+here; the synthetic base64-JSON fixtures keep working as a fallback.
+Everything is driver/executor-side pure Python called from Arrow-batched
+grouped UDFs — never row-at-a-time in a relational plan.
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass, field
+
+BOC_MAGIC = 0xB5EE9C72
+
+
+class BocError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------- cells
+
+
+@dataclass
+class Cell:
+    """An ordinary cell: up to 1023 data bits + up to 4 references."""
+
+    data: bytes = b""  # packed bits, MSB-first
+    bits: int = 0  # number of valid bits in `data`
+    refs: list["Cell"] = field(default_factory=list)
+
+    def begin_parse(self) -> "Slice":
+        return Slice(self)
+
+
+class Slice:
+    """Bit-level reader over a Cell (the TL-B `Slice` of the standard)."""
+
+    def __init__(self, cell: Cell):
+        self._data = cell.data
+        self._bits = cell.bits
+        self._pos = 0
+        self._refs = list(cell.refs)
+        self._ref_pos = 0
+
+    @property
+    def remaining_bits(self) -> int:
+        return self._bits - self._pos
+
+    @property
+    def remaining_refs(self) -> int:
+        return len(self._refs) - self._ref_pos
+
+    def load_bit(self) -> int:
+        if self._pos >= self._bits:
+            raise BocError("slice underflow")
+        byte = self._data[self._pos >> 3]
+        bit = (byte >> (7 - (self._pos & 7))) & 1
+        self._pos += 1
+        return bit
+
+    def load_uint(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.load_bit()
+        return v
+
+    def load_int(self, n: int) -> int:
+        v = self.load_uint(n)
+        if n and v >= 1 << (n - 1):
+            v -= 1 << n
+        return v
+
+    def load_bytes(self, n_bytes: int) -> bytes:
+        return bytes(self.load_uint(8) for _ in range(n_bytes))
+
+    def load_coins(self) -> int:
+        """VarUInteger 16: 4-bit byte-length prefix, then that many bytes."""
+        ln = self.load_uint(4)
+        return self.load_uint(8 * ln) if ln else 0
+
+    def load_ref(self) -> Cell:
+        if self._ref_pos >= len(self._refs):
+            raise BocError("ref underflow")
+        c = self._refs[self._ref_pos]
+        self._ref_pos += 1
+        return c
+
+    def load_maybe_ref(self) -> Cell | None:
+        return self.load_ref() if self.load_bit() else None
+
+    def load_address(self) -> str | None:
+        """MsgAddress → raw form "wc:hex64" (addr_std) or None (addr_none).
+
+        addr_extern / addr_var are skipped and reported as None — the token
+        standards only ever carry addr_std / addr_none.
+        """
+        tag = self.load_uint(2)
+        if tag == 0:  # addr_none
+            return None
+        if tag == 1:  # addr_extern
+            ln = self.load_uint(9)
+            self.load_uint(ln)
+            return None
+        if tag == 2:  # addr_std
+            if self.load_bit():  # anycast (Maybe Anycast) — skip rewrite pfx
+                depth = self.load_uint(5)
+                self.load_uint(depth)
+            wc = self.load_int(8)
+            h = self.load_uint(256)
+            return f"{wc}:{h:064x}"
+        raise BocError("addr_var unsupported")
+
+    def load_snake_string(self) -> str:
+        """Snake format: data filling the cell, continued in refs[0] chains."""
+        chunks = []
+        s: Slice | None = self
+        while s is not None:
+            n = s.remaining_bits // 8
+            chunks.append(s.load_bytes(n))
+            s = s.load_ref().begin_parse() if s.remaining_refs else None
+        return b"".join(chunks).decode("utf-8", errors="replace")
+
+
+class Builder:
+    """Bit-level writer producing a Cell (mirror of Slice, for fixtures)."""
+
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+        self._refs: list[Cell] = []
+
+    def store_bit(self, b: int) -> "Builder":
+        if len(self._bits) >= 1023:
+            raise BocError("cell overflow")
+        self._bits.append(1 if b else 0)
+        return self
+
+    def store_uint(self, v: int, n: int) -> "Builder":
+        if v < 0 or (n < 256 and v >= 1 << n):
+            raise BocError(f"uint{n} out of range: {v}")
+        for i in range(n - 1, -1, -1):
+            self.store_bit((v >> i) & 1)
+        return self
+
+    def store_int(self, v: int, n: int) -> "Builder":
+        return self.store_uint(v & ((1 << n) - 1), n)
+
+    def store_bytes(self, bs: bytes) -> "Builder":
+        for b in bs:
+            self.store_uint(b, 8)
+        return self
+
+    def store_coins(self, v: int) -> "Builder":
+        if v == 0:
+            return self.store_uint(0, 4)
+        ln = (v.bit_length() + 7) // 8
+        return self.store_uint(ln, 4).store_uint(v, 8 * ln)
+
+    def store_ref(self, c: Cell) -> "Builder":
+        if len(self._refs) >= 4:
+            raise BocError("too many refs")
+        self._refs.append(c)
+        return self
+
+    def store_address(self, addr: str | None) -> "Builder":
+        if addr is None:
+            return self.store_uint(0, 2)
+        wc_s, h = addr.split(":")
+        self.store_uint(2, 2).store_bit(0)  # addr_std, no anycast
+        self.store_int(int(wc_s), 8)
+        return self.store_uint(int(h, 16), 256)
+
+    def store_snake_string(self, s: str, chunk_bytes: int = 120) -> "Builder":
+        data = s.encode()
+        head, rest = data[:chunk_bytes], data[chunk_bytes:]
+        self.store_bytes(head)
+        if rest:
+            inner = Builder().store_snake_string(rest.decode("utf-8"))
+            self.store_ref(inner.end_cell())
+        return self
+
+    def end_cell(self) -> Cell:
+        nbits = len(self._bits)
+        out = bytearray((nbits + 7) // 8)
+        for i, b in enumerate(self._bits):
+            if b:
+                out[i >> 3] |= 1 << (7 - (i & 7))
+        return Cell(bytes(out), nbits, self._refs)
+
+
+# ----------------------------------------------------------------- BOC codec
+
+
+def _flatten(root: Cell) -> list[Cell]:
+    """Topological order, parents before children, deduplicated."""
+    order: list[Cell] = []
+    seen: dict[int, int] = {}
+
+    def visit(c: Cell) -> None:
+        if id(c) in seen:
+            return
+        seen[id(c)] = len(order)
+        order.append(c)
+        for r in c.refs:
+            visit(r)
+
+    visit(root)
+    return order
+
+
+def serialize_boc(root: Cell) -> bytes:
+    cells = _flatten(root)
+    index = {id(c): i for i, c in enumerate(cells)}
+    ref_size = 1 if len(cells) < 256 else 2
+
+    blobs = []
+    for c in cells:
+        full = c.bits // 8
+        d1 = len(c.refs)
+        d2 = full + (c.bits + 7) // 8
+        body = bytearray(c.data[: (c.bits + 7) // 8])
+        if c.bits % 8:  # completion tag: one 1-bit then zero padding
+            body[-1] |= 1 << (7 - (c.bits % 8))
+        blob = bytes([d1, d2]) + bytes(body)
+        for r in c.refs:
+            blob += index[id(r)].to_bytes(ref_size, "big")
+        blobs.append(blob)
+
+    tot = sum(len(b) for b in blobs)
+    off_size = max(1, (tot.bit_length() + 7) // 8)
+    out = bytearray()
+    out += BOC_MAGIC.to_bytes(4, "big")
+    out.append(ref_size)  # flags=0, ref byte size
+    out.append(off_size)
+    out += len(cells).to_bytes(ref_size, "big")
+    out += (1).to_bytes(ref_size, "big")  # roots
+    out += (0).to_bytes(ref_size, "big")  # absent
+    out += tot.to_bytes(off_size, "big")
+    out += (0).to_bytes(ref_size, "big")  # root index
+    for b in blobs:
+        out += b
+    return bytes(out)
+
+
+def parse_boc(raw: bytes | str) -> Cell:
+    """Deserialize a BOC (bytes or base64 str) and return its root cell."""
+    if isinstance(raw, str):
+        raw = base64.b64decode(raw)
+    if len(raw) < 11 or int.from_bytes(raw[:4], "big") != BOC_MAGIC:
+        raise BocError("bad magic")
+    b1, off_size = raw[4], raw[5]
+    has_idx = bool(b1 & 0x80)
+    has_crc = bool(b1 & 0x40)
+    ref_size = b1 & 0x07
+    p = 6
+
+    def take(n: int) -> int:
+        nonlocal p
+        v = int.from_bytes(raw[p : p + n], "big")
+        p += n
+        return v
+
+    n_cells = take(ref_size)
+    n_roots = take(ref_size)
+    take(ref_size)  # absent
+    take(off_size)  # tot_cells_size
+    roots = [take(ref_size) for _ in range(n_roots)]
+    if has_idx:
+        p += n_cells * off_size
+    cells_raw: list[tuple[int, bytes, list[int]]] = []
+    for _ in range(n_cells):
+        d1, d2 = raw[p], raw[p + 1]
+        p += 2
+        if d1 & 8:
+            raise BocError("exotic cells unsupported")
+        n_refs = d1 & 0x07
+        n_bytes = (d2 + 1) // 2
+        data = raw[p : p + n_bytes]
+        p += n_bytes
+        if d2 % 2:  # completion tag present: strip it to recover bit length
+            last = data[-1]
+            tagpos = 0
+            while tagpos < 8 and not (last >> tagpos) & 1:
+                tagpos += 1
+            bits = n_bytes * 8 - tagpos - 1
+        else:
+            bits = n_bytes * 8
+        refs = [take(ref_size) for _ in range(n_refs)]
+        cells_raw.append((bits, data, refs))
+    if has_crc:
+        p += 4
+
+    built: list[Cell | None] = [None] * n_cells
+    for i in range(n_cells - 1, -1, -1):  # children have larger indices
+        bits, data, refs = cells_raw[i]
+        kids = []
+        for r in refs:
+            if r <= i or built[r] is None:
+                raise BocError("non-topological ref")
+            kids.append(built[r])
+        built[i] = Cell(data, bits, kids)
+    root = built[roots[0]]
+    assert root is not None
+    return root
+
+
+# -------------------------------------------------- TL-B message-body decode
+
+OP_TEXT_COMMENT = 0x00000000
+OP_ENCRYPTED_COMMENT = 0x2167DA4B
+OP_JETTON_TRANSFER = 0x0F8A7EA5
+OP_JETTON_INTERNAL = 0x178D4519
+OP_JETTON_NOTIFY = 0x7362D09C
+OP_JETTON_BURN = 0x595F07BC
+OP_NFT_TRANSFER = 0x5FCC3D14
+OP_NFT_OWNERSHIP = 0x05138D91
+
+
+def _forward_payload(s: Slice) -> dict:
+    """Either Cell ^Cell tail carrying an optional comment."""
+    out: dict = {}
+    if s.remaining_bits < 1:
+        return out
+    payload = s.load_ref().begin_parse() if s.load_bit() else s
+    if payload.remaining_bits >= 32:
+        tag = payload.load_uint(32)
+        if tag == OP_TEXT_COMMENT:
+            out["forward_comment"] = payload.load_snake_string()
+    return out
+
+
+def decode_body_cell(root: Cell) -> dict:
+    """Root body cell → flat dict keyed like the classifier payload seam.
+
+    Shapes follow the public TEP-74/TEP-62 TL-B (same fields the reference
+    reads in blocks/messages/jettons.py / nft.py)."""
+    s = root.begin_parse()
+    if s.remaining_bits < 32:
+        return {}
+    op = s.load_uint(32)
+    if op == OP_TEXT_COMMENT:
+        return {"comment": s.load_snake_string(), "is_encrypted": False}
+    if op == OP_ENCRYPTED_COMMENT:
+        return {"comment": None, "is_encrypted": True}
+    if op == OP_JETTON_TRANSFER:
+        d: dict = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["destination"] = s.load_address()
+        d["response_destination"] = s.load_address()
+        s.load_maybe_ref()  # custom_payload
+        d["forward_ton_amount"] = s.load_coins()
+        d.update(_forward_payload(s))
+        return d
+    if op == OP_JETTON_INTERNAL:
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["from"] = s.load_address()
+        d["response_destination"] = s.load_address()
+        d["forward_ton_amount"] = s.load_coins()
+        d.update(_forward_payload(s))
+        return d
+    if op == OP_JETTON_NOTIFY:
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["sender"] = s.load_address()
+        d.update(_forward_payload(s))
+        return d
+    if op == OP_JETTON_BURN:
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["response_destination"] = s.load_address()
+        return d
+    if op == OP_NFT_TRANSFER:
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["new_owner"] = s.load_address()
+        d["response_destination"] = s.load_address()
+        s.load_maybe_ref()  # custom_payload
+        d["forward_amount"] = s.load_coins()
+        d.update(_forward_payload(s))
+        return d
+    if op == OP_NFT_OWNERSHIP:
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["prev_owner"] = s.load_address()
+        return d
+    return {"opcode": op}
+
+
+def decode_message_body(b64: str) -> dict:
+    """base64 BOC → payload dict; {} on anything undecodable."""
+    try:
+        return decode_body_cell(parse_boc(b64))
+    except Exception:
+        return {}
+
+
+# ------------------------------------------------------------- test fixtures
+
+
+def encode_comment(comment: str) -> str:
+    cell = Builder().store_uint(OP_TEXT_COMMENT, 32).store_snake_string(
+        comment
+    ).end_cell()
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_jetton_transfer(
+    query_id: int,
+    amount: int,
+    destination: str | None,
+    response: str | None = None,
+    forward_ton_amount: int = 0,
+    forward_comment: str | None = None,
+) -> str:
+    b = (
+        Builder()
+        .store_uint(OP_JETTON_TRANSFER, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_address(destination)
+        .store_address(response)
+        .store_bit(0)  # no custom_payload
+        .store_coins(forward_ton_amount)
+    )
+    if forward_comment is not None:
+        inner = (
+            Builder()
+            .store_uint(OP_TEXT_COMMENT, 32)
+            .store_snake_string(forward_comment)
+            .end_cell()
+        )
+        b.store_bit(1).store_ref(inner)
+    else:
+        b.store_bit(0)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_jetton_internal(
+    query_id: int, amount: int, from_owner: str | None,
+    response: str | None = None, forward_ton_amount: int = 0,
+) -> str:
+    cell = (
+        Builder()
+        .store_uint(OP_JETTON_INTERNAL, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_address(from_owner)
+        .store_address(response)
+        .store_coins(forward_ton_amount)
+        .store_bit(0)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_jetton_burn(
+    query_id: int, amount: int, response: str | None = None
+) -> str:
+    cell = (
+        Builder()
+        .store_uint(OP_JETTON_BURN, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_address(response)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_nft_transfer(
+    query_id: int, new_owner: str | None, response: str | None = None,
+    forward_amount: int = 0,
+) -> str:
+    cell = (
+        Builder()
+        .store_uint(OP_NFT_TRANSFER, 32)
+        .store_uint(query_id, 64)
+        .store_address(new_owner)
+        .store_address(response)
+        .store_bit(0)
+        .store_coins(forward_amount)
+        .store_bit(0)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
