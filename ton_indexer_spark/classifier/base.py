@@ -1,0 +1,104 @@
+"""Shared matcher plumbing (C3): the action constructor, the TEP opcode
+constants, and the reusable jetton-chain walker.
+
+Split out of ``matchers.py`` so the protocol library (``protocols.py``) can
+build on the same primitives without an import cycle.  Opcodes are the
+public TEP standards (TEP-74 jettons, TEP-62 NFTs, TEP-81 DNS) plus
+published contract constants; per-protocol constants live next to their
+matchers in ``protocols.py``.
+"""
+
+from __future__ import annotations
+
+from ton_indexer_spark.classifier.tree import Node
+
+JETTON_TRANSFER = 0x0F8A7EA5
+JETTON_INTERNAL = 0x178D4519
+JETTON_NOTIFY = 0x7362D09C
+EXCESSES = 0xD53276DB  # excesses (TEP-74); tree normalizes opcodes unsigned
+JETTON_BURN = 0x595F07BC
+BURN_NOTIFY = 0x7BDD97DE
+NFT_TRANSFER = 0x5FCC3D14
+OWNERSHIP_ASSIGNED = 0x05138D91
+MULTISIG_NEW_ORDER = 0xF718510F  # multisig v2 new_order (messages/multisig.py:14)
+MULTISIG_APPROVE = 0xA762230F    # approve (messages/multisig.py:73)
+MULTISIG_EXECUTE = 0x75097F5D    # execute order → wallet (messages/multisig.py:103)
+STAKE_DEPOSIT_OP = 0x47D54391  # liquid-staking pool deposit (messages/staking.py:18)
+STAKE_WITHDRAW_OP = 0x319B0CDC  # withdraw request (messages/staking.py:22)
+POOL_WITHDRAWAL = 0x0A77535C    # pool payout (messages/staking.py:57)
+CHANGE_DNS_OP = 0x4EB1F0F9     # TEP-81 change_dns_record
+ELECTOR_NEW_STAKE = 0x4E73744B     # elector new_stake ('NstK')
+ELECTOR_RECOVER_STAKE = 0x47657424  # elector recover_stake ('Get$')
+SUBSCRIPTION_PAYMENT = 0x706C7567   # payment request 'plug' (messages/subscriptions.py:7)
+UNSUBSCRIBE_OP = 0x64737472         # wallet plugin destruct 'dstr' (subscriptions.py:24)
+VESTING_SEND = 0xA7733ACD           # vesting send_message (messages/vesting.py:12)
+VESTING_SEND_RESP = 0xF7733ACD
+VESTING_ADD_WHITELIST = 0x7258A69B  # (messages/vesting.py:33)
+VESTING_ADD_WHITELIST_RESP = 0xF258A69B
+NFT_DISCOVERY = 0x2FCB26A2          # TEP-62 get_static_data (messages/nft.py:79)
+NFT_REPORT_STATIC = 0x8B771735      # report_static_data (messages/nft.py:92)
+
+Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
+
+
+def _base(node: Node, typ: str, **kw) -> dict:
+    claimed = kw.pop("claimed", [node])
+    act = {
+        "type": typ,
+        "source": node.in_msg.source if node.in_msg else None,
+        "source_secondary": None,
+        "destination": node.account,
+        "destination_secondary": None,
+        "asset": None,
+        "opcode": node.in_msg.opcode if node.in_msg else None,
+        "value": node.in_msg.value if node.in_msg else None,
+        "amount": None,
+        "success": not any(n.aborted for n in claimed),
+        "tx_hashes": sorted(n.tx_hash for n in claimed),
+        "start_lt": min(n.tx_lt for n in claimed),
+        "end_lt": max(n.tx_lt for n in claimed),
+        "start_utime": min(n.tx_now for n in claimed),
+        "end_utime": max(n.tx_now for n in claimed),
+    }
+    act.update(kw)
+    for n in claimed:
+        n.consumed = True
+    return act
+
+
+def _op(node: Node) -> int | None:
+    return node.in_msg.opcode if node.in_msg is not None else None
+
+
+def _jetton_chain(node: Node, ctx: Ctx) -> dict | None:
+    """Structural jetton-transfer chain rooted at `node` (wallet tx with
+    in-op 0x0f8a7ea5).  Returns {claimed, sender_wallet, receiver_wallet,
+    dest_owner, notify, amount, asset} or None — shared by the transfer and
+    swap matchers."""
+    if node.in_msg is None or node.in_msg.opcode != JETTON_TRANSFER:
+        return None
+    internal = node.child_via(JETTON_INTERNAL)
+    if internal is None:
+        return None
+    claimed = [node, internal]
+    notify = internal.child_via(JETTON_NOTIFY)
+    if notify is not None:
+        claimed.append(notify)
+    excess = internal.child_via(EXCESSES) or node.child_via(EXCESSES)
+    if excess is not None and excess not in claimed:
+        claimed.append(excess)
+    wallets = ctx.get("jetton_wallets", {})
+    payload = node.in_msg.decoded_body()
+    dest_owner = (
+        notify.account if notify is not None
+        else wallets.get(internal.account, (None, None))[0]
+    )
+    return {
+        "claimed": claimed,
+        "sender_wallet": node.account,
+        "receiver_wallet": internal.account,
+        "dest_owner": payload.get("destination", dest_owner),
+        "notify": notify,
+        "amount": payload.get("amount"),
+        "asset": wallets.get(node.account, (None, None))[1],
+    }

@@ -34,6 +34,83 @@ from ton_indexer_spark.classifier.tree import build_tree
 
 BIG_TRACE_CUTOFF = 4000  # event_classifier.py:405
 
+_S, _L, _B, _I = (
+    T.StringType(), T.LongType(), T.BooleanType(), T.IntegerType()
+)
+
+
+def _struct(**fields: T.DataType) -> T.StructType:
+    return T.StructType([T.StructField(k, v) for k, v in fields.items()])
+
+
+# Typed action payloads (F5) — one nested struct per composite type of the
+# reference's actions table (ton-index-postgres/src/migrate.cpp:83-105,
+# 760, plus block_tree_serializer.py:1292-1587 field semantics).  Amounts
+# use LongType (sufficient for the oracle workload; a production deployment
+# would widen to DecimalType(38,0) for uint128 jetton amounts — the x96
+# price, which always overflows int64, is kept as a string).
+_PAYLOAD_STRUCTS: list[T.StructField] = [
+    T.StructField("jetton_transfer_data", _struct(
+        response_destination=_S, forward_amount=_L, query_id=_L,
+        custom_payload=_S, forward_payload=_S, comment=_S,
+        is_encrypted_comment=_B)),
+    T.StructField("nft_transfer_data", _struct(
+        is_purchase=_B, price=_L, query_id=_L, custom_payload=_S,
+        forward_payload=_S, forward_amount=_L, response_destination=_S,
+        nft_item_index=_L, marketplace=_S)),
+    T.StructField("nft_mint_data", _struct(nft_item_index=_L)),
+    T.StructField("change_dns_record_data", _struct(
+        key=_S, value_schema=_S, value=_S, flags=_I)),
+    T.StructField("dex_deposit_liquidity_data", _struct(
+        dex=_S, amount1=_L, amount2=_L, asset1=_S, asset2=_S,
+        user_jetton_wallet_1=_S, user_jetton_wallet_2=_S,
+        lp_tokens_minted=_L, target_asset_1=_S, target_asset_2=_S,
+        target_amount_1=_L, target_amount_2=_L,
+        vault_excesses=T.ArrayType(_struct(asset=_S, amount=_L)),
+        tick_lower=_L, tick_upper=_L, nft_index=_L, nft_address=_S)),
+    T.StructField("dex_withdraw_liquidity_data", _struct(
+        dex=_S, amount1=_L, amount2=_L, asset1_out=_S, asset2_out=_S,
+        user_jetton_wallet_1=_S, user_jetton_wallet_2=_S,
+        dex_jetton_wallet_1=_S, dex_jetton_wallet_2=_S, lp_tokens_burnt=_L,
+        dex_wallet_1=_S, dex_wallet_2=_S, burned_nft_index=_L,
+        burned_nft_address=_S, tick_lower=_L, tick_upper=_L)),
+    T.StructField("staking_data", _struct(
+        provider=_S, ts_nft=_S, tokens_burnt=_L, tokens_minted=_L)),
+    T.StructField("tonco_deploy_pool_data", _struct(
+        jetton0_router_wallet=_S, jetton1_router_wallet=_S,
+        jetton0_minter=_S, jetton1_minter=_S, tick_spacing=_I,
+        initial_price_x96=_S, protocol_fee=_I, lp_fee_base=_I,
+        lp_fee_current=_I, pool_active=_B)),
+    T.StructField("multisig_create_order_data", _struct(
+        query_id=_L, order_seqno=_L, is_created_by_signer=_B,
+        is_signed_by_creator=_B, creator_index=_L, expiration_date=_L,
+        order_boc=_S)),
+    T.StructField("multisig_approve_data", _struct(
+        signer_index=_L, exit_code=_L)),
+    T.StructField("multisig_execute_data", _struct(
+        query_id=_L, order_seqno=_L, expiration_date=_L, approvals_num=_L,
+        signers_hash=_S, order_boc=_S)),
+    T.StructField("vesting_send_message_data", _struct(
+        query_id=_L, message_boc=_S)),
+    T.StructField("vesting_add_whitelist_data", _struct(
+        query_id=_L, accounts_added=T.ArrayType(_S))),
+    T.StructField("evaa_supply_data", _struct(
+        sender_jetton_wallet=_S, recipient_jetton_wallet=_S,
+        master_jetton_wallet=_S, master=_S, asset_id=_S, is_ton=_B)),
+    T.StructField("evaa_withdraw_data", _struct(
+        sender_jetton_wallet=_S, recipient_jetton_wallet=_S,
+        master_jetton_wallet=_S, master=_S, fail_reason=_S, asset_id=_S)),
+    T.StructField("evaa_liquidate_data", _struct(
+        fail_reason=_S, debt_amount=_L, asset_id=_S)),
+    T.StructField("jvault_claim_data", _struct(
+        claimed_jettons=T.ArrayType(_S), claimed_amounts=T.ArrayType(_L))),
+    T.StructField("jvault_stake_data", _struct(
+        period=_L, minted_stake_jettons=_L, stake_wallet=_S)),
+    T.StructField("coffee_create_pool_data", _struct(
+        amount_1=_L, amount_2=_L, initiator_1=_S, initiator_2=_S,
+        provided_asset=_S, lp_tokens_minted=_L, pool_creator_contract=_S)),
+]
+
 ACTIONS_OUT_SCHEMA = T.StructType(
     [
         T.StructField("trace_id", T.StringType()),
@@ -44,6 +121,9 @@ ACTIONS_OUT_SCHEMA = T.StructType(
         T.StructField("destination", T.StringType()),
         T.StructField("destination_secondary", T.StringType()),
         T.StructField("asset", T.StringType()),
+        T.StructField("asset_secondary", T.StringType()),
+        T.StructField("asset2", T.StringType()),
+        T.StructField("asset2_secondary", T.StringType()),
         T.StructField("opcode", T.LongType()),
         T.StructField("value", T.LongType()),
         T.StructField("amount", T.LongType()),
@@ -90,10 +170,20 @@ ACTIONS_OUT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        *_PAYLOAD_STRUCTS,
         T.StructField("parent_action_id", T.StringType()),
         T.StructField("ancestor_type", T.ArrayType(T.StringType())),
         T.StructField("classification_state", T.StringType()),
     ]
+)
+
+# every schema field a matcher dict may carry — serialization picks these
+# straight off the action dict (absent keys → null struct)
+_PAYLOAD_KEYS = tuple(
+    f.name for f in ACTIONS_OUT_SCHEMA
+    if f.name not in (
+        "trace_id", "action_id", "parent_action_id", "classification_state"
+    )
 )
 
 _ROW_COLS = [
@@ -155,13 +245,6 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
             # (action_id NULL rows are filtered out of the actions table)
             return sentinel("ok")
         out = []
-        payload_keys = (
-            "type", "source", "source_secondary", "destination",
-            "destination_secondary", "asset", "opcode", "value",
-            "amount", "success", "tx_hashes", "start_lt",
-            "end_lt", "start_utime", "end_utime", "jetton_swap_data",
-            "ton_transfer_data", "ancestor_type",
-        )
 
         def serialize(a: dict, parent_id: str | None) -> None:
             aid = hashlib.sha256(
@@ -173,7 +256,7 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
                     "action_id": aid,
                     "classification_state": "ok",
                     "parent_action_id": parent_id,
-                    **{k: a.get(k) for k in payload_keys},
+                    **{k: a.get(k) for k in _PAYLOAD_KEYS},
                 }
             )
             for child in a.get("children", ()):  # C5 hierarchy serialization

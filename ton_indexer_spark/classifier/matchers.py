@@ -17,60 +17,41 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from ton_indexer_spark.classifier.base import (  # noqa: F401  (re-exported)
+    BURN_NOTIFY,
+    CHANGE_DNS_OP,
+    ELECTOR_NEW_STAKE,
+    ELECTOR_RECOVER_STAKE,
+    EXCESSES,
+    JETTON_BURN,
+    JETTON_INTERNAL,
+    JETTON_NOTIFY,
+    JETTON_TRANSFER,
+    MULTISIG_APPROVE,
+    MULTISIG_EXECUTE,
+    MULTISIG_NEW_ORDER,
+    NFT_DISCOVERY,
+    NFT_REPORT_STATIC,
+    NFT_TRANSFER,
+    OWNERSHIP_ASSIGNED,
+    POOL_WITHDRAWAL,
+    STAKE_DEPOSIT_OP,
+    STAKE_WITHDRAW_OP,
+    SUBSCRIPTION_PAYMENT,
+    UNSUBSCRIBE_OP,
+    VESTING_ADD_WHITELIST,
+    VESTING_ADD_WHITELIST_RESP,
+    VESTING_SEND,
+    VESTING_SEND_RESP,
+    Ctx,
+    _base,
+    _jetton_chain,
+)
+from ton_indexer_spark.classifier.protocols import (
+    PROTOCOL_MATCHERS,
+    TAIL_MATCHERS,
+)
 from ton_indexer_spark.classifier.tree import Node
-
-JETTON_TRANSFER = 0x0F8A7EA5
-JETTON_INTERNAL = 0x178D4519
-JETTON_NOTIFY = 0x7362D09C
-EXCESSES = 0xD53276DB  # excesses (TEP-74); tree normalizes opcodes unsigned
-JETTON_BURN = 0x595F07BC
-BURN_NOTIFY = 0x7BDD97DE
-NFT_TRANSFER = 0x5FCC3D14
-OWNERSHIP_ASSIGNED = 0x05138D91
-MULTISIG_NEW_ORDER = 0xF718510F  # multisig v2 new_order (messages/multisig.py:14)
-MULTISIG_APPROVE = 0xA762230F    # approve (messages/multisig.py:73)
-MULTISIG_EXECUTE = 0x75097F5D    # execute order → wallet (messages/multisig.py:103)
-STAKE_DEPOSIT_OP = 0x47D54391  # liquid-staking pool deposit (messages/staking.py:18)
-STAKE_WITHDRAW_OP = 0x319B0CDC  # withdraw request (messages/staking.py:22)
-POOL_WITHDRAWAL = 0x0A77535C    # pool payout (messages/staking.py:57)
-CHANGE_DNS_OP = 0x4EB1F0F9     # TEP-81 change_dns_record
-ELECTOR_NEW_STAKE = 0x4E73744B     # elector new_stake ('NstK')
-ELECTOR_RECOVER_STAKE = 0x47657424  # elector recover_stake ('Get$')
-SUBSCRIPTION_PAYMENT = 0x706C7567   # payment request 'plug' (messages/subscriptions.py:7)
-UNSUBSCRIBE_OP = 0x64737472         # wallet plugin destruct 'dstr' (subscriptions.py:24)
-VESTING_SEND = 0xA7733ACD           # vesting send_message (messages/vesting.py:12)
-VESTING_SEND_RESP = 0xF7733ACD
-VESTING_ADD_WHITELIST = 0x7258A69B  # (messages/vesting.py:33)
-VESTING_ADD_WHITELIST_RESP = 0xF258A69B
-NFT_DISCOVERY = 0x2FCB26A2          # TEP-62 get_static_data (messages/nft.py:79)
-NFT_REPORT_STATIC = 0x8B771735      # report_static_data (messages/nft.py:92)
-
-Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
-
-
-def _base(node: Node, typ: str, **kw) -> dict:
-    claimed = kw.pop("claimed", [node])
-    act = {
-        "type": typ,
-        "source": node.in_msg.source if node.in_msg else None,
-        "source_secondary": None,
-        "destination": node.account,
-        "destination_secondary": None,
-        "asset": None,
-        "opcode": node.in_msg.opcode if node.in_msg else None,
-        "value": node.in_msg.value if node.in_msg else None,
-        "amount": None,
-        "success": not any(n.aborted for n in claimed),
-        "tx_hashes": sorted(n.tx_hash for n in claimed),
-        "start_lt": min(n.tx_lt for n in claimed),
-        "end_lt": max(n.tx_lt for n in claimed),
-        "start_utime": min(n.tx_now for n in claimed),
-        "end_utime": max(n.tx_now for n in claimed),
-    }
-    act.update(kw)
-    for n in claimed:
-        n.consumed = True
-    return act
 
 
 def match_tick_tock(node: Node, ctx: Ctx) -> dict | None:
@@ -90,7 +71,11 @@ def match_nft_mint(node: Node, ctx: Ctx) -> dict | None:
                 c for c in node.children
                 if c.in_msg is not None and c.in_msg.opcode == OWNERSHIP_ASSIGNED
             ]
-            return _base(node, "nft_mint", claimed=claimed, asset=node.account)
+            body = node.in_msg.decoded_body() if node.in_msg else {}
+            return _base(
+                node, "nft_mint", claimed=claimed, asset=node.account,
+                nft_mint_data={"nft_item_index": body.get("index")},
+            )
     return None
 
 
@@ -190,6 +175,12 @@ def match_nft_purchase(node: Node, ctx: Ctx) -> dict | None:
         source_secondary=node.account,   # sale contract
         asset=sales[node.account] or nft_leg.account,
         value=m.value,
+        nft_transfer_data={
+            "is_purchase": True,
+            "price": m.value,
+            "query_id": nft_leg.in_msg.decoded_body().get("query_id"),
+            "marketplace": "getgems",
+        },
     )
 
 
@@ -212,42 +203,13 @@ def match_stake_deposit(node: Node, ctx: Ctx) -> dict | None:
         c for c in node.children
         if c.in_msg is not None and c.in_msg.opcode == EXCESSES
     ]
+    body = node.in_msg.decoded_body()
     return _base(node, "stake_deposit", claimed=claimed,
-                 destination=node.account)
-
-
-def _jetton_chain(node: Node, ctx: Ctx) -> dict | None:
-    """Structural jetton-transfer chain rooted at `node` (wallet tx with
-    in-op 0x0f8a7ea5).  Returns {claimed, sender_wallet, receiver_wallet,
-    dest_owner, notify, amount, asset} or None — shared by the transfer and
-    swap matchers."""
-    if node.in_msg is None or node.in_msg.opcode != JETTON_TRANSFER:
-        return None
-    internal = node.child_via(JETTON_INTERNAL)
-    if internal is None:
-        return None
-    claimed = [node, internal]
-    notify = internal.child_via(JETTON_NOTIFY)
-    if notify is not None:
-        claimed.append(notify)
-    excess = internal.child_via(EXCESSES) or node.child_via(EXCESSES)
-    if excess is not None and excess not in claimed:
-        claimed.append(excess)
-    wallets = ctx.get("jetton_wallets", {})
-    payload = node.in_msg.decoded_body()
-    dest_owner = (
-        notify.account if notify is not None
-        else wallets.get(internal.account, (None, None))[0]
-    )
-    return {
-        "claimed": claimed,
-        "sender_wallet": node.account,
-        "receiver_wallet": internal.account,
-        "dest_owner": payload.get("destination", dest_owner),
-        "notify": notify,
-        "amount": payload.get("amount"),
-        "asset": wallets.get(node.account, (None, None))[1],
-    }
+                 destination=node.account,
+                 staking_data={
+                     "provider": "tonstakers",
+                     "tokens_minted": body.get("tokens_minted"),
+                 })
 
 
 def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
@@ -304,6 +266,7 @@ def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
         destination=leg_out["dest_owner"],
         destination_secondary=leg_out["receiver_wallet"],
         asset=leg_in["asset"],
+        asset2=leg_out["asset"],
         amount=leg_in["amount"],
         jetton_swap_data={
             "dex": ctx.get("pool_dex", {}).get(pool_node.account, "unknown"),
@@ -342,11 +305,21 @@ def match_multisig_create_order(node: Node, ctx: Ctx) -> dict | None:
     if ctx.get("multisig") is not None and node.account not in ctx["multisig"]:
         return None
     claimed = [node] + node.children  # order-contract deploy leg, if any
+    body = node.in_msg.decoded_body()
     return _base(
         node,
         "multisig_create_order",
         claimed=claimed,
         destination=node.account,
+        multisig_create_order_data={
+            "query_id": body.get("query_id"),
+            "order_seqno": body.get("order_seqno"),
+            "is_created_by_signer": body.get("is_created_by_signer"),
+            "is_signed_by_creator": body.get("is_signed_by_creator"),
+            "creator_index": body.get("creator_index"),
+            "expiration_date": body.get("expiration_date"),
+            "order_boc": body.get("order_boc"),
+        },
     )
 
 
@@ -386,6 +359,13 @@ def match_jetton_transfer(node: Node, ctx: Ctx) -> dict | None:
         destination_secondary=receiver_wallet,
         asset=owner_jetton[1],
         amount=payload.get("amount"),
+        jetton_transfer_data={
+            "query_id": payload.get("query_id"),
+            "response_destination": payload.get("response_destination"),
+            "forward_amount": payload.get("forward_ton_amount"),
+            "comment": payload.get("comment"),
+            "is_encrypted_comment": payload.get("is_encrypted", False),
+        },
     )
 
 
@@ -439,6 +419,12 @@ def match_nft_transfer(node: Node, ctx: Ctx) -> dict | None:
             "new_owner", assigned.account if assigned else None
         ),
         asset=node.account,
+        nft_transfer_data={
+            "is_purchase": False,
+            "query_id": payload.get("query_id"),
+            "forward_amount": payload.get("forward_amount"),
+            "response_destination": payload.get("response_destination"),
+        },
     )
 
 
@@ -466,9 +452,27 @@ def match_multisig_approve(node: Node, ctx: Ctx) -> dict | None:
     if m is None:
         return None
     if m.opcode == MULTISIG_APPROVE:
-        return _base(node, "multisig_approve", destination=node.account)
+        body = m.decoded_body()
+        return _base(
+            node, "multisig_approve", destination=node.account,
+            multisig_approve_data={
+                "signer_index": body.get("signer_index"),
+                "exit_code": body.get("exit_code"),
+            },
+        )
     if m.opcode == MULTISIG_EXECUTE:
-        return _base(node, "multisig_execute", destination=node.account)
+        body = m.decoded_body()
+        return _base(
+            node, "multisig_execute", destination=node.account,
+            multisig_execute_data={
+                "query_id": body.get("query_id"),
+                "order_seqno": body.get("order_seqno"),
+                "expiration_date": body.get("expiration_date"),
+                "approvals_num": body.get("approvals_num"),
+                "signers_hash": body.get("signers_hash"),
+                "order_boc": body.get("order_boc"),
+            },
+        )
     return None
 
 
@@ -479,7 +483,15 @@ def match_change_dns(node: Node, ctx: Ctx) -> dict | None:
         return None
     payload = node.in_msg.decoded_body()
     typ = "delete_dns" if payload.get("value") in (None, "") else "change_dns"
-    return _base(node, typ, asset=node.account)
+    return _base(
+        node, typ, asset=node.account,
+        change_dns_record_data={
+            "key": payload.get("key"),
+            "value_schema": payload.get("value_schema"),
+            "value": payload.get("value") or None,
+            "flags": payload.get("flags"),
+        },
+    )
 
 
 def match_election(node: Node, ctx: Ctx) -> dict | None:
@@ -512,13 +524,17 @@ def match_stake_withdraw(node: Node, ctx: Ctx) -> dict | None:
          and (c.in_msg.opcode == POOL_WITHDRAWAL or (c.in_msg.value or 0) > 0)),
         None,
     )
+    body = m.decoded_body()
+    staking = {"provider": "tonstakers", "tokens_burnt": body.get("amount")}
     if payout is not None:
         return _base(
             node, "stake_withdrawal", claimed=[node, payout],
             source=node.account, destination=m.source,
             amount=payout.in_msg.value,
+            staking_data=staking,
         )
-    return _base(node, "stake_withdrawal_request", destination=node.account)
+    return _base(node, "stake_withdrawal_request", destination=node.account,
+                 staking_data=staking)
 
 
 def match_vesting(node: Node, ctx: Ctx) -> dict | None:
@@ -539,7 +555,20 @@ def match_vesting(node: Node, ctx: Ctx) -> dict | None:
     resp = node.child_via(resp_op)
     if resp is not None:
         claimed.append(resp)
-    return _base(node, typ, claimed=claimed, destination=node.account)
+    body = m.decoded_body()
+    extra = (
+        {"vesting_send_message_data": {
+            "query_id": body.get("query_id"),
+            "message_boc": body.get("message_boc"),
+        }}
+        if typ == "vesting_send_message"
+        else {"vesting_add_whitelist_data": {
+            "query_id": body.get("query_id"),
+            "accounts_added": body.get("accounts_added"),
+        }}
+    )
+    return _base(node, typ, claimed=claimed, destination=node.account,
+                 **extra)
 
 
 def match_unsubscribe(node: Node, ctx: Ctx) -> dict | None:
@@ -579,6 +608,7 @@ def match_dex_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
     lp_notify = lp_mint.child_via(JETTON_NOTIFY)
     if lp_notify is not None:
         claimed.append(lp_notify)
+    lp_body = lp_mint.in_msg.decoded_body()
     return _base(
         node,
         "dex_deposit_liquidity",
@@ -589,6 +619,13 @@ def match_dex_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
         destination_secondary=lp_mint.account,
         asset=leg["asset"],
         amount=leg["amount"],
+        dex_deposit_liquidity_data={
+            "dex": ctx.get("pool_dex", {}).get(notify.account, "unknown"),
+            "amount1": leg["amount"],
+            "asset1": leg["asset"],
+            "user_jetton_wallet_1": leg["sender_wallet"],
+            "lp_tokens_minted": lp_body.get("amount"),
+        },
     )
 
 
@@ -603,15 +640,23 @@ def match_dex_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
     if notify is None or notify.account not in pools:
         return None
     claimed = [node, notify]
+    out_legs: list[dict] = []
+    value_legs: list[Node] = []
     for c in notify.children:
         out_leg = _jetton_chain(c, ctx)
         if out_leg is not None:
             claimed += out_leg["claimed"]
+            out_legs.append(out_leg)
         elif c.in_msg is not None and (c.in_msg.value or 0) > 0:
             claimed.append(c)
+            value_legs.append(c)
     wallets = ctx.get("jetton_wallets", {})
     owner, lp_jetton = wallets.get(node.account, (None, None))
     payload = node.in_msg.decoded_body()
+    amounts = [lg["amount"] for lg in out_legs] + [
+        c.in_msg.value for c in value_legs
+    ]
+    assets_out = [lg["asset"] for lg in out_legs] + ["TON"] * len(value_legs)
     return _base(
         node,
         "dex_withdraw_liquidity",
@@ -621,6 +666,14 @@ def match_dex_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
         destination=notify.account,
         asset=lp_jetton,
         amount=payload.get("amount"),
+        dex_withdraw_liquidity_data={
+            "dex": ctx.get("pool_dex", {}).get(notify.account, "unknown"),
+            "lp_tokens_burnt": payload.get("amount"),
+            "amount1": amounts[0] if amounts else None,
+            "amount2": amounts[1] if len(amounts) > 1 else None,
+            "asset1_out": assets_out[0] if assets_out else None,
+            "asset2_out": assets_out[1] if len(assets_out) > 1 else None,
+        },
     )
 
 
@@ -692,12 +745,17 @@ def match_call_contract(node: Node, ctx: Ctx) -> dict | None:
 
 # priority order mirrors specificity (deploy before generic call, token
 # chains before plain transfers) — reference registry event_processing.py:209+
+# Protocol-specific families (protocols.py) are spliced in ahead of the
+# generic TEP matchers: every protocol entry keys on a distinctive 32-bit
+# opcode, so a DEX swap is claimed before the inner jetton_transfer leg
+# could shadow it (reference orders the same way, event_processing.py:209+).
 MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("tick_tock", match_tick_tock),
     ("nft_mint", match_nft_mint),             # before generic deploy
     ("nft_put_on_sale", match_nft_put_on_sale),
     ("contract_deploy", match_contract_deploy),
     ("nft_purchase", match_nft_purchase),     # before plain transfers
+    *PROTOCOL_MATCHERS,                       # opcode-keyed protocol families
     ("dex_deposit_liquidity", match_dex_deposit_liquidity),  # LP mint: more specific than swap
     ("jetton_swap", match_jetton_swap),       # before plain transfer: more specific
     ("jetton_transfer", match_jetton_transfer),
@@ -716,7 +774,8 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("change_dns", match_change_dns),
     ("election", match_election),
     ("nft_sale_lifecycle", match_nft_sale_cancel_or_finish),  # before plain ton_transfer
-    ("auction_bid", match_auction_bid),       # before plain ton_transfer
+    *TAIL_MATCHERS,                           # value shapes above plain transfer
+    ("auction_bid", match_auction_bid),       # after outbid (more specific), before plain ton_transfer
     ("ton_transfer", match_ton_transfer),
     ("call_contract", match_call_contract),
 ]

@@ -1,0 +1,970 @@
+"""Extended protocol-matcher library (C4) — DEX, lending, staking, bridge
+and marketplace families beyond the TEP-standard matchers in ``matchers.py``.
+
+Each matcher is a fresh structural re-derivation of the flow the reference
+classifies (registry: indexer/indexer/events/blocks/* — cited per family);
+opcodes are the published contract constants collected in the reference's
+``blocks/messages/*`` modules.  Matchers follow the same discipline as
+``matchers.py``: inspect an unconsumed node (+subtree +ctx), return an
+action dict claiming the involved nodes, or None.
+
+Typed action payloads mirror the reference's Postgres composite types
+(ton-index-postgres/src/migrate.cpp:83-105, 760-762) as nested dicts that
+``classify.py`` serializes into StructType columns.
+"""
+
+from __future__ import annotations
+
+from ton_indexer_spark.classifier.base import (
+    BURN_NOTIFY,
+    EXCESSES,
+    JETTON_BURN,
+    JETTON_INTERNAL,
+    JETTON_NOTIFY,
+    JETTON_TRANSFER,
+    OWNERSHIP_ASSIGNED,
+    POOL_WITHDRAWAL,
+    STAKE_DEPOSIT_OP,
+    STAKE_WITHDRAW_OP,
+    Ctx,
+    _base,
+    _jetton_chain,
+    _op,
+)
+from ton_indexer_spark.classifier.tree import Node
+
+# --- DeDust (messages/swaps.py:81-127, messages/liquidity.py:17-96)
+DEDUST_SWAP = 0xEA06185D            # vault swap entry (TON side)
+DEDUST_SWAP_EXTERNAL = 0x61EE542D   # vault → pool
+DEDUST_SWAP_PEER = 0x72ACA8AA       # pool → pool (multi-hop)
+DEDUST_PAYOUT_FROM_POOL = 0xAD4EB6F5
+DEDUST_PAYOUT = 0x474F86CF          # vault → user
+DEDUST_DEPOSIT_TON = 0xD55E4686
+DEDUST_TOPUP_DEPOSIT = 0x54240FE5
+DEDUST_DEPOSIT_TO_POOL = 0xB56B9598
+
+# --- Ston.fi v1/v2 (messages/swaps.py:8-64,129, messages/liquidity.py:99)
+STONFI_SWAP = 0x25938561
+STONFI_PAYMENT_REQUEST = 0xF93BB43F
+STONFI_V2_SWAP = 0x657B54F5
+STONFI_V2_PROVIDE_LIQUIDITY = 0x37C096DF
+PTON_TRANSFER = 0x01F3835D
+
+# --- Tonco v3 (messages/swaps.py:205-345, messages/liquidity.py:109-449)
+TONCO_SWAP = 0xA7FB58F8
+TONCO_PAY_TO = 0xA1DAA96D
+TONCO_MINT = 0xB2C1B6E3
+TONCO_FUND_ACCOUNT = 0x4468DE77
+TONCO_START_BURN = 0x530B5F2C
+TONCO_BURN = 0xD73AC09D
+TONCO_CREATE_POOL = 0x2E3034EF
+TONCO_POOL_INIT = 0x441C39ED
+
+# --- swap.coffee (messages/coffee.py:331-651)
+COFFEE_SWAP_NATIVE = 0xC0FFEE00
+COFFEE_SWAP_JETTON = 0xC0FFEE10
+COFFEE_SWAP_INTERNAL = 0xC0FFEE20
+COFFEE_SWAP_OK_EVENT = 0xC0FFEE30
+COFFEE_SWAP_FAIL_EVENT = 0xC0FFEE31
+COFFEE_PAYOUT = 0xC0FFEE32
+COFFEE_PAYOUT_INTERNAL = 0xC0FFEE21
+COFFEE_DEPOSIT_NATIVE = 0xC0FFEE04
+COFFEE_DEPOSIT_JETTON = 0xC0FFEE12
+COFFEE_WITHDRAW_DEPOSIT = 0xC0FFEE07
+COFFEE_CREATE_VAULT = 0xC0FFEE06
+COFFEE_CREATE_POOL_NATIVE = 0xC0FFEE02
+COFFEE_CREATE_POOL_EXTRA = 0xC0FFEE03
+COFFEE_CREATE_POOL_JETTON = 0xC0FFEE11
+
+# --- EVAA lending (messages/evaa.py:13-472)
+EVAA_SUPPLY_MASTER = 0x1
+EVAA_SUPPLY_USER = 0x11
+EVAA_SUPPLY_SUCCESS = 0x11A
+EVAA_SUPPLY_FAIL = 0x11F
+EVAA_WITHDRAW_MASTER = 0x2
+EVAA_WITHDRAW_USER = 0x21
+EVAA_WITHDRAW_COLLATERALIZED = 0x211
+EVAA_WITHDRAW_SUCCESS = 0x211A
+EVAA_WITHDRAW_FAIL = 0x211F
+EVAA_LIQUIDATE_MASTER = 0x3
+EVAA_LIQUIDATE_USER = 0x31
+EVAA_LIQUIDATE_SATISFIED = 0x311
+EVAA_LIQUIDATE_UNSATISFIED = 0x31F
+EVAA_LIQUIDATE_SUCCESS = 0x311A
+EVAA_LIQUIDATE_FAIL = 0x311F
+
+# --- JVault staking (messages/jvault.py:15-124)
+JVAULT_RECEIVE = 0xD68A4AC1
+JVAULT_UNSTAKE = 0x499A9262
+JVAULT_UNSTAKE_REQUEST = 0x0168D4B7
+JVAULT_CLAIM = 0x78D9F109
+JVAULT_SEND_CLAIMED = 0x44BC1FE3
+
+# --- TONStakers extras (messages/staking.py:25-57)
+TS_MINT_JETTONS = 0x1674B0A0
+TS_NFT_BURN = 0xF127FE4E
+TS_NFT_BURN_NOTIFICATION = 0xED58B0B2
+TS_DISTRIBUTED_ASSET = 0xDB3B8ABD
+NOMINATOR_PROCESS_WITHDRAWS = 0x00000002  # messages/staking.py:60
+
+# --- tgBTC bridge event logs (messages/tgbtc.py:8-82)
+TGBTC_MINT_EVENT = 0x77A80EF3
+TGBTC_BURN_EVENT = 0xCA444CE6
+TGBTC_NEW_KEY_EVENT = 0x27756729
+TGBTC_DKG_EVENT = 0x453443A6
+
+# --- LayerZero (messages/layerzero.py:303-482)
+LZ_EVENT = 0xE33B9873
+LZ_CHANNEL_COMMIT_PACKET = 0x5388CD88
+LZ_ENDPOINT_SEND = 0xDD4EA3B4
+
+# --- Cocoon payment channels (messages/cocoon.py:7-145)
+COCOON_PAYOUT = 0xC59A7CD3
+COCOON_WORKER_PAYOUT_REQ = 0x08E7D036
+COCOON_CLIENT_TOPUP = 0x5CFC6B87
+COCOON_CLIENT_REGISTER = 0xA35CB580
+COCOON_GRANT_REFUND = 0xC68EBC7B
+
+# --- NFT / DNS extras (messages/nft.py:104-148, messages/getgems.py:250)
+TELEITEM_START_AUCTION = 0x487A8E81
+AUCTION_FILL_UP = 0x370FEC51
+DNS_RELEASE = 0x4ED14B65
+NFT_SALE_UPDATE = 0x6C6C2080
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _claim_chain(node: Node, *ops: int) -> list[Node]:
+    """Follow first-child-by-opcode links: node → child(ops[0]) →
+    grandchild(ops[1]) … claiming every hop found; stops at the first
+    missing link."""
+    claimed = [node]
+    cur = node
+    for op in ops:
+        nxt = cur.child_via(op)
+        if nxt is None:
+            break
+        claimed.append(nxt)
+        cur = nxt
+    return claimed
+
+
+def _value_children(node: Node, exclude: list[Node]) -> list[Node]:
+    return [
+        c for c in node.children
+        if c not in exclude and c.in_msg is not None
+        and (c.in_msg.value or 0) > 0
+    ]
+
+
+def _simple(opcode: int, typ: str, **static):
+    """Factory for single-node opcode matchers (the reference's
+    ``ContractMatcher(opcode)`` leaf shape, basic_matchers.py analog)."""
+
+    def match(node: Node, ctx: Ctx) -> dict | None:
+        if _op(node) != opcode:
+            return None
+        return _base(node, typ, **static)
+
+    match.__name__ = f"match_{typ}"
+    return match
+
+
+def _log_event(opcode: int, typ: str):
+    """Factory for log-only matchers: the action is evidenced by an
+    external-out event message (tgBTC / LayerZero logs — the reference's
+    *LogOnlyMatcher family)."""
+
+    def match(node: Node, ctx: Ctx) -> dict | None:
+        if opcode not in node.out_opcodes():
+            return None
+        return _base(node, typ, destination=node.account)
+
+    match.__name__ = f"match_{typ}"
+    return match
+
+
+# ------------------------------------------------------------------- DeDust
+
+
+def match_dedust_swap(node: Node, ctx: Ctx) -> dict | None:
+    """TON-entry DeDust swap: user → vault (0xea06185d) → pool
+    (swap_external) [→ peer pools] → payout_from_pool → vault → payout
+    (blocks/swaps.py DedustSwapBlockMatcher re-derived)."""
+    if _op(node) != DEDUST_SWAP:
+        return None
+    pool = node.child_via(DEDUST_SWAP_EXTERNAL)
+    if pool is None:
+        return None
+    claimed = [node, pool]
+    hops = [pool]
+    cur = pool
+    while True:
+        peer = cur.child_via(DEDUST_SWAP_PEER)
+        if peer is None:
+            break
+        claimed.append(peer)
+        hops.append(peer)
+        cur = peer
+    payout_vault = cur.child_via(DEDUST_PAYOUT_FROM_POOL)
+    payout_user = None
+    if payout_vault is not None:
+        claimed.append(payout_vault)
+        payout_user = payout_vault.child_via(DEDUST_PAYOUT)
+        if payout_user is not None:
+            claimed.append(payout_user)
+    body = node.in_msg.decoded_body()
+    amount_in = body.get("amount", node.in_msg.value)
+    amount_out = (
+        payout_user.in_msg.decoded_body().get(
+            "amount", payout_user.in_msg.value
+        )
+        if payout_user is not None else None
+    )
+    return _base(
+        node,
+        "jetton_swap",
+        claimed=claimed,
+        source=node.in_msg.source,
+        destination=payout_user.account if payout_user is not None
+        else node.in_msg.source,
+        asset="TON",
+        amount=amount_in,
+        jetton_swap_data={
+            "dex": "dedust",
+            "amount_in": amount_in,
+            "asset_in": "TON",
+            "amount_out": amount_out,
+            "asset_out": None,
+            "peer_address": hops[0].account,
+            "peer_swaps": [
+                {"asset_in": None, "amount_in": None,
+                 "asset_out": None, "amount_out": None}
+            ] * max(0, len(hops) - 1),
+        },
+    )
+
+
+def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """vault deposit (TON 0xd55e4686) → deposit-contract top-up →
+    deposit-to-pool → LP mint (blocks/liquidity.py DedustDeposit*)."""
+    if _op(node) != DEDUST_DEPOSIT_TON:
+        return None
+    claimed = _claim_chain(
+        node, DEDUST_TOPUP_DEPOSIT, DEDUST_DEPOSIT_TO_POOL, JETTON_INTERNAL
+    )
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "dex_deposit_liquidity",
+        claimed=claimed,
+        destination=claimed[-1].account if len(claimed) > 1 else node.account,
+        amount=body.get("amount", node.in_msg.value),
+        dex_deposit_liquidity_data={
+            "dex": "dedust",
+            "amount1": body.get("amount", node.in_msg.value),
+            "amount2": body.get("amount2"),
+            "asset1": "TON",
+            "asset2": body.get("asset2"),
+            "lp_tokens_minted": body.get("lp_tokens_minted"),
+        },
+    )
+
+
+def match_dedust_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """LP burn whose burn-notify pool answers with DeDust payouts
+    (0x474f86cf) — distinguishes the DeDust shape from the generic
+    ctx-pool-based withdraw matcher."""
+    if _op(node) != JETTON_BURN:
+        return None
+    notify = node.child_via(BURN_NOTIFY)
+    if notify is None:
+        return None
+    payouts = [
+        c for c in notify.children
+        if c.in_msg is not None and c.in_msg.opcode in (
+            DEDUST_PAYOUT, DEDUST_PAYOUT_FROM_POOL
+        )
+    ]
+    if not payouts:
+        return None
+    claimed = [node, notify] + payouts
+    for p in list(payouts):
+        user_leg = p.child_via(DEDUST_PAYOUT)
+        if user_leg is not None:
+            claimed.append(user_leg)
+    wallets = ctx.get("jetton_wallets", {})
+    owner, lp_jetton = wallets.get(node.account, (None, None))
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "dex_withdraw_liquidity",
+        claimed=claimed,
+        source=node.in_msg.source or owner,
+        source_secondary=node.account,
+        destination=notify.account,
+        asset=lp_jetton,
+        amount=body.get("amount"),
+        dex_withdraw_liquidity_data={
+            "dex": "dedust",
+            "lp_tokens_burnt": body.get("amount"),
+            "amount1": payouts[0].in_msg.value if payouts else None,
+            "amount2": payouts[1].in_msg.value if len(payouts) > 1 else None,
+        },
+    )
+
+
+# ------------------------------------------------------------------ Ston.fi
+
+
+def _router_swap(node: Node, ctx: Ctx, swap_op: int, pay_op: int,
+                 dex: str) -> dict | None:
+    """Ston.fi-shaped swap: pool receives swap op, answers with a payment
+    request to the router which pays the user out (swaps.py:8-64)."""
+    if _op(node) != swap_op:
+        return None
+    claimed = [node]
+    pay = node.child_via(pay_op)
+    out_chain = None
+    if pay is not None:
+        claimed.append(pay)
+        for c in pay.children:
+            out_chain = _jetton_chain(c, ctx)
+            if out_chain is not None:
+                claimed += out_chain["claimed"]
+                break
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "jetton_swap",
+        claimed=claimed,
+        source=body.get("user", node.in_msg.source),
+        destination=out_chain["dest_owner"] if out_chain else None,
+        amount=body.get("amount"),
+        jetton_swap_data={
+            "dex": dex,
+            "amount_in": body.get("amount"),
+            "asset_in": body.get("asset_in"),
+            "amount_out": out_chain["amount"] if out_chain else None,
+            "asset_out": out_chain["asset"] if out_chain else None,
+            "peer_address": node.account,
+            "peer_swaps": [],
+        },
+    )
+
+
+def match_stonfi_swap(node: Node, ctx: Ctx) -> dict | None:
+    return _router_swap(node, ctx, STONFI_SWAP, STONFI_PAYMENT_REQUEST,
+                        "stonfi")
+
+
+def match_stonfi_v2_swap(node: Node, ctx: Ctx) -> dict | None:
+    return _router_swap(node, ctx, STONFI_V2_SWAP, STONFI_PAYMENT_REQUEST,
+                        "stonfi_v2")
+
+
+def match_stonfi_v2_provide_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != STONFI_V2_PROVIDE_LIQUIDITY:
+        return None
+    claimed = _claim_chain(node, JETTON_INTERNAL, JETTON_NOTIFY)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "dex_deposit_liquidity",
+        claimed=claimed,
+        amount=body.get("amount"),
+        dex_deposit_liquidity_data={
+            "dex": "stonfi_v2",
+            "amount1": body.get("amount"),
+            "asset1": body.get("asset1"),
+            "lp_tokens_minted": body.get("lp_tokens_minted"),
+        },
+    )
+
+
+def match_pton_transfer(node: Node, ctx: Ctx) -> dict | None:
+    """pTON (proxy-TON) transfer wraps plain TON movement in the jetton
+    interface; the reference surfaces it as a ton_transfer
+    (PTonTransferMatcher, blocks/jettons.py)."""
+    if _op(node) != PTON_TRANSFER:
+        return None
+    body = node.in_msg.decoded_body()
+    claimed = [node] + _value_children(node, [])[:1]
+    return _base(
+        node,
+        "ton_transfer",
+        claimed=claimed,
+        asset="TON",
+        amount=body.get("amount", node.in_msg.value),
+        ton_transfer_data={"content": body.get("comment"), "encrypted": False},
+    )
+
+
+# -------------------------------------------------------------------- Tonco
+
+
+def match_tonco_swap(node: Node, ctx: Ctx) -> dict | None:
+    return _router_swap(node, ctx, TONCO_SWAP, TONCO_PAY_TO, "tonco")
+
+
+def match_tonco_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """Concentrated-liquidity mint: fund account / pool mint with tick
+    bounds + position NFT (blocks/liquidity.py Tonco*)."""
+    if _op(node) not in (TONCO_MINT, TONCO_FUND_ACCOUNT):
+        return None
+    claimed = _claim_chain(node, TONCO_MINT, OWNERSHIP_ASSIGNED)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "tonco_deposit_liquidity",
+        claimed=claimed,
+        amount=body.get("amount"),
+        dex_deposit_liquidity_data={
+            "dex": "tonco",
+            "amount1": body.get("amount"),
+            "amount2": body.get("amount2"),
+            "tick_lower": body.get("tick_lower"),
+            "tick_upper": body.get("tick_upper"),
+            "nft_index": body.get("nft_index"),
+            "nft_address": body.get("nft_address"),
+        },
+    )
+
+
+def match_tonco_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != TONCO_START_BURN:
+        return None
+    claimed = _claim_chain(node, TONCO_BURN, TONCO_PAY_TO)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "tonco_withdraw_liquidity",
+        claimed=claimed,
+        amount=body.get("amount"),
+        dex_withdraw_liquidity_data={
+            "dex": "tonco",
+            "lp_tokens_burnt": body.get("amount"),
+            "burned_nft_index": body.get("nft_index"),
+            "burned_nft_address": body.get("nft_address"),
+            "tick_lower": body.get("tick_lower"),
+            "tick_upper": body.get("tick_upper"),
+        },
+    )
+
+
+def match_tonco_deploy_pool(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != TONCO_CREATE_POOL:
+        return None
+    claimed = _claim_chain(node, TONCO_POOL_INIT)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "tonco_deploy_pool",
+        claimed=claimed,
+        destination=claimed[-1].account,
+        tonco_deploy_pool_data={
+            "jetton0_minter": body.get("jetton0_minter"),
+            "jetton1_minter": body.get("jetton1_minter"),
+            "tick_spacing": body.get("tick_spacing"),
+            # x96 fixed-point always overflows int64 → string column
+            "initial_price_x96": (
+                str(body["initial_price_x96"])
+                if body.get("initial_price_x96") is not None else None
+            ),
+            "protocol_fee": body.get("protocol_fee"),
+            "lp_fee_base": body.get("lp_fee_base"),
+            "lp_fee_current": body.get("lp_fee_current"),
+            "pool_active": body.get("pool_active"),
+        },
+    )
+
+
+# -------------------------------------------------------------- swap.coffee
+
+
+def match_coffee_swap(node: Node, ctx: Ctx) -> dict | None:
+    """swap.coffee: vault entry (native/jetton op) → internal pool hops →
+    payout; success/fail event logs claimed with the flow
+    (blocks/swaps.py CoffeeSwapBlockMatcher re-derived)."""
+    if _op(node) not in (COFFEE_SWAP_NATIVE, COFFEE_SWAP_JETTON):
+        return None
+    claimed = [node]
+    cur = node
+    last = node
+    while True:
+        nxt = cur.child_via(COFFEE_SWAP_INTERNAL)
+        if nxt is None:
+            break
+        claimed.append(nxt)
+        cur = nxt
+        last = nxt
+    payout = (
+        last.child_via(COFFEE_PAYOUT_INTERNAL) or last.child_via(COFFEE_PAYOUT)
+    )
+    if payout is not None:
+        claimed.append(payout)
+        user_leg = payout.child_via(COFFEE_PAYOUT)
+        if user_leg is not None:
+            claimed.append(user_leg)
+            payout = user_leg
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "jetton_swap",
+        claimed=claimed,
+        destination=payout.account if payout is not None else None,
+        amount=body.get("amount", node.in_msg.value),
+        jetton_swap_data={
+            "dex": "coffee",
+            "amount_in": body.get("amount", node.in_msg.value),
+            "asset_in": body.get("asset_in"),
+            "amount_out": payout.in_msg.value if payout is not None else None,
+            "asset_out": body.get("asset_out"),
+            "peer_address": claimed[1].account if len(claimed) > 1 else None,
+            "peer_swaps": [],
+        },
+    )
+
+
+def match_coffee_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) not in (COFFEE_DEPOSIT_NATIVE, COFFEE_DEPOSIT_JETTON):
+        return None
+    claimed = [node] + [
+        c for c in node.children if c.in_msg is not None
+    ][:2]
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "dex_deposit_liquidity",
+        claimed=claimed,
+        amount=body.get("amount", node.in_msg.value),
+        dex_deposit_liquidity_data={
+            "dex": "coffee",
+            "amount1": body.get("amount", node.in_msg.value),
+            "asset1": body.get("asset1"),
+            "lp_tokens_minted": body.get("lp_tokens_minted"),
+        },
+    )
+
+
+def match_coffee_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != COFFEE_WITHDRAW_DEPOSIT:
+        return None
+    claimed = [node] + [
+        c for c in node.children
+        if c.in_msg is not None and c.in_msg.opcode == COFFEE_PAYOUT
+    ]
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "dex_withdraw_liquidity",
+        claimed=claimed,
+        amount=body.get("amount"),
+        dex_withdraw_liquidity_data={
+            "dex": "coffee",
+            "lp_tokens_burnt": body.get("amount"),
+        },
+    )
+
+
+match_coffee_create_vault = _simple(COFFEE_CREATE_VAULT, "coffee_create_vault")
+
+
+def match_coffee_create_pool(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) not in (
+        COFFEE_CREATE_POOL_NATIVE, COFFEE_CREATE_POOL_JETTON,
+        COFFEE_CREATE_POOL_EXTRA,
+    ):
+        return None
+    claimed = [node] + [c for c in node.children if c.in_msg is not None][:1]
+    body = node.in_msg.decoded_body()
+    return _base(
+        node, "coffee_create_pool", claimed=claimed,
+        coffee_create_pool_data={
+            "amount_1": body.get("amount_1"),
+            "amount_2": body.get("amount_2"),
+            "initiator_1": body.get("initiator_1"),
+            "initiator_2": body.get("initiator_2"),
+            "provided_asset": body.get("provided_asset"),
+            "lp_tokens_minted": body.get("lp_tokens_minted"),
+            "pool_creator_contract": node.account,
+        },
+    )
+
+
+# --------------------------------------------------------------------- EVAA
+
+
+def match_evaa_supply(node: Node, ctx: Ctx) -> dict | None:
+    """master (op 0x1) → user contract (0x11) → success (0x11a) back at
+    master (blocks/evaa.py EvaaSupplyBlockMatcher re-derived)."""
+    if _op(node) != EVAA_SUPPLY_MASTER:
+        return None
+    user = node.child_via(EVAA_SUPPLY_USER)
+    if user is None:
+        return None
+    claimed = [node, user]
+    done = user.child_via(EVAA_SUPPLY_SUCCESS) or user.child_via(
+        EVAA_SUPPLY_FAIL
+    )
+    if done is not None:
+        claimed.append(done)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "evaa_supply",
+        claimed=claimed,
+        destination=node.account,
+        destination_secondary=user.account,
+        amount=body.get("amount", node.in_msg.value),
+        success=done is None or done.in_msg.opcode == EVAA_SUPPLY_SUCCESS,
+        evaa_supply_data={
+            "recipient_jetton_wallet": body.get("recipient_jetton_wallet"),
+            "master": node.account,
+            "asset_id": body.get("asset_id", "TON"),
+            "is_ton": body.get("asset_id") in (None, "TON"),
+        },
+    )
+
+
+def match_evaa_withdraw(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != EVAA_WITHDRAW_MASTER:
+        return None
+    user = node.child_via(EVAA_WITHDRAW_USER)
+    if user is None:
+        return None
+    claimed = [node, user]
+    coll = user.child_via(EVAA_WITHDRAW_COLLATERALIZED)
+    ok, fail = None, None
+    if coll is not None:
+        claimed.append(coll)
+        ok = coll.child_via(EVAA_WITHDRAW_SUCCESS)
+        fail = coll.child_via(EVAA_WITHDRAW_FAIL)
+        for leg in (ok, fail):
+            if leg is not None:
+                claimed.append(leg)
+        claimed += _value_children(coll, claimed)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "evaa_withdraw",
+        claimed=claimed,
+        source=node.in_msg.source,
+        amount=body.get("amount"),
+        success=fail is None,
+        evaa_withdraw_data={
+            "master": node.account,
+            "asset_id": body.get("asset_id", "TON"),
+            "fail_reason": "withdraw_fail" if fail is not None else None,
+        },
+    )
+
+
+def match_evaa_liquidate(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != EVAA_LIQUIDATE_MASTER:
+        return None
+    user = node.child_via(EVAA_LIQUIDATE_USER)
+    if user is None:
+        return None
+    claimed = [node, user]
+    verdict = user.child_via(EVAA_LIQUIDATE_SATISFIED) or user.child_via(
+        EVAA_LIQUIDATE_UNSATISFIED
+    )
+    satisfied = verdict is not None and (
+        verdict.in_msg.opcode == EVAA_LIQUIDATE_SATISFIED
+    )
+    if verdict is not None:
+        claimed.append(verdict)
+        done = verdict.child_via(EVAA_LIQUIDATE_SUCCESS) or verdict.child_via(
+            EVAA_LIQUIDATE_FAIL
+        )
+        if done is not None:
+            claimed.append(done)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "evaa_liquidate",
+        claimed=claimed,
+        destination=node.account,
+        amount=body.get("debt_amount"),
+        success=satisfied,
+        evaa_liquidate_data={
+            "fail_reason": None if satisfied else "liquidate_unsatisfied",
+            "debt_amount": body.get("debt_amount"),
+            "asset_id": body.get("asset_id"),
+        },
+    )
+
+
+# ------------------------------------------------------------------- JVault
+
+
+def match_jvault_stake(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != JVAULT_RECEIVE:
+        return None
+    claimed = _claim_chain(node, JETTON_INTERNAL, JETTON_NOTIFY)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "jvault_stake",
+        claimed=claimed,
+        amount=body.get("amount"),
+        jvault_stake_data={
+            "period": body.get("period"),
+            "minted_stake_jettons": body.get("minted_stake_jettons"),
+            "stake_wallet": node.account,
+        },
+    )
+
+
+match_jvault_unstake = _simple(JVAULT_UNSTAKE, "jvault_unstake")
+match_jvault_unstake_request = _simple(
+    JVAULT_UNSTAKE_REQUEST, "jvault_unstake_request"
+)
+
+
+def match_jvault_claim(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != JVAULT_CLAIM:
+        return None
+    claimed = [node]
+    sends = [
+        c for c in node.children
+        if c.in_msg is not None and c.in_msg.opcode == JVAULT_SEND_CLAIMED
+    ]
+    claimed += sends
+    jettons, amounts = [], []
+    for s in sends:
+        b = s.in_msg.decoded_body()
+        jettons.append(b.get("jetton"))
+        amounts.append(b.get("amount"))
+    return _base(
+        node,
+        "jvault_claim",
+        claimed=claimed,
+        jvault_claim_data={
+            "claimed_jettons": jettons or None,
+            "claimed_amounts": amounts or None,
+        },
+    )
+
+
+# ------------------------------------------------------- staking (extras)
+
+
+def match_tonstakers_delayed_withdrawal(node: Node, ctx: Ctx) -> dict | None:
+    """Payout-NFT burn at the pool (0xed58b0b2) releasing the delayed
+    withdrawal (TONStakersDelayedWithdrawalMatcher, blocks/staking.py)."""
+    if _op(node) != TS_NFT_BURN_NOTIFICATION:
+        return None
+    payout = next(
+        (c for c in node.children
+         if c.in_msg is not None
+         and (c.in_msg.opcode in (POOL_WITHDRAWAL, TS_DISTRIBUTED_ASSET)
+              or (c.in_msg.value or 0) > 0)),
+        None,
+    )
+    claimed = [node] + ([payout] if payout is not None else [])
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "tonstakers_withdraw",
+        claimed=claimed,
+        source=node.account,
+        destination=payout.account if payout is not None else None,
+        amount=payout.in_msg.value if payout is not None else None,
+        staking_data={
+            "provider": "tonstakers",
+            "ts_nft": body.get("ts_nft", node.in_msg.source),
+            "tokens_burnt": body.get("tokens_burnt"),
+        },
+    )
+
+
+def match_nominator_pool_ops(node: Node, ctx: Ctx) -> dict | None:
+    """Nominator-pool text protocol: 'd' deposits, 'w' requests withdrawal
+    (NominatorPool*Matcher, blocks/staking.py); op 0x2 at the pool
+    processes queued withdrawals with payout legs."""
+    m = node.in_msg
+    if m is None or m.source is None:
+        return None
+    if _op(node) == NOMINATOR_PROCESS_WITHDRAWS:
+        payouts = _value_children(node, [])
+        if not payouts:
+            return None
+        return _base(
+            node, "nominator_pool_withdraw", claimed=[node] + payouts,
+            source=node.account, destination=payouts[0].account,
+            amount=sum(p.in_msg.value or 0 for p in payouts),
+        )
+    if m.opcode in (None, 0) and (m.value or 0) > 0:
+        comment = m.decoded_body().get("comment")
+        if comment == "d":
+            return _base(node, "nominator_pool_deposit",
+                         destination=node.account)
+        if comment == "w":
+            return _base(node, "nominator_pool_withdraw_request",
+                         destination=node.account)
+    return None
+
+
+# ------------------------------------------------------------ tgBTC bridge
+
+match_tgbtc_mint = _log_event(TGBTC_MINT_EVENT, "tgbtc_mint")
+match_tgbtc_burn = _log_event(TGBTC_BURN_EVENT, "tgbtc_burn")
+match_tgbtc_new_key = _log_event(TGBTC_NEW_KEY_EVENT, "tgbtc_new_key")
+match_tgbtc_dkg_log = _log_event(TGBTC_DKG_EVENT, "tgbtc_dkg_log")
+
+
+# ---------------------------------------------------------------- LayerZero
+
+
+def match_layerzero_send(node: Node, ctx: Ctx) -> dict | None:
+    """Endpoint send (0xdd4ea3b4): claim the channel hop + event log
+    (LayerZeroSendMatcher, blocks/layerzero.py re-derived)."""
+    if _op(node) != LZ_ENDPOINT_SEND:
+        return None
+    claimed = [node] + [c for c in node.children if c.in_msg is not None][:1]
+    return _base(node, "layerzero_send", claimed=claimed)
+
+
+match_layerzero_commit_packet = _simple(
+    LZ_CHANNEL_COMMIT_PACKET, "layerzero_commit_packet"
+)
+match_layerzero_receive = _log_event(LZ_EVENT, "layerzero_receive")
+
+
+# ------------------------------------------------------------------- Cocoon
+
+
+def match_cocoon_worker_payout(node: Node, ctx: Ctx) -> dict | None:
+    if _op(node) != COCOON_WORKER_PAYOUT_REQ:
+        return None
+    pay = node.child_via(COCOON_PAYOUT)
+    claimed = [node] + ([pay] if pay is not None else [])
+    return _base(
+        node, "cocoon_worker_payout", claimed=claimed,
+        destination=pay.account if pay is not None else node.account,
+        amount=pay.in_msg.value if pay is not None else None,
+    )
+
+
+match_cocoon_proxy_payout = _simple(COCOON_PAYOUT, "cocoon_proxy_payout")
+match_cocoon_client_top_up = _simple(COCOON_CLIENT_TOPUP,
+                                     "cocoon_client_top_up")
+match_cocoon_client_register = _simple(COCOON_CLIENT_REGISTER,
+                                       "cocoon_client_register")
+match_cocoon_grant_refund = _simple(COCOON_GRANT_REFUND,
+                                    "cocoon_grant_refund")
+
+
+# -------------------------------------------------------- NFT / DNS extras
+
+match_teleitem_start_auction = _simple(
+    TELEITEM_START_AUCTION, "teleitem_start_auction"
+)
+match_dns_release = _simple(DNS_RELEASE, "dns_release")
+match_nft_update_sale = _simple(NFT_SALE_UPDATE, "nft_update_sale")
+
+
+def match_teleitem_purchase(node: Node, ctx: Ctx) -> dict | None:
+    """Fragment (telegram) auction fill-up at the item itself: the item acts
+    as its own auction; ownership-assigned leg completes the purchase
+    (TelegramNftPurchaseBlockMatcher / DnsPurchaseMatcher shape)."""
+    if _op(node) != AUCTION_FILL_UP:
+        return None
+    assigned = node.child_via(OWNERSHIP_ASSIGNED)
+    claimed = [node] + ([assigned] if assigned is not None else [])
+    return _base(
+        node,
+        "nft_purchase",
+        claimed=claimed,
+        source=node.in_msg.source,
+        destination=node.in_msg.source,
+        asset=node.account,
+        nft_transfer_data={
+            "is_purchase": True,
+            "price": node.in_msg.value,
+            "marketplace": "fragment",
+        },
+    )
+
+
+def match_auction_outbid(node: Node, ctx: Ctx) -> dict | None:
+    """A bid into a known auction that bounces the PREVIOUS bid back to a
+    different account = outbid (AuctionOutbidMatcher, blocks/nft.py)."""
+    m = node.in_msg
+    if m is None or m.source is None or (m.value or 0) <= 0:
+        return None
+    if m.opcode not in (None, 0):
+        return None
+    if node.account not in (ctx.get("auctions") or set()):
+        return None
+    returned = next(
+        (c for c in node.children
+         if c.in_msg is not None and (c.in_msg.value or 0) > 0
+         and c.account != m.source),
+        None,
+    )
+    if returned is None:
+        return None
+    return _base(
+        node, "auction_outbid", claimed=[node, returned],
+        destination=node.account,
+        source_secondary=returned.account,  # the outbid bidder refunded
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+# Opcode-specific families — safe ahead of the generic matchers because
+# every entry requires a distinctive 32-bit opcode (or event log).
+PROTOCOL_MATCHERS = [
+    ("dedust_swap", match_dedust_swap),
+    ("dedust_deposit_liquidity", match_dedust_deposit_liquidity),
+    ("dedust_withdraw_liquidity", match_dedust_withdraw_liquidity),
+    ("stonfi_swap", match_stonfi_swap),
+    ("stonfi_v2_swap", match_stonfi_v2_swap),
+    ("stonfi_v2_provide_liquidity", match_stonfi_v2_provide_liquidity),
+    ("pton_transfer", match_pton_transfer),
+    ("tonco_swap", match_tonco_swap),
+    ("tonco_deposit_liquidity", match_tonco_deposit_liquidity),
+    ("tonco_withdraw_liquidity", match_tonco_withdraw_liquidity),
+    ("tonco_deploy_pool", match_tonco_deploy_pool),
+    ("coffee_swap", match_coffee_swap),
+    ("coffee_deposit_liquidity", match_coffee_deposit_liquidity),
+    ("coffee_withdraw_liquidity", match_coffee_withdraw_liquidity),
+    ("coffee_create_vault", match_coffee_create_vault),
+    ("coffee_create_pool", match_coffee_create_pool),
+    ("evaa_supply", match_evaa_supply),
+    ("evaa_withdraw", match_evaa_withdraw),
+    ("evaa_liquidate", match_evaa_liquidate),
+    ("jvault_stake", match_jvault_stake),
+    ("jvault_unstake", match_jvault_unstake),
+    ("jvault_unstake_request", match_jvault_unstake_request),
+    ("jvault_claim", match_jvault_claim),
+    ("tonstakers_delayed_withdrawal", match_tonstakers_delayed_withdrawal),
+    ("tgbtc_mint", match_tgbtc_mint),
+    ("tgbtc_burn", match_tgbtc_burn),
+    ("tgbtc_new_key", match_tgbtc_new_key),
+    ("tgbtc_dkg_log", match_tgbtc_dkg_log),
+    ("layerzero_send", match_layerzero_send),
+    ("layerzero_commit_packet", match_layerzero_commit_packet),
+    ("layerzero_receive", match_layerzero_receive),
+    ("cocoon_worker_payout", match_cocoon_worker_payout),
+    ("cocoon_proxy_payout", match_cocoon_proxy_payout),
+    ("cocoon_client_top_up", match_cocoon_client_top_up),
+    ("cocoon_client_register", match_cocoon_client_register),
+    ("cocoon_grant_refund", match_cocoon_grant_refund),
+    ("teleitem_start_auction", match_teleitem_start_auction),
+    ("teleitem_purchase", match_teleitem_purchase),
+    ("dns_release", match_dns_release),
+    ("nft_update_sale", match_nft_update_sale),
+]
+
+# Value-transfer shapes that must outrank plain ton_transfer but stay after
+# the structural families (comments / auction semantics).
+TAIL_MATCHERS = [
+    ("nominator_pool_ops", match_nominator_pool_ops),
+    ("auction_outbid", match_auction_outbid),
+]
