@@ -114,19 +114,54 @@ def test_interface_detection(spark, fixture_dir):
         with_interfaces,
     )
 
-    df = spark.createDataFrame(
-        [
-            (list(INTERFACES["jetton_wallet"]),),
-            (list(INTERFACES["jetton_master"]) + [1, 2, 3],),
-            ([1, 2, 3],),
-            ([],),
-        ],
+    from ton_indexer_spark.functions.interfaces import (
+        CODE_HASH_INTERFACES,
+        method_name_hash,
+    )
+
+    # method ids follow the public crc16|0x10000 convention
+    assert method_name_hash("get_jetton_data") == 106029
+    assert method_name_hash("get_wallet_data") == 97026
+    assert len(INTERFACES) >= 80  # the full reference registry, not a stub
+
+    # subset matching across ≥10 distinct contract families + negatives
+    positives = [
+        "jetton_wallet", "jetton_master", "nft_collection", "nft_item",
+        "nft_sale", "nft_auction_v1", "dedust_pool", "dedust_vault",
+        "subscription_v1", "multisig_v2", "storage_provider",
+        "stonfi_router_v2",
+    ]
+    positives = [p for p in positives if p in INTERFACES][:12]
+    assert len(positives) >= 10
+    rows = [(list(INTERFACES[p]),) for p in positives]
+    rows += [([1, 2, 3],), ([],),
+             (list(INTERFACES["jetton_master"])[:-1],)]  # partial ≠ match
+    df = spark.createDataFrame(rows, "methods array<bigint>")
+    got = [r[0] for r in df.select(detect_interfaces(F.col("methods"))).collect()]
+    for want, matched in zip(positives, got):
+        assert want in matched, (want, matched)
+    assert got[-3] == [] and got[-2] == []
+    assert "jetton_master" not in got[-1]  # missing one method → no match
+
+    # superset of methods still matches (subset semantics)
+    df2 = spark.createDataFrame(
+        [(list(INTERFACES["jetton_master"]) + [1, 2, 3],)],
         "methods array<bigint>",
     )
-    got = [r[0] for r in df.select(detect_interfaces(F.col("methods"))).collect()]
-    assert got[0] == ["jetton_wallet"]
-    assert got[1] == ["jetton_master"]
-    assert got[2] == [] and got[3] == []
+    assert [r[0] for r in df2.select(
+        detect_interfaces(F.col("methods"))).collect()] == [["jetton_master"]]
+
+    # code-hash fast path short-circuits to exactly one name
+    v4r2 = next(h for h, n in CODE_HASH_INTERFACES.items()
+                if n == "wallet_v4r2")
+    df3 = spark.createDataFrame(
+        [(v4r2, [1, 2, 3]), ("nope", list(INTERFACES["jetton_wallet"]))],
+        "code_hash string, methods array<bigint>",
+    )
+    got3 = [r[0] for r in df3.select(
+        detect_interfaces(F.col("methods"), F.col("code_hash"))).collect()]
+    assert got3[0] == ["wallet_v4r2"]   # hash wins despite junk methods
+    assert got3[1] == ["jetton_wallet"]  # unknown hash falls to subset
 
     # J4 join shape over the fixture
     states = spark.read.parquet(f"{fixture_dir}/latest_account_states.parquet")
