@@ -46,19 +46,42 @@ def tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    None,  # HLL sketches are engine-specific — driver runs rows-only check;
-    # tests/test_analytics.py asserts <5% relative error vs exact
+    # HLL sketch values are engine-specific, so the gate compares a
+    # DETERMINISTIC derivation: exact distinct counts plus a boolean
+    # asserting each engine's own HLL estimate is within the 5% error
+    # bound.  Hashes match iff both engines' sketches are in-bound and
+    # exact counts agree — a meaningful cross-engine check without
+    # requiring sketch-for-sketch equality.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+               / COUNT(DISTINCT user_id) <= 0.05 AS within_bounds
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     survey_ops=("beyond:approx-distinct",),
     description="approx_count_distinct (HLL) per event_type vs exact — "
-    "sketch aggregation for 100 TB cardinality estimation",
+    "sketch aggregation for 100 TB cardinality estimation; gate asserts "
+    "the estimate's 5% error bound on both engines",
 )
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_bounds"),
         )
         .orderBy("event_type")
     )
