@@ -95,6 +95,66 @@ def test_pending_ttl_evicts(spark, fixture_dir, tmp_path):
     assert asm.open_trace_count() == 0 or res.pending_traces.count() >= 0
 
 
+def test_merge_dimension_rewrites_only_delta_buckets(spark, tmp_path):
+    """Incremental merge honesty at scale: a delta touching a few keys must
+    leave every unaffected kb= bucket's files byte-identical — the property
+    that keeps per-batch I/O O(delta), not O(table)."""
+    import hashlib
+
+    from ton_indexer_spark.sources import merge_dimension
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(f"0:acc{i:03d}", f"h{i}", i) for i in range(200)],
+        "account string, hash string, last_trans_lt long",
+    )
+    merge_dimension(spark, base, path, key=["account"],
+                    version_col="last_trans_lt", tiebreakers=["hash"])
+
+    def file_hashes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, path)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = file_hashes()
+    buckets_before = {p.split("/")[0] for p in before}
+    assert len(buckets_before) > 4  # keys actually spread across buckets
+
+    delta = spark.createDataFrame(
+        [("0:acc001", "h1-new", 1000), ("0:acc002", "h2-new", 2000)],
+        "account string, hash string, last_trans_lt long",
+    )
+    merge_dimension(spark, delta, path, key=["account"],
+                    version_col="last_trans_lt", tiebreakers=["hash"])
+    after = file_hashes()
+
+    from pyspark.sql import functions as F2
+    from ton_indexer_spark.sources.writer import DIM_BUCKETS, _with_key_bucket
+    touched = {
+        f"kb={r[0]}"
+        for r in _with_key_bucket(delta, ["account"], DIM_BUCKETS)
+        .select("kb").distinct().collect()
+    }
+    for p, digest in before.items():
+        bucket = p.split("/")[0]
+        if bucket not in touched:
+            assert after.get(p) == digest, f"untouched bucket rewritten: {p}"
+
+    # merged content is still the LWW view
+    got = {
+        r["account"]: r["hash"]
+        for r in spark.read.parquet(path)
+        .filter(F2.col("account").isin("0:acc001", "0:acc002")).collect()
+    }
+    assert got == {"0:acc001": "h1-new", "0:acc002": "h2-new"}
+
+
 def test_lww_writer_matches_window(spark, fixture_dir, tmp_path):
     import duckdb
 

@@ -87,22 +87,47 @@ def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    """
+def _banded_lsh_oracle(n_bands: int = 16, band_planes: int = 4,
+                       threshold: float = 0.4) -> str:
+    """DuckDB SQL mirroring the banded-sign-LSH near-dup semantics exactly:
+    same deterministic coordinate-slice sign buckets, pairs colliding in
+    ≥1 band, distinct — so the gate checks the distributed plan's real
+    output, not an all-pairs computation the scale path avoids."""
+    bands = []
+    for bi in range(n_bands):
+        cases = " || ".join(
+            f"CASE WHEN emb[{bi * band_planes + j + 1}] >= 0 "
+            "THEN '1' ELSE '0' END"
+            for j in range(band_planes)
+        )
+        bands.append(
+            f"SELECT vec_id, emb, {bi} AS band, {cases} AS bucket FROM v"
+        )
+    union = "\n        UNION ALL ".join(bands)
+    return f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    b AS (
+        {union}
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+    SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.emb, b2.emb), 6) AS sim
+    FROM b a JOIN b b2
+      ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE ROUND(list_cosine_similarity(a.emb, b2.emb), 6) >= {threshold}
     ORDER BY vec_a, vec_b
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _banded_lsh_oracle(),
     survey_ops=("beyond:dedup-embedding",),
     description="embedding-cosine near-duplicate pairs (sim >= 0.4) via "
-    "blocked numpy matmul over a broadcast normalized corpus — the "
-    "semantic-dedup variant of the dedup family",
+    "LSH sign-bucket candidates + JVM-side cosine — fully distributed, "
+    "no driver collect; the dense matmul remains as an opt-in guarded "
+    "rerank (cosine_neardup_pairs_dense)",
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ton_indexer_spark.similarity.neardup import cosine_neardup_pairs

@@ -1,18 +1,19 @@
-"""All-pairs cosine near-duplicate detection via blocked matrix multiply.
+"""Embedding-cosine near-duplicate pairs.
 
-Column-algebra cosine (`zip_with`+`aggregate`) is fine for top-k against a
-small query set, but all-pairs scoring is a dense matmul problem: per-pair
-lambda evaluation costs ~100× more than BLAS.  Shape here:
+Two paths:
 
-    corpus → L2-normalize → broadcast (numpy matrix, ids)
-    corpus partitions → mapInPandas: block  @ corpusᵀ  → pairs ≥ threshold
+- ``cosine_neardup_pairs`` (DEFAULT, the scale path): LSH sign-bucket
+  candidate generation → per-bucket self-join → JVM-side cosine column
+  expression.  Fully distributed — no driver collect, no broadcast of the
+  corpus; the only shuffle is on the bucket key, and per-bucket cost is
+  O(|bucket|²·d).  This is the plan that survives a 100× corpus.
 
-Each task multiplies its Arrow batch (b×d) against the broadcast matrix
-(n×d) — O(b·n·d) flops in BLAS, emitting only qualifying pairs (i < j).
-
-Scale honesty: the broadcast bounds n (fits comfortably to ~10M×64 fp32 ≈
-2.5 GB); beyond that the LSH/IVF candidate path (similarity/lsh.py,
-dedup/minhash.py) is the tool and this operator becomes its rerank stage.
+- ``cosine_neardup_pairs_dense`` (opt-in rerank): blocked BLAS matmul of
+  every partition against a broadcast normalized corpus — exact all-pairs,
+  ~100× faster per pair than expression evaluation, but the broadcast
+  bounds the corpus.  Guarded by ``max_rows`` (default 2M ≈ 1 GB fp64 at
+  d=64): exceeding it raises instead of silently OOMing the driver.  Use
+  it to rerank LSH/minhash candidates or score small corpora exactly.
 """
 
 from __future__ import annotations
@@ -24,6 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ton_indexer_spark.similarity.brute import cosine
+from ton_indexer_spark.similarity.lsh import banded_sign_buckets
 
 PAIRS_SCHEMA = T.StructType(
     [
@@ -40,9 +44,74 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_bands: int = 16,
+    band_planes: int = 4,
 ) -> DataFrame:
-    """(vec_a, vec_b, sim) with vec_a < vec_b and round(sim, 6) >= threshold."""
+    """(vec_a, vec_b, sim) with vec_a < vec_b, colliding in ≥1 LSH sign
+    band, and round(sim, round_digits) >= threshold.
+
+    Banded (OR-of-ANDs) candidate semantics: a pair is scored iff its
+    sign patterns agree on any band's coordinate slice — ~97% recall at
+    cosine 0.4 with the 16×4 default, the standard trade for distributed
+    near-dup at corpus scale.  The vectors ride the band+bucket shuffle;
+    cosine is a pure column expression; cross-band duplicates collapse in
+    one distinct (sim is deterministic per pair)."""
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            banded_sign_buckets(F.col(vec_col), n_bands, band_planes)
+        ).alias("bb"),
+    ).select(
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "id",
+        "vec",
+    )
+    left = b.select(
+        "band", "bucket", F.col("id").alias("vec_a"), F.col("vec").alias("_va")
+    )
+    right = b.select(
+        "band", "bucket", F.col("id").alias("vec_b"), F.col("vec").alias("_vb")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_digits).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
+def cosine_neardup_pairs_dense(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact all-pairs via blocked BLAS matmul against a broadcast corpus.
+
+    Each task multiplies its Arrow batch (b×d) against the broadcast
+    normalized matrix (n×d) — O(b·n·d) flops in BLAS, emitting only
+    qualifying (i < j) pairs.  The broadcast bounds n: ``max_rows``
+    guards the driver collect and raises past it (use the LSH path or
+    shrink the candidate set instead)."""
     spark = emb.sparkSession
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dense all-pairs corpus has {n} rows > max_rows={max_rows}; "
+            "use cosine_neardup_pairs (LSH path) or raise the guard "
+            "explicitly"
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

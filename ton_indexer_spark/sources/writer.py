@@ -57,6 +57,18 @@ def write_facts(
     )
 
 
+DIM_BUCKETS = 64  # key-hash partitions per dimension table
+
+
+def _with_key_bucket(df: DataFrame, key: Sequence[str],
+                     n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "kb",
+        F.pmod(F.xxhash64(*[F.col(k) for k in key]), F.lit(n_buckets))
+        .cast("int"),
+    )
+
+
 def merge_dimension(
     spark: SparkSession,
     delta: DataFrame,
@@ -64,20 +76,48 @@ def merge_dimension(
     key: Sequence[str],
     version_col: str = "last_transaction_lt",
     tiebreakers: Sequence[str] = (),
+    n_buckets: int = DIM_BUCKETS,
 ) -> None:
     """Last-writer-wins upsert of ``delta`` into the dimension at ``path``.
 
-    Atomicity: the merged table is written to a temp dir then swapped in —
-    a reader never sees a half-written table (single-writer assumption, as
-    in the reference's per-seqno transactional insert).
+    The dimension is laid out as ``kb=<hash(key) % n_buckets>`` partitions;
+    a merge touches ONLY the buckets containing delta keys: read those
+    buckets (partition-pruned scan) ∪ delta → window-latest → swap just
+    those bucket directories.  Per-batch I/O is O(delta keys / n_buckets ·
+    table), not O(table) — at hundreds of millions of dimension rows and
+    ~1 s chain cadence this is the difference between a viable incremental
+    merge and rewriting the world (the scale analog of the reference's
+    keyed upsert, InsertManagerPostgres.cpp:1019-1460).
+
+    Idempotent (re-running a batch converges — the reference's ON CONFLICT
+    fallback, :1746-1748); per-bucket swaps are atomic under the
+    single-writer assumption, and untouched bucket files are never opened
+    or rewritten.
     """
-    if os.path.exists(path):
-        current = spark.read.parquet(path)
-        merged = current.unionByName(delta, allowMissingColumns=True)
-    else:
-        merged = delta
+    delta_b = _with_key_bucket(delta, key, n_buckets)
+    if not os.path.exists(path):
+        latest = latest_by(delta_b, key, version_col, tiebreakers=tiebreakers)
+        latest.write.mode("overwrite").partitionBy("kb").parquet(path)
+        return
+    affected = sorted(
+        r[0] for r in delta_b.select("kb").distinct().collect()
+    )
+    current = spark.read.parquet(path).filter(F.col("kb").isin(affected))
+    merged = current.unionByName(delta_b, allowMissingColumns=True)
     latest = latest_by(merged, key, version_col, tiebreakers=tiebreakers)
-    atomic_replace(latest, path)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    latest.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    for kb in affected:
+        src, dst = os.path.join(tmp, f"kb={kb}"), os.path.join(path, f"kb={kb}")
+        if not os.path.exists(src):
+            continue  # delta rows all superseded — nothing new for bucket
+        old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    shutil.rmtree(tmp)
 
 
 def replace_by_key(
