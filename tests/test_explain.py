@@ -120,6 +120,28 @@ def test_partition_pruning_on_written_facts(spark, fixture_dir, tmp_path):
     assert df.count() > 0
 
 
+def test_message_drop_scan_prunes_by_seq_bucket(spark, fixture_dir, tmp_path):
+    """The streaming ingest's per-batch message read must prune the drop
+    directory by seq_bucket — a backfill batch must not re-scan the whole
+    message history every micro-batch."""
+    from ton_indexer_spark.streaming.ingest import write_message_drops
+
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    path = str(tmp_path / "msg_drops")
+    write_message_drops(msgs, path, bucket_size=4)
+
+    all_msgs = spark.read.parquet(path)
+    seqs = [r[0] for r in all_msgs.select("mc_seqno").distinct().limit(3).collect()]
+    buckets = sorted({s // 4 for s in seqs})
+    df = all_msgs.filter(
+        all_msgs["seq_bucket"].isin(buckets) & all_msgs["mc_seqno"].isin(seqs)
+    )
+    plan = plan_of(df)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "seq_bucket" in pf_line, pf_line
+    assert df.count() > 0
+
+
 def test_bucketed_join_has_no_exchange(spark, fixture_dir):
     """Both sides bucketed on msg_hash → the self-join plans ZERO shuffles
     (the co-located layout for trace assembly's hottest join)."""

@@ -95,6 +95,70 @@ def test_pending_ttl_evicts(spark, fixture_dir, tmp_path):
     assert asm.open_trace_count() == 0 or res.pending_traces.count() >= 0
 
 
+def test_replayed_batch_is_idempotent(spark, fixture_dir, tmp_path):
+    """T8 exactly-once effect under at-least-once delivery: redelivering a
+    micro-batch (crash between sink write and checkpoint commit) must leave
+    every output table byte-for-row identical — the batch-keyed sink dir is
+    replaced, and the assembler rewinds to its pre-batch snapshot.  Then a
+    full rerun from a fresh checkpoint (the backfill/reorg path) must
+    converge to the same table state."""
+    from ton_indexer_spark.streaming.ingest import IngestPipeline
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    seqnos = sorted(r[0] for r in txs.select("mc_block_seqno").distinct().collect())
+    k = len(seqnos) // 3 + 1
+    slices = [set(seqnos[i * k: (i + 1) * k]) for i in range(3)]
+
+    out = str(tmp_path / "out")
+    pipe = IngestPipeline(spark, out_dir=out, state_dir=str(tmp_path / "state"))
+
+    def batch(i):
+        bt = txs.filter(F.col("mc_block_seqno").isin(slices[i])).drop("trace_id")
+        bm = msgs.filter(F.col("mc_seqno").isin(slices[i]))
+        return bt, bm
+
+    for i in (0, 1):
+        bt, bm = batch(i)
+        pipe.process_batch(bt, bm, batch_id=i)
+
+    def table_state(name):
+        p = os.path.join(out, name)
+        if not os.path.exists(p):
+            return None
+        df = spark.read.parquet(p)
+        return sorted(map(tuple, df.drop("batch", "mc_bucket").collect()))
+
+    before = {t: table_state(t) for t in ("transactions", "traces")}
+    assert before["transactions"], "batches produced no output"
+
+    # redeliver batch 1 (same data, same id) — must be a no-op on tables
+    bt, bm = batch(1)
+    pipe.process_batch(bt, bm, batch_id=1)
+    after = {t: table_state(t) for t in ("transactions", "traces")}
+    assert after == before
+
+    # continue: batch 2 completes the stream; compare to ground truth
+    bt, bm = batch(2)
+    pipe.process_batch(bt, bm, batch_id=2)
+    truth = spark.read.parquet(f"{fixture_dir}/traces.parquet")
+    n_final = truth.filter(F.col("state") != "pending").count()
+    traces = spark.read.parquet(os.path.join(out, "traces"))
+    assert traces.count() == n_final
+
+    # full rerun into the same out dir with a fresh assembler (fresh
+    # checkpoint analog): batch ids restart, dirs are replaced, state
+    # converges to the identical table content
+    final_before = {t: table_state(t) for t in ("transactions", "traces")}
+    pipe2 = IngestPipeline(spark, out_dir=out,
+                           state_dir=str(tmp_path / "state"))
+    for i in (0, 1, 2):
+        bt, bm = batch(i)
+        pipe2.process_batch(bt, bm, batch_id=i)
+    final_after = {t: table_state(t) for t in ("transactions", "traces")}
+    assert final_after == final_before
+
+
 def test_merge_dimension_rewrites_only_delta_buckets(spark, tmp_path):
     """Incremental merge honesty at scale: a delta touching a few keys must
     leave every unaffected kb= bucket's files byte-identical — the property
@@ -204,12 +268,15 @@ def test_file_stream_end_to_end(spark, fixture_dir, tmp_path):
         .coalesce(1).write.parquet(src_tx))
     (txs.filter(F.col("mc_block_seqno") > mid).drop("trace_id")
         .coalesce(1).write.mode("append").parquet(src_tx))
+    from ton_indexer_spark.streaming.ingest import write_message_drops
+
     src_msg = str(tmp_path / "src_msg")
-    msgs.write.parquet(src_msg)
+    write_message_drops(msgs, src_msg, bucket_size=4)
 
     out = str(tmp_path / "out")
     pipe = IngestPipeline(spark, out_dir=out, state_dir=str(tmp_path / "state"))
-    pipe.run_available_now(src_tx, src_msg, str(tmp_path / "ckpt"))
+    pipe.run_available_now(src_tx, src_msg, str(tmp_path / "ckpt"),
+                           msg_bucket_size=4)
 
     flushed = spark.read.parquet(os.path.join(out, "transactions"))
     traces = spark.read.parquet(os.path.join(out, "traces"))

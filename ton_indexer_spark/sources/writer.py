@@ -69,6 +69,43 @@ def _with_key_bucket(df: DataFrame, key: Sequence[str],
     )
 
 
+def write_facts_batch(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    batch_id: int,
+    seqno_col: str = "mc_block_seqno",
+    bucket_size: int = DEFAULT_BUCKET,
+) -> None:
+    """Idempotent T8 fact sink for at-least-once streaming delivery.
+
+    Each micro-batch lands in its own ``batch=<id>`` subdirectory, written
+    to a hidden temp dir and swapped in: a redelivered batch (crash between
+    sink write and checkpoint commit) REPLACES its directory instead of
+    appending duplicate rows — exactly-once table effect without a
+    transaction log.  Readers scan the root; partition discovery exposes
+    batch and mc_bucket as columns and prunes both."""
+    out = with_mc_bucket(df, seqno_col, bucket_size)
+    dest = os.path.join(path, f"batch={batch_id}")
+    # dot-prefixed temp: invisible to concurrent partition discovery
+    tmp = os.path.join(path, f".tmp-batch-{batch_id}-{uuid.uuid4().hex[:8]}")
+    (
+        out.repartition("mc_bucket")
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("mc_bucket")
+        .parquet(tmp)
+    )
+    old = os.path.join(
+        path, f".old-batch-{batch_id}-{uuid.uuid4().hex[:8]}"
+    )
+    if os.path.exists(dest):
+        os.rename(dest, old)
+    os.rename(tmp, dest)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def merge_dimension(
     spark: SparkSession,
     delta: DataFrame,

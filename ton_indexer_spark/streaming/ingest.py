@@ -27,9 +27,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ton_indexer_spark.sources.writer import merge_dimension, write_facts
+from ton_indexer_spark.sources.writer import (
+    merge_dimension,
+    write_facts,
+    write_facts_batch,
+)
 from ton_indexer_spark.streaming.push import Publisher, publish_batch
 from ton_indexer_spark.streaming.trace_assembler import IncrementalTraceAssembler
+
+MSG_DROP_BUCKET = 100  # masterchain seqnos per message-drop partition
+
+
+def write_message_drops(msgs: DataFrame, path: str,
+                        bucket_size: int = MSG_DROP_BUCKET,
+                        seqno_col: str = "mc_seqno") -> None:
+    """Stage message drops partitioned by seqno bucket so the streaming
+    ingest's per-batch filter prunes at the directory level (the analog of
+    the reference scheduler's per-seqno bundles)."""
+    (
+        msgs.withColumn(
+            "seq_bucket", F.expr(f"`{seqno_col}` div {bucket_size}")
+        )
+        .repartition("seq_bucket")
+        .write.mode("append")
+        .partitionBy("seq_bucket")
+        .parquet(path)
+    )
 
 
 class IngestPipeline:
@@ -56,20 +79,30 @@ class IngestPipeline:
         self.nft_items = nft_items
         self.publisher = publisher
 
-    def process_batch(self, txs: DataFrame, msgs: DataFrame) -> None:
-        res = self.assembler.process_batch(txs, msgs)
+    def process_batch(self, txs: DataFrame, msgs: DataFrame,
+                      batch_id: int | None = None) -> None:
+        def sink(df: DataFrame, table: str, sort_cols: list[str]) -> None:
+            # T8: with a batch_id the sink is idempotent (batch-keyed dir
+            # replace); without one (direct driving) it appends
+            path = os.path.join(self.out_dir, table)
+            if batch_id is not None:
+                write_facts_batch(df, path, sort_cols, batch_id)
+            else:
+                write_facts(df, path, sort_cols)
+
+        res = self.assembler.process_batch(txs, msgs, batch_id=batch_id)
         flushed = res.final_transactions
         if flushed.head(1):
-            write_facts(
+            sink(
                 flushed,
-                os.path.join(self.out_dir, "transactions"),
+                "transactions",
                 sort_cols=["lt", "account", "hash"],
             )
         final = res.final_traces
         if final.head(1):
-            write_facts(
+            sink(
                 final.withColumn("mc_block_seqno", final["mc_seqno_end"]),
-                os.path.join(self.out_dir, "traces"),
+                "traces",
                 sort_cols=["end_lt", "trace_id"],
             )
             if self.classify:  # T5: classification follows finalization
@@ -92,14 +125,14 @@ class IngestPipeline:
                     "trace_id",
                 )
                 if actions.head(1):
-                    write_facts(
+                    sink(
                         actions.withColumn(
                             "mc_block_seqno", actions["trace_mc_seqno_end"]
                         ),
-                        os.path.join(self.out_dir, "actions"),
+                        "actions",
                         sort_cols=["trace_end_lt", "trace_id", "action_id"],
                     )
-                    write_facts(
+                    sink(
                         cls.action_accounts.join(
                             final.select(
                                 "trace_id",
@@ -108,7 +141,7 @@ class IngestPipeline:
                             ),
                             "trace_id",
                         ),
-                        os.path.join(self.out_dir, "action_accounts"),
+                        "action_accounts",
                         sort_cols=["account", "trace_end_lt"],
                     )
 
@@ -156,19 +189,31 @@ class IngestPipeline:
             )
 
     def run_available_now(self, tx_source_dir: str, msg_source_dir: str,
-                          checkpoint_dir: str):
+                          checkpoint_dir: str,
+                          msg_bucket_size: int = MSG_DROP_BUCKET):
         """Structured Streaming wiring: one file-source stream drives the
         pipeline; messages for the batch are read by mc_seqno range (the
-        per-seqno bundle discipline of the reference's scheduler)."""
+        per-seqno bundle discipline of the reference's scheduler).
+
+        When the message drop directory is laid out in ``seq_bucket=``
+        partitions (write_message_drops), the per-batch filter hits the
+        partition column first — the scan PRUNES to the batch's buckets
+        instead of re-reading the whole message history every micro-batch
+        (the O(table)-per-batch trap at backfill scale)."""
         tx_schema = self.spark.read.parquet(tx_source_dir).schema
         msgs_all = self.spark.read.parquet(msg_source_dir)
+        has_bucket = "seq_bucket" in msgs_all.columns
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.head(1):
                 return
             seqs = [r[0] for r in batch_df.select("mc_block_seqno").distinct().collect()]
-            batch_msgs = msgs_all.filter(msgs_all["mc_seqno"].isin(seqs))
-            self.process_batch(batch_df, batch_msgs)
+            cond = msgs_all["mc_seqno"].isin(seqs)
+            if has_bucket:
+                buckets = sorted({s // msg_bucket_size for s in seqs})
+                cond = msgs_all["seq_bucket"].isin(buckets) & cond
+            batch_msgs = msgs_all.filter(cond)
+            self.process_batch(batch_df, batch_msgs, batch_id=batch_id)
 
         stream = (
             self.spark.readStream.schema(tx_schema)

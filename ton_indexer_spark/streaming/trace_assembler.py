@@ -81,9 +81,32 @@ class IncrementalTraceAssembler:
         self.pending_ttl_mc_seqnos = pending_ttl_mc_seqnos
         self._open_txs: DataFrame | None = None
         self._open_msgs: DataFrame | None = None
-        if state_dir and os.path.exists(os.path.join(state_dir, "txs")):
-            self._open_txs = spark.read.parquet(os.path.join(state_dir, "txs"))
-            self._open_msgs = spark.read.parquet(os.path.join(state_dir, "msgs"))
+        if state_dir:
+            snaps = self._snap_ids()
+            if snaps:
+                self._load_snap(snaps[-1])
+            elif os.path.exists(os.path.join(state_dir, "txs")):
+                self._open_txs = spark.read.parquet(
+                    os.path.join(state_dir, "txs")
+                )
+                self._open_msgs = spark.read.parquet(
+                    os.path.join(state_dir, "msgs")
+                )
+
+    # -- batch-id-keyed snapshots (T3/T8 replay coordination) ----------------
+    def _snap_ids(self) -> list[int]:
+        if not self.state_dir or not os.path.isdir(self.state_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.state_dir)
+            if d.startswith("snap=")
+        )
+
+    def _load_snap(self, snap_id: int) -> None:
+        base = os.path.join(self.state_dir, f"snap={snap_id}")
+        self._open_txs = self.spark.read.parquet(os.path.join(base, "txs"))
+        self._open_msgs = self.spark.read.parquet(os.path.join(base, "msgs"))
 
     # -- state plumbing -----------------------------------------------------
     def _union_state(self, txs: DataFrame, msgs: DataFrame):
@@ -107,10 +130,33 @@ class IncrementalTraceAssembler:
         )
         return self._open_txs, open_msgs
 
-    def _persist_state(self, txs: DataFrame, msgs: DataFrame) -> None:
+    def _persist_state(self, txs: DataFrame, msgs: DataFrame,
+                       batch_id: int | None = None) -> None:
         # keep state materialized so the next batch doesn't re-derive a
         # growing lineage; parquet swap doubles as the restart snapshot (T3)
-        if self.state_dir:
+        if self.state_dir and batch_id is not None:
+            # batch-keyed snapshot: state AFTER batch_id.  Replay of the
+            # same batch reloads the previous snapshot first, so the rerun
+            # derives identical outputs — the sink side (batch-keyed fact
+            # dirs) then replaces rather than duplicates (T8).
+            from ton_indexer_spark.sources.writer import atomic_replace_many
+
+            base = os.path.join(self.state_dir, f"snap={batch_id}")
+            atomic_replace_many(
+                [
+                    (txs, os.path.join(base, "txs")),
+                    (msgs, os.path.join(base, "msgs")),
+                ]
+            )
+            self._load_snap(batch_id)
+            import shutil
+
+            for sid in self._snap_ids():
+                if sid < batch_id - 1:  # keep previous snap for replay
+                    shutil.rmtree(
+                        os.path.join(self.state_dir, f"snap={sid}")
+                    )
+        elif self.state_dir:
             from ton_indexer_spark.sources.writer import atomic_replace_many
 
             atomic_replace_many(
@@ -126,7 +172,19 @@ class IncrementalTraceAssembler:
             self._open_msgs = msgs.localCheckpoint(eager=True)
 
     # -- the operator -------------------------------------------------------
-    def process_batch(self, batch_txs: DataFrame, batch_msgs: DataFrame) -> BatchResult:
+    def process_batch(self, batch_txs: DataFrame, batch_msgs: DataFrame,
+                      batch_id: int | None = None) -> BatchResult:
+        if batch_id is not None and self.state_dir:
+            snaps = self._snap_ids()
+            if snaps and snaps[-1] >= batch_id:
+                # redelivered batch (crash after state persist, before the
+                # streaming checkpoint committed): rewind to the snapshot
+                # preceding this batch so the rerun is deterministic
+                prev = [s for s in snaps if s < batch_id]
+                if prev:
+                    self._load_snap(prev[-1])
+                else:
+                    self._open_txs = self._open_msgs = None
         all_txs, all_msgs = self._union_state(batch_txs, batch_msgs)
         assembled = assemble_traces(all_txs, all_msgs)
         # checkpoint everything returned to callers BEFORE the state swap —
@@ -147,13 +205,18 @@ class IncrementalTraceAssembler:
                 pending = pending.filter(F.col("mc_seqno_end") >= cutoff)
                 final = final.unionByName(expired)
 
+        # NO broadcast hints on the id-set joins: at block cadence these
+        # sets are tiny and AQE broadcasts them anyway, but a backfill or
+        # the 50-block backtrack path makes them arbitrarily large — a
+        # forced broadcast would OOM exactly when it matters.  AQE picks
+        # the strategy from the real runtime size.
         final_ids = final.select("trace_id")
         final_txs = tx_assign_full.join(
-            F.broadcast(final_ids), "trace_id", "left_semi"
+            final_ids, "trace_id", "left_semi"
         ).localCheckpoint(eager=True)
         final_msgs = (
             all_msgs.join(
-                F.broadcast(final_txs.select(F.col("hash").alias("tx_hash"))),
+                final_txs.select(F.col("hash").alias("tx_hash")),
                 "tx_hash",
                 "left_semi",
             )
@@ -169,12 +232,12 @@ class IncrementalTraceAssembler:
         # serve these traces before finalization
         pending_tx = (
             tx_assign_full.join(
-                F.broadcast(pending.select("trace_id")), "trace_id", "left_semi"
+                pending.select("trace_id"), "trace_id", "left_semi"
             ).select(*_TX_STATE_COLS, "trace_id")
         )
         pending_hashes = pending_tx.select(F.col("hash").alias("tx_hash"))
-        pending_msgs = all_msgs.join(F.broadcast(pending_hashes), "tx_hash", "left_semi")
-        self._persist_state(pending_tx, pending_msgs)
+        pending_msgs = all_msgs.join(pending_hashes, "tx_hash", "left_semi")
+        self._persist_state(pending_tx, pending_msgs, batch_id=batch_id)
 
         return BatchResult(
             final_traces=final,
