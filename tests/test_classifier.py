@@ -130,7 +130,7 @@ def build_dfs(spark, builders):
 
 def run(spark, builders, jetton_wallets=None, nft_items=None,
         dex_pools=None, multisig=None, auctions=None, nft_sales=None,
-        big_trace_cutoff=4000):
+        dns_items=None, big_trace_cutoff=4000):
     from ton_indexer_spark.classifier import classify_traces
 
     txs_df, msgs_df, bodies_df = build_dfs(spark, builders)
@@ -155,8 +155,14 @@ def run(spark, builders, jetton_wallets=None, nft_items=None,
         [(s["address"], s["nft_address"]) for s in nft_sales],
         "address string, nft_address string",
     ) if nft_sales else None
-    return classify_traces(txs_df, msgs_df, bodies_df, jw, ni, dp, ms, au, ns,
-                           big_trace_cutoff=big_trace_cutoff)
+    di = spark.createDataFrame(
+        [(d["address"],) for d in dns_items], "address string"
+    ) if dns_items else None
+    return classify_traces(
+        txs_df, msgs_df, bodies_df,
+        jetton_wallets=jw, nft_items=ni, dns_items=di, dex_pools=dp,
+        multisig=ms, auctions=au, nft_sales=ns,
+        big_trace_cutoff=big_trace_cutoff)
 
 
 def acts_of(result, trace_id):

@@ -573,3 +573,327 @@ def test_typed_payloads_on_generic_matchers(spark):
     assert [a["type"] for a in vw] == ["vesting_add_whitelist"]
     assert vw[0]["vesting_add_whitelist_data"]["accounts_added"] == [A[5], A[6]]
     assert vw[0]["vesting_add_whitelist_data"]["query_id"] == 9
+
+
+def test_ethena_family(spark):
+    from ton_indexer_spark.classifier.protocols import (
+        ETHENA_TSUSDE_TRANSFER,
+        JETTON_MINT_OP,
+    )
+
+    USDE_W1 = "0:usdew1" + "0" * 57
+    USDE_W2 = "0:usdew2" + "0" * 57
+    TSUSDE_W = "0:tsusdew" + "0" * 56
+    POOL_E = "0:ethenapool" + "0" * 53
+
+    # deposit: USDe transfer -> internal -> notify at pool -> tsUSDe mint
+    b = TraceBuilder("eth1")
+    r = b.tx(A[0], None)
+    t = b.chain(r, USDE_W1, opcode=JETTON_TRANSFER,
+                body=body_of({"amount": 1000, "destination": POOL_E}))
+    i = b.chain(t, USDE_W2, opcode=JETTON_INTERNAL)
+    n = b.chain(i, POOL_E, opcode=JETTON_NOTIFY)
+    m = b.chain(n, "0:tsmaster" + "0" * 54, opcode=JETTON_MINT_OP,
+                body=body_of({"amount": 950}))
+    b.chain(m, TSUSDE_W, opcode=JETTON_INTERNAL)
+
+    # withdrawal request: transfer chain ending in timelocked tsUSDe leg
+    b2 = TraceBuilder("eth2")
+    r2 = b2.tx(A[1], None)
+    t2 = b2.chain(r2, USDE_W1, opcode=JETTON_TRANSFER,
+                  body=body_of({"amount": 500}))
+    i2 = b2.chain(t2, USDE_W2, opcode=JETTON_INTERNAL)
+    n2 = b2.chain(i2, POOL_E, opcode=JETTON_NOTIFY)
+    m2 = b2.chain(n2, "0:tsmaster" + "0" * 54, opcode=JETTON_MINT_OP,
+                  body=body_of({"amount": 480}))
+    b2.chain(m2, TSUSDE_W, opcode=ETHENA_TSUSDE_TRANSFER,
+             body=body_of({"amount": 480}))
+
+    res = run(spark, [b, b2], jetton_wallets=[
+        {"address": USDE_W1, "owner": A[0], "jetton": "0:usde"},
+        {"address": USDE_W2, "owner": POOL_E, "jetton": "0:usde"},
+    ])
+    dep = acts_of(res, "eth1")
+    assert [a["type"] for a in dep] == ["stake_deposit"]
+    assert dep[0]["staking_data"]["provider"] == "ethena"
+    assert dep[0]["staking_data"]["tokens_minted"] == 950
+    assert dep[0]["asset"] == "0:usde" and dep[0]["amount"] == 1000
+
+    wr = acts_of(res, "eth2")
+    assert [a["type"] for a in wr] == ["stake_withdrawal_request"]
+    assert wr[0]["staking_data"]["provider"] == "ethena"
+    assert wr[0]["staking_data"]["tokens_minted"] == 480
+    assert wr[0]["amount"] == 500
+
+
+def test_coffee_staking_family(spark):
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_MEV_FAILED_SWAP,
+        COFFEE_MEV_HOLD_FUNDS,
+        COFFEE_SERVICE_FEE,
+        COFFEE_STAKING_CLAIM,
+        COFFEE_STAKING_DEPOSIT,
+        COFFEE_STAKING_WITHDRAW,
+    )
+
+    SPOOL = "0:cpool" + "0" * 58
+    POS_NFT = "0:posnft" + "0" * 57
+    CW1 = "0:cw1" + "0" * 59
+    CW2 = "0:cw2" + "0" * 59
+
+    # deposit: jetton transfer -> notify -> pool call -> position NFT mint
+    b = TraceBuilder("cs1")
+    r = b.tx(A[0], None)
+    t = b.chain(r, CW1, opcode=JETTON_TRANSFER,
+                body=body_of({"amount": 777}))
+    i = b.chain(t, CW2, opcode=JETTON_INTERNAL)
+    n = b.chain(i, SPOOL, opcode=JETTON_NOTIFY)
+    pc = b.chain(n, SPOOL, opcode=COFFEE_STAKING_DEPOSIT,
+                 body=body_of({"jetton_amount": 777, "period_id": 3}))
+    b.chain(pc, POS_NFT, opcode=0x1, body=body_of({"index": 12}))
+
+    # withdraw: withdraw_1 at NFT -> withdraw_2 -> withdraw_3 -> transfer
+    b2 = TraceBuilder("cs2")
+    r2 = b2.tx(A[1], None)
+    w1 = b2.chain(r2, POS_NFT, opcode=COFFEE_STAKING_WITHDRAW,
+                  body=body_of({"query_id": 1}))
+    w2 = b2.chain(w1, SPOOL, opcode=COFFEE_STAKING_WITHDRAW,
+                  body=body_of({"nft_id": 12, "owner": A[1], "points": 55}))
+    w3 = b2.chain(w2, SPOOL, opcode=COFFEE_STAKING_WITHDRAW,
+                  body=body_of({"jetton_amount": 777}))
+    tt = b2.chain(w3, CW2, opcode=JETTON_TRANSFER,
+                  body=body_of({"amount": 777}))
+    b2.chain(tt, CW1, opcode=JETTON_INTERNAL)
+
+    # claim rewards: claim at pool -> jetton transfer + log duplicate
+    b3 = TraceBuilder("cs3")
+    r3 = b3.tx(A[2], None)
+    cl = b3.chain(r3, SPOOL, opcode=COFFEE_STAKING_CLAIM,
+                  body=body_of({"jetton_wallet": CW2, "jetton_amount": 99,
+                                "receiver": A[3]}))
+    ct = b3.chain(cl, CW2, opcode=JETTON_TRANSFER,
+                  body=body_of({"amount": 99}))
+    b3.chain(ct, CW1, opcode=JETTON_INTERNAL)
+    b3.chain(cl, "0:log" + "0" * 60, opcode=COFFEE_STAKING_CLAIM)
+
+    # MEV hold funds + failed swap
+    b4 = TraceBuilder("cs4")
+    r4 = b4.tx(A[4], None)
+    hf = b4.chain(r4, "0:mev" + "0" * 60, opcode=COFFEE_MEV_HOLD_FUNDS,
+                  value=10**9)
+    b4.chain(hf, "0:fee" + "0" * 60, opcode=COFFEE_SERVICE_FEE)
+
+    b5 = TraceBuilder("cs5")
+    r5 = b5.tx(A[5], None)
+    b5.chain(r5, "0:mev" + "0" * 60, opcode=COFFEE_MEV_FAILED_SWAP,
+             value=5, body=body_of({"recipient": A[5]}))
+
+    res = run(spark, [b, b2, b3, b4, b5], jetton_wallets=[
+        {"address": CW1, "owner": A[0], "jetton": "0:cfee"},
+        {"address": CW2, "owner": SPOOL, "jetton": "0:cfee"},
+    ])
+    dep = acts_of(res, "cs1")
+    assert [a["type"] for a in dep] == ["coffee_staking_deposit"]
+    dd = dep[0]["coffee_staking_deposit_data"]
+    assert dd["minted_item_address"] == POS_NFT
+    assert dd["minted_item_index"] == 12
+    assert dep[0]["amount"] == 777 and dep[0]["destination"] == SPOOL
+
+    wd = acts_of(res, "cs2")
+    assert [a["type"] for a in wd] == ["coffee_staking_withdraw"]
+    wdd = wd[0]["coffee_staking_withdraw_data"]
+    assert wdd["nft_address"] == POS_NFT and wdd["nft_index"] == 12
+    assert wdd["points"] == 55
+    assert wd[0]["amount"] == 777 and wd[0]["source"] == A[1]
+    assert len(wd[0]["tx_hashes"]) == 5
+
+    cr = acts_of(res, "cs3")
+    assert [a["type"] for a in cr] == ["coffee_staking_claim_rewards"]
+    assert cr[0]["amount"] == 99 and cr[0]["destination"] == A[3]
+    assert len(cr[0]["tx_hashes"]) == 4  # claim + transfer chain + log
+
+    hold = acts_of(res, "cs4")
+    assert [a["type"] for a in hold] == ["coffee_mev_protect_hold_funds"]
+    assert hold[0]["amount"] == 10**9 and hold[0]["asset"] == "TON"
+    assert len(hold[0]["tx_hashes"]) == 2
+
+    fail = acts_of(res, "cs5")
+    assert [a["type"] for a in fail] == ["coffee_mev_protect_failed_swap"]
+    assert fail[0]["destination"] == A[5]
+
+
+def test_stonfi_v2_withdraw(spark):
+    from ton_indexer_spark.classifier.protocols import (
+        STONFI_V2_PAYOUT,
+        STONFI_V2_WITHDRAW,
+    )
+
+    SPOOL = "0:v2pool" + "0" * 57
+    RTR = "0:v2router" + "0" * 55
+    UW1 = "0:uw1" + "0" * 59
+    UW2 = "0:uw2" + "0" * 59
+    RW1 = "0:rw1" + "0" * 59
+    RW2 = "0:rw2" + "0" * 59
+
+    b = TraceBuilder("sv2w")
+    r = b.tx(A[0], None)
+    burn = b.chain(r, LPW, opcode=JETTON_BURN, body=body_of({"amount": 40}))
+    wd = b.chain(burn, SPOOL, opcode=STONFI_V2_WITHDRAW)
+    p1 = b.chain(wd, RTR, opcode=STONFI_V2_PAYOUT)
+    t1 = b.chain(p1, RW1, opcode=JETTON_TRANSFER, body=body_of({"amount": 21}))
+    b.chain(t1, UW1, opcode=JETTON_INTERNAL)
+    p2 = b.chain(wd, RTR, opcode=STONFI_V2_PAYOUT)
+    t2 = b.chain(p2, RW2, opcode=JETTON_TRANSFER, body=body_of({"amount": 19}))
+    b.chain(t2, UW2, opcode=JETTON_INTERNAL)
+
+    res = run(spark, [b], jetton_wallets=[
+        {"address": LPW, "owner": A[0], "jetton": "0:lp" + "0" * 60},
+        {"address": RW1, "owner": RTR, "jetton": "0:tokA"},
+        {"address": RW2, "owner": RTR, "jetton": "0:tokB"},
+    ])
+    wd_acts = acts_of(res, "sv2w")
+    assert [a["type"] for a in wd_acts] == ["dex_withdraw_liquidity"]
+    d = wd_acts[0]["dex_withdraw_liquidity_data"]
+    assert d["dex"] == "stonfi_v2" and d["lp_tokens_burnt"] == 40
+    assert {d["amount1"], d["amount2"]} == {21, 19}
+    assert {d["asset1_out"], d["asset2_out"]} == {"0:tokA", "0:tokB"}
+    assert len(wd_acts[0]["tx_hashes"]) == 8
+
+
+def test_layerzero_extras(spark):
+    from ton_indexer_spark.classifier.protocols import (
+        LZ_ENDPOINT_SEND,
+        LZ_DVN_VERIFY,
+        LZ_PROXY_CALL,
+        LZ_ULN_CONN_VERIFY,
+        LZ_ULN_VERIFY,
+    )
+
+    OAPP = "0:oapp" + "0" * 59
+    EP = "0:endpoint" + "0" * 55
+
+    # send_tokens: jetton transfer whose notify chain calls endpoint send
+    b = TraceBuilder("lz1")
+    r = b.tx(A[0], None)
+    t = b.chain(r, W1, opcode=JETTON_TRANSFER, body=body_of({"amount": 7}))
+    i = b.chain(t, W2, opcode=JETTON_INTERNAL)
+    n = b.chain(i, OAPP, opcode=JETTON_NOTIFY)
+    s = b.chain(n, EP, opcode=LZ_ENDPOINT_SEND)
+    b.chain(s, "0:channel" + "0" * 56, opcode=0x2)
+
+    # dvn verify chain
+    b2 = TraceBuilder("lz2")
+    r2 = b2.tx(A[1], None)
+    dv = b2.chain(r2, "0:dvn" + "0" * 60, opcode=LZ_DVN_VERIFY)
+    pc = b2.chain(dv, "0:proxy" + "0" * 58, opcode=LZ_PROXY_CALL)
+    uv = b2.chain(pc, "0:uln" + "0" * 60, opcode=LZ_ULN_VERIFY)
+    b2.chain(uv, "0:ulnconn" + "0" * 56, opcode=LZ_ULN_CONN_VERIFY)
+
+    res = run(spark, [b, b2], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:tok"},
+        {"address": W2, "owner": OAPP, "jetton": "0:tok"},
+    ])
+    st = acts_of(res, "lz1")
+    assert [a["type"] for a in st] == ["layerzero_send_tokens"]
+    assert st[0]["amount"] == 7 and st[0]["asset"] == "0:tok"
+    assert len(st[0]["tx_hashes"]) == 5
+
+    dvn = acts_of(res, "lz2")
+    assert [a["type"] for a in dvn] == ["layerzero_dvn_verify"]
+    assert len(dvn[0]["tx_hashes"]) == 4
+
+
+def test_cocoon_extended_family(spark):
+    from ton_indexer_spark.classifier.protocols import (
+        COCOON_CHANGE_SECRET_HASH,
+        COCOON_CHARGE,
+        COCOON_CLIENT_WITHDRAW_OP,
+        COCOON_INCREASE_STAKE,
+        COCOON_REGISTER_PROXY,
+        COCOON_REQUEST_REFUND,
+        COCOON_UNREGISTER_PROXY,
+        COCOON_WALLET_SEND,
+    )
+
+    ROOT = "0:ccroot" + "0" * 57
+    simple_ops = [
+        (COCOON_CHARGE, "cocoon_proxy_charge"),
+        (COCOON_REGISTER_PROXY, "cocoon_register_proxy"),
+        (COCOON_UNREGISTER_PROXY, "cocoon_unregister_proxy"),
+        (COCOON_CHANGE_SECRET_HASH, "cocoon_client_change_secret_hash"),
+        (COCOON_INCREASE_STAKE, "cocoon_client_increase_stake"),
+        (COCOON_CLIENT_WITHDRAW_OP, "cocoon_client_withdraw"),
+    ]
+    builders = []
+    for k, (op, _typ) in enumerate(simple_ops):
+        bb = TraceBuilder(f"cc{k}")
+        rr = bb.tx(A[k], None)
+        bb.chain(rr, ROOT, opcode=op)
+        builders.append(bb)
+
+    # wrapped refund request: wallet send -> refund op
+    bw = TraceBuilder("ccw")
+    rw = bw.tx(A[7], None)
+    ws = bw.chain(rw, "0:ownerw" + "0" * 57, opcode=COCOON_WALLET_SEND)
+    bw.chain(ws, ROOT, opcode=COCOON_REQUEST_REFUND)
+    builders.append(bw)
+
+    res = run(spark, builders)
+    for k, (_op, typ) in enumerate(simple_ops):
+        acts = acts_of(res, f"cc{k}")
+        assert [a["type"] for a in acts] == [typ], typ
+    ref = acts_of(res, "ccw")
+    assert [a["type"] for a in ref] == ["cocoon_client_request_refund"]
+    assert len(ref[0]["tx_hashes"]) == 2
+
+
+def test_dns_and_teleitem_extras(spark):
+    from ton_indexer_spark.classifier.protocols import (
+        AUCTION_FILL_UP,
+        TELEITEM_CANCEL_AUCTION,
+        TELEITEM_OK,
+    )
+
+    DNS_ITEM = "0:dnsitem" + "0" * 56
+    TELE_ITEM = "0:teleitem" + "0" * 55
+
+    # dns_purchase: fill-up at a DNS item
+    b = TraceBuilder("dp1")
+    r = b.tx(A[0], None)
+    f = b.chain(r, DNS_ITEM, opcode=AUCTION_FILL_UP, value=3 * 10**9)
+    b.chain(f, A[0], opcode=OWNERSHIP_ASSIGNED)
+
+    # teleitem_cancel_auction with ok ack
+    b2 = TraceBuilder("tc1")
+    r2 = b2.tx(A[1], None)
+    c = b2.chain(r2, TELE_ITEM, opcode=TELEITEM_CANCEL_AUCTION)
+    b2.chain(c, A[1], opcode=TELEITEM_OK)
+
+    res = run(spark, [b, b2],
+              nft_items=[{"address": DNS_ITEM}, {"address": TELE_ITEM}],
+              dns_items=[{"address": DNS_ITEM}])
+    dp = acts_of(res, "dp1")
+    assert [a["type"] for a in dp] == ["dns_purchase"]
+    assert dp[0]["nft_transfer_data"]["price"] == 3 * 10**9
+    assert dp[0]["nft_transfer_data"]["is_purchase"] is True
+
+    tc = acts_of(res, "tc1")
+    assert [a["type"] for a in tc] == ["teleitem_cancel_auction"]
+    assert tc[0]["asset"] == TELE_ITEM
+    assert len(tc[0]["tx_hashes"]) == 2
+
+
+def test_dedust_deposit_first_asset(spark):
+    # first-asset-only deposit: the chain stops at the deposit contract —
+    # DedustDepositFirstAssetBlockMatcher analog (liquidity.py:413-470)
+    b = TraceBuilder("ddfa")
+    r = b.tx(A[0], None)
+    v = b.chain(r, VAULT, opcode=DEDUST_DEPOSIT_TON, value=300,
+                body=body_of({"amount": 300}))
+    b.chain(v, "0:dep" + "0" * 59, opcode=DEDUST_TOPUP_DEPOSIT)
+
+    res = run(spark, [b])
+    dep = acts_of(res, "ddfa")
+    assert [a["type"] for a in dep] == ["dex_deposit_liquidity"]
+    assert dep[0]["dex_deposit_liquidity_data"]["amount1"] == 300
+    assert len(dep[0]["tx_hashes"]) == 2

@@ -109,6 +109,10 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
     T.StructField("coffee_create_pool_data", _struct(
         amount_1=_L, amount_2=_L, initiator_1=_S, initiator_2=_S,
         provided_asset=_S, lp_tokens_minted=_L, pool_creator_contract=_S)),
+    T.StructField("coffee_staking_deposit_data", _struct(
+        minted_item_address=_S, minted_item_index=_L)),
+    T.StructField("coffee_staking_withdraw_data", _struct(
+        nft_address=_S, nft_index=_L, points=_L)),
 ]
 
 ACTIONS_OUT_SCHEMA = T.StructType(
@@ -191,7 +195,7 @@ _ROW_COLS = [
     "orig_status", "end_status", "msg_hash", "direction", "source",
     "destination", "value", "opcode", "created_lt", "body",
     "acc_jw_owner", "acc_jw_jetton", "acc_is_nft", "acc_pool_dex",
-    "acc_is_multisig", "acc_is_auction", "acc_sale_nft",
+    "acc_is_multisig", "acc_is_auction", "acc_sale_nft", "acc_is_dns",
 ]
 
 
@@ -221,6 +225,7 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
                 if r["acc_jw_jetton"] is not None
             },
             "nft_items": {r["account"] for r in rows if r["acc_is_nft"]},
+            "dns_items": {r["account"] for r in rows if r["acc_is_dns"]},
             "dex_pools": {
                 r["account"] for r in rows if r["acc_pool_dex"] is not None
             },
@@ -282,6 +287,7 @@ def classify_traces(
     message_contents: DataFrame | None = None,
     jetton_wallets: DataFrame | None = None,
     nft_items: DataFrame | None = None,
+    dns_items: DataFrame | None = None,
     dex_pools: DataFrame | None = None,
     multisig: DataFrame | None = None,
     auctions: DataFrame | None = None,
@@ -344,6 +350,16 @@ def classify_traces(
         rows = rows.withColumn("acc_is_nft", F.coalesce("acc_is_nft", F.lit(False)))
     else:
         rows = rows.withColumn("acc_is_nft", F.lit(False))
+    if dns_items is not None:
+        di = dns_items.select(F.col("address").alias("account")).withColumn(
+            "acc_is_dns", F.lit(True)
+        )
+        rows = rows.join(scoped(di), "account", "left")
+        rows = rows.withColumn(
+            "acc_is_dns", F.coalesce("acc_is_dns", F.lit(False))
+        )
+    else:
+        rows = rows.withColumn("acc_is_dns", F.lit(False))
     if dex_pools is not None:
         dp = dex_pools.select(
             F.col("address").alias("account"), F.col("dex").alias("acc_pool_dex")

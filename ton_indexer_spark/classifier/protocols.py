@@ -117,6 +117,10 @@ TGBTC_DKG_EVENT = 0x453443A6
 LZ_EVENT = 0xE33B9873
 LZ_CHANNEL_COMMIT_PACKET = 0x5388CD88
 LZ_ENDPOINT_SEND = 0xDD4EA3B4
+LZ_DVN_VERIFY = 0xA0D51A8D        # Dvn::OP::VERIFY (layerzero.py:1050)
+LZ_PROXY_CALL = 0x09F047D9        # Proxy::OP::CALL_CONTRACT (:1233)
+LZ_ULN_VERIFY = 0x994AAF4E        # Uln::OP::ULN_VERIFY (:791)
+LZ_ULN_CONN_VERIFY = 0x4EC8F80A   # UlnConnection verify (:840)
 
 # --- Cocoon payment channels (messages/cocoon.py:7-145)
 COCOON_PAYOUT = 0xC59A7CD3
@@ -124,12 +128,39 @@ COCOON_WORKER_PAYOUT_REQ = 0x08E7D036
 COCOON_CLIENT_TOPUP = 0x5CFC6B87
 COCOON_CLIENT_REGISTER = 0xA35CB580
 COCOON_GRANT_REFUND = 0xC68EBC7B
+# extended client/proxy lifecycle (messages/cocoon.py:305-735)
+COCOON_CHARGE = 0xBB63FF93              # ChargePayload
+COCOON_REGISTER_PROXY = 0x927C7CB5
+COCOON_UNREGISTER_PROXY = 0x6D49EAF2
+COCOON_CHANGE_SECRET_HASH = 0xA9357034  # OwnerClientChangeSecretHash
+COCOON_REQUEST_REFUND = 0xFAFA6CC1      # OwnerClientRequestRefund
+COCOON_WALLET_SEND = 0x9C69F376         # OwnerWalletSendMessage wrapper
+COCOON_INCREASE_STAKE = 0x6A1F6A60      # OwnerClientIncreaseStake
+COCOON_CLIENT_WITHDRAW_OP = 0xDA068E78  # OwnerClientWithdraw
 
 # --- NFT / DNS extras (messages/nft.py:104-148, messages/getgems.py:250)
 TELEITEM_START_AUCTION = 0x487A8E81
 AUCTION_FILL_UP = 0x370FEC51
 DNS_RELEASE = 0x4ED14B65
 NFT_SALE_UPDATE = 0x6C6C2080
+TELEITEM_CANCEL_AUCTION = 0x371638AE  # auction.py:516
+TELEITEM_OK = 0xA37A0983
+
+# --- Ethena staking (blocks/ethena_staking.py:58-120)
+ETHENA_TSUSDE_TRANSFER = 0xB2583ED5  # timelocked tsUSDe leg
+JETTON_MINT_OP = 0x642B7D07          # TEP-74 mint (messages/jettons.py:143)
+
+# --- swap.coffee staking + MEV-protect (messages/coffee.py:946-1160)
+COFFEE_STAKING_DEPOSIT = 0xF9471134
+COFFEE_STAKING_WITHDRAW = 0xCB03BFAF  # withdraw_1/2/3 share the opcode
+COFFEE_STAKING_CLAIM = 0xB30C7310
+COFFEE_MEV_HOLD_FUNDS = 0x6BC79E7E
+COFFEE_MEV_FAILED_SWAP = 0xEE51CE51
+COFFEE_SERVICE_FEE = 0xC0FFEEA0
+
+# --- Ston.fi v2 withdraw (blocks/liquidity.py:789-812)
+STONFI_V2_WITHDRAW = 0x297437CF  # pool withdraw_liquidity
+STONFI_V2_PAYOUT = 0x657B54F5    # router payout (same op as v2 swap entry)
 
 
 # ------------------------------------------------------------------ helpers
@@ -148,6 +179,36 @@ def _claim_chain(node: Node, *ops: int) -> list[Node]:
         claimed.append(nxt)
         cur = nxt
     return claimed
+
+
+def _descendant_via(
+    node: Node, opcode: int, max_depth: int = 8
+) -> Node | None:
+    """First descendant (BFS, lt-ordered siblings) whose in-message carries
+    `opcode`, or None.  Depth-capped so a pathological deep trace can't
+    turn a matcher probe into a full-tree walk."""
+    frontier = list(node.children)
+    depth = 0
+    while frontier and depth < max_depth:
+        nxt: list[Node] = []
+        for c in frontier:
+            if c.in_msg is not None and c.in_msg.opcode == opcode:
+                return c
+            nxt.extend(c.children)
+        frontier = nxt
+        depth += 1
+    return None
+
+
+def _path_up(node: Node, ancestor: Node) -> list[Node]:
+    """Nodes from `node` (inclusive) up to but excluding `ancestor`;
+    empty if `ancestor` is not actually above `node`."""
+    path: list[Node] = []
+    cur: Node | None = node
+    while cur is not None and cur is not ancestor:
+        path.append(cur)
+        cur = cur.parent
+    return path if cur is ancestor else []
 
 
 def _value_children(node: Node, exclude: list[Node]) -> list[Node]:
@@ -915,15 +976,432 @@ def match_auction_outbid(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
+# ------------------------------------------------------------------ Ethena
+
+
+def match_ethena_withdrawal_request(node: Node, ctx: Ctx) -> dict | None:
+    """USDe transfer whose chain mints a timelocked tsUSDe position:
+    transfer → internal → notify → mint → tsUSDe leg (0xb2583ed5)
+    (EthenaWithdrawalRequestBlockMatcher, ethena_staking.py:58-106).
+    Serialized as stake_withdrawal_request / provider=ethena
+    (block_tree_serializer.py:1265-1276)."""
+    if _op(node) != JETTON_TRANSFER:
+        return None
+    ts = _descendant_via(node, ETHENA_TSUSDE_TRANSFER)
+    if ts is None:
+        return None
+    chain = _jetton_chain(node, ctx)
+    if chain is None:
+        return None
+    claimed = list(dict.fromkeys(chain["claimed"] + _path_up(ts, node)))
+    ts_body = ts.in_msg.decoded_body()
+    return _base(
+        node,
+        "stake_withdrawal_request",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=ts.in_msg.source,
+        asset=chain["asset"],
+        amount=chain["amount"],
+        staking_data={
+            "provider": "ethena",
+            "tokens_minted": ts_body.get("amount"),
+        },
+    )
+
+
+def match_ethena_deposit(node: Node, ctx: Ctx) -> dict | None:
+    """USDe transfer answered by a tsUSDe mint (0x642b7d07) from the pool
+    (EthenaDepositBlockMatcher, ethena_staking.py:109-160).  Serialized as
+    stake_deposit / provider=ethena (block_tree_serializer.py:1277-1289)."""
+    if _op(node) != JETTON_TRANSFER:
+        return None
+    mint = _descendant_via(node, JETTON_MINT_OP)
+    if mint is None:
+        return None
+    chain = _jetton_chain(node, ctx)
+    if chain is None:
+        return None
+    claimed = list(dict.fromkeys(chain["claimed"] + _path_up(mint, node)))
+    mint_internal = mint.child_via(JETTON_INTERNAL)
+    if mint_internal is not None and mint_internal not in claimed:
+        claimed.append(mint_internal)
+    mint_body = mint.in_msg.decoded_body()
+    return _base(
+        node,
+        "stake_deposit",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=mint.account,
+        asset=chain["asset"],
+        amount=chain["amount"],
+        staking_data={
+            "provider": "ethena",
+            "tokens_minted": mint_body.get("amount"),
+        },
+    )
+
+
+# ------------------------------------------------- swap.coffee staking/MEV
+
+
+def match_coffee_staking_deposit(node: Node, ctx: Ctx) -> dict | None:
+    """Jetton transfer into the staking pool → pool call (0xf9471134,
+    optionally duplicated as a log) → position-NFT mint
+    (CoffeeStakingDepositMatcher, blocks/staking.py:433-486)."""
+    if _op(node) != JETTON_TRANSFER:
+        return None
+    pool_call = _descendant_via(node, COFFEE_STAKING_DEPOSIT)
+    if pool_call is None:
+        return None
+    chain = _jetton_chain(node, ctx)
+    if chain is None:
+        return None
+    claimed = list(dict.fromkeys(
+        chain["claimed"] + _path_up(pool_call, node)
+    ))
+    body = pool_call.in_msg.decoded_body()
+    minted = None
+    for c in pool_call.children:
+        if c.in_msg is not None and c.in_msg.opcode == COFFEE_STAKING_DEPOSIT:
+            claimed.append(c)  # duplicated log leg
+        elif c.in_msg is not None:
+            minted = c  # position NFT deploy/mint leg
+            claimed.append(c)
+    minted_body = minted.in_msg.decoded_body() if minted is not None else {}
+    return _base(
+        node,
+        "coffee_staking_deposit",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=pool_call.account,
+        destination_secondary=chain["receiver_wallet"],
+        asset=chain["asset"],
+        amount=body.get("jetton_amount", chain["amount"]),
+        coffee_staking_deposit_data={
+            "minted_item_address": minted.account if minted else None,
+            "minted_item_index": minted_body.get("index"),
+        },
+    )
+
+
+def match_coffee_staking_withdraw(node: Node, ctx: Ctx) -> dict | None:
+    """withdraw_1 at the position NFT → withdraw_2 (master) → withdraw_3
+    (pool) → jetton transfer back to the owner; all three hops share
+    opcode 0xcb03bfaf (CoffeeStakingWithdrawMatcher, staking.py:512-604)."""
+    if _op(node) != COFFEE_STAKING_WITHDRAW:
+        return None
+    # withdraw_2/3 carry the same opcode but arrive mid-chain; requiring
+    # the full 2-hop suffix roots the match at the user→NFT entry call
+    w2 = node.child_via(COFFEE_STAKING_WITHDRAW)
+    if w2 is None:
+        return None
+    w3 = w2.child_via(COFFEE_STAKING_WITHDRAW)
+    if w3 is None:
+        return None
+    claimed = [node, w2, w3]
+    transfer = w3.child_via(JETTON_TRANSFER)
+    asset, user_wallet = None, None
+    if transfer is not None:
+        tchain = _jetton_chain(transfer, ctx)
+        if tchain is not None:
+            claimed += tchain["claimed"]
+            asset = tchain["asset"]
+            user_wallet = tchain["receiver_wallet"]
+        else:
+            claimed.append(transfer)
+    w2_body = w2.in_msg.decoded_body()
+    w3_body = w3.in_msg.decoded_body()
+    return _base(
+        node,
+        "coffee_staking_withdraw",
+        claimed=claimed,
+        source=w2_body.get("owner", node.in_msg.source),
+        source_secondary=user_wallet,
+        destination=w2.account,
+        asset=asset,
+        amount=w3_body.get("jetton_amount"),
+        coffee_staking_withdraw_data={
+            "nft_address": node.account,
+            "nft_index": w2_body.get("nft_id"),
+            "points": w2_body.get("points"),
+        },
+    )
+
+
+def match_coffee_staking_claim_rewards(node: Node, ctx: Ctx) -> dict | None:
+    """Admin claim (0xb30c7310) at the pool paying rewards out via a
+    jetton transfer (CoffeeStakingClaimRewardsMatcher, staking.py:636-700)."""
+    if _op(node) != COFFEE_STAKING_CLAIM:
+        return None
+    body = node.in_msg.decoded_body()
+    claimed = [node]
+    asset, recipient_wallet = None, None
+    for c in node.children:
+        if c.in_msg is None:
+            continue
+        if c.in_msg.opcode == COFFEE_STAKING_CLAIM:
+            claimed.append(c)  # log duplicate
+        elif c.in_msg.opcode == JETTON_TRANSFER:
+            tchain = _jetton_chain(c, ctx)
+            if tchain is not None:
+                claimed += tchain["claimed"]
+                asset = tchain["asset"]
+                recipient_wallet = tchain["receiver_wallet"]
+            else:
+                claimed.append(c)
+    return _base(
+        node,
+        "coffee_staking_claim_rewards",
+        claimed=claimed,
+        source=node.account,
+        source_secondary=body.get("jetton_wallet"),
+        destination=body.get("receiver"),
+        destination_secondary=recipient_wallet,
+        asset=asset,
+        amount=body.get("jetton_amount"),
+    )
+
+
+def match_coffee_mev_protect_hold_funds(node: Node, ctx: Ctx) -> dict | None:
+    """TON sent into the MEV-protect escrow (0x6bc79e7e), optionally with
+    a service-fee leg (CoffeeMevProtectHoldFundsMatcher,
+    liquidity.py:2281-2339)."""
+    if _op(node) != COFFEE_MEV_HOLD_FUNDS:
+        return None
+    claimed = [node]
+    fee = node.child_via(COFFEE_SERVICE_FEE)
+    if fee is not None:
+        claimed.append(fee)
+    return _base(
+        node,
+        "coffee_mev_protect_hold_funds",
+        claimed=claimed,
+        asset="TON",
+        amount=node.in_msg.value,
+    )
+
+
+def match_coffee_mev_protect_failed_swap(node: Node, ctx: Ctx) -> dict | None:
+    """MEV-protect refund of a failed protected swap (0xee51ce51,
+    CoffeeMevProtectFailedSwapMatcher, liquidity.py:2342-2384)."""
+    if _op(node) != COFFEE_MEV_FAILED_SWAP:
+        return None
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "coffee_mev_protect_failed_swap",
+        destination=body.get("recipient", node.account),
+        asset="TON",
+        amount=node.in_msg.value,
+    )
+
+
+# ------------------------------------------------------- Ston.fi v2 extras
+
+
+def match_stonfi_v2_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """LP burn → pool withdraw_liquidity (0x297437cf) → router payouts
+    (0x657b54f5) → jetton transfers to the user
+    (StonfiV2WithdrawLiquidityMatcher, liquidity.py:789-880)."""
+    if _op(node) != JETTON_BURN:
+        return None
+    wd = _descendant_via(node, STONFI_V2_WITHDRAW, max_depth=2)
+    if wd is None:
+        return None
+    claimed = [node] + _path_up(wd, node)
+    amounts: list[int | None] = []
+    assets: list[str | None] = []
+    wallets: list[str | None] = []
+    for payout in wd.children:
+        if payout.in_msg is None or payout.in_msg.opcode != STONFI_V2_PAYOUT:
+            continue
+        claimed.append(payout)
+        transfer = payout.child_via(JETTON_TRANSFER)
+        if transfer is None:
+            continue
+        tchain = _jetton_chain(transfer, ctx)
+        if tchain is not None:
+            claimed += tchain["claimed"]
+            amounts.append(tchain["amount"])
+            assets.append(tchain["asset"])
+            wallets.append(tchain["receiver_wallet"])
+        else:
+            claimed.append(transfer)
+            amounts.append(transfer.in_msg.decoded_body().get("amount"))
+            assets.append(None)
+            wallets.append(None)
+    body = node.in_msg.decoded_body()
+    lp_wallets = ctx.get("jetton_wallets", {})
+    return _base(
+        node,
+        "dex_withdraw_liquidity",
+        claimed=list(dict.fromkeys(claimed)),
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=wd.account,
+        asset=lp_wallets.get(node.account, (None, None))[1],
+        amount=body.get("amount"),
+        dex_withdraw_liquidity_data={
+            "dex": "stonfi_v2",
+            "lp_tokens_burnt": body.get("amount"),
+            "amount1": amounts[0] if amounts else None,
+            "amount2": amounts[1] if len(amounts) > 1 else None,
+            "asset1_out": assets[0] if assets else None,
+            "asset2_out": assets[1] if len(assets) > 1 else None,
+            "user_jetton_wallet_1": wallets[0] if wallets else None,
+            "user_jetton_wallet_2": wallets[1] if len(wallets) > 1 else None,
+        },
+    )
+
+
+# ------------------------------------------------------- LayerZero extras
+
+
+def match_layerzero_send_tokens(node: Node, ctx: Ctx) -> dict | None:
+    """Jetton transfer whose chain drives an endpoint send — surfaced as
+    one layerzero_send_tokens action instead of transfer + send
+    (LayerZeroSendTokensMatcher, blocks/layerzero.py:276-330)."""
+    if _op(node) != JETTON_TRANSFER:
+        return None
+    send = _descendant_via(node, LZ_ENDPOINT_SEND)
+    if send is None:
+        return None
+    chain = _jetton_chain(node, ctx)
+    if chain is None:
+        return None
+    claimed = list(dict.fromkeys(
+        chain["claimed"] + _path_up(send, node)
+        + [c for c in send.children if c.in_msg is not None][:1]
+    ))
+    return _base(
+        node,
+        "layerzero_send_tokens",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=chain["dest_owner"],
+        destination_secondary=chain["receiver_wallet"],
+        asset=chain["asset"],
+        amount=chain["amount"],
+    )
+
+
+def match_layerzero_dvn_verify(node: Node, ctx: Ctx) -> dict | None:
+    """DVN verify (0xa0d51a8d) → proxy call → ULN verify → ULN-connection
+    verify (LayerZeroDvnVerifyMatcher, blocks/layerzero.py:508-560)."""
+    if _op(node) != LZ_DVN_VERIFY:
+        return None
+    claimed = _claim_chain(
+        node, LZ_PROXY_CALL, LZ_ULN_VERIFY, LZ_ULN_CONN_VERIFY
+    )
+    return _base(
+        node, "layerzero_dvn_verify", claimed=claimed,
+        destination=node.account,
+    )
+
+
+# ------------------------------------------------------------ Cocoon extras
+
+
+def match_cocoon_client_request_refund(node: Node, ctx: Ctx) -> dict | None:
+    """Refund request, either direct (0xfafa6cc1) or wrapped in an
+    owner-wallet send (0x9c69f376 → 0xfafa6cc1)
+    (CocoonClientRequestRefundMatcher, blocks/cocoon.py:834-930)."""
+    op = _op(node)
+    if op == COCOON_REQUEST_REFUND:
+        return _base(node, "cocoon_client_request_refund")
+    if op == COCOON_WALLET_SEND:
+        req = node.child_via(COCOON_REQUEST_REFUND)
+        if req is None:
+            return None
+        return _base(
+            node, "cocoon_client_request_refund", claimed=[node, req],
+            destination=req.account,
+        )
+    return None
+
+
+match_cocoon_proxy_charge = _simple(COCOON_CHARGE, "cocoon_proxy_charge")
+match_cocoon_register_proxy = _simple(
+    COCOON_REGISTER_PROXY, "cocoon_register_proxy"
+)
+match_cocoon_unregister_proxy = _simple(
+    COCOON_UNREGISTER_PROXY, "cocoon_unregister_proxy"
+)
+match_cocoon_client_change_secret_hash = _simple(
+    COCOON_CHANGE_SECRET_HASH, "cocoon_client_change_secret_hash"
+)
+match_cocoon_client_increase_stake = _simple(
+    COCOON_INCREASE_STAKE, "cocoon_client_increase_stake"
+)
+match_cocoon_client_withdraw = _simple(
+    COCOON_CLIENT_WITHDRAW_OP, "cocoon_client_withdraw"
+)
+
+
+# --------------------------------------------------- NFT / DNS additions
+
+
+def match_dns_purchase(node: Node, ctx: Ctx) -> dict | None:
+    """Auction fill-up (0x370fec51) at a .ton DNS item — the DNS analog
+    of the fragment purchase (DnsPurchaseMatcher, auction.py:545-585).
+    DNS items are flagged by the dns_items dimension; must be consulted
+    before the fragment matcher, which claims any fill-up at an NFT."""
+    if _op(node) != AUCTION_FILL_UP:
+        return None
+    if node.account not in (ctx.get("dns_items") or set()):
+        return None
+    assigned = node.child_via(OWNERSHIP_ASSIGNED)
+    claimed = [node] + ([assigned] if assigned is not None else [])
+    return _base(
+        node,
+        "dns_purchase",
+        claimed=claimed,
+        destination=node.in_msg.source,
+        asset=node.account,
+        nft_transfer_data={
+            "is_purchase": True,
+            "price": node.in_msg.value,
+        },
+    )
+
+
+def match_teleitem_cancel_auction(node: Node, ctx: Ctx) -> dict | None:
+    """teleitem_cancel_auction (0x371638ae) at an NFT item with the
+    optional teleitem_ok ack (TeleitemCancelAuctionMatcher,
+    auction.py:506-535)."""
+    if _op(node) != TELEITEM_CANCEL_AUCTION:
+        return None
+    if node.account not in (ctx.get("nft_items") or set()):
+        return None
+    ok = node.child_via(TELEITEM_OK)
+    claimed = [node] + ([ok] if ok is not None else [])
+    return _base(
+        node, "teleitem_cancel_auction", claimed=claimed,
+        asset=node.account,
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 # Opcode-specific families — safe ahead of the generic matchers because
 # every entry requires a distinctive 32-bit opcode (or event log).
 PROTOCOL_MATCHERS = [
+    # jetton-transfer-rooted specializations — must outrank the generic
+    # jetton_transfer matcher AND the swap matchers (distinct descendants)
+    ("ethena_withdrawal_request", match_ethena_withdrawal_request),
+    ("ethena_deposit", match_ethena_deposit),
+    ("coffee_staking_deposit", match_coffee_staking_deposit),
+    ("layerzero_send_tokens", match_layerzero_send_tokens),
     ("dedust_swap", match_dedust_swap),
     ("dedust_deposit_liquidity", match_dedust_deposit_liquidity),
     ("dedust_withdraw_liquidity", match_dedust_withdraw_liquidity),
     ("stonfi_swap", match_stonfi_swap),
+    ("stonfi_v2_withdraw_liquidity", match_stonfi_v2_withdraw_liquidity),
     ("stonfi_v2_swap", match_stonfi_v2_swap),
     ("stonfi_v2_provide_liquidity", match_stonfi_v2_provide_liquidity),
     ("pton_transfer", match_pton_transfer),
@@ -936,6 +1414,10 @@ PROTOCOL_MATCHERS = [
     ("coffee_withdraw_liquidity", match_coffee_withdraw_liquidity),
     ("coffee_create_vault", match_coffee_create_vault),
     ("coffee_create_pool", match_coffee_create_pool),
+    ("coffee_staking_withdraw", match_coffee_staking_withdraw),
+    ("coffee_staking_claim_rewards", match_coffee_staking_claim_rewards),
+    ("coffee_mev_protect_hold_funds", match_coffee_mev_protect_hold_funds),
+    ("coffee_mev_protect_failed_swap", match_coffee_mev_protect_failed_swap),
     ("evaa_supply", match_evaa_supply),
     ("evaa_withdraw", match_evaa_withdraw),
     ("evaa_liquidate", match_evaa_liquidate),
@@ -950,13 +1432,24 @@ PROTOCOL_MATCHERS = [
     ("tgbtc_dkg_log", match_tgbtc_dkg_log),
     ("layerzero_send", match_layerzero_send),
     ("layerzero_commit_packet", match_layerzero_commit_packet),
+    ("layerzero_dvn_verify", match_layerzero_dvn_verify),
     ("layerzero_receive", match_layerzero_receive),
     ("cocoon_worker_payout", match_cocoon_worker_payout),
     ("cocoon_proxy_payout", match_cocoon_proxy_payout),
+    ("cocoon_proxy_charge", match_cocoon_proxy_charge),
     ("cocoon_client_top_up", match_cocoon_client_top_up),
     ("cocoon_client_register", match_cocoon_client_register),
+    ("cocoon_register_proxy", match_cocoon_register_proxy),
+    ("cocoon_unregister_proxy", match_cocoon_unregister_proxy),
+    ("cocoon_client_change_secret_hash",
+     match_cocoon_client_change_secret_hash),
+    ("cocoon_client_request_refund", match_cocoon_client_request_refund),
+    ("cocoon_client_increase_stake", match_cocoon_client_increase_stake),
+    ("cocoon_client_withdraw", match_cocoon_client_withdraw),
     ("cocoon_grant_refund", match_cocoon_grant_refund),
     ("teleitem_start_auction", match_teleitem_start_auction),
+    ("teleitem_cancel_auction", match_teleitem_cancel_auction),
+    ("dns_purchase", match_dns_purchase),
     ("teleitem_purchase", match_teleitem_purchase),
     ("dns_release", match_dns_release),
     ("nft_update_sale", match_nft_update_sale),
