@@ -217,3 +217,119 @@ def test_ton_transfer_boc_comment(spark):
         F.col("trace_id") == "boc3").collect()]
     assert [a["type"] for a in acts] == ["ton_transfer"]
     assert acts[0]["ton_transfer_data"]["content"] == "boc says hi"
+
+
+def test_decode_protocol_ops():
+    """Round-trip the protocol message shapes added for the matcher
+    library (reference TL-B: messages/swaps.py, multisig.py, vesting.py,
+    coffee.py — re-derived)."""
+    from ton_indexer_spark.functions.boc import (
+        OP_COFFEE_STK_CLAIM,
+        OP_COFFEE_STK_DEPOSIT,
+        OP_DEDUST_PAYOUT,
+        OP_MULTISIG_APPROVE,
+        OP_MULTISIG_EXECUTE,
+        OP_MULTISIG_NEW_ORDER,
+        OP_STONFI_PAYMENT_REQ,
+        OP_STONFI_SWAP,
+        OP_VESTING_ADD_WL,
+        OP_VESTING_SEND,
+        Builder,
+        decode_message_body,
+        serialize_boc,
+    )
+    import base64
+
+    def b64(cell):
+        return base64.b64encode(serialize_boc(cell)).decode()
+
+    a1 = "0:" + "11" * 32
+    a2 = "0:" + "22" * 32
+
+    # dedust payout: query_id, ^proof, amount
+    payout = (
+        Builder().store_uint(OP_DEDUST_PAYOUT, 32).store_uint(7, 64)
+        .store_ref(Builder().end_cell()).store_coins(1234).end_cell()
+    )
+    d = decode_message_body(b64(payout))
+    assert d["query_id"] == 7 and d["amount"] == 1234
+
+    # stonfi v1 swap
+    swap = (
+        Builder().store_uint(OP_STONFI_SWAP, 32).store_uint(1, 64)
+        .store_address(a1).store_address(a2).store_coins(500)
+        .store_coins(490).end_cell()
+    )
+    d = decode_message_body(b64(swap))
+    assert d["user"] == a1 and d["amount"] == 500 and d["min_out"] == 490
+
+    # stonfi payment request with dual payout ref
+    ref = (
+        Builder().store_coins(300).store_address(a1)
+        .store_coins(0).store_address(None).end_cell()
+    )
+    pr = (
+        Builder().store_uint(OP_STONFI_PAYMENT_REQ, 32).store_uint(2, 64)
+        .store_address(a2).store_uint(0, 32).store_ref(ref).end_cell()
+    )
+    d = decode_message_body(b64(pr))
+    assert d["owner"] == a2 and d["amount0_out"] == 300
+    assert d["token0_out"] == a1 and d["amount1_out"] == 0
+
+    # multisig new_order / approve / execute
+    order_ref = Builder().end_cell()
+    no = (
+        Builder().store_uint(OP_MULTISIG_NEW_ORDER, 32).store_uint(3, 64)
+        .store_uint(12, 256).store_bit(1).store_uint(2, 8)
+        .store_uint(1999, 48).store_ref(order_ref).end_cell()
+    )
+    d = decode_message_body(b64(no))
+    assert d["order_seqno"] == 12 and d["is_created_by_signer"] is True
+    assert d["creator_index"] == 2 and d["expiration_date"] == 1999
+
+    ap = (
+        Builder().store_uint(OP_MULTISIG_APPROVE, 32).store_uint(4, 64)
+        .store_uint(5, 8).end_cell()
+    )
+    assert decode_message_body(b64(ap))["signer_index"] == 5
+
+    ex = (
+        Builder().store_uint(OP_MULTISIG_EXECUTE, 32).store_uint(5, 64)
+        .store_uint(12, 256).store_uint(1999, 48).store_uint(3, 8)
+        .store_bytes(b"\xab" * 32).store_ref(order_ref).end_cell()
+    )
+    d = decode_message_body(b64(ex))
+    assert d["approvals_num"] == 3 and d["signers_hash"] == "ab" * 32
+
+    # vesting send + whitelist chain
+    vs = (
+        Builder().store_uint(OP_VESTING_SEND, 32).store_uint(6, 64)
+        .store_uint(3, 8).store_ref(Builder().end_cell()).end_cell()
+    )
+    assert decode_message_body(b64(vs))["send_mode"] == 3
+
+    tail = Builder().store_address(a2).end_cell()
+    wl = (
+        Builder().store_uint(OP_VESTING_ADD_WL, 32).store_uint(7, 64)
+        .store_address(a1).store_ref(tail).end_cell()
+    )
+    d = decode_message_body(b64(wl))
+    assert d["accounts_added"] == [a1, a2]
+
+    # coffee staking deposit / claim
+    cd = (
+        Builder().store_uint(OP_COFFEE_STK_DEPOSIT, 32).store_uint(8, 64)
+        .store_address(a1).store_coins(777).store_address(a2)
+        .store_uint(3, 32).end_cell()
+    )
+    d = decode_message_body(b64(cd))
+    assert d["jetton_amount"] == 777 and d["period_id"] == 3
+    assert d["sender"] == a1 and d["from_user"] == a2
+
+    cc = (
+        Builder().store_uint(OP_COFFEE_STK_CLAIM, 32).store_uint(9, 64)
+        .store_address(a1).store_coins(99).store_address(a2).end_cell()
+    )
+    d = decode_message_body(b64(cc))
+    assert d["jetton_wallet"] == a1 and d["jetton_amount"] == 99
+    assert d["receiver"] == a2

@@ -337,6 +337,21 @@ OP_JETTON_NOTIFY = 0x7362D09C
 OP_JETTON_BURN = 0x595F07BC
 OP_NFT_TRANSFER = 0x5FCC3D14
 OP_NFT_OWNERSHIP = 0x05138D91
+# protocol ops (TL-B shapes documented in the reference's
+# indexer/events/blocks/messages/* modules — re-implemented, not copied)
+OP_DEDUST_PAYOUT = 0x474F86CF        # messages/swaps.py:97
+OP_DEDUST_PAYOUT_POOL = 0xAD4EB6F5   # messages/swaps.py:107
+OP_STONFI_SWAP = 0x25938561          # messages/swaps.py:8
+OP_STONFI_PAYMENT_REQ = 0xF93BB43F   # messages/swaps.py:26
+OP_MULTISIG_NEW_ORDER = 0xF718510F   # messages/multisig.py:6
+OP_MULTISIG_APPROVE = 0xA762230F     # messages/multisig.py:69
+OP_MULTISIG_EXECUTE = 0x75097F5D     # messages/multisig.py:101
+OP_VESTING_SEND = 0xA7733ACD         # messages/vesting.py:10
+OP_VESTING_ADD_WL = 0x7258A69B       # messages/vesting.py:31
+OP_COFFEE_STK_DEPOSIT = 0xF9471134   # messages/coffee.py:1039
+OP_COFFEE_STK_CLAIM = 0xB30C7310     # messages/coffee.py:1075
+OP_AUCTION_FILL_UP = 0x370FEC51
+OP_DNS_RELEASE = 0x4ED14B65
 
 
 def _forward_payload(s: Slice) -> dict:
@@ -404,6 +419,95 @@ def decode_body_cell(root: Cell) -> dict:
     if op == OP_NFT_OWNERSHIP:
         d = {"opcode": op, "query_id": s.load_uint(64)}
         d["prev_owner"] = s.load_address()
+        return d
+    if op in (OP_DEDUST_PAYOUT, OP_DEDUST_PAYOUT_POOL):
+        # payout#474f86cf query_id:uint64 proof:^Cell amount:Coins
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        s.load_ref()  # proof
+        d["amount"] = s.load_coins()
+        return d
+    if op == OP_STONFI_SWAP:
+        # swap#25938561 query_id from_user token_wallet amount min_out
+        #               has_ref ^[from_real_user (ref_address)]
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["user"] = s.load_address()
+        d["token_wallet"] = s.load_address()
+        d["amount"] = s.load_coins()
+        d["min_out"] = s.load_coins()
+        return d
+    if op == OP_STONFI_PAYMENT_REQ:
+        # payment_request#f93bb43f query_id owner exit_code
+        #                ^[amount0_out token0_out amount1_out token1_out]
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["owner"] = s.load_address()
+        d["exit_code"] = s.load_uint(32)
+        ref = s.load_ref().begin_parse()
+        d["amount0_out"] = ref.load_coins()
+        d["token0_out"] = ref.load_address()
+        d["amount1_out"] = ref.load_coins()
+        d["token1_out"] = ref.load_address()
+        return d
+    if op == OP_MULTISIG_NEW_ORDER:
+        # new_order#f718510f query_id:uint64 order_seqno:uint256
+        #   signer:(## 1) index:uint8 expiration_date:uint48 order:^Order
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["order_seqno"] = s.load_uint(256)
+        d["is_created_by_signer"] = bool(s.load_bit())
+        d["creator_index"] = s.load_uint(8)
+        d["expiration_date"] = s.load_uint(48)
+        return d
+    if op == OP_MULTISIG_APPROVE:
+        # approve#a762230f query_id:uint64 signer_index:uint8
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["signer_index"] = s.load_uint(8)
+        return d
+    if op == OP_MULTISIG_EXECUTE:
+        # execute#75097f5d query_id order_seqno:uint256 expiration_date:
+        #   uint48 approvals_num:uint8 signers_hash:bits256 order:^Order
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["order_seqno"] = s.load_uint(256)
+        d["expiration_date"] = s.load_uint(48)
+        d["approvals_num"] = s.load_uint(8)
+        d["signers_hash"] = s.load_bytes(32).hex()
+        return d
+    if op == OP_VESTING_SEND:
+        # send_message#a7733acd query_id:uint64 send_mode:uint8 msg:^Cell
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["send_mode"] = s.load_uint(8)
+        return d
+    if op == OP_VESTING_ADD_WL:
+        # add_whitelist#7258a69b query_id:uint64 addr (chained ^[addr...])
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        addrs: list[str | None] = []
+        cur = s
+        while True:
+            addrs.append(cur.load_address())
+            if cur.remaining_refs < 1:
+                break
+            cur = cur.load_ref().begin_parse()
+        d["accounts_added"] = [a for a in addrs if a is not None]
+        return d
+    if op == OP_COFFEE_STK_DEPOSIT:
+        # staking_deposit#f9471134 query_id sender jetton_amount
+        #                from_user period_id:uint32
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["sender"] = s.load_address()
+        d["jetton_amount"] = s.load_coins()
+        d["from_user"] = s.load_address()
+        d["period_id"] = s.load_uint(32)
+        return d
+    if op == OP_COFFEE_STK_CLAIM:
+        # staking_claim_rewards#b30c7310 query_id jetton_wallet
+        #                jetton_amount receiver payload:(Maybe ^Cell)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["jetton_wallet"] = s.load_address()
+        d["jetton_amount"] = s.load_coins()
+        d["receiver"] = s.load_address()
+        return d
+    if op in (OP_AUCTION_FILL_UP, OP_DNS_RELEASE):
+        d = {"opcode": op}
+        if s.remaining_bits >= 64:
+            d["query_id"] = s.load_uint(64)
         return d
     return {"opcode": op}
 
