@@ -72,6 +72,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
@@ -80,30 +81,35 @@ def main() -> None:
         # codegen/broadcast warm-up that a steady-state service would not
         best = None
         n = 0
-        for _ in range(2):
-            # clear cached intermediates so each run measures the full
-            # pipeline, not a cache hit from the previous iteration
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = spec.builder(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(2):
+                # clear cached intermediates so each run measures the full
+                # pipeline, not a cache hit from the previous iteration
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = spec.builder(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 — one broken query must
+            # never zero out the whole bench run; record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

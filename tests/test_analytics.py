@@ -22,17 +22,19 @@ def test_window_operator_matches_integer_bucketing(spark):
     hourly buckets as the tz-free integer form used in the gate query —
     valid under the engine's UTC session contract."""
     from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.functions.timecols import epoch_us
 
     ev = Catalog(spark, SF_SMALL).events
+    ev = ev.withColumn("ts_us", epoch_us(ev, "ts"))
     via_window = (
-        ev.withColumn("tsx", F.timestamp_micros("ts"))
+        ev.withColumn("tsx", F.timestamp_micros("ts_us"))
         .groupBy(F.window("tsx", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.unix_micros(F.col("w.start")).alias("bucket_us"), "n")
     )
     via_int = (
         ev.groupBy(
-            (F.col("ts") - F.pmod(F.col("ts"), F.lit(3600 * 1_000_000))).alias(
+            (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(3600 * 1_000_000))).alias(
                 "bucket_us"
             )
         ).agg(F.count(F.lit(1)).alias("n"))

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
+from ton_indexer_spark.functions.timecols import epoch_us
 
 
 def test_windowed_stream_with_watermark(spark, tmp_path):
@@ -15,10 +16,10 @@ def test_windowed_stream_with_watermark(spark, tmp_path):
     ev.write.parquet(src)
 
     schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).parquet(src)
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(src)
-        .withColumn("tsx", F.timestamp_micros(F.expr("ts div 1000")))
+        raw
+        .withColumn("tsx", F.timestamp_micros(epoch_us(raw, "ts")))
         .withWatermark("tsx", "1 hour")
         .groupBy(F.window("tsx", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -40,7 +41,7 @@ def test_windowed_stream_with_watermark(spark, tmp_path):
 
     # emitted (closed) windows must agree with the batch computation
     batch = (
-        ev.withColumn("tsx", F.timestamp_micros(F.expr("ts div 1000")))
+        ev.withColumn("tsx", F.timestamp_micros(epoch_us(ev, "ts")))
         .groupBy(F.window("tsx", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )

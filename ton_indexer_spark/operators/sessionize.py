@@ -29,14 +29,16 @@ def sessionize_by_gap(
 ) -> DataFrame:
     """Assign a per-entity session ordinal (1-based) by inactivity gap.
 
-    ``ts_col`` must be numeric (the engine's epoch-nanos convention —
-    see catalog.Catalog); ``gap`` is in the same unit.  Integer arithmetic
-    throughout: a double conversion of epoch-nanos would lose precision
-    past 2^53.
+    ``ts_col`` may be integer epoch-micros or any timestamp/date type —
+    it is normalized through :func:`functions.timecols.epoch_us`; ``gap``
+    is epoch-micros.  Integer arithmetic throughout: a double conversion
+    of epoch-micros would lose precision past 2^53.
     """
+    from ton_indexer_spark.functions.timecols import epoch_us
+
     order = [F.col(ts_col).asc()] + [F.col(t).asc() for t in tiebreakers]
     w = Window.partitionBy(entity_col).orderBy(*order)
-    ts = F.col(ts_col).cast("long")
+    ts = epoch_us(df, ts_col)
     prev = F.lag(ts).over(w)
     new_flag = F.when(prev.isNull() | ((ts - prev) > F.lit(int(gap))), 1).otherwise(0)
     return df.withColumn(

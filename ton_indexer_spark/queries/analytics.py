@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.functions.timecols import epoch_us
 from ton_indexer_spark.queries import register
 from ton_indexer_spark.similarity.brute import cosine
 
@@ -32,7 +33,8 @@ HOUR_US = 3600 * 1_000_000
 )
 def tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
-    bucket = (F.col("ts") - F.pmod(F.col("ts"), F.lit(HOUR_US))).alias("bucket_us")
+    ts_us = epoch_us(ev, "ts")
+    bucket = (ts_us - F.pmod(ts_us, F.lit(HOUR_US))).alias("bucket_us")
     return (
         ev.groupBy(bucket, "event_type")
         .agg(

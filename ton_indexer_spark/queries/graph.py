@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.functions.timecols import epoch_us
 from ton_indexer_spark.operators import connected_components
 from ton_indexer_spark.queries import register
 
@@ -35,13 +36,16 @@ _EDGE_SQL = f"""
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = ev.withColumn("_ts_us", epoch_us(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_ts_us").asc(), F.col("event_id").asc()
+    )
     return (
         ev.withColumn("prev_event_id", F.lag("event_id").over(w))
-        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_ts_us", F.lag("_ts_us").over(w))
         .filter(
             F.col("prev_event_id").isNotNull()
-            & ((F.col("ts") - F.col("prev_ts")) <= GAP_US)
+            & ((F.col("_ts_us") - F.col("prev_ts_us")) <= GAP_US)
         )
         .select(F.col("prev_event_id").alias("src"), F.col("event_id").alias("dst"))
     )

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ton_indexer_spark.catalog import Catalog
+from ton_indexer_spark.functions.timecols import epoch_us
 from ton_indexer_spark.operators import (
     first_per_group,
     latest_by,
@@ -163,12 +164,13 @@ GAP_US = 1800 * 1_000_000  # 30 min in epoch-micros (catalog ts convention)
 def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     sess = sessionize_by_gap(ev, "user_id", "ts", GAP_US, tiebreakers=["event_id"])
+    sess = sess.withColumn("_ts_us", epoch_us(sess, "ts"))
     return (
         sess.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("start_us"),
-            F.max("ts").alias("end_us"),
+            F.min("_ts_us").alias("start_us"),
+            F.max("_ts_us").alias("end_us"),
         )
         .orderBy("user_id", "session_seq")
     )
