@@ -221,6 +221,30 @@ def test_jetton_transfer_chain(spark):
     assert len(a["tx_hashes"]) == 4  # W1, W2, notify, excesses
 
 
+def test_jetton_transfer_fallback_no_internal_leg(spark):
+    """Transfer request that never spawned the internal-transfer leg still
+    classifies as jetton_transfer with has_internal_transfer=False
+    (FallbackJettonTransferBlockMatcher, blocks/jettons.py:282-330)."""
+    b = TraceBuilder("jf1")
+    root = b.tx(A[0], None)
+    b.chain(root, W1, opcode=JETTON_TRANSFER,
+            body=body_of({"amount": 700, "destination": A[1]}))
+
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:jetton1"},
+    ])
+    acts = acts_of(res, "jf1")
+    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    a = acts[0]
+    assert a["source"] == A[0]
+    assert a["source_secondary"] == W1
+    assert a["destination"] == A[1]
+    assert a["destination_secondary"] is None
+    assert a["asset"] == "0:jetton1"
+    assert a["amount"] == 700
+    assert a["jetton_transfer_data"]["has_internal_transfer"] is False
+
+
 def test_jetton_swap_multi_hop(spark):
     """A → B → C through two pools: one swap action, two peer_swaps hops,
     four child transfer legs."""

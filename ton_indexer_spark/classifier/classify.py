@@ -53,7 +53,7 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
     T.StructField("jetton_transfer_data", _struct(
         response_destination=_S, forward_amount=_L, query_id=_L,
         custom_payload=_S, forward_payload=_S, comment=_S,
-        is_encrypted_comment=_B)),
+        is_encrypted_comment=_B, has_internal_transfer=_B)),
     T.StructField("nft_transfer_data", _struct(
         is_purchase=_B, price=_L, query_id=_L, custom_payload=_S,
         forward_payload=_S, forward_amount=_L, response_destination=_S,

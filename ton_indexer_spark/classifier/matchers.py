@@ -365,6 +365,42 @@ def match_jetton_transfer(node: Node, ctx: Ctx) -> dict | None:
             "forward_amount": payload.get("forward_ton_amount"),
             "comment": payload.get("comment"),
             "is_encrypted_comment": payload.get("is_encrypted", False),
+            "has_internal_transfer": True,
+        },
+    )
+
+
+def match_jetton_transfer_fallback(node: Node, ctx: Ctx) -> dict | None:
+    """Transfer request with NO internal-transfer leg (wallet rejected or
+    out-of-gas before spawning 0x178d4519) — still a user-intent transfer.
+    Reference: FallbackJettonTransferBlockMatcher (blocks/jettons.py:282-330),
+    which serializes the same jetton_transfer action with
+    has_internal_transfer=False and receiver_wallet unknown."""
+    if node.in_msg is None or node.in_msg.opcode != JETTON_TRANSFER:
+        return None
+    wallets = ctx.get("jetton_wallets", {})
+    if wallets and node.account not in wallets:
+        # only meaningful at a jetton-wallet contract (interface gating, C6)
+        return None
+    payload = node.in_msg.decoded_body()
+    owner, jetton = wallets.get(node.account, (None, None))
+    return _base(
+        node,
+        "jetton_transfer",
+        claimed=[node],
+        source=node.in_msg.source or owner,
+        source_secondary=node.account,
+        destination=payload.get("destination"),
+        destination_secondary=None,
+        asset=jetton,
+        amount=payload.get("amount"),
+        jetton_transfer_data={
+            "query_id": payload.get("query_id"),
+            "response_destination": payload.get("response_destination"),
+            "forward_amount": payload.get("forward_ton_amount"),
+            "comment": payload.get("comment"),
+            "is_encrypted_comment": payload.get("is_encrypted", False),
+            "has_internal_transfer": False,
         },
     )
 
@@ -761,6 +797,7 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("jetton_transfer", match_jetton_transfer),
     ("jetton_mint", match_jetton_mint),
     ("dex_withdraw_liquidity", match_dex_withdraw_liquidity),  # burn→pool: before plain burn
+    ("jetton_transfer_fallback", match_jetton_transfer_fallback),  # no internal leg
     ("jetton_burn", match_jetton_burn),
     ("nft_transfer", match_nft_transfer),
     ("nft_discovery", match_nft_discovery),
