@@ -365,6 +365,17 @@ def test_jetton_swap_two_legs(spark):
         {"asset_in": "0:tokA", "amount_in": 1000,
          "asset_out": "0:tokB", "amount_out": 950}
     ]
+    # nested dex_transfer_details twins (migrate.cpp:86,92)
+    inc, out = sd["dex_incoming_transfer"], sd["dex_outgoing_transfer"]
+    assert inc["amount"] == 1000 and inc["asset"] == "0:tokA"
+    assert inc["source"] == A[0] and inc["destination"] == POOL
+    assert inc["source_jetton_wallet"] == W1
+    assert inc["destination_jetton_wallet"] == W2
+    assert out["amount"] == 950 and out["asset"] == "0:tokB"
+    assert out["source"] == POOL and out["destination"] == A[0]
+    assert out["source_jetton_wallet"] == W3
+    assert out["destination_jetton_wallet"] == W4
+    assert sd["sender"] == A[0]
     assert len(a["tx_hashes"]) == 6  # both 3-node legs (pool node shared)
 
 

@@ -113,6 +113,19 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
         minted_item_address=_S, minted_item_index=_L)),
     T.StructField("coffee_staking_withdraw_data", _struct(
         nft_address=_S, nft_index=_L, points=_L)),
+    T.StructField("nft_listing_data", _struct(
+        nft_item_index=_L, full_price=_L, marketplace_fee=_L,
+        royalty_amount=_L, mp_fee_factor=_L, mp_fee_base=_L,
+        royalty_fee_base=_L, max_bid=_L, min_bid=_L,
+        marketplace_fee_address=_S, royalty_address=_S, marketplace=_S)),
+    T.StructField("layerzero_send_data", _struct(
+        send_request_id=_L, msglib_manager=_S, msglib=_S, uln=_S,
+        native_fee=_L, zro_fee=_L, endpoint=_S, channel=_S)),
+    T.StructField("layerzero_packet_data", _struct(
+        src_oapp=_S, dst_oapp=_S, src_eid=_I, dst_eid=_I, nonce=_L,
+        guid=_S, message=_S)),
+    T.StructField("layerzero_dvn_verify_data", _struct(
+        nonce=_L, status=_S, dvn=_S, proxy=_S, uln=_S, uln_connection=_S)),
 ]
 
 ACTIONS_OUT_SCHEMA = T.StructType(
@@ -144,11 +157,26 @@ ACTIONS_OUT_SCHEMA = T.StructType(
             T.StructType(
                 [
                     T.StructField("dex", T.StringType()),
+                    T.StructField("sender", T.StringType()),
                     T.StructField("amount_in", T.LongType()),
                     T.StructField("asset_in", T.StringType()),
                     T.StructField("amount_out", T.LongType()),
                     T.StructField("asset_out", T.StringType()),
                     T.StructField("peer_address", T.StringType()),
+                    T.StructField("min_out_amount", T.LongType()),
+                    # dex_transfer_details twins (migrate.cpp:86,92)
+                    T.StructField(
+                        "dex_incoming_transfer",
+                        _struct(amount=_L, asset=_S, source=_S,
+                                destination=_S, source_jetton_wallet=_S,
+                                destination_jetton_wallet=_S),
+                    ),
+                    T.StructField(
+                        "dex_outgoing_transfer",
+                        _struct(amount=_L, asset=_S, source=_S,
+                                destination=_S, source_jetton_wallet=_S,
+                                destination_jetton_wallet=_S),
+                    ),
                     T.StructField(
                         "peer_swaps",
                         T.ArrayType(

@@ -130,12 +130,23 @@ def match_nft_put_on_sale(node: Node, ctx: Ctx) -> dict | None:
     sales = ctx.get("nft_sales", {})
     if node.account not in sales:
         return None
+    body = node.in_msg.decoded_body() if node.in_msg is not None else {}
     return _base(
         node,
         "nft_put_on_sale",
         claimed=[node],
         destination=node.account,
         asset=sales[node.account],  # the listed NFT item
+        # nft_listing_details (migrate.cpp:822) — populated from the sale
+        # contract's deploy payload where decodable
+        nft_listing_data={
+            "full_price": body.get("full_price"),
+            "marketplace_fee": body.get("marketplace_fee"),
+            "royalty_amount": body.get("royalty_amount"),
+            "marketplace_fee_address": body.get("marketplace_fee_address"),
+            "royalty_address": body.get("royalty_address"),
+            "marketplace": body.get("marketplace", "getgems"),
+        },
     )
 
 
@@ -270,12 +281,31 @@ def match_jetton_swap(node: Node, ctx: Ctx) -> dict | None:
         amount=leg_in["amount"],
         jetton_swap_data={
             "dex": ctx.get("pool_dex", {}).get(pool_node.account, "unknown"),
+            "sender": sender,
             "amount_in": leg_in["amount"],
             "asset_in": leg_in["asset"],
             "amount_out": leg_out["amount"],
             "asset_out": leg_out["asset"],
             "peer_address": pool_node.account,
             "peer_swaps": peer_swaps,
+            # dex_transfer_details twins (migrate.cpp:86,92): the transfer
+            # INTO the first pool and the payout OUT of the last pool
+            "dex_incoming_transfer": {
+                "amount": leg_in["amount"],
+                "asset": leg_in["asset"],
+                "source": sender,
+                "destination": pool_node.account,
+                "source_jetton_wallet": leg_in["sender_wallet"],
+                "destination_jetton_wallet": leg_in["receiver_wallet"],
+            },
+            "dex_outgoing_transfer": {
+                "amount": leg_out["amount"],
+                "asset": leg_out["asset"],
+                "source": pool_nodes[-1].account,
+                "destination": leg_out["dest_owner"],
+                "source_jetton_wallet": leg_out["sender_wallet"],
+                "destination_jetton_wallet": leg_out["receiver_wallet"],
+            },
         },
     )
     # child actions: every transfer leg, ancestor-tagged so the API's

@@ -294,15 +294,28 @@ def match_dedust_swap(node: Node, ctx: Ctx) -> dict | None:
         amount=amount_in,
         jetton_swap_data={
             "dex": "dedust",
+            "sender": node.in_msg.source,
             "amount_in": amount_in,
             "asset_in": "TON",
             "amount_out": amount_out,
             "asset_out": None,
             "peer_address": hops[0].account,
+            "min_out_amount": body.get("limit"),
             "peer_swaps": [
                 {"asset_in": None, "amount_in": None,
                  "asset_out": None, "amount_out": None}
             ] * max(0, len(hops) - 1),
+            "dex_incoming_transfer": {
+                "amount": amount_in,
+                "asset": "TON",
+                "source": node.in_msg.source,
+                "destination": node.account,
+            },
+            "dex_outgoing_transfer": {
+                "amount": amount_out,
+                "source": payout_vault.account,
+                "destination": payout_user.account,
+            } if payout_user is not None else None,
         },
     )
 
@@ -405,12 +418,28 @@ def _router_swap(node: Node, ctx: Ctx, swap_op: int, pay_op: int,
         amount=body.get("amount"),
         jetton_swap_data={
             "dex": dex,
+            "sender": body.get("user", node.in_msg.source),
             "amount_in": body.get("amount"),
             "asset_in": body.get("asset_in"),
             "amount_out": out_chain["amount"] if out_chain else None,
             "asset_out": out_chain["asset"] if out_chain else None,
             "peer_address": node.account,
+            "min_out_amount": body.get("min_out"),
             "peer_swaps": [],
+            "dex_incoming_transfer": {
+                "amount": body.get("amount"),
+                "asset": body.get("asset_in"),
+                "source": body.get("user", node.in_msg.source),
+                "destination": node.account,
+            },
+            "dex_outgoing_transfer": {
+                "amount": out_chain["amount"],
+                "asset": out_chain["asset"],
+                "source": node.account,
+                "destination": out_chain["dest_owner"],
+                "source_jetton_wallet": out_chain["sender_wallet"],
+                "destination_jetton_wallet": out_chain["receiver_wallet"],
+            } if out_chain else None,
         },
     )
 
@@ -578,12 +607,26 @@ def match_coffee_swap(node: Node, ctx: Ctx) -> dict | None:
         amount=body.get("amount", node.in_msg.value),
         jetton_swap_data={
             "dex": "coffee",
+            "sender": node.in_msg.source,
             "amount_in": body.get("amount", node.in_msg.value),
             "asset_in": body.get("asset_in"),
             "amount_out": payout.in_msg.value if payout is not None else None,
             "asset_out": body.get("asset_out"),
             "peer_address": claimed[1].account if len(claimed) > 1 else None,
+            "min_out_amount": body.get("min_out"),
             "peer_swaps": [],
+            "dex_incoming_transfer": {
+                "amount": body.get("amount", node.in_msg.value),
+                "asset": body.get("asset_in"),
+                "source": node.in_msg.source,
+                "destination": node.account,
+            },
+            "dex_outgoing_transfer": {
+                "amount": payout.in_msg.value,
+                "asset": body.get("asset_out"),
+                "source": node.account,
+                "destination": payout.account,
+            } if payout is not None else None,
         },
     )
 
@@ -886,7 +929,26 @@ def match_layerzero_send(node: Node, ctx: Ctx) -> dict | None:
     if _op(node) != LZ_ENDPOINT_SEND:
         return None
     claimed = [node] + [c for c in node.children if c.in_msg is not None][:1]
-    return _base(node, "layerzero_send", claimed=claimed)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node, "layerzero_send", claimed=claimed,
+        # layerzero_send_details (migrate.cpp:878)
+        layerzero_send_data={
+            "send_request_id": body.get("send_request_id"),
+            "native_fee": body.get("native_fee"),
+            "zro_fee": body.get("zro_fee"),
+            "endpoint": node.account,
+            "channel": claimed[1].account if len(claimed) > 1 else None,
+        },
+        layerzero_packet_data={
+            "src_oapp": body.get("src_oapp"),
+            "dst_oapp": body.get("dst_oapp"),
+            "src_eid": body.get("src_eid"),
+            "dst_eid": body.get("dst_eid"),
+            "nonce": body.get("nonce"),
+            "guid": body.get("guid"),
+        },
+    )
 
 
 match_layerzero_commit_packet = _simple(
@@ -1298,9 +1360,19 @@ def match_layerzero_dvn_verify(node: Node, ctx: Ctx) -> dict | None:
     claimed = _claim_chain(
         node, LZ_PROXY_CALL, LZ_ULN_VERIFY, LZ_ULN_CONN_VERIFY
     )
+    body = node.in_msg.decoded_body()
     return _base(
         node, "layerzero_dvn_verify", claimed=claimed,
         destination=node.account,
+        # layerzero_dvn_verify_details (migrate.cpp:880)
+        layerzero_dvn_verify_data={
+            "nonce": body.get("nonce"),
+            "status": body.get("status"),
+            "dvn": node.account,
+            "proxy": claimed[1].account if len(claimed) > 1 else None,
+            "uln": claimed[2].account if len(claimed) > 2 else None,
+            "uln_connection": claimed[3].account if len(claimed) > 3 else None,
+        },
     )
 
 
