@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_simhash",
     "embed_cosine_topk",
     "embed_lsh_topk",
+    "embed_ivf_topk",
     "dedup_embedding_cosine",
     "tumbling_window",
     "token_count",

@@ -1,0 +1,167 @@
+"""IVF-style ANN: coarse quantizer → inverted lists → probe-list search.
+
+The classic IVF decomposition (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", IVFADC coarse stage):
+
+1. a small set of centroid vectors partitions the corpus into inverted
+   lists (each vector assigned to its nearest centroid);
+2. a query scores only the vectors in its ``nprobe`` closest lists.
+
+Centroids here are **deterministic seeds** — the ``n_lists`` corpus
+vectors with the smallest ids — rather than trained k-means means, so the
+operator is exactly reproducible in the DuckDB oracle (floating k-means is
+engine-order-dependent and would break the hash gate).  A production
+deployment trains centroids offline and passes them in; the plan shape is
+identical — this seam is the same one ``similarity/lsh.py`` documents for
+its hyperplanes.
+
+Scale shape (what survives 100×):
+
+- assignment is one ``mapInPandas`` over the corpus — Arrow batches × a
+  broadcast (n_lists × d) matrix in BLAS; no shuffle;
+- the probe join shuffles on ``list_id`` only: cost is
+  Σ_{probed lists} |list| · d per query, never |corpus| · |queries|;
+- final scoring is the JVM-side ``cosine`` column expression, whole-stage
+  codegen, rounded to 6 dp for cross-engine rank stability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ton_indexer_spark.similarity.brute import cosine
+
+
+def ivf_seed_matrix(
+    emb: DataFrame, n_lists: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(list_ids, seed_matrix) — the n_lists smallest-id vectors, unit-
+    normalized.  n_lists is small (≤ a few thousand): this collect is a
+    centroid table, not a corpus collect."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def ivf_assign(
+    df: DataFrame,
+    seed_ids: np.ndarray,
+    seed_matrix: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest list ids to every row.
+
+    Returns (id_col, vec_col, list_id) with one row per (vector, probed
+    list).  nprobe=1 is corpus assignment; queries pass nprobe>1.
+    Similarities are rounded before the argsort (ties → smaller list id)
+    so the assignment is identical across engines that accumulate floats
+    in different orders.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((seed_ids, seed_matrix))
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("list_id", T.LongType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, seeds = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = np.round((mat / norms) @ seeds.T, round_digits)
+            # argsort by (-sim, list_id): lexsort keys, last key primary
+            order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims))
+            probes = order[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), nprobe
+                    ),
+                    "embedding": [
+                        v for v in pdf[vec_col] for _ in range(nprobe)
+                    ],
+                    "list_id": ids[probes].reshape(n * nprobe),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).mapInPandas(assign, schema=out_schema)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, sim) — IVF probe-list ANN top-k.
+
+    Corpus rows land in exactly one inverted list; each query probes its
+    ``nprobe`` nearest lists.  The candidate join shuffles on ``list_id``
+    only and the corpus never crosses lists — the IVF property that makes
+    per-query cost proportional to the probed fraction, not the corpus.
+    """
+    seed_ids, seeds = ivf_seed_matrix(corpus, n_lists, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus, seed_ids, seeds, nprobe=1, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "list_id",
+    )
+    probes = ivf_assign(
+        queries, seed_ids, seeds, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "list_id",
+    )
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
