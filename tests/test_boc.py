@@ -139,6 +139,30 @@ def test_decode_nft_transfer():
     assert d["forward_amount"] == 5
 
 
+def test_decode_change_dns():
+    from ton_indexer_spark.functions.boc import encode_change_dns
+
+    key = bytes(range(32))
+    d = decode_message_body(encode_change_dns(5, key, ADDR_A))
+    assert d["query_id"] == 5
+    assert d["key"] == key.hex()
+    assert d["value_schema"] == "DNSNextResolver"
+    assert d["value"] == ADDR_A
+    # no value ref = record deletion
+    d2 = decode_message_body(encode_change_dns(6, key))
+    assert d2["value"] is None
+
+
+def test_decode_dedust_swap_entry():
+    from ton_indexer_spark.functions.boc import encode_dedust_swap
+
+    d = decode_message_body(encode_dedust_swap(9, 12345, ADDR_B, limit=111))
+    assert d["query_id"] == 9
+    assert d["amount"] == 12345
+    assert d["pool"] == ADDR_B
+    assert d["limit"] == 111
+
+
 def test_garbage_degrades_to_empty():
     assert decode_message_body("not-base64!!") == {}
     assert decode_message_body(base64.b64encode(b"junkjunk").decode()) == {}

@@ -352,6 +352,21 @@ OP_COFFEE_STK_DEPOSIT = 0xF9471134   # messages/coffee.py:1039
 OP_COFFEE_STK_CLAIM = 0xB30C7310     # messages/coffee.py:1075
 OP_AUCTION_FILL_UP = 0x370FEC51
 OP_DNS_RELEASE = 0x4ED14B65
+OP_CHANGE_DNS = 0x4EB1F0F9           # messages/dns.py:7
+OP_DEDUST_SWAP_ENTRY = 0xEA06185D    # messages/swaps.py:124 (vault swap)
+OP_STONFI_V2_SWAP = 0x657B54F5       # messages/swaps.py:130
+OP_TONSTAKERS_DEPOSIT = 0x47D54391   # messages/staking.py:18
+OP_TONSTAKERS_WITHDRAW = 0x319B0CDC  # messages/staking.py:22
+OP_ELECTOR_NEW_STAKE = 0x4E73744B    # elector new_stake ('NstK')
+OP_ELECTOR_RECOVER = 0x47657424      # elector recover_stake ('Get$')
+
+# dns value-record schema tags (messages/dns.py:20-40)
+_DNS_SCHEMAS = {
+    0xBA93: "DNSNextResolver",
+    0xAD01: "DNSAdnlAddress",
+    0x9FD3: "DNSSmcAddress",
+    0x7473: "DNSStorageAddress",
+}
 
 
 def _forward_payload(s: Slice) -> dict:
@@ -509,6 +524,55 @@ def decode_body_cell(root: Cell) -> dict:
         if s.remaining_bits >= 64:
             d["query_id"] = s.load_uint(64)
         return d
+    if op == OP_CHANGE_DNS:
+        # change_dns_record#4eb1f0f9 query_id:uint64 key:uint256
+        #   value:(Maybe ^Cell{schema:uint16 payload})  (messages/dns.py:6-40)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["key"] = s.load_bytes(32).hex()
+        if s.remaining_refs > 0:
+            v = s.load_ref().begin_parse()
+            schema = v.load_uint(16)
+            d["value_schema"] = _DNS_SCHEMAS.get(schema, hex(schema))
+            if schema in (0xBA93, 0x9FD3):
+                d["value"] = v.load_address()
+                if schema == 0x9FD3 and v.remaining_bits >= 8:
+                    d["flags"] = v.load_uint(8)
+            elif schema in (0xAD01, 0x7473):
+                d["value"] = v.load_bytes(32).hex()
+                if schema == 0xAD01 and v.remaining_bits >= 8:
+                    d["flags"] = v.load_uint(8)
+        else:
+            d["value"] = None  # empty record = deletion
+        return d
+    if op == OP_DEDUST_SWAP_ENTRY:
+        # swap#ea06185d query_id:uint64 amount:Coins pool:MsgAddressInt
+        #   kind:uint1 limit:Coins next:(Maybe ^SwapStep) params:^SwapParams
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["pool"] = s.load_address()
+        d["kind"] = s.load_bit()
+        d["limit"] = s.load_coins()
+        return d
+    if op == OP_STONFI_V2_SWAP:
+        # swap#657b54f5 query_id:uint64 from_user:Addr left_amount:Coins
+        #   right_amount:Coins … (messages/swaps.py:129-153)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["user"] = s.load_address()
+        d["amount"] = s.load_coins()
+        d["right_amount"] = s.load_coins()
+        return d
+    if op == OP_TONSTAKERS_WITHDRAW:
+        # burn/withdraw request: query_id:uint64 [amount:Coins]
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        if s.remaining_bits >= 4:
+            d["amount"] = s.load_coins()
+        return d
+    if op in (OP_TONSTAKERS_DEPOSIT, OP_ELECTOR_NEW_STAKE,
+              OP_ELECTOR_RECOVER):
+        d = {"opcode": op}
+        if s.remaining_bits >= 64:
+            d["query_id"] = s.load_uint(64)
+        return d
     return {"opcode": op}
 
 
@@ -588,6 +652,44 @@ def encode_jetton_burn(
         .store_uint(query_id, 64)
         .store_coins(amount)
         .store_address(response)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_change_dns(
+    query_id: int, key: bytes, value_address: str | None = None,
+    schema: int = 0xBA93,
+) -> str:
+    b = (
+        Builder()
+        .store_uint(OP_CHANGE_DNS, 32)
+        .store_uint(query_id, 64)
+        .store_bytes(key)
+    )
+    if value_address is not None:
+        inner = (
+            Builder().store_uint(schema, 16).store_address(value_address)
+            .end_cell()
+        )
+        b.store_ref(inner)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_dedust_swap(
+    query_id: int, amount: int, pool: str | None, limit: int = 0,
+) -> str:
+    params = Builder().end_cell()
+    cell = (
+        Builder()
+        .store_uint(OP_DEDUST_SWAP_ENTRY, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_address(pool)
+        .store_bit(0)
+        .store_coins(limit)
+        .store_bit(0)  # no next step
+        .store_ref(params)
         .end_cell()
     )
     return base64.b64encode(serialize_boc(cell)).decode()
