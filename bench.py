@@ -26,6 +26,7 @@ HEADLINE = [
     "latest_state",
     "ordered_collect",
     "sessionize",
+    "asof_join",
     "connected_components",
     "dedup_exact",
     "dedup_minhash_lsh",

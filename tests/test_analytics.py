@@ -62,3 +62,40 @@ def test_salted_join_matches_plain_join(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_asof_join_tolerance_and_exact_match(spark):
+    """Backward as-of semantics: exact-ts right rows match; tolerance
+    nulls stale matches; no-prior-row yields nulls."""
+    from ton_indexer_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 90), (4, 20, 500)],
+        "event_id long, user_id long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, 100, 1.0), (102, 10, 200, 2.0), (103, 30, 50, 9.0)],
+        "event_id long, user_id long, ts_us long, v double",
+    )
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join_backward(
+            left, right, by=["user_id"], ts_col="ts_us",
+            value_cols=["v"], seq_col="event_id",
+        ).collect()
+    }
+    assert got[1] == (100, 1.0)   # exact-ts match allowed
+    assert got[2] == (200, 2.0)   # latest at-or-before
+    assert got[3] == (None, None) # earliest right row (ts 100) is after 90
+    assert got[4] == (None, None) # user 20 has no right rows
+
+    # tolerance: match older than ts - 50 is nulled
+    got_tol = {
+        r["event_id"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join_backward(
+            left, right, by=["user_id"], ts_col="ts_us",
+            value_cols=["v"], seq_col="event_id", tolerance=4,
+        ).collect()
+    }
+    assert got_tol[1] == (100, 1.0)   # staleness 0 <= 4
+    assert got_tol[2] == (None, None) # staleness 5 > 4

@@ -174,3 +174,76 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "asof_join",
+    f"""
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               event_id AS view_event_id, value AS view_value
+        FROM events WHERE event_type = 'view'
+    ),
+    u AS (
+        SELECT event_id, user_id, ts_us, 1 AS side,
+               CAST(NULL AS BIGINT) AS r_ts,
+               CAST(NULL AS BIGINT) AS r_view_event_id,
+               CAST(NULL AS DOUBLE) AS r_view_value
+        FROM l
+        UNION ALL
+        SELECT event_id, user_id, ts_us, 0, ts_us,
+               view_event_id, view_value
+        FROM r
+    ),
+    filled AS (
+        SELECT event_id, user_id, ts_us, side,
+               LAST_VALUE(r_ts IGNORE NULLS) OVER w AS asof_ts,
+               LAST_VALUE(r_view_event_id IGNORE NULLS) OVER w
+                   AS asof_view_event_id,
+               LAST_VALUE(r_view_value IGNORE NULLS) OVER w
+                   AS asof_view_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts_us, asof_ts, asof_view_event_id,
+           asof_view_value
+    FROM filled WHERE side = 1
+    ORDER BY user_id, ts_us, event_id
+    """,
+    survey_ops=("beyond:asof-join",),
+    description="as-of (point-in-time) join: each purchase matched to the "
+    "user's latest at-or-before view event — union+running-last window, "
+    "ONE shuffle on the key, no range-join pair explosion (the operator "
+    "the reference sidesteps via latest_account_states materialization)",
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.asof import asof_join_backward
+
+    ev = Catalog(spark, sf_dir).events
+    ev = ev.withColumn("ts_us", epoch_us(ev, "ts"))
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return (
+        asof_join_backward(
+            left, right, by=["user_id"], ts_col="ts_us",
+            value_cols=["view_event_id", "view_value"], seq_col="event_id",
+        )
+        .select(
+            "event_id", "user_id", "ts_us", "asof_ts",
+            "asof_view_event_id", "asof_view_value",
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
