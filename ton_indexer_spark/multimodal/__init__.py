@@ -16,7 +16,17 @@ computation) is real and tested.
 from ton_indexer_spark.multimodal.binary import (
     binary_metadata,
     decode_image_stub,
+    extract_features,
+    resize_images,
+    sample_frames,
     with_binary_payload,
 )
 
-__all__ = ["binary_metadata", "decode_image_stub", "with_binary_payload"]
+__all__ = [
+    "binary_metadata",
+    "decode_image_stub",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "with_binary_payload",
+]

@@ -81,3 +81,149 @@ def decode_image_stub(blob: bytes) -> None:
         "image decode requires a codec library; wire PIL/torchvision here — "
         "the Spark-side batch plumbing is binary_metadata()'s shape"
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample / feature-extract stages.  The *decode* inside each
+# is a DETERMINISTIC FAKE (the container ships no media codecs) — clearly
+# marked below; everything Spark-side (schemas, iterator batching, explode
+# semantics, output shapes) is the production plumbing and is what the
+# tests pin.  Swapping the fake for PIL/ffmpeg changes only the marked
+# lines.
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def _fake_decode_resize(blob: bytes, width: int, height: int) -> bytes:
+    """FAKE decode+resample: a real impl decodes the codec stream and
+    bilinear-resamples; this derives width*height deterministic bytes by
+    re-keying the blob digest per pixel block — stable shape + content."""
+    seed = hashlib.md5(blob or b"").digest()
+    need = width * height
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[:need])
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Decode → resize stage: one fixed-shape grayscale byte plane per
+    blob.  Output rows are constant-size (width·height bytes), so
+    downstream batch geometry is predictable — the property training
+    pipelines need for packing."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf[payload_col].map(
+                        lambda b: _fake_decode_resize(b, width, height)
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 2, frame_bytes: int = 64,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling stage: explode each blob into every-Nth fixed-size
+    frame.  FAKE decode: frames are byte slices of the container (a real
+    impl demuxes with ffmpeg); the 1→many row explosion inside
+    mapInPandas — with batches flushed per input chunk, never the whole
+    video in memory — is the production shape."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, blob in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                blob = blob or b""
+                n_frames = max(1, len(blob) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(blob[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, schema=FRAME_SCHEMA
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, dim: int = 64,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Feature-extraction stage: blob → fixed-dim float vector.  FAKE
+    encoder (digest-derived floats in [-1, 1); a real impl runs a vision
+    tower here).  Output column name/type match the `embeddings` table, so
+    the vectors feed the similarity operators (IVF/LSH ANN, near-dup)
+    directly — the decode→embed→dedup composition a data pipeline runs."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for blob in pdf[payload_col]:
+                seed = hashlib.md5(blob or b"").digest()
+                raw = b"".join(
+                    hashlib.md5(seed + i.to_bytes(4, "big")).digest()
+                    for i in range((dim * 4 + 15) // 16)
+                )
+                ints = np.frombuffer(raw[: dim * 4], dtype="<u4")
+                vecs.append(
+                    ((ints / 2**31).astype("float32") - 1.0)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "embedding": [v.tolist() for v in vecs],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, schema=FEATURE_SCHEMA
+    )

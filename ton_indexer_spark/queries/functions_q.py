@@ -102,6 +102,42 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    """
+    WITH d AS (
+        SELECT doc_id, encode(text) AS payload FROM documents
+    ),
+    s AS (
+        -- even frame indices 0,2,4,…; seeded off the table itself since
+        -- generate_series takes only constants (covers any payload up to
+        -- 128·n_docs bytes, far past the corpus max)
+        SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 2 AS i
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           -- DuckDB has no BLOB substring: compare byte slices as hex
+           substring(hex(payload), CAST(i * 128 + 1 AS BIGINT), 128)
+               AS frame_hex
+    FROM d JOIN s ON i <= greatest(octet_length(payload) // 64, 1) - 1
+    ORDER BY doc_id, frame_idx
+    """,
+    survey_ops=("beyond:multimodal-frames",),
+    description="frame-sampling stage: every-2nd fixed-size frame exploded "
+    "out of each binary payload inside Arrow mapInPandas (1->many with "
+    "per-chunk flushing, constant memory); demux is a byte-slice fake — "
+    "the explode plumbing is the product",
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.multimodal import sample_frames
+
+    d = Catalog(spark, sf_dir).documents
+    frames = sample_frames(with_binary_payload(d), every_n=2, frame_bytes=64)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "keyset_pagination",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
