@@ -11,12 +11,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles(
+def shingle_array(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Return (id, shingle) pairs, distinct per document.
+    """Return (id, shingle_arr) — the doc's k-token shingles as an array
+    column (with duplicates, in position order), entirely inside codegen.
 
-    Documents with fewer than k tokens produce no shingles (matching the
+    Documents with fewer than k tokens get an empty array (matching the
     conventional MinHash definition — they can only be exact-dup matched).
     """
     # bind the token array to a column FIRST: inlining the split() expression
@@ -36,7 +37,15 @@ def shingles(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
+    return toked.select(F.col(id_col), shingle_arr.alias("shingle_arr"))
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Return (id, shingle) pairs, distinct per document."""
     return (
-        toked.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        shingle_array(docs, id_col, text_col, k)
+        .select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
         .distinct()
     )
