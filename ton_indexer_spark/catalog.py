@@ -50,6 +50,13 @@ class Catalog:
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the session timezone: TIMESTAMP_NTZ arithmetic (timecols.
+        # epoch_us) resolves through NTZ→TIMESTAMP casts that use the
+        # session zone; under a DST zone the epoch literal and a summer
+        # value would cast with different offsets.  UTC makes every NTZ
+        # difference exact and bit-identical to DuckDB's naive epoch_us,
+        # whatever zone the driver process inherited.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def _nanos_cols(self, name: str) -> list[str]:
         import pyarrow.dataset as pads
