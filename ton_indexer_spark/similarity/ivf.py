@@ -36,8 +36,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ton_indexer_spark.similarity.brute import cosine
-
 
 def ivf_seed_matrix(
     emb: DataFrame, n_lists: int, id_col: str = "vec_id",
@@ -148,13 +146,49 @@ def ivf_topk(
         F.col("embedding").alias("qvec"),
         "list_id",
     )
+    # score per inverted list with a LOCAL BLAS matmul (cogrouped
+    # applyInPandas): Spark's higher-order-function cosine is evaluated
+    # interpreted (outside codegen), so at |queries|·nprobe/n_lists·|list|
+    # candidate pairs the dense kernel wins by ~10×.  Values are identical:
+    # float64 dot of unit-normalized vectors, rounded to 6 dp.
+    scored_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score_list(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "sim": "float64"})
+
+        def unit(col: pd.Series) -> np.ndarray:
+            m = np.array(list(col), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return m / n
+
+        c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+        q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
+        sims = np.round(unit(qdf["qvec"]) @ unit(cdf["cvec"]).T, 6)
+        qi, cj = np.nonzero(q_ids[:, None] != c_ids[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": q_ids[qi],
+                "neighbor_id": c_ids[cj],
+                "sim": sims[qi, cj],
+            }
+        )
+
     scored = (
-        assigned.join(probes, "list_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        assigned.groupBy("list_id")
+        .cogroup(probes.groupBy("list_id"))
+        .applyInPandas(
+            lambda c, q: score_list(c, q), schema=scored_schema
         )
     )
     w = Window.partitionBy("query_id").orderBy(
