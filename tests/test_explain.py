@@ -252,3 +252,17 @@ def test_classifier_dims_account_scoped_not_broadcast(spark):
                 assert "LeftOuter" not in line, line
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_shingling_splits_text_exactly_once(spark):
+    """Regression guard for the O(len²) shingle pitfall: if the token-array
+    projection collapses into the shingle expression, Catalyst re-inlines
+    split() at every element_at site (k× per shingle position) and the
+    shingle stage slows ~8×.  The healthy plan binds `toks` once."""
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.dedup.shingles import shingles
+
+    docs = Catalog(spark, SF_SMALL).documents
+    plan = plan_of(shingles(docs))
+    assert plan.count("split(") == 1, plan
+    assert "AS toks" in plan

@@ -11,13 +11,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingle_array(
+def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Return (id, shingle_arr) — the doc's k-token shingles as an array
-    column (with duplicates, in position order), entirely inside codegen.
+    """Return (id, shingle) pairs, distinct per document.
 
-    Documents with fewer than k tokens get an empty array (matching the
+    Documents with fewer than k tokens produce no shingles (matching the
     conventional MinHash definition — they can only be exact-dup matched).
     """
     # bind the token array to a column FIRST: inlining the split() expression
@@ -37,15 +36,7 @@ def shingle_array(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
-    return toked.select(F.col(id_col), shingle_arr.alias("shingle_arr"))
-
-
-def shingles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """Return (id, shingle) pairs, distinct per document."""
     return (
-        shingle_array(docs, id_col, text_col, k)
-        .select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
+        toked.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
