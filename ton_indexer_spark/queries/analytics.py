@@ -136,3 +136,64 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     return cosine_neardup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "percentile_summary",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ops=("beyond:percentiles",),
+    description="exact linear-interpolation percentiles per group (quality "
+    "gate thresholds: p50/p95/p99 of a measure) — Spark percentile() and "
+    "DuckDB quantile_cont share interpolation semantics bit-for-bit",
+)
+def percentile_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.95).alias("p95"),
+            F.percentile("l_extendedprice", 0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100
+          < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:stratified-sample",),
+    description="deterministic hash-based stratified sampling (class "
+    "rebalancing: keep 20% of 'en' docs, 50% of the rest) — membership is "
+    "a pure function of the id hash, so reruns, engine swaps, and "
+    "incremental appends agree; pure codegen filter",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.sampling import stratified_sample
+
+    d = Catalog(spark, sf_dir).documents
+    return (
+        stratified_sample(
+            d, id_col="doc_id", strata_col="lang",
+            rates={"en": 0.2}, default_rate=0.5,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
