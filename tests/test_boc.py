@@ -151,6 +151,10 @@ def test_decode_change_dns():
     # no value ref = record deletion
     d2 = decode_message_body(encode_change_dns(6, key))
     assert d2["value"] is None
+    # unknown record schema: the record exists, value must be non-empty
+    # so the matcher does not misread the set as delete_dns
+    d3 = decode_message_body(encode_change_dns(7, key, ADDR_A, schema=0x1234))
+    assert d3["value"]
 
 
 def test_decode_dedust_swap_entry():

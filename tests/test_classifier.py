@@ -245,6 +245,21 @@ def test_jetton_transfer_fallback_no_internal_leg(spark):
     assert a["jetton_transfer_data"]["has_internal_transfer"] is False
 
 
+def test_jetton_transfer_fallback_requires_decodable_body(spark):
+    """Opcode collision guard: a 0x0f8a7ea5 message whose body does not
+    decode as a transfer (no amount/destination) must NOT classify as
+    jetton_transfer, even when no wallet interfaces are hydrated —
+    mirrors the reference aborting the match when JettonTransfer(body)
+    raises (blocks/jettons.py:292)."""
+    b = TraceBuilder("jf2")
+    root = b.tx(A[0], None)
+    b.chain(root, A[1], opcode=JETTON_TRANSFER)  # no body at all
+
+    res = run(spark, [b])  # no jetton_wallets context
+    acts = acts_of(res, "jf2")
+    assert "jetton_transfer" not in [a["type"] for a in acts]
+
+
 def test_jetton_swap_multi_hop(spark):
     """A → B → C through two pools: one swap action, two peer_swaps hops,
     four child transfer legs."""

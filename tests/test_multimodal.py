@@ -52,7 +52,7 @@ def test_extract_features_feed_similarity(spark):
     feats = extract_features(_docs(spark), dim=16)
     rows = feats.collect()
     assert all(len(r["embedding"]) == 16 for r in rows)
-    assert all(-1.0 <= v < 1.0 for r in rows for v in r["embedding"])
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r["embedding"])
     # the output column shape matches the embeddings table, so the vectors
     # compose straight into the ANN operators
     from ton_indexer_spark.similarity import cosine_topk

@@ -413,6 +413,12 @@ def match_jetton_transfer_fallback(node: Node, ctx: Ctx) -> dict | None:
         # only meaningful at a jetton-wallet contract (interface gating, C6)
         return None
     payload = node.in_msg.decoded_body()
+    if not payload.get("amount") and not payload.get("destination"):
+        # reference analog: JettonTransfer(body) raising aborts the match
+        # (blocks/jettons.py:292) — an opcode collision with an
+        # undecodable body is NOT a transfer; without this, any
+        # 0x0f8a7ea5 message in an interface-less trace would classify
+        return None
     owner, jetton = wallets.get(node.account, (None, None))
     return _base(
         node,

@@ -541,6 +541,11 @@ def decode_body_cell(root: Cell) -> dict:
                 d["value"] = v.load_bytes(32).hex()
                 if schema == 0xAD01 and v.remaining_bits >= 8:
                     d["flags"] = v.load_uint(8)
+            else:
+                # unknown record schema: the record EXISTS (non-empty ref),
+                # so value must be non-empty or the matcher would read the
+                # set as a deletion — surface the raw tag
+                d["value"] = d["value_schema"]
         else:
             d["value"] = None  # empty record = deletion
         return d

@@ -169,7 +169,8 @@ def sample_frames(
             for doc_id, blob in zip(
                 pdf[id_col].astype("int64"), pdf[payload_col]
             ):
-                blob = blob or b""
+                if blob is None:
+                    continue  # NULL payload = no media, no frames
                 n_frames = max(1, len(blob) // frame_bytes)
                 for i in range(0, n_frames, every_n):
                     ids.append(doc_id)
@@ -197,7 +198,7 @@ def extract_features(
     id_col: str = "doc_id", payload_col: str = "payload",
 ) -> DataFrame:
     """Feature-extraction stage: blob → fixed-dim float vector.  FAKE
-    encoder (digest-derived floats in [-1, 1); a real impl runs a vision
+    encoder (digest-derived floats in [-1, 1]; a real impl runs a vision
     tower here).  Output column name/type match the `embeddings` table, so
     the vectors feed the similarity operators (IVF/LSH ANN, near-dup)
     directly — the decode→embed→dedup composition a data pipeline runs."""

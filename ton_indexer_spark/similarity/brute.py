@@ -68,6 +68,10 @@ def cosine_topk(
 
     spark = corpus.sparkSession
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, sim double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)

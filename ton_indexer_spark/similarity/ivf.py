@@ -50,6 +50,8 @@ def ivf_seed_matrix(
         .limit(n_lists)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_seed_matrix: corpus is empty — no centroids")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -74,6 +76,9 @@ def ivf_assign(
     so the assignment is identical across engines that accumulate floats
     in different orders.
     """
+    # a corpus smaller than n_lists yields fewer seeds; probing more lists
+    # than exist is the full set
+    nprobe = min(nprobe, len(seed_ids))
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((seed_ids, seed_matrix))
     out_schema = T.StructType(
