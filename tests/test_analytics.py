@@ -99,3 +99,21 @@ def test_asof_join_tolerance_and_exact_match(spark):
     }
     assert got_tol[1] == (100, 1.0)   # staleness 0 <= 4
     assert got_tol[2] == (None, None) # staleness 5 > 4
+
+
+def test_global_running_sum_partition_invariant(spark):
+    """The two-phase prefix sum must give identical results for any
+    partition count (range-boundary placement is an implementation
+    detail, not a semantic input)."""
+    from ton_indexer_spark.operators.prefix import global_running_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 37 + 1).alias("v")
+    )
+    a = {r["id"]: r["s"] for r in global_running_sum(
+        df, "id", "v", "s", n_partitions=3).collect()}
+    b = {r["id"]: r["s"] for r in global_running_sum(
+        df, "id", "v", "s", n_partitions=17).collect()}
+    assert a == b
+    # spot-check against the closed form at the tail
+    assert a[999] == sum(i % 37 + 1 for i in range(1000))

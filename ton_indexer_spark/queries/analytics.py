@@ -197,3 +197,31 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sequence_pack",
+    """
+    SELECT doc_id, n_chars,
+           CAST((SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_chars) // 8192 AS BIGINT) AS bin_id
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:sequence-pack",),
+    description="sequence packing: contiguous token-budget bin assignment "
+    "(bin = exclusive running sum div budget) via the two-phase "
+    "distributed prefix sum — range partitions cumsum in parallel, only "
+    "per-partition totals hit a global window (the single-partition "
+    "Window.orderBy trap avoided)",
+)
+def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.prefix import sequence_pack
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    return (
+        sequence_pack(d, order_col="doc_id", tokens_col="n_chars",
+                      budget=8192)
+        .select("doc_id", "n_chars", "bin_id")
+        .orderBy("doc_id")
+    )
