@@ -142,3 +142,50 @@ def test_reclassification_replaces_per_trace(spark, fixture_dir, tmp_path):
         after.filter(~F.col("trace_id").isin(victims)).count()
         == actions.filter(~F.col("trace_id").isin(victims)).count()
     )
+
+
+def test_emulated_externals_classify_as_pending(spark):
+    """C8 input-path seam: external message → (fake-)emulated pending
+    trace rows → the same classifier → a pending action, evictable by
+    trace_id on finalization.  Swapping the fake for a real TVM keeps
+    every contract here."""
+    from ton_indexer_spark.classifier.classify import classify_traces
+    from ton_indexer_spark.functions.boc import encode_jetton_transfer
+    from ton_indexer_spark.streaming.emulate import emulate_externals
+
+    W1 = "0:" + "a1" * 32
+    W2 = "0:" + "b2" * 32
+    BOB = "0:" + "c3" * 32
+    ALICE = "0:" + "d4" * 32
+    ext = spark.createDataFrame(
+        [("extmsg1", W1, 0x0F8A7EA5, 10,
+          encode_jetton_transfer(1, 555, BOB), W2)],
+        "msg_hash string, destination string, opcode long, value long, "
+        "body string, forward_to string",
+    )
+    txs, msgs = emulate_externals(ext)
+    assert txs.count() == 2 and msgs.count() == 3  # 2 hops, ext+int+in
+
+    # idempotent: re-emulation derives the same trace_id/tx hashes
+    txs2, _ = emulate_externals(ext)
+    assert sorted(r["hash"] for r in txs.collect()) == sorted(
+        r["hash"] for r in txs2.collect()
+    )
+
+    trace_id = txs.first()["trace_id"]
+    contents = msgs.filter(F.col("body").isNotNull()).select(
+        F.col("msg_hash").alias("hash"), "body"
+    ).distinct()
+    cls = classify_traces(
+        txs,
+        msgs.withColumn("body_hash", F.col("msg_hash")),
+        message_contents=contents,
+        jetton_wallets=spark.createDataFrame(
+            [(W1, ALICE, "0:" + "e5" * 32),
+             (W2, BOB, "0:" + "e5" * 32)],
+            "address string, owner string, jetton string",
+        ),
+    )
+    acts = cls.actions.filter(F.col("trace_id") == trace_id).collect()
+    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    assert acts[0]["amount"] == 555

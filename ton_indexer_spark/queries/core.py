@@ -482,3 +482,30 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+    survey_ops=("beyond:set-ops",),
+    description="INTERSECT + EXCEPT (SURVEY §2.7 'available natively'): "
+    "positive-balance customers with at least one order and none in "
+    "status F — Catalyst plans both as hash semi/anti joins",
+)
+def set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    pos = cat.customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ordered = cat.orders.select(F.col("o_custkey").alias("custkey"))
+    final = cat.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return pos.intersect(ordered).exceptAll(final.distinct()).orderBy("custkey")
