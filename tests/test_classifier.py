@@ -804,3 +804,25 @@ def test_nft_cancel_and_finish(spark):
     f = acts_of(res, "f1")
     assert [a["type"] for a in f] == ["nft_finish_auction"]
     assert len(f[0]["tx_hashes"]) == 4
+
+
+def test_decimal_amount_survives_uint128(spark):
+    """Overflow policy pin (SURVEY §1.3): jetton amounts are uint256-range
+    on chain and int64 silently overflows past 2^63 — the actions schema
+    stores DECIMAL(38,0) (the reference's `numeric`, migrate.cpp:313-383)
+    and a 2^100 amount must round-trip exactly."""
+    big = 2 ** 100
+    b = TraceBuilder("big1")
+    root = b.tx(A[0], None)
+    w1 = b.chain(root, W1, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": big, "destination": A[1]}))
+    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
+    b.chain(w2, A[1], opcode=JETTON_NOTIFY)
+
+    res = run(spark, [b], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:jetton1"},
+        {"address": W2, "owner": A[1], "jetton": "0:jetton1"},
+    ])
+    acts = acts_of(res, "big1")
+    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    assert int(acts[0]["amount"]) == big

@@ -364,3 +364,21 @@ def test_api_facade_routes(spark, fixture_dir):
     assert api.metadata().count() > 0
     assert api.top_accounts(5).count() == 5
     assert api.block_exists(-1, 1)
+
+
+def test_listings_plans_have_no_forced_broadcast(ton):
+    """Listings plans must not pin a broadcast on dimension tables whose
+    real-chain cardinality (millions of sales rows, metadata for every
+    address) can exceed the broadcast budget — AQE picks broadcast from
+    runtime size when the dim actually is small, and degrades gracefully
+    when it is not (the round-1 lesson from trace_assembler applied to
+    the query surface)."""
+    from ton_indexer_spark.plans.dimensions import (
+        address_book,
+        metadata_union,
+        nft_items_listing,
+    )
+
+    for df in (nft_items_listing(ton), metadata_union(ton), address_book(ton)):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in optimized, optimized[:800]

@@ -189,3 +189,116 @@ def test_emulated_externals_classify_as_pending(spark):
     acts = cls.actions.filter(F.col("trace_id") == trace_id).collect()
     assert [a["type"] for a in acts] == ["jetton_transfer"]
     assert acts[0]["amount"] == 555
+
+
+def test_reclassification_leaves_other_buckets_untouched(spark, fixture_dir, tmp_path):
+    """The 100 TB contract of replace_by_key: a reclassification batch may
+    rewrite only the kb buckets containing its trace_ids — every file in
+    every other bucket must remain BYTE-IDENTICAL (not merely row-equal),
+    proving untouched buckets were never opened or rewritten."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.sources.writer import replace_by_key
+
+    actions = spark.read.parquet(f"{fixture_dir}/actions.parquet")
+    path = str(tmp_path / "actions")
+    # first call establishes the kb-bucketed layout
+    replace_by_key(spark, path, actions, key=["trace_id"])
+
+    def file_digests(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = file_digests(path)
+
+    victims = [
+        r[0] for r in actions.select("trace_id").distinct().limit(2).collect()
+    ]
+    new_rows = (
+        actions.filter(F.col("trace_id").isin(victims))
+        .dropDuplicates(["trace_id"])
+        .withColumn("type", F.lit("reclassified"))
+    )
+    replace_by_key(spark, path, new_rows, key=["trace_id"])
+
+    table = spark.read.parquet(path)
+    affected = {
+        r[0]
+        for r in table.filter(F.col("trace_id").isin(victims))
+        .select("kb").distinct().collect()
+    }
+    assert affected, "victim traces must land in some bucket"
+    after = file_digests(path)
+    untouched_before = {
+        p: d for p, d in before.items()
+        if not any(p.startswith(f"kb={kb}/") for kb in affected)
+    }
+    untouched_after = {
+        p: d for p, d in after.items()
+        if not any(p.startswith(f"kb={kb}/") for kb in affected)
+    }
+    assert untouched_before == untouched_after
+    # and the affected buckets DID change
+    assert any(
+        before.get(p) != after.get(p)
+        for p in set(before) | set(after)
+        if any(p.startswith(f"kb={kb}/") for kb in affected)
+    )
+    # semantics still hold
+    got = table.filter(F.col("trace_id").isin(victims))
+    assert got.count() == len(victims)
+    assert {r["type"] for r in got.collect()} == {"reclassified"}
+
+
+def test_emulator_seam_contract_branching_trace(spark):
+    """Drop-in contract for a real TVM (streaming/emulate.py seam): a
+    BRANCHING trace that touches the same account twice at the same depth
+    must yield unique tx hashes and strictly increasing, non-colliding
+    lts (hash ← child-index path, lt ← walk preorder), and a node
+    violating the documented schema must fail with a clear error."""
+    import pytest as _pytest
+
+    from ton_indexer_spark.streaming.emulate import emulate_externals
+
+    SAME = "0:same" + "0" * 58
+
+    def branching(ext):
+        leaf = lambda: {"account": SAME, "in_source": ext["destination"],
+                        "opcode": 7, "value": 1, "body": None, "out": []}
+        return [{
+            "account": ext["destination"], "in_source": None,
+            "opcode": ext.get("opcode"), "value": ext.get("value"),
+            "body": None,
+            "out": [leaf(), leaf()],  # two siblings, same account+depth
+        }]
+
+    ext = spark.createDataFrame(
+        [("m1", "0:dst" + "0" * 59, 42, 5, None, None)],
+        "msg_hash string, destination string, opcode long, value long, "
+        "body string, forward_to string",
+    )
+    txs, msgs = emulate_externals(ext, emulator=branching)
+    rows = txs.collect()
+    assert len(rows) == 3
+    assert len({r["hash"] for r in rows}) == 3  # no collisions
+    assert len({r["lt"] for r in rows}) == 3
+    assert all(r["finality"] == "pending" for r in rows)
+    # deterministic: re-emulation produces identical hashes
+    again = {r["hash"] for r in emulate_externals(ext, emulator=branching)[0].collect()}
+    assert again == {r["hash"] for r in rows}
+
+    def broken(ext):
+        return [{"in_source": None, "out": []}]  # missing 'account'
+
+    with _pytest.raises(Exception, match="account"):
+        emulate_externals(ext, emulator=broken)[0].collect()

@@ -105,3 +105,21 @@ def test_compaction_preserves_data(spark, fixture_dir, tmp_path):
         pdir = os.path.join(path, part)
         now = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
         assert now < n_files
+
+
+def test_token_event_amount_survives_uint128(spark):
+    """from_json must decode a >2^63 amount into DECIMAL(38,0) exactly —
+    the int64 schema this replaced would overflow (SURVEY §1.3)."""
+    from ton_indexer_spark.operators.token_events import derive_jetton_transfers
+
+    big = 2 ** 100
+    b = TraceBuilder("ovf1")
+    root = b.tx(A[0], None)
+    b.chain(root, W1, opcode=JETTON_TRANSFER,
+            body=body_of({"amount": big, "destination": A[3]}))
+    txs_df, msgs, bodies_df = build_dfs(spark, [b])
+    txs = txs_df.withColumn("mc_block_seqno", F.lit(1))
+    rows = derive_jetton_transfers(txs, msgs, bodies_df).collect()
+    assert len(rows) == 1
+    assert int(rows[0]["amount"]) == big
+    assert dict(rows[0].asDict())["amount"].__class__.__name__ == "Decimal"

@@ -37,6 +37,7 @@ BIG_TRACE_CUTOFF = 4000  # event_classifier.py:405
 _S, _L, _B, _I = (
     T.StringType(), T.LongType(), T.BooleanType(), T.IntegerType()
 )
+_D = T.DecimalType(38, 0)  # `numeric` token amounts (migrate.cpp:313-383)
 
 
 def _struct(**fields: T.DataType) -> T.StructType:
@@ -46,36 +47,37 @@ def _struct(**fields: T.DataType) -> T.StructType:
 # Typed action payloads (F5) — one nested struct per composite type of the
 # reference's actions table (ton-index-postgres/src/migrate.cpp:83-105,
 # 760, plus block_tree_serializer.py:1292-1587 field semantics).  Amounts
-# use LongType (sufficient for the oracle workload; a production deployment
-# would widen to DecimalType(38,0) for uint128 jetton amounts — the x96
-# price, which always overflows int64, is kept as a string).
+# use DecimalType(38,0) (SURVEY §1.3; the reference's `numeric`,
+# migrate.cpp:313-383): TON jetton amounts are uint256-range and int64
+# silently overflows on large-supply jettons.  lt/utime/indices stay
+# BIGINT; the x96 price, which exceeds even decimal38, stays a string.
 _PAYLOAD_STRUCTS: list[T.StructField] = [
     T.StructField("jetton_transfer_data", _struct(
-        response_destination=_S, forward_amount=_L, query_id=_L,
+        response_destination=_S, forward_amount=_D, query_id=_L,
         custom_payload=_S, forward_payload=_S, comment=_S,
         is_encrypted_comment=_B, has_internal_transfer=_B)),
     T.StructField("nft_transfer_data", _struct(
-        is_purchase=_B, price=_L, query_id=_L, custom_payload=_S,
-        forward_payload=_S, forward_amount=_L, response_destination=_S,
+        is_purchase=_B, price=_D, query_id=_L, custom_payload=_S,
+        forward_payload=_S, forward_amount=_D, response_destination=_S,
         nft_item_index=_L, marketplace=_S)),
     T.StructField("nft_mint_data", _struct(nft_item_index=_L)),
     T.StructField("change_dns_record_data", _struct(
         key=_S, value_schema=_S, value=_S, flags=_I)),
     T.StructField("dex_deposit_liquidity_data", _struct(
-        dex=_S, amount1=_L, amount2=_L, asset1=_S, asset2=_S,
+        dex=_S, amount1=_D, amount2=_D, asset1=_S, asset2=_S,
         user_jetton_wallet_1=_S, user_jetton_wallet_2=_S,
-        lp_tokens_minted=_L, target_asset_1=_S, target_asset_2=_S,
-        target_amount_1=_L, target_amount_2=_L,
-        vault_excesses=T.ArrayType(_struct(asset=_S, amount=_L)),
+        lp_tokens_minted=_D, target_asset_1=_S, target_asset_2=_S,
+        target_amount_1=_D, target_amount_2=_D,
+        vault_excesses=T.ArrayType(_struct(asset=_S, amount=_D)),
         tick_lower=_L, tick_upper=_L, nft_index=_L, nft_address=_S)),
     T.StructField("dex_withdraw_liquidity_data", _struct(
-        dex=_S, amount1=_L, amount2=_L, asset1_out=_S, asset2_out=_S,
+        dex=_S, amount1=_D, amount2=_D, asset1_out=_S, asset2_out=_S,
         user_jetton_wallet_1=_S, user_jetton_wallet_2=_S,
-        dex_jetton_wallet_1=_S, dex_jetton_wallet_2=_S, lp_tokens_burnt=_L,
+        dex_jetton_wallet_1=_S, dex_jetton_wallet_2=_S, lp_tokens_burnt=_D,
         dex_wallet_1=_S, dex_wallet_2=_S, burned_nft_index=_L,
         burned_nft_address=_S, tick_lower=_L, tick_upper=_L)),
     T.StructField("staking_data", _struct(
-        provider=_S, ts_nft=_S, tokens_burnt=_L, tokens_minted=_L)),
+        provider=_S, ts_nft=_S, tokens_burnt=_D, tokens_minted=_D)),
     T.StructField("tonco_deploy_pool_data", _struct(
         jetton0_router_wallet=_S, jetton1_router_wallet=_S,
         jetton0_minter=_S, jetton1_minter=_S, tick_spacing=_I,
@@ -101,26 +103,26 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
         sender_jetton_wallet=_S, recipient_jetton_wallet=_S,
         master_jetton_wallet=_S, master=_S, fail_reason=_S, asset_id=_S)),
     T.StructField("evaa_liquidate_data", _struct(
-        fail_reason=_S, debt_amount=_L, asset_id=_S)),
+        fail_reason=_S, debt_amount=_D, asset_id=_S)),
     T.StructField("jvault_claim_data", _struct(
-        claimed_jettons=T.ArrayType(_S), claimed_amounts=T.ArrayType(_L))),
+        claimed_jettons=T.ArrayType(_S), claimed_amounts=T.ArrayType(_D))),
     T.StructField("jvault_stake_data", _struct(
-        period=_L, minted_stake_jettons=_L, stake_wallet=_S)),
+        period=_L, minted_stake_jettons=_D, stake_wallet=_S)),
     T.StructField("coffee_create_pool_data", _struct(
-        amount_1=_L, amount_2=_L, initiator_1=_S, initiator_2=_S,
-        provided_asset=_S, lp_tokens_minted=_L, pool_creator_contract=_S)),
+        amount_1=_D, amount_2=_D, initiator_1=_S, initiator_2=_S,
+        provided_asset=_S, lp_tokens_minted=_D, pool_creator_contract=_S)),
     T.StructField("coffee_staking_deposit_data", _struct(
         minted_item_address=_S, minted_item_index=_L)),
     T.StructField("coffee_staking_withdraw_data", _struct(
         nft_address=_S, nft_index=_L, points=_L)),
     T.StructField("nft_listing_data", _struct(
-        nft_item_index=_L, full_price=_L, marketplace_fee=_L,
-        royalty_amount=_L, mp_fee_factor=_L, mp_fee_base=_L,
-        royalty_fee_base=_L, max_bid=_L, min_bid=_L,
+        nft_item_index=_L, full_price=_D, marketplace_fee=_D,
+        royalty_amount=_D, mp_fee_factor=_L, mp_fee_base=_L,
+        royalty_fee_base=_L, max_bid=_D, min_bid=_D,
         marketplace_fee_address=_S, royalty_address=_S, marketplace=_S)),
     T.StructField("layerzero_send_data", _struct(
         send_request_id=_L, msglib_manager=_S, msglib=_S, uln=_S,
-        native_fee=_L, zro_fee=_L, endpoint=_S, channel=_S)),
+        native_fee=_D, zro_fee=_D, endpoint=_S, channel=_S)),
     T.StructField("layerzero_packet_data", _struct(
         src_oapp=_S, dst_oapp=_S, src_eid=_I, dst_eid=_I, nonce=_L,
         guid=_S, message=_S)),
@@ -142,8 +144,8 @@ ACTIONS_OUT_SCHEMA = T.StructType(
         T.StructField("asset2", T.StringType()),
         T.StructField("asset2_secondary", T.StringType()),
         T.StructField("opcode", T.LongType()),
-        T.StructField("value", T.LongType()),
-        T.StructField("amount", T.LongType()),
+        T.StructField("value", _D),
+        T.StructField("amount", _D),
         T.StructField("success", T.BooleanType()),
         T.StructField("tx_hashes", T.ArrayType(T.StringType())),
         T.StructField("start_lt", T.LongType()),
@@ -158,22 +160,22 @@ ACTIONS_OUT_SCHEMA = T.StructType(
                 [
                     T.StructField("dex", T.StringType()),
                     T.StructField("sender", T.StringType()),
-                    T.StructField("amount_in", T.LongType()),
+                    T.StructField("amount_in", _D),
                     T.StructField("asset_in", T.StringType()),
-                    T.StructField("amount_out", T.LongType()),
+                    T.StructField("amount_out", _D),
                     T.StructField("asset_out", T.StringType()),
                     T.StructField("peer_address", T.StringType()),
-                    T.StructField("min_out_amount", T.LongType()),
+                    T.StructField("min_out_amount", _D),
                     # dex_transfer_details twins (migrate.cpp:86,92)
                     T.StructField(
                         "dex_incoming_transfer",
-                        _struct(amount=_L, asset=_S, source=_S,
+                        _struct(amount=_D, asset=_S, source=_S,
                                 destination=_S, source_jetton_wallet=_S,
                                 destination_jetton_wallet=_S),
                     ),
                     T.StructField(
                         "dex_outgoing_transfer",
-                        _struct(amount=_L, asset=_S, source=_S,
+                        _struct(amount=_D, asset=_S, source=_S,
                                 destination=_S, source_jetton_wallet=_S,
                                 destination_jetton_wallet=_S),
                     ),
@@ -183,9 +185,9 @@ ACTIONS_OUT_SCHEMA = T.StructType(
                             T.StructType(
                                 [
                                     T.StructField("asset_in", T.StringType()),
-                                    T.StructField("amount_in", T.LongType()),
+                                    T.StructField("amount_in", _D),
                                     T.StructField("asset_out", T.StringType()),
-                                    T.StructField("amount_out", T.LongType()),
+                                    T.StructField("amount_out", _D),
                                 ]
                             )
                         ),
@@ -227,7 +229,11 @@ _ROW_COLS = [
 ]
 
 
-def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
+def _classify_group(
+    pdf: pd.DataFrame,
+    big_trace_cutoff: int,
+    dims_present: frozenset[str] = frozenset(),
+) -> pd.DataFrame:
     trace_id = pdf["trace_id"].iloc[0]
 
     def sentinel(state: str) -> pd.DataFrame:
@@ -247,6 +253,12 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
                 if r[k] is not None:
                     r[k] = int(r[k])
         ctx = {
+            # which dimension tables were supplied to classify_traces at
+            # all — lets matchers distinguish "dimension hydrated but this
+            # account absent" (gate hard) from "no dimension context"
+            # (fall back to body-shape heuristics), mirroring the
+            # reference's per-account interface repository (C6)
+            "dims_present": dims_present,
             "jetton_wallets": {
                 r["account"]: (r["acc_jw_owner"], r["acc_jw_jetton"])
                 for r in rows
@@ -297,7 +309,15 @@ def _classify_group(pdf: pd.DataFrame, big_trace_cutoff: int) -> pd.DataFrame:
 
         for a in acts:
             serialize(a, None)
-        return pd.DataFrame(out)
+        res = pd.DataFrame(out)
+        # decimal-typed top-level columns must stay exact python ints:
+        # pd.DataFrame coerces an int+None column to float64/NaN, which
+        # Arrow rejects for decimal128 and which already lost precision
+        # past 2^53 — rebuild from the raw dicts as object dtype
+        for c in ("value", "amount"):
+            if c in res.columns:
+                res[c] = pd.Series([r.get(c) for r in out], dtype=object)
+        return res
     except Exception:
         return sentinel("failed")
 
@@ -424,11 +444,24 @@ def classify_traces(
     else:
         rows = rows.withColumn("acc_sale_nft", F.lit(None).cast("string"))
 
+    dims_present = frozenset(
+        name
+        for name, dim in (
+            ("jetton_wallets", jetton_wallets),
+            ("nft_items", nft_items),
+            ("dns_items", dns_items),
+            ("dex_pools", dex_pools),
+            ("multisig", multisig),
+            ("auctions", auctions),
+            ("nft_sales", nft_sales),
+        )
+        if dim is not None
+    )
     raw = (
         rows.select(*_ROW_COLS)
         .groupBy("trace_id")
         .applyInPandas(
-            lambda pdf: _classify_group(pdf, big_trace_cutoff),
+            lambda pdf: _classify_group(pdf, big_trace_cutoff, dims_present),
             schema=ACTIONS_OUT_SCHEMA,
         )
     )

@@ -409,15 +409,22 @@ def match_jetton_transfer_fallback(node: Node, ctx: Ctx) -> dict | None:
     if node.in_msg is None or node.in_msg.opcode != JETTON_TRANSFER:
         return None
     wallets = ctx.get("jetton_wallets", {})
-    if wallets and node.account not in wallets:
-        # only meaningful at a jetton-wallet contract (interface gating, C6)
+    if "jetton_wallets" in ctx.get("dims_present", ()) and (
+        node.account not in wallets
+    ):
+        # interface gating (C6): when the jetton_wallets DIMENSION was
+        # hydrated, membership is authoritative — gate unconditionally,
+        # even if no wallet of this trace resolved.  (Gating on the
+        # per-trace dict being non-empty would let an incomplete hydration
+        # drop genuine transfers and an empty one admit collisions.)
         return None
     payload = node.in_msg.decoded_body()
-    if not payload.get("amount") and not payload.get("destination"):
+    if payload.get("amount") is None or payload.get("destination") is None:
         # reference analog: JettonTransfer(body) raising aborts the match
-        # (blocks/jettons.py:292) — an opcode collision with an
-        # undecodable body is NOT a transfer; without this, any
-        # 0x0f8a7ea5 message in an interface-less trace would classify
+        # (blocks/jettons.py:292) — an opcode collision with a body that
+        # does not decode BOTH amount and destination is NOT a transfer;
+        # without this, any 0x0f8a7ea5 message in an interface-less trace
+        # would classify
         return None
     owner, jetton = wallets.get(node.account, (None, None))
     return _base(
@@ -445,7 +452,9 @@ def match_jetton_burn(node: Node, ctx: Ctx) -> dict | None:
     if node.in_msg is None or node.in_msg.opcode != JETTON_BURN:
         return None
     wallets_ctx = ctx.get("jetton_wallets", {})
-    if wallets_ctx and node.account not in wallets_ctx:
+    if (
+        wallets_ctx or "jetton_wallets" in ctx.get("dims_present", ())
+    ) and node.account not in wallets_ctx:
         # burn requests are only valid at jetton-wallet contracts — without
         # the interface the opcode is just a call (interface gating, C6)
         return None

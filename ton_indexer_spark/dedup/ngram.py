@@ -8,10 +8,20 @@ of those same integers.
 
 Scale: the self-join shuffles on the shingle; hot shingles (stop-phrase
 skew) are capped with a document-frequency filter — standard practice, and
-the reason this beats |docs|² at 100 TB.
+the reason this beats |docs|² at 100 TB.  The cap DEFAULTS ON
+(``max_shingle_df=256``): an unguarded posting-list self-join grows with
+the square of the hottest shingle's document frequency, which the 10×
+scale probe measured as 28× wall growth on a duplicate-heavy corpus.
+A shingle shared by >256 documents carries ~no similarity signal (it is
+boilerplate by definition) but contributes >32k join pairs; dropping it
+changes Jaccard only for pairs that were already near-identical in their
+rare shingles.  Pass ``max_shingle_df=None`` to disable, and enable INFO
+logging on this module to see how many shingles the cap dropped.
 """
 
 from __future__ import annotations
+
+import logging
 
 from fractions import Fraction
 
@@ -20,6 +30,10 @@ from pyspark.sql import functions as F
 
 from ton_indexer_spark.dedup.shingles import shingles
 
+logger = logging.getLogger(__name__)
+
+DEFAULT_MAX_SHINGLE_DF = 256
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -27,17 +41,26 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Return (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs with
-    Jaccard >= threshold (doc_a < doc_b)."""
+    Jaccard >= threshold (doc_a < doc_b).
+
+    ``max_shingle_df`` caps the posting-list length per shingle (the
+    self-join skew guard — see module docstring); ``None`` disables."""
     sh = shingles(docs, id_col, text_col, k)
     if max_shingle_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
-            "shingle",
-        )
+        keep = df_counts.filter(F.col("df") <= max_shingle_df)
+        if logger.isEnabledFor(logging.INFO):
+            # no silent caps: count what the guard dropped (extra job, so
+            # only when the caller opted into INFO logging)
+            n_dropped = df_counts.count() - keep.count()
+            logger.info(
+                "ngram_jaccard_pairs: dropped %d shingles with df > %d",
+                n_dropped, max_shingle_df,
+            )
+        sh = sh.join(keep.select("shingle"), "shingle")
     # the shingle set feeds three plan branches (a-side, b-side, sizes);
     # without caching, Catalyst re-runs tokenize+explode per branch
     sh = sh.cache()

@@ -102,6 +102,12 @@ class Slice:
         ln = self.load_uint(4)
         return self.load_uint(8 * ln) if ln else 0
 
+    def load_var_uint(self, len_bits: int) -> int:
+        """VarUInteger N where ``len_bits`` = ceil(log2(N)) prefix bits —
+        e.g. gas amounts are VarUInteger 7 (3-bit length prefix)."""
+        ln = self.load_uint(len_bits)
+        return self.load_uint(8 * ln) if ln else 0
+
     def load_ref(self) -> Cell:
         if self._ref_pos >= len(self._refs):
             raise BocError("ref underflow")
@@ -179,6 +185,12 @@ class Builder:
         ln = (v.bit_length() + 7) // 8
         return self.store_uint(ln, 4).store_uint(v, 8 * ln)
 
+    def store_var_uint(self, v: int, len_bits: int) -> "Builder":
+        if v == 0:
+            return self.store_uint(0, len_bits)
+        ln = (v.bit_length() + 7) // 8
+        return self.store_uint(ln, len_bits).store_uint(v, 8 * ln)
+
     def store_ref(self, c: Cell) -> "Builder":
         if len(self._refs) >= 4:
             raise BocError("too many refs")
@@ -212,6 +224,40 @@ class Builder:
 
 
 # ----------------------------------------------------------------- BOC codec
+
+
+def cell_repr(c: Cell) -> bytes:
+    """Standard representation of an ordinary level-0 cell: descriptor
+    bytes + completion-tagged data + per-ref (depth:uint16 then hash) —
+    the public cell-hash spec (ton.org cell serialization; clean-room)."""
+    full = c.bits // 8
+    d1 = len(c.refs)
+    d2 = full + (c.bits + 7) // 8
+    body = bytearray(c.data[: (c.bits + 7) // 8])
+    if c.bits % 8:
+        body[-1] |= 1 << (7 - (c.bits % 8))
+    out = bytes([d1, d2]) + bytes(body)
+    for r in c.refs:
+        out += cell_depth(r).to_bytes(2, "big")
+    for r in c.refs:
+        out += cell_hash(r)
+    return out
+
+
+def cell_depth(c: Cell) -> int:
+    return 0 if not c.refs else 1 + max(cell_depth(r) for r in c.refs)
+
+
+def cell_hash(c: Cell) -> bytes:
+    """sha256 of the standard cell representation (the TON cell hash —
+    transaction and message hashes are exactly this over their root)."""
+    import hashlib
+
+    return hashlib.sha256(cell_repr(c)).digest()
+
+
+def cell_hash_b64(c: Cell) -> str:
+    return base64.b64encode(cell_hash(c)).decode()
 
 
 def _flatten(root: Cell) -> list[Cell]:

@@ -48,10 +48,13 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = ranged.withColumn("_local_sum", F.sum(value_col).over(w))
-    # per-partition totals -> exclusive offset per partition (tiny table)
+    # per-partition totals -> exclusive offset per partition (tiny table).
+    # Sum value_col directly (NOT max(_local_sum)): max of the running sum
+    # equals the partition total only for non-negative values, and this
+    # operator is generic (balance deltas etc. may be negative).
     totals = (
         local.groupBy("_pid")
-        .agg(F.max("_local_sum").alias("_total"))
+        .agg(F.sum(value_col).alias("_total"))
         .withColumn(
             "_offset",
             F.coalesce(

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 JETTON_TRANSFER_OP = 0x0F8A7EA5
 JETTON_BURN_OP = 0x595F07BC
 
-_BODY_SCHEMA = "amount BIGINT, destination STRING, query_id BIGINT"
+# DECIMAL(38,0) amounts: jetton amounts are uint256-range on chain —
+# int64 silently overflows on large-supply jettons (SURVEY §1.3; the
+# reference stores `numeric`, migrate.cpp:414-434)
+_BODY_SCHEMA = "amount DECIMAL(38,0), destination STRING, query_id DECIMAL(38,0)"
 
 
 def _decoded(messages: DataFrame, message_contents: DataFrame | None) -> DataFrame:
@@ -78,7 +81,9 @@ def derive_jetton_transfers(
             F.col("address").alias("jetton_wallet_address"),
             F.col("jetton").alias("jetton_master_address"),
         )
-        out = out.join(F.broadcast(jw), "jetton_wallet_address", "left")
+        # no forced broadcast: jetton_wallets is tens of millions of rows on
+        # real chain — AQE picks broadcast only when the dim is small
+        out = out.join(jw, "jetton_wallet_address", "left")
     else:
         out = out.withColumn(
             "jetton_master_address", F.lit(None).cast("string")
@@ -123,7 +128,9 @@ def derive_jetton_burns(
             F.col("address").alias("jetton_wallet_address"),
             F.col("jetton").alias("jetton_master_address"),
         )
-        out = out.join(F.broadcast(jw), "jetton_wallet_address", "left")
+        # no forced broadcast: jetton_wallets is tens of millions of rows on
+        # real chain — AQE picks broadcast only when the dim is small
+        out = out.join(jw, "jetton_wallet_address", "left")
     else:
         out = out.withColumn(
             "jetton_master_address", F.lit(None).cast("string")

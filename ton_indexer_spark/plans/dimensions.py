@@ -73,9 +73,13 @@ def nft_items_listing(
         F.col("address").alias("sale_address"),
         F.col("full_price").alias("sale_price"),
     )
+    # no forced broadcast on the dimension sides: real-chain cardinalities
+    # (millions of active sales, metadata for every address) can exceed the
+    # broadcast budget — AQE picks broadcast from RUNTIME size when the dim
+    # is actually small, and falls back to shuffle join when it is not
     return (
-        items.join(F.broadcast(cols), "collection_address", "left")
-        .join(F.broadcast(sales), "address", "left")
+        items.join(cols, "collection_address", "left")
+        .join(sales, "address", "left")
         .orderBy(F.col("index").asc(), F.col("address").asc())
         .limit(limit)
     )
@@ -92,7 +96,7 @@ def metadata_union(cat: Catalog) -> DataFrame:
         )
         return (
             df.select(F.col(addr_col).alias("address"))
-            .join(F.broadcast(m), "address", "left")
+            .join(m, "address", "left")
             .select(
                 "address",
                 F.lit(typ).alias("entity_type"),
@@ -125,7 +129,7 @@ def address_book(cat: Catalog) -> DataFrame:
     ).select(F.col("nft_item_owner").alias("account"), F.col("domain"))
 
     return (
-        states.join(F.broadcast(methods), "code_hash", "left")
+        states.join(methods, "code_hash", "left")
         .join(domains, "account", "left")
         .select("account", "balance", "code_hash", "methods", "domain")
     )

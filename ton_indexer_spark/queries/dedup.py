@@ -62,10 +62,18 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    -- document-frequency skew cap, mirroring the Spark default
+    -- (dedup/ngram.py DEFAULT_MAX_SHINGLE_DF)
+    shc AS (
+        SELECT doc_id, shingle FROM sh
+        WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, common,

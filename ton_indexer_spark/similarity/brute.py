@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ton_indexer_spark.similarity.rounding import round_half_away
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -50,29 +51,50 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, sim) — top-k corpus rows per query by
-    cosine; excludes self-matches; sim rounded to 6 dp, rank 1-based.
+    cosine; excludes self-matches (query_id == neighbor_id); sim rounded
+    to 6 dp, rank 1-based.  Id columns keep their input types (int,
+    string, …) — ids ride along positionally, never through numpy.
 
-    Execution: the (small) query set is collected to a broadcast matrix
-    and each corpus Arrow batch scores against it with one float64 BLAS
-    matmul, emitting only its per-batch top-k candidates per query; a
-    final window takes the global top-k.  The corpus never shuffles —
-    only |queries|·k candidate rows per batch do — and the dense kernel
-    replaces Spark's higher-order-function cosine, which is evaluated
-    interpreted (outside codegen) and loses by ~10× at |Q|·|C| pairs.
-    Values are identical (round 6 dp before ranking)."""
+    Contract: the QUERY side must be small — it is collected to the
+    driver and broadcast as a dense matrix (``max_queries`` guards this
+    with a clear error; for large query sets use the LSH/IVF operators).
+    The corpus side is unbounded: each Arrow batch scores against the
+    broadcast matrix with one float64 BLAS matmul, emitting only its
+    per-batch top-k candidates per query; a final window takes the
+    global top-k.  The corpus never shuffles — only |queries|·k
+    candidate rows per batch do — and the dense kernel replaces Spark's
+    higher-order-function cosine, which is evaluated interpreted
+    (outside codegen) and loses by ~10× at |Q|·|C| pairs."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long, sim double"
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk query side exceeds max_queries={max_queries}; "
+            "brute force broadcasts the query matrix — use lsh_topk / "
+            "ivf_topk for large query sets, or raise max_queries "
+            "explicitly"
         )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    id_type = queries.schema[id_col].dataType
+    neighbor_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("neighbor_id", neighbor_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    # ids stay python objects (any orderable type); only vectors go dense
+    q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_norms[q_norms == 0] = 1.0
@@ -80,23 +102,24 @@ def cosine_topk(
 
     scored_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", neighbor_type),
             T.StructField("sim", T.DoubleType()),
         ]
     )
 
     def score(batches):
         ids, qm = bc.value
+        id_arr = np.array(ids, dtype=object)
         for pdf in batches:
             if pdf.empty:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            sims = np.round(qm @ (c_mat / norms).T, 6)  # |Q| × batch
-            mask = ids[:, None] != c_ids[None, :]
+            sims = round_half_away(qm @ (c_mat / norms).T, 6)  # |Q| × batch
+            mask = id_arr[:, None] != c_ids[None, :]
             # per-batch pruning: only the batch-local top-k can survive
             # the global window, so emit at most k rows per query
             keep_q, keep_c = [], []
@@ -104,17 +127,18 @@ def cosine_topk(
                 cols = np.nonzero(mask[qi])[0]
                 if len(cols) > k:
                     # sort by (-sim, neighbor_id) and keep k
-                    order = np.lexsort((c_ids[cols], -sims[qi, cols]))
-                    cols = cols[order[:k]]
+                    order = sorted(
+                        cols.tolist(),
+                        key=lambda c: (-sims[qi, c], c_ids[c]),
+                    )
+                    cols = np.array(order[:k], dtype=np.int64)
                 keep_q.extend([qi] * len(cols))
                 keep_c.extend(cols.tolist())
-            keep_q = np.array(keep_q, dtype=np.int64)
-            keep_c = np.array(keep_c, dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "query_id": ids[keep_q],
-                    "neighbor_id": c_ids[keep_c],
-                    "sim": sims[keep_q, keep_c],
+                    "query_id": [ids[i] for i in keep_q],
+                    "neighbor_id": [c_ids[j] for j in keep_c],
+                    "sim": [sims[i, j] for i, j in zip(keep_q, keep_c)],
                 }
             )
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from ton_indexer_spark.similarity.rounding import round_half_away
 
 
 def ivf_seed_matrix(
@@ -97,7 +98,7 @@ def ivf_assign(
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            sims = np.round((mat / norms) @ seeds.T, round_digits)
+            sims = round_half_away((mat / norms) @ seeds.T, round_digits)
             # argsort by (-sim, list_id): lexsort keys, last key primary
             order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims))
             probes = order[:, :nprobe]
@@ -179,7 +180,7 @@ def ivf_topk(
 
         c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
         q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
-        sims = np.round(unit(qdf["qvec"]) @ unit(cdf["cvec"]).T, 6)
+        sims = round_half_away(unit(qdf["qvec"]) @ unit(cdf["cvec"]).T, 6)
         qi, cj = np.nonzero(q_ids[:, None] != c_ids[None, :])
         return pd.DataFrame(
             {

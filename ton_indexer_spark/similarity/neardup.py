@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ton_indexer_spark.similarity.lsh import banded_sign_buckets
+from ton_indexer_spark.similarity.rounding import round_half_away
 
 PAIRS_SCHEMA = T.StructType(
     [
@@ -80,7 +81,7 @@ def cosine_neardup_pairs(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
-        sims = np.round(mat @ mat.T, round_digits)
+        sims = round_half_away(mat @ mat.T, round_digits)
         ai, bj = np.nonzero(
             (sims >= threshold) & (ids[:, None] < ids[None, :])
         )
@@ -134,7 +135,7 @@ def cosine_neardup_pairs_dense(
             b_norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
             b_norms[b_norms == 0] = 1.0
             b_mat = b_mat / b_norms
-            sims = np.round(b_mat @ c_mat.T, round_digits)
+            sims = round_half_away(b_mat @ c_mat.T, round_digits)
             ai, cj = np.nonzero(
                 (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
             )

@@ -1,0 +1,199 @@
+"""Raw-BOC transaction ingest projection (S2 — the ingest-side flatten).
+
+The reference's worker parses every transaction cell of a block into the
+flat transactions row + its (tx, message, direction) rows before insert
+(`tondb-scanner/src/DataParser.cpp:29-82,429-516`).  This stage is the
+Spark analog: a DataFrame of raw BOC-encoded transaction cells →
+
+    parse_raw_transactions(df)         → the flat ~70-col tx DataFrame
+    messages_from_parsed(df)           → MESSAGES-shaped rows (in + out,
+                                          an internal message will appear
+                                          once per side, like the
+                                          reference's double-entry)
+    message_contents_from_parsed(df)   → content-addressed body store
+
+Execution shape: the TL-B decode is pure Python (functions/tx_parse.py)
+and runs ONLY inside Arrow-batched ``mapInPandas`` — constant memory per
+batch, no driver loop, parallel across partitions; downstream everything
+is relational.  Partition count carries over from the source scan, so a
+100 TB backfill parallelizes by input file exactly like any parquet read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ton_indexer_spark.functions.tx_parse import (
+    FLAT_COLUMNS,
+    flatten_transaction,
+    parse_transaction_boc,
+)
+
+_LONG_COLS = {
+    "lt", "prev_trans_lt", "now", "total_fees",
+    "storage_fees_collected", "storage_fees_due",
+    "credit_due_fees_collected", "credit",
+    "compute_gas_fees", "compute_gas_used", "compute_gas_limit",
+    "compute_gas_credit", "compute_vm_steps",
+    "action_total_fwd_fees", "action_total_action_fees",
+    "bounce_msg_size_cells", "bounce_msg_size_bits",
+    "bounce_msg_fees", "bounce_req_fwd_fees", "bounce_fwd_fees",
+    "action_tot_msg_size_cells", "action_tot_msg_size_bits",
+}
+_INT_COLS = {
+    "compute_mode", "compute_exit_code", "compute_exit_arg",
+    "action_result_code", "action_result_arg", "action_tot_actions",
+    "action_spec_actions", "action_skipped_actions", "action_msgs_created",
+}
+_BOOL_COLS = {
+    "aborted", "destroyed", "credit_first", "is_tock", "compute_skipped",
+    "compute_success", "compute_msg_state_used",
+    "compute_account_activated", "action_success", "action_valid",
+    "action_no_funds",
+}
+
+TRANSACTIONS_FLAT = T.StructType(
+    [
+        T.StructField(
+            c,
+            T.LongType() if c in _LONG_COLS
+            else T.IntegerType() if c in _INT_COLS
+            else T.BooleanType() if c in _BOOL_COLS
+            else T.StringType(),
+        )
+        for c in FLAT_COLUMNS
+    ]
+)
+
+_MSG_FIELDS = [
+    ("hash", T.StringType()),
+    ("source", T.StringType()),
+    ("destination", T.StringType()),
+    ("value", T.LongType()),
+    ("ihr_disabled", T.BooleanType()),
+    ("bounce", T.BooleanType()),
+    ("bounced", T.BooleanType()),
+    ("ihr_fee", T.LongType()),
+    ("fwd_fee", T.LongType()),
+    ("import_fee", T.LongType()),
+    ("created_lt", T.LongType()),
+    ("created_at", T.LongType()),
+    ("opcode", T.LongType()),
+    ("body_boc", T.StringType()),
+    ("body_hash", T.StringType()),
+    ("init_state_boc", T.StringType()),
+]
+_MSG_STRUCT = T.StructType([T.StructField(n, t) for n, t in _MSG_FIELDS])
+
+PARSED_SCHEMA = T.StructType(
+    [
+        *TRANSACTIONS_FLAT.fields,
+        T.StructField("in_msg", _MSG_STRUCT),
+        T.StructField("out_msgs", T.ArrayType(_MSG_STRUCT)),
+        T.StructField("parse_error", T.StringType()),
+    ]
+)
+
+
+def _msg_tuple(m: dict | None) -> dict | None:
+    if m is None:
+        return None
+    return {n: m.get(n) for n, _ in _MSG_FIELDS}
+
+
+def parse_raw_transactions(
+    df: DataFrame, boc_col: str = "boc", workchain_col: str | None = "workchain"
+) -> DataFrame:
+    """(base64-BOC, workchain?) rows → flat tx rows + nested msg structs.
+
+    Undecodable rows surface in ``parse_error`` instead of failing the
+    batch (the reference logs-and-skips, IndexScheduler discipline).
+    """
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                wc = int(rec[workchain_col]) if (
+                    workchain_col and workchain_col in cols
+                    and rec.get(workchain_col) is not None
+                ) else 0
+                try:
+                    tx = parse_transaction_boc(rec[boc_col], workchain=wc)
+                    row = flatten_transaction(tx)
+                    row["in_msg"] = _msg_tuple(tx.get("in_msg"))
+                    row["out_msgs"] = [
+                        _msg_tuple(m) for m in tx.get("out_msgs", [])
+                    ]
+                    row["parse_error"] = None
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row = dict.fromkeys(FLAT_COLUMNS)
+                    row["in_msg"] = None
+                    row["out_msgs"] = None
+                    row["parse_error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PARSED_SCHEMA]
+            )
+
+    return df.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def messages_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Flat parsed txs → per-(tx, message, direction) rows, the
+    double-entry discipline of the reference's messages table
+    (migrate.cpp:235-262): one ``in`` row for the consumed message, one
+    ``out`` row per emitted message."""
+    base = parsed.filter(F.col("parse_error").isNull()).select(
+        F.col("hash").alias("tx_hash"),
+        F.col("lt").alias("tx_lt"),
+        F.col("now").alias("tx_now"),
+        "in_msg", "out_msgs",
+    )
+    in_rows = base.filter(F.col("in_msg").isNotNull()).select(
+        "tx_hash", "tx_lt", "tx_now",
+        F.lit("in").alias("direction"),
+        F.col("in_msg").alias("m"),
+    )
+    out_rows = base.select(
+        "tx_hash", "tx_lt", "tx_now",
+        F.lit("out").alias("direction"),
+        F.explode("out_msgs").alias("m"),
+    )
+    return in_rows.unionByName(out_rows).select(
+        "tx_hash", "tx_lt", "tx_now", "direction",
+        F.col("m.hash").alias("msg_hash"),
+        F.col("m.source").alias("source"),
+        F.col("m.destination").alias("destination"),
+        F.col("m.value").alias("value"),
+        F.col("m.fwd_fee").alias("fwd_fee"),
+        F.col("m.ihr_fee").alias("ihr_fee"),
+        F.col("m.created_lt").alias("created_lt"),
+        F.col("m.created_at").alias("created_at"),
+        F.col("m.opcode").alias("opcode"),
+        F.col("m.bounce").alias("bounce"),
+        F.col("m.bounced").alias("bounced"),
+        F.col("m.body_hash").alias("body_hash"),
+    )
+
+
+def message_contents_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Content-addressed body store (hash → base64 BOC), deduplicated —
+    migrate.cpp:264-268."""
+    base = parsed.filter(F.col("parse_error").isNull())
+    bodies = base.select(
+        F.col("in_msg.body_hash").alias("hash"),
+        F.col("in_msg.body_boc").alias("body"),
+    ).unionByName(
+        base.select(F.explode("out_msgs").alias("m")).select(
+            F.col("m.body_hash").alias("hash"),
+            F.col("m.body_boc").alias("body"),
+        )
+    )
+    return bodies.filter(F.col("hash").isNotNull()).dropDuplicates(["hash"])

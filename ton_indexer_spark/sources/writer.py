@@ -142,12 +142,22 @@ def merge_dimension(
     current = spark.read.parquet(path).filter(F.col("kb").isin(affected))
     merged = current.unionByName(delta_b, allowMissingColumns=True)
     latest = latest_by(merged, key, version_col, tiebreakers=tiebreakers)
+    _write_and_swap_buckets(latest, path, affected)
+
+
+def _write_and_swap_buckets(
+    df: DataFrame, path: str, affected: Sequence[int]
+) -> None:
+    """Write ``df`` kb-partitioned to a temp dir, then swap ONLY the
+    ``affected`` bucket directories into ``path``.  Untouched bucket files
+    are never opened or rewritten; each bucket swap is atomic under the
+    single-writer assumption."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    latest.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    df.write.mode("overwrite").partitionBy("kb").parquet(tmp)
     for kb in affected:
         src, dst = os.path.join(tmp, f"kb={kb}"), os.path.join(path, f"kb={kb}")
         if not os.path.exists(src):
-            continue  # delta rows all superseded — nothing new for bucket
+            continue  # bucket produced no rows — nothing new for it
         old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(dst):
             os.rename(dst, old)
@@ -162,20 +172,47 @@ def replace_by_key(
     path: str,
     delta: DataFrame,
     key: Sequence[str],
+    n_buckets: int = DIM_BUCKETS,
 ) -> None:
     """Replace all rows sharing a key with ``delta``'s rows — the engine's
     reclassification primitive (the reference deletes-then-reinserts actions
     per trace, indexer/event_classifier.py:261-267).  Idempotent: applying
-    the same delta twice converges.  Implemented as anti-join ∪ delta with
-    an atomic swap, so readers see either the old or the new classification
-    of a trace, never a mix."""
-    if os.path.exists(path):
-        current = spark.read.parquet(path)
-        keep = current.join(delta.select(*key).distinct(), list(key), "left_anti")
-        merged = keep.unionByName(delta, allowMissingColumns=True)
-    else:
-        merged = delta
-    atomic_replace(merged, path)
+    the same delta twice converges.
+
+    Scale path: the table is laid out as ``kb=<hash(key) % n_buckets>``
+    partitions (same discipline as ``merge_dimension``), and a
+    reclassification batch rewrites ONLY the buckets containing delta keys
+    — per-batch I/O is O(delta keys / n_buckets · table), not O(table).
+    At a billions-of-rows actions table this is the difference between a
+    viable micro-batch reclassifier and rewriting the world.  Readers see
+    either the old or the new classification of a trace, never a mix
+    (per-bucket atomic swap; the key hash pins every key to one bucket).
+
+    A table written in the legacy unbucketed layout is migrated to the
+    ``kb=`` layout on first call (one full rewrite, then pruned forever).
+    """
+    delta_b = _with_key_bucket(delta, key, n_buckets)
+    if not os.path.exists(path):
+        delta_b.write.mode("overwrite").partitionBy("kb").parquet(path)
+        return
+    current_all = spark.read.parquet(path)
+    if "kb" not in current_all.columns:
+        # one-time migration: rebucket the existing table in place
+        migrated = _with_key_bucket(current_all, key, n_buckets)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        migrated.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        current_all = spark.read.parquet(path)
+    affected = sorted(
+        r[0] for r in delta_b.select("kb").distinct().collect()
+    )
+    current = current_all.filter(F.col("kb").isin(affected))
+    keep = current.join(delta_b.select(*key).distinct(), list(key), "left_anti")
+    merged = keep.unionByName(delta_b, allowMissingColumns=True)
+    _write_and_swap_buckets(merged, path, affected)
 
 
 def atomic_replace(df: DataFrame, path: str) -> None:

@@ -66,6 +66,61 @@ def _h(*parts: str) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()
 
 
+# ------------------------------------------------------------ seam contract
+#
+# An emulator is any Callable[[dict], list[dict]]: it receives ONE external
+# message as a dict with the caller-supplied columns (at minimum
+# ``msg_hash`` and ``destination``) and returns the simulated trace as a
+# list of ROOT hop nodes, each node shaped:
+#
+#     {
+#       "account":    str   (required) — the account the hop executes on
+#       "in_source":  str | None       — sender of the consumed message
+#                                        (None for the external root)
+#       "opcode":     int | None       — opcode of the consumed message
+#       "value":      int | None       — nanoton value carried
+#       "body":       str | None       — base64 body (BOC or fixture JSON)
+#       "out":        list[dict]       — child hops, same shape, in
+#                                        emission order (child index is
+#                                        part of the tx-hash derivation)
+#     }
+#
+# Extra keys are ignored; a missing "account" or non-list "out" is a
+# contract violation and fails the batch with a clear error rather than
+# producing corrupt rows.  tx hashes derive from (trace_id, account,
+# child-index path) and lts from walk preorder, so ANY tree shape a real
+# TVM emits — including branches touching the same account at the same
+# depth — maps to unique (hash, lt) pairs.
+
+_NODE_KEYS = ("account", "in_source", "opcode", "value", "body", "out")
+
+
+def validate_emulator_node(node: dict, path: str = "0") -> None:
+    """Schema-validate one emulator hop node (recursively) — the drop-in
+    contract for a real TVM sidecar (ton-emulate-go/main.go:189-490)."""
+    if not isinstance(node, dict):
+        raise TypeError(f"emulator node at {path} is not a dict: {node!r}")
+    acct = node.get("account")
+    if not isinstance(acct, str) or not acct:
+        raise ValueError(
+            f"emulator node at {path} missing required 'account': {node!r}"
+        )
+    out = node.get("out", [])
+    if not isinstance(out, (list, tuple)):
+        raise ValueError(
+            f"emulator node at {path} has non-list 'out': {type(out).__name__}"
+        )
+    for k in ("opcode", "value"):
+        v = node.get(k)
+        if v is not None and not isinstance(v, int):
+            raise ValueError(
+                f"emulator node at {path} field {k!r} must be int|None, "
+                f"got {type(v).__name__}"
+            )
+    for j, child in enumerate(out):
+        validate_emulator_node(child, f"{path}.{j}")
+
+
 def _fake_emulate(ext: dict) -> list[dict]:
     """FAKE TVM: the destination wallet accepts the external and forwards
     one internal message carrying the value/opcode/body.  A real emulator
@@ -131,10 +186,17 @@ def emulate_externals(
             for rec in pdf.to_dict("records"):
                 ext = {k: rec.get(k) for k in cols}
                 trace_id = _h("pending", ext["msg_hash"])
+                # per-trace visit counter: lt is a strictly increasing
+                # sequence in walk (pre-)order, so sibling branches never
+                # share lt values
+                seq = iter(range(1 << 30))
 
-                def walk(node: dict, depth: int, in_hash: str) -> None:
-                    tx_hash = _h(trace_id, node["account"], str(depth))
-                    lt = base_lt + depth * 2
+                def walk(node: dict, path: str, in_hash: str) -> None:
+                    # hash over the full child-index PATH, not the depth:
+                    # a branching trace touching the same account twice at
+                    # equal depth must not collide
+                    tx_hash = _h(trace_id, node["account"], path)
+                    lt = base_lt + next(seq) * 2
                     rows.append(
                         {
                             "kind": "tx",
@@ -187,10 +249,17 @@ def emulate_externals(
                                 "m_finality": "pending",
                             }
                         )
-                        walk(child, depth + 1, out_hash)
+                        walk(child, f"{path}.{j}", out_hash)
 
-                for root in emulator(ext):
-                    walk(root, 0, ext["msg_hash"])
+                roots = emulator(ext)
+                if not isinstance(roots, (list, tuple)):
+                    raise TypeError(
+                        "emulator must return a list of root hop nodes, "
+                        f"got {type(roots).__name__}"
+                    )
+                for i, root in enumerate(roots):
+                    validate_emulator_node(root, str(i))
+                    walk(root, str(i), ext["msg_hash"])
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     flat = externals.mapInPandas(run, schema=out_schema)
