@@ -218,3 +218,33 @@ def test_spark_parse_stage(spark):
     # bodies are content-addressed and deduplicated
     assert len({r["hash"] for r in contents}) == len(contents)
     assert all(parse_boc(r["body"]) is not None for r in contents)
+
+
+def test_core_transactions_projection(spark):
+    """Raw BOC → the engine's core TRANSACTIONS schema: types match field
+    for field, so parsed real-chain dumps feed the existing assembler /
+    classifier pipeline directly."""
+    from ton_indexer_spark.schemas import TRANSACTIONS
+    from ton_indexer_spark.sources.tx_ingest import (
+        core_transactions_from_parsed,
+        parse_raw_transactions,
+    )
+
+    df = spark.createDataFrame(
+        [(base64.b64encode(serialize_boc(_sample_tx())).decode(), 0)],
+        "boc string, workchain int",
+    )
+    core = core_transactions_from_parsed(
+        parse_raw_transactions(df),
+        block_workchain=0, block_shard=-9223372036854775808,
+        block_seqno=77, mc_block_seqno=77,
+    )
+    assert [(f.name, f.dataType) for f in core.schema.fields] == [
+        (f.name, f.dataType) for f in TRANSACTIONS.fields
+    ]
+    row = core.collect()[0]
+    assert row["account"] == "0:" + "11" * 32
+    assert row["lt"] == 123_456_789
+    assert row["mc_block_seqno"] == 77
+    assert row["compute_gas_used"] == 30_111
+    assert row["descr"] == "ord"

@@ -183,6 +183,39 @@ def messages_from_parsed(parsed: DataFrame) -> DataFrame:
     )
 
 
+def core_transactions_from_parsed(
+    parsed: DataFrame,
+    block_workchain: int | None = None,
+    block_shard: int | None = None,
+    block_seqno: int | None = None,
+    mc_block_seqno: int | None = None,
+) -> DataFrame:
+    """Flat parsed txs → the engine's core TRANSACTIONS schema
+    (schemas.py), ready for the existing assembler/classifier pipeline.
+    Block coordinates come from the enclosing block record (pass them per
+    ingest bundle); trace_id is assigned later by trace assembly."""
+    from ton_indexer_spark.schemas import TRANSACTIONS
+
+    good = parsed.filter(F.col("parse_error").isNull())
+    blk = {
+        "block_workchain": block_workchain,
+        "block_shard": block_shard,
+        "block_seqno": block_seqno,
+        "mc_block_seqno": mc_block_seqno,
+    }
+    cols = []
+    for f in TRANSACTIONS.fields:
+        if f.name in blk:
+            cols.append(F.lit(blk[f.name]).cast(f.dataType).alias(f.name))
+        elif f.name == "trace_id":
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif f.name in good.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return good.select(*cols)
+
+
 def message_contents_from_parsed(parsed: DataFrame) -> DataFrame:
     """Content-addressed body store (hash → base64 BOC), deduplicated —
     migrate.cpp:264-268."""
