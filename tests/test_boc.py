@@ -361,3 +361,159 @@ def test_decode_protocol_ops():
     d = decode_message_body(b64(cc))
     assert d["jetton_wallet"] == a1 and d["jetton_amount"] == 99
     assert d["receiver"] == a2
+
+
+def _b64(cell):
+    import base64 as _b
+
+    from ton_indexer_spark.functions.boc import serialize_boc
+
+    return _b.b64encode(serialize_boc(cell)).decode()
+
+
+def test_multisig_family_boc_bodies(spark):
+    """Golden: the multisig matchers run on REAL BOC-encoded bodies
+    (new_order / approve shapes from messages/multisig.py, re-derived) —
+    no JSON fallback involved."""
+    from ton_indexer_spark.functions.boc import Builder
+    from ton_indexer_spark.classifier.matchers import (
+        MULTISIG_APPROVE,
+        MULTISIG_NEW_ORDER,
+    )
+    from tests.test_classifier import A, TraceBuilder, acts_of, run
+
+    MS = "0:ms" + "0" * 60
+    order = Builder().store_uint(0xDEAD, 32).end_cell()
+    new_order = (
+        Builder().store_uint(MULTISIG_NEW_ORDER, 32).store_uint(9, 64)
+        .store_uint(41, 256).store_bit(1).store_uint(2, 8)
+        .store_uint(1_800_000_000, 48).store_ref(order).end_cell()
+    )
+    b = TraceBuilder("mb1")
+    root = b.tx(A[0], None)
+    ms = b.chain(root, MS, opcode=MULTISIG_NEW_ORDER, body=_b64(new_order))
+    b.chain(ms, A[7], opcode=0x11, orig_status="uninit")
+
+    approve = (
+        Builder().store_uint(MULTISIG_APPROVE, 32).store_uint(3, 64)
+        .store_uint(5, 8).end_cell()
+    )
+    b2 = TraceBuilder("mb2")
+    r2 = b2.tx(A[1], None)
+    b2.chain(r2, MS, opcode=MULTISIG_APPROVE, body=_b64(approve))
+
+    res = run(spark, [b, b2], multisig=[{"address": MS}])
+    a1 = acts_of(res, "mb1")
+    assert [a["type"] for a in a1] == ["multisig_create_order"]
+    d = a1[0]["multisig_create_order_data"]
+    assert d["query_id"] == 9
+    assert d["order_seqno"] == 41
+    assert d["is_created_by_signer"] is True
+    assert d["creator_index"] == 2
+    assert d["expiration_date"] == 1_800_000_000
+    assert d["order_boc"]  # the ^Order ref rides along as base64 BOC
+    a2 = acts_of(res, "mb2")
+    assert [a["type"] for a in a2] == ["multisig_approve"]
+    assert a2[0]["multisig_approve_data"]["signer_index"] == 5
+
+
+def test_vesting_family_boc_bodies(spark):
+    """Golden: vesting send_message / add_whitelist matchers on BOC
+    bodies (messages/vesting.py shapes, re-derived)."""
+    from ton_indexer_spark.functions.boc import Builder
+    from ton_indexer_spark.classifier.matchers import (
+        VESTING_ADD_WHITELIST,
+        VESTING_ADD_WHITELIST_RESP,
+        VESTING_SEND,
+        VESTING_SEND_RESP,
+    )
+    from tests.test_classifier import A, TraceBuilder, acts_of, run
+
+    VEST = "0:vest" + "0" * 58
+    inner = Builder().store_uint(0, 32).end_cell()
+    send = (
+        Builder().store_uint(VESTING_SEND, 32).store_uint(4, 64)
+        .store_uint(3, 8).store_ref(inner).end_cell()
+    )
+    b = TraceBuilder("vb1")
+    r = b.tx(A[0], None)
+    v = b.chain(r, VEST, opcode=VESTING_SEND, body=_b64(send))
+    b.chain(v, A[0], opcode=VESTING_SEND_RESP)
+    b.chain(v, A[5], opcode=0, value=10**9)
+
+    wl_tail = Builder().store_address(A[3]).end_cell()
+    add_wl = (
+        Builder().store_uint(VESTING_ADD_WHITELIST, 32).store_uint(6, 64)
+        .store_address(A[2]).store_ref(wl_tail).end_cell()
+    )
+    b2 = TraceBuilder("vb2")
+    r2 = b2.tx(A[1], None)
+    v2 = b2.chain(r2, VEST, opcode=VESTING_ADD_WHITELIST, body=_b64(add_wl))
+    b2.chain(v2, A[1], opcode=VESTING_ADD_WHITELIST_RESP)
+
+    res = run(spark, [b, b2])
+    a1 = acts_of(res, "vb1")
+    assert [a["type"] for a in a1] == ["vesting_send_message", "ton_transfer"]
+    assert a1[0]["vesting_send_message_data"]["query_id"] == 4
+    a2 = acts_of(res, "vb2")
+    assert [a["type"] for a in a2] == ["vesting_add_whitelist"]
+    assert a2[0]["vesting_add_whitelist_data"]["accounts_added"] == [A[2], A[3]]
+
+
+def test_nft_sale_update_boc_body():
+    """SaleUpdateMessage (0x6c6c2080) decodes price/fee/royalty from the
+    wire shape (getgems.py:249-262, re-derived)."""
+    from ton_indexer_spark.functions.boc import (
+        OP_NFT_SALE_UPDATE,
+        Builder,
+        decode_message_body,
+    )
+
+    body = (
+        Builder().store_uint(OP_NFT_SALE_UPDATE, 32).store_uint(8, 64)
+        .store_coins(10**10).store_coins(5 * 10**8).store_coins(10**8)
+        .end_cell()
+    )
+    d = decode_message_body(_b64(body))
+    assert d["query_id"] == 8
+    assert d["full_price"] == 10**10
+    assert d["marketplace_fee"] == 5 * 10**8
+    assert d["royalty_amount"] == 10**8
+
+
+def test_nft_sale_state_decode_roundtrip(spark):
+    """Fix-price sale DATA cells round-trip into the getgems_nft_sales
+    dimension via the Spark state-decode stage (getgems.py:91-113 shape,
+    re-derived); undecodable states surface as error rows."""
+    from ton_indexer_spark.functions.boc import (
+        decode_nft_sale_data,
+        encode_nft_sale_data,
+    )
+    from ton_indexer_spark.sources.tx_ingest import nft_sales_from_states
+
+    MP = "0:" + "77" * 32
+    NFT = "0:" + "88" * 32
+    OWN = "0:" + "99" * 32
+    raw = encode_nft_sale_data(
+        is_complete=False, created_at=1_700_000_777,
+        marketplace_address=MP, nft_address=NFT, nft_owner_address=OWN,
+        full_price=2**70,  # > int64: Decimal end to end
+        marketplace_fee_address=MP, marketplace_fee=123,
+        royalty_address=OWN, royalty_amount=45,
+    )
+    d = decode_nft_sale_data(raw)
+    assert d["nft_address"] == NFT and d["full_price"] == 2**70
+    assert d["marketplace_fee"] == 123 and d["royalty_amount"] == 45
+
+    df = spark.createDataFrame(
+        [("0:sale" + "0" * 58, raw), ("0:bad" + "0" * 59, "bm9wZQ==")],
+        "address string, data_boc string",
+    )
+    rows = {r["address"]: r for r in nft_sales_from_states(df).collect()}
+    good = rows["0:sale" + "0" * 58]
+    assert good["decode_error"] is None
+    assert good["nft_address"] == NFT
+    assert int(good["full_price"]) == 2**70
+    assert good["created_at"] == 1_700_000_777
+    bad = rows["0:bad" + "0" * 59]
+    assert bad["decode_error"] is not None

@@ -398,6 +398,7 @@ OP_COFFEE_STK_DEPOSIT = 0xF9471134   # messages/coffee.py:1039
 OP_COFFEE_STK_CLAIM = 0xB30C7310     # messages/coffee.py:1075
 OP_AUCTION_FILL_UP = 0x370FEC51
 OP_DNS_RELEASE = 0x4ED14B65
+OP_NFT_SALE_UPDATE = 0x6C6C2080      # messages/getgems.py:250
 OP_CHANGE_DNS = 0x4EB1F0F9           # messages/dns.py:7
 OP_DEDUST_SWAP_ENTRY = 0xEA06185D    # messages/swaps.py:124 (vault swap)
 OP_STONFI_V2_SWAP = 0x657B54F5       # messages/swaps.py:130
@@ -516,6 +517,10 @@ def decode_body_cell(root: Cell) -> dict:
         d["is_created_by_signer"] = bool(s.load_bit())
         d["creator_index"] = s.load_uint(8)
         d["expiration_date"] = s.load_uint(48)
+        if s.remaining_refs:
+            d["order_boc"] = base64.b64encode(
+                serialize_boc(s.load_ref())
+            ).decode()
         return d
     if op == OP_MULTISIG_APPROVE:
         # approve#a762230f query_id:uint64 signer_index:uint8
@@ -530,6 +535,10 @@ def decode_body_cell(root: Cell) -> dict:
         d["expiration_date"] = s.load_uint(48)
         d["approvals_num"] = s.load_uint(8)
         d["signers_hash"] = s.load_bytes(32).hex()
+        if s.remaining_refs:
+            d["order_boc"] = base64.b64encode(
+                serialize_boc(s.load_ref())
+            ).decode()
         return d
     if op == OP_VESTING_SEND:
         # send_message#a7733acd query_id:uint64 send_mode:uint8 msg:^Cell
@@ -624,7 +633,85 @@ def decode_body_cell(root: Cell) -> dict:
         if s.remaining_bits >= 64:
             d["query_id"] = s.load_uint(64)
         return d
+    if op == OP_NFT_SALE_UPDATE:
+        # update_sale#6c6c2080 query_id:uint64 new_full_price:Coins
+        #   new_mp_fee:Coins new_royalty_amount:Coins
+        #   (getgems.py SaleUpdateMessage:249-262, re-derived)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["full_price"] = s.load_coins()
+        d["marketplace_fee"] = s.load_coins()
+        d["royalty_amount"] = s.load_coins()
+        return d
     return {"opcode": op}
+
+
+# ----------------------------------------- getgems sale state-data decoders
+
+
+def decode_nft_sale_data(raw: bytes | str) -> dict:
+    """Fix-price sale contract DATA cell → listing fields.
+
+    The reference reads these fields off the sale account's state data to
+    populate `getgems_nft_sales` (messages/getgems.py:91-113, the v3
+    layout, re-derived from the public getgems fixprice contract):
+
+        is_complete:Bool created_at:uint32 marketplace:Addr nft:Addr
+        owner:Addr full_price:Coins
+        ^[ marketplace_fee_addr:Addr marketplace_fee:Coins
+           royalty_addr:Addr royalty_amount:Coins ]
+
+    Used by the dimension-building seam (sources/tx_ingest.py analog for
+    account states); anything undecodable raises BocError for the caller
+    to log-and-skip.
+    """
+    s = parse_boc(raw).begin_parse()
+    d: dict = {"is_complete": bool(s.load_bit())}
+    d["created_at"] = s.load_uint(32)
+    d["marketplace_address"] = s.load_address()
+    d["nft_address"] = s.load_address()
+    d["nft_owner_address"] = s.load_address()
+    d["full_price"] = s.load_coins()
+    fees = s.load_ref().begin_parse()
+    d["marketplace_fee_address"] = fees.load_address()
+    d["marketplace_fee"] = fees.load_coins()
+    d["royalty_address"] = fees.load_address()
+    d["royalty_amount"] = fees.load_coins()
+    return d
+
+
+def encode_nft_sale_data(
+    *,
+    is_complete: bool = False,
+    created_at: int = 0,
+    marketplace_address: str | None = None,
+    nft_address: str | None = None,
+    nft_owner_address: str | None = None,
+    full_price: int = 0,
+    marketplace_fee_address: str | None = None,
+    marketplace_fee: int = 0,
+    royalty_address: str | None = None,
+    royalty_amount: int = 0,
+) -> str:
+    """Fixture encoder for the fix-price sale data layout (base64 BOC)."""
+    fees = (
+        Builder()
+        .store_address(marketplace_fee_address)
+        .store_coins(marketplace_fee)
+        .store_address(royalty_address)
+        .store_coins(royalty_amount)
+        .end_cell()
+    )
+    b = (
+        Builder()
+        .store_bit(is_complete)
+        .store_uint(created_at, 32)
+        .store_address(marketplace_address)
+        .store_address(nft_address)
+        .store_address(nft_owner_address)
+        .store_coins(full_price)
+        .store_ref(fees)
+    )
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
 def decode_message_body(b64: str) -> dict:

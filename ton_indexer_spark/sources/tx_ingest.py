@@ -216,6 +216,57 @@ def core_transactions_from_parsed(
     return good.select(*cols)
 
 
+NFT_SALE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("is_complete", T.BooleanType()),
+        T.StructField("created_at", T.LongType()),
+        T.StructField("marketplace_address", T.StringType()),
+        T.StructField("nft_address", T.StringType()),
+        T.StructField("nft_owner_address", T.StringType()),
+        T.StructField("full_price", T.DecimalType(38, 0)),
+        T.StructField("marketplace_fee_address", T.StringType()),
+        T.StructField("marketplace_fee", T.DecimalType(38, 0)),
+        T.StructField("royalty_address", T.StringType()),
+        T.StructField("royalty_amount", T.DecimalType(38, 0)),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def nft_sales_from_states(
+    df: DataFrame, boc_col: str = "data_boc", address_col: str = "address"
+) -> DataFrame:
+    """Sale-contract state-data BOCs → getgems_nft_sales dimension rows
+    (the reference decodes sale data off account states to maintain the
+    listings dimension — messages/getgems.py:64-113 via the smc scanner).
+    Decode failures surface in ``decode_error`` rather than failing the
+    batch."""
+    from ton_indexer_spark.functions.boc import decode_nft_sale_data
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in NFT_SALE_STATE_SCHEMA}
+                row["address"] = rec.get(address_col)
+                try:
+                    row.update(decode_nft_sale_data(rec[boc_col]))
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in NFT_SALE_STATE_SCHEMA]
+            )
+            for c in ("full_price", "marketplace_fee", "royalty_amount"):
+                out[c] = pd.Series(
+                    [r.get(c) for r in rows], dtype=object
+                )
+            yield out
+
+    return df.mapInPandas(run, schema=NFT_SALE_STATE_SCHEMA)
+
+
 def message_contents_from_parsed(parsed: DataFrame) -> DataFrame:
     """Content-addressed body store (hash → base64 BOC), deduplicated —
     migrate.cpp:264-268."""
