@@ -404,7 +404,8 @@ def test_multisig_family_boc_bodies(spark):
 
     res = run(spark, [b, b2], multisig=[{"address": MS}])
     a1 = acts_of(res, "mb1")
-    assert [a["type"] for a in a1] == ["multisig_create_order"]
+    assert [a["type"] for a in a1] == ["multisig_create_order",
+                                       "contract_deploy"]
     d = a1[0]["multisig_create_order_data"]
     assert d["query_id"] == 9
     assert d["order_seqno"] == 41

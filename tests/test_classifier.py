@@ -402,7 +402,11 @@ def test_multisig_create_order(spark):
     b.chain(ms, A[7], opcode=0x11, orig_status="uninit")  # order deploy leg
     res = run(spark, [b], multisig=[{"address": MS}])
     acts = acts_of(res, "m1")
-    assert [a["type"] for a in acts] == ["multisig_create_order"]
+    # the order-contract deploy is unwound into its own action next to the
+    # multisig action (postprocess.unwind_deployments — reference
+    # event_processing.py:196-207)
+    assert [a["type"] for a in acts] == ["multisig_create_order",
+                                         "contract_deploy"]
     assert len(acts[0]["tx_hashes"]) == 2
 
 
@@ -476,8 +480,11 @@ def test_nft_mint_and_auction_bid(spark):
     res = run(spark, [b, b2], nft_items=[{"address": ITEM}],
               auctions=[{"address": AUC}])
     nm = acts_of(res, "nm1")
-    assert [a["type"] for a in nm] == ["nft_mint"]
-    assert nm[0]["asset"] == ITEM and len(nm[0]["tx_hashes"]) == 2
+    # item deploy is additionally unwound as contract_deploy (reference
+    # promotes nested ContractDeploy under any block type)
+    assert sorted(a["type"] for a in nm) == ["contract_deploy", "nft_mint"]
+    mint = next(a for a in nm if a["type"] == "nft_mint")
+    assert mint["asset"] == ITEM and len(mint["tx_hashes"]) == 2
     ab = acts_of(res, "ab1")
     assert [a["type"] for a in ab] == ["auction_bid"]
     assert ab[0]["destination"] == AUC and ab[0]["value"] == 5 * 10**9
@@ -757,8 +764,10 @@ def test_signed_opcode_normalization(spark):
 def test_deploy_in_first_transfer(spark):
     """A wallet deployed in the same transaction as its first incoming
     jetton internal-transfer still classifies the chain as jetton_transfer,
-    not contract_deploy (reference: ContractDeploy is a child block that
-    never suppresses the main action, basic_blocks.py:102)."""
+    with the deploy unwound into a separate contract_deploy action
+    (reference: ContractDeploy child blocks never suppress the main action,
+    basic_blocks.py:102, and are promoted to top-level actions by
+    unwind_deployments, event_processing.py:196-207)."""
     b = TraceBuilder("dp1")
     root = b.tx(A[0], None)
     w1 = b.chain(root, W1, opcode=JETTON_TRANSFER,
@@ -771,7 +780,8 @@ def test_deploy_in_first_transfer(spark):
         {"address": W2, "owner": A[1], "jetton": "0:jetton1"},
     ])
     acts = acts_of(res, "dp1")
-    assert [a["type"] for a in acts] == ["jetton_transfer"]
+    # wallet deploy rides along as an unwound contract_deploy action
+    assert [a["type"] for a in acts] == ["jetton_transfer", "contract_deploy"]
     assert acts[0]["amount"] == 42
 
 

@@ -1,0 +1,147 @@
+"""Golden tests for the trace post-processors (reference
+``event_processing.py:304-307`` — ``post_process_dedust_liquidity`` +
+``unwind_deployments``), run through the full Spark classification path."""
+
+from __future__ import annotations
+
+from test_classifier import A, TraceBuilder, acts_of, body_of, run
+
+from ton_indexer_spark.classifier.protocols import (
+    DEDUST_ASK_FACTORY,
+    DEDUST_DEPLOY_DEPOSIT,
+    DEDUST_DEPOSIT_TO_POOL,
+    DEDUST_DEPOSIT_TON,
+    DEDUST_TOPUP_DEPOSIT,
+)
+from ton_indexer_spark.classifier.base import (
+    JETTON_INTERNAL,
+    JETTON_NOTIFY,
+    JETTON_TRANSFER,
+)
+
+USER = A[0]
+VAULT_TON = "0:vton" + "0" * 59
+VAULT_JET = "0:vjet" + "0" * 59
+FACTORY = "0:factory" + "0" * 56
+DC = "0:depositc" + "0" * 55
+POOL = "0:pool" + "0" * 58
+W_USER = "0:wuser" + "0" * 58   # user's jetton wallet
+W_VAULT = "0:wvault" + "0" * 57  # vault's jetton wallet
+LPW = "0:lpw" + "0" * 59
+JET = "0:jetmaster" + "0" * 54
+
+WALLETS = [
+    {"address": W_USER, "owner": USER, "jetton": JET},
+    {"address": W_VAULT, "owner": VAULT_JET, "jetton": JET},
+]
+
+
+def _ton_partial_leg(b, root):
+    """user → TON vault (0xd55e4686) → factory ask → {deploy, top-up} —
+    the first-asset deposit shape (liquidity.py:413-461)."""
+    v = b.chain(root, VAULT_TON, opcode=DEDUST_DEPOSIT_TON, value=5 * 10**9,
+                body=body_of({
+                    "amount": 5000,
+                    "asset0": "TON", "asset0_target_balance": 5000,
+                    "asset1": JET, "asset1_target_balance": 7000,
+                }))
+    f = b.chain(v, FACTORY, opcode=DEDUST_ASK_FACTORY)
+    b.chain(f, DC, opcode=DEDUST_DEPLOY_DEPOSIT,
+            orig_status="nonexist")  # deploys the deposit contract
+    b.chain(f, DC, opcode=DEDUST_TOPUP_DEPOSIT)
+    return v
+
+
+def _jetton_final_leg(b, root):
+    """user wallet → internal → vault notify → top-up → deposit-to-pool →
+    LP mint — the final (pool-triggering) deposit shape."""
+    jt = b.chain(root, W_USER, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 7000, "destination": VAULT_JET}))
+    it = b.chain(jt, W_VAULT, opcode=JETTON_INTERNAL,
+                 body=body_of({"amount": 7000}))
+    nt = b.chain(it, VAULT_JET, opcode=JETTON_NOTIFY,
+                 body=body_of({"amount": 7000, "sender": USER}))
+    tp = b.chain(nt, DC, opcode=DEDUST_TOPUP_DEPOSIT)
+    pl = b.chain(tp, POOL, opcode=DEDUST_DEPOSIT_TO_POOL)
+    b.chain(pl, LPW, opcode=JETTON_INTERNAL, body=body_of({"amount": 123}))
+    return jt
+
+
+def test_dedust_two_sided_deposit_merges(spark):
+    """Partial (TON) + final (jetton) deposit legs in one trace collapse to
+    a single dex_deposit_liquidity action keyed on the deposit contract
+    (post_process_dedust_liquidity, liquidity.py:473-508)."""
+    b = TraceBuilder("dd-merge")
+    root = b.tx(USER, None)
+    _ton_partial_leg(b, root)
+    _jetton_final_leg(b, root)
+
+    res = run(spark, [b], jetton_wallets=WALLETS)
+    acts = acts_of(res, "dd-merge")
+    deposits = [a for a in acts if a["type"] == "dex_deposit_liquidity"]
+    assert len(deposits) == 1
+    d = deposits[0]
+    data = d["dex_deposit_liquidity_data"]
+    assert data["dex"] == "dedust"
+    # combine_deposits order: partial legs first, then final
+    assert data["asset1"] == "TON" and data["amount1"] == 5000
+    assert data["asset2"] == JET and data["amount2"] == 7000
+    assert data["user_jetton_wallet_2"] == W_USER
+    assert data["lp_tokens_minted"] == 123
+    assert data["target_asset_1"] == "TON" and data["target_amount_1"] == 5000
+    assert data["target_asset_2"] == JET and data["target_amount_2"] == 7000
+    # claimed span covers both entry legs (Block.merge_blocks analog)
+    assert len(d["tx_hashes"]) >= 9
+    # the deposit-contract deploy is unwound into its own action
+    assert [a["type"] for a in acts if a["type"] == "contract_deploy"] \
+        == ["contract_deploy"]
+
+
+def test_dedust_partial_only_stays_partial(spark):
+    """A first-asset deposit with no pool leg in the trace stays a single
+    (unmerged) dex_deposit_liquidity action — the reference emits the
+    DedustDepositLiquidityPartial block as a dex_deposit_liquidity action
+    (block_tree_serializer.py:627-645)."""
+    b = TraceBuilder("dd-part")
+    root = b.tx(USER, None)
+    _ton_partial_leg(b, root)
+
+    res = run(spark, [b])
+    acts = acts_of(res, "dd-part")
+    deposits = [a for a in acts if a["type"] == "dex_deposit_liquidity"]
+    assert len(deposits) == 1
+    d = deposits[0]
+    data = d["dex_deposit_liquidity_data"]
+    assert data["asset1"] == "TON" and data["amount1"] == 5000
+    assert data["amount2"] is None and data["lp_tokens_minted"] is None
+    assert d["destination_secondary"] == DC
+    assert d["source"] == USER
+    # deploy claimed into the partial action is still unwound
+    assert sum(a["type"] == "contract_deploy" for a in acts) == 1
+
+
+def test_dedust_ambiguous_contract_skips_merge(spark):
+    """>2 deposits touching one deposit contract → merging is skipped
+    wholesale (liquidity.py:486-489)."""
+    b = TraceBuilder("dd-amb")
+    root = b.tx(USER, None)
+    _ton_partial_leg(b, root)
+    _ton_partial_leg(b, root)          # duplicate partial on the same DC
+    _jetton_final_leg(b, root)
+
+    res = run(spark, [b], jetton_wallets=WALLETS)
+    acts = acts_of(res, "dd-amb")
+    deposits = [a for a in acts if a["type"] == "dex_deposit_liquidity"]
+    assert len(deposits) == 3  # nothing merged
+
+
+def test_unwind_keeps_single_node_deploy_fold(spark):
+    """A standalone deploy still classifies as exactly one contract_deploy
+    action (no double emission from the unwinding pass)."""
+    b = TraceBuilder("dd-solo")
+    root = b.tx(USER, None)
+    b.chain(root, A[4], opcode=0x11, orig_status="uninit")
+
+    res = run(spark, [b])
+    acts = acts_of(res, "dd-solo")
+    assert [a["type"] for a in acts] == ["contract_deploy"]

@@ -865,7 +865,11 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
 
 def classify_tree(nodes: list[Node], ctx: Ctx) -> list[dict]:
     """Run matchers over the trace in lt order; unmatched non-external
-    nodes fall back to 'unknown' (the reference's fallback action)."""
+    nodes fall back to 'unknown' (the reference's fallback action).
+    Finished action lists flow through the trace post-processors
+    (postprocess.py — reference event_processing.py:304-307)."""
+    from ton_indexer_spark.classifier.postprocess import run_post_processors
+
     actions: list[dict] = []
     for node in nodes:
         if node.consumed:
@@ -880,4 +884,4 @@ def classify_tree(nodes: list[Node], ctx: Ctx) -> list[dict]:
                 actions.append(_base(node, "unknown"))
             else:
                 node.consumed = True  # external-rooted node with no pattern
-    return actions
+    return run_post_processors(nodes, actions)

@@ -42,6 +42,8 @@ DEDUST_PAYOUT = 0x474F86CF          # vault → user
 DEDUST_DEPOSIT_TON = 0xD55E4686
 DEDUST_TOPUP_DEPOSIT = 0x54240FE5
 DEDUST_DEPOSIT_TO_POOL = 0xB56B9598
+DEDUST_ASK_FACTORY = 0xF04EC526     # vault → factory: create deposit contract
+DEDUST_DEPLOY_DEPOSIT = 0x9B3AA3FA  # factory → deposit-contract deploy
 
 # --- Ston.fi v1/v2 (messages/swaps.py:8-64,129, messages/liquidity.py:99)
 STONFI_SWAP = 0x25938561
@@ -325,6 +327,9 @@ def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
     deposit-to-pool → LP mint (blocks/liquidity.py DedustDeposit*)."""
     if _op(node) != DEDUST_DEPOSIT_TON:
         return None
+    if (node.child_via(DEDUST_ASK_FACTORY) is not None
+            and node.child_via(DEDUST_TOPUP_DEPOSIT) is None):
+        return None  # first-asset shape: match_dedust_deposit_partial owns it
     claimed = _claim_chain(
         node, DEDUST_TOPUP_DEPOSIT, DEDUST_DEPOSIT_TO_POOL, JETTON_INTERNAL
     )
@@ -335,6 +340,9 @@ def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
         claimed=claimed,
         destination=claimed[-1].account if len(claimed) > 1 else node.account,
         amount=body.get("amount", node.in_msg.value),
+        # deposit-contract account keys the partial/final merge performed by
+        # postprocess.post_process_dedust_liquidity (liquidity.py:473-508)
+        _deposit_contract=claimed[1].account if len(claimed) > 1 else None,
         dex_deposit_liquidity_data={
             "dex": "dedust",
             "amount1": body.get("amount", node.in_msg.value),
@@ -342,6 +350,142 @@ def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
             "asset1": "TON",
             "asset2": body.get("asset2"),
             "lp_tokens_minted": body.get("lp_tokens_minted"),
+        },
+    )
+
+
+def _dedust_partial_tail(vault: Node) -> tuple[list[Node], Node] | None:
+    """factory-ask → {deposit-contract deploy, top-up} subtree hanging off a
+    vault node, with NO deposit-to-pool continuation.  Returns (claimed tail
+    nodes, topup node) or None (liquidity.py
+    DedustDepositFirstAssetBlockMatcher:413-461)."""
+    factory = vault.child_via(DEDUST_ASK_FACTORY)
+    if factory is None:
+        return None
+    topup = factory.child_via(DEDUST_TOPUP_DEPOSIT)
+    if topup is None or topup.child_via(DEDUST_DEPOSIT_TO_POOL) is not None:
+        return None
+    tail = [factory, topup]
+    deploy = factory.child_via(DEDUST_DEPLOY_DEPOSIT)
+    if deploy is not None:
+        tail.append(deploy)
+    return tail, topup
+
+
+def match_dedust_deposit_partial(node: Node, ctx: Ctx) -> dict | None:
+    """First-asset (partial) DeDust deposit: the vault forwards the asset to
+    the factory (0xf04ec526) which deploys and tops up a deposit contract,
+    and the chain stops there — no deposit-to-pool yet.  Roots on the user
+    entry leg (TON vault deposit, or the jetton-transfer chain whose notify
+    lands on the vault).  Flagged ``_partial`` so the trace post-processor
+    can merge it with the final deposit on the same deposit contract
+    (liquidity.py:413-470 + post_process_dedust_liquidity:473-508)."""
+    vop = _op(node)
+    if vop == DEDUST_DEPOSIT_TON:
+        tail = _dedust_partial_tail(node)
+        if tail is None:
+            return None
+        tail_nodes, topup = tail
+        body = node.in_msg.decoded_body()
+        return _base(
+            node,
+            "dex_deposit_liquidity",
+            claimed=[node, *tail_nodes],
+            source=node.in_msg.source,
+            destination_secondary=topup.account,
+            amount=body.get("amount", node.in_msg.value),
+            _partial=True,
+            _deposit_contract=topup.account,
+            dex_deposit_liquidity_data={
+                "dex": "dedust",
+                "asset1": "TON",
+                "amount1": body.get("amount", node.in_msg.value),
+                "target_asset_1": body.get("asset0"),
+                "target_amount_1": body.get("asset0_target_balance"),
+                "target_asset_2": body.get("asset1"),
+                "target_amount_2": body.get("asset1_target_balance"),
+            },
+        )
+    if vop == JETTON_TRANSFER:
+        internal = node.child_via(JETTON_INTERNAL)
+        if internal is None:
+            return None
+        vault = internal.child_via(JETTON_NOTIFY)
+        if vault is None:
+            return None
+        tail = _dedust_partial_tail(vault)
+        if tail is None:
+            return None
+        tail_nodes, topup = tail
+        wallets = ctx.get("jetton_wallets", {})
+        owner, jetton = wallets.get(node.account, (None, None))
+        body = node.in_msg.decoded_body()
+        return _base(
+            node,
+            "dex_deposit_liquidity",
+            claimed=[node, internal, vault, *tail_nodes],
+            source=node.in_msg.source or owner,
+            destination_secondary=topup.account,
+            asset=jetton,
+            amount=body.get("amount"),
+            _partial=True,
+            _deposit_contract=topup.account,
+            dex_deposit_liquidity_data={
+                "dex": "dedust",
+                "asset1": jetton,
+                "amount1": body.get("amount"),
+                "user_jetton_wallet_1": node.account,
+            },
+        )
+    return None
+
+
+def match_dedust_deposit_jetton(node: Node, ctx: Ctx) -> dict | None:
+    """Jetton-side FINAL DeDust deposit: jetton transfer → internal →
+    vault notify → deposit-contract top-up → deposit-to-pool → LP mint.
+    The jetton analog of match_dedust_deposit_liquidity (liquidity.py
+    DedustDepositBlockMatcher:297-410, jetton entry arm)."""
+    if _op(node) != JETTON_TRANSFER:
+        return None
+    internal = node.child_via(JETTON_INTERNAL)
+    if internal is None:
+        return None
+    vault = internal.child_via(JETTON_NOTIFY)
+    if vault is None:
+        return None
+    topup = vault.child_via(DEDUST_TOPUP_DEPOSIT)
+    if topup is None:
+        return None
+    pool = topup.child_via(DEDUST_DEPOSIT_TO_POOL)
+    if pool is None:
+        return None
+    claimed = [node, internal, vault, topup, pool]
+    lp_mint = pool.child_via(JETTON_INTERNAL)
+    if lp_mint is not None:
+        claimed.append(lp_mint)
+    wallets = ctx.get("jetton_wallets", {})
+    owner, jetton = wallets.get(node.account, (None, None))
+    body = node.in_msg.decoded_body()
+    lp_amount = (
+        lp_mint.in_msg.decoded_body().get("amount")
+        if lp_mint is not None else None
+    )
+    return _base(
+        node,
+        "dex_deposit_liquidity",
+        claimed=claimed,
+        source=node.in_msg.source or owner,
+        destination=pool.account,
+        destination_secondary=topup.account,
+        asset=jetton,
+        amount=body.get("amount"),
+        _deposit_contract=topup.account,
+        dex_deposit_liquidity_data={
+            "dex": "dedust",
+            "asset1": jetton,
+            "amount1": body.get("amount"),
+            "user_jetton_wallet_1": node.account,
+            "lp_tokens_minted": lp_amount,
         },
     )
 
@@ -1471,6 +1615,8 @@ PROTOCOL_MATCHERS = [
     ("layerzero_send_tokens", match_layerzero_send_tokens),
     ("dedust_swap", match_dedust_swap),
     ("dedust_deposit_liquidity", match_dedust_deposit_liquidity),
+    ("dedust_deposit_jetton", match_dedust_deposit_jetton),
+    ("dedust_deposit_partial", match_dedust_deposit_partial),
     ("dedust_withdraw_liquidity", match_dedust_withdraw_liquidity),
     ("stonfi_swap", match_stonfi_swap),
     ("stonfi_v2_withdraw_liquidity", match_stonfi_v2_withdraw_liquidity),
