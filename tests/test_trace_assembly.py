@@ -75,3 +75,46 @@ def test_duplicate_msg_hash_is_deterministic(spark):
     # tx2's parent is deterministically the min of the duplicate producers
     assignment = dict(a)
     assert assignment["tx2"] == assignment["tx0"]
+
+
+def test_forest_roots_local_matches_distributed(spark):
+    """The size-gated single-task fast path and the distributed
+    pointer-doubling path must produce identical (node, root) sets —
+    including deep chains, duplicate children (min parent wins), and
+    multi-tree forests."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.operators.graph import forest_roots
+
+    rng = random.Random(7)
+    rows = []
+    # 40 trees: chains of depth up to 70 (forces >6 doubling rounds),
+    # plus random branching
+    nid = 0
+    for t in range(40):
+        root = f"r{t:03d}"
+        prev = [root]
+        for depth in range(rng.randint(1, 70)):
+            cur = []
+            for p in prev:
+                for _ in range(rng.choice([1, 1, 2])):
+                    node = f"n{nid:06d}"
+                    nid += 1
+                    rows.append((node, p))
+                    cur.append(node)
+            prev = cur[: rng.randint(1, max(1, len(cur)))]
+    # one duplicate child with two parents — min must win on both paths
+    rows.append(("dupchild", "zzz-parent"))
+    rows.append(("dupchild", "aaa-parent"))
+
+    edges = spark.createDataFrame(rows, "child string, parent string")
+    local = forest_roots(edges)  # small input → local path
+    dist = forest_roots(edges, local_threshold=0)  # forced distributed
+    a = sorted(map(tuple, local.collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert a == b
+    roots = dict(a)
+    assert roots["dupchild"] == "aaa-parent"
+    assert all(r.startswith(("r", "aaa")) for r in set(roots.values()))

@@ -52,9 +52,13 @@ def assemble_traces(transactions: DataFrame, messages: DataFrame) -> AssembledTr
     IndexScheduler.cpp:306 stage `assemble_traces`).
     """
     txs = transactions.drop("trace_id")
+    # the message projection feeds four independent branches (edges,
+    # orphans, unconsumed, root_in) — materialize it once with truncated
+    # lineage instead of recomputing the caller's upstream plan per branch
+    # (at block cadence the recompute, not the data, is the wall)
     msgs = messages.select(
         "tx_hash", "tx_lt", "msg_hash", "direction", "source", "destination"
-    )
+    ).localCheckpoint(eager=True)
 
     outs = msgs.filter(F.col("direction") == "out").select(
         F.col("msg_hash"), F.col("tx_hash").alias("src_tx")
@@ -63,8 +67,13 @@ def assemble_traces(transactions: DataFrame, messages: DataFrame) -> AssembledTr
         F.col("msg_hash"), F.col("tx_hash").alias("dst_tx"), F.col("source")
     )
 
-    # matched internal edges (one shuffle on msg_hash)
-    edges = outs.join(ins, "msg_hash").select("src_tx", "dst_tx", "msg_hash")
+    # matched internal edges (one shuffle on msg_hash); reused by the
+    # root-finding loop (both sides of its self-join) and edge_counts
+    edges = (
+        outs.join(ins, "msg_hash")
+        .select("src_tx", "dst_tx", "msg_hash")
+        .localCheckpoint(eager=True)
+    )
 
     # orphan internal in-messages → broken roots (TraceAssembler.cpp:316-325)
     orphans = (
@@ -95,6 +104,8 @@ def assemble_traces(transactions: DataFrame, messages: DataFrame) -> AssembledTr
         .withColumn("component", F.coalesce(F.col("root"), F.col("hash")))
         .drop("root")
         .withColumn("trace_id", F.col("component"))
+        # reused by roots/flags/edge_counts/root_in and the output
+        .localCheckpoint(eager=True)
     )
     roots = labeled.select("component", "trace_id").distinct()
 
