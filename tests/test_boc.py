@@ -518,3 +518,77 @@ def test_nft_sale_state_decode_roundtrip(spark):
     assert good["created_at"] == 1_700_000_777
     bad = rows["0:bad" + "0" * 59]
     assert bad["decode_error"] is not None
+
+
+def test_liquidity_and_swap_body_decoders():
+    """Golden round-trips for the round-4 decoder additions: DeDust
+    deposit (vault entry + jetton forward payload), Ston.fi v2 provide,
+    Tonco mint/swap, wallet-plugin subscription payment request
+    (reference shapes: messages/liquidity.py, swaps.py:205-242,
+    subscriptions.py:6-12 — re-derived)."""
+    from ton_indexer_spark.functions.boc import (
+        OP_DEDUST_DEPOSIT_FWD,
+        OP_DEDUST_DEPOSIT_TON,
+        OP_STONFI_V2_PROVIDE,
+        OP_SUBSCRIPTION_PAY_REQ,
+        OP_TONCO_MINT,
+        OP_TONCO_SWAP,
+        Builder,
+        decode_message_body,
+        store_dedust_asset,
+    )
+
+    JET = "0:" + "ab" * 32
+    USR = "0:" + "cd" * 32
+
+    params = (Builder().store_coins(1).store_coins(5000)
+              .store_coins(7000).end_cell())
+    dep = Builder().store_uint(OP_DEDUST_DEPOSIT_TON, 32).store_uint(9, 64)
+    dep.store_coins(5000).store_bit(0)
+    store_dedust_asset(dep, "TON")
+    store_dedust_asset(dep, JET)
+    dep.store_ref(params)
+    d = decode_message_body(_b64(dep.end_cell()))
+    assert d["amount"] == 5000 and d["pool_type"] == "volatile"
+    assert d["asset0"] == "TON" and d["asset1"] == JET
+    assert d["asset0_target_balance"] == 5000
+    assert d["asset1_target_balance"] == 7000
+
+    fwd = Builder().store_uint(OP_DEDUST_DEPOSIT_FWD, 32).store_bit(1)
+    store_dedust_asset(fwd, JET)
+    store_dedust_asset(fwd, "TON")
+    fwd.store_coins(2).store_coins(11).store_coins(22)
+    d = decode_message_body(_b64(fwd.end_cell()))
+    assert d["pool_type"] == "stable" and d["asset0"] == JET
+    assert d["asset0_target_balance"] == 11
+
+    prov = (Builder().store_uint(OP_STONFI_V2_PROVIDE, 32).store_uint(3, 64)
+            .store_address(USR).store_coins(100).store_coins(200).end_cell())
+    d = decode_message_body(_b64(prov))
+    assert d["from_user"] == USR and d["amount"] == 100 and d["amount2"] == 200
+
+    mint = (Builder().store_uint(OP_TONCO_MINT, 32).store_uint(4, 64)
+            .store_address(USR).store_coins(10).store_coins(20)
+            .store_coins(10).store_coins(20).store_uint(777, 128)
+            .store_int(-100, 24).store_int(200, 24).end_cell())
+    d = decode_message_body(_b64(mint))
+    assert d["amount"] == 10 and d["amount2"] == 20
+    assert d["liquidity"] == 777
+    assert d["tick_lower"] == -100 and d["tick_upper"] == 200
+
+    sw_params = (Builder().store_coins(50).store_uint(0, 160)
+                 .store_coins(49).end_cell())
+    sw_payloads = (Builder().store_address(USR).store_coins(0).store_bit(0)
+                   .store_coins(0).store_bit(0).end_cell())
+    sw = (Builder().store_uint(OP_TONCO_SWAP, 32).store_uint(5, 64)
+          .store_address(USR).store_address(JET)
+          .store_ref(sw_params).store_ref(sw_payloads).end_cell())
+    d = decode_message_body(_b64(sw))
+    assert d["owner"] == USR and d["source_wallet"] == JET
+    assert d["amount"] == 50 and d["min_out"] == 49
+    assert d["target_address"] == USR
+
+    sub = (Builder().store_uint(OP_SUBSCRIPTION_PAY_REQ, 32)
+           .store_uint(6, 64).store_coins(10**9).end_cell())
+    d = decode_message_body(_b64(sub))
+    assert d["grams"] == 10**9 and d["query_id"] == 6

@@ -406,6 +406,12 @@ OP_TONSTAKERS_DEPOSIT = 0x47D54391   # messages/staking.py:18
 OP_TONSTAKERS_WITHDRAW = 0x319B0CDC  # messages/staking.py:22
 OP_ELECTOR_NEW_STAKE = 0x4E73744B    # elector new_stake ('NstK')
 OP_ELECTOR_RECOVER = 0x47657424      # elector recover_stake ('Get$')
+OP_DEDUST_DEPOSIT_TON = 0xD55E4686   # messages/liquidity.py:17-37
+OP_DEDUST_DEPOSIT_FWD = 0x40E108D6   # messages/liquidity.py:40-57
+OP_STONFI_V2_PROVIDE = 0x37C096DF    # messages/liquidity.py:99-106
+OP_TONCO_MINT = 0xB2C1B6E3           # messages/liquidity.py:109-136
+OP_TONCO_SWAP = 0xA7FB58F8           # messages/swaps.py:205-242
+OP_SUBSCRIPTION_PAY_REQ = 0x706C7567  # messages/subscriptions.py:6-12
 
 # dns value-record schema tags (messages/dns.py:20-40)
 _DNS_SCHEMAS = {
@@ -414,6 +420,25 @@ _DNS_SCHEMAS = {
     0x9FD3: "DNSSmcAddress",
     0x7473: "DNSStorageAddress",
 }
+
+
+def _load_dedust_asset(s: Slice) -> str:
+    """DeDust Asset: kind:uint4 (0 = native TON, else wc:uint8 +
+    account:bits256) → "TON" or raw address (liquidity.py load_asset:7-14)."""
+    kind = s.load_uint(4)
+    if kind == 0:
+        return "TON"
+    wc = s.load_uint(8)
+    h = s.load_uint(256)
+    return f"{wc}:{h:064x}"
+
+
+def store_dedust_asset(b: "Builder", asset: str) -> "Builder":
+    """Fixture-side inverse of _load_dedust_asset."""
+    if asset == "TON":
+        return b.store_uint(0, 4)
+    wc, h = asset.split(":")
+    return b.store_uint(1, 4).store_uint(int(wc), 8).store_uint(int(h, 16), 256)
 
 
 def _forward_payload(s: Slice) -> dict:
@@ -641,6 +666,77 @@ def decode_body_cell(root: Cell) -> dict:
         d["full_price"] = s.load_coins()
         d["marketplace_fee"] = s.load_coins()
         d["royalty_amount"] = s.load_coins()
+        return d
+    if op == OP_DEDUST_DEPOSIT_TON:
+        # dedust_deposit_liquidity#d55e4686 query_id:uint64 amount:Coins
+        #   pool_params:(kind:uint1 asset0:Asset asset1:Asset)
+        #   deposit_params:^[min_lp:Coins asset0_target:Coins
+        #                    asset1_target:Coins]  (liquidity.py:17-37)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["pool_type"] = "stable" if s.load_bit() else "volatile"
+        d["asset0"] = _load_dedust_asset(s)
+        d["asset1"] = _load_dedust_asset(s)
+        params = s.load_ref().begin_parse()
+        d["min_lp_amount"] = params.load_coins()
+        d["asset0_target_balance"] = params.load_coins()
+        d["asset1_target_balance"] = params.load_coins()
+        return d
+    if op == OP_DEDUST_DEPOSIT_FWD:
+        # deposit_liquidity#40e108d6 pool_params min_lp:Coins
+        #   asset0_target:Coins asset1_target:Coins  (liquidity.py:40-57;
+        #   rides inside a jetton-transfer forward payload)
+        d = {"opcode": op}
+        d["pool_type"] = "stable" if s.load_bit() else "volatile"
+        d["asset0"] = _load_dedust_asset(s)
+        d["asset1"] = _load_dedust_asset(s)
+        d["min_lp_amount"] = s.load_coins()
+        d["asset0_target_balance"] = s.load_coins()
+        d["asset1_target_balance"] = s.load_coins()
+        return d
+    if op == OP_STONFI_V2_PROVIDE:
+        # provide_liquidity#37c096df query_id:uint64 from_user:Addr
+        #   amount1:Coins amount2:Coins  (liquidity.py:99-106)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["from_user"] = s.load_address()
+        d["amount"] = s.load_coins()
+        d["amount2"] = s.load_coins()
+        return d
+    if op == OP_TONCO_MINT:
+        # POOLV3_MINT#b2c1b6e3 query_id:uint64 owner:Addr amount0:Coins
+        #   amount1:Coins enough0:Coins enough1:Coins liquidity:uint128
+        #   tick_lower:int24 tick_upper:int24  (liquidity.py:109-136)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["owner"] = s.load_address()
+        d["amount"] = s.load_coins()
+        d["amount2"] = s.load_coins()
+        s.load_coins()  # enough0
+        s.load_coins()  # enough1
+        d["liquidity"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        return d
+    if op == OP_TONCO_SWAP:
+        # POOLV3_SWAP#a7fb58f8 query_id:uint64 owner:Addr source_wallet:Addr
+        #   ^[amount:Coins sqrt_price_limit:uint160 min_out:Coins]
+        #   ^[target:Addr …]  (swaps.py:205-242, pool-side shape)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["owner"] = s.load_address()
+        d["source_wallet"] = s.load_address()
+        if s.remaining_refs >= 1:
+            params = s.load_ref().begin_parse()
+            d["amount"] = params.load_coins()
+            d["sqrt_price_limit"] = params.load_uint(160)
+            d["min_out"] = params.load_coins()
+        if s.remaining_refs >= 1:
+            payloads = s.load_ref().begin_parse()
+            d["target_address"] = payloads.load_address()
+        return d
+    if op == OP_SUBSCRIPTION_PAY_REQ:
+        # payment_request#706c7567 query_id:uint64 grams:Coins
+        #   (subscriptions.py:6-12)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["grams"] = s.load_coins()
         return d
     return {"opcode": op}
 
