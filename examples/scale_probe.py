@@ -1,0 +1,100 @@
+"""10× scale probe — reproduces PERF.md's "10× scale probe" table.
+
+Duplicates the sf-dir tables 10× with shifted ids (each copy is a
+disjoint id range, so relational semantics are preserved while row count
+and — for the dedup family — true-duplicate density grow), then times a
+set of headline queries at 1× and 10× through the same `queries()`
+entries the driver runs.
+
+Run:  python examples/scale_probe.py [q1,q2,...]
+Env:  SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "sessionize",
+    "asof_join",
+    "connected_components",
+    "embed_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+]
+
+# id-bearing columns to shift per copy, per table (disjoint ranges keep
+# joins/windows meaningful instead of creating 10× fan-out on shared keys)
+SHIFT_COLS = {
+    "events": ["event_id", "user_id", "session_hint"],
+    "documents": ["doc_id"],
+    "embeddings": ["id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+}
+
+
+def make_10x(spark, src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for fname in os.listdir(src):
+        if not fname.endswith(".parquet"):
+            continue
+        table = fname[:-8]
+        df = spark.read.parquet(os.path.join(src, fname))
+        shift_cols = [c for c in SHIFT_COLS.get(table, []) if c in df.columns]
+        if shift_cols:
+            # shift numeric ids by copy_idx * stride; leave other cols as-is
+            stride = 10_000_000_000
+            copies = []
+            for i in range(10):
+                c = df
+                for col in shift_cols:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        else:
+            out = df
+            for _ in range(9):
+                out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(os.path.join(dst, fname))
+
+
+def main() -> None:
+    from ton_indexer_spark.session import get_spark
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    names = (sys.argv[1].split(",") if len(sys.argv) > 1
+             else DEFAULT_QUERIES)
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_probe")
+    dst = os.path.join(tempfile.mkdtemp(prefix="scale10x_"), "sf10x")
+    print(f"building 10x copy of {src} under {dst}")
+    make_10x(spark, src, dst)
+
+    queries = entrymod.queries()
+    print(f"{'query':28s} {'x1':>8s} {'x10':>8s} {'ratio':>6s}")
+    for name in names:
+        fn = queries[name]
+        walls = []
+        for d in (src, dst):
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        print(f"{name:28s} {walls[0]:7.2f}s {walls[1]:7.2f}s "
+              f"{walls[1] / walls[0]:5.1f}x")
+
+
+if __name__ == "__main__":
+    main()
