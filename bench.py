@@ -40,6 +40,8 @@ HEADLINE = [
     "token_count",
     "text_quality",
     "doc_fingerprint",
+    "tfidf_topk",
+    "doc_chunks",
 ]
 
 

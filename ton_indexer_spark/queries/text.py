@@ -138,3 +138,115 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint")).orderBy(
         "doc_id"
     )
+
+
+# query terms for the TF-IDF ranking gate — fixed so the oracle is exact
+TFIDF_TERMS = ("spark", "join", "window", "vector", "stream")
+
+
+@register(
+    "tfidf_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), q AS (
+      SELECT * FROM toks
+      WHERE term IN ('spark', 'join', 'window', 'vector', 'stream')
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM q GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf * (((n.n + 1) * 1000000) // (df.df + 1)))
+                AS BIGINT) AS score_scaled
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    GROUP BY tf.doc_id
+    ORDER BY score_scaled DESC, doc_id
+    LIMIT 20
+    """,
+    survey_ops=("beyond:tfidf",),
+    description="TF-IDF document ranking for a fixed query-term set; "
+    "integer-scaled rational idf ((N+1)*1e6 div (df+1)) keeps the score "
+    "exact and order-independent cross-engine (the classic float "
+    "log-idf sum is not associativity-safe); plan: tokenize-explode -> "
+    "per-(doc,term) counts -> term df join (broadcast: |terms| rows) -> "
+    "top-k",
+)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"),
+    ).filter(F.col("term").isin(*TFIDF_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(n)  # 1 row — AQE broadcasts
+        .withColumn("idf_scaled", F.expr("((n + 1) * 1000000) DIV (df + 1)"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_scaled")).alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(20)
+    )
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "doc_chunks",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), t2 AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    )
+    SELECT t2.doc_id,
+           CAST(off // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(off AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, off + 1, off + {CHUNK_SIZE}))
+                AS BIGINT) AS chunk_len,
+           array_to_string(list_slice(toks, off + 1, off + {CHUNK_SIZE}),
+                           ' ') AS chunk_text
+    FROM t2, unnest(range(0, n, {CHUNK_STRIDE})) AS u(off)
+    ORDER BY doc_id, chunk_idx
+    """,
+    survey_ops=("beyond:chunking",),
+    description="overlapping fixed-size token windows (training-sample "
+    "chunking): sequence+explode over per-doc offsets, array slice per "
+    "chunk — no shuffle beyond the final presentation sort",
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    t = (
+        d.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    offs = t.select(
+        "doc_id", "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("off"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("off") + 1, CHUNK_SIZE)
+    return offs.select(
+        "doc_id",
+        (F.col("off") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("off").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
