@@ -117,3 +117,41 @@ def test_global_running_sum_partition_invariant(spark):
     assert a == b
     # spot-check against the closed form at the tail
     assert a[999] == sum(i % 37 + 1 for i in range(1000))
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """Size-gated single-task union-find ≡ distributed hash-min +
+    pointer-jump loop, including chains (worst diameter), rings, stars,
+    and isolated pairs."""
+    import random
+
+    from ton_indexer_spark.operators.graph import connected_components
+
+    rng = random.Random(11)
+    rows = []
+    nid = 0
+    for comp in range(30):
+        kind = comp % 3
+        size = rng.randint(2, 60)
+        ids = [f"v{nid + i:05d}" for i in range(size)]
+        nid += size
+        if kind == 0:  # chain
+            rows += list(zip(ids, ids[1:]))
+        elif kind == 1:  # ring
+            rows += list(zip(ids, ids[1:] + ids[:1]))
+        else:  # star
+            rows += [(ids[0], x) for x in ids[1:]]
+    rng.shuffle(rows)
+    edges = spark.createDataFrame(rows, "src string, dst string")
+
+    local = connected_components(edges)
+    dist = connected_components(edges, local_threshold=0)
+    a = sorted(map(tuple, local.collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert a == b
+    # min-label contract: every component labeled by its smallest node id
+    comp_of = dict(a)
+    by_comp: dict[str, list[str]] = {}
+    for n, c in a:
+        by_comp.setdefault(c, []).append(n)
+    assert all(min(members) == c for c, members in by_comp.items())

@@ -159,12 +159,54 @@ def forest_roots(
     return anc.withColumnRenamed("anc", "root")
 
 
+def _local_connected_components(sym: DataFrame) -> DataFrame:
+    """Single-task min-label union-find for small edge sets — the CC analog
+    of _local_forest_roots.  Size-gated in connected_components; the
+    distributed loop remains the >threshold path and is pinned equivalent
+    by tests."""
+    out_schema = T.StructType([
+        T.StructField("node", sym.schema["a"].dataType),
+        T.StructField("component", sym.schema["a"].dataType),
+    ])
+
+    def resolve(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        df = pd.concat(chunks, ignore_index=True)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(df["a"], df["b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by label order so the final root IS the min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = pd.unique(df["a"])
+        yield pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]}
+        )
+
+    return sym.repartition(1).mapInPandas(resolve, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
     jumps_per_round: int = 2,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Label each node with min(node id) of its component.
 
@@ -177,6 +219,13 @@ def connected_components(
     O(log(diameter) / k) at ~half a round's cost per extra jump — a win
     whenever per-round fixed cost (checkpoint + probe job) dominates,
     i.e. always in the streaming/interactive regime.
+
+    ``local_threshold`` — symmetric-edge count at or below which the labels
+    are resolved by a single-task union-find instead of the iterative
+    distributed loop (same regime split as forest_roots: the loop's
+    per-round fixed cost dominates small graphs by 10×, while graphs past
+    the gate are data-bound and need the shuffle parallelism).  Pass 0 to
+    force the distributed path.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -189,6 +238,8 @@ def connected_components(
     # session-wide shuffle parallelism (AQE can't help inside the loop —
     # localCheckpoint materializes before coalescing)
     n_edges = sym.count()
+    if local_threshold > 0 and n_edges <= local_threshold:
+        return _local_connected_components(sym)
     n_parts = max(2, min(int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions")),
                          n_edges // 50_000 + 2))
     sym = sym.repartition(n_parts, "b").localCheckpoint(eager=True)
