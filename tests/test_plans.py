@@ -382,3 +382,129 @@ def test_listings_plans_have_no_forced_broadcast(ton):
     for df in (nft_items_listing(ton), metadata_union(ton), address_book(ton)):
         optimized = df._jdf.queryExecution().optimizedPlan().toString()
         assert "strategy=broadcast" not in optimized, optimized[:800]
+
+
+def test_adjacent_transactions(ton, tduck):
+    from ton_indexer_spark.plans.transactions import adjacent_transactions
+
+    # pick a tx with both a parent and children
+    h = pick(tduck, """
+        SELECT M1.tx_hash FROM messages M1
+        JOIN messages M2 ON M1.msg_hash = M2.msg_hash
+                         AND M1.direction != M2.direction
+        GROUP BY M1.tx_hash HAVING COUNT(DISTINCT M2.tx_hash) >= 2
+        ORDER BY M1.tx_hash LIMIT 1
+    """)
+    got = rows(adjacent_transactions(ton, h), ["hash"])
+    want = drows(tduck, f"""
+        SELECT DISTINCT M2.tx_hash FROM messages M1
+        JOIN messages M2 ON M1.msg_hash = M2.msg_hash
+                         AND M1.direction != M2.direction
+        WHERE M1.tx_hash = '{h}'
+    """, 1)
+    assert got == want and len(got) >= 2
+
+    # direction filter: only the in-message side (the parent)
+    got_in = rows(adjacent_transactions(ton, h, direction="in"), ["hash"])
+    want_in = drows(tduck, f"""
+        SELECT DISTINCT M2.tx_hash FROM messages M1
+        JOIN messages M2 ON M1.msg_hash = M2.msg_hash
+                         AND M1.direction != M2.direction
+        WHERE M1.tx_hash = '{h}' AND M1.direction = 'in'
+    """, 1)
+    assert got_in == want_in
+
+
+def test_transactions_by_message(ton, tduck):
+    from ton_indexer_spark.plans.transactions import transactions_by_message
+
+    mh = pick(tduck, """
+        SELECT msg_hash FROM messages
+        GROUP BY msg_hash HAVING COUNT(DISTINCT tx_hash) = 2
+        ORDER BY msg_hash LIMIT 1
+    """)
+    got = rows(transactions_by_message(ton, msg_hash=mh), ["hash"])
+    want = drows(tduck, f"""
+        SELECT DISTINCT t.hash FROM transactions t
+        WHERE EXISTS (SELECT 1 FROM messages m
+                      WHERE m.msg_hash = '{mh}'
+                        AND m.tx_hash = t.hash AND m.tx_lt = t.lt)
+    """, 1)
+    assert got == want and len(got) == 2
+
+
+def test_masterchain_block_shards(ton, tduck):
+    from ton_indexer_spark.plans.blocks import masterchain_block_shards
+
+    sq = pick(tduck, "SELECT mc_block_seqno FROM blocks GROUP BY 1 "
+                     "ORDER BY count(*) DESC, 1 LIMIT 1")
+    got = rows(masterchain_block_shards(ton, sq, include_mc_block=True),
+               ["workchain", "shard", "seqno"])
+    want = drows(tduck, f"SELECT workchain, shard, seqno FROM blocks "
+                        f"WHERE mc_block_seqno = {sq}", 3)
+    assert got == want and got
+
+
+def test_state_and_dimension_listings(ton, tduck):
+    from ton_indexer_spark.plans.listings import (
+        account_states_query,
+        address_information,
+        dns_records_query,
+        nft_collections_query,
+        nft_sales_query,
+    )
+
+    acc = pick(tduck, "SELECT account FROM latest_account_states "
+                      "ORDER BY account LIMIT 1")
+    got = rows(account_states_query(ton, addresses=[acc]),
+               ["account", "balance", "account_status"])
+    want = drows(tduck, f"SELECT account, balance, account_status "
+                        f"FROM latest_account_states WHERE account = '{acc}'", 3)
+    assert got == want
+
+    info = address_information(ton, acc)
+    assert info.count() == 1 and info.first()["account"] == acc
+
+    own = pick(tduck, "SELECT owner_address FROM nft_collections "
+                      "ORDER BY address LIMIT 1")
+    got = rows(nft_collections_query(ton, owner=own), ["address"])
+    want = drows(tduck, f"SELECT address FROM nft_collections "
+                        f"WHERE owner_address = '{own}' "
+                        f"ORDER BY address LIMIT 100", 1)
+    assert got == want and got
+
+    got = rows(nft_sales_query(ton, include_complete=False),
+               ["address", "nft_address"])
+    want = drows(tduck, "SELECT address, nft_address FROM getgems_nft_sales "
+                        "WHERE NOT is_complete ORDER BY address LIMIT 100", 2)
+    assert got == want
+
+    w = pick(tduck, "SELECT dns_wallet FROM dns_entries "
+                    "WHERE dns_wallet IS NOT NULL ORDER BY domain LIMIT 1")
+    got = rows(dns_records_query(ton, wallet=w), ["domain"])
+    want = drows(tduck, f"SELECT domain FROM dns_entries "
+                        f"WHERE dns_wallet = '{w}' ORDER BY domain LIMIT 100", 1)
+    assert got == want and got
+
+
+def test_jetton_burns_listing(spark, fixture_dir, tmp_path, tduck):
+    from ton_indexer_spark.operators.token_events import derive_jetton_burns
+    from ton_indexer_spark.plans.listings import jetton_burns_query
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    bodies = spark.read.parquet(f"{fixture_dir}/message_contents.parquet")
+    jw = spark.read.parquet(f"{fixture_dir}/jetton_wallets.parquet")
+    burns = derive_jetton_burns(txs, msgs, bodies, jw)
+    burns.write.parquet(str(tmp_path / "jetton_burns.parquet"))
+
+    cat = Catalog(spark, str(tmp_path))
+    own = (burns.filter(burns["owner"].isNotNull())
+           .orderBy("owner").first()["owner"])
+    got = rows(jetton_burns_query(cat, account=own, limit=10_000),
+               ["tx_hash", "amount"])
+    want = sorted(
+        (str(r["tx_hash"]), str(r["amount"]))
+        for r in burns.filter(burns["owner"] == own).collect()
+    )
+    assert got == [tuple(w) for w in want] and got

@@ -47,6 +47,9 @@ class TonIndexerApi:
     def block_exists(self, workchain: int, seqno: int) -> bool:
         return plans.block_exists(self.cat, workchain, seqno)
 
+    def masterchain_block_shards(self, seqno: int, **kw) -> DataFrame:
+        return plans.masterchain_block_shards(self.cat, seqno, **kw)
+
     # -- facts --------------------------------------------------------------
     def transactions(self, **kw) -> DataFrame:
         return plans.transactions_query(self.cat, **kw)
@@ -59,6 +62,12 @@ class TonIndexerApi:
 
     def traces(self, **kw) -> DataFrame:
         return plans.traces_query(self.cat, **kw)
+
+    def adjacent_transactions(self, tx_hash: str, **kw) -> DataFrame:
+        return plans.adjacent_transactions(self.cat, tx_hash, **kw)
+
+    def transactions_by_message(self, **kw) -> DataFrame:
+        return plans.transactions_by_message(self.cat, **kw)
 
     # -- tokens -------------------------------------------------------------
     def jetton_masters(self, **kw) -> DataFrame:
@@ -76,6 +85,24 @@ class TonIndexerApi:
     def nft_transfers(self, **kw) -> DataFrame:
         return plans.nft_transfers_query(self.cat, **kw)
 
+    def jetton_burns(self, **kw) -> DataFrame:
+        return plans.jetton_burns_query(self.cat, **kw)
+
+    def nft_collections(self, **kw) -> DataFrame:
+        return plans.nft_collections_query(self.cat, **kw)
+
+    def nft_sales(self, **kw) -> DataFrame:
+        return plans.nft_sales_query(self.cat, **kw)
+
+    def account_states(self, **kw) -> DataFrame:
+        return plans.account_states_query(self.cat, **kw)
+
+    def address_information(self, address: str) -> DataFrame:
+        return plans.address_information(self.cat, address)
+
+    def dns_records(self, **kw) -> DataFrame:
+        return plans.dns_records_query(self.cat, **kw)
+
     def multisig(self, **kw) -> DataFrame:
         return plans.multisig_query(self.cat, **kw)
 
@@ -88,3 +115,10 @@ class TonIndexerApi:
 
     def top_accounts(self, k: int = 100) -> DataFrame:
         return plans.top_accounts_by_balance(self.cat, k)
+
+    @staticmethod
+    def decode(body_b64: str) -> dict:
+        """/api/v3/decode: TL-B message-body decode (functions/boc.py)."""
+        from ton_indexer_spark.functions.boc import decode_message_body
+
+        return decode_message_body(body_b64)

@@ -25,7 +25,10 @@ _BODY_SCHEMA = "amount DECIMAL(38,0), destination STRING, query_id DECIMAL(38,0)
 
 
 def _decoded(messages: DataFrame, message_contents: DataFrame | None) -> DataFrame:
-    m = messages
+    # widened message tables (plan-side catalogs) already carry tx_now /
+    # mc_seqno; drop them so the join with the transactions projection
+    # below stays unambiguous — tx fields come from transactions
+    m = messages.drop("tx_now", "mc_seqno", "tx_aborted")
     if message_contents is not None:
         m = m.join(
             message_contents.select(

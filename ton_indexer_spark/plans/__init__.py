@@ -9,7 +9,11 @@ these plans express the whole request as ONE composed Spark plan — broadcast
 enrichment joins + collect_list(struct) replace the app-side loops.
 """
 
-from ton_indexer_spark.plans.transactions import transactions_query
+from ton_indexer_spark.plans.transactions import (
+    adjacent_transactions,
+    transactions_by_message,
+    transactions_query,
+)
 from ton_indexer_spark.plans.messages import messages_query
 from ton_indexer_spark.plans.actions import actions_by_account
 from ton_indexer_spark.plans.traces import traces_query
@@ -20,11 +24,21 @@ from ton_indexer_spark.plans.dimensions import (
     top_accounts_by_balance,
     wallets_by_jetton,
 )
-from ton_indexer_spark.plans.blocks import block_exists, blocks_query
+from ton_indexer_spark.plans.blocks import (
+    block_exists,
+    blocks_query,
+    masterchain_block_shards,
+)
 from ton_indexer_spark.plans.listings import (
+    account_states_query,
+    address_information,
+    dns_records_query,
+    jetton_burns_query,
     jetton_masters_query,
     jetton_transfers_query,
     multisig_query,
+    nft_collections_query,
+    nft_sales_query,
     nft_transfers_query,
 )
 
@@ -44,4 +58,13 @@ __all__ = [
     "jetton_transfers_query",
     "nft_transfers_query",
     "multisig_query",
+    "adjacent_transactions",
+    "transactions_by_message",
+    "masterchain_block_shards",
+    "jetton_burns_query",
+    "nft_collections_query",
+    "nft_sales_query",
+    "account_states_query",
+    "address_information",
+    "dns_records_query",
 ]

@@ -55,3 +55,15 @@ def block_exists(cat: Catalog, workchain: int, seqno: int) -> bool:
         .count()
         > 0
     )
+
+
+def masterchain_block_shards(
+    cat: Catalog, seqno: int, include_mc_block: bool = False
+) -> DataFrame:
+    """/api/v3/masterchainBlockShards: every shard block committed under a
+    masterchain seqno (crud shape: blocks WHERE mc_block_seqno = $1),
+    ordered (workchain, shard, seqno)."""
+    b = cat.blocks.filter(F.col("mc_block_seqno") == seqno)
+    if not include_mc_block:
+        b = b.filter(F.col("workchain") != -1)
+    return b.orderBy("workchain", "shard", "seqno")

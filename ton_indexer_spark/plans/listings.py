@@ -96,3 +96,112 @@ def multisig_query(
     if signer is not None:
         m = m.filter(F.array_contains(F.col("signers"), signer))
     return paginate(m, sort=[("address", "asc")], limit=limit)
+
+
+def jetton_burns_query(
+    cat: Catalog,
+    account: str | None = None,
+    jetton: str | None = None,
+    start_utime: int | None = None,
+    end_utime: int | None = None,
+    sort: str = "desc",
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/jetton/burns over the derived jetton_burns fact
+    (crud_jettons.go burns arm; derivation: operators/token_events.py)."""
+    t = cat.jetton_burns
+    if account is not None:
+        t = t.filter(F.col("owner") == account)
+    if jetton is not None:
+        t = t.filter(F.col("jetton_master_address") == jetton)
+    t = filter_range(t, "tx_now", start_utime, end_utime)
+    return paginate(
+        t,
+        sort=[("tx_now", sort), ("tx_lt", sort), ("tx_hash", "asc")],
+        limit=limit,
+        offset=offset,
+    )
+
+
+def nft_collections_query(
+    cat: Catalog,
+    addresses: Sequence[str] | None = None,
+    owner: str | None = None,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/nft/collections (crud_nft.go collections arm)."""
+    c = filter_by_array(cat.nft_collections, "address", addresses)
+    if owner is not None:
+        c = c.filter(F.col("owner_address") == owner)
+    return paginate(c, sort=[("address", "asc")], limit=limit, offset=offset)
+
+
+def nft_sales_query(
+    cat: Catalog,
+    addresses: Sequence[str] | None = None,
+    nft_address: str | None = None,
+    owner: str | None = None,
+    include_complete: bool = True,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/nft/sales over the getgems sale-state dimension."""
+    s = filter_by_array(cat.getgems_nft_sales, "address", addresses)
+    if nft_address is not None:
+        s = s.filter(F.col("nft_address") == nft_address)
+    if owner is not None:
+        s = s.filter(F.col("nft_owner_address") == owner)
+    if not include_complete:
+        s = s.filter(~F.col("is_complete"))
+    return paginate(s, sort=[("address", "asc")], limit=limit, offset=offset)
+
+
+def account_states_query(
+    cat: Catalog,
+    addresses: Sequence[str] | None = None,
+    include_frozen: bool = True,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/accountStates + /walletStates: latest state per account
+    (the LWW dimension latest_account_states — the reference reads the
+    same table, crud_accounts.go)."""
+    a = filter_by_array(cat.latest_account_states, "account", addresses)
+    if not include_frozen:
+        a = a.filter(F.col("account_status") != "frozen")
+    return paginate(a, sort=[("account", "asc")], limit=limit, offset=offset)
+
+
+def address_information(cat: Catalog, address: str) -> DataFrame:
+    """/api/v3/addressInformation: one account's latest state joined with
+    its address-book entry (reference stitches the same two lookups)."""
+    st = cat.latest_account_states.filter(F.col("account") == address)
+    try:
+        book = cat.address_metadata.filter(
+            F.col("address") == address
+        ).select(F.col("address").alias("account"), "name", "symbol")
+        return st.join(book, "account", "left")
+    except Exception:
+        return st
+
+
+def dns_records_query(
+    cat: Catalog,
+    wallet: str | None = None,
+    owner: str | None = None,
+    domain: str | None = None,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/dns/records over the dns_entries dimension
+    (crud shape: WHERE dns_wallet = $1)."""
+    d = cat.dns_entries
+    if wallet is not None:
+        d = d.filter(F.col("dns_wallet") == wallet)
+    if owner is not None:
+        d = d.filter(F.col("nft_item_owner") == owner)
+    if domain is not None:
+        d = d.filter(F.col("domain") == domain)
+    return paginate(d, sort=[("domain", "asc")], limit=limit, offset=offset)

@@ -72,9 +72,13 @@ def transactions_query(
 
     if not with_messages:
         return txs
+    return _with_messages(cat, txs)
 
-    # enrichment: in/out messages with bodies, out-msgs sorted by created_lt
-    # (crud_transactions.go:227-261) — one ordered collect per direction
+
+def _with_messages(cat: Catalog, txs: DataFrame) -> DataFrame:
+    """Enrichment: in/out messages with bodies, out-msgs sorted by
+    created_lt (crud_transactions.go:227-261) — one ordered collect per
+    direction.  Shared by every transactions-shaped endpoint."""
     contents = cat.message_contents.select(
         F.col("hash").alias("body_hash"), F.col("body")
     )
@@ -104,3 +108,75 @@ def transactions_query(
         (txs["hash"] == folded["tx_hash"]) & (txs["lt"] == folded["tx_lt"]),
         "left",
     ).drop("tx_hash", "tx_lt")
+
+
+def adjacent_transactions(
+    cat: Catalog,
+    tx_hash: str,
+    direction: str | None = None,
+    with_messages: bool = False,
+) -> DataFrame:
+    """/api/v3/adjacentTransactions: transactions linked to ``tx_hash``
+    through a shared message — the producer of its in-message and the
+    consumers of its out-messages.
+
+    Reference SQL (crud_transactions.go:266-302): messages self-join on
+    msg_hash with opposite directions, M1 pinned to the target tx,
+    optional M1.direction filter; results hydrate as full transactions.
+    Spark: the M1 side is a pushed-filter scan of a single tx's messages
+    (broadcast-sized), so the msg_hash join broadcasts.
+    """
+    m1 = cat.messages.filter(F.col("tx_hash") == tx_hash)
+    if direction in ("in", "out"):
+        m1 = m1.filter(F.col("direction") == direction)
+    m1 = m1.select("msg_hash", F.col("direction").alias("d1"))
+    m2 = cat.messages.select(
+        "msg_hash", F.col("direction").alias("d2"),
+        F.col("tx_hash").alias("adj_hash"),
+    )
+    adj = (
+        m2.join(F.broadcast(m1), "msg_hash")
+        .filter(F.col("d1") != F.col("d2"))
+        .select(F.col("adj_hash").alias("hash"))
+        .distinct()
+    )
+    txs = paginate(
+        cat.transactions.join(adj, "hash", "left_semi"),
+        sort=[("lt", "asc"), ("hash", "asc")],
+        limit=1_000_000,
+        offset=0,
+    )
+    if not with_messages:
+        return txs
+    return _with_messages(cat, txs)
+
+
+def transactions_by_message(
+    cat: Catalog,
+    msg_hash: str | None = None,
+    body_hash: str | None = None,
+    opcode: int | None = None,
+    with_messages: bool = False,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/transactionsByMessage: every transaction on EITHER side of
+    the matching messages (the producer and the consumer both list it —
+    crud_transactions.go message-probe shape)."""
+    m = cat.messages
+    if msg_hash is not None:
+        m = m.filter(F.col("msg_hash") == msg_hash)
+    if body_hash is not None:
+        m = m.filter(F.col("body_hash") == body_hash)
+    if opcode is not None:
+        m = m.filter(F.col("opcode") == opcode)
+    probe = m.select(F.col("tx_hash").alias("hash"),
+                     F.col("tx_lt").alias("lt")).distinct()
+    txs = cat.transactions.join(probe, ["hash", "lt"], "left_semi")
+    txs = paginate(
+        txs, sort=[("lt", "desc"), ("hash", "asc")],
+        limit=limit, offset=offset,
+    )
+    if not with_messages:
+        return txs
+    return _with_messages(cat, txs)
