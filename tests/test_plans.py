@@ -508,3 +508,12 @@ def test_jetton_burns_listing(spark, fixture_dir, tmp_path, tduck):
         for r in burns.filter(burns["owner"] == own).collect()
     )
     assert got == [tuple(w) for w in want] and got
+
+
+def test_masterchain_info(ton, tduck):
+    from ton_indexer_spark.plans.blocks import masterchain_info
+
+    got = {r["which"]: r["seqno"] for r in masterchain_info(ton).collect()}
+    lo = pick(tduck, "SELECT min(seqno) FROM blocks WHERE workchain = -1")
+    hi = pick(tduck, "SELECT max(seqno) FROM blocks WHERE workchain = -1")
+    assert got == {"first": lo, "last": hi}

@@ -50,6 +50,9 @@ class TonIndexerApi:
     def masterchain_block_shards(self, seqno: int, **kw) -> DataFrame:
         return plans.masterchain_block_shards(self.cat, seqno, **kw)
 
+    def masterchain_info(self) -> DataFrame:
+        return plans.masterchain_info(self.cat)
+
     # -- facts --------------------------------------------------------------
     def transactions(self, **kw) -> DataFrame:
         return plans.transactions_query(self.cat, **kw)
@@ -102,6 +105,13 @@ class TonIndexerApi:
 
     def dns_records(self, **kw) -> DataFrame:
         return plans.dns_records_query(self.cat, **kw)
+
+    def balance_changes(self) -> DataFrame:
+        """/api/v3/balanceChanges over transactions+messages
+        (operators/balances.py — value flow per account per tx)."""
+        from ton_indexer_spark.operators.balances import ton_balance_changes
+
+        return ton_balance_changes(self.cat.transactions, self.cat.messages)
 
     def multisig(self, **kw) -> DataFrame:
         return plans.multisig_query(self.cat, **kw)

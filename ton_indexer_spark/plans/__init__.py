@@ -28,6 +28,7 @@ from ton_indexer_spark.plans.blocks import (
     block_exists,
     blocks_query,
     masterchain_block_shards,
+    masterchain_info,
 )
 from ton_indexer_spark.plans.listings import (
     account_states_query,
@@ -67,4 +68,5 @@ __all__ = [
     "account_states_query",
     "address_information",
     "dns_records_query",
+    "masterchain_info",
 ]

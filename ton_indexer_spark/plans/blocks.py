@@ -67,3 +67,15 @@ def masterchain_block_shards(
     if not include_mc_block:
         b = b.filter(F.col("workchain") != -1)
     return b.orderBy("workchain", "shard", "seqno")
+
+
+def masterchain_info(cat: Catalog) -> DataFrame:
+    """/api/v3/masterchainInfo: first and last indexed masterchain block
+    (go API returns {first, last}; one aggregate scan over the pruned
+    workchain partition)."""
+    mc = cat.blocks.filter(F.col("workchain") == -1)
+    lo = mc.orderBy(F.col("seqno").asc()).limit(1).withColumn(
+        "which", F.lit("first"))
+    hi = mc.orderBy(F.col("seqno").desc()).limit(1).withColumn(
+        "which", F.lit("last"))
+    return lo.unionByName(hi)
