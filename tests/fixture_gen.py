@@ -503,6 +503,44 @@ def generate(out_dir: str, n_traces: int = 300, seed: int = 42) -> str:
     } for i in range(5)]
     _write(f"{out_dir}/multisig.parquet", multisig)
 
+    orders = [{
+        "address": _addr(7100 + i),
+        "multisig_address": multisig[i % len(multisig)]["address"],
+        "order_seqno": i,
+        "threshold": multisig[i % len(multisig)]["threshold"],
+        "sent_for_execution": bool(i % 3 == 0),
+        "approvals_num": int(rng.integers(0, 4)),
+        "expiration_date": 1_800_000_000 + i * 1000,
+        "signers": multisig[i % len(multisig)]["signers"],
+        "last_transaction_lt": int(rng.integers(1_000_000, g.lt)),
+    } for i in range(12)]
+    _write(f"{out_dir}/multisig_orders.parquet", orders,
+           decimals=("order_seqno",))
+
+    vesting = [{
+        "address": _addr(7200 + i),
+        "vesting_start_time": 1_700_000_000 + i * 100,
+        "vesting_total_duration": 86400 * 365,
+        "unlock_period": 86400 * 30,
+        "cliff_duration": 86400 * 90 if i % 2 else 0,
+        "vesting_total_amount": int(rng.integers(10**9, 10**12)),
+        "vesting_sender_address": g.accounts[int(rng.integers(0, len(g.accounts)))],
+        "owner_address": g.accounts[int(rng.integers(0, len(g.accounts)))],
+        "last_transaction_lt": int(rng.integers(1_000_000, g.lt)),
+    } for i in range(6)]
+    _write(f"{out_dir}/vesting_contracts.parquet", vesting,
+           decimals=("vesting_total_amount",))
+    whitelist = [{
+        "vesting_contract_address": v["address"],
+        "wallet_address": g.accounts[int(rng.integers(0, len(g.accounts)))],
+    } for v in vesting for _ in range(2)]
+    # primary key (contract, wallet): dedupe
+    seen = set()
+    whitelist = [w for w in whitelist
+                 if not ((w["vesting_contract_address"], w["wallet_address"]) in seen
+                         or seen.add((w["vesting_contract_address"], w["wallet_address"])))]
+    _write(f"{out_dir}/vesting_whitelist.parquet", whitelist)
+
     # ---- actions + action_accounts (pre-classifier ground truth for plans)
     ACTION_TYPES = (["ton_transfer"] * 30 + ["call_contract"] * 25 +
                     ["jetton_transfer"] * 20 + ["jetton_swap"] * 8 +

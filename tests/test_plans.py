@@ -517,3 +517,32 @@ def test_masterchain_info(ton, tduck):
     lo = pick(tduck, "SELECT min(seqno) FROM blocks WHERE workchain = -1")
     hi = pick(tduck, "SELECT max(seqno) FROM blocks WHERE workchain = -1")
     assert got == {"first": lo, "last": hi}
+
+
+def test_multisig_orders_and_vesting(ton, tduck):
+    from ton_indexer_spark.plans.listings import (
+        multisig_orders_query,
+        vesting_query,
+    )
+
+    ms = pick(tduck, "SELECT multisig_address FROM multisig_orders "
+                     "GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1")
+    got = rows(multisig_orders_query(ton, multisig_address=ms,
+                                     pending_only=True),
+               ["address", "order_seqno"])
+    want = drows(tduck, f"""
+        SELECT address, order_seqno FROM multisig_orders
+        WHERE multisig_address = '{ms}' AND NOT sent_for_execution
+        ORDER BY address LIMIT 100""", 2)
+    assert got == want
+
+    w = pick(tduck, "SELECT wallet_address FROM vesting_whitelist "
+                    "ORDER BY vesting_contract_address LIMIT 1")
+    got = rows(vesting_query(ton, whitelisted_wallet=w), ["address"])
+    want = drows(tduck, f"""
+        SELECT address FROM vesting_contracts v
+        WHERE EXISTS (SELECT 1 FROM vesting_whitelist wl
+                      WHERE wl.vesting_contract_address = v.address
+                        AND wl.wallet_address = '{w}')
+        ORDER BY address LIMIT 100""", 1)
+    assert got == want and got

@@ -116,6 +116,12 @@ class TonIndexerApi:
     def multisig(self, **kw) -> DataFrame:
         return plans.multisig_query(self.cat, **kw)
 
+    def multisig_orders(self, **kw) -> DataFrame:
+        return plans.multisig_orders_query(self.cat, **kw)
+
+    def vesting(self, **kw) -> DataFrame:
+        return plans.vesting_query(self.cat, **kw)
+
     # -- enrichment dims ----------------------------------------------------
     def address_book(self) -> DataFrame:
         return plans.address_book(self.cat)

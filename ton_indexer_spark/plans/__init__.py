@@ -40,7 +40,9 @@ from ton_indexer_spark.plans.listings import (
     multisig_query,
     nft_collections_query,
     nft_sales_query,
+    multisig_orders_query,
     nft_transfers_query,
+    vesting_query,
 )
 
 __all__ = [
@@ -69,4 +71,6 @@ __all__ = [
     "address_information",
     "dns_records_query",
     "masterchain_info",
+    "multisig_orders_query",
+    "vesting_query",
 ]

@@ -205,3 +205,45 @@ def dns_records_query(
     if domain is not None:
         d = d.filter(F.col("domain") == domain)
     return paginate(d, sort=[("domain", "asc")], limit=limit, offset=offset)
+
+
+def multisig_orders_query(
+    cat: Catalog,
+    addresses: Sequence[str] | None = None,
+    multisig_address: str | None = None,
+    pending_only: bool = False,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/multisig/orders over the multisig_orders dimension
+    (migrate.cpp:497-511 layout)."""
+    o = filter_by_array(cat.multisig_orders, "address", addresses)
+    if multisig_address is not None:
+        o = o.filter(F.col("multisig_address") == multisig_address)
+    if pending_only:
+        o = o.filter(~F.col("sent_for_execution"))
+    return paginate(o, sort=[("address", "asc")], limit=limit, offset=offset)
+
+
+def vesting_query(
+    cat: Catalog,
+    addresses: Sequence[str] | None = None,
+    owner: str | None = None,
+    sender: str | None = None,
+    whitelisted_wallet: str | None = None,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/vesting over vesting_contracts (+ whitelist membership
+    semi-join when ``whitelisted_wallet`` is given; migrate.cpp:614-633)."""
+    v = filter_by_array(cat.vesting_contracts, "address", addresses)
+    if owner is not None:
+        v = v.filter(F.col("owner_address") == owner)
+    if sender is not None:
+        v = v.filter(F.col("vesting_sender_address") == sender)
+    if whitelisted_wallet is not None:
+        wl = cat.vesting_whitelist.filter(
+            F.col("wallet_address") == whitelisted_wallet
+        ).select(F.col("vesting_contract_address").alias("address"))
+        v = v.join(wl, "address", "left_semi")
+    return paginate(v, sort=[("address", "asc")], limit=limit, offset=offset)

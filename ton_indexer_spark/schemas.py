@@ -394,6 +394,41 @@ ADDRESS_METADATA = T.StructType(
     ]
 )
 
+MULTISIG_ORDERS = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("multisig_address", T.StringType()),
+        T.StructField("order_seqno", DEC38),
+        T.StructField("threshold", T.LongType()),
+        T.StructField("sent_for_execution", T.BooleanType()),
+        T.StructField("approvals_num", T.LongType()),
+        T.StructField("expiration_date", T.LongType()),
+        T.StructField("signers", T.ArrayType(T.StringType())),
+        T.StructField("last_transaction_lt", T.LongType()),
+    ]
+)
+
+VESTING_CONTRACTS = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("vesting_start_time", T.LongType()),
+        T.StructField("vesting_total_duration", T.LongType()),
+        T.StructField("unlock_period", T.LongType()),
+        T.StructField("cliff_duration", T.LongType()),
+        T.StructField("vesting_total_amount", DEC38),
+        T.StructField("vesting_sender_address", T.StringType()),
+        T.StructField("owner_address", T.StringType()),
+        T.StructField("last_transaction_lt", T.LongType()),
+    ]
+)
+
+VESTING_WHITELIST = T.StructType(
+    [
+        T.StructField("vesting_contract_address", T.StringType()),
+        T.StructField("wallet_address", T.StringType()),
+    ]
+)
+
 MULTISIG = T.StructType(
     [
         T.StructField("address", T.StringType()),
