@@ -145,3 +145,45 @@ def test_unwind_keeps_single_node_deploy_fold(spark):
     res = run(spark, [b])
     acts = acts_of(res, "dd-solo")
     assert [a["type"] for a in acts] == ["contract_deploy"]
+
+
+def test_dedust_partial_decodes_real_boc_body(spark):
+    """The TON-side partial deposit decodes its vault body from a real
+    BOC cell (TL-B decoder OP_DEDUST_DEPOSIT_TON) — target assets and
+    balances come out of the cell reader, not the JSON fallback."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        OP_DEDUST_DEPOSIT_TON,
+        Builder,
+        serialize_boc,
+        store_dedust_asset,
+    )
+
+    HEXJET = "0:" + "ab" * 32  # store_dedust_asset needs a real hex account
+    params = (Builder().store_coins(1).store_coins(5000)
+              .store_coins(7000).end_cell())
+    dep = Builder().store_uint(OP_DEDUST_DEPOSIT_TON, 32).store_uint(9, 64)
+    dep.store_coins(5000).store_bit(0)
+    store_dedust_asset(dep, "TON")
+    store_dedust_asset(dep, HEXJET)
+    dep.store_ref(params)
+    body = base64.b64encode(serialize_boc(dep.end_cell())).decode()
+
+    b = TraceBuilder("dd-boc")
+    root = b.tx(USER, None)
+    v = b.chain(root, VAULT_TON, opcode=DEDUST_DEPOSIT_TON,
+                value=5 * 10**9, body=body)
+    f = b.chain(v, FACTORY, opcode=DEDUST_ASK_FACTORY)
+    b.chain(f, DC, opcode=DEDUST_DEPLOY_DEPOSIT, orig_status="nonexist")
+    b.chain(f, DC, opcode=DEDUST_TOPUP_DEPOSIT)
+
+    res = run(spark, [b])
+    acts = acts_of(res, "dd-boc")
+    d = next(a for a in acts if a["type"] == "dex_deposit_liquidity")
+    data = d["dex_deposit_liquidity_data"]
+    assert data["amount1"] == 5000 and data["asset1"] == "TON"
+    assert data["target_asset_1"] == "TON"
+    assert data["target_amount_1"] == 5000
+    assert data["target_asset_2"] == HEXJET
+    assert data["target_amount_2"] == 7000
