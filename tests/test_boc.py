@@ -592,3 +592,59 @@ def test_liquidity_and_swap_body_decoders():
            .store_uint(6, 64).store_coins(10**9).end_cell())
     d = decode_message_body(_b64(sub))
     assert d["grams"] == 10**9 and d["query_id"] == 6
+
+
+def test_evaa_and_jvault_body_decoders():
+    """Golden round-trips for the EVAA lending and JVault staking shapes
+    (messages/evaa.py, jvault.py — re-derived)."""
+    from ton_indexer_spark.functions.boc import (
+        OP_EVAA_SUPPLY_MASTER,
+        OP_EVAA_SUPPLY_USER,
+        OP_EVAA_WITHDRAW_COLL,
+        OP_EVAA_WITHDRAW_MASTER,
+        OP_JVAULT_CLAIM,
+        OP_JVAULT_UNSTAKE,
+        OP_JVAULT_UNSTAKE_REQ,
+        Builder,
+        decode_message_body,
+    )
+
+    USR = "0:" + "12" * 32
+    AID = int("ab" * 32, 16)
+
+    sup = (Builder().store_uint(OP_EVAA_SUPPLY_MASTER, 32).store_uint(7, 64)
+           .store_int(-1, 2).store_uint(12345, 64).store_address(USR)
+           .end_cell())
+    d = decode_message_body(_b64(sup))
+    assert d["include_user_code"] and d["amount"] == 12345
+    assert d["recipient_address"] == USR
+
+    su = (Builder().store_uint(OP_EVAA_SUPPLY_USER, 32).store_uint(8, 64)
+          .store_uint(AID, 256).store_uint(999, 64).end_cell())
+    d = decode_message_body(_b64(su))
+    assert d["asset_id"] == "ab" * 32 and d["amount"] == 999
+
+    wm = (Builder().store_uint(OP_EVAA_WITHDRAW_MASTER, 32).store_uint(9, 64)
+          .store_uint(AID, 256).store_uint(777, 64).store_address(USR)
+          .end_cell())
+    d = decode_message_body(_b64(wm))
+    assert d["amount"] == 777 and d["recipient_address"] == USR
+
+    wc = (Builder().store_uint(OP_EVAA_WITHDRAW_COLL, 32).store_uint(10, 64)
+          .store_address(USR).store_uint(AID, 256).store_uint(555, 64)
+          .end_cell())
+    d = decode_message_body(_b64(wc))
+    assert d["owner_address"] == USR and d["amount"] == 555
+
+    un = (Builder().store_uint(OP_JVAULT_UNSTAKE, 32).store_uint(1, 64)
+          .store_coins(42).store_bit(1).end_cell())
+    d = decode_message_body(_b64(un))
+    assert d["amount"] == 42 and d["force_unstake"] is True
+
+    ur = (Builder().store_uint(OP_JVAULT_UNSTAKE_REQ, 32).store_uint(2, 64)
+          .store_coins(43).end_cell())
+    assert decode_message_body(_b64(ur))["amount"] == 43
+
+    cl = (Builder().store_uint(OP_JVAULT_CLAIM, 32).store_uint(3, 64)
+          .end_cell())
+    assert decode_message_body(_b64(cl))["query_id"] == 3

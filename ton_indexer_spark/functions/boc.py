@@ -412,6 +412,13 @@ OP_STONFI_V2_PROVIDE = 0x37C096DF    # messages/liquidity.py:99-106
 OP_TONCO_MINT = 0xB2C1B6E3           # messages/liquidity.py:109-136
 OP_TONCO_SWAP = 0xA7FB58F8           # messages/swaps.py:205-242
 OP_SUBSCRIPTION_PAY_REQ = 0x706C7567  # messages/subscriptions.py:6-12
+OP_EVAA_SUPPLY_MASTER = 0x1          # messages/evaa.py:8-26
+OP_EVAA_SUPPLY_USER = 0x11           # messages/evaa.py:52-73
+OP_EVAA_WITHDRAW_MASTER = 0x2        # messages/evaa.py:121-141
+OP_EVAA_WITHDRAW_COLL = 0x211        # messages/evaa.py:169-190
+OP_JVAULT_UNSTAKE = 0x499A9262       # messages/jvault.py:48-63
+OP_JVAULT_UNSTAKE_REQ = 0x0168D4B7   # messages/jvault.py:65-79
+OP_JVAULT_CLAIM = 0x78D9F109         # messages/jvault.py:81-97
 
 # dns value-record schema tags (messages/dns.py:20-40)
 _DNS_SCHEMAS = {
@@ -738,6 +745,49 @@ def decode_body_cell(root: Cell) -> dict:
         d = {"opcode": op, "query_id": s.load_uint(64)}
         d["grams"] = s.load_coins()
         return d
+    if op == OP_EVAA_SUPPLY_MASTER:
+        # supply_master#1 query_id:uint64 include_user_code:int2
+        #   supply_amount:uint64 recipient:Addr  (evaa.py:8-26)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["include_user_code"] = s.load_int(2) != 0
+        d["amount"] = s.load_uint(64)
+        d["recipient_address"] = s.load_address()
+        return d
+    if op == OP_EVAA_SUPPLY_USER:
+        # supply_user#11 query_id:uint64 asset_id:uint256
+        #   supply_amount_current:uint64  (evaa.py:52-73)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["asset_id"] = f"{s.load_uint(256):064x}"
+        d["amount"] = s.load_uint(64)
+        return d
+    if op == OP_EVAA_WITHDRAW_MASTER:
+        # withdraw_master#2 query_id:uint64 asset_id:uint256 amount:uint64
+        #   recipient:Addr  (evaa.py:121-141)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["asset_id"] = f"{s.load_uint(256):064x}"
+        d["amount"] = s.load_uint(64)
+        d["recipient_address"] = s.load_address()
+        return d
+    if op == OP_EVAA_WITHDRAW_COLL:
+        # withdraw_collateralized#211 query_id:uint64 owner:Addr
+        #   asset_id:uint256 withdraw_amount_current:uint64 (evaa.py:169-190)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["owner_address"] = s.load_address()
+        d["asset_id"] = f"{s.load_uint(256):064x}"
+        d["amount"] = s.load_uint(64)
+        return d
+    if op in (OP_JVAULT_UNSTAKE, OP_JVAULT_UNSTAKE_REQ):
+        # unstake[_request] query_id:uint64 jettons_to_unstake:Coins
+        #   [force_unstake:Bool]  (jvault.py:48-79)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        if op == OP_JVAULT_UNSTAKE and s.remaining_bits >= 1:
+            d["force_unstake"] = bool(s.load_bit())
+        return d
+    if op == OP_JVAULT_CLAIM:
+        # claim_rewards#78d9f109 query_id:uint64 (jvault.py:81-97; the
+        #   jetton hashmap tail is skipped — matchers key on the op)
+        return {"opcode": op, "query_id": s.load_uint(64)}
     return {"opcode": op}
 
 
