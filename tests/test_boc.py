@@ -648,3 +648,65 @@ def test_evaa_and_jvault_body_decoders():
     cl = (Builder().store_uint(OP_JVAULT_CLAIM, 32).store_uint(3, 64)
           .end_cell())
     assert decode_message_body(_b64(cl))["query_id"] == 3
+
+
+def test_liquidity_matchers_on_boc_bodies(spark):
+    """Ston.fi v2 provide, Tonco mint, and subscription payment classify
+    from REAL BOC bodies through the new round-4 decoders."""
+    from tests.test_classifier import A, TraceBuilder, acts_of, run
+    from ton_indexer_spark.classifier.base import (
+        JETTON_INTERNAL,
+        SUBSCRIPTION_PAYMENT,
+    )
+    from ton_indexer_spark.classifier.protocols import (
+        STONFI_V2_PROVIDE_LIQUIDITY,
+        TONCO_MINT,
+    )
+    from ton_indexer_spark.functions.boc import (
+        OP_STONFI_V2_PROVIDE,
+        OP_SUBSCRIPTION_PAY_REQ,
+        OP_TONCO_MINT,
+        Builder,
+    )
+
+    USR = "0:" + "12" * 32
+
+    prov = (Builder().store_uint(OP_STONFI_V2_PROVIDE, 32).store_uint(3, 64)
+            .store_address(USR).store_coins(100).store_coins(200).end_cell())
+    b = TraceBuilder("sv2")
+    r = b.tx(A[0], None)
+    p = b.chain(r, A[5], opcode=STONFI_V2_PROVIDE_LIQUIDITY,
+                body=_b64(prov))
+    b.chain(p, A[6], opcode=JETTON_INTERNAL)
+
+    mint = (Builder().store_uint(OP_TONCO_MINT, 32).store_uint(4, 64)
+            .store_address(USR).store_coins(10).store_coins(20)
+            .store_coins(10).store_coins(20).store_uint(777, 128)
+            .store_int(-100, 24).store_int(200, 24).end_cell())
+    b2 = TraceBuilder("tm1")
+    r2 = b2.tx(A[1], None)
+    b2.chain(r2, A[7], opcode=TONCO_MINT, body=_b64(mint))
+
+    sub = (Builder().store_uint(OP_SUBSCRIPTION_PAY_REQ, 32)
+           .store_uint(6, 64).store_coins(10**9).end_cell())
+    b3 = TraceBuilder("sb1")
+    r3 = b3.tx(A[2], None)
+    s = b3.chain(r3, A[8], opcode=SUBSCRIPTION_PAYMENT, body=_b64(sub))
+    b3.chain(s, A[9], opcode=0, value=10**9)
+
+    res = run(spark, [b, b2, b3])
+
+    sv = acts_of(res, "sv2")
+    assert [a["type"] for a in sv] == ["dex_deposit_liquidity"]
+    assert sv[0]["amount"] == 100
+    assert sv[0]["dex_deposit_liquidity_data"]["dex"] == "stonfi_v2"
+
+    tm = acts_of(res, "tm1")
+    assert [a["type"] for a in tm] == ["tonco_deposit_liquidity"]
+    d = tm[0]["dex_deposit_liquidity_data"]
+    assert d["amount1"] == 10 and d["amount2"] == 20
+    assert d["tick_lower"] == -100 and d["tick_upper"] == 200
+
+    sb = acts_of(res, "sb1")
+    assert [a["type"] for a in sb] == ["subscribe"]
+    assert sb[0]["destination"] == A[9]
