@@ -50,6 +50,15 @@ def main() -> None:
     print(f"batch assembly: {wall:.1f}s -> {ntx / wall:,.0f} tx/s, "
           f"{out_traces / wall:,.0f} traces/s")
 
+    # the backfill/100 TB path: forced distributed root finding
+    t0 = time.time()
+    res = assemble_traces(txs.drop("trace_id"), msgs,
+                          forest_local_threshold=0)
+    out_traces = res.traces.count()
+    wall = time.time() - t0
+    print(f"batch assembly (forced distributed): {wall:.1f}s -> "
+          f"{ntx / wall:,.0f} tx/s, {out_traces / wall:,.0f} traces/s")
+
     seqnos = sorted(
         r[0] for r in txs.select("mc_block_seqno").distinct().collect())
     step = len(seqnos) // nb + 1

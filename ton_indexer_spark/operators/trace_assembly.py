@@ -44,12 +44,21 @@ class AssembledTraces:
     traces: DataFrame        # one row per trace (schemas.TRACES minus class. state)
 
 
-def assemble_traces(transactions: DataFrame, messages: DataFrame) -> AssembledTraces:
+def assemble_traces(
+    transactions: DataFrame,
+    messages: DataFrame,
+    forest_local_threshold: int | None = None,
+) -> AssembledTraces:
     """Reproduce trace_id / state / counters from transactions+messages alone.
 
     Any pre-existing ``trace_id`` column on the input is dropped — this
     operator is the assigner of trace ids (ingest-time semantics,
     IndexScheduler.cpp:306 stage `assemble_traces`).
+
+    ``forest_local_threshold`` passes through to
+    ``forest_roots(local_threshold=...)`` — 0 forces the distributed
+    pointer-doubling root finder (the backfill/100 TB path) regardless of
+    edge count; None keeps the operator's size-gated default.
     """
     txs = transactions.drop("trace_id")
     # the message projection feeds four independent branches (edges,
@@ -92,10 +101,15 @@ def assemble_traces(transactions: DataFrame, messages: DataFrame) -> AssembledTr
     # each tx consumes exactly ONE in-message → producer→consumer edges form
     # a forest; root-finding = pointer doubling (one join per round) instead
     # of generic connected components (operators/graph.py:forest_roots)
+    fr_kwargs = (
+        {} if forest_local_threshold is None
+        else {"local_threshold": forest_local_threshold}
+    )
     comp = forest_roots(
         edges.select(
             F.col("dst_tx").alias("child"), F.col("src_tx").alias("parent")
-        )
+        ),
+        **fr_kwargs,
     ).withColumnRenamed("node", "hash")
     labeled = (
         txs.join(comp, "hash", "left")
