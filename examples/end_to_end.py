@@ -86,6 +86,57 @@ def main() -> None:
     plans.address_book(cat).filter(F.col("domain").isNotNull()).show(
         5, truncate=40
     )
+
+    # ---- 4. raw-BOC ingest projection (the worker-side flatten) -----------
+    # real chain dumps enter as BOC-encoded transaction cells; the parse
+    # stage reproduces the reference worker's DataParser flatten
+    import base64
+
+    from ton_indexer_spark.functions.boc import serialize_boc
+    from ton_indexer_spark.functions.tx_parse import (
+        encode_message_cell,
+        encode_ord_descr,
+        encode_transaction_cell,
+    )
+    from ton_indexer_spark.sources.tx_ingest import parse_raw_transactions
+
+    cell = encode_transaction_cell(
+        int("ab" * 32, 16), 1_000_100, 1_700_000_000,
+        in_msg=encode_message_cell(
+            "0:" + "cd" * 32, "0:" + "ab" * 32, value=10**9,
+            created_lt=1_000_000, created_at=1_700_000_000,
+        ),
+        descr=encode_ord_descr(),
+    )
+    raw = spark.createDataFrame(
+        [(base64.b64encode(serialize_boc(cell)).decode(),)], "boc string"
+    )
+    parsed = parse_raw_transactions(raw)
+    print("== raw BOC cell → flat transaction row:")
+    parsed.select("account", "lt", "now", "orig_status", "end_status",
+                  "compute_success").show(truncate=40)
+
+    # ---- 5. offchain metadata seam (derived queue → fetch → LWW merge) ----
+    from ton_indexer_spark.sources.metadata import (
+        fetch_address_metadata,
+        metadata_fetch_tasks,
+    )
+    from ton_indexer_spark.sources.writer import merge_dimension
+
+    content = cat.jetton_masters.select(
+        "address", F.lit("jetton_masters").alias("type"),
+        F.concat(F.lit("https://meta.example/"), F.col("address"))
+        .alias("content_uri"),
+    ).limit(5)
+    md_path = os.path.join(work, "db", "address_metadata_fetched")
+    merge_dimension(
+        spark,
+        fetch_address_metadata(metadata_fetch_tasks(content), now=1),
+        md_path, key=["address", "type"], version_col="updated_at",
+    )
+    print("== fetched token metadata (deterministic fake fetcher):")
+    spark.read.parquet(md_path).select(
+        "address", "name", "symbol", "valid").show(5, truncate=40)
     print(f"done. artifacts under {work}")
 
 
