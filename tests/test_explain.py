@@ -266,3 +266,28 @@ def test_shingling_splits_text_exactly_once(spark):
     plan = plan_of(shingles(docs))
     assert plan.count("split(") == 1, plan
     assert "AS toks" in plan
+
+
+def test_tfidf_broadcasts_tiny_sides(spark, specs):
+    """tfidf_topk: the term-df and corpus-count sides broadcast (no
+    shuffle join against 5 / 1 rows), top-k is TakeOrderedAndProject,
+    and the scan is pruned to (doc_id, text)."""
+    plan = plan_of(specs["tfidf_topk"].builder(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("SortMergeJoin") == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) <= {"doc_id", "text"}
+
+
+def test_doc_chunks_has_no_mid_plan_shuffle(spark, specs):
+    """doc_chunks: sequence+explode+slice is shuffle-free until the
+    presentation sort — exactly one Exchange (the final orderBy range
+    partitioning)."""
+    plan = plan_of(specs["doc_chunks"].builder(spark, SF_SMALL))
+    assert "Generate" in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "rangepartitioning" in plan and "hashpartitioning" not in plan
