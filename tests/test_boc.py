@@ -710,3 +710,27 @@ def test_liquidity_matchers_on_boc_bodies(spark):
     sb = acts_of(res, "sb1")
     assert [a["type"] for a in sb] == ["subscribe"]
     assert sb[0]["destination"] == A[9]
+
+
+def test_coffee_body_decoders():
+    """swap.coffee native entry shapes: shared query_id+amount prefix
+    (messages/coffee.py — re-derived)."""
+    from ton_indexer_spark.functions.boc import (
+        OP_COFFEE_DEPOSIT_NATIVE,
+        OP_COFFEE_POOL_NATIVE,
+        OP_COFFEE_SWAP_NATIVE,
+        OP_COFFEE_WITHDRAW,
+        Builder,
+        decode_message_body,
+    )
+
+    for op in (OP_COFFEE_SWAP_NATIVE, OP_COFFEE_POOL_NATIVE,
+               OP_COFFEE_DEPOSIT_NATIVE):
+        c = (Builder().store_uint(op, 32).store_uint(5, 64)
+             .store_coins(31337).end_cell())
+        d = decode_message_body(_b64(c))
+        assert d["query_id"] == 5 and d["amount"] == 31337
+
+    w = (Builder().store_uint(OP_COFFEE_WITHDRAW, 32).store_uint(6, 64)
+         .end_cell())
+    assert decode_message_body(_b64(w))["query_id"] == 6

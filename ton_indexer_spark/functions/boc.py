@@ -419,6 +419,10 @@ OP_EVAA_WITHDRAW_COLL = 0x211        # messages/evaa.py:169-190
 OP_JVAULT_UNSTAKE = 0x499A9262       # messages/jvault.py:48-63
 OP_JVAULT_UNSTAKE_REQ = 0x0168D4B7   # messages/jvault.py:65-79
 OP_JVAULT_CLAIM = 0x78D9F109         # messages/jvault.py:81-97
+OP_COFFEE_SWAP_NATIVE = 0xC0FFEE00   # messages/coffee.py:331-344
+OP_COFFEE_POOL_NATIVE = 0xC0FFEE02   # messages/coffee.py:426-441
+OP_COFFEE_DEPOSIT_NATIVE = 0xC0FFEE04  # messages/coffee.py:474-489
+OP_COFFEE_WITHDRAW = 0xC0FFEE07      # messages/coffee.py:584-594
 
 # dns value-record schema tags (messages/dns.py:20-40)
 _DNS_SCHEMAS = {
@@ -787,6 +791,17 @@ def decode_body_cell(root: Cell) -> dict:
     if op == OP_JVAULT_CLAIM:
         # claim_rewards#78d9f109 query_id:uint64 (jvault.py:81-97; the
         #   jetton hashmap tail is skipped — matchers key on the op)
+        return {"opcode": op, "query_id": s.load_uint(64)}
+    if op in (OP_COFFEE_SWAP_NATIVE, OP_COFFEE_POOL_NATIVE,
+              OP_COFFEE_DEPOSIT_NATIVE):
+        # swap.coffee native entries share the query_id:uint64 amount:Coins
+        # prefix (coffee.py:331-344,426-441,474-489); params tails are
+        # protocol-internal and skipped
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        return d
+    if op == OP_COFFEE_WITHDRAW:
+        # withdraw_deposit#c0ffee07 query_id:uint64 (coffee.py:584-594)
         return {"opcode": op, "query_id": s.load_uint(64)}
     return {"opcode": op}
 
