@@ -248,3 +248,26 @@ def test_core_transactions_projection(spark):
     assert row["mc_block_seqno"] == 77
     assert row["compute_gas_used"] == 30_111
     assert row["descr"] == "ord"
+
+
+def test_jetton_wallet_state_decode(spark):
+    """Canonical TEP-74 wallet data cells → jetton_wallets dimension rows;
+    >2^63 balances stay exact (Decimal), garbage rows land in
+    decode_error."""
+    from ton_indexer_spark.functions.boc import encode_jetton_wallet_data
+    from ton_indexer_spark.sources.tx_ingest import jetton_wallets_from_states
+
+    OWNER = "0:" + "ab" * 32
+    MASTER = "0:" + "cd" * 32
+    raw = encode_jetton_wallet_data(
+        balance=2**70, owner=OWNER, jetton=MASTER)
+    df = spark.createDataFrame(
+        [("0:w1" + "0" * 60, raw), ("0:bad" + "0" * 59, "bm9wZQ==")],
+        "address string, data_boc string",
+    )
+    rows = {r["address"]: r for r in jetton_wallets_from_states(df).collect()}
+    good = rows["0:w1" + "0" * 60]
+    assert good["decode_error"] is None
+    assert int(good["balance"]) == 2**70
+    assert good["owner"] == OWNER and good["jetton"] == MASTER
+    assert rows["0:bad" + "0" * 59]["decode_error"] is not None

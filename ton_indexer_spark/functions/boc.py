@@ -875,6 +875,39 @@ def encode_nft_sale_data(
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def decode_jetton_wallet_data(raw: bytes | str) -> dict:
+    """Standard jetton-wallet DATA cell → dimension fields.
+
+    The canonical TEP-74 wallet stores
+    ``balance:Coins owner:MsgAddress jetton_master:MsgAddress
+    jetton_wallet_code:^Cell``; the reference obtains the same triple by
+    executing ``get_wallet_data`` in a TVM (tondb-scanner
+    smc-interfaces/Tokens.cpp:43-57) — direct data-cell decode is the
+    no-TVM equivalent for wallets on the canonical code (callers should
+    gate on code_hash; non-standard wallets raise and are logged-skipped).
+    """
+    s = parse_boc(raw).begin_parse()
+    d: dict = {"balance": s.load_coins()}
+    d["owner"] = s.load_address()
+    d["jetton"] = s.load_address()
+    return d
+
+
+def encode_jetton_wallet_data(
+    *, balance: int = 0, owner: str | None = None, jetton: str | None = None
+) -> str:
+    """Fixture encoder for the standard jetton-wallet data layout."""
+    code = Builder().end_cell()
+    b = (
+        Builder()
+        .store_coins(balance)
+        .store_address(owner)
+        .store_address(jetton)
+        .store_ref(code)
+    )
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def decode_message_body(b64: str) -> dict:
     """base64 BOC → payload dict; {} on anything undecodable."""
     try:

@@ -281,3 +281,51 @@ def message_contents_from_parsed(parsed: DataFrame) -> DataFrame:
         )
     )
     return bodies.filter(F.col("hash").isNotNull()).dropDuplicates(["hash"])
+
+
+JETTON_WALLET_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("balance", T.DecimalType(38, 0)),
+        T.StructField("owner", T.StringType()),
+        T.StructField("jetton", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def jetton_wallets_from_states(
+    df: DataFrame, boc_col: str = "data_boc", address_col: str = "address"
+) -> DataFrame:
+    """Jetton-wallet state-data BOCs → jetton_wallets dimension rows.
+
+    The reference executes ``get_wallet_data`` in a TVM per account
+    (tondb-scanner smc-interfaces/Tokens.cpp:43-57); this decodes the
+    canonical TEP-74 data layout directly — same log-and-skip discipline
+    as nft_sales_from_states, and callers should pre-filter by the
+    canonical wallet code_hash (functions/interfaces.py) so non-standard
+    wallets land in ``decode_error`` rather than misdecoding.
+    """
+    from ton_indexer_spark.functions.boc import decode_jetton_wallet_data
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in JETTON_WALLET_STATE_SCHEMA}
+                row["address"] = rec.get(address_col)
+                try:
+                    row.update(decode_jetton_wallet_data(rec[boc_col]))
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in JETTON_WALLET_STATE_SCHEMA]
+            )
+            # exact python ints for the decimal column (Arrow decimal128)
+            out["balance"] = pd.Series(
+                [r.get("balance") for r in rows], dtype=object
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=JETTON_WALLET_STATE_SCHEMA)
