@@ -271,3 +271,36 @@ def test_jetton_wallet_state_decode(spark):
     assert int(good["balance"]) == 2**70
     assert good["owner"] == OWNER and good["jetton"] == MASTER
     assert rows["0:bad" + "0" * 59]["decode_error"] is not None
+
+
+def test_nft_item_and_collection_state_decode(spark):
+    from ton_indexer_spark.functions.boc import (
+        decode_nft_collection_data,
+        encode_nft_collection_data,
+        encode_nft_item_data,
+    )
+    from ton_indexer_spark.sources.tx_ingest import nft_items_from_states
+
+    OWNER = "0:" + "ab" * 32
+    COLL = "0:" + "cd" * 32
+    df = spark.createDataFrame(
+        [
+            ("0:i1" + "0" * 60,
+             encode_nft_item_data(index=7, collection=COLL, owner=OWNER)),
+            ("0:i2" + "0" * 60,
+             encode_nft_item_data(index=8, collection=COLL, init=False)),
+            ("0:bad" + "0" * 59, "bm9wZQ=="),
+        ],
+        "address string, data_boc string",
+    )
+    rows = {r["address"]: r for r in nft_items_from_states(df).collect()}
+    a = rows["0:i1" + "0" * 60]
+    assert a["init"] and int(a["index"]) == 7
+    assert a["collection_address"] == COLL and a["owner_address"] == OWNER
+    b = rows["0:i2" + "0" * 60]
+    assert b["init"] is False and b["owner_address"] is None
+    assert rows["0:bad" + "0" * 59]["decode_error"] is not None
+
+    c = decode_nft_collection_data(
+        encode_nft_collection_data(owner=OWNER, next_item_index=42))
+    assert c["owner_address"] == OWNER and c["next_item_index"] == 42

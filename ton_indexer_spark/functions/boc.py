@@ -875,6 +875,57 @@ def encode_nft_sale_data(
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def decode_nft_item_data(raw: bytes | str) -> dict:
+    """Canonical TEP-62 NFT item DATA cell → dimension fields:
+    ``index:uint64 collection:MsgAddress [owner:MsgAddress content:^Cell]``
+    (owner/content present once initialized).  Reference analog executes
+    ``get_nft_data`` in a TVM (smc-interfaces/Tokens.cpp); direct decode
+    covers the canonical item code — gate on code_hash upstream."""
+    s = parse_boc(raw).begin_parse()
+    d: dict = {"index": s.load_uint(64)}
+    d["collection_address"] = s.load_address()
+    if s.remaining_bits >= 2:
+        d["owner_address"] = s.load_address()
+        d["init"] = True
+    else:
+        d["owner_address"] = None
+        d["init"] = False
+    return d
+
+
+def encode_nft_item_data(
+    *, index: int = 0, collection: str | None = None,
+    owner: str | None = None, init: bool = True,
+) -> str:
+    """Fixture encoder for the canonical NFT item data layout."""
+    b = Builder().store_uint(index, 64).store_address(collection)
+    if init:
+        b.store_address(owner).store_ref(Builder().end_cell())
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def decode_nft_collection_data(raw: bytes | str) -> dict:
+    """Canonical TEP-62 collection DATA cell:
+    ``owner:MsgAddress next_item_index:uint64 content:^Cell
+    item_code:^Cell royalty:^Cell``."""
+    s = parse_boc(raw).begin_parse()
+    d: dict = {"owner_address": s.load_address()}
+    d["next_item_index"] = s.load_uint(64)
+    return d
+
+
+def encode_nft_collection_data(
+    *, owner: str | None = None, next_item_index: int = 0
+) -> str:
+    """Fixture encoder for the canonical collection data layout."""
+    empty = Builder().end_cell()
+    b = (
+        Builder().store_address(owner).store_uint(next_item_index, 64)
+        .store_ref(empty).store_ref(empty).store_ref(empty)
+    )
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def decode_jetton_wallet_data(raw: bytes | str) -> dict:
     """Standard jetton-wallet DATA cell → dimension fields.
 

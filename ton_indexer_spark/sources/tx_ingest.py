@@ -329,3 +329,44 @@ def jetton_wallets_from_states(
             yield out
 
     return df.mapInPandas(run, schema=JETTON_WALLET_STATE_SCHEMA)
+
+
+NFT_ITEM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("init", T.BooleanType()),
+        T.StructField("index", T.DecimalType(38, 0)),
+        T.StructField("collection_address", T.StringType()),
+        T.StructField("owner_address", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def nft_items_from_states(
+    df: DataFrame, boc_col: str = "data_boc", address_col: str = "address"
+) -> DataFrame:
+    """Canonical TEP-62 item state cells → nft_items dimension rows
+    (same discipline as jetton_wallets_from_states)."""
+    from ton_indexer_spark.functions.boc import decode_nft_item_data
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in NFT_ITEM_STATE_SCHEMA}
+                row["address"] = rec.get(address_col)
+                try:
+                    row.update(decode_nft_item_data(rec[boc_col]))
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in NFT_ITEM_STATE_SCHEMA]
+            )
+            out["index"] = pd.Series(
+                [r.get("index") for r in rows], dtype=object
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=NFT_ITEM_STATE_SCHEMA)
