@@ -304,3 +304,62 @@ def test_nft_item_and_collection_state_decode(spark):
     c = decode_nft_collection_data(
         encode_nft_collection_data(owner=OWNER, next_item_index=42))
     assert c["owner_address"] == OWNER and c["next_item_index"] == 42
+
+
+def test_raw_boc_ingest_end_to_end(spark, tmp_path):
+    """Raw BOC drops → RawBocIngest → assembled traces + transactions in
+    the sink, linked by the real message-hash edge (S2→T1 fusion)."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import serialize_boc
+    from ton_indexer_spark.functions.tx_parse import (
+        encode_message_cell,
+        encode_ord_descr,
+        encode_transaction_cell,
+        parse_transaction_boc,
+    )
+    from ton_indexer_spark.streaming.ingest import IngestPipeline, RawBocIngest
+
+    A1 = "0:" + "aa" * 32
+    A2 = "0:" + "bb" * 32
+
+    # external → tx1 at A1 → internal msg → tx2 at A2 (one complete trace)
+    ext_in = encode_message_cell(None, A1, kind="ext_in", created_lt=0,
+                                 created_at=1_700_000_000)
+    link = encode_message_cell(A1, A2, value=10**9, created_lt=1_000_001,
+                               created_at=1_700_000_001)
+    tx1 = encode_transaction_cell(
+        int("aa" * 32, 16), 1_000_000, 1_700_000_000,
+        in_msg=ext_in, out_msgs=[link], descr=encode_ord_descr(),
+    )
+    tx2 = encode_transaction_cell(
+        int("bb" * 32, 16), 1_000_010, 1_700_000_002,
+        in_msg=link, descr=encode_ord_descr(),
+    )
+    rows = [
+        (base64.b64encode(serialize_boc(c)).decode(), 0, -1, i + 1, i + 1)
+        for i, c in enumerate([tx1, tx2])
+    ]
+    src = str(tmp_path / "raw_drop")
+    spark.createDataFrame(
+        rows,
+        "boc string, workchain int, block_workchain int, block_seqno int, "
+        "mc_block_seqno int",
+    ).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "db")
+    pipe = IngestPipeline(spark, out_dir=out,
+                          state_dir=str(tmp_path / "state"))
+    RawBocIngest(pipe).run_available_now(src, str(tmp_path / "ckpt"))
+
+    txs = spark.read.parquet(f"{out}/transactions")
+    traces = spark.read.parquet(f"{out}/traces")
+    assert txs.count() == 2
+    t = traces.collect()
+    assert len(t) == 1 and t[0]["state"] == "complete"
+    assert t[0]["nodes_"] == 2 and t[0]["edges_"] == 1
+    # trace_id = root tx hash convention survives the raw path
+    root_hash = parse_transaction_boc(rows[0][0])["hash"]
+    assert t[0]["trace_id"] == root_hash
+    got = {r["hash"]: r["trace_id"] for r in txs.collect()}
+    assert set(got.values()) == {root_hash}

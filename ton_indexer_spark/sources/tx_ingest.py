@@ -106,15 +106,32 @@ def _msg_tuple(m: dict | None) -> dict | None:
     return {n: m.get(n) for n, _ in _MSG_FIELDS}
 
 
+# block-envelope columns carried from the raw drop through the parse stage
+# (the reference gets them from the enclosing block record,
+# DataParser.cpp:29-82 — per-row here so one drop can span blocks)
+_ENVELOPE_COLS = (
+    "block_workchain", "block_shard", "block_seqno", "mc_block_seqno",
+)
+
+
 def parse_raw_transactions(
     df: DataFrame, boc_col: str = "boc", workchain_col: str | None = "workchain"
 ) -> DataFrame:
-    """(base64-BOC, workchain?) rows → flat tx rows + nested msg structs.
+    """(base64-BOC, workchain?, block envelope?) rows → flat tx rows +
+    nested msg structs.  Block-envelope columns present on the input
+    (``block_workchain/block_shard/block_seqno/mc_block_seqno``) pass
+    through untouched so downstream projections keep per-row block
+    coordinates.
 
     Undecodable rows surface in ``parse_error`` instead of failing the
     batch (the reference logs-and-skips, IndexScheduler discipline).
     """
     cols = df.columns
+    envelope = [c for c in _ENVELOPE_COLS if c in cols]
+    out_schema = T.StructType(
+        list(PARSED_SCHEMA.fields)
+        + [df.schema[c] for c in envelope]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,12 +154,14 @@ def parse_raw_transactions(
                     row["in_msg"] = None
                     row["out_msgs"] = None
                     row["parse_error"] = f"{type(e).__name__}: {e}"
+                for c in envelope:
+                    row[c] = rec.get(c)
                 rows.append(row)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in PARSED_SCHEMA]
+                rows, columns=[f.name for f in out_schema]
             )
 
-    return df.mapInPandas(run, schema=PARSED_SCHEMA)
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def messages_from_parsed(parsed: DataFrame) -> DataFrame:
@@ -206,7 +225,12 @@ def core_transactions_from_parsed(
     cols = []
     for f in TRANSACTIONS.fields:
         if f.name in blk:
-            cols.append(F.lit(blk[f.name]).cast(f.dataType).alias(f.name))
+            if blk[f.name] is None and f.name in good.columns:
+                # per-row envelope carried through parse_raw_transactions
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(
+                    F.lit(blk[f.name]).cast(f.dataType).alias(f.name))
         elif f.name == "trace_id":
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         elif f.name in good.columns:

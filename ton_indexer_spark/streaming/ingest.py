@@ -80,7 +80,10 @@ class IngestPipeline:
         self.publisher = publisher
 
     def process_batch(self, txs: DataFrame, msgs: DataFrame,
-                      batch_id: int | None = None) -> None:
+                      batch_id: int | None = None,
+                      message_contents: DataFrame | None = None) -> None:
+        if message_contents is None:
+            message_contents = self.message_contents
         def sink(df: DataFrame, table: str, sort_cols: list[str]) -> None:
             # T8: with a batch_id the sink is idempotent (batch-keyed dir
             # replace); without one (direct driving) it appends
@@ -111,7 +114,7 @@ class IngestPipeline:
                 cls = classify_traces(
                     flushed,
                     res.final_messages,
-                    self.message_contents,
+                    message_contents,
                     self.jetton_wallets,
                     self.nft_items,
                 )
@@ -172,7 +175,7 @@ class IngestPipeline:
                 pend = classify_traces(
                     open_rows[0],
                     open_rows[1],
-                    self.message_contents,
+                    message_contents,
                     self.jetton_wallets,
                     self.nft_items,
                 )
@@ -219,6 +222,68 @@ class IngestPipeline:
             self.spark.readStream.schema(tx_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(tx_source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
+class RawBocIngest:
+    """S2→T1 fusion: raw BOC-encoded transaction cells → TL-B flatten →
+    the same micro-batch assembler/classifier pipeline.
+
+    Input drops are parquet rows
+    ``(boc string, workchain?, block_workchain?, block_shard?,
+    block_seqno?, mc_block_seqno)`` — the per-row block envelope the
+    reference reads from the enclosing block record
+    (DataParser.cpp:29-82).  Each micro-batch parses in Arrow tasks
+    (sources/tx_ingest.py), projects to the core schemas, derives the
+    content-addressed body store for classification, and drives
+    ``IngestPipeline.process_batch`` with the standard in-order batch-id
+    contract (T8 idempotence included).
+    """
+
+    def __init__(self, pipeline: "IngestPipeline"):
+        self.pipeline = pipeline
+
+    def run_available_now(self, boc_source_dir: str,
+                          checkpoint_dir: str):
+        from ton_indexer_spark.sources.tx_ingest import (
+            core_transactions_from_parsed,
+            message_contents_from_parsed,
+            messages_from_parsed,
+            parse_raw_transactions,
+        )
+
+        spark = self.pipeline.spark
+        schema = spark.read.parquet(boc_source_dir).schema
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.head(1):
+                return
+            parsed = parse_raw_transactions(batch_df).localCheckpoint(
+                eager=True
+            )
+            txs = core_transactions_from_parsed(parsed)
+            msgs = messages_from_parsed(parsed)
+            contents = message_contents_from_parsed(parsed)
+            if self.pipeline.message_contents is not None:
+                contents = self.pipeline.message_contents.unionByName(
+                    contents
+                ).dropDuplicates(["hash"])
+            self.pipeline.process_batch(
+                txs, msgs, batch_id=batch_id, message_contents=contents
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(boc_source_dir)
         )
         q = (
             stream.writeStream.foreachBatch(handle)
