@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_fingerprint",
     "tfidf_topk",
     "doc_chunks",
+    "dedup_cluster_canonical",
 ]
 
 

@@ -174,3 +174,71 @@ def _simhash_oracle() -> str:
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return simhash_signature(d).orderBy("doc_id")
+
+
+_NGRAM_PAIRS_CTE = f"""
+    {_SHINGLE_CTE},
+    shc AS (
+        SELECT doc_id, shingle FROM sh
+        WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE common * 10 >= 3 * (sa.sz + sb.sz - common)
+    )
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk AS (
+        SELECT a AS node, a AS component FROM sym
+        UNION
+        SELECT w.node, s.b AS component
+        FROM walk w JOIN sym s ON s.a = w.component
+        WHERE s.b < w.component
+    )
+    SELECT node AS doc_id,
+           CAST(MIN(component) AS BIGINT) AS canonical_id,
+           node != MIN(component) AS is_duplicate
+    FROM walk
+    GROUP BY node
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:dedup-cluster",),
+    description="the dedup pipeline's final stage: near-dup pairs "
+    "(shingle Jaccard) → connected components → canonical doc per "
+    "cluster (min doc_id = the min-label CC fixpoint); oracle chains the "
+    "pair SQL into a recursive-CTE min-label walk",
+)
+def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.operators import connected_components
+
+    d = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(d, threshold=0.3, k=3).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical_id"),
+        (F.col("node") != F.col("component")).alias("is_duplicate"),
+    ).orderBy("doc_id")
