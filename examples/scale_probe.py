@@ -29,6 +29,7 @@ DEFAULT_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
 ]
 
 # id-bearing columns to shift per copy, per table (disjoint ranges keep
