@@ -250,3 +250,68 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("chunk_len"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                           THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                           ELSE [] END) AS g
+        FROM toks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           COUNT(DISTINCT g) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS rep_ratio
+    FROM tri
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:quality",),
+    description="trigram repetition ratio (1 - distinct/total) — the "
+    "boilerplate/spam signal used by pretraining quality filters; exact "
+    "integer counts divided in double",
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    t = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_trigrams"),
+        )
+        .orderBy("doc_id")
+    )
