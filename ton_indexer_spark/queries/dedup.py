@@ -235,7 +235,14 @@ def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ton_indexer_spark.operators import connected_components
 
     d = Catalog(spark, sf_dir).documents
-    pairs = ngram_jaccard_pairs(d, threshold=0.3, k=3).select("doc_a", "doc_b")
+    # materialize the (expensive) pair set once: the CC stage takes
+    # multiple actions over its input (size gate + label resolution), and
+    # an un-cached shingle-join plan would recompute per action
+    pairs = (
+        ngram_jaccard_pairs(d, threshold=0.3, k=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(
         F.col("node").alias("doc_id"),
