@@ -363,3 +363,45 @@ def test_raw_boc_ingest_end_to_end(spark, tmp_path):
     assert t[0]["trace_id"] == root_hash
     got = {r["hash"]: r["trace_id"] for r in txs.collect()}
     assert set(got.values()) == {root_hash}
+
+
+def test_block_header_parse(spark):
+    """Raw block cells (public block.tlb header layout) → blocks-table
+    rows: shard-id bit math, masterchain self-reference, shard-block
+    master_ref, garbage → parse_error."""
+    from ton_indexer_spark.functions.tx_parse import encode_block_header
+    from ton_indexer_spark.sources.tx_ingest import parse_raw_blocks
+
+    rows = [
+        (encode_block_header(workchain=-1, seqno=42, gen_utime=1_700_000_000,
+                             start_lt=100, end_lt=200, key_block=True),),
+        (encode_block_header(workchain=0, shard_pfx_bits=2,
+                             shard_prefix=0xA000000000000000, seqno=77,
+                             gen_utime=1_700_000_001, start_lt=150,
+                             end_lt=250, mc_ref_seqno=42),),
+        ("bm9wZQ==",),
+    ]
+    df = spark.createDataFrame(rows, "boc string")
+    got = {r["seqno"]: r for r in parse_raw_blocks(df).collect()}
+    mc = got[42]
+    assert mc["workchain"] == -1 and mc["mc_block_seqno"] == 42
+    assert mc["shard"] == -(1 << 63)  # the canonical masterchain shard id
+    assert mc["key_block"] is True and mc["parse_error"] is None
+    sh = got[77]
+    assert sh["workchain"] == 0 and sh["mc_block_seqno"] == 42
+    assert sh["shard"] == -6917529027641081856  # 0xA800.. signed
+    assert sh["start_lt"] == 150 and sh["end_lt"] == 250
+    bad = got[None]
+    assert bad["parse_error"] is not None
+
+
+def test_jetton_master_state_decode():
+    from ton_indexer_spark.functions.boc import (
+        decode_jetton_master_data,
+        encode_jetton_master_data,
+    )
+
+    ADMIN = "0:" + "ab" * 32
+    d = decode_jetton_master_data(
+        encode_jetton_master_data(total_supply=2**80, admin=ADMIN))
+    assert d["total_supply"] == 2**80 and d["admin_address"] == ADMIN

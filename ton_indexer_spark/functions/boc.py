@@ -926,6 +926,29 @@ def encode_nft_collection_data(
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def decode_jetton_master_data(raw: bytes | str) -> dict:
+    """Canonical TEP-74 minter DATA cell:
+    ``total_supply:Coins admin:MsgAddress content:^Cell wallet_code:^Cell``
+    (reference executes ``get_jetton_data``; direct decode covers the
+    canonical minter code)."""
+    s = parse_boc(raw).begin_parse()
+    d: dict = {"total_supply": s.load_coins()}
+    d["admin_address"] = s.load_address()
+    return d
+
+
+def encode_jetton_master_data(
+    *, total_supply: int = 0, admin: str | None = None
+) -> str:
+    """Fixture encoder for the canonical jetton-minter data layout."""
+    empty = Builder().end_cell()
+    b = (
+        Builder().store_coins(total_supply).store_address(admin)
+        .store_ref(empty).store_ref(empty)
+    )
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def decode_jetton_wallet_data(raw: bytes | str) -> dict:
     """Standard jetton-wallet DATA cell → dimension fields.
 

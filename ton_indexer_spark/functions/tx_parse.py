@@ -611,3 +611,118 @@ def flatten_transaction(tx: dict[str, Any]) -> dict[str, Any]:
     """Nested parse → the flat ~70-col row (messages reported separately
     via ``tx['in_msg']`` / ``tx['out_msgs']``)."""
     return {c: tx.get(c) for c in FLAT_COLUMNS}
+
+
+# ------------------------------------------------------- block header parse
+
+
+def parse_block_header(raw: bytes | str) -> dict[str, Any]:
+    """Block root cell → the blocks-table header subset the reference
+    extracts per block row (DataParser.cpp:429-516 block arm).
+
+    TL-B (public block.tlb):
+      block#11ef55aa global_id:int32 info:^BlockInfo value_flow:^ValueFlow
+        state_update:^(MERKLE_UPDATE ShardState) extra:^BlockExtra
+      block_info#9bc7a987 version:uint32 not_master:(## 1)
+        after_merge:(## 1) before_split:(## 1) after_split:(## 1)
+        want_split:Bool want_merge:Bool key_block:Bool
+        vert_seqno_incr:(## 1) flags:(## 8) seq_no:# vert_seq_no:#
+        shard:ShardIdent gen_utime:uint32 start_lt:uint64 end_lt:uint64
+        gen_validator_list_hash_short:uint32 gen_catchain_seqno:uint32
+        min_ref_mc_seqno:uint32 prev_key_block_seqno:uint32 …
+        master_ref:not_master?^BlkMasterInfo …
+      shard_ident$00 shard_pfx_bits:(#<= 60) workchain_id:int32
+        shard_prefix:uint64
+    """
+    root = parse_boc(raw)
+    s = root.begin_parse()
+    magic = s.load_uint(32)
+    if magic != 0x11EF55AA:
+        raise BocError(f"not a block cell (magic {magic:#x})")
+    d: dict[str, Any] = {"global_id": s.load_int(32)}
+    info = s.load_ref().begin_parse()
+    if info.load_uint(32) != 0x9BC7A987:
+        raise BocError("bad block_info magic")
+    d["version"] = info.load_uint(32)
+    not_master = info.load_bit()
+    d["after_merge"] = bool(info.load_bit())
+    d["before_split"] = bool(info.load_bit())
+    d["after_split"] = bool(info.load_bit())
+    d["want_split"] = bool(info.load_bit())
+    d["want_merge"] = bool(info.load_bit())
+    d["key_block"] = bool(info.load_bit())
+    vert_seqno_incr = info.load_bit()
+    flags = info.load_uint(8)
+    d["seqno"] = info.load_uint(32)
+    d["vert_seqno"] = info.load_uint(32)
+    if info.load_uint(2) != 0:
+        raise BocError("bad shard_ident tag")
+    pfx_bits = info.load_uint(6)
+    d["workchain"] = info.load_int(32)
+    prefix = info.load_uint(64)
+    # the int64 shard id: prefix with the marker bit below the used prefix
+    shard = (prefix | (1 << (63 - pfx_bits))) & ((1 << 64) - 1)
+    d["shard"] = shard - (1 << 64) if shard >= (1 << 63) else shard
+    d["gen_utime"] = info.load_uint(32)
+    d["start_lt"] = info.load_uint(64)
+    d["end_lt"] = info.load_uint(64)
+    d["validator_list_hash_short"] = info.load_uint(32)
+    d["catchain_seqno"] = info.load_uint(32)
+    d["min_ref_mc_seqno"] = info.load_uint(32)
+    d["prev_key_block_seqno"] = info.load_uint(32)
+    if flags & 1:  # gen_software:flags.0?GlobalVersion
+        info.load_uint(32)  # version
+        info.load_uint(64)  # capabilities
+    if not_master and info.remaining_refs >= 1:
+        # master_ref:^BlkMasterInfo → ExtBlkRef{end_lt seq_no …}
+        mref = info.load_ref().begin_parse()
+        mref.load_uint(64)  # end_lt
+        d["mc_block_seqno"] = mref.load_uint(32)
+    else:
+        d["mc_block_seqno"] = d["seqno"] if d["workchain"] == -1 else None
+    d["root_hash"] = cell_hash_b64(root)
+    return d
+
+
+def encode_block_header(
+    *,
+    workchain: int = 0,
+    shard_pfx_bits: int = 0,
+    shard_prefix: int = 0,
+    seqno: int = 1,
+    gen_utime: int = 0,
+    start_lt: int = 0,
+    end_lt: int = 0,
+    mc_ref_seqno: int | None = None,
+    key_block: bool = False,
+    global_id: int = -239,
+) -> str:
+    """Fixture encoder for the block-header subset (base64 BOC)."""
+    not_master = workchain != -1
+    info = Builder().store_uint(0x9BC7A987, 32).store_uint(1, 32)
+    info.store_bit(1 if not_master else 0)
+    for _ in range(4):  # after_merge/before_split/after_split/want_split
+        info.store_bit(0)
+    info.store_bit(0).store_bit(1 if key_block else 0)
+    info.store_bit(0)          # vert_seqno_incr
+    info.store_uint(0, 8)      # flags (no gen_software)
+    info.store_uint(seqno, 32).store_uint(0, 32)
+    info.store_uint(0, 2).store_uint(shard_pfx_bits, 6)
+    info.store_int(workchain, 32).store_uint(shard_prefix, 64)
+    info.store_uint(gen_utime, 32)
+    info.store_uint(start_lt, 64).store_uint(end_lt, 64)
+    info.store_uint(7, 32).store_uint(8, 32)      # val-list hash, catchain
+    info.store_uint(mc_ref_seqno or 0, 32)        # min_ref_mc_seqno
+    info.store_uint(0, 32)                        # prev_key_block_seqno
+    if not_master:
+        mref = (
+            Builder().store_uint(end_lt, 64)
+            .store_uint(mc_ref_seqno or 0, 32)
+            .store_uint(0, 256).store_uint(0, 256).end_cell()
+        )
+        info.store_ref(mref)
+    b = (
+        Builder().store_uint(0x11EF55AA, 32).store_int(global_id, 32)
+        .store_ref(info.end_cell())
+    )
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()

@@ -394,3 +394,48 @@ def nft_items_from_states(
             yield out
 
     return df.mapInPandas(run, schema=NFT_ITEM_STATE_SCHEMA)
+
+
+BLOCK_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("workchain", T.IntegerType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("seqno", T.IntegerType()),
+        T.StructField("mc_block_seqno", T.IntegerType()),
+        T.StructField("gen_utime", T.LongType()),
+        T.StructField("start_lt", T.LongType()),
+        T.StructField("end_lt", T.LongType()),
+        T.StructField("key_block", T.BooleanType()),
+        T.StructField("global_id", T.IntegerType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("root_hash", T.StringType()),
+        T.StructField("parse_error", T.StringType()),
+    ]
+)
+
+
+def parse_raw_blocks(df: DataFrame, boc_col: str = "boc") -> DataFrame:
+    """Raw BOC-encoded block cells → blocks-table header rows
+    (DataParser.cpp:429-516 block arm; masterchain blocks self-reference
+    mc_block_seqno, shard blocks carry it via master_ref)."""
+    from ton_indexer_spark.functions.tx_parse import parse_block_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in BLOCK_HEADER_SCHEMA}
+                try:
+                    row.update({
+                        k: v for k, v in
+                        parse_block_header(rec[boc_col]).items()
+                        if k in row
+                    })
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["parse_error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BLOCK_HEADER_SCHEMA]
+            )
+
+    return df.mapInPandas(run, schema=BLOCK_HEADER_SCHEMA)
