@@ -47,7 +47,12 @@ def test_queue_fetch_merge_requeue_cycle(spark, tmp_path):
     assert got[A[0]]["expires_at"] == 1500
     assert not got[A[2]]["valid"] and got[A[2]]["expires_at"] == 1050
 
-    # 3. warm queue: only the failed row re-enters (short retry expiry)
+    # 3a. inside the failure-backoff window NOTHING requeues — the short
+    # expiry on the invalid row is the retry_at backoff (main.go:141-153)
+    backoff = metadata_fetch_tasks(content, spark.read.parquet(path), now=1040)
+    assert backoff.count() == 0
+
+    # 3b. warm queue: only the failed row re-enters after its short expiry
     again = metadata_fetch_tasks(content, spark.read.parquet(path), now=1100)
     assert {r["address"] for r in again.collect()} == {A[2]}
 

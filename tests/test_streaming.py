@@ -344,3 +344,28 @@ def test_amortized_snapshots_match_and_recover(spark, fixture_dir, tmp_path):
     # batch-keyed sinks make duplicates converge; the union must equal
     # the continuous run's final set
     assert emitted | replay == want
+
+
+def test_replace_by_key_pins_bucket_count(spark, tmp_path):
+    """A later call with a different n_buckets must not strand stale rows:
+    the persisted _n_buckets marker overrides the parameter."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.sources.writer import replace_by_key
+
+    path = str(tmp_path / "actions_kb")
+    base = spark.createDataFrame(
+        [(f"t{i}", f"a{i}", 1) for i in range(40)],
+        "trace_id string, action string, version int",
+    )
+    replace_by_key(spark, path, base, key=["trace_id"], n_buckets=8)
+
+    # reclassify t7 with a DIFFERENT (wrong) bucket count
+    delta = spark.createDataFrame(
+        [("t7", "a7-new", 2)], "trace_id string, action string, version int")
+    replace_by_key(spark, path, delta, key=["trace_id"], n_buckets=32)
+
+    rows = spark.read.parquet(path).filter(F.col("trace_id") == "t7").collect()
+    assert len(rows) == 1  # no stale duplicate in another bucket
+    assert rows[0]["action"] == "a7-new"
+    assert spark.read.parquet(path).count() == 40

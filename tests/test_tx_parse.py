@@ -405,3 +405,159 @@ def test_jetton_master_state_decode():
     d = decode_jetton_master_data(
         encode_jetton_master_data(total_supply=2**80, admin=ADMIN))
     assert d["total_supply"] == 2**80 and d["admin_address"] == ADMIN
+
+
+def test_parse_raw_batch_keeps_big_lt_exact_with_error_rows(spark):
+    """A parse_error row sharing the Arrow batch must not demote the
+    int64 columns to float64: lt past 2^53 round-trips exactly."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import serialize_boc
+    from ton_indexer_spark.functions.tx_parse import (
+        encode_message_cell,
+        encode_ord_descr,
+        encode_transaction_cell,
+    )
+    from ton_indexer_spark.sources.tx_ingest import parse_raw_transactions
+
+    big_lt = 56_000_000_000_000_003  # > 2^53, loses precision in float64
+    tx = encode_transaction_cell(
+        int("aa" * 32, 16), big_lt, 1_700_000_000,
+        in_msg=encode_message_cell("0:" + "cd" * 32, "0:" + "aa" * 32,
+                                   value=1, created_lt=big_lt - 1,
+                                   created_at=1_700_000_000),
+        descr=encode_ord_descr(),
+    )
+    df = spark.createDataFrame(
+        [(base64.b64encode(serialize_boc(tx)).decode(),), ("bm9wZQ==",)],
+        "boc string",
+    ).coalesce(1)  # force both rows into ONE Arrow batch
+    rows = {r["parse_error"] is None: r for r in
+            parse_raw_transactions(df).collect()}
+    assert rows[True]["lt"] == big_lt
+    assert rows[False]["parse_error"] is not None
+
+
+def test_raw_ingest_classifies_bodies_across_batches(spark, tmp_path):
+    """A trace finalizing in batch 2 must classify with bodies that
+    arrived in batch 1 — the content store accumulates across
+    micro-batches (regression: per-batch-only contents silently degraded
+    cross-batch traces to 'unknown')."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_transfer,
+        parse_boc,
+        serialize_boc,
+    )
+    from ton_indexer_spark.functions.tx_parse import (
+        encode_message_cell,
+        encode_ord_descr,
+        encode_transaction_cell,
+    )
+    from ton_indexer_spark.streaming.ingest import IngestPipeline, RawBocIngest
+
+    W1 = "0:" + "aa" * 32
+    USER = "0:" + "cd" * 32
+    body = parse_boc(encode_jetton_transfer(
+        query_id=1, amount=777, destination=USER, response=USER))
+    ext = encode_message_cell(USER, W1, value=10**8, created_lt=1,
+                              created_at=1_700_000_000, body=body)
+    link = encode_message_cell(W1, USER, value=5, created_lt=1_000_001,
+                               created_at=1_700_000_001)
+    tx1 = encode_transaction_cell(
+        int("aa" * 32, 16), 1_000_000, 1_700_000_000,
+        in_msg=ext, out_msgs=[link], descr=encode_ord_descr(),
+    )
+    tx2 = encode_transaction_cell(
+        int("cd" * 32, 16), 1_000_010, 1_700_000_002,
+        in_msg=link, descr=encode_ord_descr(),
+    )
+    src = str(tmp_path / "drop")
+    for i, c in enumerate([tx1, tx2]):  # one file per tx → one per batch
+        spark.createDataFrame(
+            [(base64.b64encode(serialize_boc(c)).decode(), 0, -1, i + 1,
+              i + 1)],
+            "boc string, workchain int, block_workchain int, "
+            "block_seqno int, mc_block_seqno int",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "db")
+    pipe = IngestPipeline(spark, out_dir=out,
+                          state_dir=str(tmp_path / "state"), classify=True)
+    RawBocIngest(pipe).run_available_now(src, str(tmp_path / "ckpt"))
+
+    acts = spark.read.parquet(f"{out}/actions")
+    got = [r["type"] for r in acts.collect()]
+    assert "jetton_transfer" in got, got
+    jt = acts.filter(F.col("type") == "jetton_transfer").first()
+    assert int(jt["amount"]) == 777
+
+
+def test_inline_state_init_message_parses_body_correctly():
+    """A message carrying init:(Either StateInit ^StateInit) in the INLINE
+    (left) form must still yield the right opcode/body — the StateInit
+    fields are consumed, not misread as the body Either bit."""
+    from ton_indexer_spark.functions.boc import Builder, parse_boc
+    from ton_indexer_spark.functions.tx_parse import parse_message_cell
+
+    code = Builder().store_uint(0xC0DE, 16).end_cell()
+    data = Builder().store_uint(0xDA7A, 16).end_cell()
+    b = Builder()
+    # int_msg_info$0 ihr_disabled bounce bounced src dst value ...
+    b.store_bit(0).store_bit(1).store_bit(0).store_bit(0)
+    b.store_address("0:" + "ab" * 32).store_address("0:" + "cd" * 32)
+    b.store_coins(10**9).store_bit(0)
+    b.store_coins(0).store_coins(0)
+    b.store_uint(777, 64).store_uint(1_700_000_000, 32)
+    # init: Maybe=1, Either=0 (INLINE): no split_depth, no special,
+    # code ref, data ref, no library
+    b.store_bit(1).store_bit(0)
+    b.store_bit(0).store_bit(0)
+    b.store_bit(1).store_ref(code)
+    b.store_bit(1).store_ref(data)
+    b.store_bit(0)
+    # body: Either=0 (inline): op + query_id
+    b.store_bit(0).store_uint(0x0F8A7EA5, 32).store_uint(42, 64)
+    msg = parse_message_cell(b.end_cell())
+    assert msg["opcode"] == 0x0F8A7EA5
+    assert msg["created_lt"] == 777
+    assert msg["init_state_boc"]  # captured, not a bare marker
+    init = parse_boc(msg["init_state_boc"]).begin_parse()
+    assert init.load_bit() == 0 and init.load_bit() == 0  # no depth/special
+    assert init.load_bit() == 1  # code present
+    assert init.load_ref().begin_parse().load_uint(16) == 0xC0DE
+
+
+def test_hashmap_zero_bit_length_label():
+    """At a full-depth fork child (m=0) the hml_long length field is
+    ZERO bits wide per (#<= m) — both the builder and the parser must
+    agree with spec-compliant encoders."""
+    from ton_indexer_spark.functions.boc import Builder
+    from ton_indexer_spark.functions.tx_parse import (
+        _build_hashmap,
+        _parse_hashmap,
+    )
+
+    v0 = Builder().store_uint(1, 8).end_cell()
+    v1 = Builder().store_uint(2, 8).end_cell()
+    # keys 0 and 1 in a 15-bit map: fork at depth 14, children at m=0
+    root = _build_hashmap([(0, v0), (1, v1)], 15)
+    got = {k: s.load_ref().begin_parse().load_uint(8)
+           for k, s in _parse_hashmap(root, 15)}
+    assert got == {0: 1, 1: 2}
+
+    # hand-encode the spec layout: leaf child label = hml_long '10' with a
+    # 0-bit length field and nothing else before the value ref
+    leaf0 = Builder().store_bit(1).store_bit(0).store_ref(v0).end_cell()
+    leaf1 = Builder().store_bit(1).store_bit(0).store_ref(v1).end_cell()
+    fork = Builder().store_bit(1).store_bit(0)  # hml_long
+    fork.store_uint(14, 4)                      # len=14 in (#<= 15)=4 bits
+    for _ in range(14):
+        fork.store_bit(0)                       # label bits (all zero)
+    fork.store_ref(leaf0).store_ref(leaf1)
+    got2 = {k: s.load_ref().begin_parse().load_uint(8)
+            for k, s in _parse_hashmap(fork.end_cell(), 15)}
+    assert got2 == {0: 1, 1: 2}

@@ -71,7 +71,10 @@ def _parse_hashmap(cell: Cell, n: int, prefix: int = 0,
         label = s.load_uint(ln) if ln else 0
     else:
         m = n - plen
-        lbits = max(1, m.bit_length())
+        # (#<= m) is len(bin(m)) bits — ZERO bits when m == 0 (the spec's
+        # degenerate leaf label); max(1,...) here misread spec-compliant
+        # encoders at full-depth forks
+        lbits = m.bit_length()
         if s.load_bit() == 0:  # hml_long
             ln = s.load_uint(lbits)
             label = s.load_uint(ln) if ln else 0
@@ -107,9 +110,11 @@ def _build_hashmap(items: list[tuple[int, Cell]], n: int) -> Cell | None:
                 i += 1
             common = common[:i]
         b = Builder()
-        lbits = max(1, m.bit_length())
+        lbits = m.bit_length()  # 0 bits when m == 0, per (#<= m)
         # always emit hml_long: simplest valid label encoding
-        b.store_bit(1).store_bit(0).store_uint(len(common), lbits)
+        b.store_bit(1).store_bit(0)
+        if lbits:
+            b.store_uint(len(common), lbits)
         for ch in common:
             b.store_bit(ch == "1")
         rest = m - len(common)
@@ -174,9 +179,33 @@ def parse_message_cell(cell: Cell) -> dict[str, Any]:
                 serialize_boc(s.load_ref())
             ).decode()
         else:
-            # inline StateInit: capture the remainder as an opaque marker;
-            # fixtures always use the ref form
-            msg["init_state_boc"] = ""
+            # inline StateInit — consume its fields so the body Either bit
+            # that FOLLOWS is read from the right position (real wallet
+            # deploys do use the inline form):
+            #   _ split_depth:(Maybe (## 5)) special:(Maybe TickTock)
+            #     code:(Maybe ^Cell) data:(Maybe ^Cell)
+            #     library:(HashmapE 256 SimpleLib)
+            init = Builder()
+            if s.load_bit():  # split_depth
+                init.store_bit(1).store_uint(s.load_uint(5), 5)
+            else:
+                init.store_bit(0)
+            if s.load_bit():  # special:TickTock = tick:Bool tock:Bool
+                init.store_bit(1).store_uint(s.load_uint(2), 2)
+            else:
+                init.store_bit(0)
+            for _ in range(2):  # code / data Maybe ^Cell
+                if s.load_bit():
+                    init.store_bit(1).store_ref(s.load_ref())
+                else:
+                    init.store_bit(0)
+            if s.load_bit():  # library HashmapE root
+                init.store_bit(1).store_ref(s.load_ref())
+            else:
+                init.store_bit(0)
+            msg["init_state_boc"] = base64.b64encode(
+                serialize_boc(init.end_cell())
+            ).decode()
     # body:(Either X ^X)
     if s.load_bit():
         body = s.load_ref()

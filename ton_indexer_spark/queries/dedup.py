@@ -210,11 +210,13 @@ _NGRAM_PAIRS_CTE = f"""
         SELECT doc_b AS a, doc_a AS b FROM pairs
     ),
     walk AS (
+        -- full reachability (recursive UNION de-dupes, so it terminates):
+        -- the label-decreasing shortcut misses min ids reachable only
+        -- through larger intermediate doc_ids (chain 1—100—2)
         SELECT a AS node, a AS component FROM sym
         UNION
         SELECT w.node, s.b AS component
         FROM walk w JOIN sym s ON s.a = w.component
-        WHERE s.b < w.component
     )
     SELECT node AS doc_id,
            CAST(MIN(component) AS BIGINT) AS canonical_id,

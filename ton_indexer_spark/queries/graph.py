@@ -61,11 +61,15 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dst AS a, src AS b FROM edges
     ),
     walk AS (
+        -- full reachability, not only label-decreasing steps: a component
+        -- whose min id sits behind a LARGER intermediate node is otherwise
+        -- unreachable (e.g. chain 1—100—2 would leave node 2 labeled 2).
+        -- The recursive UNION de-duplicates rows, so the walk terminates
+        -- at |component|² pairs worst-case — components here are sessions
         SELECT a AS node, a AS component FROM sym
         UNION
         SELECT w.node, s.b AS component
         FROM walk w JOIN sym s ON s.a = w.component
-        WHERE s.b < w.component
     )
     SELECT node, MIN(component) AS component
     FROM walk

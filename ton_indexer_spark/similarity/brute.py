@@ -120,20 +120,25 @@ def cosine_topk(
             norms[norms == 0] = 1.0
             sims = round_half_away(qm @ (c_mat / norms).T, 6)  # |Q| × batch
             mask = id_arr[:, None] != c_ids[None, :]
+            # pre-order the batch once by neighbor id: a STABLE sort on
+            # -sim then preserves the id tiebreak without per-element
+            # Python comparisons (the interpreted sorted() this replaces
+            # dominated the BLAS matmul at corpus-batch scale)
+            id_order = np.argsort(c_ids, kind="stable")
+            sims_o = sims[:, id_order]
+            mask_o = mask[:, id_order]
             # per-batch pruning: only the batch-local top-k can survive
             # the global window, so emit at most k rows per query
             keep_q, keep_c = [], []
-            for qi in range(sims.shape[0]):
-                cols = np.nonzero(mask[qi])[0]
+            for qi in range(sims_o.shape[0]):
+                cols = np.nonzero(mask_o[qi])[0]
                 if len(cols) > k:
-                    # sort by (-sim, neighbor_id) and keep k
-                    order = sorted(
-                        cols.tolist(),
-                        key=lambda c: (-sims[qi, c], c_ids[c]),
-                    )
-                    cols = np.array(order[:k], dtype=np.int64)
+                    order = cols[
+                        np.argsort(-sims_o[qi, cols], kind="stable")
+                    ][:k]
+                    cols = order
                 keep_q.extend([qi] * len(cols))
-                keep_c.extend(cols.tolist())
+                keep_c.extend(id_order[cols].tolist())
             yield pd.DataFrame(
                 {
                     "query_id": [ids[i] for i in keep_q],

@@ -73,8 +73,12 @@ def metadata_fetch_tasks(
     )
     if existing_metadata is None:
         return tasks
+    # a row keeps its queue slot until expires_at, valid OR NOT: failed
+    # fetches carry the SHORT retry expiry precisely so they stay OUT of
+    # the queue during the backoff window (main.go:141-153) — gating on
+    # valid here would re-hit a failing endpoint every cycle
     fresh = existing_metadata.where(
-        F.col("valid") & (F.col("expires_at") > F.lit(now))
+        F.col("expires_at") > F.lit(now)
     ).select("address", "type")
     return tasks.join(fresh, ["address", "type"], "left_anti")
 

@@ -157,9 +157,16 @@ def parse_raw_transactions(
                 for c in envelope:
                     row[c] = rec.get(c)
                 rows.append(row)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in out_schema]
-            )
+            out = pd.DataFrame(rows, columns=[f.name for f in out_schema])
+            # int64 columns must stay exact python ints: with any None in
+            # the batch (a parse_error row, a Maybe-absent phase field)
+            # pd.DataFrame coerces the column to float64, which silently
+            # loses precision past 2^53 — real-chain lt already exceeds
+            # that, corrupting join keys batch-wide.  Same discipline as
+            # the decimal rebuilds in the *_from_states stages.
+            for c in _LONG_COLS | _INT_COLS:
+                out[c] = pd.Series([r.get(c) for r in rows], dtype=object)
+            yield out
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -190,11 +190,26 @@ def replace_by_key(
 
     A table written in the legacy unbucketed layout is migrated to the
     ``kb=`` layout on first call (one full rewrite, then pruned forever).
+
+    The bucket count is persisted in a ``_n_buckets`` marker at table
+    creation and takes precedence over the parameter on later calls: a
+    caller passing a different ``n_buckets`` would hash keys into
+    DIFFERENT buckets, prune the wrong directories, and leave stale rows
+    alive — silently.
     """
+    marker = os.path.join(path, "_n_buckets")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            n_buckets = int(fh.read().strip())
     delta_b = _with_key_bucket(delta, key, n_buckets)
     if not os.path.exists(path):
         delta_b.write.mode("overwrite").partitionBy("kb").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(str(n_buckets))
         return
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:  # adopt pre-marker tables as-is
+            fh.write(str(n_buckets))
     current_all = spark.read.parquet(path)
     if "kb" not in current_all.columns:
         # one-time migration: rebucket the existing table in place
@@ -205,6 +220,8 @@ def replace_by_key(
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
+        with open(marker, "w") as fh:  # the swap replaced the directory
+            fh.write(str(n_buckets))
         current_all = spark.read.parquet(path)
     affected = sorted(
         r[0] for r in delta_b.select("kb").distinct().collect()

@@ -271,7 +271,27 @@ class RawBocIngest:
             )
             txs = core_transactions_from_parsed(parsed)
             msgs = messages_from_parsed(parsed)
-            contents = message_contents_from_parsed(parsed)
+            # the body store must ACCUMULATE across batches: a trace can
+            # finalize in batch N with messages from batch N-k, and
+            # classification needs those earlier bodies too — sink each
+            # batch's contents (batch-keyed, so redelivery replaces) and
+            # read the whole content-addressed store back
+            from ton_indexer_spark.sources.writer import write_facts_batch
+
+            store = os.path.join(self.pipeline.out_dir, "message_contents")
+            batch_contents = message_contents_from_parsed(parsed)
+            if batch_contents.head(1):
+                write_facts_batch(
+                    batch_contents.withColumn(
+                        "mc_block_seqno", F.lit(batch_id)
+                    ),
+                    store, sort_cols=["hash"], batch_id=batch_id,
+                )
+            contents = (
+                spark.read.parquet(store)
+                .select("hash", "body")
+                .dropDuplicates(["hash"])
+            )
             if self.pipeline.message_contents is not None:
                 contents = self.pipeline.message_contents.unionByName(
                     contents
