@@ -187,3 +187,61 @@ def test_dedust_partial_decodes_real_boc_body(spark):
     assert data["target_amount_1"] == 5000
     assert data["target_asset_2"] == HEXJET
     assert data["target_amount_2"] == 7000
+
+
+def test_failed_external_recovers_intent(spark):
+    """A lone failed external (wallet tx aborted, no children) classifies
+    from the signed wallet body: the embedded transfer becomes a
+    success=False ton_transfer / jetton_transfer instead of vanishing
+    (reference try_process_unknown_event + externals.py wallet layouts —
+    the 'Failed ton transfer (external-in only)' reference test case)."""
+    from ton_indexer_spark.functions.boc import (
+        encode_comment,
+        encode_jetton_transfer,
+        parse_boc,
+    )
+    from ton_indexer_spark.functions.externals import encode_wallet_external
+    from ton_indexer_spark.functions.tx_parse import encode_message_cell
+
+    WALLET = A[5]
+    DEST = A[6]
+
+    inner = encode_message_cell(
+        None, DEST, value=17_192_063, created_lt=0, created_at=0,
+        body=parse_boc(encode_comment("109872119")),
+    )
+    body = encode_wallet_external([inner], wallet="v3")
+    b = TraceBuilder("fx1")
+    b.tx(WALLET, None, body=body, aborted=True)
+
+    jt_inner = encode_message_cell(
+        None, DEST, value=10**8, created_lt=0, created_at=0,
+        body=parse_boc(encode_jetton_transfer(
+            query_id=9, amount=555, destination=A[7], response=WALLET)),
+    )
+    b2 = TraceBuilder("fx2")
+    b2.tx(WALLET, None, body=encode_wallet_external([jt_inner], wallet="v4"),
+          aborted=True)
+
+    res = run(spark, [b, b2])
+    tt = acts_of(res, "fx1")
+    assert [a["type"] for a in tt] == ["ton_transfer"]
+    assert tt[0]["success"] is False
+    assert tt[0]["source"] == WALLET and tt[0]["destination"] == DEST
+    assert tt[0]["value"] == 17_192_063
+    assert tt[0]["ton_transfer_data"]["content"] == "109872119"
+
+    jt = acts_of(res, "fx2")
+    assert [a["type"] for a in jt] == ["jetton_transfer"]
+    assert jt[0]["success"] is False and jt[0]["amount"] == 555
+    assert jt[0]["destination"] == A[7]
+    assert jt[0]["jetton_transfer_data"]["has_internal_transfer"] is False
+
+
+def test_plain_external_without_wallet_body_stays_silent(spark):
+    """A lone external whose body is not a known wallet layout keeps the
+    old behavior: no action (the trace stays visible via the sentinel)."""
+    b = TraceBuilder("fx3")
+    b.tx(A[5], None, body=body_of({"whatever": 1}), aborted=True)
+    res = run(spark, [b])
+    assert acts_of(res, "fx3") == []

@@ -884,4 +884,15 @@ def classify_tree(nodes: list[Node], ctx: Ctx) -> list[dict]:
                 actions.append(_base(node, "unknown"))
             else:
                 node.consumed = True  # external-rooted node with no pattern
+    if not actions and len(nodes) == 1:
+        n = nodes[0]
+        if n.in_msg is not None and n.in_msg.source is None:
+            # lone failed external: recover the user's intent from the
+            # signed wallet body (postprocess.failed_external_actions —
+            # reference try_process_unknown_event)
+            from ton_indexer_spark.classifier.postprocess import (
+                failed_external_actions,
+            )
+
+            actions = failed_external_actions(n)
     return run_post_processors(nodes, actions)

@@ -159,3 +159,79 @@ def run_post_processors(nodes: list[Node], actions: list[dict]) -> list[dict]:
     actions = post_process_dedust_liquidity(actions)
     actions = unwind_deployments(nodes, actions)
     return actions
+
+
+# ------------------------------------------------- failed-external fallback
+
+
+def failed_external_actions(node: Node) -> list[dict]:
+    """Classify a lone FAILED external: the signed wallet body reveals the
+    intended internal message(s) — emit them as failed actions instead of
+    dropping the trace (reference try_process_unknown_event +
+    init_from_external, event_processing.py:157-194,340-362; wallet
+    layouts: blocks/messages/externals.py:63-158).
+
+    Each embedded message becomes a ghost action with success=False:
+    valueful no-op messages → ton_transfer; decodable 0x0f8a7ea5 bodies →
+    jetton_transfer (the FallbackJettonTransferBlockMatcher analog);
+    anything else with an opcode → call_contract.
+    """
+    from ton_indexer_spark.functions.boc import decode_message_body
+    from ton_indexer_spark.functions.externals import (
+        extract_wallet_payloads,
+    )
+
+    if node.in_msg is None or not node.in_msg.body:
+        return []
+    payloads, wallet = extract_wallet_payloads(node.in_msg.body)
+    if not payloads:
+        return []
+    acts: list[dict] = []
+    for p in payloads:
+        if p.get("destination") is None:
+            continue
+        opcode = p.get("opcode")
+        body = (
+            decode_message_body(p["body_boc"]) if p.get("body_boc") else {}
+        )
+        common = {
+            "claimed": [node],
+            "source": node.account,
+            "destination": p["destination"],
+            "opcode": opcode,
+            "value": p.get("value"),
+            "success": False,  # the external aborted; nothing executed
+        }
+        if opcode in (None, 0) and (p.get("value") or 0) > 0:
+            acts.append(_base(
+                node, "ton_transfer", asset="TON",
+                ton_transfer_data={
+                    "content": body.get("comment"),
+                    "encrypted": bool(body.get("is_encrypted", False)),
+                },
+                **common,
+            ))
+        elif opcode == 0x0F8A7EA5 and body.get("amount") is not None \
+                and body.get("destination") is not None:
+            acts.append(_base(
+                node, "jetton_transfer",
+                amount=body.get("amount"),
+                asset=None,  # wallet unknown — the dimension never ran
+                destination=body.get("destination"),
+                destination_secondary=p["destination"],
+                source=node.account,
+                opcode=opcode,
+                value=p.get("value"),
+                success=False,
+                claimed=[node],
+                jetton_transfer_data={
+                    "query_id": body.get("query_id"),
+                    "forward_amount": body.get("forward_ton_amount"),
+                    "comment": body.get("forward_comment"),
+                    "is_encrypted_comment": False,
+                    "has_internal_transfer": False,
+                },
+            ))
+        else:
+            acts.append(_base(node, "call_contract", **common))
+    return acts
