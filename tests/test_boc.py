@@ -734,3 +734,64 @@ def test_coffee_body_decoders():
     w = (Builder().store_uint(OP_COFFEE_WITHDRAW, 32).store_uint(6, 64)
          .end_cell())
     assert decode_message_body(_b64(w))["query_id"] == 6
+
+
+def test_jetton_mint_entry_boc_bodies(spark):
+    """Minter-side mint (op 0x15 with ^master_msg, and the 0x642b7d07
+    variant): classified from the entry call, including the FAILED case
+    where the internal-transfer leg never ran (reference
+    JettonMintBlockMatcher + jetton-mints.yaml failed case)."""
+    from tests.test_classifier import A, TraceBuilder, acts_of, run
+    from ton_indexer_spark.classifier.matchers import (
+        JETTON_INTERNAL,
+        JETTON_MINT_ALT,
+        JETTON_MINT_MINTER,
+    )
+    from ton_indexer_spark.functions.boc import (
+        Builder,
+        OP_JETTON_INTERNAL,
+    )
+
+    MASTER, OWNER, WALLET = A[5], A[6], A[7]
+
+    master_msg = (Builder().store_uint(OP_JETTON_INTERNAL, 32)
+                  .store_uint(1, 64).store_coins(10**9).end_cell())
+    mint15 = (Builder().store_uint(JETTON_MINT_MINTER, 32).store_uint(1, 64)
+              .store_address(OWNER).store_coins(10**8)
+              .store_ref(master_msg).end_cell())
+
+    b = TraceBuilder("jm-ok")
+    r = b.tx(A[0], None)
+    m = b.chain(r, MASTER, opcode=JETTON_MINT_MINTER, body=_b64(mint15))
+    b.chain(m, WALLET, opcode=JETTON_INTERNAL)
+
+    # failed mint: minter tx aborted, no internal leg
+    b2 = TraceBuilder("jm-fail")
+    r2 = b2.tx(A[1], None)
+    b2.chain(r2, MASTER, opcode=JETTON_MINT_MINTER, body=_b64(mint15),
+             aborted=True)
+
+    mint_alt = (Builder().store_uint(JETTON_MINT_ALT, 32).store_uint(2, 64)
+                .store_address(OWNER).store_coins(5).end_cell())
+    b3 = TraceBuilder("jm-alt")
+    r3 = b3.tx(A[2], None)
+    m3 = b3.chain(r3, MASTER, opcode=JETTON_MINT_ALT, body=_b64(mint_alt))
+    b3.chain(m3, WALLET, opcode=JETTON_INTERNAL)
+
+    res = run(spark, [b, b2, b3])
+
+    ok = acts_of(res, "jm-ok")
+    assert [a["type"] for a in ok] == ["jetton_mint"]
+    assert ok[0]["destination"] == OWNER
+    assert ok[0]["destination_secondary"] == WALLET
+    assert ok[0]["asset"] == MASTER and ok[0]["amount"] == 10**9
+    assert ok[0]["success"] is True
+
+    fail = acts_of(res, "jm-fail")
+    assert [a["type"] for a in fail] == ["jetton_mint"]
+    assert fail[0]["success"] is False and fail[0]["amount"] == 10**9
+    assert fail[0]["destination_secondary"] is None
+
+    alt = acts_of(res, "jm-alt")
+    assert [a["type"] for a in alt] == ["jetton_mint"]
+    assert alt[0]["destination"] == OWNER and alt[0]["asset"] == MASTER

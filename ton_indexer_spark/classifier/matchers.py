@@ -46,6 +46,7 @@ from ton_indexer_spark.classifier.base import (  # noqa: F401  (re-exported)
     Ctx,
     _base,
     _jetton_chain,
+    _op,
 )
 from ton_indexer_spark.classifier.protocols import (
     PROTOCOL_MATCHERS,
@@ -94,6 +95,49 @@ def match_contract_deploy(node: Node, ctx: Ctx) -> dict | None:
             return None  # deployed-in-first-transfer: chain matcher claims it
         return _base(node, "contract_deploy")
     return None
+
+
+JETTON_MINT_MINTER = 0x00000015   # standard minter mint entry
+JETTON_MINT_ALT = 0x642B7D07      # alternative minter mint entry
+
+
+def match_jetton_mint_entry(node: Node, ctx: Ctx) -> dict | None:
+    """Mint matched from the MINTER-side entry call (ops 0x15 /
+    0x642b7d07, reference JettonMintBlockMatcher jettons.py:250-280).
+    Catches FAILED mints too — the entry op is present even when the
+    internal-transfer leg never happened (the wallet-side matcher below
+    needs the leg)."""
+    if _op(node) not in (JETTON_MINT_MINTER, JETTON_MINT_ALT):
+        return None
+    body = node.in_msg.decoded_body()
+    to_owner = body.get("to_address")
+    internal = node.child_via(JETTON_INTERNAL)
+    if to_owner is None and internal is None:
+        return None  # opcode collision guard: nothing mint-shaped decodes
+    claimed = [node]
+    wallet = None
+    amount = body.get("amount")
+    if internal is not None:
+        claimed.append(internal)
+        wallet = internal.account
+        if amount is None:
+            amount = internal.in_msg.decoded_body().get("amount")
+        notify = internal.child_via(JETTON_NOTIFY)
+        if notify is not None:
+            claimed.append(notify)
+        excess = internal.child_via(EXCESSES)
+        if excess is not None:
+            claimed.append(excess)
+    return _base(
+        node,
+        "jetton_mint",
+        claimed=claimed,
+        destination=to_owner,
+        destination_secondary=wallet,
+        asset=node.account,  # the minter IS the jetton master
+        amount=amount,
+        value=body.get("ton_amount"),
+    )
 
 
 def match_jetton_mint(node: Node, ctx: Ctx) -> dict | None:
@@ -840,6 +884,7 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("dex_deposit_liquidity", match_dex_deposit_liquidity),  # LP mint: more specific than swap
     ("jetton_swap", match_jetton_swap),       # before plain transfer: more specific
     ("jetton_transfer", match_jetton_transfer),
+    ("jetton_mint_entry", match_jetton_mint_entry),  # minter-side ops 0x15/0x642b7d07 (incl. failed)
     ("jetton_mint", match_jetton_mint),
     ("dex_withdraw_liquidity", match_dex_withdraw_liquidity),  # burn→pool: before plain burn
     ("jetton_transfer_fallback", match_jetton_transfer_fallback),  # no internal leg

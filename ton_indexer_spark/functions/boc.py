@@ -423,6 +423,8 @@ OP_COFFEE_SWAP_NATIVE = 0xC0FFEE00   # messages/coffee.py:331-344
 OP_COFFEE_POOL_NATIVE = 0xC0FFEE02   # messages/coffee.py:426-441
 OP_COFFEE_DEPOSIT_NATIVE = 0xC0FFEE04  # messages/coffee.py:474-489
 OP_COFFEE_WITHDRAW = 0xC0FFEE07      # messages/coffee.py:584-594
+OP_JETTON_MINT_MINTER = 0x00000015   # messages/jettons.py:155-173
+OP_JETTON_MINT_ALT = 0x642B7D07      # messages/jettons.py:142-153
 
 # dns value-record schema tags (messages/dns.py:20-40)
 _DNS_SCHEMAS = {
@@ -803,6 +805,21 @@ def decode_body_cell(root: Cell) -> dict:
     if op == OP_COFFEE_WITHDRAW:
         # withdraw_deposit#c0ffee07 query_id:uint64 (coffee.py:584-594)
         return {"opcode": op, "query_id": s.load_uint(64)}
+    if op in (OP_JETTON_MINT_MINTER, OP_JETTON_MINT_ALT):
+        # mint#15 / mint#642b7d07 query_id:uint64 to:Addr ton_amount:Coins
+        #   [master_msg:^Cell{internal_transfer}]  (jettons.py:142-173)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["to_address"] = s.load_address()
+        d["ton_amount"] = s.load_coins()
+        if s.remaining_refs:
+            try:
+                mm = s.load_ref().begin_parse()
+                mm.load_uint(32)  # internal-transfer op
+                mm.load_uint(64)  # query_id
+                d["amount"] = mm.load_coins()
+            except BocError:
+                pass  # tolerate non-standard master_msg payloads
+        return d
     return {"opcode": op}
 
 
