@@ -836,3 +836,27 @@ def test_decimal_amount_survives_uint128(spark):
     acts = acts_of(res, "big1")
     assert [a["type"] for a in acts] == ["jetton_transfer"]
     assert int(acts[0]["amount"]) == big
+
+
+def test_renew_dns_and_put_on_auction(spark):
+    """renew_dns = change_dns_record with no value and the all-zero key
+    (reference dns.py zero_key branch); a deploy of a known auction
+    contract = nft_put_on_auction."""
+    DNS_ITEM = "0:dns" + "0" * 59
+    AUC = "0:auc" + "0" * 59
+
+    b = TraceBuilder("rd1")
+    r = b.tx(A[0], None)
+    b.chain(r, DNS_ITEM, opcode=0x4EB1F0F9,
+            body=body_of({"key": "0" * 64, "value": None}))
+
+    b2 = TraceBuilder("pa1")
+    r2 = b2.tx(A[1], None)
+    b2.chain(r2, AUC, opcode=0x5, orig_status="uninit")
+
+    res = run(spark, [b, b2], dns_items=[{"address": DNS_ITEM}],
+              auctions=[{"address": AUC}])
+    rd = acts_of(res, "rd1")
+    assert [a["type"] for a in rd] == ["renew_dns"]
+    pa = acts_of(res, "pa1")
+    assert [a["type"] for a in pa] == ["nft_put_on_auction"]

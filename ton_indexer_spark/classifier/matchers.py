@@ -168,19 +168,23 @@ def match_jetton_mint(node: Node, ctx: Ctx) -> dict | None:
 
 def match_nft_put_on_sale(node: Node, ctx: Ctx) -> dict | None:
     """Deploy of a known sale contract followed by the NFT moving into it
-    (nft_transfer whose new owner is the sale) = put-on-sale."""
+    (nft_transfer whose new owner is the sale) = put-on-sale; a deploy of
+    a known AUCTION contract = put-on-auction (the reference's
+    NftPutOnSaleBlockMatcher sale-type split)."""
     if not (node.orig_status != "active" and node.end_status == "active"):
         return None
     sales = ctx.get("nft_sales", {})
-    if node.account not in sales:
+    auctions = ctx.get("auctions") or set()
+    if node.account not in sales and node.account not in auctions:
         return None
     body = node.in_msg.decoded_body() if node.in_msg is not None else {}
     return _base(
         node,
-        "nft_put_on_sale",
+        "nft_put_on_sale" if node.account in sales else "nft_put_on_auction",
         claimed=[node],
         destination=node.account,
-        asset=sales[node.account],  # the listed NFT item
+        # the listed NFT item (auctions: from the deploy payload if any)
+        asset=sales.get(node.account) or body.get("nft_address"),
         # nft_listing_details (migrate.cpp:822) — populated from the sale
         # contract's deploy payload where decodable
         nft_listing_data={
@@ -607,7 +611,13 @@ def match_change_dns(node: Node, ctx: Ctx) -> dict | None:
     if node.in_msg is None or node.in_msg.opcode != CHANGE_DNS_OP:
         return None
     payload = node.in_msg.decoded_body()
-    typ = "delete_dns" if payload.get("value") in (None, "") else "change_dns"
+    if payload.get("value") in (None, ""):
+        # no value + the all-zero key = renewal, else record deletion
+        # (reference dns.py:51-69 zero_key branch)
+        key = payload.get("key") or ""
+        typ = "renew_dns" if set(key) <= {"0"} and key else "delete_dns"
+    else:
+        typ = "change_dns"
     return _base(
         node, typ, asset=node.account,
         change_dns_record_data={
