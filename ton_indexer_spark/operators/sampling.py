@@ -51,3 +51,62 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(rate * buckets)))
         ).otherwise(threshold)
     return df.filter(hash_bucket(F.col(id_col), buckets) < threshold)
+
+
+def source_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: Mapping[str, int],
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Downsample to the largest corpus matching a target source mixture.
+
+    Training-data mixing: given integer ``weights`` per source (e.g.
+    web:6, books:2, code:1 — the mixture ratios every pretraining recipe
+    publishes), keep the largest subset whose per-source composition is
+    proportional to the weights, without upsampling any source.  With
+    ``W = Σ weights`` and per-source counts ``n_s``, the feasible total is
+    ``T = min_s floor(n_s · W / w_s)`` and the per-source target is
+    ``t_s = floor(T · w_s / W) ≤ n_s``.
+
+    Membership is the same engine-portable hash filter as
+    ``stratified_sample`` — ``hash_bucket(id) < floor(t_s · buckets /
+    n_s)`` — so the sample is reproducible across runs, engines, and
+    repartitioning, and the whole operator is exact integer arithmetic
+    (oracle hash-matches).  Sources absent from ``weights`` are dropped
+    (weight 0).
+
+    Scale shape: one tiny per-source count aggregation (|sources| rows —
+    broadcast back), then a map-side filter on the big table; no shuffle
+    of the corpus, no skew sensitivity (the filter is per-row, not a
+    per-source window rank).
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("source_mixture: weights must be positive integers")
+    w_total = sum(weights.values())
+    wcol = F.lit(None).cast("long")
+    for value, w in sorted(weights.items()):
+        wcol = F.when(F.col(source_col) == value, F.lit(int(w))).otherwise(
+            wcol
+        )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n_s"))
+        .withColumn("_w_s", wcol)
+        .filter(F.col("_w_s").isNotNull())
+    )
+    feasible = counts.agg(
+        F.min(F.expr(f"_n_s * {w_total} DIV _w_s")).alias("_t_total")
+    )
+    thresholds = (
+        counts.crossJoin(F.broadcast(feasible))  # 1 row
+        .withColumn("_t_s", F.expr(f"_t_total * _w_s DIV {w_total}"))
+        .withColumn("_thr", F.expr(f"_t_s * {buckets} DIV _n_s"))
+        .select(source_col, "_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(hash_bucket(F.col(id_col), buckets) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -225,3 +225,53 @@ def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "bin_id")
         .orderBy("doc_id")
     )
+
+
+# fixed mixing weights for the source_mixture gate (docs have sources
+# src0..src19; weights cycle 1..5 so rates differ per source)
+MIXTURE_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
+
+
+def _mixture_oracle() -> str:
+    w_total = sum(MIXTURE_WEIGHTS.values())
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+    WITH w(source, w_s) AS (VALUES {values}),
+    n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+    j AS (SELECT n.source, n_s, w_s FROM n JOIN w USING (source)),
+    t AS (SELECT MIN(n_s * {w_total} // w_s) AS t_total FROM j),
+    thr AS (
+        SELECT source, (t_total * w_s // {w_total}) * 1000000 // n_s AS thr
+        FROM j CROSS JOIN t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < thr
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "source_mixture",
+    _mixture_oracle(),
+    survey_ops=("beyond:source-mixture",),
+    description="deterministic source-mixture downsampling (training-data "
+    "mixing): largest subset proportional to per-source weights without "
+    "upsampling; tiny count agg broadcast back + map-side hash filter — "
+    "the corpus never shuffles; exact integer arithmetic end to end",
+)
+def source_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.sampling import source_mixture
+
+    d = Catalog(spark, sf_dir).documents
+    return (
+        source_mixture(
+            d, id_col="doc_id", source_col="source",
+            weights=MIXTURE_WEIGHTS,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -8,6 +8,7 @@ end to end (SURVEY.md beyond-reference dedup set).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ton_indexer_spark.catalog import Catalog
 from ton_indexer_spark.dedup import (
@@ -174,6 +175,66 @@ def _simhash_oracle() -> str:
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return simhash_signature(d).orderBy("doc_id")
+
+
+_DECON_K = 5
+
+
+def _shingle_cte(rel: str, k: int) -> str:
+    """DuckDB k-token shingle CTE body over relation ``rel``."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {k}
+                               THEN list_transform(range(1, len(t) - {k - 2}),
+                                        i -> {parts})
+                               ELSE [] END) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM {rel}
+                WHERE length(trim(text)) > 0
+            )
+        )
+    """
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    be AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+    trs AS ({_shingle_cte("tr", _DECON_K)}),
+    bes AS (SELECT DISTINCT shingle FROM ({_shingle_cte("be", _DECON_K)})),
+    per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM trs GROUP BY 1),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hit
+        FROM trs WHERE shingle IN (SELECT shingle FROM bes)
+        GROUP BY 1
+    )
+    SELECT per.doc_id,
+           per.n_shingles,
+           COALESCE(hits.n_hit, 0) AS n_hit,
+           COALESCE(hits.n_hit, 0) * 1000 >= per.n_shingles AS contaminated
+    FROM per LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:decontaminate",),
+    description=f"benchmark decontamination: {_DECON_K}-gram overlap of "
+    "training docs (source != src0) against the benchmark corpus (source "
+    "= src0); benchmark shingle set is broadcast — the 100 TB side never "
+    "shuffles; integer-exact hit-ratio verdict",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.dedup.decontaminate import decontaminate
+
+    d = Catalog(spark, sf_dir).documents
+    train = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return decontaminate(
+        train, bench, k=_DECON_K, min_hit_ratio=(1, 1000)
+    ).orderBy("doc_id")
 
 
 _NGRAM_PAIRS_CTE = f"""

@@ -315,3 +315,43 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _pii_oracle() -> str:
+    from ton_indexer_spark.functions.pii import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           md5({redacted}) AS redacted_fp
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "pii_detect",
+    _pii_oracle(),
+    survey_ops=("beyond:pii",),
+    description="PII detection + redaction (email/IPv4/phone regex "
+    "classes, BigCode-style scrub): regexp_count + ordered "
+    "regexp_replace, all JVM-side codegen column expressions; patterns "
+    "restricted to the Java-regex ∩ RE2 portable subset",
+)
+def pii_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.pii import pii_counts, redact_pii
+
+    d = Catalog(spark, sf_dir).documents
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.cast("bigint").alias(f"n_{name}") for name, c in counts.items()],
+        F.md5(redact_pii(F.col("text"))).alias("redacted_fp"),
+    ).orderBy("doc_id")
