@@ -141,3 +141,113 @@ def embed_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, n_lists=16, nprobe=4, k=5).orderBy(
         "query_id", "rank"
     )
+
+
+# ---- semantic dedup + k-means gates -------------------------------------
+
+_SEED_ASSIGN_CTE = """
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT {k}
+    ),
+    assign1 AS (
+        SELECT v.vec_id, v.v, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(v.v, s.cv), 6) DESC,
+                            s.cid ASC) AS pr
+        FROM v CROSS JOIN seeds s
+    ),
+    members AS (SELECT vec_id, v, cid FROM assign1 WHERE pr = 1)
+"""
+
+
+@register(
+    "semdedup",
+    f"""
+    WITH {_SEED_ASSIGN_CTE.format(k=8)},
+    pairs AS (
+        SELECT b.vec_id AS v, MIN(a.vec_id) AS dup_of
+        FROM members a JOIN members b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        GROUP BY b.vec_id
+    )
+    SELECT m.vec_id,
+           m.cid AS cluster_id,
+           p.dup_of,
+           p.dup_of IS NOT NULL AS is_duplicate
+    FROM members m LEFT JOIN pairs p ON p.v = m.vec_id
+    ORDER BY m.vec_id
+    """,
+    survey_ops=("beyond:semdedup",),
+    description="SemDeDup-style semantic dedup: centroid assignment "
+    "(broadcast seeds, Arrow-batch BLAS) then near-dup only WITHIN each "
+    "cluster — Σ|cluster|² not O(N²), cluster count scales ∝ N; "
+    "keep-smallest-id policy matching the exact/MinHash stages",
+)
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.similarity.semdedup import semdedup
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return semdedup(emb, n_clusters=8, threshold=0.4).orderBy("vec_id")
+
+
+def _kmeans_oracle(k: int = 8) -> str:
+    # replay iteration 1 assignment, the exact-integer centroid update,
+    # and iteration 2 assignment — bit-for-bit the Spark computation
+    # (quantized int64 coordinate sums make the mean order-independent)
+    return f"""
+    WITH {_SEED_ASSIGN_CTE.format(k=k)},
+    q AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT))
+                   AS qv
+        FROM v
+    ),
+    m1 AS (
+        SELECT q.vec_id, q.v, q.qv, m.cid
+        FROM q JOIN members m USING (vec_id)
+    ),
+    cpos AS (
+        SELECT cid, i AS pos, SUM(qv[i]) AS s, COUNT(*) AS c
+        FROM m1, unnest(range(1, len(qv) + 1)) AS u(i)
+        GROUP BY cid, i
+    ),
+    c1 AS (
+        SELECT cid, list(s * 1.0 / (c * 1000000) ORDER BY pos) AS cv
+        FROM cpos GROUP BY cid
+    ),
+    assign2 AS (
+        SELECT q.vec_id, c1.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c1.cv), 6) DESC,
+                            c1.cid ASC) AS pr
+        FROM q CROSS JOIN c1
+    )
+    SELECT vec_id, cid AS cluster_id
+    FROM assign2 WHERE pr = 1
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "embed_kmeans",
+    _kmeans_oracle(),
+    survey_ops=("beyond:kmeans",),
+    description="distributed cosine k-means (2 Lloyd passes, k=8, "
+    "deterministic smallest-id seeds): assignment = broadcast-centroid "
+    "Arrow BLAS (no shuffle), update = one groupBy(cluster, pos) over "
+    "QUANTIZED int64 coordinates — the exact-integer sum makes the "
+    "centroid partitioning/engine-independent, so the oracle replays "
+    "both iterations bit-for-bit (textbook float k-means is not "
+    "gate-able)",
+)
+def embed_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.similarity.kmeans import kmeans
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return kmeans(emb, k=8, n_iter=2).orderBy("vec_id")
