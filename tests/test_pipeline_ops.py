@@ -140,3 +140,94 @@ class TestSourceMixture:
             source_mixture(d, "doc_id", "source", {"src0": 0})
         with pytest.raises(ValueError):
             source_mixture(d, "doc_id", "source", {})
+
+
+class TestBloom:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        from ton_indexer_spark.dedup.bloom import bloom_build, bloom_probe
+
+        ref = spark.createDataFrame(
+            [(f"key{i}",) for i in range(50)], "k string"
+        )
+        cand = spark.createDataFrame(
+            [(f"key{i}",) for i in range(40, 140)], "k string"
+        )
+        bloom = bloom_build(ref, "k", m_bits=4096, k_hashes=3)
+        out = {r["k"]: r["maybe_member"]
+               for r in bloom_probe(cand, bloom, "k", m_bits=4096,
+                                    k_hashes=3).collect()}
+        # Bloom guarantee: every true member reports maybe_member
+        for i in range(40, 50):
+            assert out[f"key{i}"]
+        # false positives are rare at this load factor
+        fps = sum(1 for i in range(50, 140) if out[f"key{i}"])
+        assert fps <= 5
+
+    def test_duplicate_candidate_keys(self, spark):
+        from ton_indexer_spark.dedup.bloom import bloom_build, bloom_probe
+
+        ref = spark.createDataFrame([("a",)], "k string")
+        cand = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+        bloom = bloom_build(ref, "k", m_bits=1024, k_hashes=3)
+        rows = bloom_probe(cand, bloom, "k", m_bits=1024, k_hashes=3).collect()
+        got = sorted((r["k"], r["maybe_member"]) for r in rows)
+        assert got == [("a", True), ("a", True), ("b", False)] or got[0][1]
+
+    def test_filter_size_bounded(self, spark):
+        from ton_indexer_spark.dedup.bloom import bloom_build
+
+        ref = spark.createDataFrame(
+            [(f"key{i}",) for i in range(5000)], "k string"
+        )
+        assert bloom_build(ref, "k", m_bits=256, k_hashes=3).count() <= 256
+
+
+class TestDatasetSplit:
+    def test_partition_and_stability(self, spark):
+        from ton_indexer_spark.operators.sampling import dataset_split
+
+        d = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+        out = dataset_split(d, "doc_id")
+        by = {r["split"]: r["n"]
+              for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(by.values()) == 2000
+        assert by["train"] > 1900 and 0 < by.get("val", 0) < 60
+        # growing the corpus never moves an existing row's split
+        d2 = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+        first = {r["doc_id"]: r["split"]
+                 for r in dataset_split(d2, "doc_id").collect()}
+        for r in out.collect():
+            assert first[r["doc_id"]] == r["split"]
+
+    def test_rejects_bad_weights(self, spark):
+        from ton_indexer_spark.operators.sampling import dataset_split
+
+        d = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError):
+            dataset_split(d, "doc_id", splits=(("a", 0), ("b", 0)))
+
+
+class TestFixedPerGroup:
+    def test_exact_size_and_determinism(self, spark):
+        from ton_indexer_spark.operators.sampling import fixed_per_group
+
+        rows = [(i, f"g{i % 4}") for i in range(200)]
+        d = spark.createDataFrame(rows, "doc_id long, g string")
+        out = fixed_per_group(d, "g", "doc_id", 7)
+        by = {r["g"]: r["n"]
+              for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 7 for v in by.values())
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in fixed_per_group(d.repartition(9), "g", "doc_id", 7).collect()
+        )
+        assert a == b
+
+    def test_small_group_kept_whole(self, spark):
+        from ton_indexer_spark.operators.sampling import fixed_per_group
+
+        d = spark.createDataFrame(
+            [(1, "small"), (2, "small")], "doc_id long, g string"
+        )
+        assert fixed_per_group(d, "g", "doc_id", 10).count() == 2

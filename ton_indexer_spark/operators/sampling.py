@@ -110,3 +110,63 @@ def source_mixture(
         .filter(hash_bucket(F.col(id_col), buckets) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 98), ("val", 1), ("test", 1),
+    ),
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Assign every row to a named split by hash range (98/1/1 default).
+
+    The standard leakage-safe train/val/test assignment: membership is a
+    pure function of the id hash, so (a) a document NEVER migrates
+    between splits as the corpus grows — appends land in the same split
+    forever, (b) reruns and engines agree, (c) no shuffle — a map-side
+    CASE over the hash bucket.  ``splits`` is ordered (name, weight);
+    cumulative weight ranges partition [0, buckets).
+    """
+    total = sum(w for _, w in splits)
+    if total <= 0 or any(w < 0 for _, w in splits):
+        raise ValueError("dataset_split: weights must be non-negative, sum > 0")
+    b = hash_bucket(F.col(id_col), buckets)
+    expr = F.lit(splits[-1][0])
+    acc = 0
+    conds = []
+    for name, w in splits[:-1]:
+        acc += w
+        conds.append((name, acc * buckets // total))
+    for name, thr in reversed(conds):
+        expr = F.when(b < thr, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def fixed_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    buckets: int = 1_000_000_000,
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample of ``n`` rows per group.
+
+    Rank rows inside each group by (hash_bucket(id), id) and keep the
+    first ``n`` — a reproducible "random" subset (e.g. a fixed eval slice
+    per language).  Unlike rate-based sampling this hits the size
+    exactly; the cost is a per-group shuffle + window rank, so it's for
+    BOUNDED group counts with modest per-group cardinality — for
+    per-group rates over huge skewed groups use ``stratified_sample``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), buckets), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -275,3 +275,65 @@ def source_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dataset_split",
+    """
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 1000000
+                     < 980000 THEN 'train'
+                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 1000000
+                     < 990000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:dataset-split",),
+    description="leakage-safe train/val/test assignment (98/1/1) by hash "
+    "range: a document never migrates between splits as the corpus grows "
+    "— map-side CASE, no shuffle",
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.sampling import dataset_split
+
+    d = Catalog(spark, sf_dir).documents
+    return (
+        dataset_split(d, id_col="doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "group_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000000,
+                       doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 10
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:group-sample",),
+    description="deterministic fixed-size uniform sample per group (10 "
+    "docs per language — the fixed eval-slice pattern): hash-order "
+    "window rank inside each group, exact size unlike rate sampling",
+)
+def group_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.sampling import fixed_per_group
+
+    d = Catalog(spark, sf_dir).documents
+    return (
+        fixed_per_group(d, group_col="lang", id_col="doc_id", n=10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -312,3 +312,86 @@ def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("canonical_id"),
         (F.col("node") != F.col("component")).alias("is_duplicate"),
     ).orderBy("doc_id")
+
+
+_BLOOM_M = 2048
+_BLOOM_K = 3
+_FP_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+def _bloom_oracle() -> str:
+    pos = lambda i, key: (  # noqa: E731
+        f"CAST(('0x' || substring(md5('{i}:' || {key}), 1, 8)) AS BIGINT) "
+        f"% {_BLOOM_M}"
+    )
+    ref_pos = "\n        UNION\n        ".join(
+        f"SELECT {pos(i, 'fp')} AS pos FROM ref" for i in range(_BLOOM_K)
+    )
+    cand_pos = "\n        UNION ALL\n        ".join(
+        f"SELECT fp, {pos(i, 'fp')} AS pos FROM cand_keys"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH ref AS (
+        SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE source = 'src0'
+    ),
+    bloom AS (
+        {ref_pos}
+    ),
+    cand AS (
+        SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE source <> 'src0'
+    ),
+    cand_keys AS (SELECT DISTINCT fp FROM cand),
+    cpos AS (
+        {cand_pos}
+    ),
+    hits AS (
+        SELECT fp, COUNT(*) AS n_set
+        FROM cpos WHERE pos IN (SELECT pos FROM bloom)
+        GROUP BY fp
+    )
+    SELECT c.doc_id,
+           COALESCE(h.n_set, 0) = {_BLOOM_K} AS maybe_member,
+           c.fp IN (SELECT fp FROM ref) AS exact_member
+    FROM cand c LEFT JOIN hits h USING (fp)
+    ORDER BY c.doc_id
+    """
+
+
+@register(
+    "bloom_membership",
+    _bloom_oracle(),
+    survey_ops=("beyond:bloom",),
+    description=f"Bloom-filter membership screen (m={_BLOOM_M} bits, "
+    f"k={_BLOOM_K} md5 hashes) of candidate fingerprints against a "
+    "reference corpus: the filter is the distinct set-bit position table "
+    "— FIXED size regardless of reference cardinality (the 100 TB "
+    "property the exact semi-join lacks), broadcast for a map-side "
+    "probe; exact membership emitted alongside so false positives are "
+    "observable",
+)
+def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.dedup.bloom import bloom_build, bloom_probe
+    from ton_indexer_spark.functions.text import fingerprint
+
+    d = Catalog(spark, sf_dir).documents
+    ref = (
+        d.filter(F.col("source") == "src0")
+        .select(fingerprint(F.col("text")).alias("fp"))
+    )
+    cand = d.filter(F.col("source") != "src0").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    bloom = bloom_build(ref, "fp", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    probed = bloom_probe(cand, bloom, "fp", m_bits=_BLOOM_M,
+                         k_hashes=_BLOOM_K)
+    exact = ref.select("fp").distinct()
+    return (
+        probed.join(exact.withColumn("_em", F.lit(True)), "fp", "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.coalesce(F.col("_em"), F.lit(False)).alias("exact_member"),
+        )
+        .orderBy("doc_id")
+    )
