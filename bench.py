@@ -43,6 +43,12 @@ HEADLINE = [
     "tfidf_topk",
     "doc_chunks",
     "dedup_cluster_canonical",
+    "decontaminate",
+    "bloom_membership",
+    "semdedup",
+    "embed_kmeans",
+    "source_mixture",
+    "pii_detect",
 ]
 
 
