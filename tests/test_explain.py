@@ -291,3 +291,47 @@ def test_doc_chunks_has_no_mid_plan_shuffle(spark, specs):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
     assert "rangepartitioning" in plan and "hashpartitioning" not in plan
+
+
+def test_dataset_split_and_pii_are_map_side(spark, specs):
+    """dataset_split / pii_detect: pure codegen column expressions — the
+    only Exchange in each gate plan is the final presentation sort."""
+    for name in ("dataset_split", "pii_detect"):
+        plan = plan_of(specs[name].builder(spark, SF_SMALL))
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, (name, plan)
+        assert "hashpartitioning" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_mixture_corpus_is_not_shuffled(spark, specs):
+    """source_mixture: the corpus side reaches the threshold join without
+    an Exchange on it — thresholds are broadcast (tiny per-source table);
+    only the small aggregation side shuffles."""
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.operators.sampling import source_mixture
+    from ton_indexer_spark.queries.analytics import MIXTURE_WEIGHTS
+
+    d = Catalog(spark, SF_SMALL).documents
+    plan = plan_of(
+        source_mixture(d, "doc_id", "source", MIXTURE_WEIGHTS)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # corpus rows never range/hash-partition: every Exchange in the plan
+    # belongs to the |sources|-row aggregation/broadcast side
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontaminate_benchmark_side_joins_semi(spark, specs):
+    """decontaminate: the benchmark shingle probe is a LeftSemi join (the
+    training side keeps only matching rows; no plan-mandated broadcast of
+    the big side)."""
+    plan = plan_of(specs["decontaminate"].builder(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, specs):
+    """bloom_membership: the set-bit position table (bounded <= m rows) is
+    the broadcast side of the probe join."""
+    plan = plan_of(specs["bloom_membership"].builder(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
