@@ -231,3 +231,43 @@ class TestFixedPerGroup:
             [(1, "small"), (2, "small")], "doc_id long, g string"
         )
         assert fixed_per_group(d, "g", "doc_id", 10).count() == 2
+
+
+class TestCharLM:
+    def test_reference_like_text_scores_lower(self, spark):
+        from ton_indexer_spark.functions.charlm import char_lm_score, train_char_lm
+
+        ref = spark.createDataFrame(
+            [(i, "the common english words appear here again and again")
+             for i in range(5)],
+            "doc_id long, text string",
+        )
+        model = train_char_lm(ref)
+        docs = spark.createDataFrame(
+            [
+                (1, "the english words appear here"),
+                (2, "zzzzqqqxxjjj zzzzqqq"),
+                (3, "你好世界"),          # fully out-of-alphabet
+                (4, ""),                   # empty
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in char_lm_score(docs, model).collect()}
+        assert out[1]["nll_per_char"] < out[2]["nll_per_char"]
+        assert out[3]["n_scored"] == 0 and out[3]["nll_per_char"] is None
+        assert out[4]["n_scored"] == 0 and out[4]["nll_per_char"] is None
+        # exact integer sum: recompute from the model
+        text1 = "the english words appear here"
+        expect = sum(model[c] for c in text1 if c in model)
+        assert out[1]["nll_sum_scaled"] == expect
+
+    def test_score_stage_is_shuffle_free(self, spark):
+        import re
+
+        from tests.test_explain import plan_of
+        from ton_indexer_spark.functions.charlm import ALPHABET, char_lm_score
+
+        d = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        model = {c: 1 for c in ALPHABET}
+        plan = plan_of(char_lm_score(d, model))
+        assert not re.search(r"\(\d+\) Exchange", plan), plan

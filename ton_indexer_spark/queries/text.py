@@ -355,3 +355,69 @@ def pii_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.cast("bigint").alias(f"n_{name}") for name, c in counts.items()],
         F.md5(redact_pii(F.col("text"))).alias("redacted_fp"),
     ).orderBy("doc_id")
+
+
+def _charlm_oracle() -> str:
+    from ton_indexer_spark.functions.charlm import ALPHABET, SCALE
+
+    n = len(ALPHABET)
+    cnt = lambda src, i: (  # noqa: E731
+        f"length({src}) - length(replace({src}, '{ALPHABET[i]}', ''))"
+    )
+    ref_counts = ",\n               ".join(
+        f"SUM({cnt('lt', i)}) AS c{i}" for i in range(n)
+    )
+    total = " + ".join(f"c{i}" for i in range(n)) + f" + {n}"
+    model_cols = ",\n               ".join(
+        f"CAST(FLOOR(-ln((c{i} + 1) * 1.0 / ({total})) * {SCALE} + 0.5) "
+        f"AS BIGINT) AS q{i}"
+        for i in range(n)
+    )
+    doc_counts = ",\n               ".join(
+        f"{cnt('lt', i)} AS k{i}" for i in range(n)
+    )
+    n_scored = " + ".join(f"k{i}" for i in range(n))
+    nll = " + ".join(f"k{i} * q{i}" for i in range(n))
+    return f"""
+    WITH ref AS (SELECT lower(text) AS lt FROM documents WHERE lang = 'en'),
+    cnt AS (
+        SELECT {ref_counts}
+        FROM ref
+    ),
+    model AS (
+        SELECT {model_cols}
+        FROM cnt
+    ),
+    d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    k AS (
+        SELECT doc_id,
+               {doc_counts}
+        FROM d
+    )
+    SELECT k.doc_id,
+           CAST({n_scored} AS BIGINT) AS n_scored,
+           CAST({nll} AS BIGINT) AS nll_sum_scaled,
+           CASE WHEN {n_scored} > 0
+                THEN CAST({nll} AS DOUBLE) / ({n_scored}) END AS nll_per_char
+    FROM k CROSS JOIN model
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "char_lm_quality",
+    _charlm_oracle(),
+    survey_ops=("beyond:charlm",),
+    description="perplexity-proxy quality scoring (CCNet/KenLM pattern, "
+    "char-unigram form): model = ONE aggregation over the reference "
+    "corpus (alphabet-sized, collected; any table-lookup LM drops into "
+    "the same seam), scoring = map-side replace-count column algebra "
+    "with integer-quantized log-probs — exact int64 sums, no explode, "
+    "no shuffle",
+)
+def char_lm_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.charlm import char_lm_score, train_char_lm
+
+    d = Catalog(spark, sf_dir).documents
+    model = train_char_lm(d.filter(F.col("lang") == "en"))
+    return char_lm_score(d, model).orderBy("doc_id")
