@@ -1,0 +1,178 @@
+"""End-to-end LLM training-data pipeline: raw corpus → packed samples.
+
+Composes the engine's training-data operators into the standard curation
+funnel (the shape of CCNet / RefinedWeb / FineWeb / Dolma pipelines),
+every stage a lazy DataFrame transformation — ONE Spark application, one
+shuffle per stage that genuinely needs it:
+
+    quality gates     char-LM perplexity proxy, trigram repetition,
+                      token-count bounds                       (map-side)
+    PII               redact emails/IPv4/phones                (map-side)
+    decontamination   5-gram overlap vs benchmark corpus   (broadcast semi)
+    exact dedup       fingerprint keep-smallest-id          (hash groupBy)
+    near dedup        MinHash+LSH pairs → connected components →
+                      cluster canonicalization            (banded buckets)
+    semantic dedup    SemDeDup over embeddings            (cluster-scoped)
+    mixing            source-mixture weights                  (map-side)
+    split             leakage-safe train/val/test             (map-side)
+    shaping           chunk to token windows, pack to a fixed
+                      token budget                       (distributed scan)
+
+Run:  python examples/llm_pipeline.py   (~1 min on local[32], sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ton_indexer_spark.catalog import Catalog  # noqa: E402
+from ton_indexer_spark.dedup import lsh_candidate_pairs  # noqa: E402
+from ton_indexer_spark.dedup.decontaminate import decontaminate  # noqa: E402
+from ton_indexer_spark.functions.charlm import (  # noqa: E402
+    char_lm_score,
+    train_char_lm,
+)
+from ton_indexer_spark.functions.pii import redact_pii  # noqa: E402
+from ton_indexer_spark.functions.text import (  # noqa: E402
+    fingerprint,
+    token_count,
+)
+from ton_indexer_spark.operators import connected_components  # noqa: E402
+from ton_indexer_spark.operators.prefix import sequence_pack  # noqa: E402
+from ton_indexer_spark.operators.sampling import (  # noqa: E402
+    dataset_split,
+    source_mixture,
+)
+from ton_indexer_spark.queries.text import (  # noqa: E402
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+)
+from ton_indexer_spark.session import get_spark  # noqa: E402
+from ton_indexer_spark.similarity.semdedup import semdedup  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def stage(name: str, df, n_before: int) -> int:
+    n = df.count()
+    print(f"  {name:<28} {n_before:>7} -> {n:>7}")
+    return n
+
+
+def main() -> None:
+    spark = get_spark(app_name="llm_pipeline_demo")
+    cat = Catalog(spark, SF_DIR)
+    docs = cat.documents
+    emb = cat.embeddings
+    n0 = docs.count()
+    print(f"== corpus: {n0} documents from {SF_DIR}")
+
+    # ---- 1. quality gates (all map-side column algebra) -------------------
+    model = train_char_lm(docs.filter(F.col("lang") == "en"))
+    scored = docs.join(
+        char_lm_score(docs, model).select("doc_id", "nll_per_char"), "doc_id"
+    ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    kept = scored.filter(
+        (F.col("n_tokens") >= 5)
+        & F.col("nll_per_char").isNotNull()
+        # char-LM tail cut: drop the least reference-like 5% (demo uses a
+        # fixed threshold; production computes it from percentile_summary)
+        & (F.col("nll_per_char") < 2_940_000)
+    )
+    n = stage("quality gates", kept, n0)
+
+    # ---- 2. PII redaction (map-side rewrite, text replaced in place) ------
+    kept = kept.withColumn("text", redact_pii(F.col("text")))
+
+    # ---- 3. benchmark decontamination (broadcast the benchmark side) ------
+    bench = docs.filter(F.col("source") == "src0")
+    train_side = kept.filter(F.col("source") != "src0")
+    decon = decontaminate(train_side, bench, k=5)
+    kept = train_side.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    n = stage("decontaminate", kept, n)
+
+    # ---- 4. exact dedup (keep smallest doc_id per fingerprint) ------------
+    kept = kept.withColumn("fp", fingerprint(F.col("text")))
+    keep_ids = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(keep_ids.select("doc_id"), "doc_id").drop("fp")
+    n = stage("exact dedup", kept, n)
+
+    # ---- 5. near dedup: MinHash+LSH pairs -> CC -> drop non-canonical -----
+    pairs = (
+        lsh_candidate_pairs(kept)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b")
+    dupes = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = kept.join(dupes, "doc_id", "left_anti")
+    n = stage("near dedup (MinHash+CC)", kept, n)
+
+    # ---- 6. semantic dedup over embeddings (SemDeDup) ---------------------
+    sem_dupes = (
+        semdedup(emb, n_clusters=8, threshold=0.4)
+        .filter(F.col("is_duplicate"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    kept = kept.join(sem_dupes, "doc_id", "left_anti")
+    n = stage("semantic dedup (SemDeDup)", kept, n)
+
+    # ---- 7. source mixture + train/val/test split (map-side) --------------
+    weights = {f"src{i}": (i % 5) + 1 for i in range(20)}
+    mixed = source_mixture(kept, "doc_id", "source", weights)
+    n = stage("source mixture", mixed, n)
+    split = dataset_split(mixed, "doc_id")
+    print(
+        "  split sizes              ",
+        {
+            r["split"]: r["n"]
+            for r in split.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        },
+    )
+
+    # ---- 8. chunk to token windows, pack to a fixed token budget ----------
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    t = (
+        split.filter(F.col("split") == "train")
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("off"),
+        F.col("n"),
+    ).select(
+        (F.col("doc_id") * 10_000 + F.col("off")).alias("chunk_id"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("off")).alias(
+            "chunk_tokens"
+        ),
+    )
+    packed = sequence_pack(
+        chunks, order_col="chunk_id", tokens_col="chunk_tokens", budget=2048
+    )
+    n_chunks = packed.count()
+    n_bins = packed.agg(F.countDistinct("bin_id")).collect()[0][0]
+    print(f"  chunk+pack                {n_chunks} chunks -> {n_bins} "
+          f"bins of <=2048 tokens")
+    print("== done — every stage above is a lazy DataFrame plan; at 100 TB "
+          "swap the paths and raise spark.sql.shuffle.partitions")
+
+
+if __name__ == "__main__":
+    main()

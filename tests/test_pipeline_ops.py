@@ -271,3 +271,24 @@ class TestCharLM:
         model = {c: 1 for c in ALPHABET}
         plan = plan_of(char_lm_score(d, model))
         assert not re.search(r"\(\d+\) Exchange", plan), plan
+
+
+def test_llm_pipeline_example_runs(spark, monkeypatch, capsys):
+    """The end-to-end curation example executes at sf0.001 and every stage
+    is monotonically non-increasing until chunking."""
+    import importlib
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    import examples.llm_pipeline as lp
+
+    importlib.reload(lp)
+    lp.main()
+    out = capsys.readouterr().out
+    assert "done" in out
+    counts = []
+    for line in out.splitlines():
+        parts = line.split("->")
+        if len(parts) == 2 and parts[1].strip().isdigit():
+            counts.append(int(parts[1].strip()))
+    assert counts, out
+    assert all(b <= a for a, b in zip(counts, counts[1:])), counts
