@@ -292,3 +292,77 @@ def test_llm_pipeline_example_runs(spark, monkeypatch, capsys):
             counts.append(int(parts[1].strip()))
     assert counts, out
     assert all(b <= a for a, b in zip(counts, counts[1:])), counts
+
+
+class TestStreamingCuration:
+    def test_cross_batch_dedup_and_quality(self, spark, tmp_path):
+        from ton_indexer_spark.functions.charlm import train_char_lm
+        from ton_indexer_spark.streaming.corpus import (
+            run_curation_available_now,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, "plain english reference text for the model", "en", "web", 40)
+             for i in range(3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        model = train_char_lm(ref)
+
+        good = "this document is made of plain english words and stays"
+        src = tmp_path / "src"
+        batch1 = [
+            (1, good + " one", "en", "web", 50),
+            (2, good + " one", "en", "web", 50),   # in-batch duplicate of 1
+            (3, "zzqx jjqx zzqx wwqx vvqx kkqx", "en", "web", 30),  # low quality
+        ]
+        batch2 = [
+            (4, good + " one", "en", "web", 50),   # cross-batch duplicate
+            (5, good + " five", "en", "web", 50),
+        ]
+        cols = "doc_id long, text string, lang string, source string, n_chars long"
+        spark.createDataFrame(batch1, cols).coalesce(1).write.parquet(str(src))
+        spark.createDataFrame(batch2, cols).coalesce(1).write.mode(
+            "append").parquet(str(src))
+
+        out = tmp_path / "out"
+        run_curation_available_now(
+            spark, str(src), str(out), str(tmp_path / "ckpt"),
+            model, max_nll_per_char=3_500_000,
+        )
+        got = spark.read.parquet(str(out))
+        ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+        # 3 dropped by quality; 2 and 4 dropped as duplicates of 1
+        assert 5 in ids and 3 not in ids
+        fps = [r["fp"] for r in got.collect()]
+        assert len(fps) == len(set(fps))
+        assert len([i for i in ids if i in (1, 2, 4)]) == 1
+        assert "split" in got.columns
+
+    def test_restart_keeps_dedup_state(self, spark, tmp_path):
+        from ton_indexer_spark.functions.charlm import train_char_lm
+        from ton_indexer_spark.streaming.corpus import (
+            run_curation_available_now,
+        )
+
+        ref = spark.createDataFrame(
+            [(0, "plain english reference text", "en", "web", 28)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        model = train_char_lm(ref)
+        cols = "doc_id long, text string, lang string, source string, n_chars long"
+        text = "the same document text arrives in both runs exactly"
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(1, text, "en", "web", 50)], cols
+        ).coalesce(1).write.parquet(str(src))
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+        run_curation_available_now(
+            spark, str(src), str(out), str(ckpt), model, 3_500_000)
+        # second run: the same content under a NEW doc_id lands later
+        spark.createDataFrame(
+            [(2, text, "en", "web", 50)], cols
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        run_curation_available_now(
+            spark, str(src), str(out), str(ckpt), model, 3_500_000)
+        got = spark.read.parquet(str(out))
+        assert got.count() == 1  # state survived the restart
