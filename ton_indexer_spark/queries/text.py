@@ -421,3 +421,48 @@ def char_lm_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     model = train_char_lm(d.filter(F.col("lang") == "en"))
     return char_lm_score(d, model).orderBy("doc_id")
+
+
+@register(
+    "common_ngrams",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                               THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                               ELSE [] END) AS g
+            FROM toks
+        )
+    )
+    SELECT g AS ngram, COUNT(*) AS df
+    FROM tri
+    GROUP BY g
+    HAVING COUNT(*) >= 3
+    ORDER BY df DESC, ngram
+    LIMIT 50
+    """,
+    survey_ops=("beyond:boilerplate",),
+    description="boilerplate n-gram mining: top-50 trigram shingles by "
+    "document frequency (df >= 3) — the blocklist builder behind "
+    "boilerplate/template removal; shingle-explode + partial-agg "
+    "count, one shuffle, TakeOrdered top-k",
+)
+def common_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.dedup.shingles import shingles
+
+    d = Catalog(spark, sf_dir).documents
+    return (
+        shingles(d, k=3)
+        .groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .orderBy(F.desc("df"), "ngram")
+        .limit(50)
+    )
