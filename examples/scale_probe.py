@@ -30,6 +30,12 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
+    "decontaminate",
+    "bloom_membership",
+    "semdedup",
+    "embed_kmeans",
+    "char_lm_quality",
+    "source_mixture",
 ]
 
 # id-bearing columns to shift per copy, per table (disjoint ranges keep
@@ -37,7 +43,7 @@ DEFAULT_QUERIES = [
 SHIFT_COLS = {
     "events": ["event_id", "user_id", "session_hint"],
     "documents": ["doc_id"],
-    "embeddings": ["id"],
+    "embeddings": ["vec_id"],
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
 }

@@ -366,3 +366,61 @@ class TestStreamingCuration:
             spark, str(src), str(out), str(ckpt), model, 3_500_000)
         got = spark.read.parquet(str(out))
         assert got.count() == 1  # state survived the restart
+
+
+class TestIncrementalNearDup:
+    BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+    def _write(self, spark, path, rows, mode="overwrite"):
+        cols = "doc_id long, text string, lang string, source string, n_chars long"
+        spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in rows], cols
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    def test_cross_batch_near_dup_dropped(self, spark, tmp_path):
+        from ton_indexer_spark.streaming.corpus import (
+            run_incremental_neardup_available_now,
+        )
+
+        src = str(tmp_path / "src")
+        # batch 1: an original + an unrelated doc
+        self._write(spark, src, [
+            (1, self.BASE + " one extra"),
+            (2, "totally different words about query engines and storage "
+                "layers and optimizers and parquet readers working nicely"),
+        ])
+        # batch 2: a NEAR duplicate of doc 1 (one token changed) + fresh doc
+        self._write(spark, src, [
+            (3, self.BASE + " two extra"),
+            (4, "fresh content with its own vocabulary entirely such as "
+                "gardens rivers mountains forests meadows and valleys"),
+        ], mode="append")
+        out = str(tmp_path / "out")
+        run_incremental_neardup_available_now(
+            spark, src, out, str(tmp_path / "ckpt"))
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/docs").collect()
+        )
+        assert 1 in got and 2 in got and 4 in got
+        assert 3 not in got  # near-dup of history
+
+    def test_batch_local_dups_keep_smallest(self, spark, tmp_path):
+        from ton_indexer_spark.streaming.corpus import (
+            run_incremental_neardup_available_now,
+        )
+
+        src = str(tmp_path / "src")
+        self._write(spark, src, [
+            (10, self.BASE + " aaa"),
+            (11, self.BASE + " bbb"),   # near-dup of 10, same batch
+        ])
+        out = str(tmp_path / "out")
+        run_incremental_neardup_available_now(
+            spark, src, out, str(tmp_path / "ckpt"))
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/docs").collect()
+        )
+        assert got == [10]

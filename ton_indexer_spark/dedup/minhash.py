@@ -41,7 +41,7 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     docs: DataFrame,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
@@ -49,7 +49,12 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) with doc_a < doc_b sharing ≥1 LSH band bucket."""
+    """(id, band_id, band_hash) — one row per (doc, band).
+
+    The LSH index rows: two docs are near-dup CANDIDATES iff they share a
+    (band_id, band_hash) bucket.  Persisting this table gives an
+    incremental index — new docs only join their own bucket keys against
+    it (see streaming/corpus.py)."""
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
     sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
@@ -64,11 +69,25 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    return sig.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) with doc_a < doc_b sharing ≥1 LSH band bucket."""
     # cache: the bucket table feeds both sides of the candidate self-join —
     # uncached, the whole shingle→signature pipeline executes twice
-    buckets = sig.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash").cache()
+    buckets = band_buckets(
+        docs, n_hashes, n_bands, k, id_col, text_col
+    ).cache()
     a = buckets.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )

@@ -123,3 +123,93 @@ def run_curation_available_now(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_neardup_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Near-dedup each micro-batch against ALL history via a persisted
+    LSH index — without ever recomputing the corpus.
+
+    The index is the MinHash band-bucket table (``dedup/minhash.py::
+    band_buckets``) appended under ``out_dir``/_lsh_index.  Per batch:
+
+    1. compute the batch's band buckets (shingle → signature → bands —
+       one aggregation over the BATCH only);
+    2. semi-join them against the stored index (shuffle keyed on the
+       band hash; the probe touches only matching buckets, and Spark
+       prunes the index scan to the two join columns);
+    3. batch docs hitting any stored bucket are near-duplicates of
+       history → dropped; survivors dedup among THEMSELVES (batch-local
+       pair join, keep-smallest-id) and append to both the corpus sink
+       and the index.
+
+    Cost per batch is |batch| + |matched buckets|, not |corpus| — the
+    same merge-vs-history shape as ``sources/writer.py::merge_dimension``.
+    Exactly-once: both sinks are BATCH-KEYED (``batch=N`` subdirs written
+    with overwrite — the same pattern as the ingest body store), and the
+    history probe excludes the current batch's own partition, so a
+    redelivered batch recomputes against the same history and overwrites
+    its own output instead of self-colliding or double-appending.
+    """
+    import os
+
+    from ton_indexer_spark.dedup.minhash import band_buckets
+
+    index_dir = os.path.join(out_dir, "_lsh_index")
+    docs_dir = os.path.join(out_dir, "docs")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if batch.rdd.isEmpty():
+            return
+        buckets = band_buckets(batch).localCheckpoint(eager=True)
+        try:
+            stored = s.read.option("basePath", index_dir).parquet(index_dir)
+            stored = stored.filter(F.col("batch") != batch_id)
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            stored = None
+        if stored is not None:
+            hist_dups = (
+                buckets.alias("n")
+                .join(
+                    stored.alias("o"),
+                    (F.col("n.band_id") == F.col("o.band_id"))
+                    & (F.col("n.band_hash") == F.col("o.band_hash")),
+                )
+                .select(F.col("n.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            kept = batch.join(hist_dups, "doc_id", "left_anti")
+            kept_buckets = buckets.join(hist_dups, "doc_id", "left_anti")
+        else:
+            kept, kept_buckets = batch, buckets
+        # batch-local near-dup among survivors: keep smallest doc_id
+        a = kept_buckets.select(
+            F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+        b = kept_buckets.select(
+            F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+        local_dups = (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = kept.join(local_dups, "doc_id", "left_anti")
+        kept_buckets = kept_buckets.join(local_dups, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch={batch_id}"))
+        kept_buckets.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}"))
+
+    (
+        corpus_stream(spark, src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
