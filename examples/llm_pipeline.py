@@ -158,7 +158,9 @@ def main() -> None:
         ).alias("off"),
         F.col("n"),
     ).select(
-        (F.col("doc_id") * 10_000 + F.col("off")).alias("chunk_id"),
+        # multiplier must exceed any document's token count, or chunk_ids
+        # collide across adjacent doc_ids (off can reach n - 1)
+        (F.col("doc_id") * 1_000_000_000 + F.col("off")).alias("chunk_id"),
         F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("off")).alias(
             "chunk_tokens"
         ),

@@ -860,3 +860,44 @@ def test_renew_dns_and_put_on_auction(spark):
     assert [a["type"] for a in rd] == ["renew_dns"]
     pa = acts_of(res, "pa1")
     assert [a["type"] for a in pa] == ["nft_put_on_auction"]
+
+
+def test_jetton_mint_entry_opcode_collision_rejected(spark):
+    """A SUCCESSFUL call with opcode 0x15 whose body happens to decode an
+    address must not classify as jetton_mint without the internal-transfer
+    leg or dimension evidence (reference gates on the minter interface);
+    with the jetton_wallets dimension hydrated, membership is
+    authoritative even for legless failed calls."""
+    from ton_indexer_spark.classifier.matchers import JETTON_MINT_MINTER
+    from ton_indexer_spark.functions.boc import Builder
+
+    NOT_MINTER, OTHER = A[5], A[6]
+    # (query_id:uint64, addr, coins) — mint-shaped bits on a foreign op
+    body_cell = (Builder().store_uint(JETTON_MINT_MINTER, 32)
+                 .store_uint(7, 64).store_address(OTHER)
+                 .store_coins(123).end_cell())
+    import base64
+
+    from ton_indexer_spark.functions.boc import serialize_boc
+
+    b64 = base64.b64encode(serialize_boc(body_cell)).decode()
+
+    b = TraceBuilder("jmcol1")
+    r = b.tx(A[0], None)
+    b.chain(r, NOT_MINTER, opcode=JETTON_MINT_MINTER, body=b64)
+    res = run(spark, [b])
+    types = [a["type"] for a in acts_of(res, "jmcol1")]
+    assert "jetton_mint" not in types
+
+    # same legless call but ABORTED with a hydrated dimension that does
+    # NOT contain the account as a master: still rejected
+    b2 = TraceBuilder("jmcol2")
+    r2 = b2.tx(A[0], None)
+    b2.chain(r2, NOT_MINTER, opcode=JETTON_MINT_MINTER, body=b64,
+             aborted=True)
+    MASTER = "0:feed" + "0" * 60
+    res2 = run(spark, [b2], jetton_wallets=[
+        {"address": A[7], "owner": A[8], "jetton": MASTER},
+    ])
+    types2 = [a["type"] for a in acts_of(res2, "jmcol2")]
+    assert "jetton_mint" not in types2

@@ -245,3 +245,27 @@ def test_plain_external_without_wallet_body_stays_silent(spark):
     b.tx(A[5], None, body=body_of({"whatever": 1}), aborted=True)
     res = run(spark, [b])
     assert acts_of(res, "fx3") == []
+
+
+def test_successful_lone_external_not_misclassified_as_failed(spark):
+    """An in-flight pending trace — the wallet tx SUCCEEDED but its
+    children haven't been ingested yet — must NOT be classified as a
+    failed transfer (the reference applies try_process_unknown_event only
+    to failed events)."""
+    from ton_indexer_spark.functions.boc import (
+        encode_comment,
+        parse_boc,
+    )
+    from ton_indexer_spark.functions.externals import encode_wallet_external
+    from ton_indexer_spark.functions.tx_parse import encode_message_cell
+
+    WALLET, DEST = A[5], A[6]
+    inner = encode_message_cell(
+        None, DEST, value=5_000_000, created_lt=0, created_at=0,
+        body=parse_boc(encode_comment("in flight")),
+    )
+    b = TraceBuilder("okx1")
+    b.tx(WALLET, None, body=encode_wallet_external([inner], wallet="v3"),
+         aborted=False)
+    res = run(spark, [b])
+    assert acts_of(res, "okx1") == []

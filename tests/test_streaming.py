@@ -369,3 +369,31 @@ def test_replace_by_key_pins_bucket_count(spark, tmp_path):
     assert len(rows) == 1  # no stale duplicate in another bucket
     assert rows[0]["action"] == "a7-new"
     assert spark.read.parquet(path).count() == 40
+
+
+def test_merge_dimension_pins_bucket_count(spark, tmp_path):
+    """Same contract as replace_by_key: a later merge with a mismatched
+    n_buckets must not leave the old row version alive in its original
+    bucket — the persisted _n_buckets marker overrides the parameter."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.sources.writer import merge_dimension
+
+    path = str(tmp_path / "dim_kb")
+    base = spark.createDataFrame(
+        [(f"acct{i}", i, 100) for i in range(40)],
+        "account string, balance long, last_transaction_lt long",
+    )
+    merge_dimension(spark, base, path, key=["account"], n_buckets=8)
+
+    delta = spark.createDataFrame(
+        [("acct7", 777, 200)],
+        "account string, balance long, last_transaction_lt long",
+    )
+    merge_dimension(spark, delta, path, key=["account"], n_buckets=32)
+
+    rows = spark.read.parquet(path).filter(
+        F.col("account") == "acct7").collect()
+    assert len(rows) == 1  # LWW held: no stale version in another bucket
+    assert rows[0]["balance"] == 777
+    assert spark.read.parquet(path).count() == 40

@@ -118,3 +118,28 @@ def test_forest_roots_local_matches_distributed(spark):
     roots = dict(a)
     assert roots["dupchild"] == "aaa-parent"
     assert all(r.startswith(("r", "aaa")) for r in set(roots.values()))
+
+
+def test_forest_roots_cyclic_corruption_parity(spark):
+    """Corrupted input (duplicate msg_hash ⇒ mutual parent pair a↔b) must
+    resolve identically on the local and distributed paths: the 2-cycle is
+    broken deterministically (smaller id becomes the root), tails hanging
+    off the cycle follow it, and the distributed loop terminates instead of
+    spinning to max_iter."""
+    from ton_indexer_spark.operators.graph import forest_roots
+
+    rows = [
+        ("b", "a"), ("a", "b"),          # mutual pair — the corruption
+        ("c", "a"), ("d", "c"),          # tail into the cycle
+        ("x", "w"), ("y", "x"),          # a clean chain alongside
+    ]
+    edges = spark.createDataFrame(rows, "child string, parent string")
+    local = sorted(map(tuple, forest_roots(edges).collect()))
+    dist = sorted(
+        map(tuple, forest_roots(edges, local_threshold=0, max_iter=8).collect())
+    )
+    assert local == dist
+    roots = dict(local)
+    assert roots["b"] == "a" and roots["c"] == "a" and roots["d"] == "a"
+    assert "a" not in roots  # a became the root: no parent row survives
+    assert roots["x"] == "w" and roots["y"] == "w"

@@ -112,8 +112,20 @@ def match_jetton_mint_entry(node: Node, ctx: Ctx) -> dict | None:
     body = node.in_msg.decoded_body()
     to_owner = body.get("to_address")
     internal = node.child_via(JETTON_INTERNAL)
-    if to_owner is None and internal is None:
-        return None  # opcode collision guard: nothing mint-shaped decodes
+    if internal is None:
+        # no internal-transfer leg: demand more than address-shaped bits —
+        # 0x15 is a tiny generic opcode other contracts use (the reference
+        # gates on the minter interface, JettonMintBlockMatcher).  Accept
+        # only a FAILED mint attempt (the case the leg can't evidence) or,
+        # when the jetton_wallets dimension is hydrated, a known master.
+        if to_owner is None:
+            return None
+        masters = {m for _o, m in ctx.get("jetton_wallets", {}).values()}
+        if "jetton_wallets" in ctx.get("dims_present", ()):
+            if node.account not in masters:
+                return None  # hydrated dimension: membership authoritative
+        elif not node.aborted:
+            return None  # succeeded, legless, no dim evidence: collision
     claimed = [node]
     wallet = None
     amount = body.get("amount")
@@ -941,10 +953,14 @@ def classify_tree(nodes: list[Node], ctx: Ctx) -> list[dict]:
                 node.consumed = True  # external-rooted node with no pattern
     if not actions and len(nodes) == 1:
         n = nodes[0]
-        if n.in_msg is not None and n.in_msg.source is None:
-            # lone failed external: recover the user's intent from the
+        if n.in_msg is not None and n.in_msg.source is None and n.aborted:
+            # lone FAILED external: recover the user's intent from the
             # signed wallet body (postprocess.failed_external_actions —
-            # reference try_process_unknown_event)
+            # reference try_process_unknown_event applies only to failed
+            # events).  A successful lone external is an OPEN trace whose
+            # children haven't been ingested yet — emitting ghost
+            # success=False actions for it would mislabel an in-flight
+            # transfer every micro-batch until the children land.
             from ton_indexer_spark.classifier.postprocess import (
                 failed_external_actions,
             )

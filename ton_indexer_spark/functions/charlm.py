@@ -76,13 +76,7 @@ def char_lm_score(
     ``nll_per_char`` the double quotient (null when no scoreable chars).
     Lower is more reference-like; the filter drops the high tail.
     """
-    lowered = F.lower(F.col(text_col))
-    counts = [_char_count(lowered, c).cast("long") for c in ALPHABET]
-    n_scored = sum(counts[1:], counts[0])
-    nll = None
-    for c, cnt in zip(ALPHABET, counts):
-        term = cnt * F.lit(model[c])
-        nll = term if nll is None else nll + term
+    n_scored, nll = nll_columns(model, text_col)
     return docs.select(
         F.col(id_col),
         n_scored.alias("n_scored"),
@@ -92,3 +86,22 @@ def char_lm_score(
             nll.cast("double") / n_scored.cast("double"),
         ).alias("nll_per_char"),
     )
+
+
+def nll_columns(
+    model: dict[str, int], text_col: str = "text"
+) -> tuple[Column, Column]:
+    """(n_scored, nll_sum_scaled) as bare Column expressions.
+
+    For callers that need the scoring inline in an existing projection
+    (e.g. a streaming plan that must stay a single stateless select) —
+    the ONE definition of the scoring algebra, shared with
+    ``char_lm_score``."""
+    lowered = F.lower(F.col(text_col))
+    counts = [_char_count(lowered, c).cast("long") for c in ALPHABET]
+    n_scored = sum(counts[1:], counts[0])
+    nll = None
+    for c, cnt in zip(ALPHABET, counts):
+        term = cnt * F.lit(model[c])
+        nll = term if nll is None else nll + term
+    return n_scored, nll

@@ -55,6 +55,15 @@ def _local_forest_roots(edges: DataFrame) -> DataFrame:
         # contract as the distributed path's F.min aggregation
         df = df.sort_values(["node", "anc"]).drop_duplicates(
             "node", keep="first")
+        # break 2-cycles exactly like the distributed pre-pass: drop the
+        # node<anc side of a mutual pair, so the larger id points at the
+        # smaller and the smaller becomes the root on BOTH paths
+        pairs = set(zip(df["node"], df["anc"]))
+        keep = [
+            not ((a, n) in pairs and n < a)
+            for n, a in zip(df["node"], df["anc"])
+        ]
+        df = df[keep]
         parents = dict(zip(df["node"], df["anc"]))
         memo: dict = {}
         for start in parents:
@@ -114,9 +123,21 @@ def forest_roots(
     if local_threshold > 0 and edges.count() <= local_threshold:
         return _local_forest_roots(edges)
 
+    anc = edges.groupBy("node").agg(F.min("anc").alias("anc"))
+    # corrupted input (duplicate msg_hash) can leave a MUTUAL pair a↔b
+    # that min-parent dedup cannot remove; break it deterministically —
+    # drop the node<anc side so the smaller id becomes the root — the
+    # identical rule _local_forest_roots applies, keeping the pinned
+    # "local ≡ distributed" parity contract on the corrupt-input edge
+    # case too (≥3-cycles need lt-ordering violations beyond duplicate
+    # hashes and stay out of contract)
+    rev = anc.select(F.col("anc").alias("node"), F.col("node").alias("anc"))
+    mutual_lo = (
+        anc.join(rev, ["node", "anc"], "left_semi")
+        .filter(F.col("node") < F.col("anc"))
+    )
     anc = (
-        edges.groupBy("node")
-        .agg(F.min("anc").alias("anc"))
+        anc.join(mutual_lo, ["node", "anc"], "left_anti")
         # materialize before the loop: round 1 joins anc with itself, and
         # an un-cached anc would recompute the caller's upstream twice
         .localCheckpoint(eager=True)
@@ -135,7 +156,12 @@ def forest_roots(
                 "left",
             )
         )
-        moved = F.col("anc2").isNotNull()
+        # "moved" must mean the pointer actually CHANGED: on a (residual)
+        # cycle anc2 is always non-null even at the fixpoint, and the
+        # weaker isNotNull flag would spin the loop to max_iter
+        moved = F.col("anc2").isNotNull() & (
+            F.col("anc2") != F.col("a.anc")
+        )
         if carried:
             moved = moved | F.col("a.moved")
         return out.select(

@@ -106,6 +106,16 @@ def write_facts_batch(
         shutil.rmtree(old)
 
 
+def _resolve_n_buckets(path: str, n_buckets: int) -> tuple[int, str]:
+    """(effective bucket count, marker path) — the persisted ``_n_buckets``
+    marker wins over the parameter so no caller can prune wrong buckets."""
+    marker = os.path.join(path, "_n_buckets")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip()), marker
+    return n_buckets, marker
+
+
 def merge_dimension(
     spark: SparkSession,
     delta: DataFrame,
@@ -130,12 +140,24 @@ def merge_dimension(
     fallback, :1746-1748); per-bucket swaps are atomic under the
     single-writer assumption, and untouched bucket files are never opened
     or rewritten.
+
+    The bucket count is persisted in a ``_n_buckets`` marker at table
+    creation and overrides the parameter on later calls (same contract as
+    ``replace_by_key``): a caller passing a different ``n_buckets`` would
+    hash keys into DIFFERENT buckets and leave the old row version alive
+    in its original bucket — silently breaking last-writer-wins.
     """
+    n_buckets, marker = _resolve_n_buckets(path, n_buckets)
     delta_b = _with_key_bucket(delta, key, n_buckets)
     if not os.path.exists(path):
         latest = latest_by(delta_b, key, version_col, tiebreakers=tiebreakers)
         latest.write.mode("overwrite").partitionBy("kb").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(str(n_buckets))
         return
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:  # adopt pre-marker tables as-is
+            fh.write(str(n_buckets))
     affected = sorted(
         r[0] for r in delta_b.select("kb").distinct().collect()
     )
@@ -197,10 +219,7 @@ def replace_by_key(
     DIFFERENT buckets, prune the wrong directories, and leave stale rows
     alive — silently.
     """
-    marker = os.path.join(path, "_n_buckets")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            n_buckets = int(fh.read().strip())
+    n_buckets, marker = _resolve_n_buckets(path, n_buckets)
     delta_b = _with_key_bucket(delta, key, n_buckets)
     if not os.path.exists(path):
         delta_b.write.mode("overwrite").partitionBy("kb").parquet(path)

@@ -70,15 +70,9 @@ def curate(
     # char_lm_score projection back) so the streaming plan stays a single
     # stateless select — stream-stream joins need watermarks this
     # pipeline doesn't otherwise want
-    from ton_indexer_spark.functions.charlm import ALPHABET, _char_count
+    from ton_indexer_spark.functions.charlm import nll_columns
 
-    lowered = F.lower(F.col("text"))
-    counts = [_char_count(lowered, c).cast("long") for c in ALPHABET]
-    n_scored = sum(counts[1:], counts[0])
-    nll = None
-    for c, cnt in zip(ALPHABET, counts):
-        term = cnt * F.lit(model[c])
-        nll = term if nll is None else nll + term
+    n_scored, nll = nll_columns(model)
     nll_per_char = F.when(
         n_scored > 0, nll.cast("double") / n_scored.cast("double")
     )

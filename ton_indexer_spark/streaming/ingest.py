@@ -273,25 +273,26 @@ class RawBocIngest:
             msgs = messages_from_parsed(parsed)
             # the body store must ACCUMULATE across batches: a trace can
             # finalize in batch N with messages from batch N-k, and
-            # classification needs those earlier bodies too — sink each
-            # batch's contents (batch-keyed, so redelivery replaces) and
-            # read the whole content-addressed store back
-            from ton_indexer_spark.sources.writer import write_facts_batch
+            # classification needs those earlier bodies too.  The store is
+            # a hash-keyed DIMENSION (kb-bucketed, duplicate-free by
+            # construction via merge_dimension): the merge touches only
+            # the buckets holding this batch's hashes, and the read back
+            # needs NO full-store dropDuplicates — the per-batch cost a
+            # monotonically growing store would otherwise impose
+            from ton_indexer_spark.sources.writer import merge_dimension
 
             store = os.path.join(self.pipeline.out_dir, "message_contents")
             batch_contents = message_contents_from_parsed(parsed)
             if batch_contents.head(1):
-                write_facts_batch(
-                    batch_contents.withColumn(
-                        "mc_block_seqno", F.lit(batch_id)
-                    ),
-                    store, sort_cols=["hash"], batch_id=batch_id,
+                merge_dimension(
+                    spark,
+                    batch_contents.withColumn("_v", F.lit(0)),
+                    store,
+                    key=["hash"],
+                    version_col="_v",
+                    tiebreakers=["body"],
                 )
-            contents = (
-                spark.read.parquet(store)
-                .select("hash", "body")
-                .dropDuplicates(["hash"])
-            )
+            contents = spark.read.parquet(store).select("hash", "body")
             if self.pipeline.message_contents is not None:
                 contents = self.pipeline.message_contents.unionByName(
                     contents
