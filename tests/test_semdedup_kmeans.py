@@ -157,3 +157,25 @@ class TestKMeans:
 
         with pytest.raises(ValueError):
             kmeans(_emb_df(spark, [[1.0, 0.0]]), k=1, n_iter=0)
+
+
+def test_kmeans_fit_centroids_drop_into_ivf(spark):
+    """kmeans_fit's trained centroids work as ivf_topk's coarse quantizer
+    (the offline-training seam) and recall at nprobe=k_lists equals the
+    brute-force top-k."""
+    from ton_indexer_spark.similarity.brute import cosine_topk
+    from ton_indexer_spark.similarity.ivf import ivf_topk
+    from ton_indexer_spark.similarity.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(19)
+    vecs = rng.normal(size=(120, 6)).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    _assign, ids, cent = kmeans_fit(df, k=4, n_iter=3)
+    assert cent.shape == (len(ids), 6)
+    queries = df.filter(F.col("vec_id") % 40 == 0)
+    got = ivf_topk(queries, df, nprobe=len(ids), k=3,
+                   centroids=(ids, cent))
+    brute = cosine_topk(queries, df, k=3)
+    a = sorted(map(tuple, got.select("query_id", "rank", "neighbor_id").collect()))
+    b = sorted(map(tuple, brute.select("query_id", "rank", "neighbor_id").collect()))
+    assert a == b  # probing every trained list == exact search

@@ -128,6 +128,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, sim) — IVF probe-list ANN top-k.
 
@@ -135,8 +136,15 @@ def ivf_topk(
     ``nprobe`` nearest lists.  The candidate join shuffles on ``list_id``
     only and the corpus never crosses lists — the IVF property that makes
     per-query cost proportional to the probed fraction, not the corpus.
+
+    ``centroids`` — optional trained coarse quantizer as (list_ids, unit
+    matrix), e.g. from ``kmeans_fit``; defaults to the deterministic
+    smallest-id seeds (the oracle-replayable configuration).
     """
-    seed_ids, seeds = ivf_seed_matrix(corpus, n_lists, id_col, vec_col)
+    if centroids is not None:
+        seed_ids, seeds = centroids
+    else:
+        seed_ids, seeds = ivf_seed_matrix(corpus, n_lists, id_col, vec_col)
     assigned = ivf_assign(
         corpus, seed_ids, seeds, nprobe=1, id_col=id_col, vec_col=vec_col
     ).select(

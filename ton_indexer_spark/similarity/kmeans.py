@@ -57,6 +57,26 @@ def kmeans(
     ``cluster_id`` is the seed vector's id (stable across iterations), so
     downstream joins and the oracle replay agree on cluster identity.
     """
+    assigned, _ids, _cent = kmeans_fit(
+        emb, k, n_iter, id_col, vec_col, round_digits
+    )
+    return assigned
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """(assignment, centroid_ids, unit centroid matrix).
+
+    The trained centroids drop into ``ivf_topk(..., centroids=...)`` as
+    the coarse quantizer — the offline-training seam IVF documents — and
+    into ``ivf_assign`` for SemDeDup over trained clusters.
+    """
     if n_iter < 1:
         raise ValueError("kmeans: n_iter must be >= 1")
     cent_ids, cent = ivf_seed_matrix(emb, k, id_col, vec_col)
@@ -87,6 +107,11 @@ def kmeans(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cent = mat / norms
-    return assigned.select(
-        F.col("vec_id").alias(id_col), F.col("list_id").alias("cluster_id")
+    return (
+        assigned.select(
+            F.col("vec_id").alias(id_col),
+            F.col("list_id").alias("cluster_id"),
+        ),
+        cent_ids,
+        cent,
     )
