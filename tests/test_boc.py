@@ -795,3 +795,107 @@ def test_jetton_mint_entry_boc_bodies(spark):
     alt = acts_of(res, "jm-alt")
     assert [a["type"] for a in alt] == ["jetton_mint"]
     assert alt[0]["destination"] == OWNER and alt[0]["asset"] == MASTER
+
+
+def test_round4b_decoder_batch():
+    """TL-B decoders for the previously fallback-reliant payloads:
+    tonstakers burn notification, coffee staking withdraw (3 shapes),
+    tgBTC event logs, DeDust swap notification, Ston.fi v2 pay_to."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        OP_COFFEE_STK_WITHDRAW,
+        OP_DEDUST_SWAP_NOTIFICATION,
+        OP_STONFI_V2_PAYOUT,
+        OP_TGBTC_BURN_EVENT,
+        OP_TGBTC_DKG_EVENT,
+        OP_TGBTC_MINT_EVENT,
+        OP_TGBTC_NEW_KEY_EVENT,
+        OP_TS_NFT_BURN_NOTIF,
+        Builder,
+        decode_message_body,
+        serialize_boc,
+        store_dedust_asset,
+    )
+
+    def b64(cell):
+        return base64.b64encode(serialize_boc(cell)).decode()
+
+    A1 = "0:" + "11" * 32
+    A2 = "0:" + "22" * 32
+    A3 = "0:" + "33" * 32
+
+    # tonstakers payout-NFT burn notification
+    c = (Builder().store_uint(OP_TS_NFT_BURN_NOTIF, 32).store_uint(9, 64)
+         .store_coins(12345).store_address(A1).end_cell())
+    d = decode_message_body(b64(c))
+    assert d["tokens_burnt"] == 12345 and d["owner"] == A1
+
+    # coffee staking withdraw_1 / _2 / _3 share the opcode
+    w1 = (Builder().store_uint(OP_COFFEE_STK_WITHDRAW, 32)
+          .store_uint(1, 64).end_cell())
+    d1 = decode_message_body(b64(w1))
+    assert d1["query_id"] == 1 and "nft_id" not in d1
+
+    jd = Builder().store_address(A2).store_coins(777).end_cell()
+    w2 = (Builder().store_uint(OP_COFFEE_STK_WITHDRAW, 32).store_uint(2, 64)
+          .store_uint(42, 64).store_address(A1).store_coins(99)
+          .store_ref(jd).end_cell())
+    d2 = decode_message_body(b64(w2))
+    assert d2["nft_id"] == 42 and d2["owner"] == A1 and d2["points"] == 99
+    assert d2["jetton_wallet"] == A2 and d2["jetton_amount"] == 777
+
+    w3 = (Builder().store_uint(OP_COFFEE_STK_WITHDRAW, 32).store_uint(3, 64)
+          .store_address(A2).store_coins(555).store_address(A1).end_cell())
+    d3 = decode_message_body(b64(w3))
+    assert d3["jetton_amount"] == 555 and d3["owner"] == A1
+    assert "nft_id" not in d3
+
+    # tgBTC events
+    txid = int.from_bytes(bytes(range(32)), "big")
+    mint = (Builder().store_uint(OP_TGBTC_MINT_EVENT, 32).store_coins(10**8)
+            .store_address(A1).store_uint(txid, 256).end_cell())
+    dm = decode_message_body(b64(mint))
+    assert dm["amount"] == 10**8 and dm["recipient"] == A1
+    assert dm["bitcoin_txid"] == bytes(range(32))[::-1].hex()  # LE hex
+
+    burn = (Builder().store_uint(OP_TGBTC_BURN_EVENT, 32).store_coins(7)
+            .store_address(A1).store_address(A2).end_cell())
+    db = decode_message_body(b64(burn))
+    assert db["amount"] == 7 and db["pegout_address"] == A2
+
+    key = (Builder().store_uint(OP_TGBTC_NEW_KEY_EVENT, 32).store_coins(1)
+           .store_uint(5, 256).store_address(A3).end_cell())
+    dk = decode_message_body(b64(key))
+    assert dk["new_internal_pubkey"].endswith("05")
+    assert dk["pegout_address"] == A3
+
+    dkg = (Builder().store_uint(OP_TGBTC_DKG_EVENT, 32)
+           .store_uint(1700000000, 64).store_uint(6, 256).end_cell())
+    dd = decode_message_body(b64(dkg))
+    assert dd["timestamp"] == 1700000000
+
+    # DeDust swap notification
+    ref = (Builder().store_address(A1).store_address(None)
+           .store_coins(1).store_coins(2).end_cell())
+    swap = (Builder().store_uint(OP_DEDUST_SWAP_NOTIFICATION, 32))
+    swap = store_dedust_asset(swap, "TON")
+    swap = store_dedust_asset(swap, A2)
+    swap = (swap.store_coins(1000).store_coins(990)
+            .store_ref(ref).end_cell())
+    ds = decode_message_body(b64(swap))
+    assert ds["asset_in"] == "TON" and ds["asset_out"] == A2
+    assert ds["amount_in"] == 1000 and ds["amount_out"] == 990
+    assert ds["sender"] == A1
+
+    # Ston.fi v2 pay_to
+    add = (Builder().store_coins(3).store_coins(400).store_address(A1)
+           .store_coins(0).store_address(None).end_cell())
+    payto = (Builder().store_uint(OP_STONFI_V2_PAYOUT, 32).store_uint(8, 64)
+             .store_address(A1).store_address(A2).store_address(A3)
+             .store_uint(200, 32).store_bit(0)  # no custom payload
+             .store_ref(add).end_cell())
+    dp = decode_message_body(b64(payto))
+    assert dp["to_address"] == A1 and dp["exit_code"] == 200
+    assert dp["amount0_out"] == 400 and dp["token0_address"] == A1
+    assert dp["amount1_out"] == 0 and dp["token1_address"] is None

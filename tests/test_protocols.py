@@ -897,3 +897,62 @@ def test_dedust_deposit_first_asset(spark):
     assert [a["type"] for a in dep] == ["dex_deposit_liquidity"]
     assert dep[0]["dex_deposit_liquidity_data"]["amount1"] == 300
     assert len(dep[0]["tx_hashes"]) == 2
+
+
+def test_tgbtc_log_event_payload_decoded(spark):
+    """The tgBTC log matchers carry the DECODED event payload (amount,
+    recipient, little-endian txid) as typed data — the reference
+    TgBTCMintLogOnlyMatcher behavior — when the out-message body is a
+    real BOC."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        OP_TGBTC_MINT_EVENT,
+        Builder,
+        serialize_boc,
+    )
+
+    BRIDGE = "0:bridge" + "0" * 56
+    RECIP = A[9]
+    txid = int.from_bytes(bytes([7] * 32), "big")
+    ev = (Builder().store_uint(OP_TGBTC_MINT_EVENT, 32).store_coins(5000)
+          .store_address(RECIP).store_uint(txid, 256).end_cell())
+    body = base64.b64encode(serialize_boc(ev)).decode()
+
+    b = TraceBuilder("tgd1")
+    r = b.tx(A[0], None)
+    mint_tx = b.chain(r, BRIDGE, opcode=0x1234)
+    b.out(mint_tx, "0:ext" + "0" * 59, opcode=TGBTC_MINT_EVENT, body=body)
+    res = run(spark, [b])
+    acts = acts_of(res, "tgd1")
+    assert [a["type"] for a in acts] == ["tgbtc_mint"]
+    data = acts[0]["tgbtc_mint_data"]
+    assert data["amount"] == 5000 and data["recipient"] == RECIP
+    assert data["bitcoin_txid"] == (bytes([7] * 32).hex())
+
+
+def test_tonstakers_burn_notification_boc_body(spark):
+    """0xed58b0b2 decoded from a real BOC body feeds tokens_burnt into
+    the tonstakers_withdraw staking_data."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        OP_TS_NFT_BURN_NOTIF,
+        Builder,
+        serialize_boc,
+    )
+
+    POOL, NFT, USER = A[0], A[1], A[2]
+    body = base64.b64encode(serialize_boc(
+        (Builder().store_uint(OP_TS_NFT_BURN_NOTIF, 32).store_uint(3, 64)
+         .store_coins(987654).store_address(USER).end_cell())
+    )).decode()
+    b = TraceBuilder("tsb1")
+    nft_root = b.tx(NFT, None)
+    pool_tx = b.chain(nft_root, POOL, opcode=TS_NFT_BURN_NOTIFICATION,
+                      body=body)
+    b.chain(pool_tx, USER, value=987654)
+    res = run(spark, [b])
+    acts = acts_of(res, "tsb1")
+    assert [a["type"] for a in acts] == ["tonstakers_withdraw"]
+    assert acts[0]["staking_data"]["tokens_burnt"] == 987654

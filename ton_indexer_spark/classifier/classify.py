@@ -128,6 +128,16 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
         guid=_S, message=_S)),
     T.StructField("layerzero_dvn_verify_data", _struct(
         nonce=_L, status=_S, dvn=_S, proxy=_S, uln=_S, uln_connection=_S)),
+    # tgBTC bridge event payloads (reference tgbtc.py TgBTCMintData /
+    # TgBTCBurnData / key-rotation logs; txid/pubkeys carried as hex)
+    T.StructField("tgbtc_mint_data", _struct(
+        amount=_D, recipient=_S, bitcoin_txid=_S)),
+    T.StructField("tgbtc_burn_data", _struct(
+        amount=_D, sender=_S, pegout_address=_S)),
+    T.StructField("tgbtc_new_key_data", _struct(
+        amount=_D, new_internal_pubkey=_S, pegout_address=_S)),
+    T.StructField("tgbtc_dkg_log_data", _struct(
+        timestamp=_L, internal_pubkey=_S)),
 ]
 
 ACTIONS_OUT_SCHEMA = T.StructType(

@@ -242,7 +242,22 @@ def _log_event(opcode: int, typ: str):
     def match(node: Node, ctx: Ctx) -> dict | None:
         if opcode not in node.out_opcodes():
             return None
-        return _base(node, typ, destination=node.account)
+        # the event payload IS the action data (reference *LogOnlyMatcher
+        # parses the log body, e.g. tgbtc.py TgBTCMintLogOnlyMatcher):
+        # decode the emitting out-message and carry its fields
+        ev = next(
+            (m for m in node.out_msgs if m.opcode == opcode), None
+        )
+        data = None
+        if ev is not None:
+            decoded = ev.decoded_body()
+            data = {
+                k: v for k, v in decoded.items() if k != "opcode"
+            } or None
+        return _base(
+            node, typ, destination=node.account,
+            **({f"{typ}_data": data} if data else {}),
+        )
 
     match.__name__ = f"match_{typ}"
     return match

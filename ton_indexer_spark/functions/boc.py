@@ -425,6 +425,14 @@ OP_COFFEE_DEPOSIT_NATIVE = 0xC0FFEE04  # messages/coffee.py:474-489
 OP_COFFEE_WITHDRAW = 0xC0FFEE07      # messages/coffee.py:584-594
 OP_JETTON_MINT_MINTER = 0x00000015   # messages/jettons.py:155-173
 OP_JETTON_MINT_ALT = 0x642B7D07      # messages/jettons.py:142-153
+OP_TS_NFT_BURN_NOTIF = 0xED58B0B2    # messages/staking.py:40-50
+OP_COFFEE_STK_WITHDRAW = 0xCB03BFAF  # messages/coffee.py:1096-1144
+OP_TGBTC_MINT_EVENT = 0x77A80EF3     # messages/tgbtc.py:9-27
+OP_TGBTC_BURN_EVENT = 0xCA444CE6     # messages/tgbtc.py:29-58
+OP_TGBTC_NEW_KEY_EVENT = 0x27756729  # messages/tgbtc.py:60-74
+OP_TGBTC_DKG_EVENT = 0x453443A6      # messages/tgbtc.py:76-86
+OP_DEDUST_SWAP_NOTIFICATION = 0x9C610DE3  # messages/swaps.py:81-94
+OP_STONFI_V2_PAYOUT = 0x657B54F5     # messages/swaps.py:64-78
 
 # dns value-record schema tags (messages/dns.py:20-40)
 _DNS_SCHEMAS = {
@@ -616,6 +624,92 @@ def decode_body_cell(root: Cell) -> dict:
         d = {"opcode": op}
         if s.remaining_bits >= 64:
             d["query_id"] = s.load_uint(64)
+        return d
+    if op == OP_TS_NFT_BURN_NOTIF:
+        # burn_notification#ed58b0b2 query_id:uint64 amount:Coins
+        #   owner:MsgAddress (messages/staking.py:40-50) — amount is the
+        #   tsTON burnt, surfaced as tokens_burnt in staking_data
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["tokens_burnt"] = s.load_coins()
+        d["owner"] = s.load_address()
+        return d
+    if op == OP_COFFEE_STK_WITHDRAW:
+        # three hops share staking_position_withdraw#cb03bfaf
+        # (messages/coffee.py:1096-1144), disambiguated by shape:
+        #   w1: query_id                             (no refs, no bits)
+        #   w2: query_id nft_id owner points ^[wallet amount]   (1 ref)
+        #   w3: query_id jetton_wallet jetton_amount owner      (no ref)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        if s.remaining_refs:
+            d["nft_id"] = s.load_uint(64)
+            d["owner"] = s.load_address()
+            d["points"] = s.load_coins()
+            ref = s.load_ref().begin_parse()
+            d["jetton_wallet"] = ref.load_address()
+            d["jetton_amount"] = ref.load_coins()
+        elif s.remaining_bits:
+            d["jetton_wallet"] = s.load_address()
+            d["jetton_amount"] = s.load_coins()
+            d["owner"] = s.load_address()
+        return d
+    if op == OP_TGBTC_MINT_EVENT:
+        # mint#77a80ef3 amount:Coins recipient:MsgAddress
+        #   bitcoin_txid:uint256 (messages/tgbtc.py:9-27); txid surfaced
+        #   little-endian hex as the reference log matcher does
+        d = {"opcode": op}
+        d["amount"] = s.load_coins()
+        d["recipient"] = s.load_address()
+        d["bitcoin_txid"] = s.load_uint(256).to_bytes(32, "little").hex()
+        return d
+    if op == OP_TGBTC_BURN_EVENT:
+        # burn#ca444ce6 amount:Coins sender:MsgAddress pegout:MsgAddress
+        d = {"opcode": op}
+        d["amount"] = s.load_coins()
+        d["sender"] = s.load_address()
+        d["pegout_address"] = s.load_address()
+        return d
+    if op == OP_TGBTC_NEW_KEY_EVENT:
+        # new_key#27756729 amount:Coins new_internal_pubkey:uint256
+        #   pegout:MsgAddress
+        d = {"opcode": op}
+        d["amount"] = s.load_coins()
+        d["new_internal_pubkey"] = f"{s.load_uint(256):064x}"
+        d["pegout_address"] = s.load_address()
+        return d
+    if op == OP_TGBTC_DKG_EVENT:
+        # dkg_completed#453443a6 timestamp:uint64 internal_pubkey:uint256
+        d = {"opcode": op}
+        d["timestamp"] = s.load_uint(64)
+        d["internal_pubkey"] = f"{s.load_uint(256):064x}"
+        return d
+    if op == OP_DEDUST_SWAP_NOTIFICATION:
+        # swap#9c610de3 asset_in:Asset asset_out:Asset amount_in:Coins
+        #   amount_out:Coins ^[sender ref_addr reserve0 reserve1]
+        #   (messages/swaps.py:81-94)
+        d = {"opcode": op}
+        d["asset_in"] = _load_dedust_asset(s)
+        d["asset_out"] = _load_dedust_asset(s)
+        d["amount_in"] = s.load_coins()
+        d["amount_out"] = s.load_coins()
+        ref = s.load_ref().begin_parse()
+        d["sender"] = ref.load_address()
+        return d
+    if op == OP_STONFI_V2_PAYOUT:
+        # pay_to#657b54f5 query_id to excesses original_caller exit_code
+        #   custom:(Maybe ^Cell) ^[fwd_ton amount0_out token0 amount1_out
+        #   token1] (messages/swaps.py:64-78)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["to_address"] = s.load_address()
+        d["excesses_address"] = s.load_address()
+        d["original_caller"] = s.load_address()
+        d["exit_code"] = s.load_uint(32)
+        s.load_maybe_ref()  # custom_payload
+        ref = s.load_ref().begin_parse()
+        d["fwd_ton_amount"] = ref.load_coins()
+        d["amount0_out"] = ref.load_coins()
+        d["token0_address"] = ref.load_address()
+        d["amount1_out"] = ref.load_coins()
+        d["token1_address"] = ref.load_address()
         return d
     if op == OP_CHANGE_DNS:
         # change_dns_record#4eb1f0f9 query_id:uint64 key:uint256
