@@ -899,3 +899,62 @@ def test_round4b_decoder_batch():
     assert dp["to_address"] == A1 and dp["exit_code"] == 200
     assert dp["amount0_out"] == 400 and dp["token0_address"] == A1
     assert dp["amount1_out"] == 0 and dp["token1_address"] is None
+
+
+def test_layerzero_send_md_decodes():
+    """The lzSend metadata tree (md_obj → lzSend → packet → path) decodes
+    request id, fees, nonce/guid and the eid/oapp route from a real BOC
+    body, and the send matcher consumes it."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        _LZ_CELL_FILLER_BITS,
+        _LZ_CELL_HEADER_BITS,
+        _LZ_MD_NAME,
+        _LZ_PACKET_HEADER,
+        _LZ_PATH_HEADER,
+        _LZ_SEND_FILLER_BITS,
+        _LZ_SEND_HEADER,
+        _LZ_SEND_HEADER_BITS,
+        OP_LZ_ENDPOINT_SEND,
+        Builder,
+        decode_message_body,
+        serialize_boc,
+    )
+
+    ones = lambda n: (1 << n) - 1  # noqa: E731
+    path = (Builder()
+            .store_uint(_LZ_PATH_HEADER, _LZ_CELL_HEADER_BITS)
+            .store_uint(ones(_LZ_CELL_FILLER_BITS), _LZ_CELL_FILLER_BITS)
+            .store_uint(30343, 32).store_uint(0xAA, 256)
+            .store_uint(30184, 32).store_uint(0xBB, 256).end_cell())
+    packet = (Builder()
+              .store_uint(_LZ_PACKET_HEADER, _LZ_CELL_HEADER_BITS)
+              .store_uint(ones(_LZ_CELL_FILLER_BITS), _LZ_CELL_FILLER_BITS)
+              .store_ref(path)
+              .store_ref(Builder().store_uint(0xDEAD, 16).end_cell())
+              .store_uint(77, 64).store_uint(0xCAFE, 256)
+              .end_cell())
+    fees = (Builder().store_uint(1, 256)
+            .store_uint(5000, 128).store_uint(0, 128)
+            .store_ref(Builder().end_cell())
+            .store_ref(Builder().end_cell()).end_cell())
+    lz = (Builder().store_uint(_LZ_MD_NAME, 80)
+          .store_uint(_LZ_SEND_HEADER, _LZ_SEND_HEADER_BITS)
+          .store_uint(ones(_LZ_SEND_FILLER_BITS), _LZ_SEND_FILLER_BITS)
+          .store_uint(42, 64).store_uint(0x11, 256).store_uint(0x22, 256)
+          .store_ref(packet)
+          .store_ref(Builder().end_cell())
+          .store_ref(fees).end_cell())
+    md_obj = (Builder().store_ref(lz)
+              .store_ref(Builder().end_cell()).end_cell())
+    A1 = "0:" + "44" * 32
+    body = (Builder().store_uint(OP_LZ_ENDPOINT_SEND, 32).store_uint(9, 64)
+            .store_coins(100).store_address(A1).store_ref(md_obj).end_cell())
+    d = decode_message_body(base64.b64encode(serialize_boc(body)).decode())
+    assert d["send_request_id"] == 42
+    assert d["native_fee"] == 5000 and d["zro_fee"] == 0
+    assert d["nonce"] == 77 and d["guid"] == hex(0xCAFE)
+    assert d["src_eid"] == 30343 and d["dst_eid"] == 30184
+    assert d["src_oapp"] == hex(0xAA) and d["dst_oapp"] == hex(0xBB)
+    assert d["origin"] == A1

@@ -956,3 +956,66 @@ def test_tonstakers_burn_notification_boc_body(spark):
     acts = acts_of(res, "tsb1")
     assert [a["type"] for a in acts] == ["tonstakers_withdraw"]
     assert acts[0]["staking_data"]["tokens_burnt"] == 987654
+
+
+def test_layerzero_send_boc_body(spark):
+    """Endpoint send with a real lzSend metadata BOC: request id, fees,
+    nonce/guid and the route reach the typed action data."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        _LZ_CELL_FILLER_BITS,
+        _LZ_CELL_HEADER_BITS,
+        _LZ_MD_NAME,
+        _LZ_PACKET_HEADER,
+        _LZ_PATH_HEADER,
+        _LZ_SEND_FILLER_BITS,
+        _LZ_SEND_HEADER,
+        _LZ_SEND_HEADER_BITS,
+        OP_LZ_ENDPOINT_SEND,
+        Builder,
+        serialize_boc,
+    )
+
+    ones = lambda n: (1 << n) - 1  # noqa: E731
+    path = (Builder()
+            .store_uint(_LZ_PATH_HEADER, _LZ_CELL_HEADER_BITS)
+            .store_uint(ones(_LZ_CELL_FILLER_BITS), _LZ_CELL_FILLER_BITS)
+            .store_uint(1, 32).store_uint(0xA1, 256)
+            .store_uint(2, 32).store_uint(0xB2, 256).end_cell())
+    packet = (Builder()
+              .store_uint(_LZ_PACKET_HEADER, _LZ_CELL_HEADER_BITS)
+              .store_uint(ones(_LZ_CELL_FILLER_BITS), _LZ_CELL_FILLER_BITS)
+              .store_ref(path).store_ref(Builder().end_cell())
+              .store_uint(3, 64).store_uint(0xD4, 256).end_cell())
+    fees = (Builder().store_uint(1, 256)
+            .store_uint(900, 128).store_uint(10, 128)
+            .store_ref(Builder().end_cell())
+            .store_ref(Builder().end_cell()).end_cell())
+    lz = (Builder().store_uint(_LZ_MD_NAME, 80)
+          .store_uint(_LZ_SEND_HEADER, _LZ_SEND_HEADER_BITS)
+          .store_uint(ones(_LZ_SEND_FILLER_BITS), _LZ_SEND_FILLER_BITS)
+          .store_uint(55, 64).store_uint(0x11, 256).store_uint(0x22, 256)
+          .store_ref(packet).store_ref(Builder().end_cell())
+          .store_ref(fees).end_cell())
+    md_obj = (Builder().store_ref(lz)
+              .store_ref(Builder().end_cell()).end_cell())
+    body = base64.b64encode(serialize_boc(
+        (Builder().store_uint(OP_LZ_ENDPOINT_SEND, 32).store_uint(9, 64)
+         .store_coins(0).store_address(A[8]).store_ref(md_obj).end_cell())
+    )).decode()
+
+    ENDPOINT, CHANNEL = "0:endpoint" + "0" * 54, "0:chan" + "0" * 58
+    b = TraceBuilder("lzb1")
+    r = b.tx(A[0], None)
+    ep = b.chain(r, ENDPOINT, opcode=LZ_ENDPOINT_SEND, body=body)
+    b.chain(ep, CHANNEL, opcode=LZ_CHANNEL_COMMIT_PACKET)
+    res = run(spark, [b])
+    acts = acts_of(res, "lzb1")
+    assert [a["type"] for a in acts] == ["layerzero_send"]
+    sd = acts[0]["layerzero_send_data"]
+    assert sd["send_request_id"] == 55 and sd["native_fee"] == 900
+    assert sd["zro_fee"] == 10 and sd["channel"] == CHANNEL
+    pd = acts[0]["layerzero_packet_data"]
+    assert pd["src_eid"] == 1 and pd["dst_eid"] == 2 and pd["nonce"] == 3
+    assert pd["guid"] == hex(0xD4) and pd["dst_oapp"] == hex(0xB2)

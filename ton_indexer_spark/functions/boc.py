@@ -433,6 +433,19 @@ OP_TGBTC_NEW_KEY_EVENT = 0x27756729  # messages/tgbtc.py:60-74
 OP_TGBTC_DKG_EVENT = 0x453443A6      # messages/tgbtc.py:76-86
 OP_DEDUST_SWAP_NOTIFICATION = 0x9C610DE3  # messages/swaps.py:81-94
 OP_STONFI_V2_PAYOUT = 0x657B54F5     # messages/swaps.py:64-78
+OP_LZ_ENDPOINT_SEND = 0xDD4EA3B4     # messages/layerzero.py:19-54
+
+# LayerZero metadata-cell header constants (messages/layerzero.py:86-201;
+# public func sources quoted there).  Every md cell is
+# [header_info][all-ones filler] followed by the payload fields.
+_LZ_MD_NAME = int.from_bytes(b"lzSend", "big")  # name:uint80
+_LZ_SEND_HEADER = 582890735024998957421269964955452773563747974476099581
+_LZ_SEND_HEADER_BITS = 180
+_LZ_SEND_FILLER_BITS = 90
+_LZ_PACKET_HEADER = 417359019239977417716476838698419835
+_LZ_PATH_HEADER = 8903714975572488637007080065659
+_LZ_CELL_HEADER_BITS = 152
+_LZ_CELL_FILLER_BITS = 198
 
 # dns value-record schema tags (messages/dns.py:20-40)
 _DNS_SCHEMAS = {
@@ -693,6 +706,52 @@ def decode_body_cell(root: Cell) -> dict:
         d["amount_out"] = s.load_coins()
         ref = s.load_ref().begin_parse()
         d["sender"] = ref.load_address()
+        return d
+    if op == OP_LZ_ENDPOINT_SEND:
+        # buildLayerzeroMessageBody: query_id:uint64 donation:Coins
+        #   origin:MsgAddress ^md_obj; md_obj.refs[0] = lzSend md:
+        #   name:uint80 header:uint180 filler:ones90 send_request_id:uint64
+        #   msglib_manager:uint256 msglib:uint256 ^packet ^extra ^fees
+        #   (messages/layerzero.py:19-116); packet/path are 350-bit-header
+        #   cells carrying nonce/guid and the eid/oapp route
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["donation_nanos"] = s.load_coins()
+        d["origin"] = s.load_address()
+        if not s.remaining_refs:
+            return d
+        md_obj = s.load_ref().begin_parse()
+        if not md_obj.remaining_refs:
+            return d
+        lz = md_obj.load_ref().begin_parse()
+        try:
+            name = lz.load_uint(80)
+            if name != _LZ_MD_NAME:
+                return d
+            lz.load_uint(_LZ_SEND_HEADER_BITS)
+            lz.load_uint(_LZ_SEND_FILLER_BITS)
+            d["send_request_id"] = lz.load_uint(64)
+            d["msglib_manager"] = hex(lz.load_uint(256))
+            d["msglib"] = hex(lz.load_uint(256))
+            packet = lz.load_ref().begin_parse()
+            lz.load_ref()  # extra_options
+            fees = lz.load_ref().begin_parse()
+            fees.load_uint(256)  # msglib_connection
+            d["native_fee"] = fees.load_uint(128)
+            d["zro_fee"] = fees.load_uint(128)
+            packet.load_uint(_LZ_CELL_HEADER_BITS)
+            packet.load_uint(_LZ_CELL_FILLER_BITS)
+            path = packet.load_ref().begin_parse()
+            packet.load_ref()  # message payload
+            d["nonce"] = packet.load_uint(64)
+            d["guid"] = hex(packet.load_uint(256))
+            path.load_uint(_LZ_CELL_HEADER_BITS)
+            path.load_uint(_LZ_CELL_FILLER_BITS)
+            d["src_eid"] = path.load_uint(32)
+            d["src_oapp"] = hex(path.load_uint(256))
+            d["dst_eid"] = path.load_uint(32)
+            d["dst_oapp"] = hex(path.load_uint(256))
+        except (ValueError, IndexError):
+            pass  # partial md: keep whatever decoded
         return d
     if op == OP_STONFI_V2_PAYOUT:
         # pay_to#657b54f5 query_id to excesses original_caller exit_code
