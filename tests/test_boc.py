@@ -958,3 +958,36 @@ def test_layerzero_send_md_decodes():
     assert d["src_eid"] == 30343 and d["dst_eid"] == 30184
     assert d["src_oapp"] == hex(0xAA) and d["dst_oapp"] == hex(0xBB)
     assert d["origin"] == A1
+
+
+def test_tonco_start_burn_and_teleitem_auction_decode():
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        OP_TELEITEM_START_AUCTION,
+        OP_TONCO_START_BURN,
+        Builder,
+        decode_message_body,
+        serialize_boc,
+    )
+
+    def b64(c):
+        return base64.b64encode(serialize_boc(c)).decode()
+
+    burn = (Builder().store_uint(OP_TONCO_START_BURN, 32).store_uint(1, 64)
+            .store_uint(17, 64).store_uint(10**20, 128)
+            .store_int(-887272, 24).store_int(887272, 24).end_cell())
+    d = decode_message_body(b64(burn))
+    assert d["nft_index"] == 17 and d["amount"] == 10**20
+    assert d["tick_lower"] == -887272 and d["tick_upper"] == 887272
+
+    A1 = "0:" + "55" * 32
+    cfg = (Builder().store_address(A1).store_coins(10**9)
+           .store_coins(5 * 10**9).store_uint(5, 8).store_uint(300, 32)
+           .store_uint(86400, 32).end_cell())
+    auc = (Builder().store_uint(OP_TELEITEM_START_AUCTION, 32)
+           .store_uint(2, 64).store_ref(cfg).end_cell())
+    d2 = decode_message_body(b64(auc))
+    assert d2["beneficiary_address"] == A1
+    assert d2["initial_min_bid"] == 10**9 and d2["max_bid"] == 5 * 10**9
+    assert d2["duration"] == 86400

@@ -1142,9 +1142,23 @@ match_cocoon_grant_refund = _simple(COCOON_GRANT_REFUND,
 
 # -------------------------------------------------------- NFT / DNS extras
 
-match_teleitem_start_auction = _simple(
-    TELEITEM_START_AUCTION, "teleitem_start_auction"
-)
+def match_teleitem_start_auction(node: Node, ctx: Ctx) -> dict | None:
+    """Start-auction at a teleitem: the auction config (bids, duration)
+    decodes from the body ref (TeleitemStartAuction, messages/nft.py:
+    104-129) into the listing payload."""
+    if _op(node) != TELEITEM_START_AUCTION:
+        return None
+    body = node.in_msg.decoded_body()
+    listing = {
+        "max_bid": body.get("max_bid"),
+        "min_bid": body.get("initial_min_bid"),
+        "marketplace": "fragment",
+    }
+    return _base(
+        node, "teleitem_start_auction",
+        **({"nft_listing_data": listing}
+           if body.get("initial_min_bid") is not None else {}),
+    )
 match_dns_release = _simple(DNS_RELEASE, "dns_release")
 match_nft_update_sale = _simple(NFT_SALE_UPDATE, "nft_update_sale")
 

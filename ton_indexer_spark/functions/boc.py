@@ -434,6 +434,8 @@ OP_TGBTC_DKG_EVENT = 0x453443A6      # messages/tgbtc.py:76-86
 OP_DEDUST_SWAP_NOTIFICATION = 0x9C610DE3  # messages/swaps.py:81-94
 OP_STONFI_V2_PAYOUT = 0x657B54F5     # messages/swaps.py:64-78
 OP_LZ_ENDPOINT_SEND = 0xDD4EA3B4     # messages/layerzero.py:19-54
+OP_TONCO_START_BURN = 0x530B5F2C     # messages/liquidity.py:165-184
+OP_TELEITEM_START_AUCTION = 0x487A8E81  # messages/nft.py:104-129
 
 # LayerZero metadata-cell header constants (messages/layerzero.py:86-201;
 # public func sources quoted there).  Every md cell is
@@ -706,6 +708,35 @@ def decode_body_cell(root: Cell) -> dict:
         d["amount_out"] = s.load_coins()
         ref = s.load_ref().begin_parse()
         d["sender"] = ref.load_address()
+        return d
+    if op == OP_TONCO_START_BURN:
+        # POOLV3_START_BURN#530b5f2c query_id:uint64 burned_index:uint64
+        #   liquidity_to_burn:uint128 tick_lower:int24 tick_upper:int24
+        #   (messages/liquidity.py:165-184); liquidity surfaced as the
+        #   matcher's lp-burnt amount, burned_index as nft_index
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["nft_index"] = s.load_uint(64)
+        d["amount"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        return d
+    if op == OP_TELEITEM_START_AUCTION:
+        # teleitem_start_auction#487a8e81 query_id:uint64
+        #   ^[beneficiary:MsgAddress initial_min_bid:Coins max_bid:Coins
+        #     min_bid_step:uint8 min_extend_time:uint32 duration:uint32]
+        #   (messages/nft.py:104-129)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        if s.remaining_refs:
+            cfg = s.load_ref().begin_parse()
+            try:
+                d["beneficiary_address"] = cfg.load_address()
+                d["initial_min_bid"] = cfg.load_coins()
+                d["max_bid"] = cfg.load_coins()
+                d["min_bid_step"] = cfg.load_uint(8)
+                d["min_extend_time"] = cfg.load_uint(32)
+                d["duration"] = cfg.load_uint(32)
+            except ValueError:
+                pass  # malformed config: keep query_id (reference nulls)
         return d
     if op == OP_LZ_ENDPOINT_SEND:
         # buildLayerzeroMessageBody: query_id:uint64 donation:Coins
