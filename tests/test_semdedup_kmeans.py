@@ -179,3 +179,25 @@ def test_kmeans_fit_centroids_drop_into_ivf(spark):
     a = sorted(map(tuple, got.select("query_id", "rank", "neighbor_id").collect()))
     b = sorted(map(tuple, brute.select("query_id", "rank", "neighbor_id").collect()))
     assert a == b  # probing every trained list == exact search
+
+
+def test_semdedup_with_trained_centroids(spark):
+    """kmeans_fit centroids drop into semdedup (the published SemDeDup
+    recipe: k-means clusters, then within-cluster near-dup)."""
+    from ton_indexer_spark.similarity.kmeans import kmeans_fit
+    from ton_indexer_spark.similarity.semdedup import semdedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 6))
+    vecs = np.vstack([base, base[:5] + 1e-4])  # 5 near-copies appended
+    df = _emb_df(spark, vecs)
+    _a, ids, cent = kmeans_fit(df, k=4, n_iter=2)
+    out = {r["vec_id"]: r
+           for r in semdedup(df, threshold=0.999,
+                             centroids=(ids, cent)).collect()}
+    assert len(out) == 45
+    dups = [v for v in out.values() if v["is_duplicate"]]
+    # each appended near-copy lands in its original's cluster (identical
+    # direction) and is flagged against it
+    assert {d["vec_id"] for d in dups} == {40, 41, 42, 43, 44}
+    assert all(out[40 + i]["dup_of"] == i for i in range(5))

@@ -39,6 +39,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    centroids: "tuple | None" = None,
 ) -> DataFrame:
     """(id_col, cluster_id, dup_of, is_duplicate) — one row per vector.
 
@@ -46,8 +47,16 @@ def semdedup(
     ``round(cos(u, v), round_digits) >= threshold`` (null for kept
     vectors); ``is_duplicate`` is its non-nullness.  Cluster identity is
     the seed vector's id (``ivf_seed_matrix`` convention).
+
+    ``centroids`` — optional trained (ids, unit matrix) from
+    ``kmeans_fit`` (the published SemDeDup recipe clusters with k-means);
+    defaults to deterministic smallest-id seeds, the oracle-replayable
+    configuration the gate pins.
     """
-    seed_ids, seeds = ivf_seed_matrix(emb, n_clusters, id_col, vec_col)
+    if centroids is not None:
+        seed_ids, seeds = centroids
+    else:
+        seed_ids, seeds = ivf_seed_matrix(emb, n_clusters, id_col, vec_col)
     assigned = ivf_assign(
         emb, seed_ids, seeds, nprobe=1, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits,
