@@ -124,3 +124,58 @@ def test_streaming_sessions_match_batch_for_closed(spark, tmp_path):
     }
     for k, v in closed.items():
         assert batch[k] == v
+
+
+def test_streaming_sessions_seq_survives_timeout(spark, tmp_path):
+    """After a timeout-close, the per-user counter is retained: the next
+    session numbers seq+1 instead of colliding at (user, 1); an
+    in-watermark straggler older than the open session closes as its own
+    session, leaving the open session's count/start intact."""
+    import datetime as dt
+
+    from ton_indexer_spark.streaming.sessions import streaming_sessions
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "view", 1.0, "{}")
+
+    cols = ("event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+    src = str(tmp_path / "src")
+    # drop 1: user 1 session [0]; user 9 far ahead drives the watermark
+    spark.createDataFrame(
+        [ev(1, 1, 0), ev(2, 9, 200)], cols
+    ).coalesce(1).write.parquet(src)
+    # drop 2: user 1 returns much later (session 1 closed via timeout in
+    # between), plus a straggler 40 min older than the new session but
+    # within the 1h watermark
+    spark.createDataFrame(
+        [ev(3, 1, 260), ev(4, 1, 220)], cols
+    ).coalesce(1).write.mode("append").parquet(src)
+    gap_us = 1800 * 1_000_000
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    (
+        streaming_sessions(stream, gap_us)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = {
+        (r["user_id"], r["session_seq"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    u1_seqs = sorted(s for u, s in rows if u == 1)
+    # session 1 (timeout-closed) and the straggler session carry DISTINCT
+    # seq numbers; no (1, 1) collision
+    assert len(u1_seqs) == len(set(u1_seqs))
+    assert 1 in u1_seqs and len(u1_seqs) >= 2
+    assert rows[(1, 1)]["n_events"] == 1  # the t0 session, not merged

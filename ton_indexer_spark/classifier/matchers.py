@@ -115,17 +115,20 @@ def match_jetton_mint_entry(node: Node, ctx: Ctx) -> dict | None:
     if internal is None:
         # no internal-transfer leg: demand more than address-shaped bits —
         # 0x15 is a tiny generic opcode other contracts use (the reference
-        # gates on the minter interface, JettonMintBlockMatcher).  Accept
-        # only a FAILED mint attempt (the case the leg can't evidence) or,
-        # when the jetton_wallets dimension is hydrated, a known master.
+        # gates on the minter interface, JettonMintBlockMatcher).  A
+        # FAILED attempt is accepted on the decoded body alone (the leg
+        # can't evidence it, and the per-trace jetton_wallets context
+        # cannot either — a failed mint's trace contains no wallet, so
+        # its master never appears in the trace-scoped masters set); a
+        # SUCCESSFUL legless call needs master-membership evidence.
         if to_owner is None:
             return None
-        masters = {m for _o, m in ctx.get("jetton_wallets", {}).values()}
-        if "jetton_wallets" in ctx.get("dims_present", ()):
+        if not node.aborted:
+            masters = {
+                m for _o, m in ctx.get("jetton_wallets", {}).values()
+            }
             if node.account not in masters:
-                return None  # hydrated dimension: membership authoritative
-        elif not node.aborted:
-            return None  # succeeded, legless, no dim evidence: collision
+                return None  # succeeded, legless, no evidence: collision
     claimed = [node]
     wallet = None
     amount = body.get("amount")

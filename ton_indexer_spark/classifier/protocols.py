@@ -234,6 +234,13 @@ def _simple(opcode: int, typ: str, **static):
     return match
 
 
+# log-event types whose decoded payload has a `{typ}_data` struct in
+# ACTIONS_OUT_SCHEMA (classify.py) — keep the two lists in sync
+_LOG_EVENT_DATA_TYPES = frozenset(
+    {"tgbtc_mint", "tgbtc_burn", "tgbtc_new_key", "tgbtc_dkg_log"}
+)
+
+
 def _log_event(opcode: int, typ: str):
     """Factory for log-only matchers: the action is evidenced by an
     external-out event message (tgBTC / LayerZero logs — the reference's
@@ -244,16 +251,19 @@ def _log_event(opcode: int, typ: str):
             return None
         # the event payload IS the action data (reference *LogOnlyMatcher
         # parses the log body, e.g. tgbtc.py TgBTCMintLogOnlyMatcher):
-        # decode the emitting out-message and carry its fields
-        ev = next(
-            (m for m in node.out_msgs if m.opcode == opcode), None
-        )
+        # decode the emitting out-message and carry its fields — but only
+        # for types with a serialized payload struct; attaching a key the
+        # actions schema lacks would be silently dropped downstream
         data = None
-        if ev is not None:
-            decoded = ev.decoded_body()
-            data = {
-                k: v for k, v in decoded.items() if k != "opcode"
-            } or None
+        if typ in _LOG_EVENT_DATA_TYPES:
+            ev = next(
+                (m for m in node.out_msgs if m.opcode == opcode), None
+            )
+            if ev is not None:
+                decoded = ev.decoded_body()
+                data = {
+                    k: v for k, v in decoded.items() if k != "opcode"
+                } or None
         return _base(
             node, typ, destination=node.account,
             **({f"{typ}_data": data} if data else {}),

@@ -785,22 +785,40 @@ def decode_body_cell(root: Cell) -> dict:
             pass  # partial md: keep whatever decoded
         return d
     if op == OP_STONFI_V2_PAYOUT:
-        # pay_to#657b54f5 query_id to excesses original_caller exit_code
-        #   custom:(Maybe ^Cell) ^[fwd_ton amount0_out token0 amount1_out
-        #   token1] (messages/swaps.py:64-78)
-        d = {"opcode": op, "query_id": s.load_uint(64)}
-        d["to_address"] = s.load_address()
-        d["excesses_address"] = s.load_address()
-        d["original_caller"] = s.load_address()
-        d["exit_code"] = s.load_uint(32)
-        s.load_maybe_ref()  # custom_payload
-        ref = s.load_ref().begin_parse()
-        d["fwd_ton_amount"] = ref.load_coins()
-        d["amount0_out"] = ref.load_coins()
-        d["token0_address"] = ref.load_address()
-        d["amount1_out"] = ref.load_coins()
-        d["token1_address"] = ref.load_address()
-        return d
+        # 0x657b54f5 is DUAL-USE in Ston.fi v2: router pay_to
+        # (messages/swaps.py:64-78) AND the pool swap entry
+        # (messages/swaps.py:129-153).  Shape-discriminate: try the
+        # pay_to layout; on underflow reparse as the swap entry; if
+        # neither fits, degrade to the bare opcode (never {}).
+        try:
+            p = root.begin_parse()
+            p.load_uint(32)
+            d = {"opcode": op, "query_id": p.load_uint(64)}
+            d["to_address"] = p.load_address()
+            d["excesses_address"] = p.load_address()
+            d["original_caller"] = p.load_address()
+            d["exit_code"] = p.load_uint(32)
+            p.load_maybe_ref()  # custom_payload
+            ref = p.load_ref().begin_parse()
+            d["fwd_ton_amount"] = ref.load_coins()
+            d["amount0_out"] = ref.load_coins()
+            d["token0_address"] = ref.load_address()
+            d["amount1_out"] = ref.load_coins()
+            d["token1_address"] = ref.load_address()
+            if p.remaining_bits == 0:
+                return d
+        except BocError:
+            pass
+        try:
+            p = root.begin_parse()
+            p.load_uint(32)
+            d = {"opcode": op, "query_id": p.load_uint(64)}
+            d["user"] = p.load_address()
+            d["amount"] = p.load_coins()
+            d["right_amount"] = p.load_coins()
+            return d
+        except BocError:
+            return {"opcode": op}
     if op == OP_CHANGE_DNS:
         # change_dns_record#4eb1f0f9 query_id:uint64 key:uint256
         #   value:(Maybe ^Cell{schema:uint16 payload})  (messages/dns.py:6-40)
@@ -834,14 +852,6 @@ def decode_body_cell(root: Cell) -> dict:
         d["pool"] = s.load_address()
         d["kind"] = s.load_bit()
         d["limit"] = s.load_coins()
-        return d
-    if op == OP_STONFI_V2_SWAP:
-        # swap#657b54f5 query_id:uint64 from_user:Addr left_amount:Coins
-        #   right_amount:Coins … (messages/swaps.py:129-153)
-        d = {"opcode": op, "query_id": s.load_uint(64)}
-        d["user"] = s.load_address()
-        d["amount"] = s.load_coins()
-        d["right_amount"] = s.load_coins()
         return d
     if op == OP_TONSTAKERS_WITHDRAW:
         # burn/withdraw request: query_id:uint64 [amount:Coins]

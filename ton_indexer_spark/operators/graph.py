@@ -123,7 +123,14 @@ def forest_roots(
     if local_threshold > 0 and edges.count() <= local_threshold:
         return _local_forest_roots(edges)
 
-    anc = edges.groupBy("node").agg(F.min("anc").alias("anc"))
+    # materialize the grouped parents FIRST: the cycle-break pre-pass
+    # below self-joins this frame twice, and an un-checkpointed anc would
+    # re-run the caller's upstream once per join side
+    anc = (
+        edges.groupBy("node")
+        .agg(F.min("anc").alias("anc"))
+        .localCheckpoint(eager=True)
+    )
     # corrupted input (duplicate msg_hash) can leave a MUTUAL pair a↔b
     # that min-parent dedup cannot remove; break it deterministically —
     # drop the node<anc side so the smaller id becomes the root — the
@@ -138,8 +145,8 @@ def forest_roots(
     )
     anc = (
         anc.join(mutual_lo, ["node", "anc"], "left_anti")
-        # materialize before the loop: round 1 joins anc with itself, and
-        # an un-cached anc would recompute the caller's upstream twice
+        # second materialization before the loop (cheap: both inputs are
+        # the checkpointed frame); round 1 joins anc with itself
         .localCheckpoint(eager=True)
     )
 

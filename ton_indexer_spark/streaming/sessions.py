@@ -40,6 +40,12 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("end_us", T.LongType()),
     ]
 )
+# after a timeout-close, the per-user row (4 ints) is retained this long
+# so session numbering stays monotone across visits; after retention the
+# counter is dropped and numbering may restart (documented trade-off:
+# state stays bounded by RECENTLY-active users)
+SEQ_RETENTION_US = 30 * 86400 * 1_000_000
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_seq", T.LongType()),
@@ -61,8 +67,14 @@ def streaming_sessions(
 
     Emits a row when a session CLOSES — either a new event arrives past
     the gap, or the event-time timeout fires (watermark passed the open
-    session's end + gap).  Session numbering matches the batch operator:
-    consecutive sequence per user starting at 1.
+    session's end + gap).  Session numbering matches the batch operator
+    (consecutive per user from 1) with two documented streaming caveats:
+    an in-watermark straggler OLDER than the open session closes as its
+    own session whose seq reflects session-open order, not time order;
+    and after ``SEQ_RETENTION_US`` of inactivity the per-user counter row
+    is dropped, so numbering restarts for users idle longer than that.
+    Exact batch parity holds when the watermark delay ≤ the gap (events
+    later than that are dropped by the engine on both paths).
     """
 
     def update(
@@ -78,8 +90,17 @@ def streaming_sessions(
         closed: list[tuple] = []
         if state.hasTimedOut:
             if n:
+                # emit the open session but KEEP the sequence counter:
+                # removing state here would restart numbering at 1 on the
+                # user's next visit, colliding (user_id, session_seq) keys
+                # with already-emitted sessions
                 closed.append((user, seq, n, start, end))
-            state.remove()
+                state.update((seq, 0, 0, end))
+                state.setTimeoutTimestamp(
+                    (end + SEQ_RETENTION_US) // 1000 + 1
+                )
+            else:
+                state.remove()  # retention passed: drop the counter row
         else:
             ts_all = pd.concat(
                 [pdf["_ts_us"] for pdf in pdfs], ignore_index=True
@@ -89,11 +110,21 @@ def streaming_sessions(
                 if n and ts - end > gap_us:
                     closed.append((user, seq, n, start, end))
                     n, start = 0, None
+                elif n and ts < start - gap_us:
+                    # in-watermark straggler older than the open session:
+                    # it can't belong to it — emit it as its own (earlier)
+                    # session rather than folding it in and corrupting the
+                    # open session's start/count.  Its seq reflects
+                    # session-OPEN order, not time order (documented).
+                    seq += 1
+                    closed.append((user, seq, 1, ts, ts))
+                    continue
                 if n == 0:
                     seq, start = seq + 1, ts
                     n, end = 1, ts
                 else:
                     n, end = n + 1, max(end, ts)
+                    start = min(start, ts)
             state.update((seq, n, start, end))
             # close via timeout once the watermark passes end + gap
             state.setTimeoutTimestamp((end + gap_us) // 1000 + 1)
