@@ -991,3 +991,52 @@ def test_tonco_start_burn_and_teleitem_auction_decode():
     assert d2["beneficiary_address"] == A1
     assert d2["initial_min_bid"] == 10**9 and d2["max_bid"] == 5 * 10**9
     assert d2["duration"] == 86400
+
+
+def test_dedust_deposit_to_pool_decode_and_matcher(spark):
+    """DedustDepositLiquidityToPool (0xb56b9598) decodes the second-asset
+    amounts from the pool hop's BOC body, and the deposit matcher uses
+    them when the entry body carries no fixture keys."""
+    import base64
+
+    from tests.test_classifier import A, TraceBuilder, acts_of, run
+    from ton_indexer_spark.classifier.protocols import (
+        DEDUST_DEPOSIT_TO_POOL,
+        DEDUST_DEPOSIT_TON,
+        DEDUST_TOPUP_DEPOSIT,
+    )
+    from ton_indexer_spark.functions.boc import (
+        OP_DEDUST_DEPOSIT_TO_POOL,
+        Builder,
+        decode_message_body,
+        serialize_boc,
+        store_dedust_asset,
+    )
+
+    JET = "0:" + "66" * 32
+    amounts = Builder()
+    amounts = store_dedust_asset(amounts, "TON").store_coins(10**9)
+    amounts = store_dedust_asset(amounts, JET).store_coins(777)
+    cell = (Builder().store_uint(OP_DEDUST_DEPOSIT_TO_POOL, 32)
+            .store_uint(4, 64).store_ref(Builder().end_cell())
+            .store_address(A[3]).store_coins(5)
+            .store_ref(amounts.end_cell())
+            .store_bit(0).store_bit(0).end_cell())
+    b64 = base64.b64encode(serialize_boc(cell)).decode()
+    d = decode_message_body(b64)
+    assert d["amount1"] == 10**9 and d["asset1"] == "TON"
+    assert d["amount2"] == 777 and d["asset2"] == JET
+    assert d["owner"] == A[3]
+
+    # entry (no fixture payload) → topup → deposit-to-pool with BOC body
+    VAULT, DEPOSIT, POOL = A[5], A[6], A[7]
+    tb = TraceBuilder("ddp1")
+    r = tb.tx(A[0], None)
+    v = tb.chain(r, VAULT, opcode=DEDUST_DEPOSIT_TON, value=10**9)
+    t = tb.chain(v, DEPOSIT, opcode=DEDUST_TOPUP_DEPOSIT)
+    tb.chain(t, POOL, opcode=DEDUST_DEPOSIT_TO_POOL, body=b64)
+    res = run(spark, [tb])
+    acts = acts_of(res, "ddp1")
+    assert [a["type"] for a in acts] == ["dex_deposit_liquidity"]
+    data = acts[0]["dex_deposit_liquidity_data"]
+    assert data["amount2"] == 777 and data["asset2"] == JET

@@ -359,6 +359,15 @@ def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
         node, DEDUST_TOPUP_DEPOSIT, DEDUST_DEPOSIT_TO_POOL, JETTON_INTERNAL
     )
     body = node.in_msg.decoded_body()
+    # the second-asset amounts live in the deposit-to-pool hop's body
+    # (DedustDepositLiquidityToPool, messages/liquidity.py:73-88) on real
+    # chain data; the entry-body keys remain as the fixture seam
+    pool_body: dict = {}
+    pool_node = next(
+        (c for c in claimed if _op(c) == DEDUST_DEPOSIT_TO_POOL), None
+    )
+    if pool_node is not None:
+        pool_body = pool_node.in_msg.decoded_body()
     return _base(
         node,
         "dex_deposit_liquidity",
@@ -371,9 +380,9 @@ def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
         dex_deposit_liquidity_data={
             "dex": "dedust",
             "amount1": body.get("amount", node.in_msg.value),
-            "amount2": body.get("amount2"),
+            "amount2": body.get("amount2", pool_body.get("amount2")),
             "asset1": "TON",
-            "asset2": body.get("asset2"),
+            "asset2": body.get("asset2", pool_body.get("asset2")),
             "lp_tokens_minted": body.get("lp_tokens_minted"),
         },
     )

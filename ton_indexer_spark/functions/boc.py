@@ -435,6 +435,7 @@ OP_DEDUST_SWAP_NOTIFICATION = 0x9C610DE3  # messages/swaps.py:81-94
 OP_STONFI_V2_PAYOUT = 0x657B54F5     # messages/swaps.py:64-78
 OP_LZ_ENDPOINT_SEND = 0xDD4EA3B4     # messages/layerzero.py:19-54
 OP_TONCO_START_BURN = 0x530B5F2C     # messages/liquidity.py:165-184
+OP_DEDUST_DEPOSIT_TO_POOL = 0xB56B9598  # messages/liquidity.py:73-88
 OP_TELEITEM_START_AUCTION = 0x487A8E81  # messages/nft.py:104-129
 
 # LayerZero metadata-cell header constants (messages/layerzero.py:86-201;
@@ -708,6 +709,22 @@ def decode_body_cell(root: Cell) -> dict:
         d["amount_out"] = s.load_coins()
         ref = s.load_ref().begin_parse()
         d["sender"] = ref.load_address()
+        return d
+    if op == OP_DEDUST_DEPOSIT_TO_POOL:
+        # deposit_liquidity#b56b9598 query_id:uint64 proof:^Cell
+        #   owner:MsgAddress min_lp_amount:Coins
+        #   ^[asset0 amount0 asset1 amount1]
+        #   fulfill:(Maybe ^Cell) reject:(Maybe ^Cell)
+        #   (messages/liquidity.py:73-88)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        s.load_ref()  # proof
+        d["owner"] = s.load_address()
+        d["min_lp_amount"] = s.load_coins()
+        ref = s.load_ref().begin_parse()
+        d["asset1"] = _load_dedust_asset(ref)
+        d["amount1"] = ref.load_coins()
+        d["asset2"] = _load_dedust_asset(ref)
+        d["amount2"] = ref.load_coins()
         return d
     if op == OP_TONCO_START_BURN:
         # POOLV3_START_BURN#530b5f2c query_id:uint64 burned_index:uint64
