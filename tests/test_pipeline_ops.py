@@ -424,3 +424,90 @@ class TestIncrementalNearDup:
             for r in spark.read.parquet(f"{out}/docs").collect()
         )
         assert got == [10]
+
+
+class TestPipelineProperties:
+    def test_source_mixture_feasibility_invariant(self, spark):
+        """For ANY weights and counts: thresholds never upsample (thr <=
+        buckets) and the target total is the max feasible one."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ton_indexer_spark.operators.sampling import source_mixture
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            counts=st.lists(st.integers(min_value=1, max_value=60),
+                            min_size=2, max_size=4),
+            weights=st.lists(st.integers(min_value=1, max_value=9),
+                             min_size=4, max_size=4),
+        )
+        def check(counts, weights):
+            rows, i = [], 0
+            for s, c in enumerate(counts):
+                for _ in range(c):
+                    rows.append((i, f"s{s}"))
+                    i += 1
+            d = spark.createDataFrame(rows, "doc_id long, source string")
+            w = {f"s{s}": weights[s] for s in range(len(counts))}
+            out = source_mixture(d, "doc_id", "source", w)
+            by = {r["source"]: r["n"] for r in
+                  out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+            W = sum(w[f"s{s}"] for s in range(len(counts)))
+            T = min(c * W // w[f"s{s}"] for s, c in enumerate(counts))
+            for s, c in enumerate(counts):
+                t_s = T * w[f"s{s}"] // W
+                assert by.get(f"s{s}", 0) <= c  # never upsample
+                # hash filter keeps at most the target threshold share
+                assert by.get(f"s{s}", 0) <= t_s + max(
+                    3, t_s)  # loose statistical envelope
+
+        check()
+
+    def test_bloom_never_false_negative_property(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ton_indexer_spark.dedup.bloom import bloom_build, bloom_probe
+
+        @settings(max_examples=5, deadline=None)
+        @given(keys=st.sets(st.text(min_size=1, max_size=8), min_size=1,
+                            max_size=30))
+        def check(keys):
+            ref = spark.createDataFrame([(k,) for k in keys], "k string")
+            bloom = bloom_build(ref, "k", m_bits=512, k_hashes=3)
+            out = {r["k"]: r["maybe_member"]
+                   for r in bloom_probe(ref, bloom, "k", m_bits=512,
+                                        k_hashes=3).collect()}
+            assert all(out[k] for k in keys)  # the Bloom guarantee
+
+        check()
+
+    def test_charlm_score_is_exact_integer_sum(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ton_indexer_spark.functions.charlm import (
+            ALPHABET,
+            char_lm_score,
+            train_char_lm,
+        )
+
+        ref = spark.createDataFrame(
+            [(0, "the reference corpus text")], "doc_id long, text string")
+        model = train_char_lm(ref)
+
+        @settings(max_examples=5, deadline=None)
+        @given(text=st.text(
+            alphabet="abcXYZ 01.!你", min_size=0, max_size=60))
+        def check(text):
+            d = spark.createDataFrame(
+                [(1, text)], "doc_id long, text string")
+            row = char_lm_score(d, model).collect()[0]
+            low = text.lower()
+            expect = sum(model[c] for c in low if c in ALPHABET)
+            n = sum(1 for c in low if c in ALPHABET)
+            assert row["nll_sum_scaled"] == expect
+            assert row["n_scored"] == n
+
+        check()

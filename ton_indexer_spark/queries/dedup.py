@@ -395,3 +395,83 @@ def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SPAN_K = 10  # tokens per span; spans repeated across >= 2 docs flag
+
+
+@register(
+    "repeated_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+        SELECT doc_id, pos, md5(g) AS gh
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {_SPAN_K}
+                               THEN list_transform(range(1, len(t) - {_SPAN_K - 2}),
+                                        i -> {{'pos': i, 'g': {" || ' ' || ".join(f"t[i+{j}]" for j in range(10))}}})
+                               ELSE [] END, recursive := true) AS u
+            FROM toks
+        )
+    ),
+    rep AS (
+        SELECT gh FROM grams GROUP BY gh
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos, gh FROM grams WHERE gh IN (SELECT gh FROM rep))
+    SELECT doc_id,
+           COUNT(*) AS n_repeated_positions,
+           COUNT(DISTINCT gh) AS n_repeated_grams,
+           MIN(pos) AS first_pos
+    FROM hits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:repeated-spans",),
+    description=f"cross-document repeated-passage detection ({_SPAN_K}"
+    "-token spans occurring in >= 2 docs — the passage-level dedup "
+    "signal of 'Deduplicating Training Data Makes LMs Better'): "
+    "positional gram explode hashed map-side, one df aggregation, "
+    "semi-join back on the gram hash; per-doc summary keeps output "
+    "bounded by corpus size, not span pairs",
+)
+def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = d.select("doc_id", toks.alias("t")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    k = _SPAN_K
+    idx = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.md5(F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("t", (i + j).cast("int")) for j in range(k)]
+    ))
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                i.alias("pos"), gram(i).alias("gh")))
+        ).alias("u"),
+    ).select("doc_id", "u.pos", "u.gh")
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    return (
+        grams.join(rep, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeated_positions"),
+            F.countDistinct("gh").alias("n_repeated_grams"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
