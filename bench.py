@@ -49,6 +49,9 @@ HEADLINE = [
     "embed_kmeans",
     "source_mixture",
     "pii_detect",
+    "char_lm_quality",
+    "common_ngrams",
+    "repeated_spans",
 ]
 
 

@@ -69,6 +69,7 @@ class TestPII:
                 (1, "mail a@b.co and c.d+x@e-f.org, server 10.0.255.1, "
                     "call +1 (555) 123-4567 now"),
                 (2, "no pii here at all"),
+                (3, "see https://ex.com/u@v.com?q=1 and http://10.0.0.1/x"),
             ],
             "doc_id long, text string",
         )
@@ -90,6 +91,10 @@ class TestPII:
         assert "10.0.255.1" not in out[1]["red"]
         assert out[2]["red"] == "no pii here at all"
         assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+        # URLs are consumed whole (before email/IP), so the embedded
+        # address and host IP never partially redact
+        assert out[3]["n_url"] == 2
+        assert out[3]["red"] == "see <URL> and <URL>"
 
 
 class TestSourceMixture:

@@ -20,8 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# ordered: replacement applies in this sequence
+# ordered: replacement applies in this sequence — URLs first so an
+# address embedded in a URL is consumed by the URL token, not split by
+# the email/IP replacement
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^ \t\r\n]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\+[0-9][0-9()\- ]{6,18}[0-9]", "<PHONE>"),
