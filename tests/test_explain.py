@@ -322,12 +322,15 @@ def test_source_mixture_corpus_is_not_shuffled(spark, specs):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_decontaminate_benchmark_side_joins_semi(spark, specs):
-    """decontaminate: the benchmark shingle probe is a LeftSemi join (the
-    training side keeps only matching rows; no plan-mandated broadcast of
-    the big side)."""
+def test_decontaminate_single_pass_over_training_shingles(spark, specs):
+    """decontaminate: hit-marking LEFT join + ONE per-doc aggregation —
+    the training shingle explode is scanned once (a semi-join variant
+    would re-run the explode for the separate total-count branch), and
+    the big side carries no plan-mandated broadcast."""
     plan = plan_of(specs["decontaminate"].builder(spark, SF_SMALL))
-    assert "LeftSemi" in plan, plan
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) <= 2, plan
+    # the benchmark side joins as the build side; training side streams
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan, plan
 
 
 def test_bloom_probe_broadcasts_filter(spark, specs):

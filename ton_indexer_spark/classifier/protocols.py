@@ -234,11 +234,14 @@ def _simple(opcode: int, typ: str, **static):
     return match
 
 
-# log-event types whose decoded payload has a `{typ}_data` struct in
-# ACTIONS_OUT_SCHEMA (classify.py) — keep the two lists in sync
-_LOG_EVENT_DATA_TYPES = frozenset(
-    {"tgbtc_mint", "tgbtc_burn", "tgbtc_new_key", "tgbtc_dkg_log"}
-)
+def _has_payload_struct(typ: str) -> bool:
+    """True iff ACTIONS_OUT_SCHEMA serializes a `{typ}_data` struct —
+    derived from the schema (lazy import: classify imports this module)
+    so the log matchers can never attach a payload the serializer would
+    silently drop."""
+    from ton_indexer_spark.classifier.classify import _PAYLOAD_STRUCTS
+
+    return any(f.name == f"{typ}_data" for f in _PAYLOAD_STRUCTS)
 
 
 def _log_event(opcode: int, typ: str):
@@ -255,7 +258,7 @@ def _log_event(opcode: int, typ: str):
         # for types with a serialized payload struct; attaching a key the
         # actions schema lacks would be silently dropped downstream
         data = None
-        if typ in _LOG_EVENT_DATA_TYPES:
+        if _has_payload_struct(typ):
             ev = next(
                 (m for m in node.out_msgs if m.opcode == opcode), None
             )

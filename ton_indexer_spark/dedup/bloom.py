@@ -29,17 +29,16 @@ from pyspark.sql import functions as F
 
 
 def _positions(key: Column, m_bits: int, k_hashes: int) -> Column:
-    """Array of the k hash positions for a key (engine-portable md5 family)."""
+    """Array of the k hash positions for a key — the same engine-portable
+    md5 bucket `operators/sampling.py::hash_bucket` uses, seeded per hash
+    function by an index prefix."""
+    from ton_indexer_spark.operators.sampling import hash_bucket
+
     return F.array(
         *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
+            hash_bucket(
+                F.concat(F.lit(f"{i}:"), key.cast("string")), m_bits
+            )
             for i in range(k_hashes)
         ]
     )

@@ -61,18 +61,19 @@ def decontaminate(
         shingles(benchmark, id_col=id_col, text_col=text_col, k=k)
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    per_doc = train_sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    hits = (
-        train_sh.join(bench_sh, "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    # ONE pass over the training shingles: a left join against the
+    # (broadcast-sized) benchmark set marks hits, and a single per-doc
+    # aggregation produces both counts — two separate aggregations would
+    # re-run the shingle explode once per branch
     return (
-        per_doc.join(hits, id_col, "left")
-        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        train_sh.join(bench_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hit"),
+        )
         .withColumn(
             "contaminated",
             F.col("n_hit") * denom >= F.lit(num) * F.col("n_shingles"),

@@ -76,8 +76,25 @@ def char_lm_score(
     ``nll_per_char`` the double quotient (null when no scoreable chars).
     Lower is more reference-like; the filter drops the high tail.
     """
-    n_scored, nll = nll_columns(model, text_col)
-    return docs.select(
+    # project the 37 per-char counts ONCE, then derive both sums from the
+    # bound columns: inlining the count expressions into n_scored AND the
+    # weighted sum would evaluate every replace() twice per row and blow
+    # the whole-stage-codegen 64 KB method limit
+    lowered = F.lower(F.col(text_col))
+    counted = docs.select(
+        F.col(id_col),
+        *[
+            _char_count(lowered, c).cast("long").alias(f"_c{i}")
+            for i, c in enumerate(ALPHABET)
+        ],
+    )
+    cols = [F.col(f"_c{i}") for i in range(len(ALPHABET))]
+    n_scored = sum(cols[1:], cols[0])
+    nll = None
+    for i, c in enumerate(ALPHABET):
+        term = cols[i] * F.lit(model[c])
+        nll = term if nll is None else nll + term
+    return counted.select(
         F.col(id_col),
         n_scored.alias("n_scored"),
         nll.alias("nll_sum_scaled"),

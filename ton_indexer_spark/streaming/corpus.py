@@ -69,18 +69,21 @@ def curate(
     # inline the char-LM expressions (rather than joining the
     # char_lm_score projection back) so the streaming plan stays a single
     # stateless select — stream-stream joins need watermarks this
-    # pipeline doesn't otherwise want
+    # pipeline doesn't otherwise want.  Bind the score to a column FIRST:
+    # repeating the 37-count expression inside each filter clause would
+    # re-evaluate every replace() per clause
     from ton_indexer_spark.functions.charlm import nll_columns
 
     n_scored, nll = nll_columns(model)
-    nll_per_char = F.when(
-        n_scored > 0, nll.cast("double") / n_scored.cast("double")
+    scored = docs.withColumn(
+        "_nll_per_char",
+        F.when(n_scored > 0, nll.cast("double") / n_scored.cast("double")),
     )
-    gated = docs.where(
+    gated = scored.where(
         (token_count(F.col("text")) >= min_tokens)
-        & nll_per_char.isNotNull()
-        & (nll_per_char < max_nll_per_char)
-    )
+        & F.col("_nll_per_char").isNotNull()
+        & (F.col("_nll_per_char") < max_nll_per_char)
+    ).drop("_nll_per_char")
     redacted = gated.withColumn("text", redact_pii(F.col("text")))
     return dataset_split(redacted, id_col="doc_id").withColumn(
         "fp", fingerprint(F.col("text"))
