@@ -452,8 +452,6 @@ def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = lambda i: F.md5(F.concat_ws(  # noqa: E731
         " ", *[F.element_at("t", (i + j).cast("int")) for j in range(k)]
     ))
-    from pyspark.sql.window import Window
-
     grams = t.select(
         "doc_id",
         F.explode(
@@ -461,15 +459,19 @@ def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i.alias("pos"), gram(i).alias("gh")))
         ).alias("u"),
     ).select("doc_id", "u.pos", "u.gh")
-    # document frequency as a window over the gram hash: ONE scan of the
-    # (expensive) gram explode — a groupBy + semi-join back would run the
-    # explode once per branch
-    df_w = F.size(
-        F.collect_set("doc_id").over(Window.partitionBy("gh"))
+    # document frequency via groupBy + semi-join: the explode runs once
+    # per branch (2× map CPU), which is the RIGHT trade at scale — a
+    # collect_set window over gh would be single-scan but holds one doc
+    # set per gram in memory, and boilerplate grams shared by millions of
+    # docs (the very thing this operator detects) make that unbounded
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
     )
     return (
-        grams.withColumn("_df", df_w)
-        .filter(F.col("_df") >= 2)
+        grams.join(rep, "gh", "left_semi")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_repeated_positions"),
