@@ -52,6 +52,9 @@ HEADLINE = [
     "char_lm_quality",
     "common_ngrams",
     "repeated_spans",
+    "bpe_pair_counts",
+    "shard_assign",
+    "cross_source_overlap",
 ]
 
 

@@ -516,3 +516,69 @@ class TestPipelineProperties:
             assert row["n_scored"] == n
 
         check()
+
+
+class TestShardAssign:
+    def test_complete_and_deterministic(self, spark):
+        from ton_indexer_spark.operators.sampling import shard_assign
+
+        d = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        out = shard_assign(d, "doc_id", n_shards=8, seed="s")
+        rows = out.collect()
+        assert len(rows) == 200
+        # every shard's positions are a contiguous 1..n_s sequence
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            assert 0 <= r["shard"] < 8
+            by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+        assert sum(len(v) for v in by_shard.values()) == 200
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        # partition-layout invariance: same assignment from 1 partition
+        again = {
+            (r["doc_id"]): (r["shard"], r["pos_in_shard"])
+            for r in shard_assign(
+                d.coalesce(1), "doc_id", n_shards=8, seed="s"
+            ).collect()
+        }
+        assert again == {
+            r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in rows
+        }
+
+    def test_seed_changes_order(self, spark):
+        from ton_indexer_spark.operators.sampling import shard_assign
+
+        d = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+             for r in shard_assign(d, "doc_id", 4, seed="a").collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+             for r in shard_assign(d, "doc_id", 4, seed="b").collect()}
+        assert a != b  # astronomically unlikely to coincide
+
+
+class TestBpePairCounts:
+    def test_hand_counts(self, spark):
+        from ton_indexer_spark.functions.bpe import bpe_pair_counts
+
+        d = spark.createDataFrame(
+            [(1, "low low lower"), (2, "low newest")],
+            "doc_id long, text string",
+        )
+        got = {r["pair"]: r["pair_count"]
+               for r in bpe_pair_counts(d, top_k=100).collect()}
+        # 'low' freq 3, 'lower' 1, 'newest' 1
+        assert got["l o"] == 4   # 3 in low + 1 in lower
+        assert got["o w"] == 4
+        assert got["w e"] == 2   # lower + newest
+        assert got["e r"] == 1
+        assert got["e s"] == 1
+        assert "r l" not in got  # pairs never cross word boundaries
+
+    def test_single_char_words_ignored(self, spark):
+        from ton_indexer_spark.functions.bpe import bpe_pair_counts
+
+        d = spark.createDataFrame(
+            [(1, "a b c ab")], "doc_id long, text string")
+        got = {r["pair"]: r["pair_count"]
+               for r in bpe_pair_counts(d, top_k=10).collect()}
+        assert got == {"a b": 1}

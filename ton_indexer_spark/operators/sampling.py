@@ -170,3 +170,41 @@ def fixed_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    The last step of a curation pipeline: scatter documents uniformly
+    and REPRODUCIBLY across ``n_shards`` output shards and fix the read
+    order inside each (training-data loaders consume shard files
+    sequentially, so the in-shard order IS the sample order — it must be
+    a pure function of (seed, id), not of partition layout).
+
+    ``shard`` is a seeded hash bucket; ``pos_in_shard`` ranks by the full
+    hash digest with the id as tiebreak.  The plan is one hash-partition
+    shuffle on ``shard`` plus a per-shard window sort — shards are
+    independent, so the sort parallelizes across them (one window
+    partition ≙ one output file, the natural `partitionBy("shard")`
+    write).  At 100 TB you pick n_shards in the thousands, keeping each
+    sort executor-sized; there is deliberately NO global row numbering —
+    a total order over the corpus would serialize on one task.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("_key")
+    )

@@ -337,3 +337,43 @@ def group_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "shard_assign",
+    """
+    WITH keyed AS (
+        SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, key,
+               CAST(CAST(('0x' || substring(key, 1, 8)) AS BIGINT) % 16
+                    AS INTEGER) AS shard
+        FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sh
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:shard-assign",),
+    description="deterministic global shuffle into training shards: "
+    "seeded hash bucket + per-shard hash-order rank; one shuffle keyed "
+    "on shard, per-shard window sorts run in parallel (no global total "
+    "order — that would serialize on one task)",
+)
+def shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.sampling import shard_assign
+
+    d = Catalog(spark, sf_dir).documents
+    return (
+        shard_assign(d, id_col="doc_id", n_shards=16, seed="42")
+        .select(
+            "doc_id",
+            "shard",
+            F.col("pos_in_shard").cast("bigint").alias("pos_in_shard"),
+        )
+        .orderBy("doc_id")
+    )

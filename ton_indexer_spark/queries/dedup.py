@@ -98,7 +98,8 @@ def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_with() -> str:
+    """Shared WITH-prefix deriving the LSH candidate pair set ``mpairs``."""
     r = N_HASHES // N_BANDS
     mins = ",\n               ".join(
         f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
@@ -119,11 +120,20 @@ def _minhash_oracle() -> str:
     ),
     buckets AS (
         {band_rows}
+    ),
+    mpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                       AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM buckets a
-    JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                   AND a.doc_id < b.doc_id
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    {_minhash_pairs_with()}
+    SELECT doc_a, doc_b FROM mpairs
     ORDER BY doc_a, doc_b
     """
 
@@ -479,4 +489,43 @@ def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").alias("first_pos"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "cross_source_overlap",
+    f"""
+    {_minhash_pairs_with()}
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM mpairs
+    JOIN documents da ON da.doc_id = mpairs.doc_a
+    JOIN documents db ON db.doc_id = mpairs.doc_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+    survey_ops=("beyond:cross-source-overlap",),
+    description="corpus provenance analytics: near-dup candidate pairs "
+    "(MinHash-LSH) aggregated into a source x source overlap matrix — "
+    "the 'which crawls duplicate which' report that drives mixture and "
+    "dedup-order decisions; pair set is bucket-local, the matrix agg is "
+    "|pairs|-sized, never |docs|^2",
+)
+def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    src = d.select("doc_id", "source")
+    pairs = lsh_candidate_pairs(d)
+    return (
+        pairs.join(src.withColumnsRenamed(
+            {"doc_id": "doc_a", "source": "_sa"}), "doc_a")
+        .join(src.withColumnsRenamed(
+            {"doc_id": "doc_b", "source": "_sb"}), "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
     )

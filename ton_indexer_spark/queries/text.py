@@ -466,3 +466,41 @@ def common_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "ngram")
         .limit(50)
     )
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    wf AS (
+        SELECT word, COUNT(*) AS freq FROM toks
+        WHERE length(word) > 0 GROUP BY word
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                   i -> substr(word, i, 1) || ' ' || substr(word, i+1, 1)))
+                   AS pair,
+               freq
+        FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+    survey_ops=("beyond:bpe",),
+    description="distributed BPE merge-candidate counting (tokenizer "
+    "training, Sennrich 2016 alg.1): corpus-sized pass is ONE word-"
+    "frequency groupBy; pair explode + count run over the distinct "
+    "VOCABULARY (Zipf-small), so later merge iterations never rescan "
+    "the corpus; top-50 candidates via TakeOrdered",
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.bpe import bpe_pair_counts
+
+    d = Catalog(spark, sf_dir).documents
+    return bpe_pair_counts(d, top_k=50)
