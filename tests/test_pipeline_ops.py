@@ -582,3 +582,82 @@ class TestBpePairCounts:
         got = {r["pair"]: r["pair_count"]
                for r in bpe_pair_counts(d, top_k=10).collect()}
         assert got == {"a b": 1}
+
+
+def _ref_bpe_train(corpus: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Reference BPE learner (Sennrich 2016 alg.1), count-desc/pair-lex
+    tiebreak — the spec the distributed trainer must reproduce."""
+    from collections import Counter
+
+    vocab = Counter()
+    for text in corpus:
+        for w in text.split():
+            vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = Counter()
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+class TestBpeTrain:
+    CORPUS = [
+        "low low low lower lowest",
+        "new newer newest newest",
+        "wide wider widest low",
+    ]
+
+    def test_matches_reference_sequence(self, spark):
+        from ton_indexer_spark.functions.bpe import bpe_train
+
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CORPUS)],
+            "doc_id long, text string",
+        )
+        got = bpe_train(d, n_merges=12)
+        want = _ref_bpe_train(self.CORPUS, 12)
+        assert got == want
+
+    def test_encode_roundtrip(self, spark):
+        from ton_indexer_spark.functions.bpe import bpe_encode, bpe_train
+
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CORPUS)],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(d, n_merges=8)
+        out = {r["doc_id"]: r["bpe_tokens"]
+               for r in bpe_encode(d, merges).collect()}
+        # concatenating tokens reconstructs the whitespace-joined text
+        for i, text in enumerate(self.CORPUS):
+            assert "".join(out[i]) == text.replace(" ", "")
+        # a fully-merged frequent word surfaces as one token
+        merged_units = {"".join(p) for p in merges}
+        flat = [t for toks in out.values() for t in toks]
+        assert any(t in merged_units and len(t) >= 3 for t in flat)
+
+    def test_exhausted_vocab_stops_early(self, spark):
+        from ton_indexer_spark.functions.bpe import bpe_train
+
+        d = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        got = bpe_train(d, n_merges=10)
+        assert got == [("a", "b")]  # one possible merge, then dry

@@ -74,3 +74,150 @@ def bpe_pair_counts(
 ) -> DataFrame:
     """End-to-end: corpus → top-K BPE merge candidates."""
     return pair_counts(word_frequencies(docs, text_col), top_k=top_k)
+
+
+def _merge_word(symbols: list, a: str, b: str) -> list:
+    """Classic greedy left-to-right non-overlapping merge of (a, b)."""
+    out, i, n = [], 0, len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _sym_pairs() -> "F.Column":
+    """Adjacent-pair column over a ``symbols array<string>`` column."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size("symbols") - 1),
+        lambda i: F.concat(
+            F.element_at("symbols", i.cast("int")),
+            F.lit(" "),
+            F.element_at("symbols", (i + F.lit(1)).cast("int")),
+        ),
+    )
+
+
+def bpe_train(
+    docs: "DataFrame",
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules over a corpus (Sennrich 2016).
+
+    Scale split: the CORPUS is read exactly once (the word-frequency
+    groupBy of ``word_frequencies``); every subsequent iteration runs
+    over the distinct-word VOCABULARY only, which Zipf makes orders of
+    magnitude smaller.  Per iteration: adjacent-pair counts are pure JVM
+    column algebra (``transform`` + explode + groupBy), the argmax pair
+    is a TakeOrdered of ONE row, and the merge application is an
+    Arrow-batched ``mapInPandas`` over the vocabulary (sequential
+    left-to-right scan per word — genuinely non-vectorizable, but the
+    input is vocab-sized).  The vocab is localCheckpoint'ed per round so
+    lineage stays flat across iterations.
+
+    Ties break deterministically: count DESC, then pair lexicographic —
+    reruns and engines agree on the full merge sequence.
+
+    Returns the ordered merge list ``[(left, right), ...]``.
+    """
+    vocab = (
+        word_frequencies(docs, text_col)
+        .select(
+            # split at every inter-char position; Spark's split keeps a
+            # trailing empty element (limit=-1) — drop it
+            F.filter(
+                F.split("word", "(?!^)"), lambda s: s != F.lit("")
+            ).alias("symbols"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            vocab.filter(F.size("symbols") >= 2)
+            .select(F.explode(_sym_pairs()).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merges.append((a, b))
+
+        def apply_merge(batches, a=a, b=b):
+            for pdf in batches:
+                pdf["symbols"] = pdf["symbols"].map(
+                    lambda s: _merge_word(list(s), a, b)
+                )
+                yield pdf
+
+        new_vocab = vocab.mapInPandas(
+            apply_merge, schema="symbols array<string>, freq long"
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges
+
+
+def bpe_encode(
+    docs: "DataFrame",
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> "DataFrame":
+    """Tokenize a corpus with a learned merge list (broadcast, map-only).
+
+    The merge table rides to executors as a broadcast closure; each word
+    replays merges in priority order (rank-greedy, the standard encode).
+    Arrow-batched ``mapInPandas`` over the CORPUS — embarrassingly
+    parallel, no shuffle; memoized per distinct word within a batch.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    spark = docs.sparkSession
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema.fields
+    ) + f", `{out_col}` array<string>"
+
+    def encode(batches):
+        rk = b_ranks.value
+
+        def encode_word(word: str, memo: dict) -> list:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) >= 2:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                syms = _merge_word(syms, *best)
+            memo[word] = syms
+            return syms
+
+        for pdf in batches:
+            memo: dict = {}
+            pdf[out_col] = pdf[text_col].map(
+                lambda t: [
+                    s
+                    for w in (t or "").split()
+                    for s in encode_word(w, memo)
+                ]
+            )
+            yield pdf
+
+    return docs.mapInPandas(encode, schema=out_schema)
