@@ -55,6 +55,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "shard_assign",
     "cross_source_overlap",
+    "dsir_weight",
 ]
 
 

@@ -338,3 +338,33 @@ def test_bloom_probe_broadcasts_filter(spark, specs):
     the broadcast side of the probe join."""
     plan = plan_of(specs["bloom_membership"].builder(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_pair_counts_is_two_small_shuffles(spark, specs):
+    """bpe_pair_counts: corpus-sized pass is ONE partial-agg shuffle
+    (word frequency); the pair explode + count runs over the vocabulary
+    and the top-k is a TakeOrdered, never a global sort."""
+    plan = plan_of(specs["bpe_pair_counts"].builder(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"hashpartitioning", plan)) <= 2, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_assign_single_shuffle_parallel_windows(spark, specs):
+    """shard_assign: ONE hash partition on shard; the in-shard order is a
+    per-shard window (parallel), never a global 0-partition sort."""
+    plan = plan_of(specs["shard_assign"].builder(spark, SF_SMALL))
+    body = plan.split("ORDER BY")[0] if "ORDER BY" in plan else plan
+    assert re.search(r"hashpartitioning\(shard", body), plan
+    assert "SinglePartition" not in body, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_ratio_table_broadcast(spark, specs):
+    """dsir_weight: the per-bucket log-ratio table joins broadcast; the
+    corpus side never sort-merge-joins, and no Python touches the plan."""
+    plan = plan_of(specs["dsir_weight"].builder(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -661,3 +661,43 @@ class TestBpeTrain:
         d = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
         got = bpe_train(d, n_merges=10)
         assert got == [("a", "b")]  # one possible merge, then dry
+
+
+class TestDsir:
+    def test_target_like_docs_weigh_more(self, spark):
+        from ton_indexer_spark.operators.selection import dsir_weights
+
+        target = spark.createDataFrame(
+            [(100 + i, "the model trains on clean encyclopedic text")
+             for i in range(5)],
+            "doc_id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [
+                (1, "the model trains on clean encyclopedic text"),
+                (2, "buy cheap pills now click here winner prize"),
+                (3, "xx yy"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               dsir_weights(raw, target, n_buckets=256).collect()}
+        # per-gram average weight: target-like doc must beat spam
+        avg1 = out[1]["logw_scaled"] / out[1]["n_grams"]
+        avg2 = out[2]["logw_scaled"] / out[2]["n_grams"]
+        assert avg1 > avg2
+        assert out[1]["logw_scaled"] > 0  # more likely under target
+        assert out[2]["logw_scaled"] < 0  # more likely under raw pool
+        assert out[3]["n_grams"] == 1
+
+    def test_short_docs_absent(self, spark):
+        from ton_indexer_spark.operators.selection import dsir_weights
+
+        raw = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, "two tokens")],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(9, "two tokens")], "doc_id long, text string")
+        ids = {r["doc_id"] for r in dsir_weights(raw, target).collect()}
+        assert ids == {3}

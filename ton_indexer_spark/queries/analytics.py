@@ -377,3 +377,68 @@ def shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _dsir_oracle(n_buckets: int = 512, scale: int = 1_000_000) -> str:
+    bigrams = r"""
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                   % {nb} AS bucket
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS g
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM {rel} WHERE length(trim(text)) > 0
+            )
+            WHERE len(t) >= 2
+        )
+    """
+    return f"""
+    WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    tgtd AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+    rg AS ({bigrams.format(rel="rawd", nb=n_buckets)}),
+    tg AS ({bigrams.format(rel="tgtd", nb=n_buckets)}),
+    tc AS (SELECT bucket, COUNT(*) AS c FROM tg GROUP BY bucket),
+    rcnt AS (SELECT bucket, COUNT(*) AS c FROM rg GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM tg) AS tt,
+                   (SELECT COUNT(*) FROM rg) AS rt),
+    lr AS (
+        SELECT rcnt.bucket,
+               CAST(FLOOR((ln((COALESCE(tc.c, 0) + 1) * 1.0
+                               / (tot.tt + {n_buckets}))
+                           - ln((rcnt.c + 1) * 1.0
+                               / (tot.rt + {n_buckets})))
+                          * {scale} + 0.5) AS BIGINT) AS lr
+        FROM rcnt LEFT JOIN tc USING (bucket) CROSS JOIN tot
+    ),
+    k AS (SELECT doc_id, bucket, COUNT(*) AS k FROM rg GROUP BY 1, 2)
+    SELECT k.doc_id,
+           CAST(SUM(k.k) AS BIGINT) AS n_grams,
+           CAST(SUM(k.k * lr.lr) AS BIGINT) AS logw_scaled
+    FROM k JOIN lr USING (bucket)
+    GROUP BY k.doc_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "dsir_weight",
+    _dsir_oracle(),
+    survey_ops=("beyond:dsir",),
+    description="DSIR importance weighting (Xie 2023 data-selection): "
+    "hashed word-bigram bucket probabilities on target (source=src0) vs "
+    "the raw pool, per-doc log importance weight as an EXACT int64 sum "
+    "of driver-quantized per-bucket log-ratios (the charlm integer-log "
+    "pattern); bucket tables are broadcast-sized by construction, the "
+    "corpus shuffles only for its own per-doc aggregation",
+)
+def dsir_weight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.selection import dsir_weights
+
+    d = Catalog(spark, sf_dir).documents
+    raw = d.filter(F.col("source") != "src0")
+    target = d.filter(F.col("source") == "src0")
+    return dsir_weights(raw, target, n_buckets=512).orderBy("doc_id")
