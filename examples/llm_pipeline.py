@@ -98,6 +98,19 @@ def main() -> None:
     )
     n = stage("decontaminate", kept, n)
 
+    # ---- 3b. DSIR domain selection (importance weights vs a target) -------
+    # demo target: the English slice; production points this at the clean
+    # domain corpus you want more of.  Keep the top-weighted ~80%.
+    from ton_indexer_spark.operators.selection import dsir_weights
+
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(kept, target, n_buckets=512)
+    cut = w.approxQuantile("logw_scaled", [0.2], 0.01)[0]
+    kept = kept.join(
+        w.filter(F.col("logw_scaled") >= cut).select("doc_id"), "doc_id"
+    )
+    n = stage("domain selection (DSIR)", kept, n)
+
     # ---- 4. exact dedup (keep smallest doc_id per fingerprint) ------------
     kept = kept.withColumn("fp", fingerprint(F.col("text")))
     keep_ids = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
@@ -172,6 +185,24 @@ def main() -> None:
     n_bins = packed.agg(F.countDistinct("bin_id")).collect()[0][0]
     print(f"  chunk+pack                {n_chunks} chunks -> {n_bins} "
           f"bins of <=2048 tokens")
+
+    # ---- 9. tokenizer: learn BPE merges over the train split --------------
+    from ton_indexer_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(split.filter(F.col("split") == "train"), n_merges=15)
+    print(f"  bpe tokenizer             {len(merges)} merges, first 5: "
+          f"{['+'.join(m) for m in merges[:5]]}")
+
+    # ---- 10. deterministic shard assignment for the training loader -------
+    from ton_indexer_spark.operators.sampling import shard_assign
+
+    sharded = shard_assign(packed, id_col="chunk_id", n_shards=8)
+    per_shard = (
+        sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    sizes = sorted(r["n"] for r in per_shard)
+    print(f"  shard assignment          8 shards, {sizes[0]}-{sizes[-1]} "
+          f"chunks each")
     print("== done — every stage above is a lazy DataFrame plan; at 100 TB "
           "swap the paths and raise spark.sql.shuffle.partitions")
 
