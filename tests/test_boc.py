@@ -1040,3 +1040,195 @@ def test_dedust_deposit_to_pool_decode_and_matcher(spark):
     assert [a["type"] for a in acts] == ["dex_deposit_liquidity"]
     data = acts[0]["dex_deposit_liquidity_data"]
     assert data["amount2"] == 777 and data["asset2"] == JET
+
+
+def test_round4c_decoder_batch():
+    """Golden decode of the seven matcher-feeding ops added in this pass:
+    pTON transfer, EVAA liquidate entry, Tonco fund-account/create-pool,
+    coffee MEV-protect refund, JVault receive, Ethena tsUSDe leg."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        OP_COFFEE_MEV_FAILED_SWAP,
+        OP_ETHENA_TSUSDE_TRANSFER,
+        OP_EVAA_LIQUIDATE_MASTER,
+        OP_JVAULT_RECEIVE,
+        OP_PTON_TRANSFER,
+        OP_TONCO_CREATE_POOL,
+        OP_TONCO_FUND_ACCOUNT,
+        Builder,
+        decode_message_body,
+        serialize_boc,
+    )
+
+    def b64(cell):
+        return base64.b64encode(serialize_boc(cell)).decode()
+
+    A1 = "0:" + "11" * 32
+    A2 = "0:" + "22" * 32
+    A3 = "0:" + "33" * 32
+
+    # pTON transfer with a text-comment forward payload
+    comment = (Builder().store_uint(0, 32)
+               .store_snake_string("gas refill").end_cell())
+    c = (Builder().store_uint(OP_PTON_TRANSFER, 32).store_uint(7, 64)
+         .store_coins(5 * 10**8).store_address(A1)
+         .store_bit(1).store_ref(comment).end_cell())
+    d = decode_message_body(b64(c))
+    assert d["amount"] == 5 * 10**8
+    assert d["refund_address"] == A1
+    assert d["comment"] == "gas refill"
+
+    # EVAA liquidate_master
+    asset = 0xDEADBEEF
+    c = (Builder().store_uint(OP_EVAA_LIQUIDATE_MASTER, 32)
+         .store_uint(8, 64).store_address(A1).store_address(A2)
+         .store_uint(asset, 256).store_uint(42, 64).store_int(-1, 2)
+         .store_uint(123456, 64).end_cell())
+    d = decode_message_body(b64(c))
+    assert d["borrower_address"] == A1
+    assert d["liquidator_address"] == A2
+    assert d["asset_id"] == f"{asset:064x}"
+    assert d["debt_amount"] == 123456
+
+    # Tonco fund account
+    c = (Builder().store_uint(OP_TONCO_FUND_ACCOUNT, 32).store_uint(9, 64)
+         .store_address(A3).store_coins(1000).store_coins(2000)
+         .store_coins(900).store_coins(1800).store_uint(5_000_000, 128)
+         .store_int(-60, 24).store_int(60, 24).end_cell())
+    d = decode_message_body(b64(c))
+    assert d["amount"] == 1000 and d["amount2"] == 2000
+    assert d["tick_lower"] == -60 and d["tick_upper"] == 60
+    assert d["liquidity"] == 5_000_000
+
+    # Tonco create pool
+    minters = (Builder().store_address(A1).store_address(A2)
+               .store_address(A3).end_cell())
+    c = (Builder().store_uint(OP_TONCO_CREATE_POOL, 32).store_uint(1, 64)
+         .store_address(A2).store_address(A3).store_int(60, 24)
+         .store_uint(2**96, 160).store_uint(30, 16).store_uint(25, 16)
+         .store_uint(20, 16)
+         .store_ref(Builder().end_cell())
+         .store_ref(Builder().end_cell())
+         .store_ref(minters).end_cell())
+    d = decode_message_body(b64(c))
+    assert d["jetton_wallet0"] == A2 and d["jetton_wallet1"] == A3
+    assert d["tick_spacing"] == 60
+    assert d["initial_price_x96"] == 2**96
+    assert (d["protocol_fee"], d["lp_fee_base"], d["lp_fee_current"]) == (
+        30, 25, 20)
+    assert d["jetton0_minter"] == A1 and d["jetton1_minter"] == A2
+
+    # coffee MEV-protect failed-swap refund
+    c = (Builder().store_uint(OP_COFFEE_MEV_FAILED_SWAP, 32)
+         .store_uint(3, 64).store_address(A1).end_cell())
+    d = decode_message_body(b64(c))
+    assert d["recipient"] == A1
+
+    # JVault receive_jettons (whitelist dict skipped as Maybe ^Cell)
+    c = (Builder().store_uint(OP_JVAULT_RECEIVE, 32).store_uint(4, 64)
+         .store_coins(10).store_coins(10**12).store_uint(250, 16)
+         .store_coins(5 * 10**7).store_bit(0).store_coins(777_000)
+         .end_cell())
+    d = decode_message_body(b64(c))
+    assert d["amount"] == 777_000
+    assert d["min_deposit"] == 10 and d["max_deposit"] == 10**12
+    assert d["unstake_commission"] == 250
+
+    # Ethena tsUSDe leg = jetton internal-transfer layout, custom op
+    c = (Builder().store_uint(OP_ETHENA_TSUSDE_TRANSFER, 32)
+         .store_uint(5, 64).store_coins(999).store_address(A2)
+         .store_address(A3).store_coins(1).end_cell())
+    d = decode_message_body(b64(c))
+    assert d["amount"] == 999 and d["from"] == A2
+
+
+def test_round4c_matchers_on_boc_bodies(spark):
+    """pTON transfer, EVAA liquidate, Tonco deploy-pool, and the coffee
+    MEV-protect refund classify from REAL BOC bodies (no fixture JSON)
+    through the round-4c decoders."""
+    from tests.test_classifier import A, TraceBuilder, acts_of, run
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_MEV_FAILED_SWAP,
+        EVAA_LIQUIDATE_MASTER,
+        EVAA_LIQUIDATE_SATISFIED,
+        EVAA_LIQUIDATE_USER,
+        PTON_TRANSFER,
+        TONCO_CREATE_POOL,
+        TONCO_POOL_INIT,
+    )
+    from ton_indexer_spark.functions.boc import (
+        OP_COFFEE_MEV_FAILED_SWAP,
+        OP_EVAA_LIQUIDATE_MASTER,
+        OP_PTON_TRANSFER,
+        OP_TONCO_CREATE_POOL,
+        Builder,
+    )
+
+    USR = "0:" + "12" * 32
+
+    comment = (Builder().store_uint(0, 32)
+               .store_snake_string("hi").end_cell())
+    pt = (Builder().store_uint(OP_PTON_TRANSFER, 32).store_uint(1, 64)
+          .store_coins(4 * 10**9).store_address(USR)
+          .store_bit(1).store_ref(comment).end_cell())
+    b = TraceBuilder("pt1")
+    r = b.tx(A[0], None)
+    b.chain(r, A[5], opcode=PTON_TRANSFER, body=_b64(pt))
+
+    liq = (Builder().store_uint(OP_EVAA_LIQUIDATE_MASTER, 32)
+           .store_uint(2, 64).store_address(A[1]).store_address(A[2])
+           .store_uint(0xAA, 256).store_uint(0, 64).store_int(0, 2)
+           .store_uint(55_000, 64).end_cell())
+    b2 = TraceBuilder("el1")
+    r2 = b2.tx(A[1], None)
+    m = b2.chain(r2, A[6], opcode=EVAA_LIQUIDATE_MASTER, body=_b64(liq))
+    u = b2.chain(m, A[7], opcode=EVAA_LIQUIDATE_USER)
+    b2.chain(u, A[6], opcode=EVAA_LIQUIDATE_SATISFIED)
+
+    minters = (Builder().store_address(A[1]).store_address(A[2])
+               .store_address(A[3]).end_cell())
+    cp = (Builder().store_uint(OP_TONCO_CREATE_POOL, 32).store_uint(3, 64)
+          .store_address(A[8]).store_address(A[9]).store_int(10, 24)
+          .store_uint(7 * 2**96, 160).store_uint(9, 16).store_uint(8, 16)
+          .store_uint(7, 16)
+          .store_ref(Builder().end_cell())
+          .store_ref(Builder().end_cell())
+          .store_ref(minters).end_cell())
+    b3 = TraceBuilder("tcp1")
+    r3 = b3.tx(A[2], None)
+    router = b3.chain(r3, A[8], opcode=TONCO_CREATE_POOL, body=_b64(cp))
+    b3.chain(router, A[9], opcode=TONCO_POOL_INIT)
+
+    mev = (Builder().store_uint(OP_COFFEE_MEV_FAILED_SWAP, 32)
+           .store_uint(4, 64).store_address(USR).end_cell())
+    b4 = TraceBuilder("mev1")
+    r4 = b4.tx(A[3], None)
+    b4.chain(r4, A[4], opcode=COFFEE_MEV_FAILED_SWAP, body=_b64(mev),
+             value=3 * 10**9)
+
+    res = run(spark, [b, b2, b3, b4])
+
+    pt_acts = acts_of(res, "pt1")
+    assert [a["type"] for a in pt_acts] == ["ton_transfer"]
+    assert pt_acts[0]["amount"] == 4 * 10**9
+    assert pt_acts[0]["ton_transfer_data"]["content"] == "hi"
+
+    el = acts_of(res, "el1")
+    assert [a["type"] for a in el] == ["evaa_liquidate"]
+    assert el[0]["amount"] == 55_000
+    assert el[0]["evaa_liquidate_data"]["asset_id"] == f"{0xAA:064x}"
+    assert el[0]["success"] is True
+
+    tc = acts_of(res, "tcp1")
+    assert [a["type"] for a in tc] == ["tonco_deploy_pool"]
+    d = tc[0]["tonco_deploy_pool_data"]
+    assert d["jetton0_minter"] == A[1] and d["jetton1_minter"] == A[2]
+    assert d["tick_spacing"] == 10
+    assert d["initial_price_x96"] == str(7 * 2**96)
+    assert (d["protocol_fee"], d["lp_fee_base"], d["lp_fee_current"]) == (
+        9, 8, 7)
+
+    mv = acts_of(res, "mev1")
+    assert [a["type"] for a in mv] == ["coffee_mev_protect_failed_swap"]
+    assert mv[0]["destination"] == USR

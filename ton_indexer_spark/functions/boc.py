@@ -437,6 +437,15 @@ OP_LZ_ENDPOINT_SEND = 0xDD4EA3B4     # messages/layerzero.py:19-54
 OP_TONCO_START_BURN = 0x530B5F2C     # messages/liquidity.py:165-184
 OP_DEDUST_DEPOSIT_TO_POOL = 0xB56B9598  # messages/liquidity.py:73-88
 OP_TELEITEM_START_AUCTION = 0x487A8E81  # messages/nft.py:104-129
+OP_PTON_TRANSFER = 0x01F3835D        # messages/swaps.py:50-60
+OP_EVAA_LIQUIDATE_MASTER = 0x00000003  # messages/evaa.py:258-283
+OP_TONCO_FUND_ACCOUNT = 0x4468DE77   # messages/liquidity.py:227-254
+OP_TONCO_CREATE_POOL = 0x2E3034EF    # messages/liquidity.py:346-388
+OP_COFFEE_MEV_FAILED_SWAP = 0xEE51CE51  # messages/coffee.py:971-983
+OP_JVAULT_RECEIVE = 0xD68A4AC1       # messages/jvault.py:15-46
+OP_ETHENA_TSUSDE_TRANSFER = 0xB2583ED5  # ethena_staking.py:64,92 — the
+# timelocked tsUSDe leg carries the jetton internal-transfer layout
+# under its own opcode (reference parses it with JettonInternalTransfer)
 
 # LayerZero metadata-cell header constants (messages/layerzero.py:86-201;
 # public func sources quoted there).  Every md cell is
@@ -1016,6 +1025,103 @@ def decode_body_cell(root: Cell) -> dict:
     if op == OP_COFFEE_WITHDRAW:
         # withdraw_deposit#c0ffee07 query_id:uint64 (coffee.py:584-594)
         return {"opcode": op, "query_id": s.load_uint(64)}
+    if op == OP_PTON_TRANSFER:
+        # pTON ton_transfer#01f3835d query_id:uint64 ton_amount:Coins
+        #   refund_address:Addr forward_payload:(Either Cell ^Cell)
+        #   (swaps.py:50-60); a text-comment forward payload surfaces as
+        #   `comment` so the ton_transfer presentation matches the plain
+        #   TON path
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["refund_address"] = s.load_address()
+        try:
+            fwd = s.load_maybe_ref()
+            if fwd is not None:
+                fs = fwd.begin_parse()
+                if fs.remaining_bits >= 32 and fs.load_uint(32) == 0:
+                    d["comment"] = fs.load_snake_string()
+        except BocError:
+            pass
+        return d
+    if op == OP_EVAA_LIQUIDATE_MASTER:
+        # liquidate_master#3 query_id:uint64 borrower:Addr liquidator:Addr
+        #   collateral_asset_id:uint256 min_collateral_amount:uint64
+        #   include_user_code:int2 liquidate_incoming_amount:uint64
+        #   (evaa.py:258-283); the incoming amount is the repaid debt
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["borrower_address"] = s.load_address()
+        d["liquidator_address"] = s.load_address()
+        d["asset_id"] = f"{s.load_uint(256):064x}"
+        s.load_uint(64)  # min_collateral_amount
+        s.load_int(2)  # include_user_code
+        d["debt_amount"] = s.load_uint(64)
+        return d
+    if op == OP_TONCO_FUND_ACCOUNT:
+        # POOLV3_FUND_ACCOUNT#4468de77 query_id:uint64 owner:Addr
+        #   amount0:Coins amount1:Coins enough0:Coins enough1:Coins
+        #   liquidity:uint128 tick_lower:int24 tick_upper:int24
+        #   (liquidity.py:227-254)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["owner_address"] = s.load_address()
+        d["amount"] = s.load_coins()
+        d["amount2"] = s.load_coins()
+        s.load_coins()  # enough0
+        s.load_coins()  # enough1
+        d["liquidity"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        return d
+    if op == OP_TONCO_CREATE_POOL:
+        # ROUTERV3_CREATE_POOL#2e3034ef query_id:uint64 jetton_wallet0:Addr
+        #   jetton_wallet1:Addr tick_spacing:int24 initial_price_x96:uint160
+        #   protocol_fee:uint16 lp_fee_base:uint16 lp_fee_current:uint16
+        #   nftv3_content:^Cell nftv3item_content:^Cell
+        #   minter_cell:^[jetton0_minter:Addr jetton1_minter:Addr ...]
+        #   (liquidity.py:346-388)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["jetton_wallet0"] = s.load_address()
+        d["jetton_wallet1"] = s.load_address()
+        d["tick_spacing"] = s.load_int(24)
+        d["initial_price_x96"] = s.load_uint(160)
+        d["protocol_fee"] = s.load_uint(16)
+        d["lp_fee_base"] = s.load_uint(16)
+        d["lp_fee_current"] = s.load_uint(16)
+        if s.remaining_refs >= 3:
+            s.load_ref()  # nftv3_content
+            s.load_ref()  # nftv3item_content
+            ms = s.load_ref().begin_parse()
+            d["jetton0_minter"] = ms.load_address()
+            d["jetton1_minter"] = ms.load_address()
+        return d
+    if op == OP_COFFEE_MEV_FAILED_SWAP:
+        # mev_protect_failed_swap#ee51ce51 query_id:uint64 recipient:Addr
+        #   (coffee.py:971-983)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["recipient"] = s.load_address()
+        return d
+    if op == OP_JVAULT_RECEIVE:
+        # receive_jettons#d68a4ac1 query_id:uint64 min_deposit:Coins
+        #   max_deposit:Coins unstake_commission:uint16 unstake_fee:Coins
+        #   whitelist:(HashmapE 267 Bit) received_jettons:Coins
+        #   (jvault.py:15-46); HashmapE root = Maybe ^Cell, skipped
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["min_deposit"] = s.load_coins()
+        d["max_deposit"] = s.load_coins()
+        d["unstake_commission"] = s.load_uint(16)
+        d["unstake_fee"] = s.load_coins()
+        s.load_maybe_ref()  # whitelist dict root
+        d["amount"] = s.load_coins()  # received_jettons
+        return d
+    if op == OP_ETHENA_TSUSDE_TRANSFER:
+        # tsUSDe timelocked leg (0xb2583ed5): jetton internal-transfer
+        # layout under a custom op (ethena_staking.py:92 parses it with
+        # JettonInternalTransfer)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        d["from"] = s.load_address()
+        d["response_destination"] = s.load_address()
+        d["forward_ton_amount"] = s.load_coins()
+        return d
     if op in (OP_JETTON_MINT_MINTER, OP_JETTON_MINT_ALT):
         # mint#15 / mint#642b7d07 query_id:uint64 to:Addr ton_amount:Coins
         #   [master_msg:^Cell{internal_transfer}]  (jettons.py:142-173)
