@@ -1232,3 +1232,84 @@ def test_round4c_matchers_on_boc_bodies(spark):
     mv = acts_of(res, "mev1")
     assert [a["type"] for a in mv] == ["coffee_mev_protect_failed_swap"]
     assert mv[0]["destination"] == USR
+
+
+def test_coffee_param_tail_decoders():
+    """Coffee entry param tails decode: swap step (first pool + min_out),
+    pool-params assets, deposit recipient; prefix-only bodies still
+    decode their prefix (fixture compatibility)."""
+    from ton_indexer_spark.functions.boc import (
+        OP_COFFEE_CREATE_POOL_JETTON,
+        OP_COFFEE_DEPOSIT_JETTON,
+        OP_COFFEE_DEPOSIT_NATIVE,
+        OP_COFFEE_POOL_NATIVE,
+        OP_COFFEE_SWAP_JETTON,
+        OP_COFFEE_SWAP_NATIVE,
+        Builder,
+        decode_message_body,
+        store_coffee_asset,
+    )
+
+    JET = "0:" + "77" * 32
+    USR = "0:" + "13" * 32
+    pool_hash = int("ab" * 32, 16)
+
+    # native swap with step params
+    c = (Builder().store_uint(OP_COFFEE_SWAP_NATIVE, 32).store_uint(1, 64)
+         .store_coins(10**9).store_uint(pool_hash, 256).store_coins(555)
+         .store_bit(0).end_cell())
+    d = decode_message_body(_b64(c))
+    assert d["amount"] == 10**9
+    assert d["first_pool"] == f"0:{pool_hash:064x}"
+    assert d["min_out"] == 555
+
+    # jetton swap forward payload: step params only, no query_id
+    c = (Builder().store_uint(OP_COFFEE_SWAP_JETTON, 32)
+         .store_uint(pool_hash, 256).store_coins(777).store_bit(0)
+         .end_cell())
+    d = decode_message_body(_b64(c))
+    assert d["min_out"] == 777 and "query_id" not in d
+
+    # native create-pool: amount + PoolParams assets
+    b = (Builder().store_uint(OP_COFFEE_POOL_NATIVE, 32).store_uint(2, 64)
+         .store_coins(123))
+    b = store_coffee_asset(b, "TON")
+    b = store_coffee_asset(b, JET)
+    c = b.store_uint(0, 3).store_bit(0).end_cell()  # amm tag + no settings
+    d = decode_message_body(_b64(c))
+    assert d["asset_1"] == "TON" and d["asset_2"] == JET
+    assert d["provided_asset"] == "TON" and d["amount_1"] == 123
+
+    # jetton create-pool forward payload
+    b = Builder().store_uint(OP_COFFEE_CREATE_POOL_JETTON, 32)
+    b = store_coffee_asset(b, JET)
+    b = store_coffee_asset(b, "extra:7")
+    c = b.store_uint(0, 3).store_bit(0).end_cell()
+    d = decode_message_body(_b64(c))
+    assert d["asset_1"] == JET and d["asset_2"] == "extra:7"
+
+    # native deposit: recipient + pool assets
+    b = (Builder().store_uint(OP_COFFEE_DEPOSIT_NATIVE, 32)
+         .store_uint(3, 64).store_coins(999).store_address(USR)
+         .store_bit(1))
+    b = store_coffee_asset(b, "TON")
+    b = store_coffee_asset(b, JET)
+    c = b.store_uint(0, 3).store_bit(0).end_cell()
+    d = decode_message_body(_b64(c))
+    assert d["recipient"] == USR
+    assert d["asset1"] == "TON" and d["asset2"] == JET
+
+    # jetton deposit forward payload
+    b = (Builder().store_uint(OP_COFFEE_DEPOSIT_JETTON, 32)
+         .store_address(USR).store_bit(0))
+    b = store_coffee_asset(b, JET)
+    b = store_coffee_asset(b, "TON")
+    c = b.store_uint(0, 3).store_bit(0).end_cell()
+    d = decode_message_body(_b64(c))
+    assert d["recipient"] == USR and d["asset1"] == JET
+
+    # prefix-only fixture bodies keep decoding the prefix
+    c = (Builder().store_uint(OP_COFFEE_SWAP_NATIVE, 32).store_uint(5, 64)
+         .store_coins(31337).end_cell())
+    d = decode_message_body(_b64(c))
+    assert d["query_id"] == 5 and d["amount"] == 31337

@@ -446,6 +446,10 @@ OP_JVAULT_RECEIVE = 0xD68A4AC1       # messages/jvault.py:15-46
 OP_ETHENA_TSUSDE_TRANSFER = 0xB2583ED5  # ethena_staking.py:64,92 — the
 # timelocked tsUSDe leg carries the jetton internal-transfer layout
 # under its own opcode (reference parses it with JettonInternalTransfer)
+OP_COFFEE_SWAP_JETTON = 0xC0FFEE10     # messages/coffee.py:348-368
+OP_COFFEE_CREATE_POOL_JETTON = 0xC0FFEE11  # messages/coffee.py:444-455
+OP_COFFEE_CREATE_POOL_EXTRA = 0xC0FFEE03   # messages/coffee.py:458-471
+OP_COFFEE_DEPOSIT_JETTON = 0xC0FFEE12      # messages/coffee.py:492-503
 
 # LayerZero metadata-cell header constants (messages/layerzero.py:86-201;
 # public func sources quoted there).  Every md cell is
@@ -485,6 +489,33 @@ def store_dedust_asset(b: "Builder", asset: str) -> "Builder":
         return b.store_uint(0, 4)
     wc, h = asset.split(":")
     return b.store_uint(1, 4).store_uint(int(wc), 8).store_uint(int(h, 16), 256)
+
+
+def _load_coffee_asset(s: Slice) -> str:
+    """swap.coffee Asset: native$00 | jetton$01 chain:uint8 hash:uint256 |
+    extra$10 id:uint32 (coffee.py load_coffee_asset:10-30; the extra
+    branch is decoded here instead of raising as the reference does)."""
+    tag = s.load_uint(2)
+    if tag == 0b00:
+        return "TON"
+    if tag == 0b01:
+        wc = s.load_uint(8)
+        h = s.load_uint(256)
+        return f"{wc}:{h:064x}"
+    if tag == 0b10:
+        return f"extra:{s.load_uint(32)}"
+    raise BocError(f"invalid coffee asset tag {tag}")
+
+
+def store_coffee_asset(b: "Builder", asset: str) -> "Builder":
+    """Fixture-side inverse of _load_coffee_asset."""
+    if asset == "TON":
+        return b.store_uint(0, 2)
+    if asset.startswith("extra:"):
+        return b.store_uint(0b10, 2).store_uint(int(asset[6:]), 32)
+    wc, h = asset.split(":")
+    return (b.store_uint(0b01, 2).store_uint(int(wc), 8)
+            .store_uint(int(h, 16), 256))
 
 
 def _forward_payload(s: Slice) -> dict:
@@ -1017,10 +1048,68 @@ def decode_body_cell(root: Cell) -> dict:
     if op in (OP_COFFEE_SWAP_NATIVE, OP_COFFEE_POOL_NATIVE,
               OP_COFFEE_DEPOSIT_NATIVE):
         # swap.coffee native entries share the query_id:uint64 amount:Coins
-        # prefix (coffee.py:331-344,426-441,474-489); params tails are
-        # protocol-internal and skipped
+        # prefix (coffee.py:331-344,426-441,474-489); the param tails are
+        # decoded best-effort (fixtures may carry prefix-only bodies)
         d = {"opcode": op, "query_id": s.load_uint(64)}
         d["amount"] = s.load_coins()
+        try:
+            if op == OP_COFFEE_SWAP_NATIVE:
+                # _:SwapStepParams = pool_address_hash:uint256
+                #   min_output_amount:Coins next:(Maybe ^...) (coffee.py:89-101)
+                d["first_pool"] = f"0:{s.load_uint(256):064x}"
+                d["min_out"] = s.load_coins()
+            elif op == OP_COFFEE_POOL_NATIVE:
+                # params:PoolParams = first:Asset second:Asset amm:(## 3)
+                #   (coffee.py:161-180); the native side provides TON
+                d["asset_1"] = _load_coffee_asset(s)
+                d["asset_2"] = _load_coffee_asset(s)
+                d["provided_asset"] = "TON"
+                d["amount_1"] = d["amount"]
+            elif op == OP_COFFEE_DEPOSIT_NATIVE:
+                # params:DepositLiquidityParams = recipient:Addr
+                #   use_recipient_on_failure:int1 pool_params:PoolParams
+                #   (coffee.py:215-235, parsed inline)
+                d["recipient"] = s.load_address()
+                s.load_bit()  # use_recipient_on_failure
+                d["asset1"] = _load_coffee_asset(s)
+                d["asset2"] = _load_coffee_asset(s)
+        except BocError:
+            pass
+        return d
+    if op == OP_COFFEE_SWAP_JETTON:
+        # swap_jetton#c0ffee10 _:SwapStepParams params:^SwapParams — the
+        # jetton-transfer forward payload, no query_id/amount (coffee.py:348-368)
+        d = {"opcode": op}
+        try:
+            d["first_pool"] = f"0:{s.load_uint(256):064x}"
+            d["min_out"] = s.load_coins()
+        except BocError:
+            pass
+        return d
+    if op in (OP_COFFEE_CREATE_POOL_JETTON, OP_COFFEE_CREATE_POOL_EXTRA):
+        # create_pool_jetton#c0ffee11 params:PoolParams creation:... /
+        # create_pool_extra#c0ffee03 query_id:uint64 params:PoolParams ...
+        # (coffee.py:444-471)
+        d = {"opcode": op}
+        try:
+            if op == OP_COFFEE_CREATE_POOL_EXTRA:
+                d["query_id"] = s.load_uint(64)
+            d["asset_1"] = _load_coffee_asset(s)
+            d["asset_2"] = _load_coffee_asset(s)
+        except BocError:
+            pass
+        return d
+    if op == OP_COFFEE_DEPOSIT_JETTON:
+        # deposit_liquidity_jetton#c0ffee12 params:DepositLiquidityParams
+        # (coffee.py:492-503; params parsed inline per reference)
+        d = {"opcode": op}
+        try:
+            d["recipient"] = s.load_address()
+            s.load_bit()  # use_recipient_on_failure
+            d["asset1"] = _load_coffee_asset(s)
+            d["asset2"] = _load_coffee_asset(s)
+        except BocError:
+            pass
         return d
     if op == OP_COFFEE_WITHDRAW:
         # withdraw_deposit#c0ffee07 query_id:uint64 (coffee.py:584-594)
