@@ -1019,3 +1019,48 @@ def test_layerzero_send_boc_body(spark):
     pd = acts[0]["layerzero_packet_data"]
     assert pd["src_eid"] == 1 and pd["dst_eid"] == 2 and pd["nonce"] == 3
     assert pd["guid"] == hex(0xD4) and pd["dst_oapp"] == hex(0xB2)
+
+
+def test_layerzero_receive_event_payload_decoded(spark):
+    """The LZ endpoint event log (0xe33b9873) decodes query/donation/
+    origin and the md-cell topic into layerzero_receive_data when the
+    out-message body is a real BOC (reference LayerZeroEventMsgBody +
+    LayerZeroEventAction, layerzero.py:302-346)."""
+    import base64
+
+    from ton_indexer_spark.classifier.protocols import LZ_EVENT
+    from ton_indexer_spark.functions.boc import (
+        _LZ_EVENT_FILLER_BITS,
+        _LZ_EVENT_HEADER,
+        _LZ_EVENT_HEADER_BITS,
+        OP_LZ_EVENT,
+        Builder,
+        serialize_boc,
+    )
+
+    ORIGIN = A[8]
+    topic = int.from_bytes(bytes([9] * 32), "big")
+    md = (Builder()
+          .store_uint(_LZ_EVENT_HEADER, _LZ_EVENT_HEADER_BITS)
+          .store_uint((1 << _LZ_EVENT_FILLER_BITS) - 1,
+                      _LZ_EVENT_FILLER_BITS)
+          .store_uint(topic, 256)
+          .store_ref(Builder().end_cell())
+          .store_ref(Builder().end_cell())
+          .end_cell())
+    ev = (Builder().store_uint(OP_LZ_EVENT, 32).store_uint(11, 64)
+          .store_coins(321).store_address(ORIGIN).store_ref(md).end_cell())
+    body = base64.b64encode(serialize_boc(ev)).decode()
+
+    b = TraceBuilder("lzr1")
+    r = b.tx(A[0], None)
+    ch = b.chain(r, A[7], opcode=0x4321)
+    b.out(ch, "0:ext" + "0" * 59, opcode=LZ_EVENT, body=body)
+    res = run(spark, [b])
+    acts = acts_of(res, "lzr1")
+    assert [a["type"] for a in acts] == ["layerzero_receive"]
+    data = acts[0]["layerzero_receive_data"]
+    assert data["query_id"] == 11
+    assert data["donation_nanos"] == 321
+    assert data["origin"] == ORIGIN
+    assert data["topic"] == bytes([9] * 32).hex()

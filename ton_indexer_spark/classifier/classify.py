@@ -128,6 +128,10 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
         guid=_S, message=_S)),
     T.StructField("layerzero_dvn_verify_data", _struct(
         nonce=_L, status=_S, dvn=_S, proxy=_S, uln=_S, uln_connection=_S)),
+    # LZ endpoint event log (reference layerzero.py:302-346 — the md cell
+    # carries a 256-bit event topic behind the header/filler prefix)
+    T.StructField("layerzero_receive_data", _struct(
+        query_id=_L, donation_nanos=_D, origin=_S, topic=_S)),
     # tgBTC bridge event payloads (reference tgbtc.py TgBTCMintData /
     # TgBTCBurnData / key-rotation logs; txid/pubkeys carried as hex)
     T.StructField("tgbtc_mint_data", _struct(

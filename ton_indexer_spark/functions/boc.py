@@ -446,6 +446,10 @@ OP_JVAULT_RECEIVE = 0xD68A4AC1       # messages/jvault.py:15-46
 OP_ETHENA_TSUSDE_TRANSFER = 0xB2583ED5  # ethena_staking.py:64,92 — the
 # timelocked tsUSDe leg carries the jetton internal-transfer layout
 # under its own opcode (reference parses it with JettonInternalTransfer)
+OP_LZ_EVENT = 0xE33B9873             # messages/layerzero.py:302-320
+_LZ_EVENT_HEADER = 7850279558805522911016931325  # layerzero.py:335-337
+_LZ_EVENT_HEADER_BITS = 134
+_LZ_EVENT_FILLER_BITS = 216
 OP_COFFEE_SWAP_JETTON = 0xC0FFEE10     # messages/coffee.py:348-368
 OP_COFFEE_CREATE_POOL_JETTON = 0xC0FFEE11  # messages/coffee.py:444-455
 OP_COFFEE_CREATE_POOL_EXTRA = 0xC0FFEE03   # messages/coffee.py:458-471
@@ -1073,6 +1077,21 @@ def decode_body_cell(root: Cell) -> dict:
                 s.load_bit()  # use_recipient_on_failure
                 d["asset1"] = _load_coffee_asset(s)
                 d["asset2"] = _load_coffee_asset(s)
+        except BocError:
+            pass
+        return d
+    if op == OP_LZ_EVENT:
+        # LZ endpoint event#e33b9873 query_id:uint64 donation:Coins
+        #   origin:Addr md:^[header(134b) filler(216 ones) topic:uint256
+        #   body:^Cell initial_storage:^Cell]  (layerzero.py:302-346)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["donation_nanos"] = s.load_coins()
+        d["origin"] = s.load_address()
+        try:
+            md = s.load_ref().begin_parse()
+            if md.load_uint(_LZ_EVENT_HEADER_BITS) == _LZ_EVENT_HEADER:
+                md.load_uint(_LZ_EVENT_FILLER_BITS)  # all-ones filler
+                d["topic"] = f"{md.load_uint(256):064x}"
         except BocError:
             pass
         return d
