@@ -1064,3 +1064,54 @@ def test_layerzero_receive_event_payload_decoded(spark):
     assert data["donation_nanos"] == 321
     assert data["origin"] == ORIGIN
     assert data["topic"] == bytes([9] * 32).hex()
+
+
+def test_layerzero_dvn_verify_reads_callback_body(spark):
+    """On real chain data the DVN entry is opcode-only: nonce/status come
+    from the ULN-connection verify-callback child's BOC body (reference
+    UlnConnectionVerifyCallbackParser, layerzero.py:912-947)."""
+    import base64
+
+    from ton_indexer_spark.classifier.protocols import (
+        LZ_DVN_VERIFY,
+        LZ_PROXY_CALL,
+        LZ_ULN_CONN_VERIFY,
+        LZ_ULN_VERIFY,
+        LZ_ULN_VERIFY_CB,
+    )
+    from ton_indexer_spark.functions.boc import (
+        _LZ_STATUS_FILLER_BITS,
+        _LZ_STATUS_HEADER,
+        _LZ_STATUS_HEADER_BITS,
+        OP_LZ_ULN_VERIFY_CB,
+        Builder,
+        serialize_boc,
+    )
+
+    status_cell = (Builder()
+                   .store_uint(_LZ_STATUS_HEADER, _LZ_STATUS_HEADER_BITS)
+                   .store_uint((1 << _LZ_STATUS_FILLER_BITS) - 1,
+                               _LZ_STATUS_FILLER_BITS)
+                   .store_uint(424242, 64)
+                   .store_uint(0x3BBC306B, 32)
+                   .end_cell())
+    md = (Builder().store_ref(status_cell)
+          .store_ref(Builder().end_cell()).end_cell())
+    cb = (Builder().store_uint(OP_LZ_ULN_VERIFY_CB, 32)
+          .store_ref(md).end_cell())
+    body = base64.b64encode(serialize_boc(cb)).decode()
+
+    b = TraceBuilder("dvn1")
+    r = b.tx(A[0], None)
+    dvn = b.chain(r, A[5], opcode=LZ_DVN_VERIFY)
+    proxy = b.chain(dvn, A[6], opcode=LZ_PROXY_CALL)
+    uln = b.chain(proxy, A[7], opcode=LZ_ULN_VERIFY)
+    conn = b.chain(uln, A[8], opcode=LZ_ULN_CONN_VERIFY)
+    b.chain(conn, A[9], opcode=LZ_ULN_VERIFY_CB, body=body)
+    res = run(spark, [b])
+    acts = acts_of(res, "dvn1")
+    assert [a["type"] for a in acts] == ["layerzero_dvn_verify"]
+    data = acts[0]["layerzero_dvn_verify_data"]
+    assert data["nonce"] == 424242
+    assert data["status"] == "succeeded"
+    assert data["uln_connection"] == A[8]

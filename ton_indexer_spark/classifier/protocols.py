@@ -123,6 +123,7 @@ LZ_DVN_VERIFY = 0xA0D51A8D        # Dvn::OP::VERIFY (layerzero.py:1050)
 LZ_PROXY_CALL = 0x09F047D9        # Proxy::OP::CALL_CONTRACT (:1233)
 LZ_ULN_VERIFY = 0x994AAF4E        # Uln::OP::ULN_VERIFY (:791)
 LZ_ULN_CONN_VERIFY = 0x4EC8F80A   # UlnConnection verify (:840)
+LZ_ULN_VERIFY_CB = 0x3CB38090     # UlnConnection verify callback (:912)
 
 # --- Cocoon payment channels (messages/cocoon.py:7-145)
 COCOON_PAYOUT = 0xC59A7CD3
@@ -1556,13 +1557,23 @@ def match_layerzero_dvn_verify(node: Node, ctx: Ctx) -> dict | None:
         node, LZ_PROXY_CALL, LZ_ULN_VERIFY, LZ_ULN_CONN_VERIFY
     )
     body = node.in_msg.decoded_body()
+    # on real chain data the DVN entry is opcode-only — nonce/status live
+    # in the ULN-connection verify CALLBACK child (reference parses
+    # UlnConnectionVerifyCallbackParser, layerzero.py:555-569); the entry
+    # body keys remain as the fixture seam
+    cb_body: dict = {}
+    if len(claimed) > 3:
+        cb = claimed[3].child_via(LZ_ULN_VERIFY_CB)
+        if cb is not None:
+            claimed.append(cb)
+            cb_body = cb.in_msg.decoded_body()
     return _base(
         node, "layerzero_dvn_verify", claimed=claimed,
         destination=node.account,
         # layerzero_dvn_verify_details (migrate.cpp:880)
         layerzero_dvn_verify_data={
-            "nonce": body.get("nonce"),
-            "status": body.get("status"),
+            "nonce": body.get("nonce", cb_body.get("nonce")),
+            "status": body.get("status", cb_body.get("status")),
             "dvn": node.account,
             "proxy": claimed[1].account if len(claimed) > 1 else None,
             "uln": claimed[2].account if len(claimed) > 2 else None,

@@ -447,6 +447,15 @@ OP_ETHENA_TSUSDE_TRANSFER = 0xB2583ED5  # ethena_staking.py:64,92 — the
 # timelocked tsUSDe leg carries the jetton internal-transfer layout
 # under its own opcode (reference parses it with JettonInternalTransfer)
 OP_LZ_EVENT = 0xE33B9873             # messages/layerzero.py:302-320
+OP_LZ_ULN_VERIFY_CB = 0x3CB38090     # messages/layerzero.py:912-947
+_LZ_STATUS_HEADER = 38421788582694199859296615363593851  # :925-930
+_LZ_STATUS_HEADER_BITS = 116
+_LZ_STATUS_FILLER_BITS = 234
+_LZ_VERIFY_STATUS = {                # :935-947
+    0x3BBC306B: "succeeded",
+    0x7FCBB4AC: "nonce_out_of_range",
+    0x29C53FAB: "dvn_not_configured",
+}
 _LZ_EVENT_HEADER = 7850279558805522911016931325  # layerzero.py:335-337
 _LZ_EVENT_HEADER_BITS = 134
 _LZ_EVENT_FILLER_BITS = 216
@@ -1092,6 +1101,23 @@ def decode_body_cell(root: Cell) -> dict:
             if md.load_uint(_LZ_EVENT_HEADER_BITS) == _LZ_EVENT_HEADER:
                 md.load_uint(_LZ_EVENT_FILLER_BITS)  # all-ones filler
                 d["topic"] = f"{md.load_uint(256):064x}"
+        except BocError:
+            pass
+        return d
+    if op == OP_LZ_ULN_VERIFY_CB:
+        # ULN_CONNECTION_VERIFY_CALLBACK#3cb38090 md:^MdObj with
+        # ref0 = VerificationStatus[header(116b) filler(234 ones)
+        # nonce:uint64 status:uint32]  (layerzero.py:912-947)
+        d = {"opcode": op}
+        try:
+            md = s.load_ref().begin_parse()
+            st = md.load_ref().begin_parse()
+            if st.load_uint(_LZ_STATUS_HEADER_BITS) == _LZ_STATUS_HEADER:
+                st.load_uint(_LZ_STATUS_FILLER_BITS)  # all-ones filler
+                d["nonce"] = st.load_uint(64)
+                code = st.load_uint(32)
+                d["status_code"] = code
+                d["status"] = _LZ_VERIFY_STATUS.get(code, f"0x{code:08x}")
         except BocError:
             pass
         return d
