@@ -561,3 +561,38 @@ def test_hashmap_zero_bit_length_label():
     got2 = {k: s.load_ref().begin_parse().load_uint(8)
             for k, s in _parse_hashmap(fork.end_cell(), 15)}
     assert got2 == {0: 1, 1: 2}
+
+
+def test_nft_auction_state_decode_roundtrip(spark):
+    """v3r3 auction data cells decode into the auctions dimension; a
+    garbage cell lands as a decode_error row instead of failing the
+    batch."""
+    from ton_indexer_spark.functions.boc import encode_nft_auction_data
+    from ton_indexer_spark.sources.tx_ingest import nft_auctions_from_states
+
+    MP = "0:" + "aa" * 32
+    OWN = "0:" + "bb" * 32
+    boc = encode_nft_auction_data(
+        is_end=False, last_member=None, last_bid=0, end_time=1_700_000_000,
+        nft_owner_address=OWN, mp_fee_factor=5, mp_fee_base=100,
+        royalty_fee_factor=3, royalty_fee_base=100,
+        marketplace_fee_address=MP, royalty_address=OWN,
+        marketplace_address=MP, min_bid=10**9, max_bid=5 * 10**9,
+        min_step=10**8, step_time=300,
+    )
+    df = spark.createDataFrame(
+        [("0:" + "cc" * 32, boc), ("0:" + "dd" * 32, "not-a-boc")],
+        "address string, data_boc string",
+    )
+    rows = {r["address"]: r for r in nft_auctions_from_states(df).collect()}
+    good = rows["0:" + "cc" * 32]
+    assert good["decode_error"] is None
+    assert good["nft_owner_address"] == OWN
+    assert int(good["min_bid"]) == 10**9
+    assert int(good["max_bid"]) == 5 * 10**9
+    assert good["end_time"] == 1_700_000_000
+    assert good["mp_fee_factor"] == 5 and good["royalty_fee_factor"] == 3
+    assert good["marketplace_address"] == MP
+    assert not good["is_end"] and not good["is_canceled"]
+    bad = rows["0:" + "dd" * 32]
+    assert bad["decode_error"] is not None

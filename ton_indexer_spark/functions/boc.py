@@ -1585,3 +1585,101 @@ def encode_nft_transfer(
         .end_cell()
     )
     return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def decode_nft_auction_data(raw: bytes | str) -> dict:
+    """Getgems auction contract DATA cell → listing fields (v3r3 — the
+    reference's "latest" default, messages/getgems.py:190-221):
+
+        end?:Bool is_canceled?:Bool last_member:Addr last_bid:Coins
+        last_bid_at:uint32 end_time:uint32 nft_owner:Addr
+        last_query_id:uint64 mp_fee_factor:uint32 mp_fee_base:uint32
+        royalty_fee_factor:uint32 royalty_fee_base:uint32
+        ^[ mp_fee_addr:Addr royalty_fee_addr:Addr ]
+        ^[ mp_addr:Addr min_bid:Coins max_bid:Coins min_step:Coins
+           step_time:uint32 ]
+
+    Older layouts (v1/v3r2/v4r1) differ — gate on code_hash upstream as
+    the reference's AUCTION_VERSION_MAPPING does; undecodable data
+    raises BocError for the caller to log-and-skip.
+    """
+    s = parse_boc(raw).begin_parse()
+    d: dict = {"is_end": bool(s.load_bit())}
+    d["is_canceled"] = bool(s.load_bit())
+    d["last_member"] = s.load_address()
+    d["last_bid"] = s.load_coins()
+    d["last_bid_at"] = s.load_uint(32)
+    d["end_time"] = s.load_uint(32)
+    d["nft_owner_address"] = s.load_address()
+    s.load_uint(64)  # last_query_id
+    d["mp_fee_factor"] = s.load_uint(32)
+    d["mp_fee_base"] = s.load_uint(32)
+    d["royalty_fee_factor"] = s.load_uint(32)
+    d["royalty_fee_base"] = s.load_uint(32)
+    fees = s.load_ref().begin_parse()
+    d["marketplace_fee_address"] = fees.load_address()
+    d["royalty_address"] = fees.load_address()
+    const = s.load_ref().begin_parse()
+    d["marketplace_address"] = const.load_address()
+    d["min_bid"] = const.load_coins()
+    d["max_bid"] = const.load_coins()
+    d["min_step"] = const.load_coins()
+    d["step_time"] = const.load_uint(32)
+    return d
+
+
+def encode_nft_auction_data(
+    *,
+    is_end: bool = False,
+    is_canceled: bool = False,
+    last_member: str | None = None,
+    last_bid: int = 0,
+    last_bid_at: int = 0,
+    end_time: int = 0,
+    nft_owner_address: str | None = None,
+    mp_fee_factor: int = 0,
+    mp_fee_base: int = 100,
+    royalty_fee_factor: int = 0,
+    royalty_fee_base: int = 100,
+    marketplace_fee_address: str | None = None,
+    royalty_address: str | None = None,
+    marketplace_address: str | None = None,
+    min_bid: int = 0,
+    max_bid: int = 0,
+    min_step: int = 0,
+    step_time: int = 0,
+) -> str:
+    """Fixture encoder for the v3r3 auction data layout (base64 BOC)."""
+    fees = (
+        Builder()
+        .store_address(marketplace_fee_address)
+        .store_address(royalty_address)
+        .end_cell()
+    )
+    const = (
+        Builder()
+        .store_address(marketplace_address)
+        .store_coins(min_bid)
+        .store_coins(max_bid)
+        .store_coins(min_step)
+        .store_uint(step_time, 32)
+        .end_cell()
+    )
+    b = (
+        Builder()
+        .store_bit(is_end)
+        .store_bit(is_canceled)
+        .store_address(last_member)
+        .store_coins(last_bid)
+        .store_uint(last_bid_at, 32)
+        .store_uint(end_time, 32)
+        .store_address(nft_owner_address)
+        .store_uint(0, 64)
+        .store_uint(mp_fee_factor, 32)
+        .store_uint(mp_fee_base, 32)
+        .store_uint(royalty_fee_factor, 32)
+        .store_uint(royalty_fee_base, 32)
+        .store_ref(fees)
+        .store_ref(const)
+    )
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()

@@ -446,3 +446,58 @@ def parse_raw_blocks(df: DataFrame, boc_col: str = "boc") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=BLOCK_HEADER_SCHEMA)
+
+
+NFT_AUCTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("is_end", T.BooleanType()),
+        T.StructField("is_canceled", T.BooleanType()),
+        T.StructField("last_member", T.StringType()),
+        T.StructField("last_bid", T.DecimalType(38, 0)),
+        T.StructField("last_bid_at", T.LongType()),
+        T.StructField("end_time", T.LongType()),
+        T.StructField("nft_owner_address", T.StringType()),
+        T.StructField("mp_fee_factor", T.LongType()),
+        T.StructField("mp_fee_base", T.LongType()),
+        T.StructField("royalty_fee_factor", T.LongType()),
+        T.StructField("royalty_fee_base", T.LongType()),
+        T.StructField("marketplace_fee_address", T.StringType()),
+        T.StructField("royalty_address", T.StringType()),
+        T.StructField("marketplace_address", T.StringType()),
+        T.StructField("min_bid", T.DecimalType(38, 0)),
+        T.StructField("max_bid", T.DecimalType(38, 0)),
+        T.StructField("min_step", T.DecimalType(38, 0)),
+        T.StructField("step_time", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def nft_auctions_from_states(
+    df: DataFrame, boc_col: str = "data_boc", address_col: str = "address"
+) -> DataFrame:
+    """Auction-contract state-data BOCs → getgems_nft_auctions dimension
+    rows (v3r3 layout; reference getgems.py:123-221 via the smc scanner).
+    Same log-and-skip discipline as ``nft_sales_from_states``."""
+    from ton_indexer_spark.functions.boc import decode_nft_auction_data
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in NFT_AUCTION_STATE_SCHEMA}
+                row["address"] = rec.get(address_col)
+                try:
+                    row.update(decode_nft_auction_data(rec[boc_col]))
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in NFT_AUCTION_STATE_SCHEMA]
+            )
+            for c in ("last_bid", "min_bid", "max_bid", "min_step"):
+                out[c] = pd.Series([r.get(c) for r in rows], dtype=object)
+            yield out
+
+    return df.mapInPandas(run, schema=NFT_AUCTION_STATE_SCHEMA)
