@@ -1313,3 +1313,30 @@ def test_coffee_param_tail_decoders():
          .store_coins(31337).end_cell())
     d = decode_message_body(_b64(c))
     assert d["query_id"] == 5 and d["amount"] == 31337
+
+
+def test_nft_sale_v4r1_decode():
+    """The v4r1 sale layout (the reference's 'latest' fallback) decodes
+    percent-factor fees and derives the amount columns."""
+    from ton_indexer_spark.functions.boc import (
+        Builder,
+        decode_nft_sale_data,
+        serialize_boc,
+    )
+    import base64
+
+    MP, OWN, FEE, ROY = ("0:" + c * 64 for c in "abcd")
+    static = (Builder().store_address(FEE).store_address(ROY)
+              .store_uint(5000, 17).store_uint(2500, 17).end_cell())
+    cell = (Builder().store_bit(0).store_address(MP).store_address(OWN)
+            .store_coins(10**9).store_uint(1234, 32).store_uint(7, 64)
+            .store_ref(static).end_cell())
+    d = decode_nft_sale_data(
+        base64.b64encode(serialize_boc(cell)).decode(), version="v4r1")
+    assert d["marketplace_address"] == MP
+    assert d["nft_owner_address"] == OWN
+    assert d["full_price"] == 10**9
+    assert d["sold_at"] == 1234
+    assert d["fee_percent"] == 5000 and d["royalty_percent"] == 2500
+    assert d["marketplace_fee"] == 10**9 * 5000 // 100000
+    assert d["royalty_amount"] == 10**9 * 2500 // 100000

@@ -1277,24 +1277,50 @@ def decode_body_cell(root: Cell) -> dict:
 # ----------------------------------------- getgems sale state-data decoders
 
 
-def decode_nft_sale_data(raw: bytes | str) -> dict:
+def decode_nft_sale_data(raw: bytes | str, version: str = "v3") -> dict:
     """Fix-price sale contract DATA cell → listing fields.
 
     The reference reads these fields off the sale account's state data to
-    populate `getgems_nft_sales` (messages/getgems.py:91-113, the v3
-    layout, re-derived from the public getgems fixprice contract):
+    populate `getgems_nft_sales`, selecting the layout by code hash
+    (messages/getgems.py:64-113 SALE_VERSION_MAPPING).  Supported here:
 
+    v2/v3 (default):
         is_complete:Bool created_at:uint32 marketplace:Addr nft:Addr
         owner:Addr full_price:Coins
         ^[ marketplace_fee_addr:Addr marketplace_fee:Coins
            royalty_addr:Addr royalty_amount:Coins ]
+
+    v4r1 (the reference's "latest" fallback):
+        is_complete:Bool marketplace:Addr owner:Addr full_price:Coins
+        sold_at:uint32 query_id:uint64
+        ^[ marketplace_fee_addr:Addr royalty_addr:Addr
+           fee_percent:uint17 royalty_percent:uint17 ]
 
     Used by the dimension-building seam (sources/tx_ingest.py analog for
     account states); anything undecodable raises BocError for the caller
     to log-and-skip.
     """
     s = parse_boc(raw).begin_parse()
-    d: dict = {"is_complete": bool(s.load_bit())}
+    if version == "v4r1":
+        d = {"is_complete": bool(s.load_bit())}
+        d["marketplace_address"] = s.load_address()
+        d["nft_owner_address"] = s.load_address()
+        d["full_price"] = s.load_coins()
+        d["sold_at"] = s.load_uint(32)
+        s.load_uint(64)  # query_id
+        static = s.load_ref().begin_parse()
+        d["marketplace_fee_address"] = static.load_address()
+        d["royalty_address"] = static.load_address()
+        d["fee_percent"] = static.load_uint(17)
+        d["royalty_percent"] = static.load_uint(17)
+        # percent factors scale the price (base 100000 in the contract);
+        # surface amount columns for dimension-schema parity
+        d["marketplace_fee"] = d["full_price"] * d["fee_percent"] // 100000
+        d["royalty_amount"] = (
+            d["full_price"] * d["royalty_percent"] // 100000
+        )
+        return d
+    d = {"is_complete": bool(s.load_bit())}
     d["created_at"] = s.load_uint(32)
     d["marketplace_address"] = s.load_address()
     d["nft_address"] = s.load_address()
