@@ -56,6 +56,8 @@ HEADLINE = [
     "shard_assign",
     "cross_source_overlap",
     "dsir_weight",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 

@@ -247,3 +247,107 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_steps",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e
+           JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e
+           JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+    SELECT 1 AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    ORDER BY step_idx
+    """,
+    survey_ops=("beyond:funnel",),
+    description="ordered funnel analysis (view -> click -> purchase): "
+    "each stage is a per-user MIN over events strictly after the prior "
+    "stage's first hit — stage joins shuffle on user_id only, counts "
+    "are scalar aggs; exact integer time comparisons via epoch micros",
+)
+def funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    e = ev.select(
+        "user_id", "event_type", epoch_us(ev, "ts").alias("ts_us")
+    )
+    prev = None
+    out = None
+    for idx, stage in enumerate(_FUNNEL_STAGES, start=1):
+        cur = e.filter(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                F.col("ts_us") > F.col("_t")
+            )
+        cur = cur.groupBy("user_id").agg(F.min("ts_us").alias("_t"))
+        row = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("step_idx"),
+            F.lit(stage).alias("step"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = cur
+    return out.orderBy("step_idx")
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "cohort_retention",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week
+        FROM events
+    ),
+    first AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           COUNT(*) AS n_users
+    FROM e JOIN first USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+    survey_ops=("beyond:retention",),
+    description="cohort retention matrix: cohort = first-seen week "
+    "(integer epoch-week arithmetic, engine-exact), offsets from the "
+    "distinct (user, week) activity set — two user-keyed shuffles plus "
+    "a cohort-sized agg; the classic growth-analytics rollup",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    e = (
+        ev.select(
+            "user_id",
+            # integer `div`, matching DuckDB's `//` exactly (a double
+            # divide + cast can disagree at exact week boundaries)
+            epoch_us(ev, "ts").alias("_us"),
+        )
+        .select(
+            "user_id", F.expr(f"_us div {_WEEK_US}").alias("week")
+        )
+        .distinct()
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
