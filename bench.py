@@ -58,6 +58,7 @@ HEADLINE = [
     "dsir_weight",
     "funnel_steps",
     "cohort_retention",
+    "group_topk",
 ]
 
 

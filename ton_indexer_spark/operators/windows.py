@@ -43,6 +43,29 @@ def first_per_group(
     )
 
 
+def top_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[tuple[str, str]],
+    n: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Value-ranked top-N per group (the N>1 generalization of
+    ``first_per_group``): row_number over (partition, total order) <= n.
+
+    One shuffle on the partition keys; each group ranks independently, so
+    the sort parallelizes across groups — there is no global TakeOrdered
+    here because the limit is PER GROUP.  ``rank_col`` optionally keeps
+    the 1-based rank in the output."""
+    w = Window.partitionBy(*partition_by).orderBy(*_ordering(order_by))
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n
+    )
+    if rank_col is not None:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
 def latest_by(
     df: DataFrame,
     key: Sequence[str],

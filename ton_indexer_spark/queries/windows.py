@@ -351,3 +351,43 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "group_topk",
+    """
+    SELECT nationkey, rk, custkey, acctbal
+    FROM (
+        SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+               c_acctbal AS acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_acctbal DESC,
+                                                c_custkey ASC) AS INTEGER)
+                   AS rk
+        FROM customer
+    ) WHERE rk <= 3
+    ORDER BY nationkey, rk
+    """,
+    survey_ops=("beyond:group-topk",),
+    description="value-ranked top-3 per group (the N>1 DISTINCT ON "
+    "generalization): one shuffle on the group key, per-group window "
+    "rank — the per-group limit means no global TakeOrdered applies",
+)
+def group_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.windows import top_per_group
+
+    c = Catalog(spark, sf_dir).customer
+    return (
+        top_per_group(
+            c, ["c_nationkey"],
+            [("c_acctbal", "desc"), ("c_custkey", "asc")],
+            n=3, rank_col="rk",
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("rk"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .orderBy("nationkey", "rk")
+    )
