@@ -1340,3 +1340,24 @@ def test_nft_sale_v4r1_decode():
     assert d["fee_percent"] == 5000 and d["royalty_percent"] == 2500
     assert d["marketplace_fee"] == 10**9 * 5000 // 100000
     assert d["royalty_amount"] == 10**9 * 2500 // 100000
+
+
+def test_pton_inline_comment():
+    """The Either Cell ^Cell payload's INLINE arm (bit 0, comment in the
+    remaining body bits) decodes the same as the ref arm."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        OP_PTON_TRANSFER,
+        Builder,
+        decode_message_body,
+        serialize_boc,
+    )
+
+    c = (Builder().store_uint(OP_PTON_TRANSFER, 32).store_uint(2, 64)
+         .store_coins(77).store_address("0:" + "55" * 32)
+         .store_bit(0).store_uint(0, 32)
+         .store_snake_string("inline note").end_cell())
+    d = decode_message_body(base64.b64encode(serialize_boc(c)).decode())
+    assert d["amount"] == 77
+    assert d["comment"] == "inline note"

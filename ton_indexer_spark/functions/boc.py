@@ -1169,11 +1169,13 @@ def decode_body_cell(root: Cell) -> dict:
         d["amount"] = s.load_coins()
         d["refund_address"] = s.load_address()
         try:
+            # Either Cell ^Cell: bit 1 → payload in a ref, bit 0 → the
+            # rest of this slice IS the payload (both arms carry a text
+            # comment when the 32-bit op prefix is 0)
             fwd = s.load_maybe_ref()
-            if fwd is not None:
-                fs = fwd.begin_parse()
-                if fs.remaining_bits >= 32 and fs.load_uint(32) == 0:
-                    d["comment"] = fs.load_snake_string()
+            fs = fwd.begin_parse() if fwd is not None else s
+            if fs.remaining_bits >= 32 and fs.load_uint(32) == 0:
+                d["comment"] = fs.load_snake_string()
         except BocError:
             pass
         return d
