@@ -504,3 +504,29 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return bpe_pair_counts(d, top_k=50)
+
+
+@register(
+    "bpe_encode_sample",
+    None,  # iterative trainer + rank-greedy encode are not SQL-expressible;
+    # driver records the rows-only check, merge-sequence parity is pinned
+    # against a reference learner in tests/test_pipeline_ops.py::TestBpeTrain
+    survey_ops=("beyond:bpe-train",),
+    description="end-to-end BPE tokenizer demo: learn 8 merges over the "
+    "corpus (vocabulary-sized iterations after ONE corpus pass), then "
+    "encode map-only with the broadcast merge table; returns per-doc "
+    "BPE token counts",
+)
+def bpe_encode_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.bpe import bpe_encode, bpe_train
+
+    d = Catalog(spark, sf_dir).documents
+    merges = bpe_train(d, n_merges=8)
+    return (
+        bpe_encode(d, merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
