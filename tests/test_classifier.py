@@ -218,7 +218,7 @@ def test_jetton_transfer_chain(spark):
     assert a["destination_secondary"] == W2
     assert a["asset"] == "0:jetton1"
     assert a["amount"] == 5000
-    assert len(a["tx_hashes"]) == 4  # W1, W2, notify, excesses
+    assert len(a["tx_hashes"]) == 5  # initiator, W1, W2, notify, excesses
 
 
 def test_jetton_transfer_fallback_no_internal_leg(spark):
@@ -316,7 +316,7 @@ def test_jetton_burn(spark):
     acts = acts_of(res, "burn1")
     assert [a["type"] for a in acts] == ["jetton_burn"]
     assert acts[0]["amount"] == 77 and acts[0]["asset"] == "0:jetton1"
-    assert len(acts[0]["tx_hashes"]) == 2
+    assert len(acts[0]["tx_hashes"]) == 3
 
 
 def test_nft_transfer(spark):
@@ -391,7 +391,7 @@ def test_jetton_swap_two_legs(spark):
     assert out["source_jetton_wallet"] == W3
     assert out["destination_jetton_wallet"] == W4
     assert sd["sender"] == A[0]
-    assert len(a["tx_hashes"]) == 6  # both 3-node legs (pool node shared)
+    assert len(a["tx_hashes"]) == 7  # initiator + both 3-node legs (pool node shared)
 
 
 def test_multisig_create_order(spark):
@@ -407,7 +407,7 @@ def test_multisig_create_order(spark):
     # event_processing.py:196-207)
     assert [a["type"] for a in acts] == ["multisig_create_order",
                                          "contract_deploy"]
-    assert len(acts[0]["tx_hashes"]) == 2
+    assert len(acts[0]["tx_hashes"]) == 3
 
 
 def test_contract_deploy_and_unknown(spark):
@@ -448,7 +448,7 @@ def test_tick_tock_and_stake(spark):
     assert [a["type"] for a in acts_of(res, "tt1")] == ["tick_tock"]
     st = acts_of(res, "st1")
     assert [a["type"] for a in st] == ["stake_deposit"]
-    assert len(st[0]["tx_hashes"]) == 2
+    assert len(st[0]["tx_hashes"]) == 3
 
 
 def test_jetton_mint_from_master(spark):
@@ -484,7 +484,7 @@ def test_nft_mint_and_auction_bid(spark):
     # promotes nested ContractDeploy under any block type)
     assert sorted(a["type"] for a in nm) == ["contract_deploy", "nft_mint"]
     mint = next(a for a in nm if a["type"] == "nft_mint")
-    assert mint["asset"] == ITEM and len(mint["tx_hashes"]) == 2
+    assert mint["asset"] == ITEM and len(mint["tx_hashes"]) == 3
     ab = acts_of(res, "ab1")
     assert [a["type"] for a in ab] == ["auction_bid"]
     assert ab[0]["destination"] == AUC and ab[0]["value"] == 5 * 10**9
@@ -516,7 +516,7 @@ def test_dns_and_election(spark):
     assert [a["type"] for a in acts_of(res, "dns2")] == ["delete_dns"]
     el_acts = acts_of(res, "el1")
     assert [a["type"] for a in el_acts] == ["election_deposit"]
-    assert len(el_acts[0]["tx_hashes"]) == 2
+    assert len(el_acts[0]["tx_hashes"]) == 3
     assert [a["type"] for a in acts_of(res, "el2")] == ["election_recover"]
 
 
@@ -539,7 +539,7 @@ def test_subscription_and_multisig_approve(spark):
     res = run(spark, [b, b2])
     sub = acts_of(res, "sub1")
     assert [a["type"] for a in sub] == ["subscribe"]
-    assert sub[0]["destination"] == A[5] and len(sub[0]["tx_hashes"]) == 2
+    assert sub[0]["destination"] == A[5] and len(sub[0]["tx_hashes"]) == 3
     ma = acts_of(res, "ma1")
     assert [a["type"] for a in ma] == ["multisig_approve", "multisig_execute"]
 
@@ -574,7 +574,7 @@ def test_nft_sale_lifecycle(spark):
     a = buy[0]
     assert a["source"] == BUYER and a["source_secondary"] == SALE
     assert a["asset"] == ITEM and a["value"] == 10**10
-    assert len(a["tx_hashes"]) == 5  # sale, item, assigned, 2 payouts
+    assert len(a["tx_hashes"]) == 6  # initiator + sale, item, assigned, 2 payouts
 
 
 def test_classifier_feeds_actions_endpoint(spark):
@@ -648,7 +648,7 @@ def test_stake_withdraw(spark):
     assert [a["type"] for a in a1] == ["stake_withdrawal"]
     assert a1[0]["amount"] == 7 * 10**9
     assert a1[0]["destination"] == A[0]
-    assert len(a1[0]["tx_hashes"]) == 2
+    assert len(a1[0]["tx_hashes"]) == 3
     a2 = acts_of(res, "sw2")
     assert [a["type"] for a in a2] == ["stake_withdrawal_request"]
 
@@ -673,7 +673,7 @@ def test_vesting_and_unsubscribe(spark):
     res = run(spark, [b, b2, b3])
     a1 = acts_of(res, "v1")
     assert [a["type"] for a in a1] == ["vesting_send_message", "ton_transfer"]
-    assert len(a1[0]["tx_hashes"]) == 2
+    assert len(a1[0]["tx_hashes"]) == 3
     assert a1[1]["source"] == VEST and a1[1]["destination"] == A[5]
     a2 = acts_of(res, "v2")
     assert [a["type"] for a in a2] == ["vesting_add_whitelist"]
@@ -689,7 +689,7 @@ def test_nft_discovery(spark):
     acts = acts_of(res, "nd1")
     assert [a["type"] for a in acts] == ["nft_discovery"]
     assert acts[0]["asset"] == ITEM
-    assert len(acts[0]["tx_hashes"]) == 2
+    assert len(acts[0]["tx_hashes"]) == 3
 
 
 def test_dex_liquidity(spark):
@@ -730,12 +730,12 @@ def test_dex_liquidity(spark):
     assert [a["type"] for a in d] == ["dex_deposit_liquidity"]
     assert d[0]["asset"] == "0:tokA" and d[0]["amount"] == 1000
     assert d[0]["destination"] == POOL and d[0]["destination_secondary"] == LPW
-    assert len(d[0]["tx_hashes"]) == 5
+    assert len(d[0]["tx_hashes"]) == 6
     w = acts_of(res, "dl2")
     assert [a["type"] for a in w] == ["dex_withdraw_liquidity"]
     assert w[0]["asset"] == "0:lp" and w[0]["amount"] == 500
     assert w[0]["source"] == A[0] and w[0]["destination"] == POOL
-    assert len(w[0]["tx_hashes"]) == 6
+    assert len(w[0]["tx_hashes"]) == 7
 
 
 def test_signed_opcode_normalization(spark):
@@ -758,7 +758,7 @@ def test_signed_opcode_normalization(spark):
     ])
     acts = acts_of(res, "sg1")
     assert [a["type"] for a in acts] == ["jetton_transfer"]
-    assert len(acts[0]["tx_hashes"]) == 4  # excesses leg claimed, not stray
+    assert len(acts[0]["tx_hashes"]) == 5  # initiator + excesses leg claimed, not stray
 
 
 def test_deploy_in_first_transfer(spark):
@@ -810,10 +810,10 @@ def test_nft_cancel_and_finish(spark):
               auctions=[{"address": AUC}])
     c = acts_of(res, "c1")
     assert [a["type"] for a in c] == ["nft_cancel_sale"]
-    assert c[0]["asset"] == ITEM and len(c[0]["tx_hashes"]) == 3
+    assert c[0]["asset"] == ITEM and len(c[0]["tx_hashes"]) == 4
     f = acts_of(res, "f1")
     assert [a["type"] for a in f] == ["nft_finish_auction"]
-    assert len(f[0]["tx_hashes"]) == 4
+    assert len(f[0]["tx_hashes"]) == 5
 
 
 def test_decimal_amount_survives_uint128(spark):

@@ -160,7 +160,9 @@ def test_dedust_partial_decodes_real_boc_body(spark):
         store_dedust_asset,
     )
 
-    HEXJET = "0:" + "ab" * 32  # store_dedust_asset needs a real hex account
+    # store_dedust_asset needs a real hex account; the decoder renders
+    # addresses uppercase (reference AccountId.as_str, ton_utils.py:94-97)
+    HEXJET = "0:" + "AB" * 32
     params = (Builder().store_coins(1).store_coins(5000)
               .store_coins(7000).end_cell())
     dep = Builder().store_uint(OP_DEDUST_DEPOSIT_TON, 32).store_uint(9, 64)

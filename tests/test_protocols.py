@@ -122,20 +122,20 @@ def test_dedust_family(spark):
     assert sd["dex"] == "dedust"
     assert sd["amount_in"] == 10**9 and sd["amount_out"] == 900
     assert len(sd["peer_swaps"]) == 1  # one peer hop
-    assert len(swap[0]["tx_hashes"]) == 5
+    assert len(swap[0]["tx_hashes"]) == 6
 
     dep = acts_of(res, "dd2")
     assert [a["type"] for a in dep] == ["dex_deposit_liquidity"]
     dd = dep[0]["dex_deposit_liquidity_data"]
     assert dd["dex"] == "dedust" and dd["amount1"] == 500
-    assert len(dep[0]["tx_hashes"]) == 4
+    assert len(dep[0]["tx_hashes"]) == 5
 
     wd = acts_of(res, "dd3")
     assert [a["type"] for a in wd] == ["dex_withdraw_liquidity"]
     wdd = wd[0]["dex_withdraw_liquidity_data"]
     assert wdd["dex"] == "dedust" and wdd["lp_tokens_burnt"] == 250
     assert wdd["amount1"] == 100 and wdd["amount2"] == 200
-    assert len(wd[0]["tx_hashes"]) == 4
+    assert len(wd[0]["tx_hashes"]) == 5
 
 
 def test_stonfi_family(spark):
@@ -177,7 +177,7 @@ def test_stonfi_family(spark):
     assert sd["amount_in"] == 100 and sd["asset_in"] == "0:tokA"
     assert sd["amount_out"] == 95 and sd["asset_out"] == "0:tokB"
     assert swap[0]["source"] == A[0] and swap[0]["destination"] == A[0]
-    assert len(swap[0]["tx_hashes"]) == 5
+    assert len(swap[0]["tx_hashes"]) == 6
 
     dep = acts_of(res, "sf2")
     assert [a["type"] for a in dep] == ["dex_deposit_liquidity"]
@@ -231,7 +231,7 @@ def test_tonco_family(spark):
     assert [a["type"] for a in wd] == ["tonco_withdraw_liquidity"]
     wdd = wd[0]["dex_withdraw_liquidity_data"]
     assert wdd["lp_tokens_burnt"] == 55 and wdd["burned_nft_index"] == 7
-    assert len(wd[0]["tx_hashes"]) == 3
+    assert len(wd[0]["tx_hashes"]) == 4
 
     dp = acts_of(res, "tc3")
     assert [a["type"] for a in dp] == ["tonco_deploy_pool"]
@@ -281,7 +281,7 @@ def test_coffee_family(spark):
     sd = swap[0]["jetton_swap_data"]
     assert sd["dex"] == "coffee"
     assert sd["amount_in"] == 1000 and sd["amount_out"] == 900
-    assert len(swap[0]["tx_hashes"]) == 5
+    assert len(swap[0]["tx_hashes"]) == 6
 
     assert [a["type"] for a in acts_of(res, "cf2")] == ["dex_deposit_liquidity"]
     wd = acts_of(res, "cf3")
@@ -328,7 +328,7 @@ def test_evaa_family(spark):
     assert sup[0]["success"] is True
     assert sup[0]["evaa_supply_data"]["is_ton"] is True
     assert sup[0]["evaa_supply_data"]["master"] == MASTER
-    assert len(sup[0]["tx_hashes"]) == 3
+    assert len(sup[0]["tx_hashes"]) == 4
 
     wd = acts_of(res, "ev2")
     assert [a["type"] for a in wd] == ["evaa_withdraw"]
@@ -370,7 +370,7 @@ def test_jvault_family(spark):
     assert [a["type"] for a in st] == ["jvault_stake"]
     assert st[0]["jvault_stake_data"]["period"] == 90
     assert st[0]["amount"] == 500
-    assert len(st[0]["tx_hashes"]) == 3
+    assert len(st[0]["tx_hashes"]) == 4
 
     assert [a["type"] for a in acts_of(res, "jv2")] == ["jvault_unstake_request"]
 
@@ -379,7 +379,7 @@ def test_jvault_family(spark):
     jc = cl[0]["jvault_claim_data"]
     assert jc["claimed_jettons"] == ["0:j1", "0:j2"]
     assert jc["claimed_amounts"] == [5, 7]
-    assert len(cl[0]["tx_hashes"]) == 3
+    assert len(cl[0]["tx_hashes"]) == 4
 
 
 def test_staking_extras(spark):
@@ -419,7 +419,7 @@ def test_staking_extras(spark):
     np3 = acts_of(res, "np3")
     assert [a["type"] for a in np3] == ["nominator_pool_withdraw"]
     assert np3[0]["amount"] == 7 * 10**9
-    assert len(np3[0]["tx_hashes"]) == 3
+    assert len(np3[0]["tx_hashes"]) == 4
 
 
 def test_bridge_and_log_events(spark):
@@ -463,7 +463,7 @@ def test_bridge_and_log_events(spark):
     assert [a["type"] for a in acts_of(res, "tg2")] == ["tgbtc_burn"]
     lz = acts_of(res, "lz1")
     assert [a["type"] for a in lz] == ["layerzero_send"]
-    assert len(lz[0]["tx_hashes"]) == 2
+    assert len(lz[0]["tx_hashes"]) == 3
     assert [a["type"] for a in acts_of(res, "lz2")] == ["layerzero_receive"]
     cc = acts_of(res, "cc1")
     assert [a["type"] for a in cc] == ["cocoon_worker_payout"]
@@ -508,7 +508,7 @@ def test_nft_extras(spark):
     ob = acts_of(res, "ob1")
     assert [a["type"] for a in ob] == ["auction_outbid"]
     assert ob[0]["source_secondary"] == A[4]
-    assert len(ob[0]["tx_hashes"]) == 2
+    assert len(ob[0]["tx_hashes"]) == 3
 
 
 def test_typed_payloads_on_generic_matchers(spark):
@@ -705,17 +705,17 @@ def test_coffee_staking_family(spark):
     assert wdd["nft_address"] == POS_NFT and wdd["nft_index"] == 12
     assert wdd["points"] == 55
     assert wd[0]["amount"] == 777 and wd[0]["source"] == A[1]
-    assert len(wd[0]["tx_hashes"]) == 5
+    assert len(wd[0]["tx_hashes"]) == 6
 
     cr = acts_of(res, "cs3")
     assert [a["type"] for a in cr] == ["coffee_staking_claim_rewards"]
     assert cr[0]["amount"] == 99 and cr[0]["destination"] == A[3]
-    assert len(cr[0]["tx_hashes"]) == 4  # claim + transfer chain + log
+    assert len(cr[0]["tx_hashes"]) == 5  # initiator + claim + transfer chain + log
 
     hold = acts_of(res, "cs4")
     assert [a["type"] for a in hold] == ["coffee_mev_protect_hold_funds"]
     assert hold[0]["amount"] == 10**9 and hold[0]["asset"] == "TON"
-    assert len(hold[0]["tx_hashes"]) == 2
+    assert len(hold[0]["tx_hashes"]) == 3
 
     fail = acts_of(res, "cs5")
     assert [a["type"] for a in fail] == ["coffee_mev_protect_failed_swap"]
@@ -757,7 +757,7 @@ def test_stonfi_v2_withdraw(spark):
     assert d["dex"] == "stonfi_v2" and d["lp_tokens_burnt"] == 40
     assert {d["amount1"], d["amount2"]} == {21, 19}
     assert {d["asset1_out"], d["asset2_out"]} == {"0:tokA", "0:tokB"}
-    assert len(wd_acts[0]["tx_hashes"]) == 8
+    assert len(wd_acts[0]["tx_hashes"]) == 9
 
 
 def test_layerzero_extras(spark):
@@ -796,11 +796,11 @@ def test_layerzero_extras(spark):
     st = acts_of(res, "lz1")
     assert [a["type"] for a in st] == ["layerzero_send_tokens"]
     assert st[0]["amount"] == 7 and st[0]["asset"] == "0:tok"
-    assert len(st[0]["tx_hashes"]) == 5
+    assert len(st[0]["tx_hashes"]) == 6
 
     dvn = acts_of(res, "lz2")
     assert [a["type"] for a in dvn] == ["layerzero_dvn_verify"]
-    assert len(dvn[0]["tx_hashes"]) == 4
+    assert len(dvn[0]["tx_hashes"]) == 5
 
 
 def test_cocoon_extended_family(spark):
@@ -844,7 +844,7 @@ def test_cocoon_extended_family(spark):
         assert [a["type"] for a in acts] == [typ], typ
     ref = acts_of(res, "ccw")
     assert [a["type"] for a in ref] == ["cocoon_client_request_refund"]
-    assert len(ref[0]["tx_hashes"]) == 2
+    assert len(ref[0]["tx_hashes"]) == 3
 
 
 def test_dns_and_teleitem_extras(spark):
@@ -880,7 +880,7 @@ def test_dns_and_teleitem_extras(spark):
     tc = acts_of(res, "tc1")
     assert [a["type"] for a in tc] == ["teleitem_cancel_auction"]
     assert tc[0]["asset"] == TELE_ITEM
-    assert len(tc[0]["tx_hashes"]) == 2
+    assert len(tc[0]["tx_hashes"]) == 3
 
 
 def test_dedust_deposit_first_asset(spark):
@@ -896,7 +896,7 @@ def test_dedust_deposit_first_asset(spark):
     dep = acts_of(res, "ddfa")
     assert [a["type"] for a in dep] == ["dex_deposit_liquidity"]
     assert dep[0]["dex_deposit_liquidity_data"]["amount1"] == 300
-    assert len(dep[0]["tx_hashes"]) == 2
+    assert len(dep[0]["tx_hashes"]) == 3
 
 
 def test_tgbtc_log_event_payload_decoded(spark):

@@ -10,6 +10,9 @@ matchers in ``protocols.py``.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+
 from ton_indexer_spark.classifier.tree import Node
 
 JETTON_TRANSFER = 0x0F8A7EA5
@@ -41,6 +44,21 @@ NFT_REPORT_STATIC = 0x8B771735      # report_static_data (messages/nft.py:92)
 Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
 
 
+def _node_lt(n: Node) -> int:
+    """The reference's EventNode.get_lt (tree_utils.py:75-81): the lt at
+    which the node's in-message was *created* (sender side); external and
+    tick-tock nodes fall back to the consuming tx lt."""
+    if n.in_msg is not None and n.in_msg.created_lt is not None:
+        return n.in_msg.created_lt
+    return n.tx_lt
+
+
+def _node_utime(n: Node) -> int:
+    if n.in_msg is not None and n.in_msg.created_at is not None:
+        return n.in_msg.created_at
+    return n.tx_now
+
+
 def _base(node: Node, typ: str, **kw) -> dict:
     claimed = kw.pop("claimed", [node])
     act = {
@@ -54,13 +72,50 @@ def _base(node: Node, typ: str, **kw) -> dict:
         "value": node.in_msg.value if node.in_msg else None,
         "amount": None,
         "success": not any(n.aborted for n in claimed),
-        "tx_hashes": sorted(n.tx_hash for n in claimed),
-        "start_lt": min(n.tx_lt for n in claimed),
+        # tx_hashes/accounts defaulted after kw-update (claimed set +
+        # initiating tx + endpoint columns) so matcher overrides win
+        # the action's lt span opens when its first message is created and
+        # closes when its last tx commits (core.py:153-159)
+        "start_lt": min(_node_lt(n) for n in claimed),
         "end_lt": max(n.tx_lt for n in claimed),
-        "start_utime": min(n.tx_now for n in claimed),
+        "start_utime": min(_node_utime(n) for n in claimed),
         "end_utime": max(n.tx_now for n in claimed),
     }
     act.update(kw)
+    # Deterministic action id, reference-compatible: sha256 of the root
+    # (min-lt) claimed node's in-message hash (tx hash for message-less
+    # tick-tocks) + the action type, base64 (block_tree_serializer.py:99-108)
+    root = min(claimed, key=lambda n: (_node_lt(n), n.tx_hash))
+    key = (root.in_msg.msg_hash if root.in_msg is not None else root.tx_hash)
+    act.setdefault(
+        "action_id",
+        base64.b64encode(
+            hashlib.sha256((key + act["type"]).encode()).digest()
+        ).decode(),
+    )
+    # tx set: every claimed (consuming) tx + the *initiating* tx — the one
+    # that produced the root's in-message (block_tree_serializer.py:
+    # 1469-1478 extended_tx_hashes); same for its account below
+    tx_hashes = {n.tx_hash for n in claimed}
+    # claimed-only view for post-processors (the deploy unwind needs "was
+    # this node consumed into a LARGER pattern", which the extended
+    # tx_hashes no longer answers); stripped at serialization
+    act.setdefault("_claimed", sorted(tx_hashes))
+    if root.parent is not None:
+        tx_hashes.add(root.parent.tx_hash)
+    act.setdefault("tx_hashes", sorted(tx_hashes))
+    # involved-accounts set: claimed tx accounts + the four endpoint
+    # columns (block_tree_serializer.py:115-120,1462-1480); matchers append
+    # extra participants (e.g. multisig signers) on top before serialize
+    accounts = {n.account for n in claimed}
+    if root.parent is not None:
+        accounts.add(root.parent.account)
+    accounts.update(
+        act.get(k)
+        for k in ("source", "source_secondary",
+                  "destination", "destination_secondary")
+    )
+    act.setdefault("accounts", sorted(a for a in accounts if a is not None))
     for n in claimed:
         n.consumed = True
     return act

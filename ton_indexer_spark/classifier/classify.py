@@ -162,6 +162,9 @@ ACTIONS_OUT_SCHEMA = T.StructType(
         T.StructField("amount", _D),
         T.StructField("success", T.BooleanType()),
         T.StructField("tx_hashes", T.ArrayType(T.StringType())),
+        # involved-accounts set (migrate.cpp:588-599 feeds action_accounts
+        # from it; block_tree_serializer.py:1462-1480 computes it)
+        T.StructField("accounts", T.ArrayType(T.StringType())),
         T.StructField("start_lt", T.LongType()),
         T.StructField("end_lt", T.LongType()),
         T.StructField("start_utime", T.LongType()),
@@ -237,7 +240,7 @@ _PAYLOAD_KEYS = tuple(
 _ROW_COLS = [
     "trace_id", "tx_hash", "tx_lt", "tx_now", "account", "aborted",
     "orig_status", "end_status", "msg_hash", "direction", "source",
-    "destination", "value", "opcode", "created_lt", "body",
+    "destination", "value", "opcode", "created_lt", "created_at", "body",
     "acc_jw_owner", "acc_jw_jetton", "acc_is_nft", "acc_pool_dex",
     "acc_is_multisig", "acc_is_auction", "acc_sale_nft", "acc_is_dns",
 ]
@@ -263,7 +266,8 @@ def _classify_group(
         # re-coerces to NaN, and NaN != None breaks opcode matching
         rows = pdf.astype(object).where(pd.notnull(pdf), None).to_dict("records")
         for r in rows:
-            for k in ("tx_lt", "tx_now", "value", "opcode", "created_lt"):
+            for k in ("tx_lt", "tx_now", "value", "opcode", "created_lt",
+                      "created_at"):
                 if r[k] is not None:
                     r[k] = int(r[k])
         ctx = {
@@ -306,7 +310,10 @@ def _classify_group(
         out = []
 
         def serialize(a: dict, parent_id: str | None) -> None:
-            aid = hashlib.sha256(
+            # matchers emit the reference-compatible content hash
+            # (base.py::_base); index-hash fallback keeps synthetic action
+            # dicts without one serializable
+            aid = a.get("action_id") or hashlib.sha256(
                 f"{trace_id}:{len(out)}".encode()
             ).hexdigest()
             out.append(
@@ -365,9 +372,15 @@ def classify_traces(
         F.col("now").alias("tx_now"),
         "account", "aborted", "orig_status", "end_status",
     )
+    if "created_at" not in messages.columns:
+        # minimal synthetic inputs may omit it; _node_utime falls back to
+        # the consuming tx's `now`
+        messages = messages.withColumn(
+            "created_at", F.lit(None).cast("long")
+        )
     msg_cols = messages.select(
-        "tx_hash", "msg_hash", "direction", "source",
-        "destination", "value", "opcode", "created_lt", "body_hash",
+        "tx_hash", "msg_hash", "direction", "source", "destination",
+        "value", "opcode", "created_lt", "created_at", "body_hash",
     )
     rows = tx_attrs.join(msg_cols, "tx_hash", "left")
 
@@ -492,13 +505,20 @@ def classify_traces(
     action_accounts = (
         actions.select(
             "action_id", "trace_id", "end_lt", "end_utime",
+            # `accounts` already folds claimed tx accounts + endpoint
+            # columns + matcher extras (signers); fall back to the endpoint
+            # columns for action rows built outside the matcher library
             F.explode(
-                F.array_distinct(
-                    F.filter(
-                        F.array("source", "destination", "source_secondary",
-                                "destination_secondary"),
-                        lambda c: c.isNotNull(),
-                    )
+                F.coalesce(
+                    F.col("accounts"),
+                    F.array_distinct(
+                        F.filter(
+                            F.array("source", "destination",
+                                    "source_secondary",
+                                    "destination_secondary"),
+                            lambda c: c.isNotNull(),
+                        )
+                    ),
                 )
             ).alias("account"),
         )

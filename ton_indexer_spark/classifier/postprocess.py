@@ -75,6 +75,12 @@ def _combine_deposits(final: dict, first: dict) -> bool:
 
     # Block.merge_blocks analog: union claimed txs, widen the lt/utime span
     final["tx_hashes"] = sorted(set(final["tx_hashes"]) | set(first["tx_hashes"]))
+    final["_claimed"] = sorted(
+        set(final.get("_claimed", ())) | set(first.get("_claimed", ()))
+    )
+    final["accounts"] = sorted(
+        set(final.get("accounts", ())) | set(first.get("accounts", ()))
+    )
     final["start_lt"] = min(final["start_lt"], first["start_lt"])
     final["end_lt"] = max(final["end_lt"], first["end_lt"])
     final["start_utime"] = min(final["start_utime"], first["start_utime"])
@@ -138,7 +144,10 @@ def unwind_deployments(nodes: list[Node], actions: list[dict]) -> list[dict]:
     larger matched action (event_processing.py:196-207)."""
     claimed_by: dict[str, dict] = {}
     for a in actions:
-        for h in a.get("tx_hashes", ()):
+        # _claimed = the nodes the matcher actually consumed; tx_hashes
+        # additionally carries the initiating tx (base.py::_base) and must
+        # not make a single-node action look multi-node here
+        for h in a.get("_claimed", a.get("tx_hashes", ())):
             claimed_by.setdefault(h, a)
     extra: list[dict] = []
     for n in nodes:
@@ -147,7 +156,7 @@ def unwind_deployments(nodes: list[Node], actions: list[dict]) -> list[dict]:
         a = claimed_by.get(n.tx_hash)
         if a is None or a.get("type") in _DEPLOY_BEARING:
             continue
-        if len(a.get("tx_hashes", ())) <= 1:
+        if len(a.get("_claimed", a.get("tx_hashes", ()))) <= 1:
             continue  # single-node action: the deploy fold already applied
         extra.append(_base(n, "contract_deploy"))
     return actions + extra

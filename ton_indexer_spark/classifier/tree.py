@@ -35,6 +35,7 @@ class Msg:
     opcode: int | None
     created_lt: int | None
     body: str | None = None
+    created_at: int | None = None
 
     def decoded_body(self) -> dict:
         """Decode the message payload (the engine's F2 BOC-parse surface).
@@ -117,6 +118,7 @@ def build_tree(rows: list[dict]) -> list[Node]:
             opcode=norm_opcode(r.get("opcode")),
             created_lt=r.get("created_lt"),
             body=r.get("body"),
+            created_at=r.get("created_at"),
         )
         if msg.direction == "in":
             n.in_msg = msg

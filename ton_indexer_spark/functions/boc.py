@@ -137,7 +137,7 @@ class Slice:
                 self.load_uint(depth)
             wc = self.load_int(8)
             h = self.load_uint(256)
-            return f"{wc}:{h:064x}"
+            return f"{wc}:{h:064X}"
         raise BocError("addr_var unsupported")
 
     def load_snake_string(self) -> str:
@@ -493,7 +493,7 @@ def _load_dedust_asset(s: Slice) -> str:
         return "TON"
     wc = s.load_uint(8)
     h = s.load_uint(256)
-    return f"{wc}:{h:064x}"
+    return f"{wc}:{h:064X}"
 
 
 def store_dedust_asset(b: "Builder", asset: str) -> "Builder":
@@ -514,7 +514,7 @@ def _load_coffee_asset(s: Slice) -> str:
     if tag == 0b01:
         wc = s.load_uint(8)
         h = s.load_uint(256)
-        return f"{wc}:{h:064x}"
+        return f"{wc}:{h:064X}"
     if tag == 0b10:
         return f"extra:{s.load_uint(32)}"
     raise BocError(f"invalid coffee asset tag {tag}")
@@ -1069,7 +1069,7 @@ def decode_body_cell(root: Cell) -> dict:
             if op == OP_COFFEE_SWAP_NATIVE:
                 # _:SwapStepParams = pool_address_hash:uint256
                 #   min_output_amount:Coins next:(Maybe ^...) (coffee.py:89-101)
-                d["first_pool"] = f"0:{s.load_uint(256):064x}"
+                d["first_pool"] = f"0:{s.load_uint(256):064X}"
                 d["min_out"] = s.load_coins()
             elif op == OP_COFFEE_POOL_NATIVE:
                 # params:PoolParams = first:Asset second:Asset amm:(## 3)
@@ -1126,7 +1126,7 @@ def decode_body_cell(root: Cell) -> dict:
         # jetton-transfer forward payload, no query_id/amount (coffee.py:348-368)
         d = {"opcode": op}
         try:
-            d["first_pool"] = f"0:{s.load_uint(256):064x}"
+            d["first_pool"] = f"0:{s.load_uint(256):064X}"
             d["min_out"] = s.load_coins()
         except BocError:
             pass
