@@ -70,9 +70,6 @@ KNOWN_GAPS: set[tuple[str, str]] = {
     ('evaa.yaml', 'Jetton withdrawal(locked)'),
     ('evaa.yaml', 'Jetton withdrawal (withdraw_not_collateralized_excess)'),
     ('evaa.yaml', 'Ton withdrawal (withdraw_missing_prices_excess)'),
-    ('jetton-mints.yaml', 'Jetton mint(0x642b7d07) with notification'),
-    ('jetton-transfer.yaml', 'Failed jetton transfer (external only)'),
-    ('jetton-transfer.yaml', 'Failed jetton transfers (external, identical transfers)'),
     ('jvault.yaml', 'Stake (partial referral updates)'),
     ('jvault.yaml', 'Stake (simple)'),
     ('jvault.yaml', 'Stake (failed, cancellation)'),
@@ -95,12 +92,6 @@ KNOWN_GAPS: set[tuple[str, str]] = {
     ('nft.yaml', 'Fragment purchase'),
     ('nft.yaml', 'Getgems auction purchase'),
     ('nft.yaml', 'Getgems auction purchase 2'),
-    ('stonfi-swaps.yaml', 'Stonfi Jetton -> Ton swap with referral payout'),
-    ('stonfi-swaps.yaml', 'Stonfi Jetton -> Ton (receiver != sender)'),
-    ('stonfi-swaps.yaml', 'Stonfi Jetton -> Ton (receiver == sender)'),
-    ('stonfi-swaps.yaml', 'Stonfi Jetton -> Jetton'),
-    ('stonfi-swaps.yaml', 'Stonfi Ton -> Jetton failed'),
-    ('stonfi-swaps.yaml', 'Stonfi Ton -> Jetton (receiver != sender)'),
     ('stonfi-v2-swaps.yaml', 'Stonfi v2 Jetton -> Jetton'),
     ('stonfi-v2-swaps.yaml', 'Stonfi v2 Jetton -> Jetton multirouter'),
     ('stonfi-v2-swaps.yaml', 'Stonfi Jetton -> Ton -> Jetton'),
@@ -116,7 +107,6 @@ KNOWN_GAPS: set[tuple[str, str]] = {
     ('tgbtc.yaml', 'tgBTC dkg log (fallback)'),
     ('tgbtc.yaml', 'tgBTC burn (wierd schema)'),
     ('tgbtc.yaml', 'tgBTC burn (very old wierd and crippled)'),
-    ('ton-transfers.yaml', 'Failed ton transfer (external-in only)'),
     ('tonco.yaml', 'Tonco deploy pools'),
     ('tonco.yaml', 'Tonco swap USDT -> TON'),
     ('tonco.yaml', 'Tonco swap USDT -> STORM with hop'),
@@ -132,7 +122,6 @@ KNOWN_GAPS: set[tuple[str, str]] = {
     ('tonstakers.yaml', 'TS Withdrawal request'),
     ('tonstakers.yaml', 'TS Withdrawal via nft burn'),
     ('tonstakers.yaml', 'TS Immediate Withdrawal'),
-    ('vesting.yaml', 'Vesting send message'),
 }
 
 

@@ -43,6 +43,15 @@ NFT_REPORT_STATIC = 0x8B771735      # report_static_data (messages/nft.py:92)
 
 Ctx = dict  # {"jetton_wallets": {addr: (owner, jetton)}, "nft_items": {addr: ...}}
 
+# proxy-TON jetton masters — published contract addresses the reference
+# pins for the single-wallet transfer shape (jettons.py:112-116:
+# pTON v1, pTON v2, Tonco wTTON)
+PTON_MASTERS = frozenset((
+    "0:8CDC1D7640AD5EE326527FC1AD0514F468B30DC84B0173F0E155F451B4E11F7C",
+    "0:671963027F7F85659AB55B821671688601CDCF1EE674FC7FBBB1A776A18D34A3",
+    "0:949C4C66760C002800E2FA3D8A3CA4E1C90A9373B53AE7472033483BF14CD95E",
+))
+
 
 def _node_lt(n: Node) -> int:
     """The reference's EventNode.get_lt (tree_utils.py:75-81): the lt at

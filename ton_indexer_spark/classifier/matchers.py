@@ -33,6 +33,7 @@ from ton_indexer_spark.classifier.base import (  # noqa: F401  (re-exported)
     NFT_DISCOVERY,
     NFT_REPORT_STATIC,
     NFT_TRANSFER,
+    PTON_MASTERS,
     OWNERSHIP_ASSIGNED,
     POOL_WITHDRAWAL,
     STAKE_DEPOSIT_OP,
@@ -132,14 +133,26 @@ def match_jetton_mint_entry(node: Node, ctx: Ctx) -> dict | None:
     claimed = [node]
     wallet = None
     amount = body.get("amount")
+    asset = node.account  # the minter IS the jetton master
     if internal is not None:
+        # successful-leg path (jettons.py::_get_jetton_mint_data:189-218):
+        # destination = receiver wallet's OWNER from the interface
+        # repository, amount = the internal transfer's amount, asset = the
+        # receiver wallet's jetton — the entry body's to_address may be
+        # addr_none on minters that route purely via master_msg
         claimed.append(internal)
         wallet = internal.account
-        if amount is None:
-            amount = internal.in_msg.decoded_body().get("amount")
+        owner, jetton = ctx.get("jetton_wallets", {}).get(
+            wallet, (None, None)
+        )
+        internal_amount = internal.in_msg.decoded_body().get("amount")
+        if internal_amount is not None:
+            amount = internal_amount
         notify = internal.child_via(JETTON_NOTIFY)
         if notify is not None:
             claimed.append(notify)
+        to_owner = owner or (notify.account if notify else to_owner)
+        asset = jetton or asset
         excess = internal.child_via(EXCESSES)
         if excess is not None:
             claimed.append(excess)
@@ -149,7 +162,7 @@ def match_jetton_mint_entry(node: Node, ctx: Ctx) -> dict | None:
         claimed=claimed,
         destination=to_owner,
         destination_secondary=wallet,
-        asset=node.account,  # the minter IS the jetton master
+        asset=asset,
         amount=amount,
         value=body.get("ton_amount"),
     )
@@ -418,12 +431,51 @@ def match_multisig_create_order(node: Node, ctx: Ctx) -> dict | None:
 
 def match_jetton_transfer(node: Node, ctx: Ctx) -> dict | None:
     """owner → sender-wallet (0x0f8a7ea5) → receiver-wallet (0x178d4519)
-    [→ owner notify (0x7362d09c)] [→ excesses (0xd53276db)]"""
+    [→ owner notify (0x7362d09c)] [→ excesses (0xd53276db)]
+
+    Also covers the proxy-TON single-wallet shape: no internal-transfer
+    leg, the wallet notifies the receiver directly (the reference's
+    PTonTransferMatcher builds the same jetton_transfer block)."""
     if node.in_msg is None or node.in_msg.opcode != JETTON_TRANSFER:
         return None
     internal = node.child_via(JETTON_INTERNAL)
     if internal is None:
-        return None
+        # proxy-TON shape, gated on the known pTON masters exactly like
+        # the reference (PTonTransferMatcher, jettons.py:110-164): both
+        # wallet columns serialize as null
+        wallets = ctx.get("jetton_wallets", {})
+        jetton = wallets.get(node.account, (None, None))[1]
+        if jetton not in PTON_MASTERS:
+            return None
+        notify = node.child_via(JETTON_NOTIFY)
+        if notify is None:
+            return None
+        claimed = [node, notify]
+        excess = node.child_via(EXCESSES)
+        if excess is not None:
+            claimed.append(excess)
+        payload = node.in_msg.decoded_body()
+        return _base(
+            node,
+            "jetton_transfer",
+            claimed=claimed,
+            source=node.in_msg.source,
+            source_secondary=None,
+            destination=payload.get("destination", notify.account),
+            destination_secondary=None,
+            asset=jetton,
+            amount=payload.get("amount"),
+            jetton_transfer_data={
+                "query_id": payload.get("query_id"),
+                "response_destination": payload.get("response_destination"),
+                "forward_amount": payload.get("forward_ton_amount"),
+                "custom_payload": payload.get("custom_payload"),
+                "forward_payload": payload.get("forward_payload"),
+                "comment": payload.get("forward_comment"),
+                "is_encrypted_comment": payload.get("is_encrypted", False),
+                "has_internal_transfer": False,
+            },
+        )
     claimed = [node, internal]
     notify = internal.child_via(JETTON_NOTIFY)
     if notify is not None:
@@ -706,7 +758,7 @@ def match_vesting(node: Node, ctx: Ctx) -> dict | None:
     if resp is not None:
         claimed.append(resp)
     body = m.decoded_body()
-    extra = (
+    extra: dict = (
         {"vesting_send_message_data": {
             "query_id": body.get("query_id"),
             "message_boc": body.get("message_boc"),
@@ -717,6 +769,11 @@ def match_vesting(node: Node, ctx: Ctx) -> dict | None:
             "accounts_added": body.get("accounts_added"),
         }}
     )
+    if typ == "vesting_send_message":
+        # destination_secondary = where the forwarded message goes; amount
+        # = its value (block_tree_serializer.py:810-820)
+        extra["destination_secondary"] = body.get("message_destination")
+        extra["amount"] = body.get("message_value")
     return _base(node, typ, claimed=claimed, destination=node.account,
                  **extra)
 
@@ -956,17 +1013,18 @@ def classify_tree(nodes: list[Node], ctx: Ctx) -> list[dict]:
                 node.consumed = True  # external-rooted node with no pattern
     if not actions and len(nodes) == 1:
         n = nodes[0]
-        if n.in_msg is not None and n.in_msg.source is None and n.aborted:
-            # lone FAILED external: recover the user's intent from the
-            # signed wallet body (postprocess.failed_external_actions —
-            # reference try_process_unknown_event applies only to failed
-            # events).  A successful lone external is an OPEN trace whose
-            # children haven't been ingested yet — emitting ghost
-            # success=False actions for it would mislabel an in-flight
-            # transfer every micro-batch until the children land.
+        if n.in_msg is not None and n.in_msg.source is None:
+            # lone childless external: recover the user's intent from the
+            # signed wallet body (postprocess.failed_external_actions).
+            # The reference applies this whenever zero actions serialized
+            # and the root has no children (trace_processor.py:44-46 +
+            # try_process_unknown_event:340-348) — a finalized single-tx
+            # external-only trace means the send never executed,
+            # aborted-flag or not, so the recovered actions are
+            # success=False ghosts.
             from ton_indexer_spark.classifier.postprocess import (
                 failed_external_actions,
             )
 
-            actions = failed_external_actions(n)
+            actions = failed_external_actions(n, ctx)
     return run_post_processors(nodes, actions)

@@ -173,30 +173,52 @@ def run_post_processors(nodes: list[Node], actions: list[dict]) -> list[dict]:
 # ------------------------------------------------- failed-external fallback
 
 
-def failed_external_actions(node: Node) -> list[dict]:
-    """Classify a lone FAILED external: the signed wallet body reveals the
-    intended internal message(s) — emit them as failed actions instead of
-    dropping the trace (reference try_process_unknown_event +
-    init_from_external, event_processing.py:157-194,340-362; wallet
-    layouts: blocks/messages/externals.py:63-158).
+def failed_external_actions(node: Node, ctx: dict | None = None) -> list[dict]:
+    """Classify a lone failed/childless external: the signed wallet body
+    reveals the intended internal message(s) — emit them as failed ghost
+    actions instead of dropping the trace (reference
+    try_process_unknown_event + init_from_external,
+    event_processing.py:157-194,340-362; wallet layouts:
+    blocks/messages/externals.py:63-158).
+
+    Ghost identity matches the reference exactly: each payload gets a
+    synthetic msg_hash = b64(payload_cell_hash_b64 + index)
+    (init_from_external:167), so action_id = b64(sha256(msg_hash + type))
+    agrees with the reference serializer.  Ghost blocks exclude
+    destination columns from `accounts` (block_tree_serializer.py:
+    1465-1467 skips them when is_ghost_block).
 
     Each embedded message becomes a ghost action with success=False:
     valueful no-op messages → ton_transfer; decodable 0x0f8a7ea5 bodies →
     jetton_transfer (the FallbackJettonTransferBlockMatcher analog);
     anything else with an opcode → call_contract.
     """
+    import base64 as _b64
+    import hashlib as _hashlib
+
     from ton_indexer_spark.functions.boc import decode_message_body
     from ton_indexer_spark.functions.externals import (
         extract_wallet_payloads,
     )
 
+    ctx = ctx or {}
     if node.in_msg is None or not node.in_msg.body:
         return []
     payloads, wallet = extract_wallet_payloads(node.in_msg.body)
     if not payloads:
         return []
+
+    def ghost_action_id(p: dict, idx: int, typ: str) -> str:
+        msg_hash = _b64.b64encode(
+            (p.get("hash", "") + str(idx)).encode()
+        ).decode()
+        return _b64.b64encode(
+            _hashlib.sha256((msg_hash + typ).encode()).digest()
+        ).decode()
+
+    wallets = ctx.get("jetton_wallets", {})
     acts: list[dict] = []
-    for p in payloads:
+    for idx, p in enumerate(payloads):
         if p.get("destination") is None:
             continue
         opcode = p.get("opcode")
@@ -214,6 +236,8 @@ def failed_external_actions(node: Node) -> list[dict]:
         if opcode in (None, 0) and (p.get("value") or 0) > 0:
             acts.append(_base(
                 node, "ton_transfer", asset="TON",
+                action_id=ghost_action_id(p, idx, "ton_transfer"),
+                accounts=sorted({node.account}),
                 ton_transfer_data={
                     "content": body.get("comment"),
                     "encrypted": bool(body.get("is_encrypted", False)),
@@ -222,25 +246,40 @@ def failed_external_actions(node: Node) -> list[dict]:
             ))
         elif opcode == 0x0F8A7EA5 and body.get("amount") is not None \
                 and body.get("destination") is not None:
+            # p["destination"] is the sender's jetton wallet; the owner
+            # and jetton master resolve from the interface context when
+            # hydrated (the wallet never executed, so no notify exists)
             acts.append(_base(
                 node, "jetton_transfer",
+                action_id=ghost_action_id(p, idx, "jetton_transfer"),
                 amount=body.get("amount"),
-                asset=None,  # wallet unknown — the dimension never ran
+                asset=wallets.get(p["destination"], (None, None))[1],
                 destination=body.get("destination"),
-                destination_secondary=p["destination"],
+                destination_secondary=None,
                 source=node.account,
+                source_secondary=p["destination"],
                 opcode=opcode,
                 value=p.get("value"),
                 success=False,
                 claimed=[node],
+                accounts=sorted({node.account, p["destination"]}),
                 jetton_transfer_data={
                     "query_id": body.get("query_id"),
+                    "response_destination": body.get(
+                        "response_destination"),
                     "forward_amount": body.get("forward_ton_amount"),
+                    "custom_payload": body.get("custom_payload"),
+                    "forward_payload": body.get("forward_payload"),
                     "comment": body.get("forward_comment"),
                     "is_encrypted_comment": False,
                     "has_internal_transfer": False,
                 },
             ))
         else:
-            acts.append(_base(node, "call_contract", **common))
+            acts.append(_base(
+                node, "call_contract",
+                action_id=ghost_action_id(p, idx, "call_contract"),
+                accounts=sorted({node.account}),
+                **common,
+            ))
     return acts

@@ -626,9 +626,165 @@ def _router_swap(node: Node, ctx: Ctx, swap_op: int, pay_op: int,
     )
 
 
+# stonfi v1 payment-request exit codes (swaps.py:62-71)
+STONFI_EXIT_OK = 0xC64370E5
+STONFI_EXIT_OK_REF = 0x45078540
+STONFI_EXIT_NO_LIQ = 0x5FFE1295
+STONFI_EXIT_RESERVE_ERR = 0x38976E9B
+_STONFI_SENDER_EXITS = (
+    STONFI_EXIT_OK, STONFI_EXIT_NO_LIQ, STONFI_EXIT_RESERVE_ERR,
+)
+
+
+def _transfer_shape(node: Node, ctx: Ctx) -> dict | None:
+    """Jetton-transfer chain rooted at a 0x0f8a7ea5 request node, covering
+    BOTH the standard wallet pair (internal-transfer leg) and the stonfi
+    pTON proxy wallet (no internal leg — the wallet notifies the receiver
+    directly).  Superset of _jetton_chain used by the stonfi matcher."""
+    full = _jetton_chain(node, ctx)
+    if full is not None:
+        return full | {"has_internal": True}
+    if _op(node) != JETTON_TRANSFER:
+        return None
+    notify = node.child_via(JETTON_NOTIFY)
+    if notify is None:
+        return None
+    claimed = [node, notify]
+    excess = node.child_via(EXCESSES)
+    if excess is not None:
+        claimed.append(excess)
+    payload = node.in_msg.decoded_body()
+    wallets = ctx.get("jetton_wallets", {})
+    return {
+        "claimed": claimed,
+        "sender_wallet": node.account,
+        "receiver_wallet": None,
+        "dest_owner": payload.get("destination", notify.account),
+        "notify": notify,
+        "amount": payload.get("amount"),
+        "asset": wallets.get(node.account, (None, None))[1],
+        "has_internal": False,
+    }
+
+
 def match_stonfi_swap(node: Node, ctx: Ctx) -> dict | None:
-    return _router_swap(node, ctx, STONFI_SWAP, STONFI_PAYMENT_REQUEST,
-                        "stonfi")
+    """Ston.fi v1 swap, anchored at the entry jetton/pTON transfer into
+    the router (reference StonfiSwapBlockMatcher, swaps.py:81-209): the
+    router's wallet notify triggers swap#25938561 to the pool, the pool
+    answers payment_request#f93bb43f back to the router, which pays the
+    user out via a second transfer chain.  A referral payout (exit
+    0x45078540) is left UNCLAIMED so it classifies as its own top-level
+    jetton_transfer, exactly like the reference (swaps.py:120-123)."""
+    entry = _transfer_shape(node, ctx)
+    if entry is None or entry["notify"] is None:
+        return None
+    router_node = entry["notify"]
+    swap_node = router_node.child_via(STONFI_SWAP)
+    if swap_node is None:
+        return None
+    swap = swap_node.in_msg.decoded_body()
+
+    wallets = ctx.get("jetton_wallets", {})
+    pay_nodes = [
+        c for c in swap_node.children
+        if c.in_msg is not None and c.in_msg.opcode == STONFI_PAYMENT_REQUEST
+    ]
+    out_pay = None
+    out_amt = out_addr = None
+    success = False
+    for p in pay_nodes:
+        body = p.in_msg.decoded_body()
+        if body.get("amount0_out"):
+            amount, addr = body["amount0_out"], body.get("token0_out")
+        else:
+            amount, addr = body.get("amount1_out"), body.get("token1_out")
+        exit_code = body.get("exit_code")
+        if exit_code in _STONFI_SENDER_EXITS:
+            success = exit_code == STONFI_EXIT_OK
+            if out_amt is None or (amount or 0) > out_amt:
+                out_pay, out_amt, out_addr = p, amount, addr
+        # exit == OK_REF: referral leg — skip, classifies separately
+    if out_pay is None:
+        return None
+
+    out_chain = None
+    for c in out_pay.children:
+        out_chain = _transfer_shape(c, ctx)
+        if out_chain is not None:
+            break
+
+    token_wallet = swap.get("token_wallet")
+    in_owner, in_jetton = wallets.get(token_wallet, (None, None))
+    # the INTENDED out wallet comes from the entry transfer's stonfi
+    # forward body when present (swaps.py:128-130) — on a failed swap the
+    # payment request points at the refund wallet, not the real target
+    entry_body = node.in_msg.decoded_body()
+    actual_out_jetton = wallets.get(out_addr, (None, None))[1]
+    intended_addr = entry_body.get("stonfi_jetton_wallet") or out_addr
+    out_jetton = wallets.get(intended_addr, (None, None))[1]
+    sender = swap.get("from_real_user") or swap.get("user")
+    receiver = swap.get("user")
+
+    if out_chain is not None and out_chain["has_internal"]:
+        out_dest = wallets.get(
+            out_chain["receiver_wallet"], (None, None)
+        )[0] or out_chain["dest_owner"]
+        out_dest_wallet = out_chain["receiver_wallet"]
+    else:
+        out_dest = entry_body.get("stonfi_user_address") or receiver
+        out_dest_wallet = None
+
+    claimed = list(entry["claimed"]) + [swap_node, out_pay]
+    if out_chain is not None:
+        claimed += out_chain["claimed"]
+    claimed = list(dict.fromkeys(claimed))
+
+    incoming = {
+        "amount": swap.get("amount"),
+        "asset": in_jetton,
+        "source": sender,
+        "source_jetton_wallet": (
+            entry["sender_wallet"] if entry["has_internal"] else None
+        ),
+        "destination": in_owner,
+        "destination_jetton_wallet": token_wallet,
+    }
+    outgoing = {
+        "amount": out_amt,
+        "asset": actual_out_jetton,  # what was actually paid (refund ≠ target)
+        "source": out_pay.account,
+        "source_jetton_wallet": (
+            out_chain["sender_wallet"]
+            if out_chain is not None and out_chain["has_internal"] else None
+        ),
+        "destination": out_dest,
+        "destination_jetton_wallet": out_dest_wallet,
+    }
+    return _base(
+        node,
+        "jetton_swap",
+        claimed=claimed,
+        success=success and not any(n.aborted for n in claimed),
+        source=sender,
+        source_secondary=incoming["source_jetton_wallet"],
+        destination=out_dest,
+        destination_secondary=intended_addr,  # destination_wallet override
+        asset=in_jetton,
+        asset2=out_jetton,  # the intended target asset
+        jetton_swap_data={
+            "dex": "stonfi",
+            "sender": sender,
+            "amount_in": swap.get("amount"),
+            "asset_in": in_jetton,
+            "amount_out": out_amt,
+            "asset_out": out_jetton,
+            "peer_address": swap_node.account,
+            "min_out_amount": swap.get("min_out"),
+            "peer_swaps": [],
+            "dex_incoming_transfer": incoming,
+            "dex_outgoing_transfer": outgoing,
+        },
+    )
 
 
 def match_stonfi_v2_swap(node: Node, ctx: Ctx) -> dict | None:

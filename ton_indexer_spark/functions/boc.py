@@ -277,7 +277,42 @@ def _flatten(root: Cell) -> list[Cell]:
     return order
 
 
-def serialize_boc(root: Cell) -> bytes:
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum the
+    BOC wire format appends when the has_crc32c flag is set."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def slice_to_cell(s: "Slice") -> Cell:
+    """Remaining bits+refs of a slice → a fresh Cell (pytoniq
+    Slice.to_cell analog, used for inline Either arms)."""
+    bits = []
+    probe = Slice(Cell(s._data, s._bits))
+    probe._pos = s._pos
+    n = s.remaining_bits
+    data = bytearray((n + 7) // 8)
+    for i in range(n):
+        if probe.load_bit():
+            data[i >> 3] |= 1 << (7 - (i & 7))
+    return Cell(bytes(data), n, list(s._refs[s._ref_pos:]))
+
+
+def serialize_boc(root: Cell, crc32c: bool = False) -> bytes:
     cells = _flatten(root)
     index = {id(c): i for i, c in enumerate(cells)}
     ref_size = 1 if len(cells) < 256 else 2
@@ -299,7 +334,8 @@ def serialize_boc(root: Cell) -> bytes:
     off_size = max(1, (tot.bit_length() + 7) // 8)
     out = bytearray()
     out += BOC_MAGIC.to_bytes(4, "big")
-    out.append(ref_size)  # flags=0, ref byte size
+    # low 3 bits: ref byte size; 0x40: has_crc32c (append CRC-32C tail)
+    out.append(ref_size | (0x40 if crc32c else 0))
     out.append(off_size)
     out += len(cells).to_bytes(ref_size, "big")
     out += (1).to_bytes(ref_size, "big")  # roots
@@ -308,7 +344,15 @@ def serialize_boc(root: Cell) -> bytes:
     out += (0).to_bytes(ref_size, "big")  # root index
     for b in blobs:
         out += b
+    if crc32c:
+        out += _crc32c(bytes(out)).to_bytes(4, "little")
     return bytes(out)
+
+
+def cell_to_b64_boc(c: Cell) -> str:
+    """Cell → base64 BOC with CRC tail — the rendering the reference uses
+    for raw payload columns (pytoniq to_boc(hash_crc32=True) + b64)."""
+    return base64.b64encode(serialize_boc(c, crc32c=True)).decode()
 
 
 def parse_boc(raw: bytes | str) -> Cell:
@@ -532,15 +576,30 @@ def store_coffee_asset(b: "Builder", asset: str) -> "Builder":
 
 
 def _forward_payload(s: Slice) -> dict:
-    """Either Cell ^Cell tail carrying an optional comment."""
+    """Either Cell ^Cell tail: optional comment + the raw payload cell as
+    base64 BOC (the reference keeps both — jettons.py:41-51 renders
+    forward_payload via to_boc(hash_crc32=True))."""
     out: dict = {}
     if s.remaining_bits < 1:
         return out
     payload = s.load_ref().begin_parse() if s.load_bit() else s
+    if payload.remaining_bits == 0 and payload.remaining_refs == 0:
+        return out
+    out["forward_payload"] = cell_to_b64_boc(slice_to_cell(payload))
     if payload.remaining_bits >= 32:
         tag = payload.load_uint(32)
         if tag == OP_TEXT_COMMENT:
             out["forward_comment"] = payload.load_snake_string()
+        elif tag == 0x25938561:
+            # stonfi v1 swap forward body (jettons.py:61-66): the intended
+            # out wallet + receiver, needed when the swap fails and the
+            # refund hides the real target
+            try:
+                out["stonfi_jetton_wallet"] = payload.load_address()
+                out["stonfi_min_amount"] = payload.load_coins()
+                out["stonfi_user_address"] = payload.load_address()
+            except BocError:
+                pass
     return out
 
 
@@ -562,7 +621,9 @@ def decode_body_cell(root: Cell) -> dict:
         d["amount"] = s.load_coins()
         d["destination"] = s.load_address()
         d["response_destination"] = s.load_address()
-        s.load_maybe_ref()  # custom_payload
+        cp = s.load_maybe_ref()  # custom_payload
+        if cp is not None:
+            d["custom_payload"] = cell_to_b64_boc(cp)
         d["forward_ton_amount"] = s.load_coins()
         d.update(_forward_payload(s))
         return d
@@ -607,10 +668,18 @@ def decode_body_cell(root: Cell) -> dict:
         # swap#25938561 query_id from_user token_wallet amount min_out
         #               has_ref ^[from_real_user (ref_address)]
         d = {"opcode": op, "query_id": s.load_uint(64)}
-        d["user"] = s.load_address()
+        d["user"] = s.load_address()  # from_user_address = receiver
         d["token_wallet"] = s.load_address()
         d["amount"] = s.load_coins()
         d["min_out"] = s.load_coins()
+        try:
+            has_ref = s.load_bit()
+            ref = s.load_ref().begin_parse()
+            d["from_real_user"] = ref.load_address()  # actual sender
+            if has_ref:
+                d["ref_address"] = ref.load_address()
+        except BocError:
+            pass
         return d
     if op == OP_STONFI_PAYMENT_REQ:
         # payment_request#f93bb43f query_id owner exit_code
@@ -657,8 +726,21 @@ def decode_body_cell(root: Cell) -> dict:
         return d
     if op == OP_VESTING_SEND:
         # send_message#a7733acd query_id:uint64 send_mode:uint8 msg:^Cell
+        # (messages/vesting.py:10-28 also surfaces the inner message's
+        # BOC, destination and value for the action payload)
         d = {"opcode": op, "query_id": s.load_uint(64)}
         d["send_mode"] = s.load_uint(8)
+        try:
+            inner = s.load_ref()
+            d["message_boc"] = base64.b64encode(serialize_boc(inner)).decode()
+            info = inner.begin_parse()
+            if info.load_bit() == 0:  # int_msg_info$0
+                info.load_uint(3)  # ihr_disabled/bounce/bounced
+                info.load_address()  # src
+                d["message_destination"] = info.load_address()
+                d["message_value"] = info.load_coins()
+        except BocError:
+            pass
         return d
     if op == OP_VESTING_ADD_WL:
         # add_whitelist#7258a69b query_id:uint64 addr (chained ^[addr...])

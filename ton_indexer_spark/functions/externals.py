@@ -35,9 +35,14 @@ def _payload_dicts(refs) -> list[dict]:
 
     out = []
     for cell in refs:
-        msg = parse_message_cell(cell)
+        try:
+            msg = parse_message_cell(cell)
+        except BocError:
+            continue
         if msg.get("direction_kind") != "int":
-            raise BocError("wallet payload is not an internal message")
+            # the reference keeps PayloadMessage.info=None entries and
+            # skips them downstream (init_from_external:163-164)
+            continue
         out.append(msg)
     return out
 
