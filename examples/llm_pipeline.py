@@ -118,10 +118,19 @@ def main() -> None:
     n = stage("exact dedup", kept, n)
 
     # ---- 5. near dedup: MinHash+LSH pairs -> CC -> drop non-canonical -----
+    # the pair table is derived ONCE (checkpoint = materialize) and feeds
+    # every pair consumer below: connected components here, the source-
+    # overlap provenance report next — never recomputed per consumer
     pairs = (
         lsh_candidate_pairs(kept)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
+    )
+    overlap = source_overlap_matrix(pairs, kept).collect()
+    top = sorted(overlap, key=lambda r: -r["n_pairs"])[:3]
+    print(
+        "  cross-source overlap     ",
+        [(r["source_a"], r["source_b"], r["n_pairs"]) for r in top],
     )
     clusters = connected_components(pairs, src="doc_a", dst="doc_b")
     dupes = clusters.filter(F.col("node") != F.col("component")).select(

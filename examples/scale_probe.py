@@ -128,6 +128,30 @@ def scaled_builders() -> dict:
     }
 
 
+def auto_knob_builders() -> dict:
+    """Default-knob (auto-scaled) builders used by the probe's default
+    run in place of the gate-pinned entries for semdedup/ivf."""
+    from ton_indexer_spark.catalog import Catalog
+
+    stride = 10_000_000_000
+
+    def semdedup_auto(spark, d):
+        from ton_indexer_spark.similarity.semdedup import semdedup
+
+        return semdedup(Catalog(spark, d).embeddings, threshold=0.4)
+
+    def ivf_auto(spark, d):
+        from ton_indexer_spark.similarity.ivf import ivf_topk
+
+        emb = Catalog(spark, d).embeddings
+        qs = emb.filter(
+            (F.col("vec_id") % 50 == 25) & (F.col("vec_id") < stride)
+        )
+        return ivf_topk(qs, emb, nprobe=4, k=5)
+
+    return {"semdedup": semdedup_auto, "embed_ivf_topk": ivf_auto}
+
+
 def main() -> None:
     from ton_indexer_spark.session import get_spark
 
@@ -164,6 +188,13 @@ def main() -> None:
 
     names = args[0].split(",") if args else DEFAULT_QUERIES
     queries = entrymod.queries()
+    # the GATE entries for these two pin their knob for oracle
+    # determinism; the probe's default run measures the library DEFAULT
+    # (auto-scaled knob: n_lists ∝ √N, n_clusters ∝ N) — the setting a
+    # naive caller gets — so super-linear growth here is a real defect,
+    # not a pinned-knob artifact
+    auto = auto_knob_builders()
+    queries = {**queries, **{k: v for k, v in auto.items() if k in names}}
     print(f"{'query':28s} {'x1':>8s} {'x10':>8s} {'ratio':>6s}")
     for name in names:
         fn = queries[name]

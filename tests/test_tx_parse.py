@@ -26,9 +26,9 @@ from ton_indexer_spark.functions.tx_parse import (
     parse_transaction_boc,
 )
 
-A_SRC = "0:" + "ab" * 32
-A_DST = "0:" + "cd" * 32
-A_PEER = "0:" + "ef" * 32
+A_SRC = "0:" + "AB" * 32
+A_DST = "0:" + "CD" * 32
+A_PEER = "0:" + "EF" * 32
 
 
 def _comment_body(op: int = 0x12345678) -> "Builder":
@@ -257,8 +257,8 @@ def test_jetton_wallet_state_decode(spark):
     from ton_indexer_spark.functions.boc import encode_jetton_wallet_data
     from ton_indexer_spark.sources.tx_ingest import jetton_wallets_from_states
 
-    OWNER = "0:" + "ab" * 32
-    MASTER = "0:" + "cd" * 32
+    OWNER = "0:" + "AB" * 32
+    MASTER = "0:" + "CD" * 32
     raw = encode_jetton_wallet_data(
         balance=2**70, owner=OWNER, jetton=MASTER)
     df = spark.createDataFrame(
@@ -281,8 +281,8 @@ def test_nft_item_and_collection_state_decode(spark):
     )
     from ton_indexer_spark.sources.tx_ingest import nft_items_from_states
 
-    OWNER = "0:" + "ab" * 32
-    COLL = "0:" + "cd" * 32
+    OWNER = "0:" + "AB" * 32
+    COLL = "0:" + "CD" * 32
     df = spark.createDataFrame(
         [
             ("0:i1" + "0" * 60,
@@ -320,8 +320,8 @@ def test_raw_boc_ingest_end_to_end(spark, tmp_path):
     )
     from ton_indexer_spark.streaming.ingest import IngestPipeline, RawBocIngest
 
-    A1 = "0:" + "aa" * 32
-    A2 = "0:" + "bb" * 32
+    A1 = "0:" + "AA" * 32
+    A2 = "0:" + "BB" * 32
 
     # external → tx1 at A1 → internal msg → tx2 at A2 (one complete trace)
     ext_in = encode_message_cell(None, A1, kind="ext_in", created_lt=0,
@@ -401,7 +401,7 @@ def test_jetton_master_state_decode():
         encode_jetton_master_data,
     )
 
-    ADMIN = "0:" + "ab" * 32
+    ADMIN = "0:" + "AB" * 32
     d = decode_jetton_master_data(
         encode_jetton_master_data(total_supply=2**80, admin=ADMIN))
     assert d["total_supply"] == 2**80 and d["admin_address"] == ADMIN
@@ -423,7 +423,7 @@ def test_parse_raw_batch_keeps_big_lt_exact_with_error_rows(spark):
     big_lt = 56_000_000_000_000_003  # > 2^53, loses precision in float64
     tx = encode_transaction_cell(
         int("aa" * 32, 16), big_lt, 1_700_000_000,
-        in_msg=encode_message_cell("0:" + "cd" * 32, "0:" + "aa" * 32,
+        in_msg=encode_message_cell("0:" + "CD" * 32, "0:" + "AA" * 32,
                                    value=1, created_lt=big_lt - 1,
                                    created_at=1_700_000_000),
         descr=encode_ord_descr(),
@@ -459,8 +459,8 @@ def test_raw_ingest_classifies_bodies_across_batches(spark, tmp_path):
     )
     from ton_indexer_spark.streaming.ingest import IngestPipeline, RawBocIngest
 
-    W1 = "0:" + "aa" * 32
-    USER = "0:" + "cd" * 32
+    W1 = "0:" + "AA" * 32
+    USER = "0:" + "CD" * 32
     body = parse_boc(encode_jetton_transfer(
         query_id=1, amount=777, destination=USER, response=USER))
     ext = encode_message_cell(USER, W1, value=10**8, created_lt=1,
@@ -508,7 +508,7 @@ def test_inline_state_init_message_parses_body_correctly():
     b = Builder()
     # int_msg_info$0 ihr_disabled bounce bounced src dst value ...
     b.store_bit(0).store_bit(1).store_bit(0).store_bit(0)
-    b.store_address("0:" + "ab" * 32).store_address("0:" + "cd" * 32)
+    b.store_address("0:" + "AB" * 32).store_address("0:" + "CD" * 32)
     b.store_coins(10**9).store_bit(0)
     b.store_coins(0).store_coins(0)
     b.store_uint(777, 64).store_uint(1_700_000_000, 32)
@@ -570,8 +570,8 @@ def test_nft_auction_state_decode_roundtrip(spark):
     from ton_indexer_spark.functions.boc import encode_nft_auction_data
     from ton_indexer_spark.sources.tx_ingest import nft_auctions_from_states
 
-    MP = "0:" + "aa" * 32
-    OWN = "0:" + "bb" * 32
+    MP = "0:" + "AA" * 32
+    OWN = "0:" + "BB" * 32
     boc = encode_nft_auction_data(
         is_end=False, last_member=None, last_bid=0, end_time=1_700_000_000,
         nft_owner_address=OWN, mp_fee_factor=5, mp_fee_base=100,
@@ -581,11 +581,11 @@ def test_nft_auction_state_decode_roundtrip(spark):
         min_step=10**8, step_time=300,
     )
     df = spark.createDataFrame(
-        [("0:" + "cc" * 32, boc), ("0:" + "dd" * 32, "not-a-boc")],
+        [("0:" + "CC" * 32, boc), ("0:" + "DD" * 32, "not-a-boc")],
         "address string, data_boc string",
     )
     rows = {r["address"]: r for r in nft_auctions_from_states(df).collect()}
-    good = rows["0:" + "cc" * 32]
+    good = rows["0:" + "CC" * 32]
     assert good["decode_error"] is None
     assert good["nft_owner_address"] == OWN
     assert int(good["min_bid"]) == 10**9
@@ -594,5 +594,5 @@ def test_nft_auction_state_decode_roundtrip(spark):
     assert good["mp_fee_factor"] == 5 and good["royalty_fee_factor"] == 3
     assert good["marketplace_address"] == MP
     assert not good["is_end"] and not good["is_canceled"]
-    bad = rows["0:" + "dd" * 32]
+    bad = rows["0:" + "DD" * 32]
     assert bad["decode_error"] is not None

@@ -15,7 +15,11 @@ proportional to true near-duplicates, never to |docs|².
 from ton_indexer_spark.dedup.exact import exact_dedup
 from ton_indexer_spark.dedup.shingles import shingles
 from ton_indexer_spark.dedup.ngram import ngram_jaccard_pairs
-from ton_indexer_spark.dedup.minhash import minhash_signatures, lsh_candidate_pairs
+from ton_indexer_spark.dedup.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    source_overlap_matrix,
+)
 from ton_indexer_spark.dedup.simhash import simhash_signature
 
 __all__ = [
@@ -24,5 +28,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "source_overlap_matrix",
     "simhash_signature",
 ]

@@ -100,3 +100,39 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def source_overlap_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_pairs) — near-dup pairs rolled up into a
+    source × source overlap matrix (the "which crawls duplicate which"
+    provenance report).
+
+    Takes a MATERIALIZED ``(doc_a, doc_b)`` pair table — in a pipeline
+    the expensive LSH pair derivation runs once and feeds both this
+    report and cluster canonicalization (see examples/llm_pipeline.py)
+    instead of being recomputed per consumer.  Cost is |pairs|-sized:
+    two id-keyed joins and one tiny (|sources|²-bounded) aggregation.
+    """
+    src = docs.select(id_col, source_col)
+    return (
+        pairs.join(
+            src.withColumnsRenamed({id_col: "doc_a", source_col: "_sa"}),
+            "doc_a",
+        )
+        .join(
+            src.withColumnsRenamed({id_col: "doc_b", source_col: "_sb"}),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -1265,15 +1265,24 @@ def decode_body_cell(root: Cell) -> dict:
         # liquidate_master#3 query_id:uint64 borrower:Addr liquidator:Addr
         #   collateral_asset_id:uint256 min_collateral_amount:uint64
         #   include_user_code:int2 liquidate_incoming_amount:uint64
-        #   (evaa.py:258-283); the incoming amount is the repaid debt
-        d = {"opcode": op, "query_id": s.load_uint(64)}
-        d["borrower_address"] = s.load_address()
-        d["liquidator_address"] = s.load_address()
-        d["asset_id"] = f"{s.load_uint(256):064x}"
-        s.load_uint(64)  # min_collateral_amount
-        s.load_int(2)  # include_user_code
-        d["debt_amount"] = s.load_uint(64)
-        return d
+        #   (evaa.py:258-283); the incoming amount is the repaid debt.
+        # Opcode 0x3 is generic (getgems cancel#3 and others share it), and
+        # the reference only parses this shape in EVAA-account context —
+        # so require the full layout to parse with plausible addresses, and
+        # fall back to a bare opcode otherwise.
+        try:
+            d = {"opcode": op, "query_id": s.load_uint(64)}
+            d["borrower_address"] = s.load_address()
+            d["liquidator_address"] = s.load_address()
+            d["asset_id"] = f"{s.load_uint(256):064x}"
+            s.load_uint(64)  # min_collateral_amount
+            s.load_int(2)  # include_user_code
+            d["debt_amount"] = s.load_uint(64)
+            if d["borrower_address"] is None or d["liquidator_address"] is None:
+                return {"opcode": op}
+            return d
+        except BocError:
+            return {"opcode": op}
     if op == OP_TONCO_FUND_ACCOUNT:
         # POOLV3_FUND_ACCOUNT#4468de77 query_id:uint64 owner:Addr
         #   amount0:Coins amount1:Coins enough0:Coins enough1:Coins
@@ -1361,6 +1370,30 @@ def decode_body_cell(root: Cell) -> dict:
 # ----------------------------------------- getgems sale state-data decoders
 
 
+# getgems contract code hash (base64) → data-cell layout version; the
+# reference selects sale/auction parsers the same way
+# (messages/getgems.py:12-27) and falls back to the latest layout for
+# unknown hashes.  These hashes identify PUBLISHED on-chain contract code.
+SALE_VERSION_MAPPING = {
+    "2pufziLofEllctIDZSWVebzO+RpyA1fMvowFLvyb4I8=": "v1",
+    "gnj0xSM95vvtyWmvUZNEp6m//FRIVtuphqlcC8+Fcck=": "v2",
+    "MgUN+sRPZIZrzIbyzZ4TBf6dyts5WcACI3z7CQLUQyM=": "v3",
+    "3rU7bFdlwebNI4v0e8XoO6WWvcwEsLhM1Qqx5HSgjzE=": "v3r2",
+    "JCIfpXHlQuBVx3vt/b9SfHr0YM/cfzRMRQeHtM+h600=": "v3r3",
+    "a5WmQYucnSNZBF0edVm41UmuDlBvJMqrWPowyPsf64Y=": "v4r1",
+}
+SALE_LATEST = "v4r1"
+
+AUCTION_VERSION_MAPPING = {
+    "/ACindAgW83MDT/7nKOMw8jBWexg2KpUMkCpLxBZLUA=": "v1",
+    "ZmiHL6eXBUQ//UdSPo6eqfdquZ+aC1nSfej4GhwnudQ=": "v2",
+    "G9nFo5v/t6DzQViLXdkrgTqEK/Ze8UEJOCIAzq+Pct8=": "v3r2",
+    "u29ireD+stefqzuK6/CTCvmFU99gCTsgJ/Covxab/Ow=": "v3r3",
+    "zlp4U06qps7tja/UhtB262CpsNbb+1Nnb2YmScBomVY=": "v4r1",
+}
+AUCTION_LATEST = "v3r3"
+
+
 def decode_nft_sale_data(raw: bytes | str, version: str = "v3") -> dict:
     """Fix-price sale contract DATA cell → listing fields.
 
@@ -1368,7 +1401,12 @@ def decode_nft_sale_data(raw: bytes | str, version: str = "v3") -> dict:
     populate `getgems_nft_sales`, selecting the layout by code hash
     (messages/getgems.py:64-113 SALE_VERSION_MAPPING).  Supported here:
 
-    v2/v3 (default):
+    v1:
+        marketplace:Addr nft:Addr owner:Addr full_price:Coins
+        ^[ marketplace_fee:Coins marketplace_fee_addr:Addr
+           royalty_addr:Addr royalty_amount:Coins ]
+
+    v2/v3/v3r2/v3r3 (default):
         is_complete:Bool created_at:uint32 marketplace:Addr nft:Addr
         owner:Addr full_price:Coins
         ^[ marketplace_fee_addr:Addr marketplace_fee:Coins
@@ -1397,24 +1435,32 @@ def decode_nft_sale_data(raw: bytes | str, version: str = "v3") -> dict:
         d["royalty_address"] = static.load_address()
         d["fee_percent"] = static.load_uint(17)
         d["royalty_percent"] = static.load_uint(17)
-        # percent factors scale the price (base 100000 in the contract);
-        # surface amount columns for dimension-schema parity
-        d["marketplace_fee"] = d["full_price"] * d["fee_percent"] // 100000
-        d["royalty_amount"] = (
-            d["full_price"] * d["royalty_percent"] // 100000
-        )
+        # the reference leaves the amount columns null for v4r1 and only
+        # surfaces the raw percent fields (getgems.py SALE_VERSION_MAPPING)
+        # — deriving amounts here would bake in a percent-base assumption
+        d["marketplace_fee"] = None
+        d["royalty_amount"] = None
         return d
-    d = {"is_complete": bool(s.load_bit())}
-    d["created_at"] = s.load_uint(32)
+    d = {}
+    if version != "v1":
+        d["is_complete"] = bool(s.load_bit())
+        d["created_at"] = s.load_uint(32)
     d["marketplace_address"] = s.load_address()
     d["nft_address"] = s.load_address()
     d["nft_owner_address"] = s.load_address()
     d["full_price"] = s.load_coins()
     fees = s.load_ref().begin_parse()
-    d["marketplace_fee_address"] = fees.load_address()
-    d["marketplace_fee"] = fees.load_coins()
-    d["royalty_address"] = fees.load_address()
-    d["royalty_amount"] = fees.load_coins()
+    if version == "v1":
+        # v1 fee cell leads with the fee amount (getgems.py:105-109)
+        d["marketplace_fee"] = fees.load_coins()
+        d["marketplace_fee_address"] = fees.load_address()
+        d["royalty_address"] = fees.load_address()
+        d["royalty_amount"] = fees.load_coins()
+    else:
+        d["marketplace_fee_address"] = fees.load_address()
+        d["marketplace_fee"] = fees.load_coins()
+        d["royalty_address"] = fees.load_address()
+        d["royalty_amount"] = fees.load_coins()
     return d
 
 
@@ -1697,9 +1743,13 @@ def encode_nft_transfer(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
-def decode_nft_auction_data(raw: bytes | str) -> dict:
-    """Getgems auction contract DATA cell → listing fields (v3r3 — the
-    reference's "latest" default, messages/getgems.py:190-221):
+def decode_nft_auction_data(raw: bytes | str, version: str = "v3r3") -> dict:
+    """Getgems auction contract DATA cell → listing fields.
+
+    Layout selected by ``version`` exactly as the reference's
+    AUCTION_VERSION_MAPPING dispatch (messages/getgems.py:123-247):
+    v1, v3r2, v3r3 (the "latest" default) and v4r1 are supported; v2 has
+    no reference parser and raises.  v3r3:
 
         end?:Bool is_canceled?:Bool last_member:Addr last_bid:Coins
         last_bid_at:uint32 end_time:uint32 nft_owner:Addr
@@ -1709,12 +1759,79 @@ def decode_nft_auction_data(raw: bytes | str) -> dict:
         ^[ mp_addr:Addr min_bid:Coins max_bid:Coins min_step:Coins
            step_time:uint32 ]
 
-    Older layouts (v1/v3r2/v4r1) differ — gate on code_hash upstream as
-    the reference's AUCTION_VERSION_MAPPING does; undecodable data
-    raises BocError for the caller to log-and-skip.
+    Undecodable data raises BocError for the caller to log-and-skip.
     """
     s = parse_boc(raw).begin_parse()
-    d: dict = {"is_end": bool(s.load_bit())}
+    d: dict = {}
+    if version == "v1":
+        # two refs only: fees + bids (getgems.py:144-163)
+        fees = s.load_ref().begin_parse()
+        bids = s.load_ref().begin_parse()
+        d["marketplace_fee_address"] = fees.load_address()
+        d["mp_fee_factor"] = fees.load_uint(32)
+        d["mp_fee_base"] = fees.load_uint(32)
+        d["royalty_address"] = fees.load_address()
+        d["royalty_fee_factor"] = fees.load_uint(32)
+        d["royalty_fee_base"] = fees.load_uint(32)
+        d["min_bid"] = bids.load_coins()
+        d["max_bid"] = bids.load_coins()
+        d["min_step"] = bids.load_coins()
+        d["end_time"] = bids.load_uint(32)
+        d["step_time"] = bids.load_uint(32)
+        bids.load_uint(32)  # try_step_time
+        return d
+    if version == "v3r2":
+        # end?, activated?, is_canceled? (getgems.py:164-189)
+        d["is_end"] = bool(s.load_bit())
+        s.load_bit()  # activated?
+        d["is_canceled"] = bool(s.load_bit())
+        d["last_member"] = s.load_address()
+        d["last_bid"] = s.load_coins()
+        d["last_bid_at"] = s.load_uint(32)
+        d["end_time"] = s.load_uint(32)
+        fees = s.load_ref().begin_parse()
+        const = s.load_ref().begin_parse()
+        const.load_uint(32)  # sub_gas_price_from_bid
+        d["marketplace_address"] = const.load_address()
+        d["min_bid"] = const.load_coins()
+        d["max_bid"] = const.load_coins()
+        d["min_step"] = const.load_coins()
+        d["step_time"] = const.load_uint(32)
+        d["marketplace_fee_address"] = fees.load_address()
+        d["mp_fee_factor"] = fees.load_uint(32)
+        d["mp_fee_base"] = fees.load_uint(32)
+        d["royalty_address"] = fees.load_address()
+        d["royalty_fee_factor"] = fees.load_uint(32)
+        d["royalty_fee_base"] = fees.load_uint(32)
+        return d
+    if version == "v4r1":
+        # fee factors moved into the fees ref; min_step/step_time narrow
+        # (getgems.py:222-247)
+        d["is_end"] = bool(s.load_bit())
+        d["is_canceled"] = bool(s.load_bit())
+        d["last_member"] = s.load_address()
+        d["last_bid"] = s.load_coins()
+        d["last_bid_at"] = s.load_uint(32)
+        d["end_time"] = s.load_uint(32)
+        d["nft_owner_address"] = s.load_address()
+        s.load_uint(64)  # last_query_id
+        fees = s.load_ref().begin_parse()
+        const = s.load_ref().begin_parse()
+        d["marketplace_fee_address"] = fees.load_address()
+        d["royalty_address"] = fees.load_address()
+        d["mp_fee_factor"] = fees.load_uint(32)
+        d["mp_fee_base"] = fees.load_uint(32)
+        d["royalty_fee_factor"] = fees.load_uint(32)
+        d["royalty_fee_base"] = fees.load_uint(32)
+        d["marketplace_address"] = const.load_address()
+        d["min_bid"] = const.load_coins()
+        d["max_bid"] = const.load_coins()
+        d["min_step"] = const.load_uint(7)
+        d["step_time"] = const.load_uint(17)
+        return d
+    if version != "v3r3":
+        raise BocError(f"unsupported auction layout {version!r}")
+    d["is_end"] = bool(s.load_bit())
     d["is_canceled"] = bool(s.load_bit())
     d["last_member"] = s.load_address()
     d["last_bid"] = s.load_coins()

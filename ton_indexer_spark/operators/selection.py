@@ -14,9 +14,14 @@ Execution shape (the point at 100 TB):
    buckets for billions of docs), so collecting them to the driver is
    the same contract as ``charlm.train_char_lm``;
 2. model — per-bucket log importance ratios quantized to int64 once on
-   the driver (``round_half_away(ln(p_b/q_b)·1e6)``, add-one smoothing),
-   so document weights are EXACT integer sums: order-independent,
-   partition-independent, replayable bit-for-bit in the DuckDB oracle;
+   the driver (round-half-up: ``floor(ln(p_b/q_b)·1e6 + 0.5)``, add-one
+   smoothing), so document weights are EXACT integer sums:
+   order-independent, partition-independent, replayable bit-for-bit in
+   the DuckDB oracle.  The oracle evaluates the identical expression
+   shape (divide → ln → subtract → ·1e6 → floor+0.5), so the two
+   engines agree whenever they share a libm ``log``; a cross-platform
+   last-ulp ``.5``-boundary flip is the one residual risk, accepted for
+   a driver that runs both engines on one host;
 3. score pass — per-doc bucket counts joined against the broadcast
    ratio table, one integer weighted sum per doc.  The corpus shuffles
    only on (doc, bucket) for its own aggregation; nothing corpus-sized
@@ -78,7 +83,7 @@ def dsir_weights(
 ) -> DataFrame:
     """(id_col, n_grams, logw_scaled) — per-raw-doc importance weight.
 
-    ``logw_scaled`` is the exact int64 Σ k_b · round(ln(p̂_b/q̂_b)·1e6)
+    ``logw_scaled`` is the exact int64 Σ k_b · ⌊ln(p̂_b/q̂_b)·1e6 + ½⌋
     over the doc's feature buckets (p̂ = target, q̂ = raw, add-one
     smoothed).  Resample by keeping the top weights (or Gumbel-top-k on
     ``logw_scaled`` for the paper's sampled variant).

@@ -513,19 +513,10 @@ def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|pairs|-sized, never |docs|^2",
 )
 def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the isolated gate derives its own pair set; a pipeline passes ONE
+    # materialized pair table to source_overlap_matrix alongside its other
+    # pair consumers (examples/llm_pipeline.py)
+    from ton_indexer_spark.dedup import source_overlap_matrix
+
     d = Catalog(spark, sf_dir).documents
-    src = d.select("doc_id", "source")
-    pairs = lsh_candidate_pairs(d)
-    return (
-        pairs.join(src.withColumnsRenamed(
-            {"doc_id": "doc_a", "source": "_sa"}), "doc_a")
-        .join(src.withColumnsRenamed(
-            {"doc_id": "doc_b", "source": "_sb"}), "doc_b")
-        .select(
-            F.least("_sa", "_sb").alias("source_a"),
-            F.greatest("_sa", "_sb").alias("source_b"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("source_a", "source_b")
-    )
+    return source_overlap_matrix(lsh_candidate_pairs(d), d)

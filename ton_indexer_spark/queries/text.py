@@ -506,11 +506,97 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, top_k=50)
 
 
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """Full DuckDB replay of bpe_train + bpe_encode.
+
+    Words are rendered as delimiter-framed symbol strings
+    (``\\x01sym\\x02`` per symbol, collision-free because the corpus
+    carries no control chars), so applying a merge is a plain
+    ``replace`` — DuckDB's left-to-right non-overlapping scan IS the
+    classic greedy merge.  Training is ``n_merges`` chained MATERIALIZED
+    CTEs (pair-count → argmax with the count-desc/pair-asc tiebreak →
+    vocabulary rewrite, exactly ``functions/bpe.py::bpe_train``);
+    encoding is a recursive CTE that repeatedly applies the
+    lowest-ranked merge present in each distinct word (the rank-greedy
+    loop of ``bpe_encode``) — each step shortens the string, so the
+    final state is the min-length row per word.
+    """
+    d1, d2 = "chr(1)", "chr(2)"
+    iters = []
+    for i in range(1, n_merges + 1):
+        prev = f"v{i-1}"
+        iters.append(f"""
+    p{i} AS MATERIALIZED (
+        SELECT s[i] || ' ' || s[i+1] AS pair, freq
+        FROM (SELECT regexp_extract_all(w, {d1}||'(.*?)'||{d2}, 1) AS s,
+                     freq FROM {prev}),
+             unnest(range(1, len(s))) AS t(i)
+        WHERE len(s) >= 2
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+               {i} AS rank
+        FROM p{i} GROUP BY pair ORDER BY SUM(freq) DESC, pair LIMIT 1
+    ),
+    v{i} AS MATERIALIZED (
+        SELECT replace(w,
+            (SELECT {d1}||a||{d2}||{d1}||b||{d2} FROM m{i}),
+            (SELECT {d1}||a||b||{d2} FROM m{i})) AS w, freq
+        FROM {prev}
+    )""")
+    merge_rows = " UNION ALL ".join(
+        f"SELECT rank, {d1}||a||{d2}||{d1}||b||{d2} AS pat, "
+        f"{d1}||a||b||{d2} AS rep FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE length(word) > 0
+    ),
+    wf AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT regexp_replace(word, '(.)', {d1}||'\\1'||{d2}, 'g') AS w,
+               freq
+        FROM wf
+    ),{",".join(iters)},
+    merges AS MATERIALIZED ({merge_rows}),
+    rec AS (
+        SELECT word AS orig,
+               regexp_replace(word, '(.)', {d1}||'\\1'||{d2}, 'g') AS w
+        FROM (SELECT DISTINCT word FROM toks)
+        UNION ALL
+        SELECT r.orig,
+               replace(r.w, arg_min(m.pat, m.rank),
+                       arg_min(m.rep, m.rank)) AS w
+        FROM rec r JOIN merges m ON position(m.pat IN r.w) > 0
+        GROUP BY r.orig, r.w
+    ),
+    encoded AS (
+        SELECT orig, arg_min(w, length(w)) AS w FROM rec GROUP BY orig
+    ),
+    word_tok AS (
+        SELECT orig, length(w) - length(replace(w, {d2}, '')) AS n_sym
+        FROM encoded
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(wt.n_sym), 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d
+    LEFT JOIN toks t ON t.doc_id = d.doc_id
+    LEFT JOIN word_tok wt ON wt.orig = t.word
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
 @register(
     "bpe_encode_sample",
-    None,  # iterative trainer + rank-greedy encode are not SQL-expressible;
-    # driver records the rows-only check, merge-sequence parity is pinned
-    # against a reference learner in tests/test_pipeline_ops.py::TestBpeTrain
+    _bpe_encode_oracle(),
     survey_ops=("beyond:bpe-train",),
     description="end-to-end BPE tokenizer demo: learn 8 merges over the "
     "corpus (vocabulary-sized iterations after ONE corpus pass), then "

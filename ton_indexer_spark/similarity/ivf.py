@@ -27,6 +27,7 @@ Scale shape (what survives 100×):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -120,10 +121,18 @@ def ivf_assign(
     ).mapInPandas(assign, schema=out_schema)
 
 
+def auto_n_lists(n: int) -> int:
+    """Default coarse-quantizer width: ``√N`` (the classic IVF balance —
+    probed candidates per query grow √N instead of N), floored at 16 and
+    capped at 65 536 so the broadcast seed matrix stays driver-safe
+    (65 536 × d float32 ≈ 32 MB at d=128)."""
+    return max(16, min(65_536, math.isqrt(max(n, 0))))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     nprobe: int = 4,
     k: int = 5,
     id_col: str = "vec_id",
@@ -137,6 +146,11 @@ def ivf_topk(
     only and the corpus never crosses lists — the IVF property that makes
     per-query cost proportional to the probed fraction, not the corpus.
 
+    ``n_lists`` defaults to ``auto_n_lists(|corpus|)`` (∝ √N, one
+    scalar-output count job) so a caller who doesn't pin the knob gets
+    the scale-correct setting at any corpus size; the oracle gate pins
+    an explicit value for deterministic replay.
+
     ``centroids`` — optional trained coarse quantizer as (list_ids, unit
     matrix), e.g. from ``kmeans_fit``; defaults to the deterministic
     smallest-id seeds (the oracle-replayable configuration).
@@ -144,6 +158,8 @@ def ivf_topk(
     if centroids is not None:
         seed_ids, seeds = centroids
     else:
+        if n_lists is None:
+            n_lists = auto_n_lists(corpus.count())
         seed_ids, seeds = ivf_seed_matrix(corpus, n_lists, id_col, vec_col)
     assigned = ivf_assign(
         corpus, seed_ids, seeds, nprobe=1, id_col=id_col, vec_col=vec_col

@@ -32,9 +32,17 @@ from ton_indexer_spark.similarity.ivf import ivf_assign, ivf_seed_matrix
 from ton_indexer_spark.similarity.rounding import round_half_away
 
 
+def auto_n_clusters(n: int, target_cluster_size: int = 1024) -> int:
+    """Default cluster count: ``N / target_cluster_size`` (n_clusters ∝ N
+    keeps the expected cluster size — and with it the per-cluster
+    Σ|c|² pair scan — BOUNDED as the corpus grows), floored at 8 and
+    capped at 2¹⁸ so the collected centroid matrix stays driver-safe."""
+    return max(8, min(1 << 18, -(-max(n, 0) // target_cluster_size)))
+
+
 def semdedup(
     emb: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -48,6 +56,11 @@ def semdedup(
     vectors); ``is_duplicate`` is its non-nullness.  Cluster identity is
     the seed vector's id (``ivf_seed_matrix`` convention).
 
+    ``n_clusters`` defaults to ``auto_n_clusters(|emb|)`` (∝ N with
+    bounded expected cluster size, one scalar-output count job) so an
+    unpinned call scales correctly at any corpus size; the oracle gate
+    pins an explicit value for deterministic replay.
+
     ``centroids`` — optional trained (ids, unit matrix) from
     ``kmeans_fit`` (the published SemDeDup recipe clusters with k-means);
     defaults to deterministic smallest-id seeds, the oracle-replayable
@@ -56,6 +69,8 @@ def semdedup(
     if centroids is not None:
         seed_ids, seeds = centroids
     else:
+        if n_clusters is None:
+            n_clusters = auto_n_clusters(emb.count())
         seed_ids, seeds = ivf_seed_matrix(emb, n_clusters, id_col, vec_col)
     assigned = ivf_assign(
         emb, seed_ids, seeds, nprobe=1, id_col=id_col, vec_col=vec_col,

@@ -266,14 +266,26 @@ NFT_SALE_STATE_SCHEMA = T.StructType(
 
 
 def nft_sales_from_states(
-    df: DataFrame, boc_col: str = "data_boc", address_col: str = "address"
+    df: DataFrame,
+    boc_col: str = "data_boc",
+    address_col: str = "address",
+    code_hash_col: str | None = "code_hash",
 ) -> DataFrame:
     """Sale-contract state-data BOCs → getgems_nft_sales dimension rows
     (the reference decodes sale data off account states to maintain the
     listings dimension — messages/getgems.py:64-113 via the smc scanner).
-    Decode failures surface in ``decode_error`` rather than failing the
-    batch."""
-    from ton_indexer_spark.functions.boc import decode_nft_sale_data
+    The layout version is selected from the account's code hash exactly
+    like the reference's SALE_VERSION_MAPPING, defaulting to the latest
+    (v4r1) for unknown hashes — so a mismatched layout errors instead of
+    silently mis-decoding.  Decode failures surface in ``decode_error``
+    rather than failing the batch."""
+    from ton_indexer_spark.functions.boc import (
+        SALE_LATEST,
+        SALE_VERSION_MAPPING,
+        decode_nft_sale_data,
+    )
+
+    has_hash = code_hash_col is not None and code_hash_col in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -281,8 +293,13 @@ def nft_sales_from_states(
             for rec in pdf.to_dict("records"):
                 row = {f.name: None for f in NFT_SALE_STATE_SCHEMA}
                 row["address"] = rec.get(address_col)
+                version = (
+                    SALE_VERSION_MAPPING.get(rec.get(code_hash_col), SALE_LATEST)
+                    if has_hash
+                    else "v3"
+                )
                 try:
-                    row.update(decode_nft_sale_data(rec[boc_col]))
+                    row.update(decode_nft_sale_data(rec[boc_col], version))
                 except Exception as e:  # noqa: BLE001 — log-and-skip seam
                     row["decode_error"] = f"{type(e).__name__}: {e}"
                 rows.append(row)
@@ -475,12 +492,23 @@ NFT_AUCTION_STATE_SCHEMA = T.StructType(
 
 
 def nft_auctions_from_states(
-    df: DataFrame, boc_col: str = "data_boc", address_col: str = "address"
+    df: DataFrame,
+    boc_col: str = "data_boc",
+    address_col: str = "address",
+    code_hash_col: str | None = "code_hash",
 ) -> DataFrame:
     """Auction-contract state-data BOCs → getgems_nft_auctions dimension
-    rows (v3r3 layout; reference getgems.py:123-221 via the smc scanner).
-    Same log-and-skip discipline as ``nft_sales_from_states``."""
-    from ton_indexer_spark.functions.boc import decode_nft_auction_data
+    rows (reference getgems.py:123-247 via the smc scanner).  The layout
+    version comes from the account's code hash per the reference's
+    AUCTION_VERSION_MAPPING (latest = v3r3 for unknown hashes).  Same
+    log-and-skip discipline as ``nft_sales_from_states``."""
+    from ton_indexer_spark.functions.boc import (
+        AUCTION_LATEST,
+        AUCTION_VERSION_MAPPING,
+        decode_nft_auction_data,
+    )
+
+    has_hash = code_hash_col is not None and code_hash_col in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -488,8 +516,15 @@ def nft_auctions_from_states(
             for rec in pdf.to_dict("records"):
                 row = {f.name: None for f in NFT_AUCTION_STATE_SCHEMA}
                 row["address"] = rec.get(address_col)
+                version = (
+                    AUCTION_VERSION_MAPPING.get(
+                        rec.get(code_hash_col), AUCTION_LATEST
+                    )
+                    if has_hash
+                    else AUCTION_LATEST
+                )
                 try:
-                    row.update(decode_nft_auction_data(rec[boc_col]))
+                    row.update(decode_nft_auction_data(rec[boc_col], version))
                 except Exception as e:  # noqa: BLE001 — log-and-skip seam
                     row["decode_error"] = f"{type(e).__name__}: {e}"
                 rows.append(row)

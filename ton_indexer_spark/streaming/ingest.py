@@ -210,12 +210,31 @@ class IngestPipeline:
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.head(1):
                 return
-            seqs = [r[0] for r in batch_df.select("mc_block_seqno").distinct().collect()]
-            cond = msgs_all["mc_seqno"].isin(seqs)
+            # driver sees only TWO scalars per batch (min/max seqno) —
+            # never a per-seqno list, so a backfill batch spanning 10⁶
+            # seqnos costs the driver nothing.  The range prunes the
+            # seq_bucket partition column; exact seqno membership is a
+            # distributed semi-join against the batch's own seqnos (AQE
+            # broadcasts the tiny aggregate at block cadence, shuffles it
+            # on a huge backfill batch — both correct).
+            lo, hi = batch_df.agg(
+                F.min("mc_block_seqno"), F.max("mc_block_seqno")
+            ).first()
+            pruned = msgs_all
             if has_bucket:
-                buckets = sorted({s // msg_bucket_size for s in seqs})
-                cond = msgs_all["seq_bucket"].isin(buckets) & cond
-            batch_msgs = msgs_all.filter(cond)
+                pruned = pruned.filter(
+                    msgs_all["seq_bucket"].between(
+                        lo // msg_bucket_size, hi // msg_bucket_size
+                    )
+                )
+            pruned = pruned.filter(pruned["mc_seqno"].between(lo, hi))
+            batch_msgs = pruned.join(
+                batch_df.select(
+                    F.col("mc_block_seqno").alias("mc_seqno")
+                ).distinct(),
+                "mc_seqno",
+                "left_semi",
+            )
             self.process_batch(batch_df, batch_msgs, batch_id=batch_id)
 
         stream = (
