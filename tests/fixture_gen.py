@@ -314,9 +314,24 @@ def generate(out_dir: str, n_traces: int = 300, seed: int = 42) -> str:
 
     _write(f"{out_dir}/traces.parquet", g.traces)
 
-    # ---- account states: 1-4 versions per account; latest = max lt
+    # ---- account states: 1-4 versions per account; latest = max lt.
+    # Every third account is a standard WALLET (published code hash +
+    # well-formed data cell) so the wallet-family endpoints have real
+    # decode work; the rest keep synthetic hashes (is_wallet = false).
+    from ton_indexer_spark.functions.wallets import encode_wallet_data
+
+    wallet_kinds = [
+        ("hNr6RJ+Ypph3ibojI1gHK8D3bcRSQAKl0JGLmnXS1Zk=", "v3"),     # v3 r2
+        ("/rX/aCDi/w2Ug+fg1iyBfYRniftK5YDIeIZtlZ2r1cA=", "v3"),     # v4 r2
+        ("IINLe3KxEhR+Gy+0V7hOdNGjDwT3N9T2KmaOlVLSty8=", "v5"),     # v5 r1
+        ("WHzHie/xyE9G7DeX5F/ICaFP9a4k8eDHpqmcydyQYf8=", "seqno"),  # v1 r3
+    ]
     history = []
     for i, acc in enumerate(g.accounts):
+        if i % 3 == 0:
+            code_hash, layout = wallet_kinds[(i // 3) % len(wallet_kinds)]
+        else:
+            code_hash, layout = g.code_hashes[i % len(g.code_hashes)], None
         for v in range(1 + int(rng.integers(0, 4))):
             lt = int(rng.integers(1_000_000, g.lt))
             history.append({
@@ -329,7 +344,16 @@ def generate(out_dir: str, n_traces: int = 300, seed: int = 42) -> str:
                 "last_trans_lt": lt,
                 "frozen_hash": None,
                 "data_hash": _hash("data", i),
-                "code_hash": g.code_hashes[i % len(g.code_hashes)],
+                "code_hash": code_hash,
+                # seqno derived from lt so a test can recompute the
+                # expected value from any state row it selects
+                "data_boc": (
+                    encode_wallet_data(
+                        layout, seqno=lt % 100_000, wallet_id=100 + i
+                    )
+                    if layout
+                    else None
+                ),
             })
     _write(f"{out_dir}/account_states_history.parquet", history)
     latest = {}

@@ -546,3 +546,64 @@ def test_multisig_orders_and_vesting(ton, tduck):
                         AND wl.wallet_address = '{w}')
         ORDER BY address LIMIT 100""", 1)
     assert got == want and got
+
+
+def test_wallet_states_and_information(ton, tduck):
+    """/walletStates + /walletInformation: SQL-able columns hash against
+    DuckDB; decoded wallet fields replay the layout from the fixture's
+    generation law (seqno = last_trans_lt % 100000, wallet_id = 100+i)."""
+    from ton_indexer_spark.functions.wallets import WALLET_PARSERS
+    from ton_indexer_spark.plans.listings import (
+        wallet_information,
+        wallet_states_query,
+    )
+
+    hashes = ",".join(f"'{h}'" for h in WALLET_PARSERS)
+    wal = tduck.execute(
+        f"SELECT account, balance, last_trans_lt, code_hash "
+        f"FROM latest_account_states WHERE code_hash IN ({hashes}) "
+        f"ORDER BY account LIMIT 5"
+    ).fetchall()
+    assert len(wal) == 5  # fixture seeds wallets on every third account
+    addrs = [r[0] for r in wal]
+
+    got = {
+        r["account"]: r.asDict()
+        for r in wallet_states_query(ton, addresses=addrs).collect()
+    }
+    assert sorted(got) == sorted(addrs)
+    for acc, bal, lt, ch in wal:
+        g = got[acc]
+        assert g["wallet_decode_error"] is None
+        assert g["is_wallet"] is True
+        assert g["wallet_type"] == WALLET_PARSERS[ch][0]
+        assert g["seqno"] == lt % 100_000
+        assert str(g["balance"]) == str(bal)
+        if WALLET_PARSERS[ch][1] in ("v3", "v5"):
+            assert g["wallet_id"] is not None
+        if WALLET_PARSERS[ch][1] == "v5":
+            assert g["is_signature_allowed"] is True
+
+    # a NON-wallet account decodes to is_wallet=false with null fields
+    non = tduck.execute(
+        f"SELECT account FROM latest_account_states "
+        f"WHERE code_hash NOT IN ({hashes}) ORDER BY account LIMIT 1"
+    ).fetchone()[0]
+    g = wallet_states_query(ton, addresses=[non]).collect()[0]
+    assert g["is_wallet"] is False and g["wallet_type"] is None
+
+    # single-account wallet information carries the v2 shape
+    info = wallet_information(ton, addrs[0]).collect()
+    assert len(info) == 1
+    i0 = info[0]
+    want = tduck.execute(
+        "SELECT balance, account_status, last_trans_lt, last_trans_hash "
+        f"FROM latest_account_states WHERE account = '{addrs[0]}'"
+    ).fetchone()
+    assert (str(i0["balance"]), i0["status"], i0["last_trans_lt"],
+            i0["last_trans_hash"]) == (str(want[0]), want[1], want[2], want[3])
+    assert i0["is_wallet"] is True and i0["seqno"] == want[2] % 100_000
+
+    # address filter is mandatory (main.go:697-699)
+    with pytest.raises(ValueError):
+        wallet_states_query(ton, addresses=[])

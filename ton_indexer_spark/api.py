@@ -22,6 +22,8 @@ Route map (reference → here):
 | /nft/items                    | nft_items                      |
 | /nft/transfers                | nft_transfers                  |
 | /multisig                     | multisig                       |
+| /walletStates                 | wallet_states                  |
+| /walletInformation, /wallet   | wallet_information             |
 | /addressBook                  | address_book                   |
 | /metadata                     | metadata                       |
 | /topAccountsByBalance         | top_accounts                   |
@@ -102,6 +104,16 @@ class TonIndexerApi:
 
     def address_information(self, address: str) -> DataFrame:
         return plans.address_information(self.cat, address)
+
+    def wallet_states(self, **kw) -> DataFrame:
+        """/api/v3/walletStates (main.go:690-709): accountStates page +
+        decoded wallet columns; address filter required."""
+        return plans.wallet_states_query(self.cat, **kw)
+
+    def wallet_information(self, address: str) -> DataFrame:
+        """/api/v3/walletInformation and /wallet (main.go:2374-2375):
+        single-account wallet info off the states dimension."""
+        return plans.wallet_information(self.cat, address)
 
     def dns_records(self, **kw) -> DataFrame:
         return plans.dns_records_query(self.cat, **kw)

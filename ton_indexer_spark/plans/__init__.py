@@ -43,6 +43,8 @@ from ton_indexer_spark.plans.listings import (
     multisig_orders_query,
     nft_transfers_query,
     vesting_query,
+    wallet_information,
+    wallet_states_query,
 )
 
 __all__ = [
@@ -73,4 +75,6 @@ __all__ = [
     "masterchain_info",
     "multisig_orders_query",
     "vesting_query",
+    "wallet_information",
+    "wallet_states_query",
 ]

@@ -174,6 +174,64 @@ def account_states_query(
     return paginate(a, sort=[("account", "asc")], limit=limit, offset=offset)
 
 
+def wallet_states_query(
+    cat: Catalog,
+    addresses: Sequence[str],
+    include_frozen: bool = True,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """/api/v3/walletStates: the accountStates page with the five wallet
+    columns decoded off each state's data cell, layout dispatched on the
+    account's code hash (crud_accounts.go:199-216 QueryWalletStates →
+    wallet_parse.go ParseWalletState).
+
+    The reference REQUIRES an address filter here (main.go:697-699 —
+    wallet apps poll their own accounts); decode therefore runs on a
+    page-bounded slice, after the paginate, never on the dimension.
+    """
+    from ton_indexer_spark.functions.wallets import with_wallet_fields
+
+    if not addresses:
+        raise ValueError("address of account is required")
+    page = account_states_query(
+        cat,
+        addresses=addresses,
+        include_frozen=include_frozen,
+        limit=limit,
+        offset=offset,
+    )
+    return with_wallet_fields(page)
+
+
+def wallet_information(cat: Catalog, address: str) -> DataFrame:
+    """/api/v3/walletInformation (+ /wallet alias): one account's latest
+    state reduced to the v2 wallet-information shape — balance, status,
+    wallet type/id, seqno, last transaction pointer
+    (index/proxy.go:85-160 GetV2WalletInformation; served off the states
+    dimension instead of proxying to a v2 node).
+
+    Non-wallet active accounts are surfaced with ``is_wallet = false``
+    (the reference 409s there — a DataFrame engine returns the row and
+    lets the API tier decide)."""
+    from ton_indexer_spark.functions.wallets import with_wallet_fields
+
+    st = cat.latest_account_states.filter(F.col("account") == address)
+    return with_wallet_fields(st).select(
+        "account",
+        "balance",
+        F.col("account_status").alias("status"),
+        "is_wallet",
+        "wallet_type",
+        "wallet_id",
+        "seqno",
+        "is_signature_allowed",
+        "last_trans_lt",
+        "last_trans_hash",
+        "wallet_decode_error",
+    )
+
+
 def address_information(cat: Catalog, address: str) -> DataFrame:
     """/api/v3/addressInformation: one account's latest state joined with
     its address-book entry (reference stitches the same two lookups)."""
