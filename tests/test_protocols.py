@@ -22,8 +22,8 @@ from ton_indexer_spark.classifier.protocols import (
     COFFEE_SWAP_INTERNAL,
     COFFEE_SWAP_NATIVE,
     COFFEE_WITHDRAW_DEPOSIT,
-    DEDUST_DEPOSIT_TO_POOL,
     DEDUST_DEPOSIT_TON,
+    DEDUST_DEPOSIT_TO_POOL,
     DEDUST_PAYOUT,
     DEDUST_PAYOUT_FROM_POOL,
     DEDUST_SWAP,
@@ -57,12 +57,15 @@ from ton_indexer_spark.classifier.protocols import (
     TELEITEM_START_AUCTION,
     TGBTC_BURN_EVENT,
     TGBTC_MINT_EVENT,
+    TONCO_ADD_LIQUIDITY,
     TONCO_BURN,
     TONCO_CREATE_POOL,
     TONCO_FUND_ACCOUNT,
     TONCO_MINT,
     TONCO_PAY_TO,
+    TONCO_POOL_BURN,
     TONCO_POOL_INIT,
+    TONCO_POSITION_BURN,
     TONCO_START_BURN,
     TS_NFT_BURN_NOTIFICATION,
 )
@@ -139,17 +142,26 @@ def test_dedust_family(spark):
 
 
 def test_stonfi_family(spark):
-    # v1 swap through the router payment request
+    # v1 swap, reference shape (swaps.py:81-209): entry jetton transfer
+    # chain -> router notify -> pool swap -> payment request -> payout chain
+    W3, W4 = "0:w3" + "0" * 60, "0:w4" + "0" * 60
     b = TraceBuilder("sf1")
     r = b.tx(A[0], None)
-    p = b.chain(r, POOL, opcode=STONFI_SWAP,
-                body=body_of({"amount": 100, "user": A[0],
-                              "asset_in": "0:tokA"}))
-    router = b.chain(p, ROUTER, opcode=STONFI_PAYMENT_REQUEST)
-    w1 = b.chain(router, W1, opcode=JETTON_TRANSFER,
-                 body=body_of({"amount": 95}))
-    w2 = b.chain(w1, W2, opcode=JETTON_INTERNAL)
-    b.chain(w2, A[0], opcode=JETTON_NOTIFY)
+    t = b.chain(r, W1, opcode=JETTON_TRANSFER,
+                body=body_of({"amount": 100, "destination": ROUTER}))
+    i = b.chain(t, W2, opcode=JETTON_INTERNAL)
+    n = b.chain(i, ROUTER, opcode=JETTON_NOTIFY,
+                body=body_of({"amount": 100, "sender": A[0]}))
+    sw = b.chain(n, POOL, opcode=STONFI_SWAP,
+                 body=body_of({"amount": 100, "user": A[0],
+                               "token_wallet": W2}))
+    pay = b.chain(sw, ROUTER, opcode=STONFI_PAYMENT_REQUEST,
+                  body=body_of({"exit_code": 0xC64370E5,
+                                "amount0_out": 95, "token0_out": W3}))
+    o1 = b.chain(pay, W3, opcode=JETTON_TRANSFER,
+                 body=body_of({"amount": 95, "destination": A[0]}))
+    o2 = b.chain(o1, W4, opcode=JETTON_INTERNAL)
+    b.chain(o2, A[0], opcode=JETTON_NOTIFY)
 
     # v2 provide-liquidity
     b2 = TraceBuilder("sf2")
@@ -167,8 +179,10 @@ def test_stonfi_family(spark):
     b3.chain(pt, A[3], opcode=0, value=10**9)
 
     res = run(spark, [b, b2, b3], jetton_wallets=[
-        {"address": W1, "owner": ROUTER, "jetton": "0:tokB"},
-        {"address": W2, "owner": A[0], "jetton": "0:tokB"},
+        {"address": W1, "owner": A[0], "jetton": "0:tokA"},
+        {"address": W2, "owner": ROUTER, "jetton": "0:tokA"},
+        {"address": W3, "owner": ROUTER, "jetton": "0:tokB"},
+        {"address": W4, "owner": A[0], "jetton": "0:tokB"},
     ])
     swap = acts_of(res, "sf1")
     assert [a["type"] for a in swap] == ["jetton_swap"]
@@ -177,7 +191,7 @@ def test_stonfi_family(spark):
     assert sd["amount_in"] == 100 and sd["asset_in"] == "0:tokA"
     assert sd["amount_out"] == 95 and sd["asset_out"] == "0:tokB"
     assert swap[0]["source"] == A[0] and swap[0]["destination"] == A[0]
-    assert len(swap[0]["tx_hashes"]) == 6
+    assert len(swap[0]["tx_hashes"]) == 9  # 8 claimed + initiating root
 
     dep = acts_of(res, "sf2")
     assert [a["type"] for a in dep] == ["dex_deposit_liquidity"]
@@ -191,55 +205,82 @@ def test_stonfi_family(spark):
 
 
 def test_tonco_family(spark):
-    # concentrated-liquidity deposit with tick bounds + position NFT
+    # concentrated-liquidity deposit, reference shape (liquidity.py:928):
+    # jetton entry -> notify -> FUND_ACCOUNT -> ADD_LIQUIDITY
+    ACCT = "0:acct" + "0" * 58
     b = TraceBuilder("tc1")
     r = b.tx(A[0], None)
-    f = b.chain(r, ROUTER, opcode=TONCO_FUND_ACCOUNT,
-                body=body_of({"amount": 111, "tick_lower": -100,
-                              "tick_upper": 200, "nft_index": 7}))
-    m = b.chain(f, POOL, opcode=TONCO_MINT)
-    b.chain(m, A[0], opcode=OWNERSHIP_ASSIGNED)
+    t = b.chain(r, W1, opcode=JETTON_TRANSFER,
+                body=body_of({"amount": 111, "destination": ROUTER}))
+    i = b.chain(t, W2, opcode=JETTON_INTERNAL)
+    n = b.chain(i, ROUTER, opcode=JETTON_NOTIFY,
+                body=body_of({"amount": 111, "sender": A[0]}))
+    f = b.chain(n, POOL, opcode=TONCO_FUND_ACCOUNT)
+    b.chain(f, ACCT, opcode=TONCO_ADD_LIQUIDITY,
+            body=body_of({"new_amount0": 111, "new_enough0": 111,
+                          "new_enough1": 5, "tick_lower": -100,
+                          "tick_upper": 200}))
 
-    # withdraw: start burn → burn → pay_to
+    # withdraw: start burn -> position burn -> pool burn -> pay_to
+    POS = "0:pos" + "0" * 59
     b2 = TraceBuilder("tc2")
     r2 = b2.tx(A[1], None)
     sb = b2.chain(r2, POOL, opcode=TONCO_START_BURN,
                   body=body_of({"amount": 55, "nft_index": 7}))
-    bu = b2.chain(sb, "0:pos" + "0" * 59, opcode=TONCO_BURN)
-    b2.chain(bu, A[1], opcode=TONCO_PAY_TO, value=50)
+    pb = b2.chain(sb, POS, opcode=TONCO_POSITION_BURN,
+                  body=body_of({"nft_owner": A[1]}))
+    pob = b2.chain(pb, POOL, opcode=TONCO_POOL_BURN,
+                   body=body_of({"burned_index": 7}))
+    b2.chain(pob, ROUTER, opcode=TONCO_PAY_TO,
+             body=body_of({"exit_code": 201}))
 
-    # pool deploy with x96 price (overflows int64 → string payload)
+    # pool deploy with x96 price (overflows int64 -> string column)
     b3 = TraceBuilder("tc3")
     r3 = b3.tx(A[2], None)
     cp = b3.chain(r3, ROUTER, opcode=TONCO_CREATE_POOL,
                   body=body_of({
+                      "jetton_wallet0": W1, "jetton_wallet1": W2,
                       "jetton0_minter": "0:j0", "jetton1_minter": "0:j1",
                       "tick_spacing": 60, "initial_price_x96": 2**96,
                       "protocol_fee": 30, "lp_fee_base": 100,
-                      "lp_fee_current": 100, "pool_active": True,
+                      "lp_fee_current": 100,
                   }))
-    b3.chain(cp, POOL, opcode=TONCO_POOL_INIT)
+    b3.chain(cp, POOL, opcode=TONCO_POOL_INIT,
+             body=body_of({"pool_active": True}))
 
-    res = run(spark, [b, b2, b3])
+    res = run(spark, [b, b2, b3], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:tokA"},
+        {"address": W2, "owner": ROUTER, "jetton": "0:tokA"},
+    ])
     dep = acts_of(res, "tc1")
-    assert [a["type"] for a in dep] == ["tonco_deposit_liquidity"]
+    assert [a["type"] for a in dep] == ["dex_deposit_liquidity"]
     dd = dep[0]["dex_deposit_liquidity_data"]
+    assert dd["dex"] == "tonco"
     assert dd["tick_lower"] == -100 and dd["tick_upper"] == 200
-    assert dd["nft_index"] == 7 and dd["amount1"] == 111
+    assert dd["amount1"] == 111 and dd["asset1"] == "0:tokA"
+    assert dd["target_amount_1"] == 111 and dd["target_amount_2"] == 5
+    assert dd["user_jetton_wallet_1"] == W1
+    assert dep[0]["destination"] == POOL
+    assert dep[0]["destination_secondary"] == ACCT
 
     wd = acts_of(res, "tc2")
-    assert [a["type"] for a in wd] == ["tonco_withdraw_liquidity"]
+    assert [a["type"] for a in wd] == ["dex_withdraw_liquidity"]
     wdd = wd[0]["dex_withdraw_liquidity_data"]
+    assert wdd["dex"] == "tonco"
     assert wdd["lp_tokens_burnt"] == 55 and wdd["burned_nft_index"] == 7
-    assert len(wd[0]["tx_hashes"]) == 4
+    assert wdd["burned_nft_address"] == POS
+    assert wd[0]["source"] == A[1] and wd[0]["destination"] == POOL
+    assert len(wd[0]["tx_hashes"]) == 5  # 4 claimed + initiating root
 
     dp = acts_of(res, "tc3")
     assert [a["type"] for a in dp] == ["tonco_deploy_pool"]
-    pd = dp[0]["tonco_deploy_pool_data"]
-    assert pd["jetton0_minter"] == "0:j0" and pd["tick_spacing"] == 60
-    assert pd["initial_price_x96"] == str(2**96)  # doesn't fit int64
-    assert pd["pool_active"] is True
-
+    pdata = dp[0]["tonco_deploy_pool_data"]
+    assert pdata["jetton0_minter"] == "0:j0" and pdata["tick_spacing"] == 60
+    assert pdata["jetton0_router_wallet"] == W1
+    assert pdata["pool_active"] is True
+    assert pdata["initial_price_x96"] == str(2**96)  # string past int64
+    assert dp[0]["destination"] == ROUTER
+    assert dp[0]["destination_secondary"] == POOL
 
 def test_coffee_family(spark):
     # swap: vault entry → 2 internal pool hops → payout chain

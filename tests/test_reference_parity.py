@@ -107,17 +107,6 @@ KNOWN_GAPS: set[tuple[str, str]] = {
     ('tgbtc.yaml', 'tgBTC dkg log (fallback)'),
     ('tgbtc.yaml', 'tgBTC burn (wierd schema)'),
     ('tgbtc.yaml', 'tgBTC burn (very old wierd and crippled)'),
-    ('tonco.yaml', 'Tonco deploy pools'),
-    ('tonco.yaml', 'Tonco swap USDT -> TON'),
-    ('tonco.yaml', 'Tonco swap USDT -> STORM with hop'),
-    ('tonco.yaml', 'Tonco swap TON -> USDT failed'),
-    ('tonco.yaml', 'Tonco swap TON -> KUKU'),
-    ('tonco.yaml', 'Tonco deposit liquidity (normal)'),
-    ('tonco.yaml', 'Tonco deposit liquidity one side TON (strange case)'),
-    ('tonco.yaml', 'Tonco deposit liquidity two sides jetton'),
-    ('tonco.yaml', 'Tonco withdraw liquidity'),
-    ('tonco.yaml', 'Tonco withdraw liquidity (one side)'),
-    ('tonco.yaml', 'Tonco withdraw liquidity (two jettons)'),
     ('tonstakers.yaml', 'TS Stake deposit'),
     ('tonstakers.yaml', 'TS Withdrawal request'),
     ('tonstakers.yaml', 'TS Withdrawal via nft burn'),

@@ -316,6 +316,17 @@ def _classify_group(
             aid = a.get("action_id") or hashlib.sha256(
                 f"{trace_id}:{len(out)}".encode()
             ).hexdigest()
+            # matchers keep x96 fixed-point values as exact ints (the
+            # in-memory/parity shape); the Spark column is a string
+            # because they overflow int64 — convert at this boundary only
+            tdp = a.get("tonco_deploy_pool_data")
+            if tdp is not None and isinstance(
+                tdp.get("initial_price_x96"), int
+            ):
+                a = a | {
+                    "tonco_deploy_pool_data": tdp
+                    | {"initial_price_x96": str(tdp["initial_price_x96"])}
+                }
             out.append(
                 {
                     "trace_id": trace_id,

@@ -24,6 +24,7 @@ from ton_indexer_spark.classifier.base import (
     JETTON_TRANSFER,
     OWNERSHIP_ASSIGNED,
     POOL_WITHDRAWAL,
+    PTON_MASTERS,
     STAKE_DEPOSIT_OP,
     STAKE_WITHDRAW_OP,
     Ctx,
@@ -61,6 +62,11 @@ TONCO_START_BURN = 0x530B5F2C
 TONCO_BURN = 0xD73AC09D
 TONCO_CREATE_POOL = 0x2E3034EF
 TONCO_POOL_INIT = 0x441C39ED
+TONCO_ADD_LIQUIDITY = 0x3EBE5431   # ACCOUNTV3_ADD_LIQUIDITY (liquidity.py:465)
+TONCO_POSITION_INIT = 0xD5ECCA2A   # POSITIONNFTV3_POSITION_INIT (liquidity.py:391)
+TONCO_MINT_REFUND = 0x81702EF8     # POOLV3_MINT (liquidity.py:139)
+TONCO_POSITION_BURN = 0x46CA335A   # POSITIONNFTV3_POSITION_BURN (liquidity.py:432)
+TONCO_POOL_BURN = TONCO_BURN       # POOLV3_BURN (liquidity.py:187)
 
 # --- swap.coffee (messages/coffee.py:331-651)
 COFFEE_SWAP_NATIVE = 0xC0FFEE00
@@ -832,78 +838,503 @@ def match_pton_transfer(node: Node, ctx: Ctx) -> dict | None:
 # -------------------------------------------------------------------- Tonco
 
 
+def _tonco_transfer_out(c: Node, ctx: Ctx) -> dict | None:
+    """A router payout transfer (pay_to child) → the serializer's
+    6-field transfer dict + claimed nodes + the next-hop swap node (for
+    the router-pays-itself multihop shape, swaps.py:741-772)."""
+    if _op(c) != JETTON_TRANSFER:
+        return None
+    pton = c.child_via(PTON_TRANSFER)
+    if pton is not None:
+        pbody = pton.in_msg.decoded_body()
+        hop_notify = pton.child_via(JETTON_NOTIFY)
+        next_swap = (
+            hop_notify.child_via(TONCO_SWAP) if hop_notify is not None else None
+        )
+        claimed = [c, pton] + ([hop_notify] if hop_notify is not None else [])
+        return {
+            "claimed": claimed,
+            "next_swap": next_swap,
+            "data": {
+                "asset": None,
+                "amount": _int(pbody.get("amount")),
+                "source": c.in_msg.source,
+                "source_jetton_wallet": None,
+                "destination": pton.account if next_swap is None else None,
+                "destination_jetton_wallet": None,
+            },
+        }
+    chain = _jetton_chain(c, ctx)
+    if chain is None:
+        return None
+    notify = chain["notify"]
+    next_swap = (
+        notify.child_via(TONCO_SWAP) if notify is not None else None
+    )
+    return {
+        "claimed": chain["claimed"],
+        "next_swap": next_swap,
+        "data": {
+            "asset": _wallet_asset(c.account, ctx),
+            "amount": _int(chain["amount"]),
+            "source": c.in_msg.source,
+            "source_jetton_wallet": c.account,
+            "destination": chain["dest_owner"],
+            "destination_jetton_wallet": chain["receiver_wallet"],
+        },
+    }
+
+
 def match_tonco_swap(node: Node, ctx: Ctx) -> dict | None:
-    return _router_swap(node, ctx, TONCO_SWAP, TONCO_PAY_TO, "tonco")
+    """Tonco swap, single- or multi-hop (swaps.py:687-1230
+    ToncoSwapBlockMatcher): anchored at the INPUT transfer (jetton chain
+    or pTON transfer) whose notify triggers POOLV3_SWAP → ROUTERV3_PAY_TO;
+    multihops chain by the router transferring to its own wallet and
+    re-notifying itself.  Serialized via the jetton_swap fill
+    (block_tree_serializer.py:357-398): asset/asset2 come from
+    source/destination assets; a failed swap recovers the intended target
+    from the recursive swap payload."""
+    op = _op(node)
+    claimed: list[Node] = []
+    if op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        notify = chain["notify"]
+        body = node.in_msg.decoded_body()
+        in_data = {
+            "asset": _wallet_asset(node.account, ctx),
+            "amount": _int(chain["amount"]),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": node.account,
+            "destination": chain["dest_owner"],
+            "destination_jetton_wallet": chain["receiver_wallet"],
+        }
+        claimed += chain["claimed"]
+    elif op == PTON_TRANSFER:
+        notify = node.child_via(JETTON_NOTIFY)
+        if notify is None:
+            return None
+        body = node.in_msg.decoded_body()
+        in_data = {
+            "asset": None,
+            "amount": _int(body.get("amount")),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": None,
+            "destination": notify.account,
+            "destination_jetton_wallet": node.account,
+        }
+        claimed += [node, notify]
+    else:
+        return None
+    # the swap payload rides to the router inside the notify regardless of
+    # input kind — recover it there for the failed-swap target parse
+    fwd = notify.in_msg.decoded_body().get("forward_payload")
+    first_swap = notify.child_via(TONCO_SWAP)
+    if first_swap is None:
+        return None
+
+    # walk the swap→payout chain; the router continues a hop by paying
+    # into its own wallet and re-notifying itself
+    swaps: list[Node] = []
+    payouts: list[Node] = []
+    out_data = None
+    ok = True
+    cur = first_swap
+    while cur is not None:
+        pay = cur.child_via(TONCO_PAY_TO)
+        if pay is None:
+            return None
+        swaps.append(cur)
+        payouts.append(pay)
+        claimed += [cur, pay]
+        exit_code = _int(pay.in_msg.decoded_body().get("exit_code"))
+        if exit_code is not None and exit_code not in (0, 200):
+            ok = False
+        next_swap = None
+        for c in pay.children:
+            leg = _tonco_transfer_out(c, ctx)
+            if leg is None:
+                continue
+            claimed += leg["claimed"]
+            if leg["next_swap"] is not None:
+                next_swap = leg["next_swap"]
+            else:
+                out_data = leg["data"]
+        cur = next_swap
+    if out_data is None:
+        return None
+
+    # peer_swaps for multihop: each payout's dominant coinsinfo entry is
+    # that hop's output (swaps.py:1068-1152)
+    peer_swaps = []
+    if len(swaps) > 1:
+        prev_in = {"amount_in": in_data["amount"], "asset_in": in_data["asset"]}
+        for pay in payouts:
+            pb = pay.in_msg.decoded_body()
+            entries = [
+                (_int(pb.get(a)), pb.get(j))
+                for a, j in (("amount0", "jetton0_address"),
+                             ("amount1", "jetton1_address"))
+                if pb.get(a) is not None and pb.get(j) is not None
+            ]
+            entries.sort(key=lambda e: e[0] or 0, reverse=True)
+            if not entries:
+                continue
+            out_amount, out_wallet = entries[0]
+            hop = prev_in | {
+                "amount_out": out_amount,
+                "asset_out": _wallet_asset(out_wallet, ctx),
+            }
+            peer_swaps.append(hop)
+            prev_in = {
+                "amount_in": hop["amount_out"],
+                "asset_in": hop["asset_out"],
+            }
+
+    destination_asset = out_data["asset"]
+    min_out = out_data["amount"]
+    if not ok and fwd:
+        from ton_indexer_spark.functions.boc import decode_tonco_swap_payload
+
+        targets = decode_tonco_swap_payload(fwd)
+        if targets:
+            t_wallet, t_min = targets[-1]
+            destination_asset = _wallet_asset(t_wallet, ctx)
+            min_out = t_min
+
+    act = _base(
+        node,
+        "jetton_swap",
+        claimed=claimed,
+        source=in_data["source"],
+        source_secondary=in_data["source_jetton_wallet"],
+        destination=out_data["destination"],
+        destination_secondary=out_data["destination_jetton_wallet"],
+        asset=in_data["asset"],
+        asset2=destination_asset,
+        jetton_swap_data={
+            "dex": "tonco",
+            "sender": in_data["source"],
+            "dex_incoming_transfer": in_data,
+            "dex_outgoing_transfer": out_data,
+            "peer_swaps": peer_swaps,
+            "min_out_amount": min_out,
+        },
+    )
+    if not ok:
+        act["success"] = False
+    return act
+
+
+def _wallet_asset(wallet: str | None, ctx: Ctx) -> str | None:
+    """Jetton WALLET address → asset column value: the wallet's jetton
+    master, or None for TON — unknown wallets and pTON-family wallets both
+    resolve to TON, exactly the reference's lookup discipline
+    (liquidity.py:1088-1130)."""
+    if wallet is None:
+        return None
+    jetton = ctx.get("jetton_wallets", {}).get(wallet, (None, None))[1]
+    if jetton is None or jetton in PTON_MASTERS:
+        return None
+    return jetton
+
+
+def _is_pton_wallet(wallet: str | None, ctx: Ctx) -> bool:
+    if wallet is None:
+        return False
+    jetton = ctx.get("jetton_wallets", {}).get(wallet, (None, None))[1]
+    return jetton in PTON_MASTERS
+
+
+def _int(v) -> int | None:
+    return None if v is None else int(v)
+
+
+def _tonco_payout_leg(c: Node, ctx: Ctx) -> dict | None:
+    """One router payout under ROUTERV3_PAY_TO: a jetton transfer with an
+    optional pTON continuation (TON leg).  Returns
+    {claimed, amount, asset, dex_wallet, dex_jetton_wallet, wallet}."""
+    if _op(c) != JETTON_TRANSFER:
+        return None
+    pton = c.child_via(PTON_TRANSFER)
+    if pton is not None:
+        pbody = pton.in_msg.decoded_body()
+        return {
+            "claimed": [c, pton],
+            "amount": _int(pbody.get("amount")),
+            "asset": None,
+            "dex_wallet": c.in_msg.source,
+            "dex_jetton_wallet": None,
+            "wallet": None,
+        }
+    chain = _jetton_chain(c, ctx)
+    if chain is None:
+        return None
+    return {
+        "claimed": chain["claimed"],
+        "amount": _int(chain["amount"]),
+        "asset": _wallet_asset(c.account, ctx),
+        "dex_wallet": c.in_msg.source,
+        "dex_jetton_wallet": c.account,
+        "wallet": chain["receiver_wallet"],
+    }
 
 
 def match_tonco_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
-    """Concentrated-liquidity mint: fund account / pool mint with tick
-    bounds + position NFT (blocks/liquidity.py Tonco*)."""
-    if _op(node) not in (TONCO_MINT, TONCO_FUND_ACCOUNT):
+    """Tonco concentrated-liquidity deposit
+    (liquidity.py:928-1185 ToncoDepositLiquidityMatcher), anchored at the
+    INPUT transfer — a jetton-transfer chain or a pTON transfer — whose
+    notify fans into POOLV3_FUND_ACCOUNT → ACCOUNTV3_ADD_LIQUIDITY.  One
+    action per deposited leg; the COMPLETE leg additionally claims the
+    POOLV3_MINT call, the position-NFT init (lp tokens / nft index), and
+    the router's refund payouts (vault_excesses).  Serialized to the
+    reference's dex_deposit_liquidity shape
+    (block_tree_serializer.py:893-938)."""
+    op = _op(node)
+    claimed: list[Node] = []
+    sender_wallet = None
+    if op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None:
+            return None
+        notify = chain["notify"]
+        if notify is None:
+            return None
+        claimed += chain["claimed"]
+        sender_wallet = node.account
+    elif op == PTON_TRANSFER:
+        notify = node.child_via(JETTON_NOTIFY)
+        if notify is None:
+            return None
+        claimed += [node, notify]
+    else:
         return None
-    claimed = _claim_chain(node, TONCO_MINT, OWNERSHIP_ASSIGNED)
-    body = node.in_msg.decoded_body()
+    fund = notify.child_via(TONCO_FUND_ACCOUNT)
+    if fund is None:
+        return None
+    add = fund.child_via(TONCO_ADD_LIQUIDITY)
+    if add is None:
+        return None
+    claimed += [fund, add]
+
+    add_body = add.in_msg.decoded_body()
+    nbody = notify.in_msg.decoded_body()
+    sender = nbody.get("sender") or nbody.get("from")
+    sent_amount = _int(nbody.get("amount"))
+    from ton_indexer_spark.functions.boc import decode_tonco_fund_payload
+
+    payload = (
+        decode_tonco_fund_payload(nbody["forward_payload"])
+        if nbody.get("forward_payload")
+        else None
+    )
+    first_asset = _wallet_asset(notify.in_msg.source, ctx)
+    second_asset = _wallet_asset(
+        payload.get("other_jetton_wallet") if payload else None, ctx
+    )
+
+    # completion chain: account → POOLV3_MINT → {PAY_TO refunds, NFT init}
+    lp_tokens = nft_index = nft_address = None
+    excesses: list[dict] = []
+    mint = add.child_via(TONCO_MINT_REFUND)
+    if mint is not None:
+        claimed.append(mint)
+        nft = mint.child_via(TONCO_POSITION_INIT)
+        if nft is not None:
+            claimed.append(nft)
+            nb = nft.in_msg.decoded_body()
+            lp_tokens = _int(nb.get("liquidity"))
+            nft_index = _int(nb.get("nft_index"))
+            nft_address = nft.account
+        refund = mint.child_via(TONCO_PAY_TO)
+        if refund is not None:
+            claimed.append(refund)
+            for c in refund.children:
+                leg = _tonco_payout_leg(c, ctx)
+                if leg is not None:
+                    claimed += leg["claimed"]
+                    excesses.append(
+                        {"asset": leg["asset"], "amount": leg["amount"]}
+                    )
+        exc = mint.child_via(EXCESSES)
+        if exc is not None:
+            claimed.append(exc)
+
+    is_first = (_int(add_body.get("new_amount0")) or 0) > 0
+    if is_first:
+        amount_1, asset_1, w1 = sent_amount, first_asset, sender_wallet
+        amount_2, asset_2, w2 = None, second_asset, None
+    else:
+        amount_1, asset_1, w1 = None, second_asset, None
+        amount_2, asset_2, w2 = sent_amount, first_asset, sender_wallet
+    # the serializer compacts (amount, asset) pairs: present amounts fill
+    # amount1/asset1 first (block_tree_serializer.py:906-918)
+    actuals = [
+        (a, s) for a, s in ((amount_1, asset_1), (amount_2, asset_2))
+        if a is not None
+    ]
+    c_amount1, c_asset1 = actuals[0] if actuals else (None, None)
+    c_amount2, c_asset2 = actuals[1] if len(actuals) > 1 else (None, None)
+
     return _base(
         node,
-        "tonco_deposit_liquidity",
+        "dex_deposit_liquidity",
         claimed=claimed,
-        amount=body.get("amount"),
+        source=sender,
+        source_secondary=w1 or w2,
+        destination=fund.account,
+        destination_secondary=add.account,
         dex_deposit_liquidity_data={
             "dex": "tonco",
-            "amount1": body.get("amount"),
-            "amount2": body.get("amount2"),
-            "tick_lower": body.get("tick_lower"),
-            "tick_upper": body.get("tick_upper"),
-            "nft_index": body.get("nft_index"),
-            "nft_address": body.get("nft_address"),
+            "amount1": c_amount1,
+            "amount2": c_amount2,
+            "asset1": c_asset1,
+            "asset2": c_asset2,
+            "user_jetton_wallet_1": w1,
+            "user_jetton_wallet_2": w2,
+            "lp_tokens_minted": lp_tokens,
+            "tick_lower": _int(add_body.get("tick_lower")),
+            "tick_upper": _int(add_body.get("tick_upper")),
+            "nft_index": nft_index,
+            "nft_address": nft_address,
+            "target_amount_1": _int(add_body.get("new_enough0")),
+            "target_amount_2": _int(add_body.get("new_enough1")),
+            "target_asset_1": asset_1,
+            "target_asset_2": asset_2,
+            "vault_excesses": excesses,
         },
     )
 
 
 def match_tonco_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """Tonco position burn → two router payouts
+    (liquidity.py:1218-1505 ToncoWithdrawLiquidityMatcher): anchored at
+    POOLV3_START_BURN, claims the NFT position burn, the pool burn, the
+    ROUTERV3_PAY_TO call and both payout transfer chains.  Payout legs are
+    ordered by the router coinsinfo asset order; serialized to
+    dex_withdraw_liquidity (block_tree_serializer.py:435-460)."""
     if _op(node) != TONCO_START_BURN:
         return None
-    claimed = _claim_chain(node, TONCO_BURN, TONCO_PAY_TO)
-    body = node.in_msg.decoded_body()
-    return _base(
+    sbody = node.in_msg.decoded_body()
+    pos_burn = node.child_via(TONCO_POSITION_BURN)
+    if pos_burn is None:
+        return None
+    pool_burn = pos_burn.child_via(TONCO_POOL_BURN)
+    if pool_burn is None:
+        return None
+    pay_to = pool_burn.child_via(TONCO_PAY_TO)
+    if pay_to is None:
+        return None
+    claimed = [node, pos_burn, pool_burn, pay_to]
+
+    pb_body = pos_burn.in_msg.decoded_body()
+    pt_body = pay_to.in_msg.decoded_body()
+    legs = []
+    for c in pay_to.children:
+        leg = _tonco_payout_leg(c, ctx)
+        if leg is not None:
+            claimed += leg["claimed"]
+            legs.append(leg)
+    # order legs by the router's coinsinfo: jetton0 first (pTON-family
+    # wallets normalize to None, liquidity.py:1345-1348)
+    j0 = pt_body.get("jetton0_address")
+    if _is_pton_wallet(j0, ctx):
+        j0 = None
+    if len(legs) == 2 and legs[0]["dex_jetton_wallet"] != j0:
+        legs.reverse()
+    # a leg the transfers don't cover falls back to the router message
+    # amounts (liquidity.py:1390-1412)
+    while len(legs) < 2 and pt_body.get("amount0") is not None:
+        i = len(legs)
+        wallet_addr = pt_body.get(("jetton0_address", "jetton1_address")[i])
+        legs.append({
+            "amount": _int(pt_body.get(("amount0", "amount1")[i])),
+            "asset": _wallet_asset(wallet_addr, ctx),
+            # fallback legs carry the PAY_TO message's source (the pool)
+            # as dex_wallet (liquidity.py:1405-1407)
+            "dex_wallet": pay_to.in_msg.source,
+            "dex_jetton_wallet": (
+                None if _is_pton_wallet(wallet_addr, ctx) else wallet_addr
+            ),
+            "wallet": pt_body.get(("receiver0", "receiver1")[i]),
+        })
+        if len(legs) > 2:
+            break
+
+    l1 = legs[0] if legs else {}
+    l2 = legs[1] if len(legs) > 1 else {}
+    exit_code = _int(pt_body.get("exit_code"))
+    act = _base(
         node,
-        "tonco_withdraw_liquidity",
+        "dex_withdraw_liquidity",
         claimed=claimed,
-        amount=body.get("amount"),
+        source=pb_body.get("nft_owner"),
+        destination=node.account,
+        asset=None,
         dex_withdraw_liquidity_data={
             "dex": "tonco",
-            "lp_tokens_burnt": body.get("amount"),
-            "burned_nft_index": body.get("nft_index"),
-            "burned_nft_address": body.get("nft_address"),
-            "tick_lower": body.get("tick_lower"),
-            "tick_upper": body.get("tick_upper"),
+            "amount1": l1.get("amount"),
+            "amount2": l2.get("amount"),
+            "asset1_out": l1.get("asset"),
+            "asset2_out": l2.get("asset"),
+            "user_jetton_wallet_1": l1.get("wallet"),
+            "user_jetton_wallet_2": l2.get("wallet"),
+            "dex_jetton_wallet_1": l1.get("dex_jetton_wallet"),
+            "dex_jetton_wallet_2": l2.get("dex_jetton_wallet"),
+            "dex_wallet_1": l1.get("dex_wallet"),
+            "dex_wallet_2": l2.get("dex_wallet"),
+            "lp_tokens_burnt": _int(sbody.get("amount")),
+            "burned_nft_index": _int(
+                pool_burn.in_msg.decoded_body().get("burned_index")
+                or sbody.get("nft_index")
+            ),
+            "burned_nft_address": pos_burn.account,
+            "tick_lower": _int(sbody.get("tick_lower")),
+            "tick_upper": _int(sbody.get("tick_upper")),
         },
     )
+    if exit_code is not None and exit_code not in (0, 201):
+        act["success"] = False
+    return act
 
 
 def match_tonco_deploy_pool(node: Node, ctx: Ctx) -> dict | None:
+    """ROUTERV3_CREATE_POOL → POOLV3_INIT (+excesses)
+    (liquidity.py:1535-1620 ToncoDeployPoolBlockMatcher): the action's
+    endpoints are deployer → router with the POOL as the secondary
+    destination (block_tree_serializer.py:831-849)."""
     if _op(node) != TONCO_CREATE_POOL:
         return None
-    claimed = _claim_chain(node, TONCO_POOL_INIT)
+    init = node.child_via(TONCO_POOL_INIT)
+    if init is None:
+        return None
+    claimed = [node, init]
+    exc = init.child_via(EXCESSES)
+    if exc is not None:
+        claimed.append(exc)
     body = node.in_msg.decoded_body()
+    init_body = init.in_msg.decoded_body()
     return _base(
         node,
         "tonco_deploy_pool",
         claimed=claimed,
-        destination=claimed[-1].account,
+        destination=node.account,
+        destination_secondary=init.account,
+        success=True,  # the init message's presence IS success
         tonco_deploy_pool_data={
+            "jetton0_router_wallet": body.get("jetton_wallet0"),
+            "jetton1_router_wallet": body.get("jetton_wallet1"),
             "jetton0_minter": body.get("jetton0_minter"),
             "jetton1_minter": body.get("jetton1_minter"),
-            "tick_spacing": body.get("tick_spacing"),
-            # x96 fixed-point always overflows int64 → string column
-            "initial_price_x96": (
-                str(body["initial_price_x96"])
-                if body.get("initial_price_x96") is not None else None
-            ),
-            "protocol_fee": body.get("protocol_fee"),
-            "lp_fee_base": body.get("lp_fee_base"),
-            "lp_fee_current": body.get("lp_fee_current"),
-            "pool_active": body.get("pool_active"),
+            "tick_spacing": _int(body.get("tick_spacing")),
+            # x96 fixed-point overflows int64 — stringified at the Spark
+            # serialization boundary (classify.py), exact int here
+            "initial_price_x96": _int(body.get("initial_price_x96")),
+            "protocol_fee": _int(body.get("protocol_fee")),
+            "lp_fee_base": _int(body.get("lp_fee_base")),
+            "lp_fee_current": _int(body.get("lp_fee_current")),
+            "pool_active": init_body.get("pool_active"),
         },
     )
 
@@ -1840,9 +2271,9 @@ PROTOCOL_MATCHERS = [
     ("stonfi_v2_withdraw_liquidity", match_stonfi_v2_withdraw_liquidity),
     ("stonfi_v2_swap", match_stonfi_v2_swap),
     ("stonfi_v2_provide_liquidity", match_stonfi_v2_provide_liquidity),
-    ("pton_transfer", match_pton_transfer),
-    ("tonco_swap", match_tonco_swap),
     ("tonco_deposit_liquidity", match_tonco_deposit_liquidity),
+    ("tonco_swap", match_tonco_swap),
+    ("pton_transfer", match_pton_transfer),
     ("tonco_withdraw_liquidity", match_tonco_withdraw_liquidity),
     ("tonco_deploy_pool", match_tonco_deploy_pool),
     ("coffee_swap", match_coffee_swap),

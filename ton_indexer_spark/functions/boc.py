@@ -485,6 +485,13 @@ OP_PTON_TRANSFER = 0x01F3835D        # messages/swaps.py:50-60
 OP_EVAA_LIQUIDATE_MASTER = 0x00000003  # messages/evaa.py:258-283
 OP_TONCO_FUND_ACCOUNT = 0x4468DE77   # messages/liquidity.py:227-254
 OP_TONCO_CREATE_POOL = 0x2E3034EF    # messages/liquidity.py:346-388
+OP_TONCO_ADD_LIQUIDITY = 0x3EBE5431  # messages/liquidity.py:465-492
+OP_TONCO_POSITION_INIT = 0xD5ECCA2A  # messages/liquidity.py:391-429
+OP_TONCO_MINT_REFUND = 0x81702EF8    # messages/liquidity.py:139-162
+OP_TONCO_POSITION_BURN = 0x46CA335A  # messages/liquidity.py:432-462
+OP_TONCO_POOL_INIT = 0x441C39ED      # messages/liquidity.py:289-344
+OP_TONCO_POOL_BURN = 0xD73AC09D      # messages/liquidity.py:187-224
+OP_TONCO_PAY_TO = 0xA1DAA96D         # messages/swaps.py:307-366
 OP_COFFEE_MEV_FAILED_SWAP = 0xEE51CE51  # messages/coffee.py:971-983
 OP_JVAULT_RECEIVE = 0xD68A4AC1       # messages/jvault.py:15-46
 OP_ETHENA_TSUSDE_TRANSFER = 0xB2583ED5  # ethena_staking.py:64,92 — the
@@ -1298,6 +1305,117 @@ def decode_body_cell(root: Cell) -> dict:
         d["tick_lower"] = s.load_int(24)
         d["tick_upper"] = s.load_int(24)
         return d
+    if op == OP_TONCO_ADD_LIQUIDITY:
+        # ACCOUNTV3_ADD_LIQUIDITY#3ebe5431 query_id:uint64
+        #   new_amount0:Coins new_amount1:Coins new_enough0:Coins
+        #   new_enough1:Coins liquidity:uint128 tick_lower:int24
+        #   tick_upper:int24  (liquidity.py:465-492) — the pool→account
+        #   call the reference anchors its tonco deposit matcher on
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["new_amount0"] = s.load_coins()
+        d["new_amount1"] = s.load_coins()
+        d["new_enough0"] = s.load_coins()
+        d["new_enough1"] = s.load_coins()
+        d["liquidity"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        return d
+    if op == OP_TONCO_POSITION_INIT:
+        # POSITIONNFTV3_POSITION_INIT#d5ecca2a query_id:uint64
+        #   user_address:Addr liquidity:uint128 tick_lower:int24
+        #   tick_upper:int24 ^[fee0:uint256 fee1:uint256 nft_index:uint64
+        #   jetton0_amount:Coins jetton1_amount:Coins tick:int24]
+        #   (liquidity.py:391-429)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["user_address"] = s.load_address()
+        d["liquidity"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        if s.remaining_refs >= 1:
+            fees = s.load_ref().begin_parse()
+            fees.load_uint(256)  # fee_growth_inside_0
+            fees.load_uint(256)  # fee_growth_inside_1
+            d["nft_index"] = fees.load_uint(64)
+            d["jetton0_amount"] = fees.load_coins()
+            d["jetton1_amount"] = fees.load_coins()
+        return d
+    if op == OP_TONCO_POOL_INIT:
+        # POOLV3_INIT#441c39ed query_id:uint64 from_admin:bool
+        #   has_admin:bool admin:Addr has_controller:bool controller:Addr
+        #   set_spacing:bool tick_spacing:int24 set_price:bool
+        #   initial_price_x96:uint160 set_active:bool pool_active:bool
+        #   protocol_fee:uint16 lp_fee_base:uint16 lp_fee_current:uint16 …
+        #   (liquidity.py:289-344)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        s.load_bit()  # from_admin
+        s.load_bit()  # has_admin
+        s.load_address()  # admin
+        s.load_bit()  # has_controller
+        s.load_address()  # controller
+        s.load_bit()  # set_spacing
+        d["tick_spacing"] = s.load_int(24)
+        s.load_bit()  # set_price
+        d["initial_price_x96"] = s.load_uint(160)
+        s.load_bit()  # set_active
+        d["pool_active"] = bool(s.load_bit())
+        d["protocol_fee"] = s.load_uint(16)
+        d["lp_fee_base"] = s.load_uint(16)
+        d["lp_fee_current"] = s.load_uint(16)
+        return d
+    if op == OP_TONCO_POSITION_BURN:
+        # POSITIONNFTV3_POSITION_BURN#46ca335a query_id:uint64
+        #   nft_owner:Addr liquidity_to_burn:uint128 tick_lower:int24
+        #   tick_upper:int24 ^[fees]  (liquidity.py:432-462)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["nft_owner"] = s.load_address()
+        d["liquidity_to_burn"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        return d
+    if op == OP_TONCO_POOL_BURN:
+        # POOLV3_BURN#d73ac09d query_id:uint64 recipient:Addr
+        #   burned_index:uint64 liquidity:uint128 tick_lower:int24
+        #   tick_upper:int24 liquidity_to_burn:uint128 ^[old] ^[new]
+        #   (liquidity.py:187-224)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["recipient"] = s.load_address()
+        d["burned_index"] = s.load_uint(64)
+        d["liquidity"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        d["liquidity_to_burn"] = s.load_uint(128)
+        return d
+    if op == OP_TONCO_PAY_TO:
+        # ROUTERV3_PAY_TO#a1daa96d query_id:uint64 receiver0:Addr
+        #   receiver1:Addr exit_code:uint32 seqno:uint64
+        #   coinsinfo:(Maybe ^[amount0:Coins jetton0:Addr amount1:Coins
+        #   jetton1:Addr])  (messages/swaps.py:307-366); the router's
+        #   payout order defines asset0/asset1 for the withdraw matcher
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["receiver0"] = s.load_address()
+        d["receiver1"] = s.load_address()
+        d["exit_code"] = s.load_uint(32)
+        s.load_uint(64)  # seqno
+        coins = s.load_maybe_ref()
+        if coins is not None:
+            cs = coins.begin_parse()
+            d["amount0"] = cs.load_coins()
+            d["jetton0_address"] = cs.load_address()
+            d["amount1"] = cs.load_coins()
+            d["jetton1_address"] = cs.load_address()
+        return d
+    if op == OP_TONCO_MINT_REFUND:
+        # POOLV3_MINT#81702ef8 query_id:uint64 amount0_funded:Coins
+        #   amount1_funded:Coins recipient:Addr liquidity:uint128
+        #   tick_lower:int24 tick_upper:int24  (liquidity.py:139-162)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["amount0_funded"] = s.load_coins()
+        d["amount1_funded"] = s.load_coins()
+        d["recipient"] = s.load_address()
+        d["liquidity"] = s.load_uint(128)
+        d["tick_lower"] = s.load_int(24)
+        d["tick_upper"] = s.load_int(24)
+        return d
     if op == OP_TONCO_CREATE_POOL:
         # ROUTERV3_CREATE_POOL#2e3034ef query_id:uint64 jetton_wallet0:Addr
         #   jetton_wallet1:Addr tick_spacing:int24 initial_price_x96:uint160
@@ -1368,6 +1486,51 @@ def decode_body_cell(root: Cell) -> dict:
 
 
 # ----------------------------------------- getgems sale state-data decoders
+
+
+def decode_tonco_swap_payload(raw: bytes | str) -> list[tuple[str, int]]:
+    """Tonco POOLV3_SWAP forward payload → recursive (target router
+    jetton wallet, min_out_amount) list — the multicall chain the SDK
+    builds (messages/swaps.py:245-299 ToncoPoolV3SwapPayload).  Used to
+    recover the intended target asset of a FAILED swap.  Returns [] when
+    the payload is absent or not this shape."""
+    out: list[tuple[str, int]] = []
+    try:
+        s = parse_boc(raw).begin_parse()
+        while True:
+            if s.remaining_bits < 32 or s.load_uint(32) != OP_TONCO_SWAP:
+                break
+            wallet = s.load_address()
+            s.load_uint(160)  # price_limit_sqrt
+            min_out = s.load_coins() or 0
+            s.load_address()  # recipient
+            if wallet is not None:
+                out.append((wallet, min_out))
+            nxt = s.load_maybe_ref() if s.remaining_bits >= 1 else None
+            if nxt is None:
+                break
+            s = nxt.begin_parse()
+    except Exception:
+        pass
+    return out
+
+
+def decode_tonco_fund_payload(raw: bytes | str) -> dict | None:
+    """Tonco POOLV3_FUND_ACCOUNT forward payload (rides inside the jetton
+    notify during liquidity provision): other_jetton_wallet:Addr
+    amount0:Coins amount1:Coins …  (messages/liquidity.py:257-287).
+    Returns None when the payload is missing or not this shape."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.remaining_bits < 32 or s.load_uint(32) != OP_TONCO_FUND_ACCOUNT:
+            return None
+        return {
+            "other_jetton_wallet": s.load_address(),
+            "amount0": s.load_coins(),
+            "amount1": s.load_coins(),
+        }
+    except (BocError, Exception):
+        return None
 
 
 # getgems contract code hash (base64) → data-cell layout version; the
