@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 from ton_indexer_spark.catalog import Catalog  # noqa: E402
-from ton_indexer_spark.dedup import lsh_candidate_pairs  # noqa: E402
+from ton_indexer_spark.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    source_overlap_matrix,
+)
 from ton_indexer_spark.dedup.decontaminate import decontaminate  # noqa: E402
 from ton_indexer_spark.functions.charlm import (  # noqa: E402
     char_lm_score,

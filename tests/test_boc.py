@@ -661,15 +661,20 @@ def test_liquidity_matchers_on_boc_bodies(spark):
         SUBSCRIPTION_PAYMENT,
     )
     from ton_indexer_spark.classifier.protocols import (
+        PTON_TRANSFER,
         STONFI_V2_PROVIDE_LIQUIDITY,
-        TONCO_MINT,
+        TONCO_ADD_LIQUIDITY,
+        TONCO_FUND_ACCOUNT,
     )
     from ton_indexer_spark.functions.boc import (
+        OP_JETTON_NOTIFY,
+        OP_PTON_TRANSFER,
         OP_STONFI_V2_PROVIDE,
         OP_SUBSCRIPTION_PAY_REQ,
-        OP_TONCO_MINT,
+        OP_TONCO_ADD_LIQUIDITY,
         Builder,
     )
+    from ton_indexer_spark.classifier.base import JETTON_NOTIFY
 
     USR = "0:" + "12" * 32
 
@@ -681,13 +686,22 @@ def test_liquidity_matchers_on_boc_bodies(spark):
                 body=_b64(prov))
     b.chain(p, A[6], opcode=JETTON_INTERNAL)
 
-    mint = (Builder().store_uint(OP_TONCO_MINT, 32).store_uint(4, 64)
-            .store_address(USR).store_coins(10).store_coins(20)
-            .store_coins(10).store_coins(20).store_uint(777, 128)
-            .store_int(-100, 24).store_int(200, 24).end_cell())
+    # tonco deposit, reference shape over REAL BOC bodies:
+    # pTON entry -> notify -> FUND_ACCOUNT -> ADD_LIQUIDITY
+    pton = (Builder().store_uint(OP_PTON_TRANSFER, 32).store_uint(4, 64)
+            .store_coins(10).store_address(USR).end_cell())
+    notify = (Builder().store_uint(OP_JETTON_NOTIFY, 32).store_uint(4, 64)
+              .store_coins(10).store_address(USR).store_bit(0).end_cell())
+    add = (Builder().store_uint(OP_TONCO_ADD_LIQUIDITY, 32)
+           .store_uint(4, 64).store_coins(10).store_coins(0)
+           .store_coins(10).store_coins(20).store_uint(777, 128)
+           .store_int(-100, 24).store_int(200, 24).end_cell())
     b2 = TraceBuilder("tm1")
     r2 = b2.tx(A[1], None)
-    b2.chain(r2, A[7], opcode=TONCO_MINT, body=_b64(mint))
+    pt = b2.chain(r2, A[7], opcode=PTON_TRANSFER, body=_b64(pton))
+    n2 = b2.chain(pt, A[5], opcode=JETTON_NOTIFY, body=_b64(notify))
+    f2 = b2.chain(n2, A[6], opcode=TONCO_FUND_ACCOUNT)
+    b2.chain(f2, A[4], opcode=TONCO_ADD_LIQUIDITY, body=_b64(add))
 
     sub = (Builder().store_uint(OP_SUBSCRIPTION_PAY_REQ, 32)
            .store_uint(6, 64).store_coins(10**9).end_cell())
@@ -704,9 +718,9 @@ def test_liquidity_matchers_on_boc_bodies(spark):
     assert sv[0]["dex_deposit_liquidity_data"]["dex"] == "stonfi_v2"
 
     tm = acts_of(res, "tm1")
-    assert [a["type"] for a in tm] == ["tonco_deposit_liquidity"]
+    assert [a["type"] for a in tm] == ["dex_deposit_liquidity"]
     d = tm[0]["dex_deposit_liquidity_data"]
-    assert d["amount1"] == 10 and d["amount2"] == 20
+    assert d["amount1"] == 10 and d["target_amount_2"] == 20
     assert d["tick_lower"] == -100 and d["tick_upper"] == 200
 
     sb = acts_of(res, "sb1")

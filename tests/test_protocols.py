@@ -343,16 +343,20 @@ def test_evaa_family(spark):
     b = TraceBuilder("ev1")
     r = b.tx(A[0], None)
     m = b.chain(r, MASTER, opcode=EVAA_SUPPLY_MASTER, value=5000,
-                body=body_of({"amount": 5000, "asset_id": "TON"}))
-    u = b.chain(m, USER, opcode=EVAA_SUPPLY_USER)
-    b.chain(u, MASTER, opcode=EVAA_SUPPLY_SUCCESS)
+                body=body_of({"amount": 5000, "recipient_address": A[0]}))
+    u = b.chain(m, USER, opcode=EVAA_SUPPLY_USER,
+                body=body_of({"asset_id": "1a" * 32}))
+    b.chain(u, MASTER, opcode=EVAA_SUPPLY_SUCCESS,
+            body=body_of({"amount": 5000}))
 
     b2 = TraceBuilder("ev2")
     r2 = b2.tx(A[1], None)
     m2 = b2.chain(r2, MASTER, opcode=EVAA_WITHDRAW_MASTER,
-                  body=body_of({"amount": 70, "asset_id": "0:usdt"}))
+                  body=body_of({"amount": 70, "asset_id": "ca" * 32,
+                                "recipient_address": A[1]}))
     u2 = b2.chain(m2, USER, opcode=EVAA_WITHDRAW_USER)
-    c2 = b2.chain(u2, MASTER, opcode=EVAA_WITHDRAW_COLLATERALIZED)
+    c2 = b2.chain(u2, MASTER, opcode=EVAA_WITHDRAW_COLLATERALIZED,
+                  body=body_of({"amount": 70}))
     b2.chain(c2, USER, opcode=EVAA_WITHDRAW_FAIL)
 
     b3 = TraceBuilder("ev3")
@@ -374,8 +378,9 @@ def test_evaa_family(spark):
     wd = acts_of(res, "ev2")
     assert [a["type"] for a in wd] == ["evaa_withdraw"]
     assert wd[0]["success"] is False
-    assert wd[0]["evaa_withdraw_data"]["fail_reason"] == "withdraw_fail"
-    assert wd[0]["evaa_withdraw_data"]["asset_id"] == "0:usdt"
+    assert (wd[0]["evaa_withdraw_data"]["fail_reason"]
+            == "withdraw_no_funds_excess")
+    assert wd[0]["evaa_withdraw_data"]["asset_id"] == "0x" + "ca" * 32
 
     lq = acts_of(res, "ev3")
     assert [a["type"] for a in lq] == ["evaa_liquidate"]

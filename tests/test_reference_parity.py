@@ -61,15 +61,6 @@ KNOWN_GAPS: set[tuple[str, str]] = {
     ('dedust-liquidities.yaml', 'Merged rejected deposit'),
     ('ethena.yaml', 'Deposit'),
     ('ethena.yaml', 'Unstake request'),
-    ('evaa.yaml', 'Ton supply'),
-    ('evaa.yaml', 'Jetton supply'),
-    ('evaa.yaml', 'Withdraw Ton'),
-    ('evaa.yaml', 'Withdraw tsTon'),
-    ('evaa.yaml', 'Jetton supply (failed)'),
-    ('evaa.yaml', 'Ton withdrawal (no funds)'),
-    ('evaa.yaml', 'Jetton withdrawal(locked)'),
-    ('evaa.yaml', 'Jetton withdrawal (withdraw_not_collateralized_excess)'),
-    ('evaa.yaml', 'Ton withdrawal (withdraw_missing_prices_excess)'),
     ('jvault.yaml', 'Stake (partial referral updates)'),
     ('jvault.yaml', 'Stake (simple)'),
     ('jvault.yaml', 'Stake (failed, cancellation)'),

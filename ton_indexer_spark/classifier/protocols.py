@@ -1469,67 +1469,253 @@ def match_coffee_create_pool(node: Node, ctx: Ctx) -> dict | None:
 # --------------------------------------------------------------------- EVAA
 
 
+def _evaa_user_child(node: Node, op: int) -> "tuple[Node, dict] | None":
+    """Child of `node` whose body is an EVAA user-contract message with the
+    given post-header op (the version header garbles the raw opcode
+    column, so membership must decode — blocks/evaa.py:65-92)."""
+    from ton_indexer_spark.functions.boc import decode_evaa_user_body
+
+    for c in node.children:
+        if c.in_msg is None:
+            continue
+        if c.in_msg.body:
+            d = decode_evaa_user_body(c.in_msg.body)
+            if d is not None and d.get("opcode") == op:
+                return c, d
+        # synthetic fixtures carry the op headerless in the opcode column
+        if c.in_msg.opcode == op:
+            return c, c.in_msg.decoded_body()
+    return None
+
+
+# user-contract failure excess ops -> reason (messages/evaa.py:228-247)
+EVAA_WITHDRAW_FAIL_EXCESS = {
+    0x21E6: "withdraw_locked_excess",
+    0x21E7: "withdraw_not_collateralized_excess",
+    0x21E8: "withdraw_missing_prices_excess",
+    0x21EC: "withdraw_execution_crashed",
+}
+EVAA_WITHDRAW_NO_FUNDS_EXCESS = 0x211FE8
+EVAA_TON_ASSET_ID = (
+    "1a4219fe5e60d63af2a3cc7dce6fec69b45c6b5718497a6148e7c232ac87bd8a"
+)
+
+
+def _evaa_comment_child(node: Node) -> Node | None:
+    """The 0x0 text-comment ("EVAA supply." etc.) the protocol appends to
+    user-facing legs (evaa_action_comment_matcher)."""
+    for c in node.children:
+        if _op(c) == 0:
+            return c
+    return None
+
+
 def match_evaa_supply(node: Node, ctx: Ctx) -> dict | None:
-    """master (op 0x1) → user contract (0x11) → success (0x11a) back at
-    master (blocks/evaa.py EvaaSupplyBlockMatcher re-derived)."""
-    if _op(node) != EVAA_SUPPLY_MASTER:
+    """EVAA supply, TON and jetton arms (blocks/evaa.py:119-316
+    EvaaSupplyBlockMatcher): anchored at the supply_master#1 call (TON) or
+    at a jetton transfer whose forward payload is an EVAA supply (jetton);
+    the master calls the user contract (version-headered supply_user#11)
+    which answers supply_success#11a or supply_fail#11f.  Serialized per
+    _fill_evaa_supply_action (block_tree_serializer.py:677-693)."""
+    from ton_indexer_spark.functions.boc import decode_evaa_jetton_forward
+
+    op = _op(node)
+    is_ton = op == EVAA_SUPPLY_MASTER
+    claimed: list[Node] = []
+    asset = None
+    sender_wallet = master_wallet = recipient_wallet = None
+    if is_ton:
+        body = node.in_msg.decoded_body()
+        if "recipient_address" not in body:
+            return None
+        sender = node.in_msg.source
+        recipient = body.get("recipient_address")
+        amount = _int(body.get("amount"))
+        master_node = node
+        master = node.account
+        claimed.append(node)
+    elif op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        fwd_raw = node.in_msg.decoded_body().get("forward_payload")
+        fwd = decode_evaa_jetton_forward(fwd_raw) if fwd_raw else None
+        if fwd is None:
+            return None
+        sender = node.in_msg.source
+        recipient = fwd.get("recipient_address")
+        amount = _int(chain["amount"])
+        sender_wallet = node.account
+        master_wallet = chain["receiver_wallet"]
+        master_node = chain["notify"]
+        master = master_node.account
+        asset = _wallet_asset(node.account, ctx)
+        if sender == recipient:
+            recipient_wallet = sender_wallet
+        claimed += chain["claimed"]
+    else:
         return None
-    user = node.child_via(EVAA_SUPPLY_USER)
-    if user is None:
+
+    got = _evaa_user_child(master_node, EVAA_SUPPLY_USER)
+    if got is None:
         return None
-    claimed = [node, user]
-    done = user.child_via(EVAA_SUPPLY_SUCCESS) or user.child_via(
-        EVAA_SUPPLY_FAIL
-    )
-    if done is not None:
-        claimed.append(done)
-    body = node.in_msg.decoded_body()
+    user, user_body = got
+    claimed.append(user)
+    asset_id = user_body.get("asset_id")
+
+    success_node = user.child_via(EVAA_SUPPLY_SUCCESS)
+    fail_node = user.child_via(EVAA_SUPPLY_FAIL)
+    jetton_return = None
+    if success_node is None and fail_node is None:
+        # failed jetton supply bounces the tokens back via a transfer
+        for c in user.children:
+            rc = _jetton_chain(c, ctx)
+            if rc is not None:
+                jetton_return = rc
+                break
+        if jetton_return is None:
+            return None
+        claimed += jetton_return["claimed"]
+    is_success = success_node is not None
+    if success_node is not None:
+        claimed.append(success_node)
+        sb = success_node.in_msg.decoded_body()
+        amount = _int(sb.get("amount")) or amount
+        comment = _evaa_comment_child(success_node)
+        if comment is not None:
+            claimed.append(comment)
+    if fail_node is not None:
+        claimed.append(fail_node)
+
     return _base(
         node,
         "evaa_supply",
         claimed=claimed,
-        destination=node.account,
+        source=sender,
+        source_secondary=sender_wallet,
+        destination=recipient,
         destination_secondary=user.account,
-        amount=body.get("amount", node.in_msg.value),
-        success=done is None or done.in_msg.opcode == EVAA_SUPPLY_SUCCESS,
+        amount=amount,
+        asset=asset,
+        success=is_success,
         evaa_supply_data={
-            "recipient_jetton_wallet": body.get("recipient_jetton_wallet"),
-            "master": node.account,
-            "asset_id": body.get("asset_id", "TON"),
-            "is_ton": body.get("asset_id") in (None, "TON"),
+            "is_ton": is_ton,
+            "asset_id": f"0x{asset_id}" if asset_id else None,
+            "master": master,
+            "recipient_jetton_wallet": recipient_wallet,
+            "master_jetton_wallet": master_wallet,
         },
     )
 
 
 def match_evaa_withdraw(node: Node, ctx: Ctx) -> dict | None:
+    """EVAA withdraw (blocks/evaa.py:340-565 EvaaWithdrawBlockMatcher):
+    withdraw_master#2 -> headered withdraw_user#21 on the user contract ->
+    withdraw_collateralized#211 back at the master, which on success pays
+    out (TON via a 211a message, jetton via a transfer chain) and updates
+    the user contract; failure paths carry a reason excess op.  Serialized
+    per _fill_evaa_withdraw_action (block_tree_serializer.py:695-711)."""
     if _op(node) != EVAA_WITHDRAW_MASTER:
         return None
-    user = node.child_via(EVAA_WITHDRAW_USER)
-    if user is None:
+    body = node.in_msg.decoded_body()
+    if "asset_id" not in body:
         return None
+    owner = node.in_msg.source
+    master = node.account
+    asset_id = body.get("asset_id")
+    desired = _int(body.get("amount"))
+    recipient = body.get("recipient_address")
+    is_ton = asset_id == EVAA_TON_ASSET_ID
+
+    got = _evaa_user_child(node, EVAA_WITHDRAW_USER)
+    if got is None:
+        return None
+    user, _user_body = got
     claimed = [node, user]
+
+    amount = desired
+    is_success = False
+    fail_reason = None
+    asset = None
+    recipient_wallet = master_wallet = None
+
     coll = user.child_via(EVAA_WITHDRAW_COLLATERALIZED)
-    ok, fail = None, None
     if coll is not None:
         claimed.append(coll)
-        ok = coll.child_via(EVAA_WITHDRAW_SUCCESS)
-        fail = coll.child_via(EVAA_WITHDRAW_FAIL)
-        for leg in (ok, fail):
-            if leg is not None:
-                claimed.append(leg)
-        claimed += _value_children(coll, claimed)
-    body = node.in_msg.decoded_body()
+        cb = coll.in_msg.decoded_body()
+        amount = _int(cb.get("amount")) or desired
+        # master answers with the user-contract data update (headered
+        # 211a) and the payout leg
+        upd = _evaa_user_child(coll, EVAA_WITHDRAW_SUCCESS)
+        fail_upd = _evaa_user_child(coll, EVAA_WITHDRAW_FAIL)
+        if fail_upd is not None:
+            # no-funds revert: data rollback + excess back to the owner
+            fnode, _ = fail_upd
+            claimed.append(fnode)
+            for c in fnode.children:
+                if _op(c) == EVAA_WITHDRAW_NO_FUNDS_EXCESS:
+                    claimed.append(c)
+            fail_reason = "withdraw_no_funds_excess"
+            amount = desired
+        else:
+            if upd is not None:
+                unode, _ = upd
+                claimed.append(unode)
+                comment = _evaa_comment_child(unode)
+                if comment is not None:
+                    claimed.append(comment)
+            payout = None
+            for c in coll.children:
+                if upd is not None and c is upd[0]:
+                    continue
+                if is_ton and _op(c) == EVAA_WITHDRAW_SUCCESS:
+                    payout = c
+                    claimed.append(c)
+                    comment = _evaa_comment_child(c)
+                    if comment is not None:
+                        claimed.append(comment)
+                    break
+                if not is_ton:
+                    pc = _jetton_chain(c, ctx)
+                    if pc is not None:
+                        payout = c
+                        claimed += pc["claimed"]
+                        asset = _wallet_asset(c.account, ctx)
+                        master_wallet = c.account
+                        recipient_wallet = pc["receiver_wallet"]
+                        break
+            if payout is None:
+                return None
+            is_success = True
+    else:
+        # immediate failure on the user contract: one of the excess ops
+        fail_node = None
+        for c in user.children:
+            if _op(c) in EVAA_WITHDRAW_FAIL_EXCESS:
+                fail_node = c
+                break
+        if fail_node is None:
+            return None
+        claimed.append(fail_node)
+        fail_reason = EVAA_WITHDRAW_FAIL_EXCESS[_op(fail_node)]
+
     return _base(
         node,
         "evaa_withdraw",
         claimed=claimed,
-        source=node.in_msg.source,
-        amount=body.get("amount"),
-        success=fail is None,
+        source=owner,
+        destination=recipient,
+        destination_secondary=user.account,
+        amount=amount,
+        asset=asset,
+        success=is_success,
         evaa_withdraw_data={
-            "master": node.account,
-            "asset_id": body.get("asset_id", "TON"),
-            "fail_reason": "withdraw_fail" if fail is not None else None,
+            "is_ton": is_ton,
+            "recipient_jetton_wallet": recipient_wallet,
+            "master_jetton_wallet": master_wallet,
+            "fail_reason": fail_reason,
+            "master": master,
+            "asset_id": f"0x{asset_id}" if asset_id else None,
         },
     )
 

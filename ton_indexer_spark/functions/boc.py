@@ -46,13 +46,21 @@ class BocError(ValueError):
 
 @dataclass
 class Cell:
-    """An ordinary cell: up to 1023 data bits + up to 4 references."""
+    """An ordinary cell: up to 1023 data bits + up to 4 references.
+
+    ``exotic`` marks pruned-branch/merkle cells (they ride inside
+    signed-price payloads and merkle proofs); they deserialize so the
+    ORDINARY cells around them stay readable, but parsing into one
+    raises at the Slice layer."""
 
     data: bytes = b""  # packed bits, MSB-first
     bits: int = 0  # number of valid bits in `data`
     refs: list["Cell"] = field(default_factory=list)
+    exotic: bool = False
 
     def begin_parse(self) -> "Slice":
+        if self.exotic:
+            raise BocError("cannot parse an exotic cell")
         return Slice(self)
 
 
@@ -384,8 +392,13 @@ def parse_boc(raw: bytes | str) -> Cell:
     for _ in range(n_cells):
         d1, d2 = raw[p], raw[p + 1]
         p += 2
-        if d1 & 8:
-            raise BocError("exotic cells unsupported")
+        is_exotic = bool(d1 & 8)
+        if d1 & 16:
+            # with-hashes layout stores (hash, depth) per level in front
+            # of the data; skip them (popcount(level_mask)+1 entries)
+            level_mask = d1 >> 5
+            h = bin(level_mask).count("1") + 1
+            p += h * (32 + 2)
         n_refs = d1 & 0x07
         n_bytes = (d2 + 1) // 2
         data = raw[p : p + n_bytes]
@@ -399,19 +412,19 @@ def parse_boc(raw: bytes | str) -> Cell:
         else:
             bits = n_bytes * 8
         refs = [take(ref_size) for _ in range(n_refs)]
-        cells_raw.append((bits, data, refs))
+        cells_raw.append((bits, data, refs, is_exotic))
     if has_crc:
         p += 4
 
     built: list[Cell | None] = [None] * n_cells
     for i in range(n_cells - 1, -1, -1):  # children have larger indices
-        bits, data, refs = cells_raw[i]
+        bits, data, refs, is_exotic = cells_raw[i]
         kids = []
         for r in refs:
             if r <= i or built[r] is None:
                 raise BocError("non-topological ref")
             kids.append(built[r])
-        built[i] = Cell(data, bits, kids)
+        built[i] = Cell(data, bits, kids, is_exotic)
     root = built[roots[0]]
     assert root is not None
     return root
@@ -458,6 +471,8 @@ OP_TONCO_SWAP = 0xA7FB58F8           # messages/swaps.py:205-242
 OP_SUBSCRIPTION_PAY_REQ = 0x706C7567  # messages/subscriptions.py:6-12
 OP_EVAA_SUPPLY_MASTER = 0x1          # messages/evaa.py:8-26
 OP_EVAA_SUPPLY_USER = 0x11           # messages/evaa.py:52-73
+OP_EVAA_SUPPLY_SUCCESS = 0x11A       # messages/evaa.py:75-95
+OP_EVAA_SUPPLY_FAIL = 0x11F          # messages/evaa.py:98-116
 OP_EVAA_WITHDRAW_MASTER = 0x2        # messages/evaa.py:121-141
 OP_EVAA_WITHDRAW_COLL = 0x211        # messages/evaa.py:169-190
 OP_JVAULT_UNSTAKE = 0x499A9262       # messages/jvault.py:48-63
@@ -1119,6 +1134,14 @@ def decode_body_cell(root: Cell) -> dict:
         d["asset_id"] = f"{s.load_uint(256):064x}"
         d["amount"] = s.load_uint(64)
         return d
+    if op in (OP_EVAA_SUPPLY_SUCCESS, OP_EVAA_SUPPLY_FAIL):
+        # supply_success#11a / supply_fail#11f query_id:uint64 owner:Addr
+        #   asset_id:uint256 amount:uint64  (evaa.py:75-116)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["owner_address"] = s.load_address()
+        d["asset_id"] = f"{s.load_uint(256):064x}"
+        d["amount"] = s.load_uint(64)
+        return d
     if op == OP_EVAA_WITHDRAW_MASTER:
         # withdraw_master#2 query_id:uint64 asset_id:uint256 amount:uint64
         #   recipient:Addr  (evaa.py:121-141)
@@ -1486,6 +1509,52 @@ def decode_body_cell(root: Cell) -> dict:
 
 
 # ----------------------------------------- getgems sale state-data decoders
+
+
+def decode_evaa_user_body(raw: bytes | str) -> dict | None:
+    """EVAA user-contract message: version header (user_version:Coins
+    upgrade_info:Maybe ^Cell upgrade_exec:uint2) then the actual op
+    (blocks/evaa.py:59-92 load_user_header + EvaaContractWithHeaderMatcher)
+    — the header is why the raw 32-bit opcode column is garbage for these.
+    Returns the decoded op dict or None when the body isn't this shape."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        s.load_coins()  # user_version
+        s.load_maybe_ref()  # upgrade_info
+        s.load_uint(2)  # upgrade_exec
+        op = s.load_uint(32)
+        d: dict = {"opcode": op, "query_id": s.load_uint(64)}
+        if op in (0x11, 0x21, 0x211A, 0x211F):
+            d["asset_id"] = f"{s.load_uint(256):064x}"
+        if op in (0x11, 0x21):
+            d["amount"] = s.load_uint(64)
+        if op == 0x21:  # withdraw_user: recipient after s_rate/b_rate
+            s.load_uint(64)
+            s.load_uint(64)
+            d["recipient_address"] = s.load_address()
+        if op == 0x31:  # liquidate_user (evaa.py:286-320)
+            pass
+        return d
+    except Exception:
+        return None
+
+
+def decode_evaa_jetton_forward(raw: bytes | str) -> dict | None:
+    """EVAA supply/liquidate forward payload inside a jetton transfer:
+    op#1 include_user_code:int2 recipient:Addr …
+    (messages/evaa.py:27-50 EvaaSupplyJettonForwardMessage).  None when
+    not an EVAA payload."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        op = s.load_uint(32)
+        if op != OP_EVAA_SUPPLY_MASTER:
+            return None
+        d = {"opcode": op}
+        d["include_user_code"] = s.load_int(2) != 0
+        d["recipient_address"] = s.load_address()
+        return d
+    except Exception:
+        return None
 
 
 def decode_tonco_swap_payload(raw: bytes | str) -> list[tuple[str, int]]:
