@@ -86,18 +86,6 @@ KNOWN_GAPS: set[tuple[str, str]] = {
     ('stonfi-v2-swaps.yaml', 'Stonfi v2 Jetton -> Jetton'),
     ('stonfi-v2-swaps.yaml', 'Stonfi v2 Jetton -> Jetton multirouter'),
     ('stonfi-v2-swaps.yaml', 'Stonfi Jetton -> Ton -> Jetton'),
-    ('tgbtc.yaml', 'tgBTC new key'),
-    ('tgbtc.yaml', 'tgBTC new key (just another)'),
-    ('tgbtc.yaml', 'tgBTC mint'),
-    ('tgbtc.yaml', 'tgBTC mint (another)'),
-    ('tgbtc.yaml', 'tgBTC mint (very long)'),
-    ('tgbtc.yaml', 'tgBTC mint (another very long)'),
-    ('tgbtc.yaml', 'tgBTC burn'),
-    ('tgbtc.yaml', 'tgBTC burn (another)'),
-    ('tgbtc.yaml', 'tgBTC burn (with strange burn notification)'),
-    ('tgbtc.yaml', 'tgBTC dkg log (fallback)'),
-    ('tgbtc.yaml', 'tgBTC burn (wierd schema)'),
-    ('tgbtc.yaml', 'tgBTC burn (very old wierd and crippled)'),
     ('tonstakers.yaml', 'TS Stake deposit'),
     ('tonstakers.yaml', 'TS Withdrawal request'),
     ('tonstakers.yaml', 'TS Withdrawal via nft burn'),

@@ -1476,14 +1476,17 @@ def _evaa_user_child(node: Node, op: int) -> "tuple[Node, dict] | None":
     from ton_indexer_spark.functions.boc import decode_evaa_user_body
 
     for c in node.children:
-        if c.in_msg is None:
+        if c.in_msg is None or not c.in_msg.body:
             continue
-        if c.in_msg.body:
-            d = decode_evaa_user_body(c.in_msg.body)
-            if d is not None and d.get("opcode") == op:
-                return c, d
-        # synthetic fixtures carry the op headerless in the opcode column
-        if c.in_msg.opcode == op:
+        d = decode_evaa_user_body(c.in_msg.body)
+        if d is not None and d.get("opcode") == op:
+            return c, d
+    # synthetic fixtures carry the op headerless in the opcode column —
+    # only consulted when no headered child matched, because real traces
+    # can carry the SAME op headerless on a different (non-user) leg
+    # (e.g. the plain 211a TON payout next to the headered 211a update)
+    for c in node.children:
+        if c.in_msg is not None and c.in_msg.opcode == op:
             return c, c.in_msg.decoded_body()
     return None
 
@@ -1869,10 +1872,215 @@ def match_nominator_pool_ops(node: Node, ctx: Ctx) -> dict | None:
 
 # ------------------------------------------------------------ tgBTC bridge
 
-match_tgbtc_mint = _log_event(TGBTC_MINT_EVENT, "tgbtc_mint")
-match_tgbtc_burn = _log_event(TGBTC_BURN_EVENT, "tgbtc_burn")
-match_tgbtc_new_key = _log_event(TGBTC_NEW_KEY_EVENT, "tgbtc_new_key")
-match_tgbtc_dkg_log = _log_event(TGBTC_DKG_EVENT, "tgbtc_dkg_log")
+TGBTC_MINT_HEAD = 0x3F781D24    # mint chain head (tgbtc.py:91-104)
+TGBTC_MINT_TAIL = 0xE42A879B    # mint chain tail (tgbtc.py:66-68)
+TGBTC_BURN_NOTIFY = 0x7BDD97DE  # TEP-74 burn notification
+TGBTC_BURN_NOTIFY_ALT = 0x587643A2  # teleport-side alt notify (tgbtc.py:204)
+TGBTC_FEE_SPLIT = 0xBE44E7A6    # post-event fee fan-out (tgbtc.py:186-194)
+TGBTC_FEE = 0x1A84C0E0
+TGBTC_NEW_KEY_CALL = 0x690F357A  # coordinator -> teleport (tgbtc.py:299-301)
+JETTON_MINT_OPS = (0x642B7D07, 0x15)
+
+
+def _out_event(node: Node, opcode: int) -> dict | None:
+    """Decoded body of the node's external-out event log with `opcode`
+    (the reference's log blocks; our tree keeps them as out-messages)."""
+    for m in node.out_msgs:
+        if m.opcode == opcode:
+            return m.decoded_body() if m.body else {}
+    return None
+
+
+def match_tgbtc_mint(node: Node, ctx: Ctx) -> dict | None:
+    """tgBTC peg-in (tgbtc.py:54-156 TgBTCMintBlockMatcher + the
+    crippled log-only fallback :335-365): the mint chain runs head
+    #3f781d24 ... tail #e42a879b, which emits the mint event log and the
+    jetton mint.  Anchored at the HEAD (our classify loop is node-major,
+    so the highest node must claim the chain)."""
+    if _op(node) == TGBTC_MINT_HEAD:
+        # descend to the tail (reference climbs 20 parents, tgbtc.py:93)
+        path = None
+        stack = [(node, [node])]
+        depth = 0
+        while stack and depth < 4000:
+            depth += 1
+            cur, p = stack.pop()
+            if _op(cur) == TGBTC_MINT_TAIL and _out_event(
+                cur, TGBTC_MINT_EVENT
+            ):
+                path = p
+                break
+            for c in cur.children:
+                stack.append((c, p + [c]))
+        if path is None:
+            return None
+        tail = path[-1]
+        log = _out_event(tail, TGBTC_MINT_EVENT)
+        mint_node = next(
+            (c for c in tail.children if _op(c) in JETTON_MINT_OPS), None
+        )
+        if log is None or mint_node is None:
+            return None
+        claimed = list(path) + [mint_node]
+        internal = mint_node.child_via(JETTON_INTERNAL)
+        recipient_wallet = None
+        if internal is not None:
+            claimed.append(internal)
+            recipient_wallet = internal.account
+            exc = internal.child_via(EXCESSES)
+            if exc is not None:
+                claimed.append(exc)
+        return _base(
+            node,
+            "tgbtc_mint",
+            claimed=claimed,
+            source=node.in_msg.source,
+            source_secondary=tail.account,  # teleport contract
+            destination=log.get("recipient"),
+            destination_secondary=recipient_wallet,
+            amount=_int(log.get("amount")),
+            asset=mint_node.account,
+            asset_secondary=log.get("bitcoin_txid"),
+            success=True,
+        )
+    # crippled fallback: only the success log survives (tgbtc.py:335-365)
+    log = _out_event(node, TGBTC_MINT_EVENT)
+    if log is None or node.consumed:
+        return None
+    return _base(
+        node,
+        "tgbtc_mint_fallback",
+        claimed=[node],
+        source=node.in_msg.source if node.in_msg else None,
+        source_secondary=node.account,
+        destination=log.get("recipient"),
+        amount=_int(log.get("amount")),
+        asset_secondary=log.get("bitcoin_txid"),
+        success=True,
+    )
+
+
+def match_tgbtc_burn(node: Node, ctx: Ctx) -> dict | None:
+    """tgBTC peg-out (tgbtc.py:179-246 TgBTCBurnBlockMatcher + log-only
+    fallback :367-390): wallet burn -> burn notification chain -> the
+    teleport emits the burn event log and fans fees out."""
+    if _op(node) == JETTON_BURN:
+        # walk the notify chain until the node holding the burn log
+        cur = node
+        chain = [node]
+        log = None
+        for _ in range(4):
+            nxt = next(
+                (c for c in cur.children
+                 if _op(c) in (TGBTC_BURN_NOTIFY, TGBTC_BURN_NOTIFY_ALT)),
+                None,
+            )
+            if nxt is None:
+                break
+            chain.append(nxt)
+            cur = nxt
+            log = _out_event(cur, TGBTC_BURN_EVENT)
+            if log is not None:
+                break
+        if log is None:
+            return None
+        claimed = list(chain)
+        split = cur.child_via(TGBTC_FEE_SPLIT)
+        if split is not None:
+            claimed.append(split)
+            claimed += [
+                c for c in split.children
+                if _op(c) in (TGBTC_FEE, None) or (c.in_msg.value or 0) > 0
+            ]
+        body = node.in_msg.decoded_body()
+        amount = _int(body.get("amount"))
+        log_amount = _int(log.get("amount"))
+        if not amount:
+            amount = log_amount
+        elif log_amount is not None:
+            amount = min(amount, log_amount)
+        return _base(
+            node,
+            "tgbtc_burn",
+            claimed=claimed,
+            source=node.in_msg.source,
+            source_secondary=node.account,
+            destination=log.get("pegout_address"),
+            amount=amount,
+            asset=_wallet_asset(node.account, ctx) or chain[1].account,
+        )
+    log = _out_event(node, TGBTC_BURN_EVENT)
+    if log is None or node.consumed:
+        return None
+    return _base(
+        node,
+        "tgbtc_burn_fallback",
+        claimed=[node],
+        source=log.get("sender"),
+        source_secondary=None,
+        destination=log.get("pegout_address"),
+        amount=_int(log.get("amount")),
+        asset=None,
+    )
+
+
+def match_tgbtc_new_key(node: Node, ctx: Ctx) -> dict | None:
+    """tgBTC DKG new-key announcement (tgbtc.py:270-332
+    TgBTCNewKeyBlockMatcher): the coordinator's dkg-completed log rides on
+    the parent, the new-key log on the teleport call itself."""
+    if _op(node) != TGBTC_NEW_KEY_CALL:
+        return None
+    log = _out_event(node, TGBTC_NEW_KEY_EVENT)
+    if log is None:
+        return None
+    dkg = (
+        _out_event(node.parent, TGBTC_DKG_EVENT)
+        if node.parent is not None
+        else None
+    )
+    if dkg is None:
+        return None
+    claimed = [node, node.parent]
+    split = node.child_via(TGBTC_FEE_SPLIT)
+    if split is not None:
+        claimed.append(split)
+        claimed += [
+            c for c in split.children
+            if _op(c) in (TGBTC_FEE, None) or (c.in_msg.value or 0) > 0
+        ]
+    return _base(
+        node,
+        "tgbtc_new_key",
+        claimed=claimed,
+        source=node.parent.account,       # teleport_contract (dkg source)
+        source_secondary=log.get("new_internal_pubkey"),
+        destination=node.account,         # coordinator (new-key source)
+        destination_secondary=log.get("pegout_address"),
+        amount=_int(log.get("amount")),
+        value=_int(dkg.get("timestamp")),
+    )
+
+
+def match_tgbtc_dkg_log(node: Node, ctx: Ctx) -> dict | None:
+    """Lone dkg-completed log (tgbtc.py:430-451 TgBTCDkgLogOnlyMatcher —
+    always serialized with the _fallback suffix, serializer :886-890).
+    Skips traces where the full new-key shape will claim it."""
+    log = _out_event(node, TGBTC_DKG_EVENT)
+    if log is None:
+        return None
+    for c in node.children:
+        if _op(c) == TGBTC_NEW_KEY_CALL and _out_event(
+            c, TGBTC_NEW_KEY_EVENT
+        ):
+            return None  # the full new-key matcher anchors on the child
+    return _base(
+        node,
+        "tgbtc_dkg_log_fallback",
+        claimed=[node],
+        source=node.account,
+        asset=log.get("internal_pubkey"),
+        value=_int(log.get("timestamp")),
+    )
 
 
 # ---------------------------------------------------------------- LayerZero

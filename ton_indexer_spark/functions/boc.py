@@ -835,25 +835,33 @@ def decode_body_cell(root: Cell) -> dict:
         d["bitcoin_txid"] = s.load_uint(256).to_bytes(32, "little").hex()
         return d
     if op == OP_TGBTC_BURN_EVENT:
-        # burn#ca444ce6 amount:Coins sender:MsgAddress pegout:MsgAddress
+        # burn#ca444ce6 amount:Coins sender:MsgAddress pegout:MsgAddress;
+        # old/weird schemas truncate the addresses — the reference
+        # tolerates that and keeps the amount (messages/tgbtc.py:44-51)
         d = {"opcode": op}
         d["amount"] = s.load_coins()
-        d["sender"] = s.load_address()
-        d["pegout_address"] = s.load_address()
+        d["sender"] = None
+        d["pegout_address"] = None
+        try:
+            d["sender"] = s.load_address()
+            d["pegout_address"] = s.load_address()
+        except BocError:
+            pass
         return d
     if op == OP_TGBTC_NEW_KEY_EVENT:
         # new_key#27756729 amount:Coins new_internal_pubkey:uint256
         #   pegout:MsgAddress
         d = {"opcode": op}
         d["amount"] = s.load_coins()
-        d["new_internal_pubkey"] = f"{s.load_uint(256):064x}"
+        # reference renders hex(pubkey)[2:] — NO zero padding
+        d["new_internal_pubkey"] = f"{s.load_uint(256):x}"
         d["pegout_address"] = s.load_address()
         return d
     if op == OP_TGBTC_DKG_EVENT:
         # dkg_completed#453443a6 timestamp:uint64 internal_pubkey:uint256
         d = {"opcode": op}
         d["timestamp"] = s.load_uint(64)
-        d["internal_pubkey"] = f"{s.load_uint(256):064x}"
+        d["internal_pubkey"] = f"{s.load_uint(256):x}"  # hex()[2:] parity
         return d
     if op == OP_DEDUST_SWAP_NOTIFICATION:
         # swap#9c610de3 asset_in:Asset asset_out:Asset amount_in:Coins
@@ -1167,9 +1175,14 @@ def decode_body_cell(root: Cell) -> dict:
             d["force_unstake"] = bool(s.load_bit())
         return d
     if op == OP_JVAULT_CLAIM:
-        # claim_rewards#78d9f109 query_id:uint64 (jvault.py:81-97; the
-        #   jetton hashmap tail is skipped — matchers key on the op)
-        return {"opcode": op, "query_id": s.load_uint(64)}
+        # claim_rewards#78d9f109 query_id:uint64
+        #   jettons_to_claim:(HashmapE 267 Bit)  (jvault.py:81-97)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        try:
+            d["jettons_to_claim"] = address_hashmap_keys(s.load_maybe_ref())
+        except BocError:
+            d["jettons_to_claim"] = []
+        return d
     if op in (OP_COFFEE_SWAP_NATIVE, OP_COFFEE_POOL_NATIVE,
               OP_COFFEE_DEPOSIT_NATIVE):
         # swap.coffee native entries share the query_id:uint64 amount:Coins
@@ -1509,6 +1522,50 @@ def decode_body_cell(root: Cell) -> dict:
 
 
 # ----------------------------------------- getgems sale state-data decoders
+
+
+def _hashmap_keys(cell: "Cell", n: int, prefix: int, out: list) -> None:
+    """Recursive HashmapE key enumeration (TL-B hashmap: hml_short /
+    hml_long / hml_same labels, fork refs).  Values are ignored — the
+    jvault whitelist/claim dicts use unit values (jvault.py:6-12)."""
+    s = cell.begin_parse()
+    if s.load_bit() == 0:  # hml_short$0: unary length then bits
+        l = 0
+        while s.load_bit() == 1:
+            l += 1
+        bits = s.load_uint(l) if l else 0
+    elif s.load_bit() == 0:  # hml_long$10
+        l = s.load_uint(n.bit_length())
+        bits = s.load_uint(l) if l else 0
+    else:  # hml_same$11
+        b = s.load_bit()
+        l = s.load_uint(n.bit_length())
+        bits = (1 << l) - 1 if b else 0
+    prefix = (prefix << l) | bits
+    m = n - l
+    if m == 0:
+        out.append(prefix)
+        return
+    left = s.load_ref()
+    right = s.load_ref()
+    _hashmap_keys(left, m - 1, prefix << 1, out)
+    _hashmap_keys(right, m - 1, (prefix << 1) | 1, out)
+
+
+def address_hashmap_keys(root: "Cell | None") -> list[str]:
+    """HashmapE(267) root → the MsgAddressStd keys as raw address
+    strings, in key order (jvault.py:6-12 load_address_list)."""
+    if root is None:
+        return []
+    keys: list[int] = []
+    _hashmap_keys(root, 267, 0, keys)
+    out = []
+    for k in keys:
+        wc = (k >> 256) & 0xFF
+        if wc >= 128:
+            wc -= 256
+        out.append(f"{wc}:{k & ((1 << 256) - 1):064X}")
+    return out
 
 
 def decode_evaa_user_body(raw: bytes | str) -> dict | None:
