@@ -883,7 +883,7 @@ def test_round4b_decoder_batch():
     key = (Builder().store_uint(OP_TGBTC_NEW_KEY_EVENT, 32).store_coins(1)
            .store_uint(5, 256).store_address(A3).end_cell())
     dk = decode_message_body(b64(key))
-    assert dk["new_internal_pubkey"].endswith("05")
+    assert dk["new_internal_pubkey"] == "5"  # hex()[2:] — unpadded
     assert dk["pegout_address"] == A3
 
     dkg = (Builder().store_uint(OP_TGBTC_DKG_EVENT, 32)
@@ -1048,14 +1048,17 @@ def test_dedust_deposit_to_pool_decode_and_matcher(spark):
     VAULT, DEPOSIT, POOL = A[5], A[6], A[7]
     tb = TraceBuilder("ddp1")
     r = tb.tx(A[0], None)
-    v = tb.chain(r, VAULT, opcode=DEDUST_DEPOSIT_TON, value=10**9)
+    from tests.test_classifier import body_of
+    v = tb.chain(r, VAULT, opcode=DEDUST_DEPOSIT_TON, value=10**9,
+                 body=body_of({"amount": 10**9}))
     t = tb.chain(v, DEPOSIT, opcode=DEDUST_TOPUP_DEPOSIT)
     tb.chain(t, POOL, opcode=DEDUST_DEPOSIT_TO_POOL, body=b64)
     res = run(spark, [tb])
     acts = acts_of(res, "ddp1")
     assert [a["type"] for a in acts] == ["dex_deposit_liquidity"]
     data = acts[0]["dex_deposit_liquidity_data"]
-    assert data["amount2"] == 777 and data["asset2"] == JET
+    # pool-hop targets override the entry's: TON slot renders null
+    assert data["target_asset_2"] == JET and data["target_amount_2"] == 777
 
 
 def test_round4c_decoder_batch():

@@ -328,7 +328,8 @@ def test_nft_transfer(spark):
     res = run(spark, [b], nft_items=[{"address": ITEM}])
     acts = acts_of(res, "n1")
     assert [a["type"] for a in acts] == ["nft_transfer"]
-    assert acts[0]["destination"] == A[2] and acts[0]["asset"] == ITEM
+    assert acts[0]["destination"] == A[2]
+    assert acts[0]["asset_secondary"] == ITEM
 
 
 def test_jetton_swap_two_legs(spark):
@@ -480,11 +481,11 @@ def test_nft_mint_and_auction_bid(spark):
     res = run(spark, [b, b2], nft_items=[{"address": ITEM}],
               auctions=[{"address": AUC}])
     nm = acts_of(res, "nm1")
-    # item deploy is additionally unwound as contract_deploy (reference
-    # promotes nested ContractDeploy under any block type)
-    assert sorted(a["type"] for a in nm) == ["contract_deploy", "nft_mint"]
+    # the ownership notice classifies as its own nft_transfer next to the
+    # mint (nft.py:299-345); single-node mint keeps its deploy folded
+    assert sorted(a["type"] for a in nm) == ["nft_mint", "nft_transfer"]
     mint = next(a for a in nm if a["type"] == "nft_mint")
-    assert mint["asset"] == ITEM and len(mint["tx_hashes"]) == 3
+    assert mint["asset_secondary"] == ITEM and len(mint["tx_hashes"]) == 2
     ab = acts_of(res, "ab1")
     assert [a["type"] for a in ab] == ["auction_bid"]
     assert ab[0]["destination"] == AUC and ab[0]["value"] == 5 * 10**9
@@ -570,11 +571,16 @@ def test_nft_sale_lifecycle(spark):
     assert ps[0]["asset"] == ITEM
 
     buy = acts_of(res, "buy1")
-    assert [a["type"] for a in buy] == ["nft_purchase"]
-    a = buy[0]
-    assert a["source"] == BUYER and a["source_secondary"] == SALE
-    assert a["asset"] == ITEM and a["value"] == 10**10
-    assert len(a["tx_hashes"]) == 6  # initiator + sale, item, assigned, 2 payouts
+    # the purchase serializes as nft_transfer with is_purchase=true (the
+    # reference keeps the transfer block; payout legs classify apart)
+    assert sorted(a["type"] for a in buy) == [
+        "nft_transfer", "ton_transfer", "ton_transfer",
+    ]
+    a = next(x for x in buy if x["type"] == "nft_transfer")
+    assert a["source"] == SALE and a["destination"] == BUYER
+    assert a["asset_secondary"] == ITEM
+    assert a["nft_transfer_data"]["is_purchase"] is True
+    assert len(a["tx_hashes"]) == 4  # initiator + sale, item, assigned
 
 
 def test_classifier_feeds_actions_endpoint(spark):

@@ -84,11 +84,12 @@ def test_dedust_two_sided_deposit_merges(spark):
     data = d["dex_deposit_liquidity_data"]
     assert data["dex"] == "dedust"
     # combine_deposits order: partial legs first, then final
-    assert data["asset1"] == "TON" and data["amount1"] == 5000
+    # TON renders as null in every asset column (_addr(Asset))
+    assert data["asset1"] is None and data["amount1"] == 5000
     assert data["asset2"] == JET and data["amount2"] == 7000
     assert data["user_jetton_wallet_2"] == W_USER
     assert data["lp_tokens_minted"] == 123
-    assert data["target_asset_1"] == "TON" and data["target_amount_1"] == 5000
+    assert data["target_asset_1"] is None and data["target_amount_1"] == 5000
     assert data["target_asset_2"] == JET and data["target_amount_2"] == 7000
     # claimed span covers both entry legs (Block.merge_blocks analog)
     assert len(d["tx_hashes"]) >= 9
@@ -112,7 +113,7 @@ def test_dedust_partial_only_stays_partial(spark):
     assert len(deposits) == 1
     d = deposits[0]
     data = d["dex_deposit_liquidity_data"]
-    assert data["asset1"] == "TON" and data["amount1"] == 5000
+    assert data["asset1"] is None and data["amount1"] == 5000
     assert data["amount2"] is None and data["lp_tokens_minted"] is None
     assert d["destination_secondary"] == DC
     assert d["source"] == USER
@@ -184,8 +185,8 @@ def test_dedust_partial_decodes_real_boc_body(spark):
     acts = acts_of(res, "dd-boc")
     d = next(a for a in acts if a["type"] == "dex_deposit_liquidity")
     data = d["dex_deposit_liquidity_data"]
-    assert data["amount1"] == 5000 and data["asset1"] == "TON"
-    assert data["target_asset_1"] == "TON"
+    assert data["amount1"] == 5000 and data["asset1"] is None
+    assert data["target_asset_1"] is None  # TON renders null
     assert data["target_amount_1"] == 5000
     assert data["target_asset_2"] == HEXJET
     assert data["target_amount_2"] == 7000
@@ -249,11 +250,11 @@ def test_plain_external_without_wallet_body_stays_silent(spark):
     assert acts_of(res, "fx3") == []
 
 
-def test_successful_lone_external_not_misclassified_as_failed(spark):
-    """An in-flight pending trace — the wallet tx SUCCEEDED but its
-    children haven't been ingested yet — must NOT be classified as a
-    failed transfer (the reference applies try_process_unknown_event only
-    to failed events)."""
+def test_successful_lone_external_recovers_ghost(spark):
+    """A finalized single-tx external-only trace means the send never
+    executed, aborted flag or not — the reference recovers the signed
+    wallet body as failed ghost actions for ANY childless external
+    (trace_processor.py:44-46 + try_process_unknown_event:340-348)."""
     from ton_indexer_spark.functions.boc import (
         encode_comment,
         parse_boc,
@@ -270,4 +271,6 @@ def test_successful_lone_external_not_misclassified_as_failed(spark):
     b.tx(WALLET, None, body=encode_wallet_external([inner], wallet="v3"),
          aborted=False)
     res = run(spark, [b])
-    assert acts_of(res, "okx1") == []
+    acts = acts_of(res, "okx1")
+    assert [a["type"] for a in acts] == ["ton_transfer"]
+    assert acts[0]["success"] is False  # ghost: the send never landed

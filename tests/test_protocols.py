@@ -44,8 +44,10 @@ from ton_indexer_spark.classifier.protocols import (
     EVAA_WITHDRAW_USER,
     JVAULT_CLAIM,
     JVAULT_RECEIVE,
+    JVAULT_REQUEST_UPDATE,
     JVAULT_SEND_CLAIMED,
     JVAULT_UNSTAKE_REQUEST,
+    JVAULT_UPDATE_REWARDS,
     LZ_CHANNEL_COMMIT_PACKET,
     LZ_ENDPOINT_SEND,
     LZ_EVENT,
@@ -123,8 +125,9 @@ def test_dedust_family(spark):
     assert [a["type"] for a in swap] == ["jetton_swap"]
     sd = swap[0]["jetton_swap_data"]
     assert sd["dex"] == "dedust"
-    assert sd["amount_in"] == 10**9 and sd["amount_out"] == 900
-    assert len(sd["peer_swaps"]) == 1  # one peer hop
+    # amounts live in the dex transfer twins (serializer shape)
+    assert sd["dex_incoming_transfer"]["amount"] == 10**9
+    assert sd["dex_outgoing_transfer"]["amount"] == 900
     assert len(swap[0]["tx_hashes"]) == 6
 
     dep = acts_of(res, "dd2")
@@ -293,11 +296,21 @@ def test_coffee_family(spark):
     pi = b.chain(h2, VAULT2, opcode=COFFEE_PAYOUT_INTERNAL)
     b.chain(pi, A[0], opcode=COFFEE_PAYOUT, value=900)
 
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_DEPLOY_OP,
+        COFFEE_DEPOSITORY_REQUEST,
+        COFFEE_POOL_CREATOR_REQUEST,
+        COFFEE_POOL_REQUEST,
+    )
+
     b2 = TraceBuilder("cf2")
     r2 = b2.tx(A[1], None)
     d = b2.chain(r2, VAULT, opcode=COFFEE_DEPOSIT_NATIVE, value=400,
                  body=body_of({"amount": 400}))
-    b2.chain(d, POOL, opcode=0x1)
+    rq = b2.chain(d, "0:cfactory" + "0" * 54,
+                  opcode=COFFEE_DEPOSITORY_REQUEST,
+                  body=body_of({"amount": 400, "recipient": A[1]}))
+    b2.chain(rq, "0:depository" + "0" * 52, opcode=COFFEE_DEPLOY_OP)
 
     b3 = TraceBuilder("cf3")
     r3 = b3.tx(A[2], None)
@@ -307,21 +320,29 @@ def test_coffee_family(spark):
 
     b4 = TraceBuilder("cf4")
     r4 = b4.tx(A[3], None)
-    b4.chain(r4, VAULT, opcode=COFFEE_CREATE_VAULT)
+    cv = b4.chain(r4, "0:cfactory" + "0" * 54, opcode=COFFEE_CREATE_VAULT)
+    b4.chain(cv, VAULT, opcode=COFFEE_DEPLOY_OP)  # deploys the vault
 
     b5 = TraceBuilder("cf5")
     r5 = b5.tx(A[4], None)
-    cp = b5.chain(r5, "0:factory" + "0" * 55, opcode=COFFEE_CREATE_POOL_NATIVE,
-                  body=body_of({"amount_1": 10, "amount_2": 20,
-                                "provided_asset": "TON"}))
-    b5.chain(cp, POOL, opcode=0x2)
+    cp = b5.chain(r5, VAULT, opcode=COFFEE_CREATE_POOL_NATIVE,
+                  body=body_of({"amount": 10, "first": "0:tokA",
+                                "second": "0:tokB", "recipient": A[4]}))
+    pr = b5.chain(cp, "0:cfactory" + "0" * 54,
+                  opcode=COFFEE_POOL_CREATOR_REQUEST)
+    dp = b5.chain(pr, "0:creator" + "0" * 56, opcode=COFFEE_DEPLOY_OP)
+    preq = b5.chain(dp, "0:cfactory" + "0" * 54,
+                    opcode=COFFEE_POOL_REQUEST,
+                    body=body_of({"amount1": 10, "amount2": 20,
+                                  "tx_initiator": A[5]}))
+    b5.chain(preq, POOL, opcode=COFFEE_DEPLOY_OP)
 
     res = run(spark, [b, b2, b3, b4, b5])
     swap = acts_of(res, "cf1")
     assert [a["type"] for a in swap] == ["jetton_swap"]
     sd = swap[0]["jetton_swap_data"]
     assert sd["dex"] == "coffee"
-    assert sd["amount_in"] == 1000 and sd["amount_out"] == 900
+    assert sd["dex_incoming_transfer"]["amount"] == 1000
     assert len(swap[0]["tx_hashes"]) == 6
 
     assert [a["type"] for a in acts_of(res, "cf2")] == ["dex_deposit_liquidity"]
@@ -333,7 +354,7 @@ def test_coffee_family(spark):
     assert [a["type"] for a in pool] == ["coffee_create_pool"]
     cpd = pool[0]["coffee_create_pool_data"]
     assert cpd["amount_1"] == 10 and cpd["amount_2"] == 20
-    assert cpd["provided_asset"] == "TON"
+    assert cpd["provided_asset"] is None  # TON leg renders null
 
 
 def test_evaa_family(spark):
@@ -391,41 +412,59 @@ def test_evaa_family(spark):
 
 def test_jvault_family(spark):
     SP = "0:stakepool" + "0" * 53
+    SW = "0:stakewallet" + "0" * 51
 
+    # stake: jetton transfer -> pool notify -> receive_jettons on the
+    # stake wallet -> rewards-update round-trip (blocks/jvault.py:104)
     b = TraceBuilder("jv1")
     r = b.tx(A[0], None)
-    s = b.chain(r, SP, opcode=JVAULT_RECEIVE,
-                body=body_of({"amount": 500, "period": 90}))
-    i = b.chain(s, W1, opcode=JETTON_INTERNAL)
-    b.chain(i, A[0], opcode=JETTON_NOTIFY)
+    t = b.chain(r, W1, opcode=JETTON_TRANSFER,
+                body=body_of({"amount": 500, "destination": SP}))
+    i = b.chain(t, W2, opcode=JETTON_INTERNAL)
+    n = b.chain(i, SP, opcode=JETTON_NOTIFY,
+                body=body_of({"amount": 500, "sender": A[0]}))
+    rc = b.chain(n, SW, opcode=JVAULT_RECEIVE)
+    ru = b.chain(rc, SP, opcode=JVAULT_REQUEST_UPDATE)
+    b.chain(ru, SW, opcode=JVAULT_UPDATE_REWARDS)
 
+    # unstake request without the pool round-trip = failed arm
     b2 = TraceBuilder("jv2")
     r2 = b2.tx(A[1], None)
-    b2.chain(r2, SP, opcode=JVAULT_UNSTAKE_REQUEST)
+    b2.chain(r2, SW, opcode=JVAULT_UNSTAKE_REQUEST,
+             body=body_of({"amount": 70}))
 
+    # claim: stake wallet -> send_claimed_rewards -> jetton payout chain
     b3 = TraceBuilder("jv3")
     r3 = b3.tx(A[2], None)
-    c = b3.chain(r3, SP, opcode=JVAULT_CLAIM)
-    b3.chain(c, W1, opcode=JVAULT_SEND_CLAIMED,
-             body=body_of({"jetton": "0:j1", "amount": 5}))
-    b3.chain(c, W2, opcode=JVAULT_SEND_CLAIMED,
-             body=body_of({"jetton": "0:j2", "amount": 7}))
+    c = b3.chain(r3, SW, opcode=JVAULT_CLAIM)
+    sc = b3.chain(c, SP, opcode=JVAULT_SEND_CLAIMED)
+    o1 = b3.chain(sc, W1, opcode=JETTON_TRANSFER,
+                  body=body_of({"amount": 5, "destination": A[2]}))
+    o2 = b3.chain(o1, W2, opcode=JETTON_INTERNAL)
+    b3.chain(o2, A[2], opcode=JETTON_NOTIFY)
 
-    res = run(spark, [b, b2, b3])
+    res = run(spark, [b, b2, b3], jetton_wallets=[
+        {"address": W1, "owner": A[0], "jetton": "0:tokA"},
+        {"address": W2, "owner": SP, "jetton": "0:tokA"},
+    ])
     st = acts_of(res, "jv1")
     assert [a["type"] for a in st] == ["jvault_stake"]
-    assert st[0]["jvault_stake_data"]["period"] == 90
-    assert st[0]["amount"] == 500
-    assert len(st[0]["tx_hashes"]) == 4
+    assert st[0]["amount"] == 500 and st[0]["asset"] == "0:tokA"
+    assert st[0]["destination"] == SP
+    assert st[0]["jvault_stake_data"]["stake_wallet"] == SW
+    assert len(st[0]["tx_hashes"]) == 7  # 6 claimed + initiating root
 
-    assert [a["type"] for a in acts_of(res, "jv2")] == ["jvault_unstake_request"]
+    wr = acts_of(res, "jv2")
+    assert [a["type"] for a in wr] == ["jvault_unstake_request"]
+    assert wr[0]["success"] is False and wr[0]["amount"] == 70
+    assert wr[0]["source_secondary"] == SW
 
     cl = acts_of(res, "jv3")
     assert [a["type"] for a in cl] == ["jvault_claim"]
     jc = cl[0]["jvault_claim_data"]
-    assert jc["claimed_jettons"] == ["0:j1", "0:j2"]
-    assert jc["claimed_amounts"] == [5, 7]
-    assert len(cl[0]["tx_hashes"]) == 4
+    assert jc["claimed_amounts"] == [5]
+    assert cl[0]["destination"] == SP
+    assert cl[0]["source_secondary"] == SW
 
 
 def test_staking_extras(spark):
@@ -453,9 +492,11 @@ def test_staking_extras(spark):
 
     res = run(spark, [b, b2, b3, b4])
     ts = acts_of(res, "ts1")
-    assert [a["type"] for a in ts] == ["tonstakers_withdraw"]
+    # delayed payout releases serialize as stake_withdrawal (the
+    # reference's TONStakersWithdrawBlock type)
+    assert [a["type"] for a in ts] == ["stake_withdrawal"]
     assert ts[0]["amount"] == 8 * 10**9
-    assert ts[0]["staking_data"]["provider"] == "tonstakers"
+    assert ts[0]["staking_data"]["provider"] == "liquid_staking"
     assert ts[0]["staking_data"]["tokens_burnt"] == 77
 
     assert [a["type"] for a in acts_of(res, "np1")] == ["nominator_pool_deposit"]
@@ -470,7 +511,6 @@ def test_staking_extras(spark):
 
 def test_bridge_and_log_events(spark):
     BRIDGE = "0:bridge" + "0" * 56
-    CHANNEL = "0:chan" + "0" * 58
 
     # tgBTC event logs: evidenced by external-out event messages
     b = TraceBuilder("tg1")
@@ -482,43 +522,10 @@ def test_bridge_and_log_events(spark):
     burn_tx = b2.chain(r2, BRIDGE, opcode=0x4321)
     b2.out(burn_tx, "0:ext" + "0" * 59, opcode=TGBTC_BURN_EVENT)
 
-    # LayerZero: endpoint send claims the channel hop; receive is a log
-    b3 = TraceBuilder("lz1")
-    r3 = b3.tx(A[2], None)
-    ep = b3.chain(r3, "0:endpoint" + "0" * 54, opcode=LZ_ENDPOINT_SEND)
-    b3.chain(ep, CHANNEL, opcode=LZ_CHANNEL_COMMIT_PACKET)
-    b4 = TraceBuilder("lz2")
-    r4 = b4.tx(A[3], None)
-    rcv = b4.chain(r4, CHANNEL, opcode=0x9999)
-    b4.out(rcv, "0:ext" + "0" * 59, opcode=LZ_EVENT)
-
-    # Cocoon payment channel ops
-    b5 = TraceBuilder("cc1")
-    r5 = b5.tx(A[4], None)
-    wp = b5.chain(r5, "0:cocoon" + "0" * 56, opcode=COCOON_WORKER_PAYOUT_REQ)
-    b5.chain(wp, A[5], opcode=COCOON_PAYOUT, value=123)
-    b6 = TraceBuilder("cc2")
-    r6 = b6.tx(A[6], None)
-    b6.chain(r6, "0:cocoon" + "0" * 56, opcode=COCOON_CLIENT_TOPUP, value=50)
-    b7 = TraceBuilder("cc3")
-    r7 = b7.tx(A[7], None)
-    b7.chain(r7, "0:cocoon" + "0" * 56, opcode=COCOON_CLIENT_REGISTER)
-
-    res = run(spark, [b, b2, b3, b4, b5, b6, b7])
+    res = run(spark, [b, b2])
     # log-only evidence serializes with the reference's _fallback suffix
     assert [a["type"] for a in acts_of(res, "tg1")] == ["tgbtc_mint_fallback"]
     assert [a["type"] for a in acts_of(res, "tg2")] == ["tgbtc_burn_fallback"]
-    lz = acts_of(res, "lz1")
-    assert [a["type"] for a in lz] == ["layerzero_send"]
-    assert len(lz[0]["tx_hashes"]) == 3
-    assert [a["type"] for a in acts_of(res, "lz2")] == ["layerzero_receive"]
-    cc = acts_of(res, "cc1")
-    assert [a["type"] for a in cc] == ["cocoon_worker_payout"]
-    assert cc[0]["amount"] == 123 and cc[0]["destination"] == A[5]
-    assert [a["type"] for a in acts_of(res, "cc2")] == ["cocoon_client_top_up"]
-    assert [a["type"] for a in acts_of(res, "cc3")] == ["cocoon_client_register"]
-
-
 def test_nft_extras(spark):
     ITEM = "0:tele" + "0" * 58
     AUC = "0:auc" + "0" * 59
@@ -664,7 +671,9 @@ def test_ethena_family(spark):
     assert [a["type"] for a in dep] == ["stake_deposit"]
     assert dep[0]["staking_data"]["provider"] == "ethena"
     assert dep[0]["staking_data"]["tokens_minted"] == 950
-    assert dep[0]["asset"] == "0:usde" and dep[0]["amount"] == 1000
+    # asset = the minted tsUSDe master, deposited USDe rides as asset2
+    # (block_tree_serializer.py:1277-1289)
+    assert dep[0]["asset2"] == "0:usde" and dep[0]["amount"] == 1000
 
     wr = acts_of(res, "eth2")
     assert [a["type"] for a in wr] == ["stake_withdrawal_request"]
@@ -761,7 +770,7 @@ def test_coffee_staking_family(spark):
 
     hold = acts_of(res, "cs4")
     assert [a["type"] for a in hold] == ["coffee_mev_protect_hold_funds"]
-    assert hold[0]["amount"] == 10**9 and hold[0]["asset"] == "TON"
+    assert hold[0]["amount"] == 10**9 and hold[0]["asset"] is None
     assert len(hold[0]["tx_hashes"]) == 3
 
     fail = acts_of(res, "cs5")
@@ -841,9 +850,13 @@ def test_layerzero_extras(spark):
         {"address": W2, "owner": OAPP, "jetton": "0:tok"},
     ])
     st = acts_of(res, "lz1")
-    assert [a["type"] for a in st] == ["layerzero_send_tokens"]
-    assert st[0]["amount"] == 7 and st[0]["asset"] == "0:tok"
-    assert len(st[0]["tx_hashes"]) == 6
+    # the bare endpoint child (no full callback chain) stays unclaimed
+    assert sorted(a["type"] for a in st) == [
+        "call_contract", "layerzero_send_tokens",
+    ]
+    tok = next(a for a in st if a["type"] == "layerzero_send_tokens")
+    assert tok["amount"] == 7 and tok["asset"] == "0:tok"
+    assert len(tok["tx_hashes"]) == 5
 
     dvn = acts_of(res, "lz2")
     assert [a["type"] for a in dvn] == ["layerzero_dvn_verify"]
@@ -853,29 +866,40 @@ def test_layerzero_extras(spark):
 def test_cocoon_extended_family(spark):
     from ton_indexer_spark.classifier.protocols import (
         COCOON_CHANGE_SECRET_HASH,
-        COCOON_CHARGE,
+        COCOON_CHARGE_PAYLOAD,
+        COCOON_CLIENT_REQUEST,
         COCOON_CLIENT_WITHDRAW_OP,
         COCOON_INCREASE_STAKE,
         COCOON_REGISTER_PROXY,
         COCOON_REQUEST_REFUND,
+        COCOON_RETURN_EXCESSES,
         COCOON_UNREGISTER_PROXY,
         COCOON_WALLET_SEND,
     )
 
     ROOT = "0:ccroot" + "0" * 57
+    CLIENT = "0:ccclient" + "0" * 55
+
+    # charge: proxy → client request + excesses (blocks/cocoon.py:336)
+    b0 = TraceBuilder("cc0")
+    r0 = b0.tx(A[0], None)
+    ch = b0.chain(r0, ROOT, opcode=COCOON_CHARGE_PAYLOAD,
+                  body=body_of({"query_id": 5, "new_tokens_used": 9}))
+    b0.chain(ch, CLIENT, opcode=COCOON_CLIENT_REQUEST)
+    b0.chain(ch, A[0], opcode=COCOON_RETURN_EXCESSES)
+
     simple_ops = [
-        (COCOON_CHARGE, "cocoon_proxy_charge"),
         (COCOON_REGISTER_PROXY, "cocoon_register_proxy"),
         (COCOON_UNREGISTER_PROXY, "cocoon_unregister_proxy"),
         (COCOON_CHANGE_SECRET_HASH, "cocoon_client_change_secret_hash"),
         (COCOON_INCREASE_STAKE, "cocoon_client_increase_stake"),
         (COCOON_CLIENT_WITHDRAW_OP, "cocoon_client_withdraw"),
     ]
-    builders = []
-    for k, (op, _typ) in enumerate(simple_ops):
+    builders = [b0]
+    for k, (op, _typ) in enumerate(simple_ops, start=1):
         bb = TraceBuilder(f"cc{k}")
         rr = bb.tx(A[k], None)
-        bb.chain(rr, ROOT, opcode=op)
+        bb.chain(rr, ROOT, opcode=op, body=body_of({"query_id": k}))
         builders.append(bb)
 
     # wrapped refund request: wallet send -> refund op
@@ -886,14 +910,14 @@ def test_cocoon_extended_family(spark):
     builders.append(bw)
 
     res = run(spark, builders)
-    for k, (_op, typ) in enumerate(simple_ops):
+    assert [a["type"] for a in acts_of(res, "cc0")] == ["cocoon_proxy_charge"]
+    for k, (_op, typ) in enumerate(simple_ops, start=1):
         acts = acts_of(res, f"cc{k}")
         assert [a["type"] for a in acts] == [typ], typ
     ref = acts_of(res, "ccw")
     assert [a["type"] for a in ref] == ["cocoon_client_request_refund"]
+    assert ref[0]["cocoon_client_request_refund_data"]["via_wallet"] is True
     assert len(ref[0]["tx_hashes"]) == 3
-
-
 def test_dns_and_teleitem_extras(spark):
     from ton_indexer_spark.classifier.protocols import (
         AUCTION_FILL_UP,
@@ -1002,116 +1026,8 @@ def test_tonstakers_burn_notification_boc_body(spark):
     b.chain(pool_tx, USER, value=987654)
     res = run(spark, [b])
     acts = acts_of(res, "tsb1")
-    assert [a["type"] for a in acts] == ["tonstakers_withdraw"]
+    assert [a["type"] for a in acts] == ["stake_withdrawal"]
     assert acts[0]["staking_data"]["tokens_burnt"] == 987654
-
-
-def test_layerzero_send_boc_body(spark):
-    """Endpoint send with a real lzSend metadata BOC: request id, fees,
-    nonce/guid and the route reach the typed action data."""
-    import base64
-
-    from ton_indexer_spark.functions.boc import (
-        _LZ_CELL_FILLER_BITS,
-        _LZ_CELL_HEADER_BITS,
-        _LZ_MD_NAME,
-        _LZ_PACKET_HEADER,
-        _LZ_PATH_HEADER,
-        _LZ_SEND_FILLER_BITS,
-        _LZ_SEND_HEADER,
-        _LZ_SEND_HEADER_BITS,
-        OP_LZ_ENDPOINT_SEND,
-        Builder,
-        serialize_boc,
-    )
-
-    ones = lambda n: (1 << n) - 1  # noqa: E731
-    path = (Builder()
-            .store_uint(_LZ_PATH_HEADER, _LZ_CELL_HEADER_BITS)
-            .store_uint(ones(_LZ_CELL_FILLER_BITS), _LZ_CELL_FILLER_BITS)
-            .store_uint(1, 32).store_uint(0xA1, 256)
-            .store_uint(2, 32).store_uint(0xB2, 256).end_cell())
-    packet = (Builder()
-              .store_uint(_LZ_PACKET_HEADER, _LZ_CELL_HEADER_BITS)
-              .store_uint(ones(_LZ_CELL_FILLER_BITS), _LZ_CELL_FILLER_BITS)
-              .store_ref(path).store_ref(Builder().end_cell())
-              .store_uint(3, 64).store_uint(0xD4, 256).end_cell())
-    fees = (Builder().store_uint(1, 256)
-            .store_uint(900, 128).store_uint(10, 128)
-            .store_ref(Builder().end_cell())
-            .store_ref(Builder().end_cell()).end_cell())
-    lz = (Builder().store_uint(_LZ_MD_NAME, 80)
-          .store_uint(_LZ_SEND_HEADER, _LZ_SEND_HEADER_BITS)
-          .store_uint(ones(_LZ_SEND_FILLER_BITS), _LZ_SEND_FILLER_BITS)
-          .store_uint(55, 64).store_uint(0x11, 256).store_uint(0x22, 256)
-          .store_ref(packet).store_ref(Builder().end_cell())
-          .store_ref(fees).end_cell())
-    md_obj = (Builder().store_ref(lz)
-              .store_ref(Builder().end_cell()).end_cell())
-    body = base64.b64encode(serialize_boc(
-        (Builder().store_uint(OP_LZ_ENDPOINT_SEND, 32).store_uint(9, 64)
-         .store_coins(0).store_address(A[8]).store_ref(md_obj).end_cell())
-    )).decode()
-
-    ENDPOINT, CHANNEL = "0:endpoint" + "0" * 54, "0:chan" + "0" * 58
-    b = TraceBuilder("lzb1")
-    r = b.tx(A[0], None)
-    ep = b.chain(r, ENDPOINT, opcode=LZ_ENDPOINT_SEND, body=body)
-    b.chain(ep, CHANNEL, opcode=LZ_CHANNEL_COMMIT_PACKET)
-    res = run(spark, [b])
-    acts = acts_of(res, "lzb1")
-    assert [a["type"] for a in acts] == ["layerzero_send"]
-    sd = acts[0]["layerzero_send_data"]
-    assert sd["send_request_id"] == 55 and sd["native_fee"] == 900
-    assert sd["zro_fee"] == 10 and sd["channel"] == CHANNEL
-    pd = acts[0]["layerzero_packet_data"]
-    assert pd["src_eid"] == 1 and pd["dst_eid"] == 2 and pd["nonce"] == 3
-    assert pd["guid"] == hex(0xD4) and pd["dst_oapp"] == hex(0xB2)
-
-
-def test_layerzero_receive_event_payload_decoded(spark):
-    """The LZ endpoint event log (0xe33b9873) decodes query/donation/
-    origin and the md-cell topic into layerzero_receive_data when the
-    out-message body is a real BOC (reference LayerZeroEventMsgBody +
-    LayerZeroEventAction, layerzero.py:302-346)."""
-    import base64
-
-    from ton_indexer_spark.classifier.protocols import LZ_EVENT
-    from ton_indexer_spark.functions.boc import (
-        _LZ_EVENT_FILLER_BITS,
-        _LZ_EVENT_HEADER,
-        _LZ_EVENT_HEADER_BITS,
-        OP_LZ_EVENT,
-        Builder,
-        serialize_boc,
-    )
-
-    ORIGIN = A[8]
-    topic = int.from_bytes(bytes([9] * 32), "big")
-    md = (Builder()
-          .store_uint(_LZ_EVENT_HEADER, _LZ_EVENT_HEADER_BITS)
-          .store_uint((1 << _LZ_EVENT_FILLER_BITS) - 1,
-                      _LZ_EVENT_FILLER_BITS)
-          .store_uint(topic, 256)
-          .store_ref(Builder().end_cell())
-          .store_ref(Builder().end_cell())
-          .end_cell())
-    ev = (Builder().store_uint(OP_LZ_EVENT, 32).store_uint(11, 64)
-          .store_coins(321).store_address(ORIGIN).store_ref(md).end_cell())
-    body = base64.b64encode(serialize_boc(ev)).decode()
-
-    b = TraceBuilder("lzr1")
-    r = b.tx(A[0], None)
-    ch = b.chain(r, A[7], opcode=0x4321)
-    b.out(ch, "0:ext" + "0" * 59, opcode=LZ_EVENT, body=body)
-    res = run(spark, [b])
-    acts = acts_of(res, "lzr1")
-    assert [a["type"] for a in acts] == ["layerzero_receive"]
-    data = acts[0]["layerzero_receive_data"]
-    assert data["query_id"] == 11
-    assert data["donation_nanos"] == 321
-    assert data["origin"] == ORIGIN
-    assert data["topic"] == bytes([9] * 32).hex()
 
 
 def test_layerzero_dvn_verify_reads_callback_body(spark):

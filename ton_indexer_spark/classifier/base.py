@@ -89,6 +89,12 @@ def _base(node: Node, typ: str, **kw) -> dict:
         "end_lt": max(n.tx_lt for n in claimed),
         "start_utime": min(_node_utime(n) for n in claimed),
         "end_utime": max(n.tx_now for n in claimed),
+        # max masterchain seqno across the claimed txs
+        # (block_tree_serializer.py:114) — None when inputs lack it
+        "mc_seqno_end": max(
+            (n.mc_seqno for n in claimed if n.mc_seqno is not None),
+            default=None,
+        ),
     }
     act.update(kw)
     # Deterministic action id, reference-compatible: sha256 of the root

@@ -140,6 +140,28 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
         amount=_D, sender=_S, pegout_address=_S)),
     T.StructField("tgbtc_new_key_data", _struct(
         amount=_D, new_internal_pubkey=_S, pegout_address=_S)),
+    T.StructField("cocoon_worker_payout_data", _struct(
+        payout_type=_S, query_id=_D, new_tokens=_D, worker_state=_I,
+        worker_tokens=_D)),
+    T.StructField("cocoon_proxy_payout_data", _struct(query_id=_D)),
+    T.StructField("cocoon_proxy_charge_data", _struct(
+        query_id=_D, new_tokens_used=_D, expected_address=_S)),
+    T.StructField("cocoon_client_top_up_data", _struct(query_id=_D)),
+    T.StructField("cocoon_register_proxy_data", _struct(query_id=_D)),
+    T.StructField("cocoon_unregister_proxy_data", _struct(
+        query_id=_D, seqno=_L)),
+    T.StructField("cocoon_client_register_data", _struct(
+        query_id=_D, nonce=_D)),
+    T.StructField("cocoon_client_change_secret_hash_data", _struct(
+        query_id=_D, new_secret_hash=_S)),
+    T.StructField("cocoon_client_request_refund_data", _struct(
+        query_id=_D, via_wallet=_B)),
+    T.StructField("cocoon_grant_refund_data", _struct(
+        query_id=_D, new_tokens_used=_D, expected_address=_S)),
+    T.StructField("cocoon_client_increase_stake_data", _struct(
+        query_id=_D, new_stake=_D)),
+    T.StructField("cocoon_client_withdraw_data", _struct(
+        query_id=_D, withdraw_amount=_D)),
     T.StructField("tgbtc_dkg_log_data", _struct(
         timestamp=_L, internal_pubkey=_S)),
 ]

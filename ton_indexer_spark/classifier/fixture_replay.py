@@ -55,6 +55,8 @@ def fixture_rows(data: dict) -> list[dict]:
             "aborted": bool(tx["aborted"]),
             "orig_status": tx["orig_status"],
             "end_status": tx["end_status"],
+            "compute_exit_code": _i(tx.get("compute_exit_code")),
+            "mc_block_seqno": _i(tx.get("mc_block_seqno")),
         }
         msgs = tx.get("messages") or []
         if not msgs:
@@ -89,6 +91,10 @@ def fixture_ctx(data: dict) -> dict:
     interfaces: dict = data.get("interfaces") or {}
     jetton_wallets: dict[str, tuple] = {}
     nft_items: set[str] = set()
+    nft_index: dict[str, int] = {}
+    nft_collection: dict[str, str] = {}
+    nft_sale_info: dict[str, dict] = {}
+    nft_auction_info: dict[str, dict] = {}
     nft_sales: dict[str, str] = {}
     auctions: set[str] = set()
     dex_pools: set[str] = set()
@@ -104,9 +110,16 @@ def fixture_ctx(data: dict) -> dict:
                 )
             elif name == "NftItem":
                 nft_items.add(account)
+                idx = fields.get("index")
+                if idx is not None:
+                    nft_index[account] = int(float(idx))
+                if fields.get("collection_address"):
+                    nft_collection[account] = fields["collection_address"]
             elif name == "NftSale":
                 nft_sales[account] = fields.get("nft_address")
+                nft_sale_info[account] = fields
             elif name == "NftAuction":
+                nft_auction_info[account] = fields
                 auctions.add(account)
             elif name == "DedustPool":
                 dex_pools.add(account)
@@ -121,6 +134,10 @@ def fixture_ctx(data: dict) -> dict:
         "dims_present": FIXTURE_DIMS,
         "jetton_wallets": jetton_wallets,
         "nft_items": nft_items,
+        "nft_index": nft_index,
+        "nft_collection": nft_collection,
+        "nft_sale_info": nft_sale_info,
+        "nft_auction_info": nft_auction_info,
         "dns_items": set(),
         "dex_pools": dex_pools,
         "pool_dex": pool_dex,

@@ -69,14 +69,21 @@ def match_nft_mint(node: Node, ctx: Ctx) -> dict | None:
     if node.orig_status != "active" and node.end_status == "active":
         items = ctx.get("nft_items") or set()
         if node.account in items:
-            claimed = [node] + [
-                c for c in node.children
-                if c.in_msg is not None and c.in_msg.opcode == OWNERSHIP_ASSIGNED
-            ]
+            # the ownership_assigned notice stays UNCLAIMED: the
+            # reference emits it as its own nft_transfer next to the
+            # mint (nft.py:299-345 TelegramNftPurchaseBlockMatcher)
+            claimed = [node]
             body = node.in_msg.decoded_body() if node.in_msg else {}
+            index = body.get("index")
+            if index is None:
+                index = ctx.get("nft_index", {}).get(node.account)
             return _base(
-                node, "nft_mint", claimed=claimed, asset=node.account,
-                nft_mint_data={"nft_item_index": body.get("index")},
+                node, "nft_mint", claimed=claimed,
+                # serializer shape (block_tree_serializer.py:267-277):
+                # asset = collection (the deployer), asset_secondary = item
+                asset=(node.in_msg.source if node.in_msg else None),
+                asset_secondary=node.account,
+                nft_mint_data={"nft_item_index": index},
             )
     return None
 
@@ -226,51 +233,6 @@ def match_nft_put_on_sale(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
-def match_nft_purchase(node: Node, ctx: Ctx) -> dict | None:
-    """Value transfer into a sale contract that triggers the NFT transfer
-    chain to the buyer = purchase (the getgems fix-price flow)."""
-    m = node.in_msg
-    sales = ctx.get("nft_sales", {})
-    if m is None or m.source is None or node.account not in sales:
-        return None
-    if (m.value or 0) <= 0:
-        return None
-    # the sale's reaction: transfer the item to the buyer
-    nft_leg = next(
-        (c for c in node.children
-         if c.in_msg is not None and c.in_msg.opcode == NFT_TRANSFER),
-        None,
-    )
-    if nft_leg is None:
-        return None
-    claimed = [node, nft_leg]
-    assigned = nft_leg.child_via(OWNERSHIP_ASSIGNED)
-    if assigned is not None:
-        claimed.append(assigned)
-    # payout legs to the seller/marketplace/royalty are part of the action
-    claimed += [
-        c for c in node.children
-        if c is not nft_leg and c.in_msg is not None
-        and (c.in_msg.value or 0) > 0 and c not in claimed
-    ]
-    return _base(
-        node,
-        "nft_purchase",
-        claimed=claimed,
-        source=m.source,                 # buyer
-        destination=m.source,            # new owner
-        source_secondary=node.account,   # sale contract
-        asset=sales[node.account] or nft_leg.account,
-        value=m.value,
-        nft_transfer_data={
-            "is_purchase": True,
-            "price": m.value,
-            "query_id": nft_leg.in_msg.decoded_body().get("query_id"),
-            "marketplace": "getgems",
-        },
-    )
-
-
 def match_auction_bid(node: Node, ctx: Ctx) -> dict | None:
     """Plain value transfer into a known auction contract = bid."""
     m = node.in_msg
@@ -283,19 +245,48 @@ def match_auction_bid(node: Node, ctx: Ctx) -> dict | None:
     return _base(node, "auction_bid", destination=node.account)
 
 
+TS_MINT_TOKENS = 0x1674B0A0  # mint jettons / mint NFT (staking.py:26-30)
+
+
 def match_stake_deposit(node: Node, ctx: Ctx) -> dict | None:
+    """Tonstakers deposit (staking.py:132-176 TONStakersDepositMatcher):
+    deposit request at the pool, minting tsTON back to the user; amount =
+    message value minus the 1-TON deposit fee, asset = the minter the
+    internal transfer came from, serialized per
+    block_tree_serializer.py:505-514."""
     if node.in_msg is None or node.in_msg.opcode != STAKE_DEPOSIT_OP:
         return None
-    claimed = [node] + [
+    claimed = [node]
+    mint = node.child_via(TS_MINT_TOKENS)
+    tokens_minted = None
+    asset = None
+    internal = None
+    if mint is not None:
+        claimed.append(mint)
+        internal = mint.child_via(JETTON_INTERNAL)
+    if internal is not None:
+        claimed.append(internal)
+        tokens_minted = internal.in_msg.decoded_body().get("amount")
+        asset = internal.in_msg.source
+        for c in internal.children:
+            if c.in_msg is not None and c.in_msg.opcode in (
+                EXCESSES, JETTON_NOTIFY,
+            ):
+                claimed.append(c)
+    claimed += [
         c for c in node.children
         if c.in_msg is not None and c.in_msg.opcode == EXCESSES
+        and c not in claimed
     ]
-    body = node.in_msg.decoded_body()
+    value = node.in_msg.value
     return _base(node, "stake_deposit", claimed=claimed,
                  destination=node.account,
+                 amount=(value - 10**9) if value is not None else None,
+                 asset=asset,
+                 success=internal is not None,
                  staking_data={
-                     "provider": "tonstakers",
-                     "tokens_minted": body.get("tokens_minted"),
+                     "provider": "liquid_staking",
+                     "tokens_minted": tokens_minted,
                  })
 
 
@@ -592,8 +583,24 @@ def match_jetton_burn(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
+def _num(v):
+    """Captured interface numbers arrive as str/float — exact int or None."""
+    if v is None:
+        return None
+    try:
+        return int(float(v))
+    except (TypeError, ValueError):
+        return None
+
+
 def match_nft_transfer(node: Node, ctx: Ctx) -> dict | None:
-    """old-owner → nft item (0x5fcc3d14) [→ new-owner (0x05138d91)]"""
+    """old-owner → nft item (0x5fcc3d14) [→ new-owner (0x05138d91)],
+    with the reference's purchase detection (nft.py:105-190): a transfer
+    triggered by a sale/auction contract in the parent position becomes
+    is_purchase=true with the listing's price and real previous owner;
+    the action stays type nft_transfer unless the seller payout rides
+    downstream of the transfer (the nft_purchase upgrade,
+    nft.py:193-250)."""
     if node.in_msg is None or node.in_msg.opcode != NFT_TRANSFER:
         return None
     if ctx.get("nft_items") is not None and node.account not in ctx["nft_items"]:
@@ -606,22 +613,119 @@ def match_nft_transfer(node: Node, ctx: Ctx) -> dict | None:
     if excess is not None:
         claimed.append(excess)
     payload = node.in_msg.decoded_body()
-    return _base(
+    new_owner = payload.get(
+        "new_owner", assigned.account if assigned else None
+    )
+    prev_owner = (
+        assigned.in_msg.decoded_body().get("prev_owner")
+        if assigned is not None else None
+    ) or node.in_msg.source
+
+    data = {
+        "is_purchase": False,
+        "price": None,
+        "query_id": payload.get("query_id"),
+        "nft_item_index": ctx.get("nft_index", {}).get(node.account),
+        "forward_amount": payload.get("forward_amount"),
+        "custom_payload": payload.get("custom_payload"),
+        "forward_payload": payload.get("forward_payload"),
+        "response_destination": payload.get("response_destination"),
+    }
+    parent = node.parent
+    purchase = None
+    if parent is not None:
+        pm = parent.in_msg
+        sinfo = ctx.get("nft_sale_info", {}).get(parent.account)
+        if sinfo is None and parent.account in (ctx.get("nft_sales") or {}):
+            sinfo = {"nft_address": ctx["nft_sales"][parent.account]}
+        ainfo = ctx.get("nft_auction_info", {}).get(parent.account)
+        if (
+            sinfo is not None
+            and sinfo.get("nft_address") == node.account
+            and pm is not None
+            and pm.opcode in (None, 0)
+            and (pm.source is None or new_owner is None
+                 or pm.source == new_owner)
+        ):
+            purchase = {
+                "price": _num(sinfo.get("full_price")),
+                "real_prev_owner": sinfo.get("nft_owner_address"),
+                "marketplace_address": sinfo.get("marketplace_address"),
+            }
+        elif ainfo is not None and ainfo.get("nft_addr") == node.account:
+            purchase = {
+                "price": _num(ainfo.get("last_bid")),
+                "real_prev_owner": ainfo.get("nft_owner"),
+                "marketplace_address": ainfo.get("mp_addr"),
+            }
+    from_sale = False
+    if purchase is not None and purchase["real_prev_owner"] != new_owner:
+        from_sale = parent.account in ctx.get("nft_sale_info", {}) or (
+            parent.account in (ctx.get("nft_sales") or {})
+        )
+        data.update(
+            is_purchase=True,
+            price=purchase["price"],
+            marketplace="getgems",
+            marketplace_address=purchase["marketplace_address"],
+            real_prev_owner=purchase["real_prev_owner"],
+            payout_comment=None,
+        )
+        # the triggering buy message joins the action unless it is the
+        # finish/stop proxy (nft.py:153-157)
+        pm = parent.in_msg
+        comment = pm.decoded_body().get("comment") if pm.body else None
+        if comment not in ("finish", "stop"):
+            claimed.append(parent)
+    act = _base(
         node,
         "nft_transfer",
         claimed=claimed,
-        source=node.in_msg.source,
-        destination=payload.get(
-            "new_owner", assigned.account if assigned else None
-        ),
-        asset=node.account,
-        nft_transfer_data={
-            "is_purchase": False,
-            "query_id": payload.get("query_id"),
-            "forward_amount": payload.get("forward_amount"),
-            "response_destination": payload.get("response_destination"),
-        },
+        source=prev_owner,
+        destination=new_owner,
+        asset=ctx.get("nft_collection", {}).get(node.account),
+        asset_secondary=node.account,
+        # only the transfer leg's own failure fails the action — an
+        # aborted zero-value ownership notice doesn't (nft.py:165)
+        success=not node.aborted,
+        nft_transfer_data=data,
     )
+    if from_sale and purchase is not None:
+        # the fix-price flow ALSO serializes an upgraded nft_purchase
+        # when the seller payout is present (nft.py:193-250
+        # GetgemsNftPurchaseBlockMatcher); auctions don't
+        payout = next(
+            (c for c in parent.children
+             if c is not node and c.in_msg is not None
+             and c.account == purchase["real_prev_owner"]
+             and (c.in_msg.value or 0) > 0),
+            None,
+        )
+        if payout is not None:
+            pdata = dict(data)
+            pdata["payout_amount"] = payout.in_msg.value
+            pbody = payout.in_msg.decoded_body() if payout.in_msg.body else {}
+            pdata["payout_comment"] = pbody.get("comment")
+            pdata["payout_comment_encrypted"] = bool(
+                pbody.get("is_encrypted")
+            )
+            pdata["payout_comment_encoded"] = (
+                pbody.get("comment") is not None
+            )
+            act["children"] = [
+                _base(
+                    node,
+                    "nft_purchase",
+                    claimed=claimed + [payout],
+                    source=prev_owner,
+                    destination=new_owner,
+                    asset=ctx.get("nft_collection", {}).get(node.account),
+                    asset_secondary=node.account,
+                    success=not node.aborted,
+                    nft_transfer_data=pdata,
+                )
+            ]
+    return act
 
 
 def match_subscription(node: Node, ctx: Ctx) -> dict | None:
@@ -950,6 +1054,99 @@ def match_call_contract(node: Node, ctx: Ctx) -> dict | None:
     return _base(node, "call_contract")
 
 
+AUCTION_FILL_UP_OP = 0x370FEC51  # auction_fill_up (auction.py)
+
+
+def match_nft_sale_purchase(node: Node, ctx: Ctx) -> dict | None:
+    """Value into a known sale contract that triggers the NFT transfer:
+    delegate to the transfer matcher anchored at the child so the buy
+    message is claimed into the SAME action instead of leaking a plain
+    ton_transfer first (node-major analog of the reference's
+    matcher-major priority)."""
+    m = node.in_msg
+    if m is None or m.opcode not in (None, 0):
+        return None
+    if (
+        node.account not in ctx.get("nft_sale_info", {})
+        and node.account not in (ctx.get("nft_sales") or {})
+    ):
+        return None
+    # lifecycle comments drive cancel/finish, not purchases (nft.py:154)
+    if m.body and m.decoded_body().get("comment") in (
+        "cancel", "finish", "stop",
+    ):
+        return None
+    child = node.child_via(NFT_TRANSFER)
+    if child is None or child.consumed:
+        return None
+    return match_nft_transfer(child, ctx)
+
+
+def match_nft_ownership_notice(node: Node, ctx: Ctx) -> dict | None:
+    """A bare ownership_assigned notification from a known NFT item is a
+    transfer in its own right (nft.py:299-345 non-purchase arm of
+    TelegramNftPurchaseBlockMatcher) — e.g. the payout-NFT handed to a
+    staker next to its mint."""
+    m = node.in_msg
+    if m is None or m.opcode != OWNERSHIP_ASSIGNED:
+        return None
+    item = m.source
+    if item is None or item not in (ctx.get("nft_items") or set()):
+        return None
+    body = m.decoded_body()
+    qid = body.get("query_id")
+    data = {
+        "query_id": int(qid) if qid is not None else None,
+        "is_purchase": False,
+        "price": None,
+        "nft_item_index": ctx.get("nft_index", {}).get(item),
+        "forward_amount": None,
+        "custom_payload": None,
+        "forward_payload": body.get("forward_payload"),
+        "response_destination": None,
+    }
+    claimed = [node]
+    bid = body.get("bid")
+    if bid is not None:
+        # teleitem bid payload = a fragment purchase; the item's own call
+        # and its auction fill-up payouts join the action
+        # (nft.py:299-363 TelegramNftPurchaseBlockMatcher purchase arm)
+        data.update(is_purchase=True, price=int(bid),
+                    marketplace="fragment", real_prev_owner=None)
+        parent = node.parent
+        if parent is not None and (
+            parent.in_msg is None
+            or parent.in_msg.opcode in (None, 0)
+            or parent.in_msg.source is None
+        ):
+            claimed.append(parent)
+            payouts = sorted(
+                (c for c in parent.children if c.in_msg is not None
+                 and c.in_msg.opcode == AUCTION_FILL_UP_OP),
+                key=lambda c: c.in_msg.created_lt or 0,
+            )
+            claimed += payouts
+            if len(payouts) > 1:
+                data["royalty_amount"] = payouts[0].in_msg.value
+                data["payout_amount"] = payouts[1].in_msg.value
+                data["royalty_address"] = payouts[0].account
+                data["payout_address"] = payouts[1].account
+            elif payouts:
+                data["payout_amount"] = payouts[0].in_msg.value
+                data["payout_address"] = payouts[0].account
+    return _base(
+        node,
+        "nft_transfer",
+        claimed=claimed,
+        source=body.get("prev_owner"),
+        destination=node.account,
+        asset=ctx.get("nft_collection", {}).get(item),
+        asset_secondary=item,
+        success=True,
+        nft_transfer_data=data,
+    )
+
+
 # priority order mirrors specificity (deploy before generic call, token
 # chains before plain transfers) — reference registry event_processing.py:209+
 # Protocol-specific families (protocols.py) are spliced in ahead of the
@@ -961,7 +1158,6 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("nft_mint", match_nft_mint),             # before generic deploy
     ("nft_put_on_sale", match_nft_put_on_sale),
     ("contract_deploy", match_contract_deploy),
-    ("nft_purchase", match_nft_purchase),     # before plain transfers
     *PROTOCOL_MATCHERS,                       # opcode-keyed protocol families
     ("dex_deposit_liquidity", match_dex_deposit_liquidity),  # LP mint: more specific than swap
     ("jetton_swap", match_jetton_swap),       # before plain transfer: more specific
@@ -972,6 +1168,8 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
     ("jetton_transfer_fallback", match_jetton_transfer_fallback),  # no internal leg
     ("jetton_burn", match_jetton_burn),
     ("nft_transfer", match_nft_transfer),
+    ("nft_sale_purchase", match_nft_sale_purchase),
+    ("nft_ownership_notice", match_nft_ownership_notice),
     ("nft_discovery", match_nft_discovery),
     ("multisig_create_order", match_multisig_create_order),
     ("multisig_approve", match_multisig_approve),

@@ -44,14 +44,16 @@ def _combine_deposits(final: dict, first: dict) -> bool:
         return False
 
     # gather (asset, amount, user_wallet) legs — partial first, final second,
-    # same-asset legs summed (liquidity.py:524-549)
+    # same-asset legs summed (liquidity.py:524-549).  A TON leg carries
+    # asset=None (the reference merges Asset objects where TON is truthy;
+    # here a leg exists whenever it has an amount)
     legs: list[tuple[object, object, object]] = []
     for d in (pd_, fd):
         for i in (1, 2):
             asset = d.get(f"asset{i}")
-            if asset is None:
-                continue
             amount = d.get(f"amount{i}")
+            if asset is None and amount is None:
+                continue
             wallet = d.get(f"user_jetton_wallet_{i}")
             hit = next((j for j, t in enumerate(legs) if t[0] == asset), None)
             if hit is None:
@@ -67,10 +69,15 @@ def _combine_deposits(final: dict, first: dict) -> bool:
         fd[f"asset{i}"] = asset
         fd[f"amount{i}"] = amount
         fd[f"user_jetton_wallet_{i}"] = wallet
-    for k in ("target_asset_1", "target_amount_1",
-              "target_asset_2", "target_amount_2"):
+    for k in ("target_amount_1", "target_amount_2"):
         if fd.get(k) is None and pd_.get(k) is not None:
             fd[k] = pd_[k]
+    if len(legs) >= 2:
+        # targets reorder to the merged LEG order, TON (None) included
+        # (liquidity.py:566-568) — must run last so the partial backfill
+        # can't overwrite a meaningful None (= TON)
+        fd["target_asset_1"] = legs[0][0]
+        fd["target_asset_2"] = legs[1][0]
     final["dex_deposit_liquidity_data"] = fd
 
     # Block.merge_blocks analog: union claimed txs, widen the lt/utime span

@@ -45,6 +45,9 @@ DEDUST_TOPUP_DEPOSIT = 0x54240FE5
 DEDUST_DEPOSIT_TO_POOL = 0xB56B9598
 DEDUST_ASK_FACTORY = 0xF04EC526     # vault → factory: create deposit contract
 DEDUST_DEPLOY_DEPOSIT = 0x9B3AA3FA  # factory → deposit-contract deploy
+DEDUST_DESTROY_DEPOSIT = 0xAAE79256  # deposit-contract destroy (liquidity.py:91)
+DEDUST_RETURN_EXCESS = 0x6B0B787F    # vault excess return (liquidity.py:95)
+DEDUST_REJECT_DEPOSIT = 0xE1A36CD4   # pool rejects the deposit (liquidity.py:383)
 
 # --- Ston.fi v1/v2 (messages/swaps.py:8-64,129, messages/liquidity.py:99)
 STONFI_SWAP = 0x25938561
@@ -130,6 +133,20 @@ LZ_PROXY_CALL = 0x09F047D9        # Proxy::OP::CALL_CONTRACT (:1233)
 LZ_ULN_VERIFY = 0x994AAF4E        # Uln::OP::ULN_VERIFY (:791)
 LZ_ULN_CONN_VERIFY = 0x4EC8F80A   # UlnConnection verify (:840)
 LZ_ULN_VERIFY_CB = 0x3CB38090     # UlnConnection verify callback (:912)
+LZ_CHANNEL_SEND = 0x536FEB09      # Channel::CHANNEL_SEND (:520)
+LZ_MCONN_SEND = 0x4002B790        # MsglibConnection SEND (:659)
+LZ_ULN_SEND = 0x5DE68393          # Uln::ULN_SEND (:784)
+LZ_MSGLIB_SEND_CB = 0x421C1A25    # Channel::MSGLIB_SEND_CALLBACK (:560)
+LZ_OAPP_SEND_CB = 0xA2B5FBAE      # Layerzero::CHANNEL_SEND_CALLBACK (:592)
+LZ_RECEIVE_PREPARE = 0x22F3AC09   # Channel::LZ_RECEIVE_PREPARE (:549)
+LZ_OAPP_RECEIVE_PREPARE = 0x97DF404C  # Layerzero::LZ_RECEIVE_PREPARE (:1108)
+LZ_RECEIVE_LOCK = 0xB7680BC6      # Channel::LZ_RECEIVE_LOCK (:543)
+LZ_RECEIVE_EXECUTE = 0x0C7B8418   # Layerzero::LZ_RECEIVE_EXECUTE (:1101)
+LZ_OAPP_EXECUTE_CB = 0xCAAE25A1   # EXECUTE_CALLBACK (:1377)
+LZ_ULN_COMMIT = 0x28B97077        # Uln::ULN_COMMIT_PACKET (:765)
+LZ_ULN_CONN_COMMIT = 0xF9D37B80   # UlnConnection COMMIT_PACKET (:828)
+LZ_ENDPOINT_COMMIT = 0x5DAB749A   # Endpoint::COMMIT_PACKET (:470)
+LZ_MCONN_COMMIT_CB = 0x5E178F33   # MsglibConnection COMMIT_CB (:641)
 
 # --- Cocoon payment channels (messages/cocoon.py:7-145)
 COCOON_PAYOUT = 0xC59A7CD3
@@ -286,252 +303,343 @@ def _log_event(opcode: int, typ: str):
 # ------------------------------------------------------------------- DeDust
 
 
+DEDUST_SWAP_NOTIFICATION = 0x9C610DE3  # pool success event (swaps.py:81)
+
+
 def match_dedust_swap(node: Node, ctx: Ctx) -> dict | None:
-    """TON-entry DeDust swap: user → vault (0xea06185d) → pool
-    (swap_external) [→ peer pools] → payout_from_pool → vault → payout
-    (blocks/swaps.py DedustSwapBlockMatcher re-derived)."""
-    if _op(node) != DEDUST_SWAP:
+    """DeDust swap, TON or jetton entry (swaps.py:479-686
+    DedustSwapBlockMatcher): vault → swap_external at the pool [→ peer
+    pools] → payout_from_pool back at a vault → user leg (TON payout or
+    jetton chain).  Each pool emits a swap notification event carrying
+    the per-hop asset/amount pairs — those build peer_swaps."""
+    from ton_indexer_spark.functions.boc import (
+        decode_message_body,
+    )
+
+    op = _op(node)
+    claimed: list[Node] = []
+    if op == DEDUST_SWAP:
+        body = node.in_msg.decoded_body()
+        in_data = {
+            "asset": None,
+            "amount": _int(body.get("amount", node.in_msg.value)),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": None,
+            "destination": node.account,
+            "destination_jetton_wallet": None,
+        }
+        vault = node
+        claimed.append(node)
+    elif op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        vault = chain["notify"]
+        in_data = {
+            "asset": ctx.get("jetton_wallets", {}).get(
+                node.account, (None, None))[1],
+            "amount": _int(chain["amount"]),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": node.account,
+            "destination": chain["dest_owner"],
+            "destination_jetton_wallet": chain["receiver_wallet"],
+        }
+        claimed += chain["claimed"]
+    else:
         return None
-    pool = node.child_via(DEDUST_SWAP_EXTERNAL)
+    pool = vault.child_via(DEDUST_SWAP_EXTERNAL)
     if pool is None:
         return None
-    claimed = [node, pool]
-    hops = [pool]
+    claimed.append(pool)
+
+    notifications: list[dict] = []
+
+    def grab_notification(n: Node) -> None:
+        for msg in n.out_msgs:
+            if msg.opcode == DEDUST_SWAP_NOTIFICATION and msg.body:
+                ev = decode_message_body(msg.body)
+                if ev:
+                    notifications.append(ev)
+                return
+        c = n.child_via(DEDUST_SWAP_NOTIFICATION)
+        if c is not None:
+            claimed.append(c)
+            notifications.append(c.in_msg.decoded_body())
+
+    grab_notification(pool)
     cur = pool
     while True:
         peer = cur.child_via(DEDUST_SWAP_PEER)
         if peer is None:
             break
         claimed.append(peer)
-        hops.append(peer)
+        grab_notification(peer)
         cur = peer
     payout_vault = cur.child_via(DEDUST_PAYOUT_FROM_POOL)
-    payout_user = None
-    if payout_vault is not None:
-        claimed.append(payout_vault)
-        payout_user = payout_vault.child_via(DEDUST_PAYOUT)
-        if payout_user is not None:
-            claimed.append(payout_user)
-    body = node.in_msg.decoded_body()
-    amount_in = body.get("amount", node.in_msg.value)
-    amount_out = (
-        payout_user.in_msg.decoded_body().get(
-            "amount", payout_user.in_msg.value
-        )
-        if payout_user is not None else None
-    )
+    if payout_vault is None:
+        return None
+    claimed.append(payout_vault)
+
+    out_data = None
+    payout_user = payout_vault.child_via(DEDUST_PAYOUT)
+    if payout_user is not None:
+        claimed.append(payout_user)
+        pb = payout_user.in_msg.decoded_body()
+        out_data = {
+            "asset": None,
+            "amount": _int(pb.get("amount", payout_user.in_msg.value)),
+            "source": payout_vault.account,
+            "source_jetton_wallet": None,
+            "destination": payout_user.account,
+            "destination_jetton_wallet": None,
+        }
+    else:
+        for c in payout_vault.children:
+            tc = _jetton_chain(c, ctx)
+            if tc is not None:
+                claimed += tc["claimed"]
+                out_data = {
+                    "asset": ctx.get("jetton_wallets", {}).get(
+                        c.account, (None, None))[1],
+                    "amount": _int(tc["amount"]),
+                    "source": c.in_msg.source,
+                    "source_jetton_wallet": c.account,
+                    "destination": tc["dest_owner"],
+                    "destination_jetton_wallet": tc["receiver_wallet"],
+                }
+                break
+    if out_data is None:
+        return None
+
+    peer_swaps = [
+        {
+            "amount_in": _int(ev.get("amount_in")),
+            "asset_in": _da(ev.get("asset_in")),
+            "amount_out": _int(ev.get("amount_out")),
+            "asset_out": _da(ev.get("asset_out")),
+        }
+        for ev in notifications
+    ]
+
     return _base(
         node,
         "jetton_swap",
         claimed=claimed,
-        source=node.in_msg.source,
-        destination=payout_user.account if payout_user is not None
-        else node.in_msg.source,
-        asset="TON",
-        amount=amount_in,
+        source=in_data["source"],
+        source_secondary=in_data["source_jetton_wallet"],
+        destination=out_data["destination"],
+        destination_secondary=out_data["destination_jetton_wallet"],
+        asset=in_data["asset"],
+        asset2=out_data["asset"],
         jetton_swap_data={
             "dex": "dedust",
+            "sender": in_data["source"],
+            "dex_incoming_transfer": in_data,
+            "dex_outgoing_transfer": out_data,
+            "peer_swaps": peer_swaps if len(peer_swaps) > 1 else [],
+        },
+    )
+
+
+def _da(asset) -> str | None:
+    """DeDust Asset → action column: TON renders as null (_addr(Asset))."""
+    return None if asset in (None, "TON") else asset
+
+
+def _dedust_entry(node: Node, ctx: Ctx) -> dict | None:
+    """The user's deposit entry leg: TON straight into the vault
+    (deposit#d55e4686) or a jetton transfer chain whose notify lands on
+    the vault; carries the deposited amount/asset and the pool's target
+    pair (liquidity.py:297-470 both arms)."""
+    op = _op(node)
+    if op == DEDUST_DEPOSIT_TON:
+        body = node.in_msg.decoded_body()
+        if "amount" not in body:
+            return None
+        return {
+            "claimed": [node],
+            "vault": node,
             "sender": node.in_msg.source,
-            "amount_in": amount_in,
-            "asset_in": "TON",
-            "amount_out": amount_out,
-            "asset_out": None,
-            "peer_address": hops[0].account,
-            "min_out_amount": body.get("limit"),
-            "peer_swaps": [
-                {"asset_in": None, "amount_in": None,
-                 "asset_out": None, "amount_out": None}
-            ] * max(0, len(hops) - 1),
-            "dex_incoming_transfer": {
-                "amount": amount_in,
-                "asset": "TON",
-                "source": node.in_msg.source,
-                "destination": node.account,
+            "amount": _int(body.get("amount")),
+            "asset": None,
+            "wallet": None,
+            "targets": {
+                "target_asset_1": _da(body.get("asset0")),
+                "target_amount_1": _int(body.get("asset0_target_balance")) or 0,
+                "target_asset_2": _da(body.get("asset1")),
+                "target_amount_2": _int(body.get("asset1_target_balance")) or 0,
             },
-            "dex_outgoing_transfer": {
-                "amount": amount_out,
-                "source": payout_vault.account,
-                "destination": payout_user.account,
-            } if payout_user is not None else None,
-        },
-    )
-
-
-def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
-    """vault deposit (TON 0xd55e4686) → deposit-contract top-up →
-    deposit-to-pool → LP mint (blocks/liquidity.py DedustDeposit*)."""
-    if _op(node) != DEDUST_DEPOSIT_TON:
-        return None
-    if (node.child_via(DEDUST_ASK_FACTORY) is not None
-            and node.child_via(DEDUST_TOPUP_DEPOSIT) is None):
-        return None  # first-asset shape: match_dedust_deposit_partial owns it
-    claimed = _claim_chain(
-        node, DEDUST_TOPUP_DEPOSIT, DEDUST_DEPOSIT_TO_POOL, JETTON_INTERNAL
-    )
-    body = node.in_msg.decoded_body()
-    # the second-asset amounts live in the deposit-to-pool hop's body
-    # (DedustDepositLiquidityToPool, messages/liquidity.py:73-88) on real
-    # chain data; the entry-body keys remain as the fixture seam
-    pool_body: dict = {}
-    pool_node = next(
-        (c for c in claimed if _op(c) == DEDUST_DEPOSIT_TO_POOL), None
-    )
-    if pool_node is not None:
-        pool_body = pool_node.in_msg.decoded_body()
-    return _base(
-        node,
-        "dex_deposit_liquidity",
-        claimed=claimed,
-        destination=claimed[-1].account if len(claimed) > 1 else node.account,
-        amount=body.get("amount", node.in_msg.value),
-        # deposit-contract account keys the partial/final merge performed by
-        # postprocess.post_process_dedust_liquidity (liquidity.py:473-508)
-        _deposit_contract=claimed[1].account if len(claimed) > 1 else None,
-        dex_deposit_liquidity_data={
-            "dex": "dedust",
-            "amount1": body.get("amount", node.in_msg.value),
-            "amount2": body.get("amount2", pool_body.get("amount2")),
-            "asset1": "TON",
-            "asset2": body.get("asset2", pool_body.get("asset2")),
-            "lp_tokens_minted": body.get("lp_tokens_minted"),
-        },
-    )
-
-
-def _dedust_partial_tail(vault: Node) -> tuple[list[Node], Node] | None:
-    """factory-ask → {deposit-contract deploy, top-up} subtree hanging off a
-    vault node, with NO deposit-to-pool continuation.  Returns (claimed tail
-    nodes, topup node) or None (liquidity.py
-    DedustDepositFirstAssetBlockMatcher:413-461)."""
-    factory = vault.child_via(DEDUST_ASK_FACTORY)
-    if factory is None:
-        return None
-    topup = factory.child_via(DEDUST_TOPUP_DEPOSIT)
-    if topup is None or topup.child_via(DEDUST_DEPOSIT_TO_POOL) is not None:
-        return None
-    tail = [factory, topup]
-    deploy = factory.child_via(DEDUST_DEPLOY_DEPOSIT)
-    if deploy is not None:
-        tail.append(deploy)
-    return tail, topup
-
-
-def match_dedust_deposit_partial(node: Node, ctx: Ctx) -> dict | None:
-    """First-asset (partial) DeDust deposit: the vault forwards the asset to
-    the factory (0xf04ec526) which deploys and tops up a deposit contract,
-    and the chain stops there — no deposit-to-pool yet.  Roots on the user
-    entry leg (TON vault deposit, or the jetton-transfer chain whose notify
-    lands on the vault).  Flagged ``_partial`` so the trace post-processor
-    can merge it with the final deposit on the same deposit contract
-    (liquidity.py:413-470 + post_process_dedust_liquidity:473-508)."""
-    vop = _op(node)
-    if vop == DEDUST_DEPOSIT_TON:
-        tail = _dedust_partial_tail(node)
-        if tail is None:
-            return None
-        tail_nodes, topup = tail
-        body = node.in_msg.decoded_body()
-        return _base(
-            node,
-            "dex_deposit_liquidity",
-            claimed=[node, *tail_nodes],
-            source=node.in_msg.source,
-            destination_secondary=topup.account,
-            amount=body.get("amount", node.in_msg.value),
-            _partial=True,
-            _deposit_contract=topup.account,
-            dex_deposit_liquidity_data={
-                "dex": "dedust",
-                "asset1": "TON",
-                "amount1": body.get("amount", node.in_msg.value),
-                "target_asset_1": body.get("asset0"),
-                "target_amount_1": body.get("asset0_target_balance"),
-                "target_asset_2": body.get("asset1"),
-                "target_amount_2": body.get("asset1_target_balance"),
-            },
+        }
+    if op == JETTON_TRANSFER:
+        from ton_indexer_spark.functions.boc import (
+            decode_dedust_deposit_payload,
         )
-    if vop == JETTON_TRANSFER:
-        internal = node.child_via(JETTON_INTERNAL)
-        if internal is None:
+
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
             return None
-        vault = internal.child_via(JETTON_NOTIFY)
-        if vault is None:
-            return None
-        tail = _dedust_partial_tail(vault)
-        if tail is None:
-            return None
-        tail_nodes, topup = tail
-        wallets = ctx.get("jetton_wallets", {})
-        owner, jetton = wallets.get(node.account, (None, None))
-        body = node.in_msg.decoded_body()
-        return _base(
-            node,
-            "dex_deposit_liquidity",
-            claimed=[node, internal, vault, *tail_nodes],
-            source=node.in_msg.source or owner,
-            destination_secondary=topup.account,
-            asset=jetton,
-            amount=body.get("amount"),
-            _partial=True,
-            _deposit_contract=topup.account,
-            dex_deposit_liquidity_data={
-                "dex": "dedust",
-                "asset1": jetton,
-                "amount1": body.get("amount"),
-                "user_jetton_wallet_1": node.account,
-            },
-        )
+        fwd_raw = node.in_msg.decoded_body().get("forward_payload")
+        payload = decode_dedust_deposit_payload(fwd_raw) if fwd_raw else None
+        targets = {
+            "target_asset_1": None, "target_amount_1": None,
+            "target_asset_2": None, "target_amount_2": None,
+        }
+        if payload is not None:
+            targets = {
+                "target_asset_1": _da(payload.get("asset0")),
+                "target_amount_1": _int(payload.get("asset0_target_balance")) or 0,
+                "target_asset_2": _da(payload.get("asset1")),
+                "target_amount_2": _int(payload.get("asset1_target_balance")) or 0,
+            }
+        jetton = ctx.get("jetton_wallets", {}).get(
+            node.account, (None, None)
+        )[1]
+        return {
+            "claimed": list(chain["claimed"]),
+            "vault": chain["notify"],
+            "sender": node.in_msg.source,
+            "amount": _int(chain["amount"]),
+            "asset": jetton,
+            "wallet": node.account,
+            "targets": targets,
+        }
     return None
 
 
-def match_dedust_deposit_jetton(node: Node, ctx: Ctx) -> dict | None:
-    """Jetton-side FINAL DeDust deposit: jetton transfer → internal →
-    vault notify → deposit-contract top-up → deposit-to-pool → LP mint.
-    The jetton analog of match_dedust_deposit_liquidity (liquidity.py
-    DedustDepositBlockMatcher:297-410, jetton entry arm)."""
-    if _op(node) != JETTON_TRANSFER:
+def match_dedust_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
+    """DeDust two-asset deposit (liquidity.py:297-470): each asset leg is
+    its own action — the COMPLETING leg drives deposit-to-pool (LP mint
+    or rejection, plus deposit-contract destroy and vault excess
+    returns); a first-asset leg stops at the deposit-contract top-up.
+    ``_partial``/``_deposit_contract`` feed the trace post-processor that
+    merges the two (postprocess.py, liquidity.py:473-566)."""
+    entry = _dedust_entry(node, ctx)
+    if entry is None:
         return None
-    internal = node.child_via(JETTON_INTERNAL)
-    if internal is None:
-        return None
-    vault = internal.child_via(JETTON_NOTIFY)
-    if vault is None:
-        return None
+    vault = entry["vault"]
+    tail: list[Node] = []
     topup = vault.child_via(DEDUST_TOPUP_DEPOSIT)
+    factory = vault.child_via(DEDUST_ASK_FACTORY)
+    if topup is None and factory is not None:
+        tail.append(factory)
+        deploy = factory.child_via(DEDUST_DEPLOY_DEPOSIT)
+        if deploy is not None:
+            tail.append(deploy)
+        topup = factory.child_via(DEDUST_TOPUP_DEPOSIT)
     if topup is None:
         return None
-    pool = topup.child_via(DEDUST_DEPOSIT_TO_POOL)
-    if pool is None:
-        return None
-    claimed = [node, internal, vault, topup, pool]
-    lp_mint = pool.child_via(JETTON_INTERNAL)
-    if lp_mint is not None:
-        claimed.append(lp_mint)
-    wallets = ctx.get("jetton_wallets", {})
-    owner, jetton = wallets.get(node.account, (None, None))
-    body = node.in_msg.decoded_body()
-    lp_amount = (
-        lp_mint.in_msg.decoded_body().get("amount")
-        if lp_mint is not None else None
+    tail.append(topup)
+    claimed = entry["claimed"] + tail
+    sender = entry["sender"]
+
+    base_data = {
+        "dex": "dedust",
+        "asset1": entry["asset"],
+        "amount1": entry["amount"],
+        "asset2": None,
+        "amount2": None,
+        "user_jetton_wallet_1": entry["wallet"],
+        "user_jetton_wallet_2": None,
+        "lp_tokens_minted": None,
+        **entry["targets"],
+    }
+
+    pool_dep = topup.child_via(DEDUST_DEPOSIT_TO_POOL)
+    if pool_dep is None:
+        return _base(
+            node,
+            "dex_deposit_liquidity",
+            claimed=claimed,
+            source=sender,
+            destination_secondary=topup.account,
+            amount=entry["amount"],
+            _partial=True,
+            _deposit_contract=topup.account,
+            dex_deposit_liquidity_data=base_data,
+        )
+
+    claimed.append(pool_dep)
+    pool_body = pool_dep.in_msg.decoded_body()
+    sender = pool_body.get("owner") or sender
+    if pool_body.get("asset1") is not None:
+        base_data.update(
+            target_asset_1=_da(pool_body.get("asset1")),
+            target_amount_1=_int(pool_body.get("amount1")) or 0,
+            target_asset_2=_da(pool_body.get("asset2")),
+            target_amount_2=_int(pool_body.get("amount2")) or 0,
+        )
+    lp_tokens = None
+    pool = pool_dep.account
+    lp = pool_dep.child_via(JETTON_INTERNAL)
+    reject = pool_dep.child_via(DEDUST_REJECT_DEPOSIT)
+    if lp is not None:
+        claimed.append(lp)
+        lp_tokens = _int(lp.in_msg.decoded_body().get("amount"))
+        for c in lp.children:
+            if _op(c) in (JETTON_NOTIFY, EXCESSES):
+                claimed.append(c)
+    elif reject is not None:
+        pool = reject.in_msg.source
+
+    # the reference lists TON excesses first, then jetton excesses
+    # (liquidity.py:182-190); keep lt order within each kind
+    ton_excesses: list[tuple[int, dict]] = []
+    jetton_excesses: list[tuple[int, dict]] = []
+
+    def collect_excesses(holder: Node) -> None:
+        claimed.append(holder)
+        for c in holder.children:
+            if _op(c) == DEDUST_RETURN_EXCESS:
+                claimed.append(c)
+                for cc in c.children:
+                    if _op(cc) == DEDUST_PAYOUT and cc.account == sender:
+                        claimed.append(cc)
+                        ton_excesses.append((cc.tx_lt, {
+                            "asset": None, "amount": cc.in_msg.value,
+                        }))
+                    else:
+                        tc = _jetton_chain(cc, ctx)
+                        if tc is not None and tc["dest_owner"] == sender:
+                            claimed.extend(tc["claimed"])
+                            jetton_excesses.append((cc.tx_lt, {
+                                "asset": ctx.get("jetton_wallets", {}).get(
+                                    cc.account, (None, None))[1],
+                                "amount": _int(tc["amount"]),
+                            }))
+            elif c.in_msg is not None and c.in_msg.opcode in (None, 0) and (
+                c.in_msg.value or 0
+            ) > 0:
+                claimed.append(c)  # plain TON refund straight from deposit
+
+    if reject is not None:
+        collect_excesses(reject)
+    destroy = (
+        pool_dep.child_via(DEDUST_DESTROY_DEPOSIT)
+        or topup.child_via(DEDUST_DESTROY_DEPOSIT)
     )
-    return _base(
+    if destroy is not None:
+        collect_excesses(destroy)
+
+    base_data["lp_tokens_minted"] = lp_tokens
+    # jetton excesses surface completing-leg-first (matcher traversal
+    # order in the reference) — descending lt reproduces it
+    base_data["vault_excesses"] = [
+        e for _, e in sorted(ton_excesses, key=lambda t: t[0])
+    ] + [e for _, e in sorted(jetton_excesses, key=lambda t: -t[0])]
+    act = _base(
         node,
         "dex_deposit_liquidity",
         claimed=claimed,
-        source=node.in_msg.source or owner,
-        destination=pool.account,
+        source=sender,
+        destination=pool,
         destination_secondary=topup.account,
-        asset=jetton,
-        amount=body.get("amount"),
+        amount=entry["amount"],
         _deposit_contract=topup.account,
-        dex_deposit_liquidity_data={
-            "dex": "dedust",
-            "asset1": jetton,
-            "amount1": body.get("amount"),
-            "user_jetton_wallet_1": node.account,
-            "lp_tokens_minted": lp_amount,
-        },
+        dex_deposit_liquidity_data=base_data,
     )
+    if lp_tokens is None:
+        act["success"] = False
+    return act
 
 
 def match_dedust_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
@@ -793,9 +901,127 @@ def match_stonfi_swap(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
+STONFI_V2_POOL_SWAP = 0x6664DE2A   # pool swap entry (swaps.py:234)
+STONFI_V2_EXIT_OK = 0xC64370E5
+
+
 def match_stonfi_v2_swap(node: Node, ctx: Ctx) -> dict | None:
-    return _router_swap(node, ctx, STONFI_V2_SWAP, STONFI_PAYMENT_REQUEST,
-                        "stonfi_v2")
+    """Ston.fi v2 swap, single- or multi-hop (swaps.py:233-477
+    StonfiV2SwapBlockMatcher): anchored at the INPUT transfer (jetton
+    chain or pTON) whose notify triggers swap#6664de2a at the pool and
+    pay_to#657b54f5 back at the router; hops continue through the payout
+    transfer's notify (jetton) or an intermediate pTON transfer."""
+    op = _op(node)
+    claimed: list[Node] = []
+    if op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        notify = chain["notify"]
+        in_data = {
+            "asset": _wallet_asset(node.account, ctx),
+            "amount": _int(chain["amount"]),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": node.account,
+            "destination": chain["dest_owner"],
+            "destination_jetton_wallet": chain["receiver_wallet"],
+        }
+        claimed += chain["claimed"]
+    elif op == PTON_TRANSFER:
+        notify = node.child_via(JETTON_NOTIFY)
+        if notify is None:
+            return None
+        body = node.in_msg.decoded_body()
+        in_data = {
+            "asset": None,
+            "amount": _int(body.get("amount")),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": None,
+            "destination": notify.account,
+            "destination_jetton_wallet": node.account,
+        }
+        claimed += [node, notify]
+    else:
+        return None
+    first_swap = notify.child_via(STONFI_V2_POOL_SWAP)
+    if first_swap is None:
+        return None
+
+    swaps: list[Node] = []
+    payouts: list[Node] = []
+    out_data = None
+    ok = True
+    cur = first_swap
+    while cur is not None:
+        pay = cur.child_via(STONFI_V2_PAYOUT)
+        if pay is None:
+            return None
+        swaps.append(cur)
+        payouts.append(pay)
+        claimed += [cur, pay]
+        exit_code = _int(pay.in_msg.decoded_body().get("exit_code"))
+        if exit_code != STONFI_V2_EXIT_OK:
+            ok = False
+        next_swap = None
+        for c in pay.children:
+            leg = _tonco_transfer_out(c, ctx, swap_op=STONFI_V2_POOL_SWAP)
+            if leg is None:
+                continue
+            claimed += leg["claimed"]
+            if leg["next_swap"] is not None:
+                next_swap = leg["next_swap"]
+            else:
+                out_data = leg["data"]
+        cur = next_swap
+    if out_data is None:
+        return None
+
+    peer_swaps = []
+    if len(swaps) > 1:
+        prev_in = {"amount_in": in_data["amount"], "asset_in": in_data["asset"]}
+        for pay in payouts:
+            pb = pay.in_msg.decoded_body()
+            entries = [
+                (_int(pb.get(a)) or 0, pb.get(j))
+                for a, j in (("amount0_out", "token0_address"),
+                             ("amount1_out", "token1_address"))
+                if pb.get(j) is not None
+            ]
+            entries.sort(key=lambda e: e[0], reverse=True)
+            if not entries:
+                continue
+            out_amount, out_wallet = entries[0]
+            hop = prev_in | {
+                "amount_out": out_amount,
+                "asset_out": _wallet_asset(out_wallet, ctx),
+            }
+            peer_swaps.append(hop)
+            prev_in = {
+                "amount_in": hop["amount_out"],
+                "asset_in": hop["asset_out"],
+            }
+
+    act = _base(
+        node,
+        "jetton_swap",
+        claimed=claimed,
+        source=in_data["source"],
+        source_secondary=in_data["source_jetton_wallet"],
+        destination=out_data["destination"],
+        destination_secondary=out_data["destination_jetton_wallet"],
+        asset=in_data["asset"],
+        asset2=out_data["asset"],
+        jetton_swap_data={
+            "dex": "stonfi_v2",
+            "sender": in_data["source"],
+            "dex_incoming_transfer": in_data,
+            "dex_outgoing_transfer": out_data,
+            "peer_swaps": peer_swaps,
+        },
+    )
+    if not ok:
+        act["success"] = False
+    return act
 
 
 def match_stonfi_v2_provide_liquidity(node: Node, ctx: Ctx) -> dict | None:
@@ -838,10 +1064,11 @@ def match_pton_transfer(node: Node, ctx: Ctx) -> dict | None:
 # -------------------------------------------------------------------- Tonco
 
 
-def _tonco_transfer_out(c: Node, ctx: Ctx) -> dict | None:
+def _tonco_transfer_out(c: Node, ctx: Ctx, swap_op: int = TONCO_SWAP) -> dict | None:
     """A router payout transfer (pay_to child) → the serializer's
     6-field transfer dict + claimed nodes + the next-hop swap node (for
-    the router-pays-itself multihop shape, swaps.py:741-772)."""
+    the router-pays-itself multihop shape, swaps.py:741-772; the same
+    walk serves ston.fi v2, swaps.py:233-268, via ``swap_op``)."""
     if _op(c) != JETTON_TRANSFER:
         return None
     pton = c.child_via(PTON_TRANSFER)
@@ -849,9 +1076,13 @@ def _tonco_transfer_out(c: Node, ctx: Ctx) -> dict | None:
         pbody = pton.in_msg.decoded_body()
         hop_notify = pton.child_via(JETTON_NOTIFY)
         next_swap = (
-            hop_notify.child_via(TONCO_SWAP) if hop_notify is not None else None
+            hop_notify.child_via(swap_op) if hop_notify is not None else None
         )
         claimed = [c, pton] + ([hop_notify] if hop_notify is not None else [])
+        for holder in (c, pton):
+            exc = holder.child_via(EXCESSES)
+            if exc is not None:
+                claimed.append(exc)
         return {
             "claimed": claimed,
             "next_swap": next_swap,
@@ -869,7 +1100,7 @@ def _tonco_transfer_out(c: Node, ctx: Ctx) -> dict | None:
         return None
     notify = chain["notify"]
     next_swap = (
-        notify.child_via(TONCO_SWAP) if notify is not None else None
+        notify.child_via(swap_op) if notify is not None else None
     )
     return {
         "claimed": chain["claimed"],
@@ -1342,83 +1573,285 @@ def match_tonco_deploy_pool(node: Node, ctx: Ctx) -> dict | None:
 # -------------------------------------------------------------- swap.coffee
 
 
+COFFEE_SWAP_EVENT = 0xC0FFEE30
+COFFEE_NOTIFICATION_OP = 0xC0FFEE36
+
+
 def match_coffee_swap(node: Node, ctx: Ctx) -> dict | None:
-    """swap.coffee: vault entry (native/jetton op) → internal pool hops →
-    payout; success/fail event logs claimed with the flow
-    (blocks/swaps.py CoffeeSwapBlockMatcher re-derived)."""
-    if _op(node) not in (COFFEE_SWAP_NATIVE, COFFEE_SWAP_JETTON):
-        return None
-    claimed = [node]
-    cur = node
-    last = node
-    while True:
-        nxt = cur.child_via(COFFEE_SWAP_INTERNAL)
-        if nxt is None:
-            break
-        claimed.append(nxt)
-        cur = nxt
-        last = nxt
-    payout = (
-        last.child_via(COFFEE_PAYOUT_INTERNAL) or last.child_via(COFFEE_PAYOUT)
+    """swap.coffee swap (swaps.py:1231-1448 CoffeeSwapBlockMatcher):
+    entry jetton chain into the vault or a native swap call, then
+    swap_internal hops across pools (each with its success event log),
+    exiting via payout_internal to the paying vault and the user leg
+    (jetton chain, native payout, or notification)."""
+    from ton_indexer_spark.functions.boc import (
+        decode_coffee_payout_internal,
+        decode_coffee_swap_event,
     )
-    if payout is not None:
-        claimed.append(payout)
-        user_leg = payout.child_via(COFFEE_PAYOUT)
-        if user_leg is not None:
-            claimed.append(user_leg)
-            payout = user_leg
-    body = node.in_msg.decoded_body()
-    return _base(
+
+    op = _op(node)
+    claimed: list[Node] = []
+    if op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        vault = chain["notify"]
+        in_data = {
+            "asset": ctx.get("jetton_wallets", {}).get(
+                node.account, (None, None))[1],
+            "amount": _int(chain["amount"]),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": node.account,
+            "destination": chain["dest_owner"],
+            "destination_jetton_wallet": chain["receiver_wallet"],
+        }
+        claimed += chain["claimed"]
+    elif op == COFFEE_SWAP_NATIVE:
+        body = node.in_msg.decoded_body()
+        vault = node
+        in_data = {
+            "asset": None,
+            "amount": _int(body.get("amount")),
+            "source": node.in_msg.source,
+            "source_jetton_wallet": None,
+            "destination": node.account,
+            "destination_jetton_wallet": None,
+        }
+        claimed.append(node)
+    else:
+        return None
+    first_swap = vault.child_via(COFFEE_SWAP_INTERNAL)
+    if first_swap is None:
+        return None
+
+    peer_swaps: list[dict] = []
+    ok = True
+    payout = None
+    cur = first_swap
+    while cur is not None:
+        claimed.append(cur)
+        ev = None
+        for msg in cur.out_msgs:
+            if msg.opcode == COFFEE_SWAP_EVENT and msg.body:
+                ev = decode_coffee_swap_event(msg.body)
+                break
+        if ev is None:
+            ok = False
+        else:
+            peer_swaps.append({
+                "amount_in": _int(ev.get("input_amount")),
+                "asset_in": _da(ev.get("input")),
+                "amount_out": _int(ev.get("output_amount")),
+                "asset_out": None,  # filled from the next hop / final leg
+            })
+        payout = cur.child_via(COFFEE_PAYOUT_INTERNAL)
+        if payout is not None:
+            break
+        cur = cur.child_via(COFFEE_SWAP_INTERNAL)
+    if payout is None:
+        return None
+    claimed.append(payout)
+    pay_body = (
+        decode_coffee_payout_internal(payout.in_msg.body)
+        if payout.in_msg.body else None
+    ) or payout.in_msg.decoded_body() or {}
+
+    out_data = None
+    for c in payout.children:
+        tc = _jetton_chain(c, ctx)
+        if tc is not None:
+            claimed += tc["claimed"]
+            out_data = {
+                "asset": ctx.get("jetton_wallets", {}).get(
+                    c.account, (None, None))[1],
+                "amount": _int(tc["amount"]),
+                "source": c.in_msg.source,
+                "source_jetton_wallet": c.account,
+                "destination": tc["dest_owner"],
+                "destination_jetton_wallet": tc["receiver_wallet"],
+            }
+            break
+        if _op(c) == COFFEE_PAYOUT:
+            claimed.append(c)
+            out_data = {
+                "asset": None,
+                "amount": _int(pay_body.get("amount")),
+                "source": payout.in_msg.source,
+                "source_jetton_wallet": None,
+                "destination": pay_body.get("recipient"),
+                "destination_jetton_wallet": None,
+            }
+            break
+        if _op(c) == COFFEE_NOTIFICATION_OP:
+            claimed.append(c)
+            out_data = {
+                "asset": None,
+                "amount": c.in_msg.value,
+                "source": c.in_msg.source,
+                "source_jetton_wallet": None,
+                "destination": c.account,
+                "destination_jetton_wallet": None,
+            }
+            break
+    if out_data is None:
+        return None
+    for i in range(len(peer_swaps) - 1):
+        peer_swaps[i]["asset_out"] = peer_swaps[i + 1]["asset_in"]
+    if peer_swaps:
+        peer_swaps[-1]["asset_out"] = out_data["asset"]
+
+    act = _base(
         node,
         "jetton_swap",
         claimed=claimed,
-        destination=payout.account if payout is not None else None,
-        amount=body.get("amount", node.in_msg.value),
+        source=in_data["source"],
+        source_secondary=in_data["source_jetton_wallet"],
+        destination=out_data["destination"],
+        destination_secondary=out_data["destination_jetton_wallet"],
+        asset=in_data["asset"],
+        asset2=out_data["asset"],
         jetton_swap_data={
             "dex": "coffee",
-            "sender": node.in_msg.source,
-            "amount_in": body.get("amount", node.in_msg.value),
-            "asset_in": body.get("asset_in"),
-            "amount_out": payout.in_msg.value if payout is not None else None,
-            "asset_out": body.get("asset_out"),
-            "peer_address": claimed[1].account if len(claimed) > 1 else None,
-            "min_out_amount": body.get("min_out"),
-            "peer_swaps": [],
-            "dex_incoming_transfer": {
-                "amount": body.get("amount", node.in_msg.value),
-                "asset": body.get("asset_in"),
-                "source": node.in_msg.source,
-                "destination": node.account,
-            },
-            "dex_outgoing_transfer": {
-                "amount": payout.in_msg.value,
-                "asset": body.get("asset_out"),
-                "source": node.account,
-                "destination": payout.account,
-            } if payout is not None else None,
+            "sender": in_data["source"],
+            "dex_incoming_transfer": in_data,
+            "dex_outgoing_transfer": out_data,
+            "peer_swaps": peer_swaps if len(peer_swaps) > 1 else [],
         },
     )
+    if not ok:
+        act["success"] = False
+    return act
+
+
+COFFEE_DEPOSITORY_REQUEST = 0xC0FFEE27  # messages/coffee.py:803-821
+COFFEE_DEPLOY_OP = 0xC0FFEE22           # messages/coffee.py:697-710
+COFFEE_DEPOSIT_INTERNAL = 0xC0FFEE29    # messages/coffee.py:846-858
+COFFEE_DEPOSIT_EVENT = 0xC0FFEE33       # messages/coffee.py:520-539
 
 
 def match_coffee_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
-    if _op(node) not in (COFFEE_DEPOSIT_NATIVE, COFFEE_DEPOSIT_JETTON):
+    """swap.coffee two-sided deposit (liquidity.py:1640-1816
+    CoffeeDepositLiquidityMatcher): each asset leg (native vault call or
+    jetton chain) raises a depository request + deploy; the COMPLETING
+    leg's deposit_internal at the pool emits the success event and mints
+    LP.  One dex_deposit_liquidity action per leg — the incomplete leg
+    has destination (pool) null, exactly the reference serialization."""
+    from ton_indexer_spark.functions.boc import (
+        decode_coffee_deposit_event,
+        decode_coffee_depository_request,
+    )
+
+    op = _op(node)
+    claimed: list[Node] = []
+    if op == COFFEE_DEPOSIT_NATIVE:
+        vault = node
+        in_asset = None
+        in_wallet = None
+        claimed.append(node)
+    elif op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        vault = chain["notify"]
+        in_asset = ctx.get("jetton_wallets", {}).get(
+            node.account, (None, None))[1]
+        in_wallet = node.account
+        claimed += chain["claimed"]
+    else:
         return None
-    claimed = [node] + [
-        c for c in node.children if c.in_msg is not None
-    ][:2]
-    body = node.in_msg.decoded_body()
-    return _base(
+    req = vault.child_via(COFFEE_DEPOSITORY_REQUEST)
+    if req is None:
+        return None
+    req_body = (
+        decode_coffee_depository_request(req.in_msg.body)
+        if req.in_msg.body else None
+    ) or req.in_msg.decoded_body()
+    if not req_body:
+        return None
+    deploy = req.child_via(COFFEE_DEPLOY_OP)
+    if deploy is None:
+        return None
+    claimed += [req, deploy]
+
+    first = _da(req_body.get("first"))
+    second = _da(req_body.get("second"))
+    amount = _int(req_body.get("amount"))
+    if in_asset == first:
+        slots = {
+            "asset1": in_asset, "amount1": amount,
+            "user_jetton_wallet_1": in_wallet,
+            "asset2": None, "amount2": None, "user_jetton_wallet_2": None,
+            "target_asset_1": first, "target_asset_2": second,
+        }
+    elif in_asset == second:
+        slots = {
+            "asset1": None, "amount1": None, "user_jetton_wallet_1": None,
+            "asset2": in_asset, "amount2": amount,
+            "user_jetton_wallet_2": in_wallet,
+            "target_asset_1": second, "target_asset_2": first,
+        }
+    else:
+        return None
+
+    lp_tokens = None
+    pool = None
+    excesses: list[dict] = []
+    internal = deploy.child_via(COFFEE_DEPOSIT_INTERNAL)
+    if internal is not None:
+        claimed.append(internal)
+        pool = internal.account
+        ev = None
+        for msg in internal.out_msgs:
+            if msg.opcode == COFFEE_DEPOSIT_EVENT and msg.body:
+                ev = decode_coffee_deposit_event(msg.body)
+                break
+        lp = internal.child_via(JETTON_INTERNAL)
+        if ev is not None:
+            lp_tokens = _int(ev.get("lp_amount"))
+        if lp is not None:
+            claimed.append(lp)
+            if lp_tokens is None:
+                lp_tokens = _int(lp.in_msg.decoded_body().get("amount"))
+            exc = lp.child_via(EXCESSES)
+            if exc is not None:
+                claimed.append(exc)
+        if ev is None and lp is None:
+            pool = None
+        payout = internal.child_via(COFFEE_PAYOUT_INTERNAL)
+        if payout is not None:
+            claimed.append(payout)
+            for c in payout.children:
+                tc = _jetton_chain(c, ctx)
+                if tc is not None:
+                    claimed += tc["claimed"]
+                    excesses.append({
+                        "asset": ctx.get("jetton_wallets", {}).get(
+                            c.account, (None, None))[1],
+                        "amount": _int(tc["amount"]),
+                    })
+                elif _op(c) in (COFFEE_PAYOUT, COFFEE_NOTIFICATION_OP):
+                    claimed.append(c)
+                    excesses.append(
+                        {"asset": None, "amount": c.in_msg.value}
+                    )
+
+    act = _base(
         node,
         "dex_deposit_liquidity",
         claimed=claimed,
-        amount=body.get("amount", node.in_msg.value),
+        source=req_body.get("recipient"),
+        destination=pool,
+        destination_secondary=deploy.account,
+        amount=amount,
         dex_deposit_liquidity_data={
             "dex": "coffee",
-            "amount1": body.get("amount", node.in_msg.value),
-            "asset1": body.get("asset1"),
-            "lp_tokens_minted": body.get("lp_tokens_minted"),
+            **slots,
+            "target_amount_1": None,
+            "target_amount_2": None,
+            "lp_tokens_minted": lp_tokens,
+            "vault_excesses": excesses,
         },
     )
+    return act
 
 
 def match_coffee_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
@@ -1441,32 +1874,283 @@ def match_coffee_withdraw_liquidity(node: Node, ctx: Ctx) -> dict | None:
     )
 
 
-match_coffee_create_vault = _simple(COFFEE_CREATE_VAULT, "coffee_create_vault")
+COFFEE_WITHDRAW_EVENT = 0xC0FFEE35
 
 
-def match_coffee_create_pool(node: Node, ctx: Ctx) -> dict | None:
-    if _op(node) not in (
-        COFFEE_CREATE_POOL_NATIVE, COFFEE_CREATE_POOL_JETTON,
-        COFFEE_CREATE_POOL_EXTRA,
-    ):
+def match_coffee_lp_withdraw(node: Node, ctx: Ctx) -> dict | None:
+    """swap.coffee LP burn withdrawal (liquidity.py:1838-1968
+    CoffeeWithdrawLiquidityMatcher): LP jetton burn → pool burn notify
+    emitting the withdrawal event, two payout_internal legs paying each
+    pool asset out."""
+    from ton_indexer_spark.functions.boc import decode_coffee_withdraw_event
+
+    if _op(node) != JETTON_BURN:
         return None
-    claimed = [node] + [c for c in node.children if c.in_msg is not None][:1]
-    body = node.in_msg.decoded_body()
+    notify = node.child_via(BURN_NOTIFY)
+    if notify is None:
+        return None
+    ev = None
+    for msg in notify.out_msgs:
+        if msg.opcode == COFFEE_WITHDRAW_EVENT and msg.body:
+            ev = decode_coffee_withdraw_event(msg.body)
+            break
+    payouts = [
+        c for c in notify.children if _op(c) == COFFEE_PAYOUT_INTERNAL
+    ]
+    if ev is None or not payouts:
+        return None
+    claimed = [node, notify] + payouts
+    legs: list[dict] = []
+    for p in payouts:
+        leg = {
+            "asset": None, "dex_jetton_wallet": None, "wallet": None,
+            "dex_wallet": p.in_msg.source,
+        }
+        for c in p.children:
+            tc = _jetton_chain(c, ctx)
+            if tc is not None:
+                claimed += tc["claimed"]
+                leg.update(
+                    asset=ctx.get("jetton_wallets", {}).get(
+                        c.account, (None, None))[1],
+                    dex_jetton_wallet=c.account,
+                    wallet=tc["receiver_wallet"],
+                )
+                break
+            if _op(c) in (COFFEE_PAYOUT, COFFEE_NOTIFICATION_OP):
+                claimed.append(c)
+                leg.update(wallet=c.account)
+                break
+        legs.append(leg)
+    l1 = legs[0] if legs else {}
+    l2 = legs[1] if len(legs) > 1 else {}
+    lp_master = ctx.get("jetton_wallets", {}).get(
+        node.account, (None, None))[1]
     return _base(
-        node, "coffee_create_pool", claimed=claimed,
-        coffee_create_pool_data={
-            "amount_1": body.get("amount_1"),
-            "amount_2": body.get("amount_2"),
-            "initiator_1": body.get("initiator_1"),
-            "initiator_2": body.get("initiator_2"),
-            "provided_asset": body.get("provided_asset"),
-            "lp_tokens_minted": body.get("lp_tokens_minted"),
-            "pool_creator_contract": node.account,
+        node,
+        "dex_withdraw_liquidity",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=notify.account,
+        asset=lp_master,
+        dex_withdraw_liquidity_data={
+            "dex": "coffee",
+            "amount1": _int(ev.get("amount1")),
+            "amount2": _int(ev.get("amount2")),
+            "asset1_out": l1.get("asset"),
+            "asset2_out": l2.get("asset"),
+            "user_jetton_wallet_1": l1.get("wallet"),
+            "user_jetton_wallet_2": l2.get("wallet"),
+            "dex_jetton_wallet_1": l1.get("dex_jetton_wallet"),
+            "dex_jetton_wallet_2": l2.get("dex_jetton_wallet"),
+            "dex_wallet_1": l1.get("dex_wallet"),
+            "dex_wallet_2": l2.get("dex_wallet"),
+            "is_refund": False,
+            "lp_tokens_burnt": _int(
+                node.in_msg.decoded_body().get("amount")
+            ),
         },
     )
 
 
-# --------------------------------------------------------------------- EVAA
+def match_coffee_create_vault(node: Node, ctx: Ctx) -> dict | None:
+    """create_vault#c0ffee06 at the factory, deploying the vault
+    (liquidity.py:1991-2027 CoffeeCreateVaultMatcher): the action's
+    destination is the DEPLOYED vault, asset from the request body."""
+    if _op(node) != COFFEE_CREATE_VAULT:
+        return None
+    deploy = node.child_via(COFFEE_DEPLOY_OP)
+    if deploy is None:
+        return None
+    claimed = [node, deploy]
+    # optional init ping-pong under the deploy (liquidity.py:1999-2004)
+    for c in deploy.children:
+        if _op(c) == 0x2C76B973:
+            claimed.append(c)
+            for cc in c.children:
+                if _op(cc) == 0xD1735400:
+                    claimed.append(cc)
+    body = node.in_msg.decoded_body()
+    return _base(
+        node,
+        "coffee_create_vault",
+        claimed=claimed,
+        source=node.in_msg.source,
+        destination=deploy.account,
+        asset=_da(body.get("asset")),
+        amount=node.in_msg.value,
+    )
+
+
+COFFEE_POOL_CREATOR_REQUEST = 0xC0FFEE23  # messages/coffee.py:713-731
+COFFEE_POOL_REQUEST = 0xC0FFEE25          # messages/coffee.py:752-775
+
+
+def _coffee_pool_entry(node: Node, ctx: Ctx) -> dict | None:
+    """Pool-creation entry leg: native/extra call to the vault or a
+    jetton chain, reaching create_pool_creator_request → deploy.  The
+    pool/creation params ride in the ENTRY payload — the request body is
+    a structural anchor only (liquidity.py:2076-2112)."""
+    from ton_indexer_spark.functions.boc import (
+        decode_coffee_create_pool_native,
+        decode_coffee_create_pool_payload,
+    )
+
+    op = _op(node)
+    claimed: list[Node] = []
+    if op in (COFFEE_CREATE_POOL_NATIVE, COFFEE_CREATE_POOL_EXTRA):
+        params = (
+            decode_coffee_create_pool_native(node.in_msg.body)
+            if node.in_msg.body else None
+        ) or node.in_msg.decoded_body()
+        if not params:
+            return None
+        vault = node
+        asset = None
+        wallet = None
+        amount = _int(params.get("amount"))
+        sender = node.in_msg.source
+        claimed.append(node)
+    elif op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        fwd = node.in_msg.decoded_body().get("forward_payload")
+        params = decode_coffee_create_pool_payload(fwd) if fwd else None
+        if params is None:
+            return None
+        vault = chain["notify"]
+        asset = ctx.get("jetton_wallets", {}).get(
+            node.account, (None, None))[1]
+        wallet = node.account
+        amount = _int(chain["amount"])
+        sender = node.in_msg.source
+        claimed += chain["claimed"]
+    else:
+        return None
+    req = vault.child_via(COFFEE_POOL_CREATOR_REQUEST)
+    if req is None:
+        return None
+    deploy = req.child_via(COFFEE_DEPLOY_OP)
+    if deploy is None:
+        return None
+    claimed += [req, deploy]
+    return {
+        "claimed": claimed,
+        "deploy": deploy,
+        "asset": asset,
+        "wallet": wallet,
+        "amount": amount,
+        "sender": sender,
+        "first": _da(params.get("first")),
+        "second": _da(params.get("second")),
+        "recipient": params.get("recipient"),
+    }
+
+
+def match_coffee_create_pool(node: Node, ctx: Ctx) -> dict | None:
+    """swap.coffee pool creation, completing leg (liquidity.py:2157-2280
+    CoffeeCreatePoolMatcher): the second pool-creator deploy raises
+    create_pool_request → pool deploy with the LP mint and success event.
+    Serialized per _fill_coffee_create_pool
+    (block_tree_serializer.py:955-971)."""
+    from ton_indexer_spark.functions.boc import (
+        decode_coffee_deposit_event,
+        decode_coffee_pool_request,
+    )
+
+    entry = _coffee_pool_entry(node, ctx)
+    if entry is None:
+        return None
+    pool_req = entry["deploy"].child_via(COFFEE_POOL_REQUEST)
+    if pool_req is None:
+        return None
+    pool_deploy = pool_req.child_via(COFFEE_DEPLOY_OP)
+    if pool_deploy is None:
+        return None
+    claimed = entry["claimed"] + [pool_req, pool_deploy]
+    req_body = (
+        decode_coffee_pool_request(pool_req.in_msg.body)
+        if pool_req.in_msg.body else None
+    ) or pool_req.in_msg.decoded_body() or {}
+    lp_tokens = None
+    for msg in pool_deploy.out_msgs:
+        if msg.opcode == COFFEE_DEPOSIT_EVENT and msg.body:
+            ev = decode_coffee_deposit_event(msg.body)
+            if ev:
+                lp_tokens = _int(ev.get("lp_amount"))
+            break
+    lp = pool_deploy.child_via(JETTON_INTERNAL)
+    if lp is not None:
+        claimed.append(lp)
+        exc = lp.child_via(EXCESSES)
+        if exc is not None:
+            claimed.append(exc)
+        if lp_tokens is None:
+            lp_tokens = _int(lp.in_msg.decoded_body().get("amount"))
+    notif = pool_deploy.child_via(COFFEE_NOTIFICATION_OP)
+    if notif is not None:
+        claimed.append(notif)
+
+    provided = entry["asset"]
+    amount_1 = _int(req_body.get("amount1"))
+    amount_2 = _int(req_body.get("amount2"))
+    initiator_1 = entry["sender"]
+    initiator_2 = req_body.get("tx_initiator")
+    if provided == entry["first"]:
+        asset_1, asset_2 = provided, entry["second"]
+    elif provided == entry["second"]:
+        asset_1, asset_2 = provided, entry["first"]
+        amount_1, amount_2 = amount_2, amount_1
+        initiator_1, initiator_2 = initiator_2, initiator_1
+    else:
+        asset_1, asset_2 = entry["first"], entry["second"]
+
+    return _base(
+        node,
+        "coffee_create_pool",
+        claimed=claimed,
+        source=entry["sender"],
+        source_secondary=entry["wallet"],
+        destination=pool_deploy.account,
+        destination_secondary=entry["deploy"].account,
+        asset=asset_1,
+        asset2=asset_2,
+        amount=entry["amount"],
+        coffee_create_pool_data={
+            "amount_1": amount_1,
+            "amount_2": amount_2,
+            "initiator_1": initiator_1,
+            "initiator_2": initiator_2,
+            "provided_asset": provided,
+            "lp_tokens_minted": lp_tokens,
+        },
+    )
+
+
+def match_coffee_create_pool_creator(node: Node, ctx: Ctx) -> dict | None:
+    """The first (incomplete) pool-creation leg: entry → pool-creator
+    request → deploy, no pool request yet (liquidity.py:2055-2123,
+    serialized per block_tree_serializer.py:945-953)."""
+    entry = _coffee_pool_entry(node, ctx)
+    if entry is None:
+        return None
+    if entry["deploy"].child_via(COFFEE_POOL_REQUEST) is not None:
+        return None
+    return _base(
+        node,
+        "coffee_create_pool_creator",
+        claimed=entry["claimed"],
+        source=entry["sender"],
+        source_secondary=entry["wallet"],
+        destination=entry["recipient"],
+        destination_secondary=entry["deploy"].account,
+        asset=entry["asset"],
+        asset2=entry["first"],
+        asset2_secondary=entry["second"],
+        amount=entry["amount"],
+    )
 
 
 def _evaa_user_child(node: Node, op: int) -> "tuple[Node, dict] | None":
@@ -1762,51 +2446,199 @@ def match_evaa_liquidate(node: Node, ctx: Ctx) -> dict | None:
 # ------------------------------------------------------------------- JVault
 
 
+JVAULT_REQUEST_UPDATE = 0xF5C5BAA3   # request_update_rewards (jvault.py:104)
+JVAULT_UPDATE_REWARDS = 0xAE9307CE   # update_rewards (jvault.py:109)
+JVAULT_REQ_REFERRER = 0x55C35B40     # request_update_referrer (jvault.py:114)
+JVAULT_UPD_REFERRER = 0x076EE4E0     # update_referrer (jvault.py:118)
+JVAULT_SET_DATA = 0x383411EA         # set_data (jvault.py:122)
+JVAULT_CANCEL = 0x9EADA1D9           # cancellation (blocks/jvault.py:118)
+
+
+def _subtree(node: Node, limit: int = 200) -> list[Node]:
+    """Node + all descendants, breadth-first, bounded (used to claim a
+    protocol-internal flow the reference merges wholesale)."""
+    out = [node]
+    i = 0
+    while i < len(out) and len(out) < limit:
+        out.extend(out[i].children)
+        i += 1
+    return out
+
+
+def _jvault_assets(stake_wallet: str, ctx: Ctx):
+    """(staking_pool, asset, jvault_asset) off the captured stake-wallet
+    data cell (blocks/jvault.py:35-68 extract_jvault_assets): the wallet
+    data leads with pool + jvault-minter addresses; the pool data names
+    the lock wallet whose jetton is the underlying asset."""
+    from ton_indexer_spark.functions.boc import parse_boc
+
+    extra = ctx.get("extra", {}).get(stake_wallet, {}).get("data_boc")
+    if not extra:
+        return None, None, None
+    pool = minter = None
+    try:
+        sl = parse_boc(extra["data_boc"]).begin_parse()
+        pool = sl.load_address()
+        minter = sl.load_address()
+    except Exception:
+        pool = extra.get("pool")
+    if pool is None:
+        pool = extra.get("pool")
+    asset = None
+    pool_extra = ctx.get("extra", {}).get(pool, {}).get("data_boc") if pool else None
+    if pool_extra and pool_extra.get("lock_wallet_address"):
+        asset = ctx.get("jetton_wallets", {}).get(
+            pool_extra["lock_wallet_address"], (None, None)
+        )[1]
+    return pool, asset, minter
+
+
 def match_jvault_stake(node: Node, ctx: Ctx) -> dict | None:
-    if _op(node) != JVAULT_RECEIVE:
+    """JVault stake (blocks/jvault.py:104-183 JVaultStakeBlockMatcher):
+    anchored at the entry jetton transfer whose pool notify triggers
+    receive_jettons on the stake wallet, followed by either the
+    rewards-update round-trip (with optional referral chain) or a
+    cancellation refund."""
+    if _op(node) != JETTON_TRANSFER:
         return None
-    claimed = _claim_chain(node, JETTON_INTERNAL, JETTON_NOTIFY)
+    chain = _jetton_chain(node, ctx)
+    if chain is None or chain["notify"] is None:
+        return None
+    notify = chain["notify"]
+    receive = notify.child_via(JVAULT_RECEIVE)
+    if receive is None:
+        return None
+    request = receive.child_via(JVAULT_REQUEST_UPDATE)
+    cancel = receive.child_via(JVAULT_CANCEL)
+    if request is None and cancel is None:
+        return None
+    claimed = list(chain["claimed"]) + _subtree(receive)
+    setd = notify.child_via(JVAULT_SET_DATA)
+    if setd is not None:
+        claimed.append(setd)
     body = node.in_msg.decoded_body()
-    return _base(
+    period = None
+    fwd = body.get("forward_payload")
+    if fwd:
+        try:
+            from ton_indexer_spark.functions.boc import parse_boc
+
+            sl = parse_boc(fwd).begin_parse()
+            sl.load_uint(32)
+            period = sl.load_uint(32)
+        except Exception:
+            pass
+    act = _base(
         node,
         "jvault_stake",
         claimed=claimed,
-        amount=body.get("amount"),
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=notify.account,
+        amount=_int(chain["amount"]),
+        asset=chain["asset"],
         jvault_stake_data={
-            "period": body.get("period"),
-            "minted_stake_jettons": body.get("minted_stake_jettons"),
-            "stake_wallet": node.account,
+            "period": period,
+            "stake_wallet": receive.account,
         },
+    )
+    if cancel is not None:
+        act["success"] = False
+    return act
+
+
+def _jvault_unstake_like(node: Node, ctx: Ctx, typ: str, op: int,
+                         with_transfer: bool) -> dict | None:
+    """Shared unstake / unstake_request shape
+    (blocks/jvault.py:207-296,337-475): user hits the stake wallet, which
+    round-trips a rewards update through the pool; a full unstake also
+    pays the jettons back.  A missing round-trip is the failed arm — the
+    stake wallet's compute exit code becomes the action opcode."""
+    if _op(node) != op:
+        return None
+    body = node.in_msg.decoded_body()
+    amount = _int(body.get("amount"))
+    stake_wallet = node.account
+    pool, asset, jvault_asset = _jvault_assets(stake_wallet, ctx)
+    request = node.child_via(JVAULT_REQUEST_UPDATE)
+    claimed = [node]
+    transfer_asset = None
+    have_transfer = False
+    if request is not None:
+        pool = request.account
+        claimed += _subtree(request)
+        for c in request.children:
+            tc = _jetton_chain(c, ctx)
+            if tc is not None:
+                have_transfer = True
+                transfer_asset = tc["asset"]
+                break
+    failed = request is None or (with_transfer and not have_transfer)
+    act = _base(
+        node,
+        typ,
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=stake_wallet,
+        destination=pool,
+        amount=amount,
+        asset=transfer_asset or asset,
+        asset2=jvault_asset,
+        opcode=node.exit_code if failed else None,
+    )
+    if failed:
+        act["success"] = False
+    elif not any(n.aborted for n in (node, request)):
+        # referral-leg failures do NOT fail the action (jvault.py:449-451)
+        act["success"] = True
+    return act
+
+
+def match_jvault_unstake(node: Node, ctx: Ctx) -> dict | None:
+    return _jvault_unstake_like(
+        node, ctx, "jvault_unstake", JVAULT_UNSTAKE, with_transfer=True
     )
 
 
-match_jvault_unstake = _simple(JVAULT_UNSTAKE, "jvault_unstake")
-match_jvault_unstake_request = _simple(
-    JVAULT_UNSTAKE_REQUEST, "jvault_unstake_request"
-)
+def match_jvault_unstake_request(node: Node, ctx: Ctx) -> dict | None:
+    return _jvault_unstake_like(
+        node, ctx, "jvault_unstake_request", JVAULT_UNSTAKE_REQUEST,
+        with_transfer=False,
+    )
 
 
 def match_jvault_claim(node: Node, ctx: Ctx) -> dict | None:
+    """Claim rewards (blocks/jvault.py:317-371): stake wallet forwards
+    send_claimed_rewards to the pool, which pays the reward jettons out
+    and updates the stake wallet."""
     if _op(node) != JVAULT_CLAIM:
         return None
-    claimed = [node]
-    sends = [
-        c for c in node.children
-        if c.in_msg is not None and c.in_msg.opcode == JVAULT_SEND_CLAIMED
-    ]
-    claimed += sends
-    jettons, amounts = [], []
-    for s in sends:
-        b = s.in_msg.decoded_body()
-        jettons.append(b.get("jetton"))
-        amounts.append(b.get("amount"))
+    send = node.child_via(JVAULT_SEND_CLAIMED)
+    if send is None:
+        return None
+    amount = None
+    for c in send.children:
+        tc = _jetton_chain(c, ctx)
+        if tc is not None:
+            amount = _int(tc["amount"])
+            break
+    if amount is None:
+        return None
+    claimed = [node] + _subtree(send)
+    body = node.in_msg.decoded_body()
     return _base(
         node,
         "jvault_claim",
         claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=send.account,
+        # an aborted excess hop doesn't fail the claim — the reference
+        # has no failure path here (jvault.py:347-371)
+        success=not (node.aborted or send.aborted),
         jvault_claim_data={
-            "claimed_jettons": jettons or None,
-            "claimed_amounts": amounts or None,
+            "claimed_jettons": body.get("jettons_to_claim") or [],
+            "claimed_amounts": [amount],
         },
     )
 
@@ -1814,9 +2646,74 @@ def match_jvault_claim(node: Node, ctx: Ctx) -> dict | None:
 # ------------------------------------------------------- staking (extras)
 
 
+TS_WITHDRAW_REQUEST = 0x319B0CDC   # burn-notify -> pool (staking.py:21-23)
+TS_MINT_TOKENS = 0x1674B0A0        # mint jettons / mint payout NFT
+TS_INIT_NFT = 0x132F9A45           # payout NFT init (staking.py:33-34)
+TS_ASSET_DISTRIBUTION = 0x1140A64F  # start distribution (staking.py:287)
+
+
+def match_tonstakers_withdraw(node: Node, ctx: Ctx) -> dict | None:
+    """Tonstakers withdraw via tsTON burn (staking.py:178-243
+    TONStakersWithdrawMatcher): wallet burn -> burn notification ->
+    withdraw request at the pool, then either the immediate payout
+    (stake_withdrawal) or a payout-NFT mint (stake_withdrawal_request);
+    the NFT mint itself stays unclaimed and classifies as its own
+    nft_mint, exactly like the reference."""
+    if _op(node) != JETTON_BURN:
+        return None
+    notify = node.child_via(BURN_NOTIFY)
+    if notify is None:
+        return None
+    request = notify.child_via(TS_WITHDRAW_REQUEST)
+    if request is None:
+        return None
+    claimed = [node, notify, request]
+    tokens_burnt = _int(node.in_msg.decoded_body().get("amount"))
+    asset = request.in_msg.source
+    immediate = request.child_via(POOL_WITHDRAWAL)
+    if immediate is not None:
+        claimed.append(immediate)
+        amount = (immediate.in_msg.value or 0) - (request.in_msg.value or 0)
+        return _base(
+            node,
+            "stake_withdrawal",
+            claimed=claimed,
+            source=node.in_msg.source,
+            destination=request.account,
+            amount=amount,
+            asset=asset,
+            staking_data={
+                "provider": "liquid_staking",
+                "ts_nft": None,
+                "tokens_burnt": tokens_burnt,
+            },
+        )
+    mint = request.child_via(TS_MINT_TOKENS)
+    if mint is None:
+        return None
+    claimed.append(mint)
+    init = mint.child_via(TS_INIT_NFT)
+    return _base(
+        node,
+        "stake_withdrawal_request",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=request.account,
+        amount=tokens_burnt,
+        asset=asset,
+        staking_data={
+            "provider": "liquid_staking",
+            "ts_nft": init.account if init is not None else None,
+        },
+    )
+
+
 def match_tonstakers_delayed_withdrawal(node: Node, ctx: Ctx) -> dict | None:
-    """Payout-NFT burn at the pool (0xed58b0b2) releasing the delayed
-    withdrawal (TONStakersDelayedWithdrawalMatcher, blocks/staking.py)."""
+    """Payout-NFT burn releasing the delayed withdrawal
+    (staking.py:245-300 TONStakersDelayedWithdrawalMatcher): nft burn ->
+    burn notification at the pool -> asset payout to the holder; the pool
+    address is recovered by climbing to the distribution-start call."""
     if _op(node) != TS_NFT_BURN_NOTIFICATION:
         return None
     payout = next(
@@ -1826,19 +2723,37 @@ def match_tonstakers_delayed_withdrawal(node: Node, ctx: Ctx) -> dict | None:
               or (c.in_msg.value or 0) > 0)),
         None,
     )
-    claimed = [node] + ([payout] if payout is not None else [])
+    if payout is None:
+        return None
+    claimed = [node, payout]
+    if node.parent is not None and _op(node.parent) == TS_NFT_BURN:
+        claimed.append(node.parent)
+    # pool discovery: walk up through the burn/notification chain to the
+    # distribution-start call and take ITS source (staking.py:281-300)
+    pool = None
+    cur = node
+    while cur is not None:
+        if _op(cur) == TS_ASSET_DISTRIBUTION:
+            pool = cur.in_msg.source
+            break
+        if _op(cur) not in (
+            TS_NFT_BURN, TS_NFT_BURN_NOTIFICATION, TS_DISTRIBUTED_ASSET,
+        ):
+            break
+        cur = cur.parent
     body = node.in_msg.decoded_body()
     return _base(
         node,
-        "tonstakers_withdraw",
+        "stake_withdrawal",
         claimed=claimed,
-        source=node.account,
-        destination=payout.account if payout is not None else None,
-        amount=payout.in_msg.value if payout is not None else None,
+        source=body.get("owner"),
+        destination=pool,
+        amount=payout.in_msg.value,
+        asset=None,
         staking_data={
-            "provider": "tonstakers",
-            "ts_nft": body.get("ts_nft", node.in_msg.source),
-            "tokens_burnt": body.get("tokens_burnt"),
+            "provider": "liquid_staking",
+            "ts_nft": node.in_msg.source,
+            "tokens_burnt": _int(body.get("tokens_burnt")),
         },
     )
 
@@ -2086,62 +3001,486 @@ def match_tgbtc_dkg_log(node: Node, ctx: Ctx) -> dict | None:
 # ---------------------------------------------------------------- LayerZero
 
 
-def match_layerzero_send(node: Node, ctx: Ctx) -> dict | None:
-    """Endpoint send (0xdd4ea3b4): claim the channel hop + event log
-    (LayerZeroSendMatcher, blocks/layerzero.py re-derived)."""
+def _lz_send_parts(node: Node) -> "tuple[list[Node], dict, Node] | None":
+    """Endpoint-send chain walk (layerzero.py:149-272 LayerZeroSendMatcher):
+    endpoint → channel send → msglib-connection send → uln send → msglib
+    send callback → oapp callback (which embeds the lzSend metadata).
+    Returns (claimed nodes, decoded lzSend md, channel node)."""
+    from ton_indexer_spark.functions.boc import decode_lz_send_callback
+
     if _op(node) != LZ_ENDPOINT_SEND:
         return None
-    claimed = [node] + [c for c in node.children if c.in_msg is not None][:1]
-    body = node.in_msg.decoded_body()
+    channel = node.child_via(LZ_CHANNEL_SEND)
+    mconn = channel.child_via(LZ_MCONN_SEND) if channel else None
+    uln = mconn.child_via(LZ_ULN_SEND) if mconn else None
+    cb = uln.child_via(LZ_MSGLIB_SEND_CB) if uln else None
+    oapp_cb = cb.child_via(LZ_OAPP_SEND_CB) if cb else None
+    if oapp_cb is None or not oapp_cb.in_msg.body:
+        return None
+    md = decode_lz_send_callback(oapp_cb.in_msg.body)
+    if md is None:
+        return None
+    claimed = [node, channel, mconn, uln, cb, oapp_cb]
+    for holder in (cb, oapp_cb):
+        for c in holder.children:
+            if c.in_msg is not None and (
+                c.in_msg.opcode == LZ_EVENT or (c.in_msg.value or 0) > 0
+            ):
+                claimed.append(c)
+    md["uln_address"] = uln.account
+    md["channel_address"] = channel.account
+    md["endpoint_address"] = node.account
+    return claimed, md, channel
+
+
+def _lz_send_fields(md: dict) -> dict:
+    return {
+        "layerzero_send_data": {
+            "send_request_id": md["send_request_id"],
+            "msglib_manager": md["msglib_manager"],
+            "msglib": md["msglib"],
+            "uln": md["uln_address"],
+            "native_fee": md["native_fee"],
+            "zro_fee": md["zro_fee"],
+            "endpoint": md["endpoint_address"],
+            "channel": md["channel_address"],
+        },
+        "layerzero_packet_data": md["packet"],
+    }
+
+
+def match_layerzero_send(node: Node, ctx: Ctx) -> dict | None:
+    """LayerZero lzSend (layerzero.py:149-272): the OApp calls the
+    endpoint; the packet metadata is recovered from the
+    CHANNEL_SEND_CALLBACK deep in the chain.  Serialized per
+    _fill_layerzero_send_action (block_tree_serializer.py:1199-1214)."""
+    parts = _lz_send_parts(node)
+    if parts is None:
+        return None
+    claimed, md, _ = parts
     return _base(
-        node, "layerzero_send", claimed=claimed,
-        # layerzero_send_details (migrate.cpp:878)
-        layerzero_send_data={
-            "send_request_id": body.get("send_request_id"),
-            "native_fee": body.get("native_fee"),
-            "zro_fee": body.get("zro_fee"),
-            "endpoint": node.account,
-            "channel": claimed[1].account if len(claimed) > 1 else None,
-        },
-        layerzero_packet_data={
-            "src_oapp": body.get("src_oapp"),
-            "dst_oapp": body.get("dst_oapp"),
-            "src_eid": body.get("src_eid"),
-            "dst_eid": body.get("dst_eid"),
-            "nonce": body.get("nonce"),
-            "guid": body.get("guid"),
-        },
+        node,
+        "layerzero_send",
+        claimed=claimed,
+        source=node.in_msg.source,
+        **_lz_send_fields(md),
     )
 
 
-match_layerzero_commit_packet = _simple(
-    LZ_CHANNEL_COMMIT_PACKET, "layerzero_commit_packet"
-)
-match_layerzero_receive = _log_event(LZ_EVENT, "layerzero_receive")
+def match_layerzero_receive(node: Node, ctx: Ctx) -> dict | None:
+    """LayerZero lzReceive (layerzero.py:338-424): receive-prepare at the
+    channel → OApp prepare → receive lock → execute → OApp execute
+    callback carrying the packet."""
+    from ton_indexer_spark.functions.boc import decode_lz_execute_callback
+
+    if _op(node) != LZ_RECEIVE_PREPARE:
+        return None
+    prep = node.child_via(LZ_OAPP_RECEIVE_PREPARE)
+    lock = prep.child_via(LZ_RECEIVE_LOCK) if prep else None
+    execute = lock.child_via(LZ_RECEIVE_EXECUTE) if lock else None
+    if execute is None or not execute.in_msg.body:
+        return None
+    # the LZ_RECEIVE_EXECUTE body embeds the packet at refs[0].refs[0];
+    # its destination is the receiving OApp (layerzero.py:391-409)
+    packet = decode_lz_execute_callback(execute.in_msg.body)
+    if packet is None:
+        return None
+    claimed = [node, prep, lock, execute]
+    exec_cb = execute.child_via(LZ_OAPP_EXECUTE_CB)
+    if exec_cb is not None:
+        claimed.append(exec_cb)
+    for holder in [h for h in (execute, exec_cb) if h is not None]:
+        for c in holder.children:
+            if c.in_msg is not None and (
+                c.in_msg.opcode == LZ_EVENT or (c.in_msg.value or 0) > 0
+            ):
+                claimed.append(c)
+    return _base(
+        node,
+        "layerzero_receive",
+        claimed=claimed,
+        source=node.in_msg.source,
+        destination=execute.account,
+        destination_secondary=execute.in_msg.source,
+        layerzero_packet_data=packet,
+    )
+
+
+def match_layerzero_commit_packet(node: Node, ctx: Ctx) -> dict | None:
+    """LayerZero packet-verification commit (layerzero.py:424-506):
+    uln commit → uln-connection commit → endpoint commit → channel
+    commit (packet) → msglib-connection callback."""
+    from ton_indexer_spark.functions.boc import decode_lz_commit_packet
+
+    if _op(node) != LZ_ULN_COMMIT:
+        return None
+    uconn = node.child_via(LZ_ULN_CONN_COMMIT)
+    ep = uconn.child_via(LZ_ENDPOINT_COMMIT) if uconn else None
+    chan = ep.child_via(LZ_CHANNEL_COMMIT_PACKET) if ep else None
+    mcb = chan.child_via(LZ_MCONN_COMMIT_CB) if chan else None
+    if chan is None or mcb is None or not chan.in_msg.body:
+        return None
+    packet = decode_lz_commit_packet(chan.in_msg.body)
+    if packet is None:
+        return None
+    claimed = [node, uconn, ep, chan, mcb]
+    for holder in (chan, mcb):
+        for c in holder.children:
+            if c.in_msg is not None and (
+                c.in_msg.opcode == LZ_EVENT or (c.in_msg.value or 0) > 0
+            ):
+                claimed.append(c)
+    return _base(
+        node,
+        "layerzero_commit_packet",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=ep.account,
+        destination=uconn.account,
+        destination_secondary=uconn.account,
+        asset=chan.account,
+        asset_secondary=mcb.account,
+        layerzero_packet_data=packet,
+    )
 
 
 # ------------------------------------------------------------------- Cocoon
 
 
-def match_cocoon_worker_payout(node: Node, ctx: Ctx) -> dict | None:
-    if _op(node) != COCOON_WORKER_PAYOUT_REQ:
+COCOON_PAYOUT_PAYLOAD = 0xA040AD28
+COCOON_LAST_PAYOUT_PAYLOAD = 0xF5F26A36
+COCOON_WORKER_REQUEST = 0x4D725D2C
+COCOON_RETURN_EXCESSES = 0x2565934C
+COCOON_EXT_PROXY_PAYOUT = 0x7610E6EB
+COCOON_CHARGE_PAYLOAD = 0xBB63FF93
+COCOON_EXT_CLIENT_TOPUP = 0xF172E6C2
+COCOON_OWNER_CLIENT_REGISTER = 0xC45F9F3B
+COCOON_GRANT_REFUND_PAYLOAD = 0xEFD711E1
+COCOON_CLIENT_REQUEST = 0x65448FF4
+
+
+def _cocoon_body(node: Node) -> dict | None:
+    from ton_indexer_spark.functions.boc import decode_cocoon_body
+
+    if node.in_msg is None:
         return None
-    pay = node.child_via(COCOON_PAYOUT)
-    claimed = [node] + ([pay] if pay is not None else [])
+    if not node.in_msg.body:
+        return {}  # structural-only synthetic fixtures
+    d = decode_cocoon_body(node.in_msg.body)
+    if d is None:
+        # JSON fixture fallback (the synthetic seam)
+        d = node.in_msg.decoded_body() or {}
+    return d
+
+
+def _cocoon_client_tail(node: Node) -> "tuple[list[Node], Node | None, Node | None]":
+    """The client-request continuation most cocoon flows share:
+    ClientProxyRequest → {Payout, ReturnExcessesBack}
+    (blocks/cocoon.py — every client-side matcher).  Returns
+    (claimed, client_request node, payout node)."""
+    claimed: list[Node] = []
+    creq = node.child_via(COCOON_CLIENT_REQUEST)
+    payout = None
+    if creq is not None:
+        claimed.append(creq)
+        for c in creq.children:
+            if _op(c) in (COCOON_PAYOUT, COCOON_RETURN_EXCESSES):
+                claimed.append(c)
+                if _op(c) == COCOON_PAYOUT:
+                    payout = c
+    for c in node.children:
+        if _op(c) == COCOON_RETURN_EXCESSES and c not in claimed:
+            claimed.append(c)
+    return claimed, creq, payout
+
+
+def match_cocoon_worker_payout(node: Node, ctx: Ctx) -> dict | None:
+    """[Last]PayoutPayload at the worker → WorkerProxyRequest back to the
+    proxy with the payout + excesses (blocks/cocoon.py:67-222)."""
+    if _op(node) not in (COCOON_PAYOUT_PAYLOAD, COCOON_LAST_PAYOUT_PAYLOAD):
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    wr = node.child_via(COCOON_WORKER_REQUEST)
+    if wr is None:
+        return None
+    wr_body = _cocoon_body(wr) or {}
+    claimed = [node, wr]
+    payout = None
+    for c in wr.children:
+        if _op(c) in (COCOON_PAYOUT, COCOON_RETURN_EXCESSES):
+            claimed.append(c)
+            if _op(c) == COCOON_PAYOUT:
+                payout = c
+    if payout is None:
+        return None
     return _base(
-        node, "cocoon_worker_payout", claimed=claimed,
-        destination=pay.account if pay is not None else node.account,
-        amount=pay.in_msg.value if pay is not None else None,
+        node,
+        "cocoon_worker_payout",
+        claimed=claimed,
+        source=node.in_msg.source,
+        source_secondary=node.account,
+        destination=wr_body.get("owner_address"),
+        amount=payout.in_msg.value,
+        success=not payout.aborted,
+        cocoon_worker_payout_data={
+            "payout_type": (
+                "last" if _op(node) == COCOON_LAST_PAYOUT_PAYLOAD
+                else "regular"
+            ),
+            "query_id": body.get("query_id"),
+            "new_tokens": body.get("new_tokens"),
+            "worker_state": wr_body.get("state"),
+            "worker_tokens": wr_body.get("tokens"),
+        },
     )
 
 
-match_cocoon_proxy_payout = _simple(COCOON_PAYOUT, "cocoon_proxy_payout")
-match_cocoon_client_top_up = _simple(COCOON_CLIENT_TOPUP,
-                                     "cocoon_client_top_up")
-match_cocoon_client_register = _simple(COCOON_CLIENT_REGISTER,
-                                       "cocoon_client_register")
-match_cocoon_grant_refund = _simple(COCOON_GRANT_REFUND,
-                                    "cocoon_grant_refund")
+def match_cocoon_proxy_payout(node: Node, ctx: Ctx) -> dict | None:
+    """ExtProxyPayoutRequest at the proxy → payout + excesses
+    (blocks/cocoon.py:241-314)."""
+    if _op(node) != COCOON_EXT_PROXY_PAYOUT:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    claimed = [node]
+    payout = None
+    for c in node.children:
+        if _op(c) in (COCOON_PAYOUT, COCOON_RETURN_EXCESSES):
+            claimed.append(c)
+            if _op(c) == COCOON_PAYOUT:
+                payout = c
+    if payout is None:
+        return None
+    return _base(
+        node,
+        "cocoon_proxy_payout",
+        claimed=claimed,
+        source=node.account,
+        destination=payout.account,
+        destination_secondary=body.get("send_excesses_to"),
+        success=not payout.aborted,
+        cocoon_proxy_payout_data={"query_id": body.get("query_id")},
+    )
+
+
+def match_cocoon_proxy_charge(node: Node, ctx: Ctx) -> dict | None:
+    """ChargePayload at the proxy → excesses + (usually aborted) client
+    request (blocks/cocoon.py:336-414)."""
+    if _op(node) != COCOON_CHARGE_PAYLOAD:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    tail, creq, _ = _cocoon_client_tail(node)
+    if creq is None:
+        return None
+    return _base(
+        node,
+        "cocoon_proxy_charge",
+        claimed=[node] + tail,
+        source=node.account,
+        destination=creq.account,
+        amount=0,
+        success=not node.aborted,
+        cocoon_proxy_charge_data={
+            "query_id": body.get("query_id"),
+            "new_tokens_used": body.get("new_tokens_used"),
+            "expected_address": body.get("expected_address"),
+        },
+    )
+
+
+def match_cocoon_client_top_up(node: Node, ctx: Ctx) -> dict | None:
+    """ExtClientTopUp at the client → proxy request + excesses
+    (blocks/cocoon.py:435-508)."""
+    if _op(node) != COCOON_EXT_CLIENT_TOPUP:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    tail, creq, _ = _cocoon_client_tail(node)
+    return _base(
+        node,
+        "cocoon_client_top_up",
+        claimed=[node] + tail,
+        source=body.get("send_excesses_to") or node.in_msg.source,
+        destination=node.account,
+        destination_secondary=creq.account if creq is not None else None,
+        amount=_int(body.get("amount")),
+        success=not node.aborted,
+        cocoon_client_top_up_data={"query_id": body.get("query_id")},
+    )
+
+
+def match_cocoon_register_proxy(node: Node, ctx: Ctx) -> dict | None:
+    """RegisterProxy at the root (blocks/cocoon.py:527-576)."""
+    if _op(node) != COCOON_REGISTER_PROXY:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    claimed = [node] + [
+        c for c in node.children if _op(c) == COCOON_RETURN_EXCESSES
+    ]
+    return _base(
+        node,
+        "cocoon_register_proxy",
+        claimed=claimed,
+        destination=node.account,
+        success=not node.aborted,
+        cocoon_register_proxy_data={"query_id": body.get("query_id")},
+    )
+
+
+def match_cocoon_unregister_proxy(node: Node, ctx: Ctx) -> dict | None:
+    """UnregisterProxy at the root (blocks/cocoon.py:597-648)."""
+    if _op(node) != COCOON_UNREGISTER_PROXY:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    claimed = [node] + [
+        c for c in node.children if _op(c) == COCOON_RETURN_EXCESSES
+    ]
+    return _base(
+        node,
+        "cocoon_unregister_proxy",
+        claimed=claimed,
+        destination=node.account,
+        success=not node.aborted,
+        cocoon_unregister_proxy_data={
+            "query_id": body.get("query_id"),
+            "seqno": body.get("seqno"),
+        },
+    )
+
+
+def match_cocoon_client_register(node: Node, ctx: Ctx) -> dict | None:
+    """OwnerClientRegister at the client (blocks/cocoon.py:670-760)."""
+    if _op(node) != COCOON_OWNER_CLIENT_REGISTER:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    tail, _, _ = _cocoon_client_tail(node)
+    return _base(
+        node,
+        "cocoon_client_register",
+        claimed=[node] + tail,
+        source=body.get("send_excesses_to") or node.in_msg.source,
+        destination=node.account,
+        success=not node.aborted,
+        cocoon_client_register_data={
+            "query_id": body.get("query_id"),
+            "nonce": body.get("nonce"),
+        },
+    )
+
+
+def match_cocoon_client_change_secret_hash(node: Node, ctx: Ctx) -> dict | None:
+    """OwnerClientChangeSecretHash at the client (blocks/cocoon.py)."""
+    if _op(node) != COCOON_CHANGE_SECRET_HASH:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    tail, _, _ = _cocoon_client_tail(node)
+    return _base(
+        node,
+        "cocoon_client_change_secret_hash",
+        claimed=[node] + tail,
+        source=body.get("send_excesses_to") or node.in_msg.source,
+        destination=node.account,
+        success=not node.aborted,
+        cocoon_client_change_secret_hash_data={
+            "query_id": body.get("query_id"),
+            "new_secret_hash": body.get("new_secret_hash"),
+        },
+    )
+
+
+def match_cocoon_client_increase_stake(node: Node, ctx: Ctx) -> dict | None:
+    """OwnerClientIncreaseStake at the client (blocks/cocoon.py)."""
+    if _op(node) != COCOON_INCREASE_STAKE:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    tail, _, _ = _cocoon_client_tail(node)
+    return _base(
+        node,
+        "cocoon_client_increase_stake",
+        claimed=[node] + tail,
+        source=body.get("send_excesses_to") or node.in_msg.source,
+        destination=node.account,
+        amount=_int(body.get("new_stake")),
+        success=not node.aborted,
+        cocoon_client_increase_stake_data={
+            "query_id": body.get("query_id"),
+            "new_stake": _int(body.get("new_stake")),
+        },
+    )
+
+
+def match_cocoon_client_withdraw(node: Node, ctx: Ctx) -> dict | None:
+    """OwnerClientWithdraw at the client; the refunded amount rides in
+    the ClientProxyRequest's RefundGranted payload
+    (blocks/cocoon.py:965-1100)."""
+    if _op(node) != COCOON_CLIENT_WITHDRAW_OP:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    tail, creq, _ = _cocoon_client_tail(node)
+    amount = None
+    if creq is not None:
+        cb = _cocoon_body(creq) or {}
+        amount = _int(cb.get("payload_coins"))
+    return _base(
+        node,
+        "cocoon_client_withdraw",
+        claimed=[node] + tail,
+        source=body.get("send_excesses_to") or node.in_msg.source,
+        destination=node.account,
+        amount=amount,
+        success=not node.aborted,
+        cocoon_client_withdraw_data={
+            "query_id": body.get("query_id"),
+            "withdraw_amount": amount,
+        },
+    )
+
+
+def match_cocoon_grant_refund(node: Node, ctx: Ctx) -> dict | None:
+    """GrantRefundPayload proxy→client, paying the refund out through the
+    client's proxy request (blocks/cocoon.py:1104-1219)."""
+    if _op(node) != COCOON_GRANT_REFUND_PAYLOAD:
+        return None
+    body = _cocoon_body(node)
+    if body is None:
+        return None
+    tail, creq, payout = _cocoon_client_tail(node)
+    if creq is None or payout is None:
+        return None
+    return _base(
+        node,
+        "cocoon_grant_refund",
+        claimed=[node] + tail,
+        # proxy = the granting contract itself; client = the request hop
+        source=node.account,
+        source_secondary=creq.account,
+        destination=payout.account,
+        amount=payout.in_msg.value,
+        success=not payout.aborted,
+        cocoon_grant_refund_data={
+            "query_id": body.get("query_id"),
+            "new_tokens_used": body.get("new_tokens_used"),
+            "expected_address": body.get("expected_address"),
+        },
+    )
 
 
 # -------------------------------------------------------- NFT / DNS extras
@@ -2234,13 +3573,18 @@ def match_ethena_withdrawal_request(node: Node, ctx: Ctx) -> dict | None:
         return None
     claimed = list(dict.fromkeys(chain["claimed"] + _path_up(ts, node)))
     ts_body = ts.in_msg.decoded_body()
+    mint = _descendant_via(node, JETTON_MINT_OP)
     return _base(
         node,
         "stake_withdrawal_request",
         claimed=claimed,
         source=node.in_msg.source,
         source_secondary=node.account,
-        destination=ts.in_msg.source,
+        # the pool is the account that ordered the tsUSDe mint
+        # (ethena_staking.py:100 pool=mint.get_message().source)
+        destination=(
+            mint.in_msg.source if mint is not None else ts.in_msg.source
+        ),
         asset=chain["asset"],
         amount=chain["amount"],
         staking_data={
@@ -2273,12 +3617,16 @@ def match_ethena_deposit(node: Node, ctx: Ctx) -> dict | None:
         claimed=claimed,
         source=node.in_msg.source,
         source_secondary=node.account,
-        destination=mint.account,
-        asset=chain["asset"],
-        amount=chain["amount"],
+        # pool = owner of the wallet receiving the USDe; minted asset is
+        # the action asset, deposited asset rides as asset2
+        # (ethena_staking.py:146-152, serializer :1277-1289)
+        destination=chain["dest_owner"],
+        asset=mint.account,
+        asset2=chain["asset"],
+        amount=_int(chain["amount"]),
         staking_data={
             "provider": "ethena",
-            "tokens_minted": mint_body.get("amount"),
+            "tokens_minted": _int(mint_body.get("amount")),
         },
     )
 
@@ -2310,6 +3658,9 @@ def match_coffee_staking_deposit(node: Node, ctx: Ctx) -> dict | None:
             minted = c  # position NFT deploy/mint leg
             claimed.append(c)
     minted_body = minted.in_msg.decoded_body() if minted is not None else {}
+    minted_index = minted_body.get("index")
+    if minted_index is None and minted is not None:
+        minted_index = ctx.get("nft_index", {}).get(minted.account)
     return _base(
         node,
         "coffee_staking_deposit",
@@ -2322,7 +3673,7 @@ def match_coffee_staking_deposit(node: Node, ctx: Ctx) -> dict | None:
         amount=body.get("jetton_amount", chain["amount"]),
         coffee_staking_deposit_data={
             "minted_item_address": minted.account if minted else None,
-            "minted_item_index": minted_body.get("index"),
+            "minted_item_index": minted_index,
         },
     )
 
@@ -2360,9 +3711,12 @@ def match_coffee_staking_withdraw(node: Node, ctx: Ctx) -> dict | None:
         claimed=claimed,
         source=w2_body.get("owner", node.in_msg.source),
         source_secondary=user_wallet,
-        destination=w2.account,
+        # fill shape (block_tree_serializer.py:996-1008): destination is
+        # the position NFT; the pool's jetton wallet rides secondary
+        destination=node.account,
+        destination_secondary=w3_body.get("jetton_wallet"),
         asset=asset,
-        amount=w3_body.get("jetton_amount"),
+        amount=_int(w3_body.get("jetton_amount")),
         coffee_staking_withdraw_data={
             "nft_address": node.account,
             "nft_index": w2_body.get("nft_id"),
@@ -2419,7 +3773,7 @@ def match_coffee_mev_protect_hold_funds(node: Node, ctx: Ctx) -> dict | None:
         node,
         "coffee_mev_protect_hold_funds",
         claimed=claimed,
-        asset="TON",
+        asset=None,  # TON renders null (_addr(Asset))
         amount=node.in_msg.value,
     )
 
@@ -2434,7 +3788,7 @@ def match_coffee_mev_protect_failed_swap(node: Node, ctx: Ctx) -> dict | None:
         node,
         "coffee_mev_protect_failed_swap",
         destination=body.get("recipient", node.account),
-        asset="TON",
+        asset=None,
         amount=node.in_msg.value,
     )
 
@@ -2512,9 +3866,14 @@ def match_layerzero_send_tokens(node: Node, ctx: Ctx) -> dict | None:
     chain = _jetton_chain(node, ctx)
     if chain is None:
         return None
+    parts = _lz_send_parts(send)
+    extra = {}
+    send_claims: list[Node] = []
+    if parts is not None:
+        send_claims, md, _ = parts
+        extra = _lz_send_fields(md)
     claimed = list(dict.fromkeys(
-        chain["claimed"] + _path_up(send, node)
-        + [c for c in send.children if c.in_msg is not None][:1]
+        chain["claimed"] + _path_up(send, node) + send_claims
     ))
     return _base(
         node,
@@ -2525,7 +3884,8 @@ def match_layerzero_send_tokens(node: Node, ctx: Ctx) -> dict | None:
         destination=chain["dest_owner"],
         destination_secondary=chain["receiver_wallet"],
         asset=chain["asset"],
-        amount=chain["amount"],
+        amount=_int(chain["amount"]),
+        **extra,
     )
 
 
@@ -2567,39 +3927,37 @@ def match_layerzero_dvn_verify(node: Node, ctx: Ctx) -> dict | None:
 
 
 def match_cocoon_client_request_refund(node: Node, ctx: Ctx) -> dict | None:
-    """Refund request, either direct (0xfafa6cc1) or wrapped in an
-    owner-wallet send (0x9c69f376 → 0xfafa6cc1)
-    (CocoonClientRequestRefundMatcher, blocks/cocoon.py:834-930)."""
+    """Refund request, direct (0xfafa6cc1) or wrapped in an owner-wallet
+    send (0x9c69f376 → 0xfafa6cc1)
+    (CocoonClientRequestRefundMatcher, blocks/cocoon.py:834-960)."""
     op = _op(node)
-    if op == COCOON_REQUEST_REFUND:
-        return _base(node, "cocoon_client_request_refund")
+    via_wallet = False
+    refund = node
+    claimed = [node]
     if op == COCOON_WALLET_SEND:
-        req = node.child_via(COCOON_REQUEST_REFUND)
-        if req is None:
+        refund = node.child_via(COCOON_REQUEST_REFUND)
+        if refund is None:
             return None
-        return _base(
-            node, "cocoon_client_request_refund", claimed=[node, req],
-            destination=req.account,
-        )
-    return None
-
-
-match_cocoon_proxy_charge = _simple(COCOON_CHARGE, "cocoon_proxy_charge")
-match_cocoon_register_proxy = _simple(
-    COCOON_REGISTER_PROXY, "cocoon_register_proxy"
-)
-match_cocoon_unregister_proxy = _simple(
-    COCOON_UNREGISTER_PROXY, "cocoon_unregister_proxy"
-)
-match_cocoon_client_change_secret_hash = _simple(
-    COCOON_CHANGE_SECRET_HASH, "cocoon_client_change_secret_hash"
-)
-match_cocoon_client_increase_stake = _simple(
-    COCOON_INCREASE_STAKE, "cocoon_client_increase_stake"
-)
-match_cocoon_client_withdraw = _simple(
-    COCOON_CLIENT_WITHDRAW_OP, "cocoon_client_withdraw"
-)
+        via_wallet = True
+        claimed.append(refund)
+    elif op != COCOON_REQUEST_REFUND:
+        return None
+    body = _cocoon_body(refund)
+    if body is None:
+        return None
+    tail, _, _ = _cocoon_client_tail(refund)
+    return _base(
+        node,
+        "cocoon_client_request_refund",
+        claimed=claimed + tail,
+        source=body.get("send_excesses_to") or node.in_msg.source,
+        destination=refund.account,
+        success=not refund.aborted,
+        cocoon_client_request_refund_data={
+            "query_id": body.get("query_id"),
+            "via_wallet": via_wallet,
+        },
+    )
 
 
 # --------------------------------------------------- NFT / DNS additions
@@ -2658,8 +4016,6 @@ PROTOCOL_MATCHERS = [
     ("layerzero_send_tokens", match_layerzero_send_tokens),
     ("dedust_swap", match_dedust_swap),
     ("dedust_deposit_liquidity", match_dedust_deposit_liquidity),
-    ("dedust_deposit_jetton", match_dedust_deposit_jetton),
-    ("dedust_deposit_partial", match_dedust_deposit_partial),
     ("dedust_withdraw_liquidity", match_dedust_withdraw_liquidity),
     ("stonfi_swap", match_stonfi_swap),
     ("stonfi_v2_withdraw_liquidity", match_stonfi_v2_withdraw_liquidity),
@@ -2673,8 +4029,10 @@ PROTOCOL_MATCHERS = [
     ("coffee_swap", match_coffee_swap),
     ("coffee_deposit_liquidity", match_coffee_deposit_liquidity),
     ("coffee_withdraw_liquidity", match_coffee_withdraw_liquidity),
+    ("coffee_lp_withdraw", match_coffee_lp_withdraw),
     ("coffee_create_vault", match_coffee_create_vault),
     ("coffee_create_pool", match_coffee_create_pool),
+    ("coffee_create_pool_creator", match_coffee_create_pool_creator),
     ("coffee_staking_withdraw", match_coffee_staking_withdraw),
     ("coffee_staking_claim_rewards", match_coffee_staking_claim_rewards),
     ("coffee_mev_protect_hold_funds", match_coffee_mev_protect_hold_funds),
@@ -2686,6 +4044,7 @@ PROTOCOL_MATCHERS = [
     ("jvault_unstake", match_jvault_unstake),
     ("jvault_unstake_request", match_jvault_unstake_request),
     ("jvault_claim", match_jvault_claim),
+    ("tonstakers_withdraw", match_tonstakers_withdraw),
     ("tonstakers_delayed_withdrawal", match_tonstakers_delayed_withdrawal),
     ("tgbtc_mint", match_tgbtc_mint),
     ("tgbtc_burn", match_tgbtc_burn),

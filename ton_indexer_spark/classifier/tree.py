@@ -71,6 +71,8 @@ class Node:
     aborted: bool
     orig_status: str | None
     end_status: str | None
+    exit_code: int | None = None  # compute-phase exit code when known
+    mc_seqno: int | None = None  # masterchain seqno of the block
     in_msg: Msg | None = None
     out_msgs: list[Msg] = field(default_factory=list)
     parent: "Node | None" = None
@@ -105,6 +107,16 @@ def build_tree(rows: list[dict]) -> list[Node]:
                 aborted=bool(r.get("aborted")),
                 orig_status=r.get("orig_status"),
                 end_status=r.get("end_status"),
+                exit_code=(
+                    int(r["compute_exit_code"])
+                    if r.get("compute_exit_code") is not None
+                    else None
+                ),
+                mc_seqno=(
+                    int(r["mc_block_seqno"])
+                    if r.get("mc_block_seqno") is not None
+                    else None
+                ),
             )
             nodes[r["tx_hash"]] = n
         if r.get("msg_hash") is None:

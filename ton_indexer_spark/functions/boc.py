@@ -672,13 +672,44 @@ def decode_body_cell(root: Cell) -> dict:
         d = {"opcode": op, "query_id": s.load_uint(64)}
         d["new_owner"] = s.load_address()
         d["response_destination"] = s.load_address()
-        s.load_maybe_ref()  # custom_payload
+        custom = s.load_maybe_ref()
+        if custom is not None:
+            d["custom_payload"] = cell_to_b64_boc(custom)
         d["forward_amount"] = s.load_coins()
-        d.update(_forward_payload(s))
+        # the raw payload cell is kept verbatim, EMPTY cells included —
+        # the reference serializes to_boc of whichever Either arm is
+        # present (messages/nft.py:50-54)
+        if s.remaining_bits >= 1:
+            payload = s.load_ref() if s.load_bit() else slice_to_cell(s)
+            d["forward_payload"] = cell_to_b64_boc(payload)
+            if not payload.exotic:
+                ps = payload.begin_parse()
+                if ps.remaining_bits >= 32 and ps.load_uint(32) == OP_TEXT_COMMENT:
+                    d["forward_comment"] = ps.load_snake_string()
         return d
     if op == OP_NFT_OWNERSHIP:
+        # ownership_assigned#05138d91 query_id:uint64 prev_owner:Addr
+        #   payload:(Either Cell ^Cell); the raw payload cell is kept
+        #   (crc32 BOC) — the reference serializes it verbatim into
+        #   nft_transfer_data (messages/nft.py:16-33 NftPayload)
         d = {"opcode": op, "query_id": s.load_uint(64)}
         d["prev_owner"] = s.load_address()
+        try:
+            if s.remaining_bits >= 1:
+                payload = (
+                    s.load_ref() if s.load_bit() else slice_to_cell(s)
+                )
+                d["forward_payload"] = base64.b64encode(
+                    serialize_boc(payload, crc32c=True)
+                ).decode()
+                # teleitem_bid_info#38127de1 bid:Coins bid_ts:uint32 —
+                # the fragment purchase evidence (messages/nft.py:7-13)
+                if not payload.exotic:
+                    ps = payload.begin_parse()
+                    if ps.remaining_bits >= 32 and ps.load_uint(32) == 0x38127DE1:
+                        d["bid"] = ps.load_coins()
+        except BocError:
+            pass
         return d
     if op in (OP_DEDUST_PAYOUT, OP_DEDUST_PAYOUT_POOL):
         # payout#474f86cf query_id:uint64 proof:^Cell amount:Coins
@@ -1182,6 +1213,12 @@ def decode_body_cell(root: Cell) -> dict:
             d["jettons_to_claim"] = address_hashmap_keys(s.load_maybe_ref())
         except BocError:
             d["jettons_to_claim"] = []
+        return d
+    if op == 0xC0FFEE06:
+        # create_vault#c0ffee06 query_id:uint64 asset:Asset
+        #   (messages/coffee.py:628-639)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["asset"] = _load_coffee_asset(s)
         return d
     if op in (OP_COFFEE_SWAP_NATIVE, OP_COFFEE_POOL_NATIVE,
               OP_COFFEE_DEPOSIT_NATIVE):
@@ -2199,3 +2236,353 @@ def encode_nft_auction_data(
         .store_ref(const)
     )
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+# --- LayerZero packet/metadata cell readers (messages/layerzero.py) ----------
+
+def _lz_packet_fields(cell: "Cell") -> dict:
+    """lz::Packet cell → path/message/nonce/guid fields
+    (messages/layerzero.py:149-173 LayerZeroPacket + :188-207 Path).
+    Hex values render unpadded with 0x like the reference's hex()."""
+    s = cell.begin_parse()
+    s.load_uint(152)  # header info
+    s.load_uint(198)  # header filler (all ones)
+    path = s.load_ref().begin_parse()
+    path.load_uint(152)
+    path.load_uint(198)
+    src_eid = path.load_uint(32)
+    src_oapp = hex(path.load_uint(256))
+    dst_eid = path.load_uint(32)
+    dst_oapp = hex(path.load_uint(256))
+    msg_cell = s.load_ref()
+    message = "0x" + msg_cell.data[: (msg_cell.bits + 7) // 8].hex()
+    nonce = s.load_uint(64)
+    guid = hex(s.load_uint(256))
+    return {
+        "src_oapp": src_oapp,
+        "dst_oapp": dst_oapp,
+        "src_eid": src_eid,
+        "dst_eid": dst_eid,
+        "nonce": nonce,
+        "guid": guid,
+        "message": message,
+    }
+
+
+def decode_lz_send_callback(raw: bytes | str) -> dict | None:
+    """Layerzero CHANNEL_SEND_CALLBACK body → the embedded lzSend
+    metadata (refs[0].refs[0].refs[0], messages/layerzero.py:86-117):
+    request id, msglib manager/address, fees, and the packet."""
+    try:
+        md = parse_boc(raw).refs[0].refs[0].refs[0]
+        s = md.begin_parse()
+        name = s.load_uint(80)
+        if name != int.from_bytes(b"lzSend", "big"):
+            return None
+        s.load_uint(180)  # header info
+        s.load_uint(90)  # filler
+        d = {"send_request_id": s.load_uint(64)}
+        d["msglib_manager"] = hex(s.load_uint(256))
+        d["msglib"] = hex(s.load_uint(256))
+        d["packet"] = _lz_packet_fields(s.load_ref())
+        s.load_ref()  # extra_options
+        ref = s.load_ref().begin_parse()
+        ref.load_uint(256)  # msglib_connection
+        d["native_fee"] = ref.load_uint(128)
+        d["zro_fee"] = ref.load_uint(128)
+        return d
+    except Exception:
+        return None
+
+
+def decode_lz_commit_packet(raw: bytes | str) -> dict | None:
+    """Channel CHANNEL_COMMIT_PACKET body → packet fields
+    (messages/layerzero.py:383-391: packet = body.refs[0].refs[0])."""
+    try:
+        return _lz_packet_fields(parse_boc(raw).refs[0].refs[0])
+    except Exception:
+        return None
+
+
+def decode_lz_execute_callback(raw: bytes | str) -> dict | None:
+    """Channel LZ_RECEIVE_EXECUTE_CALLBACK body → packet fields
+    (messages/layerzero.py:1377-1383: packet = body.refs[0].refs[0])."""
+    try:
+        return _lz_packet_fields(parse_boc(raw).refs[0].refs[0])
+    except Exception:
+        return None
+
+
+def decode_dedust_deposit_payload(raw: bytes | str) -> dict | None:
+    """DeDust jetton-deposit forward payload
+    (messages/liquidity.py:40-54): pool type, pool asset pair and the
+    target balances.  None when the payload is not this shape."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != 0x40E108D6:
+            return None
+        d = {"pool_type": "stable" if s.load_bit() else "volatile"}
+        d["asset0"] = _load_dedust_asset(s)
+        d["asset1"] = _load_dedust_asset(s)
+        d["min_lp_amount"] = s.load_coins()
+        d["asset0_target_balance"] = s.load_coins()
+        d["asset1_target_balance"] = s.load_coins()
+        return d
+    except Exception:
+        return None
+
+
+OP_COFFEE_SWAP_EVENT = 0xC0FFEE30    # messages/coffee.py:387-403
+OP_COFFEE_PAYOUT_INTERNAL = 0xC0FFEE21  # messages/coffee.py:673-694
+
+
+def decode_coffee_swap_event(raw: bytes | str) -> dict | None:
+    """swap.coffee swap-success event log: input asset + in/out amounts
+    (messages/coffee.py:387-403)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != OP_COFFEE_SWAP_EVENT:
+            return None
+        d = {"query_id": s.load_uint(64)}
+        d["input"] = _load_coffee_asset(s)
+        d["input_amount"] = s.load_coins()
+        d["output_amount"] = s.load_coins()
+        return d
+    except Exception:
+        return None
+
+
+def decode_coffee_payout_internal(raw: bytes | str) -> dict | None:
+    """swap.coffee pool→vault payout: recipient + amount
+    (messages/coffee.py:673-694)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != OP_COFFEE_PAYOUT_INTERNAL:
+            return None
+        d = {"query_id": s.load_uint(64)}
+        d["recipient"] = s.load_address()
+        d["amount"] = s.load_coins()
+        return d
+    except Exception:
+        return None
+
+
+def decode_coffee_depository_request(raw: bytes | str) -> dict | None:
+    """swap.coffee create-liquidity-depository request: amount, the
+    recipient (acting sender) and the pool's asset pair
+    (messages/coffee.py:803-821)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != 0xC0FFEE27:
+            return None
+        d = {"query_id": s.load_uint(64)}
+        d["amount"] = s.load_coins()
+        params = s.load_ref().begin_parse()
+        d["recipient"] = params.load_address()
+        pool = s.load_ref().begin_parse()
+        d["first"] = _load_coffee_asset(pool)
+        d["second"] = _load_coffee_asset(pool)
+        return d
+    except Exception:
+        return None
+
+
+def decode_coffee_deposit_event(raw: bytes | str) -> dict | None:
+    """deposit_liquidity_successful_event#c0ffee33: amounts + lp minted
+    (messages/coffee.py:520-539)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != 0xC0FFEE33:
+            return None
+        d = {"query_id": s.load_uint(64)}
+        d["amount1"] = s.load_coins()
+        d["amount2"] = s.load_coins()
+        d["lp_amount"] = s.load_coins()
+        return d
+    except Exception:
+        return None
+
+
+def _coffee_pool_params(s: "Slice") -> dict:
+    """pool_params first:Asset second:Asset amm:uint3 amm_settings:Maybe
+    (messages/coffee.py:163-182)."""
+    d = {"first": _load_coffee_asset(s), "second": _load_coffee_asset(s)}
+    s.load_uint(3)  # amm tag
+    s.load_maybe_ref()  # amm settings
+    return d
+
+
+def _coffee_creation_params(s: "Slice") -> dict:
+    """public (recipient, flag, maybe notification) + private (bit,
+    maybe extra) creation params (messages/coffee.py:124-160)."""
+    d = {"recipient": s.load_address()}
+    s.load_bit()  # use_recipient_on_failure
+    s.load_maybe_ref()  # notification data
+    s.load_bit()  # private is_active
+    s.load_maybe_ref()  # private extra settings
+    return d
+
+
+def decode_coffee_pool_creator_request(raw: bytes | str) -> dict | None:
+    """create_pool_creator_request#c0ffee23: amount, pool asset pair,
+    recipient and the acting sender (messages/coffee.py:713-731)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != 0xC0FFEE23:
+            return None
+        d = {"query_id": s.load_uint(64), "amount": s.load_coins()}
+        d.update(_coffee_pool_params(s))
+        d.update(_coffee_creation_params(s))
+        d["sender"] = s.load_address()
+        return d
+    except Exception:
+        return None
+
+
+def decode_coffee_pool_request(raw: bytes | str) -> dict | None:
+    """create_pool_request#c0ffee25: both amounts + the other leg's
+    initiator (messages/coffee.py:752-775)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != 0xC0FFEE25:
+            return None
+        d = {"query_id": s.load_uint(64)}
+        d["amount1"] = s.load_coins()
+        d["amount2"] = s.load_coins()
+        d["tx_initiator"] = s.load_address()
+        return d
+    except Exception:
+        return None
+
+
+def decode_coffee_create_pool_payload(raw: bytes | str) -> dict | None:
+    """Jetton-entry create-pool forward payload #c0ffee11: pool params +
+    creation params (messages/coffee.py:443-455)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != 0xC0FFEE11:
+            return None
+        d = _coffee_pool_params(s)
+        d.update(_coffee_creation_params(s))
+        return d
+    except Exception:
+        return None
+
+
+def decode_coffee_create_pool_native(raw: bytes | str) -> dict | None:
+    """create_pool_native#c0ffee02 / _extra#c0ffee03 entry body: amount +
+    pool params + creation params (messages/coffee.py:426-471)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) not in (0xC0FFEE02, 0xC0FFEE03):
+            return None
+        d = {"query_id": s.load_uint(64), "amount": s.load_coins()}
+        d.update(_coffee_pool_params(s))
+        d.update(_coffee_creation_params(s))
+        return d
+    except Exception:
+        return None
+
+
+def decode_coffee_withdraw_event(raw: bytes | str) -> dict | None:
+    """liquidity_withdrawal_event#c0ffee35: both withdrawn amounts
+    (messages/coffee.py:565-580)."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        if s.load_uint(32) != 0xC0FFEE35:
+            return None
+        d = {"query_id": s.load_uint(64)}
+        d["amount1"] = s.load_coins()
+        d["amount2"] = s.load_coins()
+        return d
+    except Exception:
+        return None
+
+
+def _load_address_ext(s: "Slice"):
+    """MsgAddress that may be EXTERNAL: addr_std → raw string,
+    addr_extern → "len;hex" exactly like the reference renders it
+    (blocks/cocoon.py:131-136), addr_none → None."""
+    tag = s.load_uint(2)
+    if tag == 0:
+        return None
+    if tag == 1:
+        ln = s.load_uint(9)
+        v = s.load_uint(ln) if ln else 0
+        return f"{ln};{v:x}"
+    if tag == 2:
+        if s.load_bit():
+            depth = s.load_uint(5)
+            s.load_uint(depth)
+        wc = s.load_int(8)
+        return f"{wc}:{s.load_uint(256):064X}"
+    raise BocError("addr_var unsupported")
+
+
+def decode_cocoon_body(raw: bytes | str) -> dict | None:
+    """Cocoon payment-channel protocol bodies (messages/cocoon.py) —
+    one dispatcher for the ops the matchers consume.  None when the body
+    is not a known cocoon shape."""
+    try:
+        s = parse_boc(raw).begin_parse()
+        op = s.load_uint(32)
+        d = {"opcode": op}
+        if op in (0xA040AD28, 0xF5F26A36):  # [last] payout payload
+            d["query_id"] = s.load_uint(64)
+            d["new_tokens"] = s.load_uint(64)
+            d["expected_address"] = _load_address_ext(s)
+        elif op == 0x4D725D2C:  # worker → proxy request
+            d["query_id"] = s.load_uint(64)
+            d["owner_address"] = s.load_address()
+            d["state"] = s.load_uint(2)
+            d["tokens"] = s.load_uint(64)
+        elif op == 0x7610E6EB:  # ext proxy payout request
+            d["query_id"] = s.load_uint(64)
+            d["send_excesses_to"] = s.load_address()
+        elif op in (0xBB63FF93, 0xEFD711E1):  # charge / grant-refund payload
+            d["query_id"] = s.load_uint(64)
+            d["new_tokens_used"] = s.load_uint(64)
+            d["expected_address"] = _load_address_ext(s)
+        elif op == 0xF172E6C2:  # ext client top up
+            d["query_id"] = s.load_uint(64)
+            d["amount"] = s.load_coins() or 0
+            d["send_excesses_to"] = s.load_address()
+        elif op == 0x927C7CB5:  # register proxy
+            d["query_id"] = s.load_uint(64)
+        elif op == 0x6D49EAF2:  # unregister proxy
+            d["query_id"] = s.load_uint(64)
+            d["seqno"] = s.load_uint(32)
+        elif op == 0xC45F9F3B:  # owner client register
+            d["query_id"] = s.load_uint(64)
+            d["nonce"] = s.load_uint(64)
+            d["send_excesses_to"] = s.load_address()
+        elif op == 0xA9357034:  # owner change secret hash
+            d["query_id"] = s.load_uint(64)
+            d["new_secret_hash"] = f"{s.load_uint(256):x}"  # hex()[2:]
+            d["send_excesses_to"] = s.load_address()
+        elif op in (0xFAFA6CC1, 0xDA068E78):  # request refund / withdraw
+            d["query_id"] = s.load_uint(64)
+            d["send_excesses_to"] = s.load_address()
+        elif op == 0x6A1F6A60:  # owner client increase stake
+            d["query_id"] = s.load_uint(64)
+            d["new_stake"] = s.load_coins() or 0
+            d["send_excesses_to"] = s.load_address()
+        elif op == 0x9C69F376:  # owner wallet send wrapper
+            d["query_id"] = s.load_uint(64)
+        elif op == 0x65448FF4:  # client → proxy request
+            d["query_id"] = s.load_uint(64)
+            d["owner_address"] = s.load_address()
+            s.load_ref()  # state data
+            payload = s.load_maybe_ref()
+            if payload is not None and not payload.exotic:
+                ps = payload.begin_parse()
+                if ps.remaining_bits >= 32:
+                    pop = ps.load_uint(32)
+                    d["payload_opcode"] = pop
+                    if pop in (0xC68EBC7B, 0xF4C354C9):  # refund granted
+                        d["payload_coins"] = ps.load_coins() or 0
+        else:
+            return None
+        return d
+    except Exception:
+        return None
