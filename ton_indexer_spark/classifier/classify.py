@@ -59,7 +59,10 @@ _PAYLOAD_STRUCTS: list[T.StructField] = [
     T.StructField("nft_transfer_data", _struct(
         is_purchase=_B, price=_D, query_id=_L, custom_payload=_S,
         forward_payload=_S, forward_amount=_D, response_destination=_S,
-        nft_item_index=_L, marketplace=_S)),
+        nft_item_index=_L, marketplace=_S, marketplace_address=_S,
+        real_prev_owner=_S, payout_amount=_D, payout_comment=_S,
+        payout_comment_encrypted=_B, payout_comment_encoded=_B,
+        royalty_amount=_D, royalty_address=_S, payout_address=_S)),
     T.StructField("nft_mint_data", _struct(nft_item_index=_L)),
     T.StructField("change_dns_record_data", _struct(
         key=_S, value_schema=_S, value=_S, flags=_I)),
