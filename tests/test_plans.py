@@ -607,3 +607,41 @@ def test_wallet_states_and_information(ton, tduck):
     # address filter is mandatory (main.go:697-699)
     with pytest.raises(ValueError):
         wallet_states_query(ton, addresses=[])
+
+
+def test_run_get_method_seam(ton, tduck):
+    """/runGetMethod: the builtin executor answers standard wallet
+    get-methods straight off the data cell; the contract rejects a
+    malformed plugged executor; unknown methods yield TVM exit 11."""
+    import pytest as _pytest
+
+    from ton_indexer_spark.functions.getmethod import (
+        GetMethodContractError,
+        estimate_fee,
+        run_get_method,
+    )
+    from ton_indexer_spark.functions.wallets import WALLET_PARSERS
+
+    hashes = ",".join(f"'{h}'" for h in WALLET_PARSERS)
+    acc, lt = tduck.execute(
+        f"SELECT account, last_trans_lt FROM latest_account_states "
+        f"WHERE code_hash IN ({hashes}) ORDER BY account LIMIT 1"
+    ).fetchone()
+
+    res = run_get_method(ton, acc, "seqno")
+    assert res["exit_code"] == 0 and res["gas_used"] == 0
+    assert res["stack"] == [["num", hex(lt % 100_000)]]
+
+    res = run_get_method(ton, acc, "get_pool_data")
+    assert res["exit_code"] == 11 and res["stack"] == []
+
+    with _pytest.raises(KeyError):
+        run_get_method(ton, "0:" + "99" * 32, "seqno")
+
+    with _pytest.raises(GetMethodContractError):
+        run_get_method(ton, acc, "seqno",
+                       executor=lambda s, m, st: {"bogus": 1})
+
+    fee = estimate_fee(ton, acc, "te6cc" * 40)
+    assert set(fee) == {"in_fwd_fee", "storage_fee", "gas_fee", "fwd_fee"}
+    assert fee["fwd_fee"] == len("te6cc" * 40) * 1000

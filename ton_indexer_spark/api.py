@@ -24,6 +24,7 @@ Route map (reference → here):
 | /multisig                     | multisig                       |
 | /walletStates                 | wallet_states                  |
 | /walletInformation, /wallet   | wallet_information             |
+| /runGetMethod, /estimateFee   | run_get_method, estimate_fee   |
 | /addressBook                  | address_book                   |
 | /metadata                     | metadata                       |
 | /topAccountsByBalance         | top_accounts                   |
@@ -114,6 +115,23 @@ class TonIndexerApi:
         """/api/v3/walletInformation and /wallet (main.go:2374-2375):
         single-account wallet info off the states dimension."""
         return plans.wallet_information(self.cat, address)
+
+    def run_get_method(self, address: str, method: str,
+                       stack: list | None = None, executor=None) -> dict:
+        """/api/v3/runGetMethod (main.go:2377): latest-state lookup +
+        pluggable TVM executor (functions/getmethod.py seam; standard
+        wallet get-methods run builtin, no external TVM needed)."""
+        from ton_indexer_spark.functions.getmethod import run_get_method
+
+        return run_get_method(self.cat, address, method, stack, executor)
+
+    def estimate_fee(self, address: str, body_b64: str,
+                     executor=None) -> dict:
+        """/api/v3/estimateFee (main.go:2378): fee quadruple through the
+        same seam."""
+        from ton_indexer_spark.functions.getmethod import estimate_fee
+
+        return estimate_fee(self.cat, address, body_b64, executor)
 
     def dns_records(self, **kw) -> DataFrame:
         return plans.dns_records_query(self.cat, **kw)

@@ -1,0 +1,158 @@
+"""TVM get-method / fee-estimate seam — /runGetMethod, /estimateFee.
+
+The reference serves both by PROXYING to an external executor: a
+ton-http-api v2 node runs the TVM (`ton-index-go/index/proxy.go:257-360
+PostRunGetMethod` / `:363-420 estimateFee`; routed at
+`main.go:2377-2378`).  The TVM is a native component this engine
+intentionally does not vendor — same class of external as the trace
+emulator (C8).  What IS in scope, and implemented here, is everything
+around the executor:
+
+* state resolution — the target account's latest code hash + data cell
+  come off the ``latest_account_states`` dimension (one partition-pruned
+  point lookup, the same table the wallet endpoints read);
+* the executor CONTRACT — any ``Callable[[dict, str, list], dict]``
+  taking (account state row, method name, stack) and returning
+  ``{"gas_used": int, "exit_code": int, "stack": [[type, value], ...]}``
+  (the v2 wire shape the reference decodes, proxy.go:319-350); results
+  are schema-enforced so a mis-behaving executor fails loudly at the
+  seam, not downstream;
+* a BUILTIN pure-python executor for the standard wallet get-methods
+  (``seqno``, ``get_subwallet_id``) — these decode directly off the data
+  cell via the published wallet layouts (functions/wallets.py), so the
+  most-polled get-methods work with no external TVM at all.  Anything
+  else returns TVM exit code 11 ("unknown method") unless a real
+  executor is plugged in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import functions as F
+
+GetMethodExecutor = Callable[[dict, str, list], dict]
+
+_RESULT_KEYS = {"gas_used", "exit_code", "stack"}
+_STACK_TYPES = {"num", "cell", "slice", "list", "tuple", "null"}
+
+
+class GetMethodContractError(ValueError):
+    """The plugged executor violated the result contract."""
+
+
+def _validate_result(res: dict) -> dict:
+    if not isinstance(res, dict) or set(res) - _RESULT_KEYS:
+        raise GetMethodContractError(
+            f"executor result keys must be {_RESULT_KEYS}, got {res!r}"
+        )
+    if not isinstance(res.get("gas_used"), int):
+        raise GetMethodContractError("gas_used must be an int")
+    if not isinstance(res.get("exit_code"), int):
+        raise GetMethodContractError("exit_code must be an int")
+    stack = res.get("stack")
+    if not isinstance(stack, list) or any(
+        not (isinstance(e, (list, tuple)) and len(e) == 2
+             and e[0] in _STACK_TYPES)
+        for e in stack
+    ):
+        raise GetMethodContractError(
+            "stack must be [[type, value], ...] with v2 stack types"
+        )
+    return {"gas_used": res["gas_used"], "exit_code": res["exit_code"],
+            "stack": [list(e) for e in stack]}
+
+
+def builtin_executor(state: dict, method: str, stack: list) -> dict:
+    """Wallet get-methods straight off the data cell — no TVM needed.
+
+    Covers ``seqno`` and ``get_subwallet_id`` for the published wallet
+    code hashes (wallet_parse.go layouts); exit code 11 = TVM "unknown
+    method" for everything else, matching what a real executor returns
+    when the contract lacks the method."""
+    from ton_indexer_spark.functions.wallets import decode_wallet_data
+
+    if method in ("seqno", "get_subwallet_id"):
+        try:
+            w = decode_wallet_data(
+                state.get("data_boc"), state.get("code_hash")
+            )
+        except Exception:
+            w = {"is_wallet": False}
+        if w.get("is_wallet"):
+            value = (
+                w.get("seqno") if method == "seqno" else w.get("wallet_id")
+            )
+            if value is not None:
+                return {
+                    "gas_used": 0,
+                    "exit_code": 0,
+                    "stack": [["num", hex(value)]],
+                }
+    return {"gas_used": 0, "exit_code": 11, "stack": []}
+
+
+def run_get_method(
+    cat,
+    address: str,
+    method: str,
+    stack: list | None = None,
+    executor: GetMethodExecutor | None = None,
+) -> dict:
+    """/api/v3/runGetMethod: resolve the account's latest state and run
+    the get-method through the (pluggable) executor.
+
+    Raises ``KeyError`` for an unknown account (the reference's v2 proxy
+    errors the same way) and ``GetMethodContractError`` when the
+    executor's response doesn't match the v2 result shape."""
+    rows = (
+        cat.latest_account_states
+        .filter(F.col("account") == address)
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise KeyError(f"unknown account {address}")
+    state = rows[0].asDict()
+    res = (executor or builtin_executor)(state, method, stack or [])
+    return _validate_result(res)
+
+
+# deterministic fee model for the estimate seam: the real executor prices
+# gas/fwd fees through config params the TVM holds; this stand-in is
+# proportional to body size so the PLUMBING (state lookup, response
+# shape, api surface) is testable without one (proxy.go:363-420 shape)
+_FEE_PER_BYTE = 1000
+_FEE_BASE = 10_000_000
+
+
+def estimate_fee(
+    cat,
+    address: str,
+    body_b64: str,
+    executor: Callable[[dict, str], dict] | None = None,
+) -> dict:
+    """/api/v3/estimateFee: fee quadruple for sending `body` to the
+    account (v2 shape: in_fwd_fee / storage_fee / gas_fee / fwd_fee)."""
+    rows = (
+        cat.latest_account_states
+        .filter(F.col("account") == address)
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise KeyError(f"unknown account {address}")
+    if executor is not None:
+        res = executor(rows[0].asDict(), body_b64)
+    else:
+        size = len(body_b64 or "")
+        res = {
+            "in_fwd_fee": _FEE_BASE + size * _FEE_PER_BYTE,
+            "storage_fee": 0,
+            "gas_fee": _FEE_BASE,
+            "fwd_fee": size * _FEE_PER_BYTE,
+        }
+    missing = {"in_fwd_fee", "storage_fee", "gas_fee", "fwd_fee"} - set(res)
+    if missing or any(not isinstance(v, int) for v in res.values()):
+        raise GetMethodContractError(f"bad fee estimate shape: {res!r}")
+    return res
