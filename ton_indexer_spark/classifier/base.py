@@ -32,7 +32,16 @@ POOL_WITHDRAWAL = 0x0A77535C    # pool payout (messages/staking.py:57)
 CHANGE_DNS_OP = 0x4EB1F0F9     # TEP-81 change_dns_record
 ELECTOR_NEW_STAKE = 0x4E73744B     # elector new_stake ('NstK')
 ELECTOR_RECOVER_STAKE = 0x47657424  # elector recover_stake ('Get$')
+ELECTOR_DEPOSIT_CONFIRM = 0xF374484C  # deposit confirmation (messages/staking.py:11)
+ELECTOR_RECOVER_CONFIRM = 0xF96F7324  # recover confirmation (messages/staking.py:8)
+# the masterchain elector — the reference pins the literal address
+# (elections.py:10); both election matchers require it as destination
+ELECTOR_ADDRESS = "-1:" + "33" * 32
+MULTISIG_APPROVE_ACCEPTED = 0x82609BF6  # order → signer (messages/multisig.py:85)
+MULTISIG_APPROVE_REJECTED = 0xAFAF283E  # + exit_code (messages/multisig.py:91)
 SUBSCRIPTION_PAYMENT = 0x706C7567   # payment request 'plug' (messages/subscriptions.py:7)
+SUBSCRIPTION_PAY_RESPONSE = 0xF06C7567  # wallet's response (subscriptions.py:16)
+SUBSCRIPTION_PAY_INTERNAL = 0x73756273  # 'subs' payment → beneficiary (:20)
 UNSUBSCRIBE_OP = 0x64737472         # wallet plugin destruct 'dstr' (subscriptions.py:24)
 VESTING_SEND = 0xA7733ACD           # vesting send_message (messages/vesting.py:12)
 VESTING_SEND_RESP = 0xF7733ACD

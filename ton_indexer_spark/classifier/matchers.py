@@ -729,22 +729,60 @@ def match_nft_transfer(node: Node, ctx: Ctx) -> dict | None:
 
 
 def match_subscription(node: Node, ctx: Ctx) -> dict | None:
-    """Subscription payment request at the subscriber wallet, paid leg to
-    the beneficiary."""
-    if node.in_msg is None or node.in_msg.opcode != SUBSCRIPTION_PAYMENT:
+    """Wallet-plugin subscription payment (subscriptions.py:28-59).
+
+    Reference anchor: the wallet's payment-request RESPONSE (0xf06c7567)
+    arriving at the subscription contract, with the 'subs' payment leg to
+    the beneficiary as required child and the original 'plug' request
+    (which carries the grams amount) as optional parent.  Fill
+    (block_tree_serializer.py _fill_subscribe_action): source=subscriber,
+    destination=beneficiary, destination_secondary=subscription.  The
+    request-anchored arm below keeps the degenerate shape (no response
+    round-trip recorded) classifying the same way."""
+    m = node.in_msg
+    if m is None:
         return None
-    claimed = [node]
-    paid = next(
-        (c for c in node.children
-         if c.in_msg is not None and (c.in_msg.value or 0) > 0),
-        None,
-    )
-    if paid is not None:
-        claimed.append(paid)
-    return _base(
-        node, "subscribe", claimed=claimed,
-        destination=paid.account if paid is not None else None,
-    )
+    if m.opcode == SUBSCRIPTION_PAY_RESPONSE:
+        paid = node.child_via(SUBSCRIPTION_PAY_INTERNAL)
+        if paid is None:
+            return None
+        claimed = [node, paid]
+        amount = m.value
+        success = True
+        request = node.parent
+        if (request is not None and request.in_msg is not None
+                and request.in_msg.opcode == SUBSCRIPTION_PAYMENT):
+            claimed.append(request)
+            grams = request.in_msg.decoded_body().get("grams")
+            if grams is not None:
+                amount = int(grams)
+            success = not request.aborted
+        return _base(
+            node, "subscribe", claimed=claimed,
+            source=m.source, destination=paid.account,
+            destination_secondary=node.account,
+            amount=amount, success=success,
+        )
+    if m.opcode == SUBSCRIPTION_PAYMENT:
+        claimed = [node]
+        paid = next(
+            (c for c in node.children
+             if c.in_msg is not None and (c.in_msg.value or 0) > 0),
+            None,
+        )
+        if paid is not None:
+            claimed.append(paid)
+        grams = m.decoded_body().get("grams")
+        return _base(
+            node, "subscribe", claimed=claimed,
+            source=node.account,
+            destination=paid.account if paid is not None else None,
+            destination_secondary=m.source,
+            amount=int(grams) if grams is not None else (
+                paid.in_msg.value if paid is not None and paid.in_msg else None
+            ),
+        )
+    return None
 
 
 def match_multisig_approve(node: Node, ctx: Ctx) -> dict | None:
@@ -883,7 +921,12 @@ def match_vesting(node: Node, ctx: Ctx) -> dict | None:
 
 
 def match_unsubscribe(node: Node, ctx: Ctx) -> dict | None:
-    """Wallet plugin destruct ('dstr') = unsubscribe."""
+    """Wallet plugin destruct ('dstr') = unsubscribe
+    (subscriptions.py:62-80): the subscription contract forwards the
+    destruct to the beneficiary when returning the remaining balance —
+    that leg, when present, names the action's destination
+    (_fill_unsubscribe_action: source=subscriber, destination=beneficiary,
+    destination_secondary=subscription)."""
     if node.in_msg is None or node.in_msg.opcode != UNSUBSCRIBE_OP:
         return None
     return _base(node, "unsubscribe", destination=node.account)

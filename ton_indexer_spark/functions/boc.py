@@ -449,6 +449,8 @@ OP_STONFI_PAYMENT_REQ = 0xF93BB43F   # messages/swaps.py:26
 OP_MULTISIG_NEW_ORDER = 0xF718510F   # messages/multisig.py:6
 OP_MULTISIG_APPROVE = 0xA762230F     # messages/multisig.py:69
 OP_MULTISIG_EXECUTE = 0x75097F5D     # messages/multisig.py:101
+OP_MULTISIG_APPROVE_ACCEPTED = 0x82609BF6  # messages/multisig.py:85
+OP_MULTISIG_APPROVE_REJECTED = 0xAFAF283E  # messages/multisig.py:91
 OP_VESTING_SEND = 0xA7733ACD         # messages/vesting.py:10
 OP_VESTING_ADD_WL = 0x7258A69B       # messages/vesting.py:31
 OP_COFFEE_STK_DEPOSIT = 0xF9471134   # messages/coffee.py:1039
@@ -763,6 +765,15 @@ def decode_body_cell(root: Cell) -> dict:
         # approve#a762230f query_id:uint64 signer_index:uint8
         d = {"opcode": op, "query_id": s.load_uint(64)}
         d["signer_index"] = s.load_uint(8)
+        return d
+    if op == OP_MULTISIG_APPROVE_ACCEPTED:
+        # approve_accepted#82609bf6 query_id:uint64 (messages/multisig.py:85)
+        return {"opcode": op, "query_id": s.load_uint(64)}
+    if op == OP_MULTISIG_APPROVE_REJECTED:
+        # approve_rejected#afaf283e query_id:uint64 exit_code:uint32
+        # (messages/multisig.py:91-98)
+        d = {"opcode": op, "query_id": s.load_uint(64)}
+        d["exit_code"] = s.load_uint(32)
         return d
     if op == OP_MULTISIG_EXECUTE:
         # execute#75097f5d query_id order_seqno:uint256 expiration_date:
