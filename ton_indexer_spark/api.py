@@ -28,7 +28,10 @@ Route map (reference → here):
 | /addressBook                  | address_book                   |
 | /metadata                     | metadata                       |
 | /topAccountsByBalance         | top_accounts                   |
-| /pendingTraces (overlay)      | traces(pending=...)            |
+| /masterchainBlockShardState   | masterchain_block_shard_state  |
+| /pendingTransactions          | pending_transactions           |
+| /pendingTraces                | pending_traces                 |
+| /pendingActions               | pending_actions                |
 """
 
 from __future__ import annotations
@@ -52,6 +55,13 @@ class TonIndexerApi:
 
     def masterchain_block_shards(self, seqno: int, **kw) -> DataFrame:
         return plans.masterchain_block_shards(self.cat, seqno, **kw)
+
+    def masterchain_block_shard_state(self, seqno: int) -> DataFrame:
+        """/api/v3/masterchainBlockShardState (main.go:2310): the shard
+        tips a masterchain block references — per-shard arg-max over
+        committed blocks (plans/blocks.py derivation of the reference's
+        shard_state table)."""
+        return plans.masterchain_block_shard_state(self.cat, seqno)
 
     def masterchain_info(self) -> DataFrame:
         return plans.masterchain_info(self.cat)
@@ -132,6 +142,31 @@ class TonIndexerApi:
         from ton_indexer_spark.functions.getmethod import estimate_fee
 
         return estimate_fee(self.cat, address, body_b64, executor)
+
+    # -- pending overlay (main.go:2317, 2362-2363) ---------------------------
+    def pending_transactions(self, pending_txs: DataFrame,
+                             pending_msgs: DataFrame, **kw) -> DataFrame:
+        """/api/v3/pendingTransactions: emulated/open transactions of the
+        scoped pending traces, minus already-finalized ones.  The pending
+        DataFrames come from streaming/emulate.py or the incremental
+        assembler's open_rows() (the reference's Redis overlay tier)."""
+        return plans.pending_transactions_query(
+            self.cat, pending_txs, pending_msgs, **kw)
+
+    def pending_traces(self, pending_txs: DataFrame,
+                       pending_msgs: DataFrame, **kw) -> DataFrame:
+        """/api/v3/pendingTraces: still-pending traces hydrated with their
+        ordered member transactions, trace_state='pending'."""
+        return plans.pending_traces_query(
+            self.cat, pending_txs, pending_msgs, **kw)
+
+    def pending_actions(self, pending_actions: DataFrame,
+                        pending_msgs: DataFrame | None = None,
+                        **kw) -> DataFrame:
+        """/api/v3/pendingActions: provisional actions of pending traces
+        (the incremental classifier's pending_actions overlay sink)."""
+        return plans.pending_actions_query(
+            self.cat, pending_actions, pending_msgs, **kw)
 
     def dns_records(self, **kw) -> DataFrame:
         return plans.dns_records_query(self.cat, **kw)

@@ -250,6 +250,10 @@ ACTIONS_OUT_SCHEMA = T.StructType(
         T.StructField("parent_action_id", T.StringType()),
         T.StructField("ancestor_type", T.ArrayType(T.StringType())),
         T.StructField("classification_state", T.StringType()),
+        # reference records failed traces with the exception
+        # (event_classifier.py:337-343) — carried here for data errors;
+        # engine bugs (NameError/ImportError/AttributeError) re-raise
+        T.StructField("failure_reason", T.StringType()),
     ]
 )
 
@@ -258,7 +262,8 @@ ACTIONS_OUT_SCHEMA = T.StructType(
 _PAYLOAD_KEYS = tuple(
     f.name for f in ACTIONS_OUT_SCHEMA
     if f.name not in (
-        "trace_id", "action_id", "parent_action_id", "classification_state"
+        "trace_id", "action_id", "parent_action_id", "classification_state",
+        "failure_reason",
     )
 )
 
@@ -278,14 +283,17 @@ def _classify_group(
 ) -> pd.DataFrame:
     trace_id = pdf["trace_id"].iloc[0]
 
-    def sentinel(state: str) -> pd.DataFrame:
+    def sentinel(state: str, reason: str | None = None) -> pd.DataFrame:
         return pd.DataFrame(
             [{c.name: None for c in ACTIONS_OUT_SCHEMA}
-             | {"trace_id": trace_id, "classification_state": state}]
+             | {"trace_id": trace_id, "classification_state": state,
+                "failure_reason": reason}]
         )
 
     if pdf["tx_hash"].nunique() > big_trace_cutoff:
-        return sentinel("skipped")
+        return sentinel(
+            "skipped", f"big_trace_cutoff: {pdf['tx_hash'].nunique()} txs"
+        )
     try:
         # object-cast first: assigning None into a float64 column silently
         # re-coerces to NaN, and NaN != None breaks opcode matching
@@ -357,6 +365,7 @@ def _classify_group(
                     "trace_id": trace_id,
                     "action_id": aid,
                     "classification_state": "ok",
+                    "failure_reason": None,
                     "parent_action_id": parent_id,
                     **{k: a.get(k) for k in _PAYLOAD_KEYS},
                 }
@@ -375,8 +384,14 @@ def _classify_group(
             if c in res.columns:
                 res[c] = pd.Series([r.get(c) for r in out], dtype=object)
         return res
-    except Exception:
-        return sentinel("failed")
+    except (NameError, ImportError, AttributeError, UnboundLocalError):
+        # engine bugs, not data problems — a broken build must fail loudly
+        # instead of silently classifying every trace to zero actions
+        # (reference raises too: event_classifier.py only catches per-trace
+        # data errors and records them, 337-343)
+        raise
+    except Exception as e:  # genuinely unclassifiable trace: record why
+        return sentinel("failed", f"{type(e).__name__}: {e}")
 
 
 @dataclass
@@ -530,13 +545,17 @@ def classify_traces(
     )
 
     actions = raw.filter(F.col("action_id").isNotNull()).drop(
-        "classification_state"
+        "classification_state", "failure_reason"
     )
     states = (
-        raw.select("trace_id", "classification_state")
+        raw.select("trace_id", "classification_state", "failure_reason")
         .groupBy("trace_id")
-        .agg(F.min("classification_state").alias("classification_state"))
-        # min: failed < ok < skipped alphabetically — failed/skipped dominate
+        .agg(
+            F.min("classification_state").alias("classification_state"),
+            # min: failed < ok < skipped alphabetically — failed/skipped
+            # dominate; max skips nulls so any recorded reason survives
+            F.max("failure_reason").alias("failure_reason"),
+        )
     )
     action_accounts = (
         actions.select(

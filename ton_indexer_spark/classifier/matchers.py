@@ -39,6 +39,8 @@ from ton_indexer_spark.classifier.base import (  # noqa: F401  (re-exported)
     STAKE_DEPOSIT_OP,
     STAKE_WITHDRAW_OP,
     SUBSCRIPTION_PAYMENT,
+    SUBSCRIPTION_PAY_INTERNAL,
+    SUBSCRIPTION_PAY_RESPONSE,
     UNSUBSCRIBE_OP,
     VESTING_ADD_WHITELIST,
     VESTING_ADD_WHITELIST_RESP,

@@ -27,8 +27,14 @@ from ton_indexer_spark.plans.dimensions import (
 from ton_indexer_spark.plans.blocks import (
     block_exists,
     blocks_query,
+    masterchain_block_shard_state,
     masterchain_block_shards,
     masterchain_info,
+)
+from ton_indexer_spark.plans.pending import (
+    pending_actions_query,
+    pending_traces_query,
+    pending_transactions_query,
 )
 from ton_indexer_spark.plans.listings import (
     account_states_query,
@@ -66,6 +72,10 @@ __all__ = [
     "adjacent_transactions",
     "transactions_by_message",
     "masterchain_block_shards",
+    "masterchain_block_shard_state",
+    "pending_actions_query",
+    "pending_traces_query",
+    "pending_transactions_query",
     "jetton_burns_query",
     "nft_collections_query",
     "nft_sales_query",

@@ -69,6 +69,32 @@ def masterchain_block_shards(
     return b.orderBy("workchain", "shard", "seqno")
 
 
+def masterchain_block_shard_state(cat: Catalog, seqno: int) -> DataFrame:
+    """/api/v3/masterchainBlockShardState (main.go:195-218, QueryShards →
+    crud_blocks.go:183-197): the full shard STATE at a masterchain block —
+    for every shard chain, the tip block that mc block references — not
+    just the blocks committed since the previous mc block (that's
+    /masterchainBlockShards).
+
+    The reference maintains a ``shard_state`` table filled from the mc
+    block's ShardHashes (DataParser.cpp:74-85, one row per shard tip).
+    Derivation from the blocks table: a shard tip referenced by mc seqno S
+    was committed under some mc_block_seqno <= S, and is the newest such
+    block of its (workchain, shard) — so the state is the per-shard
+    arg-max.  mc_block_seqno <= S prunes the scan (partition-prunable at
+    scale); the per-shard max is a tiny aggregate joined back broadcast.
+    """
+    shard_blocks = cat.blocks.filter(
+        (F.col("workchain") != -1) & (F.col("mc_block_seqno") <= seqno)
+    )
+    tips = shard_blocks.groupBy("workchain", "shard").agg(
+        F.max("seqno").alias("seqno")
+    )
+    return shard_blocks.join(
+        F.broadcast(tips), ["workchain", "shard", "seqno"], "left_semi"
+    ).orderBy("workchain", "shard", "seqno")
+
+
 def masterchain_info(cat: Catalog) -> DataFrame:
     """/api/v3/masterchainInfo: first and last indexed masterchain block
     (go API returns {first, last}; one aggregate scan over the pruned

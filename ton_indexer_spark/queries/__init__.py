@@ -79,6 +79,7 @@ def _load_modules() -> None:
         similarity,
         functions_q,
         analytics,
+        classify_q,
     )
 
     _LOADED = True
