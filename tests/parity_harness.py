@@ -124,6 +124,32 @@ def run_case(case: dict, actions: list[dict]) -> None:
             check_value(get_path(cands[0], path), expected, path)
 
 
+def audit_extras(yaml_name: str, case_name: str, case: dict,
+                 actions: list[dict]) -> None:
+    """Beyond-reference tripwire: the multiset of TOP-LEVEL action types not
+    named by the YAML expectations must equal the pinned snapshot
+    (tests/parity_extras.py).  The reference driver never counts total
+    actions, so an over- or under-claiming matcher could pass its checks;
+    this pins the full emission per fixture.  Regenerate deliberately with
+    tests/regen_parity_extras.py after intentional matcher changes."""
+    from parity_extras import EXTRA_TOP_LEVEL
+
+    expected_types = {
+        e["type"].lower() for e in case.get("expected-actions", [])
+    }
+    top = [a for a in actions if a.get("parent_action_id") is None]
+    extra = tuple(sorted(
+        (a.get("type") or "") for a in top
+        if (a.get("type") or "").lower() not in expected_types
+    ))
+    pinned = EXTRA_TOP_LEVEL.get((yaml_name, case_name), ())
+    if extra != pinned:
+        raise ParityError(
+            f"extra top-level actions changed: emitted {extra!r}, "
+            f"pinned {pinned!r} — if intentional, rerun "
+            f"tests/regen_parity_extras.py and review the diff")
+
+
 def run_yaml_case(yaml_name: str, case_name: str) -> None:
     from ton_indexer_spark.classifier.fixture_replay import replay_fixture
 
@@ -131,3 +157,4 @@ def run_yaml_case(yaml_name: str, case_name: str) -> None:
     trace_id = case["trace-id"]
     actions = replay_fixture(TRACES_DIR / f"{trace_id}.lz4")
     run_case(case, actions)
+    audit_extras(yaml_name, case_name, case, actions)
