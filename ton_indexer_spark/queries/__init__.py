@@ -70,6 +70,9 @@ _EXPOSURE_FIRST = [
     "classify_actions",
     "classify_states",
     "classify_action_accounts",
+    # new in round 6
+    "line_dedup",
+    "quality_score_hashed",
     # never driver-sampled before round 6
     "semdedup",
     "embed_kmeans",

@@ -520,3 +520,93 @@ def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return source_overlap_matrix(lsh_candidate_pairs(d), d)
+
+
+# multi-line corpus view derived deterministically from the word-soup
+# documents fixture (5-word groups joined by newlines) so the line-level
+# operator has real cross-document repeats to remove; both engines derive
+# it with identical arithmetic
+_LINE_W = 5
+_LINES_VIEW = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x != '') AS words
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, (len(words) + {_LINE_W - 1}) // {_LINE_W}),
+                 i -> array_to_string(
+                        words[(i*{_LINE_W}+1):((i+1)*{_LINE_W})], ' ')),
+               chr(10)) AS text
+      FROM w
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos, arr[i+1] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+           unnest(range(0, len(arr))) t(i)
+    ),
+    freq AS (
+      SELECT md5(trim(line)) AS h
+      FROM lines
+      WHERE length(trim(line)) >= 10
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+      SELECT * FROM lines
+      WHERE md5(trim(line)) NOT IN (SELECT h FROM freq)
+    ),
+    reb AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+"""
+
+
+def _as_lines(docs: DataFrame) -> DataFrame:
+    """documents with text rewritten as newline-joined 5-word lines."""
+    words = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_groups = F.ceil(F.size(words) / F.lit(_LINE_W)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * _LINE_W + 1, _LINE_W), " "
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size(words) > 0, F.array_join(lines_arr, "\n"))
+        .otherwise(F.lit("")).alias("text"),
+    )
+
+
+@register(
+    "line_dedup",
+    f"""
+    {_LINES_VIEW}
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           t.n_lines,
+           t.n_lines - coalesce(r.n_kept, 0) AS n_removed
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    survey_ops=("beyond:line-dedup",),
+    description="C4/CCNet line-level boilerplate removal: lines occurring "
+    "in >=3 distinct documents are dropped, order preserved; frequency "
+    "table groups on the line digest (bounded shuffle width), removal is "
+    "an anti-join against only the frequent digests",
+)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.dedup.lines import remove_repeated_lines
+
+    docs = _as_lines(Catalog(spark, sf_dir).documents)
+    return remove_repeated_lines(docs).orderBy("doc_id")

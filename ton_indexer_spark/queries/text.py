@@ -616,3 +616,57 @@ def bpe_encode_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "quality_score_hashed",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+                                               '[^a-z0-9]+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(toks, tok ->
+               ((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024)
+                 * 2654435761) % 2048 - 1024)), 0) AS BIGINT) AS raw_weight
+      FROM t
+    )
+    SELECT doc_id, n_tokens, raw_weight,
+           CASE WHEN n_tokens > 0
+                THEN CAST(raw_weight AS DOUBLE) / (n_tokens * 1024.0)
+                ELSE 0.0 END AS score
+    FROM s
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:quality-classifier",),
+    description="fastText-style hashed linear quality scoring, map-only: "
+    "feature-hash tokens via the portable md5 prefix, sum integer weights "
+    "inside F.aggregate over the token array (zero shuffles, zero "
+    "explodes), one exact-int division at the end; a trained weight "
+    "vector drops in as a map literal without changing the plan",
+)
+def quality_score_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.quality_model import (
+        hashed_linear_raw,
+        hashed_linear_score,
+        tokens_lower,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_lower(t)).alias("n_tokens"),
+        hashed_linear_raw(t).alias("raw_weight"),
+        (
+            F.when(
+                F.size(tokens_lower(t)) > 0,
+                hashed_linear_raw(t)
+                / (F.size(tokens_lower(t)).cast("double") * 1024.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("score"),
+    ).orderBy("doc_id")
