@@ -12,6 +12,7 @@ Route map (reference → here):
 | /blocks, /masterchainInfo     | blocks                         |
 | /transactions                 | transactions                   |
 | /transactionsByMessage        | transactions(msg_opcode/…)     |
+| /transactionsByMasterchainBlock | transactions_by_masterchain_block |
 | /messages                     | messages                       |
 | /actions (v2)                 | actions                        |
 | /traces                       | traces                         |
@@ -81,6 +82,13 @@ class TonIndexerApi:
 
     def adjacent_transactions(self, tx_hash: str, **kw) -> DataFrame:
         return plans.adjacent_transactions(self.cat, tx_hash, **kw)
+
+    def transactions_by_masterchain_block(self, seqno: int,
+                                          **kw) -> DataFrame:
+        """/api/v3/transactionsByMasterchainBlock (main.go:2319): every
+        transaction committed under the mc block — mc_block_seqno filter
+        on the same transactions plan (partition-prunable at scale)."""
+        return plans.transactions_query(self.cat, mc_seqno=seqno, **kw)
 
     def transactions_by_message(self, **kw) -> DataFrame:
         return plans.transactions_by_message(self.cat, **kw)

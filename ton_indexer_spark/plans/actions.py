@@ -27,6 +27,7 @@ def actions_by_account(
     account: str | None = None,
     action_types: Sequence[str] | None = None,
     exclude_types: Sequence[str] | None = None,
+    supported_action_types: Sequence[str] | None = None,
     suppress_ancestor_types: Sequence[str] | None = None,
     tx_hash: str | None = None,
     start_utime: int | None = None,
@@ -41,6 +42,15 @@ def actions_by_account(
             "action_id", "trace_id"
         )
         a = a.join(aa, ["action_id", "trace_id"], "left_semi")
+    if supported_action_types:
+        # version-shortcut expansion ("latest", "v2", "nft.v3", ...) — the
+        # client's action vocabulary (main.go:1352-1357, X-Actions-Version)
+        from ton_indexer_spark.classifier.action_versions import (
+            expand_action_type_shortcuts,
+        )
+
+        allowed = expand_action_type_shortcuts(list(supported_action_types))
+        a = a.filter(F.col("type").isin(sorted(allowed)))
     if action_types:
         a = a.filter(F.col("type").isin(list(action_types)))
     if exclude_types:

@@ -186,6 +186,7 @@ def pending_actions_query(
     pending_msgs: DataFrame | None = None,
     account: str | None = None,
     ext_msg_hash: str | None = None,
+    supported_action_types: list[str] | None = None,
 ) -> DataFrame:
     """`GET /api/v3/pendingActions` (main.go:1472-1523).
 
@@ -197,6 +198,15 @@ def pending_actions_query(
     if account is None and ext_msg_hash is None:
         raise ValueError("account or ext_msg_hash should be specified")
     acts = _drop_finalized(cat, pending_actions)
+    if supported_action_types:
+        # GetPendingActions defaults to ["latest"] then expands shortcuts
+        # (main.go:1496-1500 + ExpandActionTypeShortcuts)
+        from ton_indexer_spark.classifier.action_versions import (
+            expand_action_type_shortcuts,
+        )
+
+        allowed = expand_action_type_shortcuts(supported_action_types)
+        acts = acts.filter(F.col("type").isin(sorted(allowed)))
     if account is not None:
         acts = acts.filter(F.array_contains(F.col("accounts"), account))
     else:
