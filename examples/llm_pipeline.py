@@ -89,8 +89,30 @@ def main() -> None:
     )
     n = stage("quality gates", kept, n0)
 
+    # ---- 1b. hashed linear quality score (fastText-style, still map-only;
+    # demo uses the synthetic closed-form weights — a trained vector drops
+    # in as a map literal without changing the plan) ------------------------
+    from ton_indexer_spark.functions.quality_model import hashed_linear_score
+
+    kept = kept.withColumn("q_score", hashed_linear_score(F.col("text")))
+    kept = kept.filter(F.col("q_score") > -0.9)  # loose floor for the demo
+
     # ---- 2. PII redaction (map-side rewrite, text replaced in place) ------
     kept = kept.withColumn("text", redact_pii(F.col("text")))
+
+    # ---- 2b. line-level boilerplate removal (C4 rule): lines occurring in
+    # 3+ distinct docs are dropped corpus-wide; digest-keyed frequency
+    # shuffle + anti-join, then the text column is replaced in place -------
+    from ton_indexer_spark.dedup.lines import remove_repeated_lines
+
+    cleaned = remove_repeated_lines(kept, min_docs=3)
+    kept = kept.drop("text").join(
+        cleaned.select(
+            "doc_id", F.col("clean_text").alias("text"), "n_removed"
+        ),
+        "doc_id",
+    )
+    n = stage("line dedup (C4)", kept.filter(F.length("text") > 0), n)
 
     # ---- 3. benchmark decontamination (broadcast the benchmark side) ------
     bench = docs.filter(F.col("source") == "src0")

@@ -368,3 +368,55 @@ def test_dsir_ratio_table_broadcast(spark, specs):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_state_broadcasts_tips(spark, fixture_dir):
+    """masterchainBlockShardState: the per-shard arg-max side is tiny and
+    must broadcast; the blocks scan must carry the mc_block_seqno bound."""
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.plans.blocks import masterchain_block_shard_state
+
+    cat = Catalog(spark, fixture_dir)
+    sq = cat.blocks.selectExpr("max(mc_block_seqno) m").first()["m"]
+    plan = plan_of(masterchain_block_shard_state(cat, sq))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LessThanOrEqual(mc_block_seqno" in plan  # pushed to the scan
+
+
+def test_line_dedup_groups_on_digest_not_line(spark, specs):
+    """The frequency shuffle must key on the md5 digest (bounded width),
+    and removal must be an anti-join."""
+    plan = plan_of(specs["line_dedup"].builder(spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert "md5" in plan
+    # partial aggregation on the digest before the exchange
+    assert "partial_count" in plan or "count(distinct" in plan.lower()
+
+
+def test_pending_scope_broadcasts_ids(spark, fixture_dir):
+    """Pending-overlay scoping: the scoped trace-id set (minutes of
+    unfinalized traces) broadcasts into the semi-join."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.plans.pending import pending_transactions_query
+
+    cat = Catalog(spark, fixture_dir)
+    ptxs = spark.createDataFrame(
+        [("0:acc", "h1", 1, "tr1", 10, "active", "active", False, "pending")],
+        "account string, hash string, lt long, trace_id string, now long, "
+        "orig_status string, end_status string, aborted boolean, "
+        "finality string",
+    )
+    pmsgs = spark.createDataFrame(
+        [("h1", 1, 10, "m1", "in", "tr1", None, "0:acc", 5, 0, 0, None,
+          "pending")],
+        "tx_hash string, tx_lt long, tx_now long, msg_hash string, "
+        "direction string, trace_id string, source string, "
+        "destination string, value long, created_lt long, opcode long, "
+        "body string, finality string",
+    )
+    plan = plan_of(pending_transactions_query(cat, ptxs, pmsgs,
+                                              account="0:acc"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftAnti" in plan  # finalized shadowing + landed-msg removal

@@ -96,3 +96,51 @@ def test_quality_plan_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def _py_line_dedup(docs, min_docs=3, min_chars=10):
+    """Pure-Python oracle for remove_repeated_lines."""
+    from collections import defaultdict
+
+    by_line = defaultdict(set)
+    for did, text in docs:
+        for ln in text.split("\n"):
+            if len(ln.strip()) >= min_chars:
+                by_line[ln.strip()].add(did)
+    frequent = {ln for ln, ds in by_line.items() if len(ds) >= min_docs}
+    out = {}
+    for did, text in docs:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln.strip() not in frequent
+                or len(ln.strip()) < min_chars]
+        out[did] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+def test_line_dedup_matches_python_oracle(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ton_indexer_spark.dedup.lines import remove_repeated_lines
+
+    # small line vocabulary forces cross-doc collisions
+    line = st.sampled_from([
+        "boilerplate banner line", "cookie consent notice here",
+        "unique snowflake", "short", "another body sentence goes here",
+        "", "  padded line with spaces  ",
+    ])
+    doc = st.lists(line, min_size=1, max_size=6).map("\n".join)
+    corpus = st.lists(doc, min_size=1, max_size=8)
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus)
+    def check(texts):
+        docs = list(enumerate(texts))
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in remove_repeated_lines(sdf).collect()
+        }
+        assert got == _py_line_dedup(docs)
+
+    check()
