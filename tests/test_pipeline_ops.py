@@ -701,3 +701,69 @@ class TestDsir:
             [(9, "two tokens")], "doc_id long, text string")
         ids = {r["doc_id"] for r in dsir_weights(raw, target).collect()}
         assert ids == {3}
+
+
+class TestIncrementalLineDedup:
+    BOILER = "subscribe to our newsletter today"
+
+    def _write(self, spark, path, rows, mode="overwrite"):
+        cols = ("doc_id long, text string, lang string, source string, "
+                "n_chars long")
+        spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in rows], cols
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    def test_cross_batch_frequency_strips_lines(self, spark, tmp_path):
+        from ton_indexer_spark.streaming.corpus import (
+            run_incremental_line_dedup_available_now,
+        )
+
+        src = str(tmp_path / "src")
+        # batch 1: boilerplate seen in 2 docs — below min_docs=3, kept
+        self._write(spark, src, [
+            (1, f"unique alpha body line\n{self.BOILER}"),
+            (2, f"{self.BOILER}\nanother body beta line"),
+        ])
+        # batch 2: a 3rd doc pushes the cumulative count to min_docs —
+        # this batch's copy is stripped (history is not retro-edited)
+        self._write(spark, src, [
+            (3, f"gamma body line three\n{self.BOILER}"),
+            (4, "delta body with no boilerplate at all"),
+        ], mode="append")
+        out = str(tmp_path / "out")
+        run_incremental_line_dedup_available_now(
+            spark, src, out, str(tmp_path / "ckpt"))
+        got = {r["doc_id"]: r["text"]
+               for r in spark.read.parquet(f"{out}/docs").collect()}
+        assert self.BOILER in got[1] and self.BOILER in got[2]  # batch 1
+        assert got[3] == "gamma body line three"  # stripped on arrival
+        assert got[4] == "delta body with no boilerplate at all"
+
+    def test_index_is_exact_and_redelivery_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ton_indexer_spark.streaming.corpus import (
+            run_incremental_line_dedup_available_now,
+        )
+
+        src = str(tmp_path / "src")
+        self._write(spark, src, [
+            (1, f"one unique body line\n{self.BOILER}"),
+            (2, f"{self.BOILER}\ntwo unique body line"),
+        ])
+        out = str(tmp_path / "out")
+        run_incremental_line_dedup_available_now(
+            spark, src, out, str(tmp_path / "ckpt"))
+        # same drop again with a FRESH checkpoint replays batch history;
+        # batch-keyed overwrite keeps docs and index without duplication
+        run_incremental_line_dedup_available_now(
+            spark, src, out, str(tmp_path / "ckpt2"))
+        idx = spark.read.option("basePath", f"{out}/_line_index").parquet(
+            f"{out}/_line_index")
+        total = (
+            idx.groupBy("line_digest").agg(F.sum("n_docs").alias("n"))
+            .agg(F.max("n")).first()[0]
+        )
+        assert total == 2  # boilerplate digest counted once per doc
+        docs = spark.read.parquet(f"{out}/docs")
+        assert docs.count() == 2

@@ -210,3 +210,98 @@ def run_incremental_neardup_available_now(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_line_dedup_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_docs: int = 3,
+    min_chars: int = 10,
+) -> None:
+    """C4 line-level boilerplate removal, incrementally — without ever
+    recomputing global line frequencies over the accumulated corpus.
+
+    The persisted index under ``out_dir``/_line_index holds one row per
+    (line_digest, batch) with that batch's distinct-doc count; documents
+    never recur across batches, so summing per-batch counts is EXACT
+    distinct-doc frequency.  Per batch:
+
+    1. aggregate the batch's (digest → n_docs) — one shuffle over the
+       BATCH only, digest-keyed (bounded width, dedup/lines.py discipline);
+    2. read the index, sum history+batch counts per digest, keep digests
+       reaching ``min_docs`` — the boilerplate set as of THIS batch's
+       arrival (already-written history is not retro-edited: the standard
+       streaming approximation, same contract as the LSH index above);
+    3. strip those lines from the batch's documents (anti-join on the
+       digest), write cleaned docs and the batch's counts batch-keyed
+       (overwrite-by-batch ⇒ redelivery-idempotent, exactly-once).
+
+    Cost per batch is |batch lines| + |frequent digests|, not |corpus|.
+    """
+    import os
+
+    from ton_indexer_spark.dedup.lines import split_lines
+
+    index_dir = os.path.join(out_dir, "_line_index")
+    docs_dir = os.path.join(out_dir, "docs")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if batch.rdd.isEmpty():
+            return
+        lines = split_lines(batch).localCheckpoint(eager=True)
+        eligible = lines.filter(
+            F.length(F.trim("line")) >= min_chars
+        ).select(F.md5(F.trim("line")).alias("line_digest"), "doc_id")
+        counts = eligible.groupBy("line_digest").agg(
+            F.count_distinct("doc_id").alias("n_docs")
+        ).localCheckpoint(eager=True)
+        try:
+            stored = s.read.option("basePath", index_dir).parquet(index_dir)
+            stored = stored.filter(F.col("batch") != batch_id)
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            stored = None
+        total = (
+            counts if stored is None
+            else counts.unionByName(stored.select("line_digest", "n_docs"))
+        )
+        frequent = (
+            total.groupBy("line_digest")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("line_digest")
+        )
+        kept_lines = lines.join(
+            frequent,
+            F.md5(F.trim(lines["line"])) == frequent["line_digest"],
+            "left_anti",
+        )
+        rebuilt = kept_lines.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda st: st["line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+        cleaned = (
+            batch.join(rebuilt, "doc_id", "left")
+            .withColumn("text", F.coalesce("clean_text", F.lit("")))
+            .drop("clean_text")
+        )
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch={batch_id}"))
+        counts.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}"))
+
+    (
+        corpus_stream(spark, src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
