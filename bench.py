@@ -59,6 +59,10 @@ HEADLINE = [
     "funnel_steps",
     "cohort_retention",
     "group_topk",
+    # round 6
+    "line_dedup",
+    "quality_score_hashed",
+    "classify_actions",
 ]
 
 
