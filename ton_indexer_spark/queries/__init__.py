@@ -70,6 +70,7 @@ _EXPOSURE_FIRST = [
     "classify_actions",
     "classify_states",
     "classify_action_accounts",
+    "classify_failed_external",
     # new in round 6
     "line_dedup",
     "quality_score_hashed",

@@ -242,6 +242,85 @@ ORDER BY trace_id, action_type, account
 """
 
 
+def _failed_external_fixture(spark: SparkSession):
+    """One lone aborted external wallet tx per wallet layout — the C10
+    failed-external recovery path (reference try_process_unknown_event,
+    event_processing.py:340-362): the signed body's embedded transfer is
+    recovered as a success=False ghost action."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.functions.boc import (
+        encode_comment,
+        encode_jetton_transfer,
+        parse_boc,
+    )
+    from ton_indexer_spark.functions.externals import encode_wallet_external
+    from ton_indexer_spark.functions.tx_parse import encode_message_cell
+
+    wallet, dest, jdest = ACC[0], ACC[1], ACC[2]
+    inner = encode_message_cell(
+        None, dest, value=17_192_063, created_lt=0, created_at=0,
+        body=parse_boc(encode_comment("gate ghost")),
+    )
+    v3_body = encode_wallet_external([inner], wallet="v3")
+    jt_inner = encode_message_cell(
+        None, dest, value=10**8, created_lt=0, created_at=0,
+        body=parse_boc(encode_jetton_transfer(
+            query_id=9, amount=555, destination=jdest, response=wallet)),
+    )
+    v4_body = encode_wallet_external([jt_inner], wallet="v4")
+
+    txs, msgs, bodies = [], [], []
+    for tid, acct, lt, body in (("gf1", wallet, 100, v3_body),
+                                ("gf2", wallet, 200, v4_body)):
+        txs.append((f"{tid}-tx1", acct, lt, 1_700_000_000 + lt, True,
+                    "active", "active", tid))
+        bodies.append((f"bh-{tid}", body))
+        msgs.append((tid, f"{tid}-tx1", lt, f"{tid}-m1", "in", None, acct,
+                     None, None, lt - 2, f"bh-{tid}"))
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+    )
+
+
+_FAILED_EXT_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('gf1', 'ton_transfer', '{ACC[0]}', '{ACC[1]}',
+   CAST(17192063 AS BIGINT), FALSE, 'gate ghost'),
+  ('gf2', 'jetton_transfer', '{ACC[0]}', '{ACC[2]}',
+   CAST(555 AS BIGINT), FALSE, CAST(NULL AS VARCHAR))
+) AS t(trace_id, action_type, source, destination, amount_bi, success,
+       content)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_failed_external",
+    oracle=_FAILED_EXT_ORACLE,
+    survey_ops=("C9", "C10", "F2"),
+    description="failed-external recovery: lone aborted wallet externals "
+    "classify from the signed BOC body (v3/v4 layouts) into success=False "
+    "ghost actions — exercises the real cell codec + postprocess path",
+)
+def classify_failed_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _failed_external_fixture(spark)
+    return (
+        res.actions.select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.coalesce(F.col("amount"), F.col("value"))
+            .cast("long").alias("amount_bi"),
+            "success",
+            F.col("ton_transfer_data")["content"].alias("content"),
+        )
+        .orderBy("trace_id")
+    )
+
+
 @register(
     "classify_action_accounts",
     oracle=_ACCOUNTS_ORACLE,
