@@ -302,3 +302,45 @@ def test_emulator_seam_contract_branching_trace(spark):
 
     with _pytest.raises(Exception, match="account"):
         emulate_externals(ext, emulator=broken)[0].collect()
+
+
+def test_push_confirmed_vs_finalized_tiers(spark, fixture_dir, tmp_path):
+    """v2 push tiers: every arriving tx hits the confirmed channel in its
+    arrival batch; the finalized channel only carries members of closed
+    traces (ton-streaming-go/v2/server.go:1032-1093)."""
+    from ton_indexer_spark.streaming.ingest import IngestPipeline
+
+    txs = spark.read.parquet(
+        f"{fixture_dir}/transactions.parquet").drop("trace_id")
+    msgs = spark.read.parquet(
+        f"{fixture_dir}/messages.parquet").drop("trace_id")
+
+    channels: dict[str, list] = {}
+
+    def publisher(channel: str, payloads: list[dict]) -> None:
+        channels.setdefault(channel, []).extend(payloads)
+
+    pipe = IngestPipeline(
+        spark,
+        out_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        publisher=publisher,
+    )
+    seqnos = sorted(
+        r[0] for r in txs.select("mc_block_seqno").distinct().collect())
+    mid = seqnos[len(seqnos) // 2]
+    pipe.process_batch(
+        txs.filter(F.col("mc_block_seqno") <= mid),
+        msgs.filter(F.col("mc_seqno") <= mid),
+    )
+
+    confirmed = {p["hash"] for p in channels.get("confirmed_transactions", [])}
+    finalized = {p["hash"] for p in channels.get("transactions", [])}
+    n_batch = txs.filter(F.col("mc_block_seqno") <= mid).count()
+    assert len(confirmed) == n_batch          # every arrival is confirmed
+    assert finalized <= confirmed             # finalized ⊆ confirmed
+    assert len(finalized) < len(confirmed)    # some traces still open
+    assert all(p["finality"] == "confirmed"
+               for p in channels["confirmed_transactions"])
+    assert all(p["finality"] == "finalized"
+               for p in channels["transactions"])

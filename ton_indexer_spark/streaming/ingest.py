@@ -188,7 +188,12 @@ class IngestPipeline:
             publish_batch(
                 self.publisher,
                 final_traces=final,
+                # finalized tier: members of traces that closed this batch
                 transactions=flushed.select("hash", "lt", "account", "trace_id"),
+                # confirmed tier: every tx that ARRIVED this batch — block-
+                # committed, trace possibly still open so no trace_id yet
+                # (v2/server.go:1032)
+                confirmed_transactions=txs.select("hash", "lt", "account"),
             )
 
     def run_available_now(self, tx_source_dir: str, msg_source_dir: str,

@@ -19,9 +19,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# event types mirror server.go:116-121
+# event types mirror server.go:116-121; v2 distinguishes the commit tier
+# a transaction has reached (SubscribeToConfirmedTransactions vs
+# SubscribeToFinalizedTransactions, v2/server.go:1032-1093): confirmed =
+# in a shard block, finalized = under a masterchain commit
 EV_TRACES = "traces"
 EV_TRANSACTIONS = "transactions"
+EV_CONFIRMED_TRANSACTIONS = "confirmed_transactions"
 EV_ACCOUNT_STATES = "account_states"
 
 Publisher = Callable[[str, list[dict]], None]  # (channel, payloads) -> None
@@ -31,6 +35,7 @@ def publish_batch(
     publisher: Publisher,
     final_traces: DataFrame | None = None,
     transactions: DataFrame | None = None,
+    confirmed_transactions: DataFrame | None = None,
     account_states: DataFrame | None = None,
     max_payloads_per_channel: int = 10_000,
 ) -> dict[str, int]:
@@ -53,6 +58,12 @@ def publish_batch(
         emit(EV_TRACES, final_traces, "finalized")
     if transactions is not None:
         emit(EV_TRANSACTIONS, transactions, "finalized")
+    if confirmed_transactions is not None:
+        # block-committed but not yet under the masterchain horizon — the
+        # v2 confirmed tier; the same rows are re-emitted on the finalized
+        # channel once their trace closes (ProcessNewConfirmedTxs →
+        # ProcessNewFinalizedTxs lifecycle)
+        emit(EV_CONFIRMED_TRANSACTIONS, confirmed_transactions, "confirmed")
     if account_states is not None:
         emit(EV_ACCOUNT_STATES, account_states, "finalized")
     return published
