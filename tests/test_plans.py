@@ -645,3 +645,34 @@ def test_run_get_method_seam(ton, tduck):
     fee = estimate_fee(ton, acc, "te6cc" * 40)
     assert set(fee) == {"in_fwd_fee", "storage_fee", "gas_fee", "fwd_fee"}
     assert fee["fwd_fee"] == len("te6cc" * 40) * 1000
+
+
+def test_traces_include_actions(ton, tduck):
+    from ton_indexer_spark.plans import traces_query
+
+    tid = pick(tduck, """
+        SELECT trace_id FROM actions GROUP BY trace_id
+        ORDER BY count(*) DESC, trace_id LIMIT 1
+    """)
+    got = traces_query(ton, trace_ids=[tid], include_actions=True).first()
+    want = drows(tduck, f"""
+        SELECT action_id FROM actions WHERE trace_id = '{tid}'
+        ORDER BY end_lt, action_id
+    """, 1)
+    assert [ (a["action_id"],) for a in got["actions"] ] == [
+        tuple(w) for w in want ]
+    # end_lt-ordered like the reference serializer
+    lts = [a["end_lt"] for a in got["actions"]]
+    assert lts == sorted(lts)
+
+    # vocabulary restriction drops unknown-to-client types
+    only_basic = traces_query(
+        ton, trace_ids=[tid], include_actions=True,
+        supported_action_types=["v1"],
+    ).first()
+    from ton_indexer_spark.classifier.action_versions import (
+        expand_action_type_shortcuts,
+    )
+    allowed = expand_action_type_shortcuts(["v1"])
+    acts = only_basic["actions"] or []
+    assert all(a["type"] in allowed for a in acts)

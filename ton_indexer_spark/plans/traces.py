@@ -56,6 +56,8 @@ def traces_query(
     limit: int = 100,
     offset: int = 0,
     hydrate: bool = True,
+    include_actions: bool = False,
+    supported_action_types: Sequence[str] | None = None,
 ) -> DataFrame:
     tr = pending_overlay(cat.traces, pending)
     tr = filter_by_array(tr, "trace_id", trace_ids)
@@ -95,6 +97,35 @@ def traces_query(
     hydrated = member.groupBy("trace_id").agg(
         F.array_sort(F.collect_list("tx")).alias("transactions")
     )
-    return tr.join(hydrated, "trace_id", "left").withColumn(
+    tr = tr.join(hydrated, "trace_id", "left").withColumn(
         "is_incomplete", F.col("nodes_") > MAX_TRACE_TRANSACTIONS
     )
+    if include_actions:
+        # includeActions hydration (crud_traces.go:162, 353-374): the
+        # page's traces gather their actions, optionally restricted to
+        # the client's expanded action vocabulary; ordered like the
+        # reference's (end_lt, action_id) serializer ordering
+        acts = cat.actions
+        if supported_action_types:
+            from ton_indexer_spark.classifier.action_versions import (
+                expand_action_type_shortcuts,
+            )
+
+            allowed = expand_action_type_shortcuts(
+                list(supported_action_types)
+            )
+            acts = acts.filter(F.col("type").isin(sorted(allowed)))
+        acts = acts.join(
+            F.broadcast(tr.select("trace_id")), "trace_id", "left_semi"
+        ).select(
+            "trace_id",
+            F.struct(
+                F.col("end_lt"), F.col("action_id"), F.col("type"),
+                F.col("success"), F.col("start_lt"),
+            ).alias("a"),
+        )
+        folded = acts.groupBy("trace_id").agg(
+            F.array_sort(F.collect_list("a")).alias("actions")
+        )
+        tr = tr.join(folded, "trace_id", "left")
+    return tr
