@@ -71,6 +71,8 @@ _EXPOSURE_FIRST = [
     "classify_states",
     "classify_action_accounts",
     "classify_failed_external",
+    "pending_transactions_route",
+    "pending_traces_route",
     # new in round 6
     "line_dedup",
     "quality_score_hashed",

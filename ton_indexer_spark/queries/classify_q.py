@@ -337,3 +337,101 @@ def classify_action_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("trace_id", "action_type", "account")
         .orderBy("trace_id", "action_type", "account")
     )
+
+
+def _pending_fixture(spark: SparkSession):
+    """Inline pending-overlay store: two live pending traces + one tx
+    whose in-message "already landed" — exercised through the real
+    pendingTransactions/pendingTraces plans (plans/pending.py).  The
+    Catalog points at the driver's TPC-H dir, which has no finalized
+    TON tables, so the finalized-shadowing joins pass through — their
+    semantics are pinned by tests/test_pending_api.py over a TON fixture.
+    """
+    tx_cols = ("account string, hash string, lt long, trace_id string, "
+               "now long, orig_status string, end_status string, "
+               "aborted boolean, finality string")
+    msg_cols = ("tx_hash string, tx_lt long, tx_now long, msg_hash string, "
+                "direction string, trace_id string, source string, "
+                "destination string, value long, created_lt long, "
+                "opcode long, body string, finality string")
+    acct, other = ACC[0], ACC[1]
+    txs = spark.createDataFrame([
+        (acct, "pp1-a", 100, "pp1", 5100, "active", "active", False, "pending"),
+        (other, "pp1-b", 110, "pp1", 5110, "active", "active", False, "pending"),
+        (other, "pp2-a", 200, "pp2", 5200, "active", "active", False, "pending"),
+    ], tx_cols)
+    msgs = spark.createDataFrame([
+        ("pp1-a", 100, 5100, "ext1", "in", "pp1", None, acct, 7, 98, 0,
+         None, "pending"),
+        ("pp1-a", 100, 5100, "pp1-m1", "out", "pp1", acct, other, 3, 101,
+         0, None, "pending"),
+        ("pp1-b", 110, 5110, "pp1-m1", "in", "pp1", acct, other, 3, 101,
+         0, None, "pending"),
+        ("pp2-a", 200, 5200, "ext2", "in", "pp2", None, other, 9, 198, 0,
+         None, "pending"),
+    ], msg_cols)
+    return txs, msgs
+
+
+_PENDING_TXS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('pp1', 'pp1-a', '{ACC[0]}', CAST(100 AS BIGINT), 'ext1', 1, 'pending'),
+  ('pp1', 'pp1-b', '{ACC[1]}', CAST(110 AS BIGINT), 'pp1-m1', 0, 'pending')
+) AS t(trace_id, hash, account, lt, in_msg_hash, n_out, finality)
+ORDER BY trace_id, lt, hash
+"""
+
+
+@register(
+    "pending_transactions_route",
+    oracle=_PENDING_TXS_ORACLE,
+    survey_ops=("S5", "T6"),
+    description="pendingTransactions route: trace-level account scoping "
+    "over the emulated overlay, txs hydrated with in_msg + ordered "
+    "out_msgs (plans/pending.py vs crud_pending.go:200-252)",
+)
+def pending_transactions_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.plans.pending import pending_transactions_query
+
+    txs, msgs = _pending_fixture(spark)
+    got = pending_transactions_query(
+        Catalog(spark, sf_dir), txs, msgs, account=ACC[0]
+    )
+    return got.select(
+        "trace_id", "hash", "account", "lt",
+        F.col("in_msg")["msg_hash"].alias("in_msg_hash"),
+        F.size(F.coalesce("out_msgs", F.array())).alias("n_out"),
+        "finality",
+    ).orderBy("trace_id", "lt", "hash")
+
+
+_PENDING_TRACES_ORACLE = """
+SELECT * FROM (VALUES
+  ('pp2', 'ext2', CAST(200 AS BIGINT), CAST(200 AS BIGINT),
+   CAST(1 AS BIGINT), 'pending')
+) AS t(trace_id, external_hash, start_lt, end_lt, transactions_count,
+       trace_state)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "pending_traces_route",
+    oracle=_PENDING_TRACES_ORACLE,
+    survey_ops=("S5", "T6"),
+    description="pendingTraces route: ext_msg_hash scoping + trace "
+    "aggregation over the overlay (crud_pending.go:300-376)",
+)
+def pending_traces_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.plans.pending import pending_traces_query
+
+    txs, msgs = _pending_fixture(spark)
+    got = pending_traces_query(
+        Catalog(spark, sf_dir), txs, msgs, ext_msg_hash="ext2"
+    )
+    return got.select(
+        "trace_id", "external_hash", "start_lt", "end_lt",
+        "transactions_count", "trace_state",
+    ).orderBy("trace_id")
