@@ -76,6 +76,7 @@ _EXPOSURE_FIRST = [
     # new in round 6
     "line_dedup",
     "quality_score_hashed",
+    "corpus_profile",
     # never driver-sampled before round 6
     "semdedup",
     "embed_kmeans",

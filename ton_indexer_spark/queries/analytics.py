@@ -442,3 +442,49 @@ def dsir_weight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = d.filter(F.col("source") != "src0")
     target = d.filter(F.col("source") == "src0")
     return dsir_weights(raw, target, n_buckets=512).orderBy("doc_id")
+
+
+@register(
+    "corpus_profile",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           quantile_cont(length(text), 0.5) AS p50_chars,
+           quantile_cont(length(text), 0.95) AS p95_chars,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ops=("beyond:corpus-profile",),
+    description="per-source corpus profiling (the pre-mixture QA report: "
+    "volume, language spread, exact length percentiles, empty rate, token "
+    "mass) — one map-side-combined aggregation over the scan; at 100 TB "
+    "this is the cheapest query in the pipeline and the first one run",
+)
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    chars = F.length("text")
+    toks = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(chars).alias("total_chars"),
+            F.percentile(chars, 0.5).alias("p50_chars"),
+            F.percentile(chars, 0.95).alias("p95_chars"),
+            F.sum(F.when(F.trim("text") == "", 1).otherwise(0))
+            .cast("long").alias("n_empty"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
