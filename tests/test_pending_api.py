@@ -12,7 +12,6 @@ import os
 
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from ton_indexer_spark.catalog import Catalog
 from ton_indexer_spark.plans.pending import (
