@@ -676,3 +676,36 @@ def test_traces_include_actions(ton, tduck):
     allowed = expand_action_type_shortcuts(["v1"])
     acts = only_basic["actions"] or []
     assert all(a["type"] in allowed for a in acts)
+
+
+def test_actions_filters_and_tx_hydration(ton, tduck):
+    from ton_indexer_spark.plans import actions_by_account
+
+    aid, tid = tduck.execute(
+        "SELECT action_id, trace_id FROM actions "
+        "ORDER BY len(tx_hashes) DESC, action_id LIMIT 1").fetchone()
+    got = actions_by_account(
+        ton, action_ids=[aid], include_transactions=True).collect()
+    assert len(got) == 1 and got[0]["trace_id"] == tid
+    want = drows(tduck, f"""
+        SELECT t.hash FROM transactions t
+        JOIN (SELECT unnest(tx_hashes) AS h FROM actions
+              WHERE action_id = '{aid}') u ON u.h = t.hash
+        ORDER BY t.lt, t.account, t.hash
+    """, 1)
+    assert sorted((t["hash"],) for t in got[0]["transactions_full"]) == [
+        tuple(w) for w in want]  # drows() returns rows sorted
+    lts = [t["lt"] for t in got[0]["transactions_full"]]
+    assert lts == sorted(lts)  # hydration itself is (lt, account, hash)
+
+    sq = pick(tduck, "SELECT trace_mc_seqno_end FROM actions "
+                     "GROUP BY 1 ORDER BY count(*) DESC LIMIT 1")
+    got2 = actions_by_account(ton, mc_seqno=sq, limit=1000)
+    want2 = pick(tduck, f"SELECT count(*) FROM actions "
+                        f"WHERE trace_mc_seqno_end = {sq}")
+    assert got2.count() == want2
+
+    got3 = actions_by_account(ton, trace_ids=[tid], limit=1000)
+    want3 = pick(tduck, f"SELECT count(*) FROM actions "
+                        f"WHERE trace_id = '{tid}'")
+    assert got3.count() == want3

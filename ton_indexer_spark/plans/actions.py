@@ -30,13 +30,28 @@ def actions_by_account(
     supported_action_types: Sequence[str] | None = None,
     suppress_ancestor_types: Sequence[str] | None = None,
     tx_hash: str | None = None,
+    action_ids: Sequence[str] | None = None,
+    trace_ids: Sequence[str] | None = None,
+    mc_seqno: int | None = None,
+    start_lt: int | None = None,
+    end_lt: int | None = None,
     start_utime: int | None = None,
     end_utime: int | None = None,
     sort: str = "desc",
     limit: int = 100,
     offset: int = 0,
+    include_transactions: bool = False,
 ) -> DataFrame:
+    from ton_indexer_spark.operators import filter_by_array
+
     a = cat.actions
+    # direct-id and trace filters (crud_actions_v2.go action_id/trace_id
+    # query params — = ANY($1) lists)
+    a = filter_by_array(a, "action_id", action_ids)
+    a = filter_by_array(a, "trace_id", trace_ids)
+    if mc_seqno is not None:
+        # "actions of traces completed in mc block seqno" (main.go:390)
+        a = a.filter(F.col("trace_mc_seqno_end") == mc_seqno)
     if account is not None:
         aa = cat.action_accounts.filter(F.col("account") == account).select(
             "action_id", "trace_id"
@@ -65,6 +80,10 @@ def actions_by_account(
         )
     if tx_hash is not None:
         a = a.filter(F.array_contains(F.col("tx_hashes"), tx_hash))
+    if start_lt is not None:
+        a = a.filter(F.col("end_lt") >= start_lt)
+    if end_lt is not None:
+        a = a.filter(F.col("end_lt") <= end_lt)
     if start_utime is not None:
         a = a.filter(F.col("end_utime") >= start_utime)
     if end_utime is not None:
@@ -77,7 +96,7 @@ def actions_by_account(
         ["trace_id", "action_id"],
         [("end_lt", "desc")],
     )
-    return paginate(
+    a = paginate(
         a,
         sort=[
             ("trace_end_lt", sort),
@@ -88,3 +107,21 @@ def actions_by_account(
         limit=limit,
         offset=offset,
     )
+    if include_transactions:
+        # include_transactions hydration (crud_pending.go:61-81 shape for
+        # the batch route): gather full tx rows for each page action's
+        # tx_hashes, ordered (lt, account, hash); page-scoped broadcast
+        wanted = a.select(
+            "action_id", F.explode("tx_hashes").alias("hash")
+        )
+        member = cat.transactions.join(
+            F.broadcast(wanted), "hash"
+        ).select(
+            "action_id",
+            F.struct(F.col("lt"), F.col("account"), F.col("hash")).alias("tx"),
+        )
+        folded = member.groupBy("action_id").agg(
+            F.array_sort(F.collect_list("tx")).alias("transactions_full")
+        )
+        a = a.join(folded, "action_id", "left")
+    return a
