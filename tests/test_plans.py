@@ -709,3 +709,24 @@ def test_actions_filters_and_tx_hydration(ton, tduck):
     want3 = pick(tduck, f"SELECT count(*) FROM actions "
                         f"WHERE trace_id = '{tid}'")
     assert got3.count() == want3
+
+
+def test_messages_body_hash_direction_utime(ton, tduck):
+    from ton_indexer_spark.plans import messages_query
+
+    bh = pick(tduck, "SELECT body_hash FROM messages "
+                     "WHERE body_hash IS NOT NULL ORDER BY body_hash LIMIT 1")
+    got = messages_query(ton, body_hash=bh, with_body=False)
+    want = pick(tduck, f"SELECT count(DISTINCT msg_hash) FROM messages "
+                       f"WHERE body_hash = '{bh}'")
+    assert got.count() == want and want >= 1
+
+    lo = pick(tduck, "SELECT min(created_at) FROM messages")
+    hi = pick(tduck, "SELECT max(created_at) FROM messages")
+    mid = (lo + hi) // 2
+    got2 = messages_query(ton, direction="in", end_utime=mid,
+                          with_body=False, limit=10**6)
+    want2 = pick(tduck, f"""
+        SELECT count(DISTINCT msg_hash) FROM messages
+        WHERE direction = 'in' AND created_at <= {mid}""")
+    assert got2.count() == want2

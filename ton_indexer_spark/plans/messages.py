@@ -25,8 +25,12 @@ def messages_query(
     sources: Sequence[str] | None = None,
     destinations: Sequence[str] | None = None,
     opcode: int | None = None,
+    body_hash: str | None = None,
+    direction: str | None = None,
     start_lt: int | None = None,
     end_lt: int | None = None,
+    start_utime: int | None = None,
+    end_utime: int | None = None,
     exclude_externals: bool = False,
     only_externals: bool = False,
     sort: str = "desc",
@@ -39,8 +43,13 @@ def messages_query(
     m = filter_by_array(m, "source", sources)
     m = filter_by_array(m, "destination", destinations)
     m = filter_range(m, "created_lt", start_lt, end_lt)
+    m = filter_range(m, "created_at", start_utime, end_utime)
     if opcode is not None:
         m = m.filter(F.col("opcode") == opcode)
+    if body_hash is not None:  # main.go:457 — find message by body hash
+        m = m.filter(F.col("body_hash") == body_hash)
+    if direction is not None:  # 'in' | 'out' leg filter before the pivot
+        m = m.filter(F.col("direction") == direction)
     if exclude_externals:  # crud_messages.go:82-87
         m = m.filter(F.col("source").isNotNull())
     if only_externals:
