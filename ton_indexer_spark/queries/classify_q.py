@@ -1,4 +1,5 @@
-"""Classifier-exercising driver gates (C1-C5 coverage in CORRECTNESS).
+"""Classifier- and overlay-exercising driver gates (C1-C5, C9-C10, S5/T6
+coverage in CORRECTNESS).
 
 Round-5 lesson: none of the registered gates ran ``classify_traces``, so a
 matcher-library regression that broke ALL classification sailed through a
