@@ -50,7 +50,8 @@ def test_pipeline_with_classification_and_push(spark, fixture_dir, tmp_path):
     assert aa.count() >= actions.count()
 
     # T7: both channels got payloads with finality markers
-    assert set(channels) == {"traces", "transactions"}
+    assert set(channels) == {"traces", "transactions",
+                             "confirmed_transactions"}
     assert all(p["finality"] == "finalized" for p in channels["traces"])
 
     # flushed transactions cover every finalized trace exactly
