@@ -127,6 +127,20 @@ def test_engine_error_reraises(monkeypatch):
         _classify_group(_group_pdf(), big_trace_cutoff=4000)
 
 
+def test_attribute_error_is_a_data_error(monkeypatch):
+    """Matchers legitimately hit AttributeError on malformed payloads
+    ('NoneType' has no attribute ...); the reference records any per-trace
+    exception as failed (trace_processor.py:55-72) — only unresolved-name
+    and import errors are build breakage worth aborting on."""
+    def none_deref(node, ctx):
+        raise AttributeError("'NoneType' object has no attribute 'amount'")
+
+    monkeypatch.setattr(M, "MATCHERS", [("bad", none_deref)])
+    out = _classify_group(_group_pdf(), big_trace_cutoff=4000)
+    assert list(out["classification_state"]) == ["failed"]
+    assert "AttributeError" in out["failure_reason"].iloc[0]
+
+
 def test_data_error_sentinels_with_reason(monkeypatch):
     def bad_data(node, ctx):
         raise ValueError("malformed payload")

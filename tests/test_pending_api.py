@@ -95,13 +95,13 @@ def test_pending_transactions_by_account(ton, pend):
     ptxs, pmsgs, fin_trace = pend
     got = pending_transactions_query(ton, ptxs, pmsgs, account=ACCT)
     rows = got.collect()
-    # pt1 whole-trace (both txs, trace-level scope), pt2 shadowed by the
-    # finalized trace, pt3-b dropped (in-msg landed), pt3-a kept
-    assert sorted(r["hash"] for r in rows) == ["pt1-a", "pt1-b", "pt3-a"]
+    # the account route returns only ACCT's OWN txs of the scoped traces
+    # (FilterTransactionsByAccounts): pt1-b is another account's member,
+    # pt2 is shadowed by the finalized trace, pt3-b's in-msg landed
+    assert sorted(r["hash"] for r in rows) == ["pt1-a", "pt3-a"]
     by_hash = {r["hash"]: r for r in rows}
     assert by_hash["pt1-a"]["in_msg"]["msg_hash"] == "ext1"
     assert [m["msg_hash"] for m in by_hash["pt1-a"]["out_msgs"]] == ["pt1-m1"]
-    assert by_hash["pt1-b"]["in_msg"]["msg_hash"] == "pt1-m1"
     assert {r["finality"] for r in rows} == {"pending"}
 
 
@@ -169,9 +169,14 @@ def test_masterchain_block_shard_state(ton, tduck):
     )
     want = sorted(tduck.execute(f"""
         SELECT workchain, shard, seqno FROM blocks
+        WHERE workchain = -1 AND seqno = {sq}
+        UNION ALL
+        SELECT workchain, shard, seqno FROM blocks
         WHERE workchain != -1 AND mc_block_seqno <= {sq}
         QUALIFY seqno = max(seqno) OVER (PARTITION BY workchain, shard)
     """).fetchall())
     assert got == want and got
-    # exactly one tip per shard chain
+    # the mc block leads its own shard state (DbScanner.cpp:154)
+    assert got[0][0] == -1 and got[0][2] == sq
+    # exactly one tip per (workchain, shard) chain
     assert len({(w, s) for w, s, _ in got}) == len(got)

@@ -384,11 +384,15 @@ def _classify_group(
             if c in res.columns:
                 res[c] = pd.Series([r.get(c) for r in out], dtype=object)
         return res
-    except (NameError, ImportError, AttributeError, UnboundLocalError):
-        # engine bugs, not data problems — a broken build must fail loudly
-        # instead of silently classifying every trace to zero actions
-        # (reference raises too: event_classifier.py only catches per-trace
-        # data errors and records them, 337-343)
+    except (NameError, ImportError):
+        # unresolved-name/import bugs are build breakage, never data — fail
+        # loudly instead of silently classifying every trace to zero
+        # actions (the round-5 regression class).  AttributeError stays a
+        # per-trace data error: matchers legitimately hit "'NoneType' has
+        # no attribute ..." on malformed on-chain payloads, and the
+        # reference records any per-trace exception as state='failed'
+        # (trace_processor.py:55-72) — the failure_reason column keeps
+        # those visible
         raise
     except Exception as e:  # genuinely unclassifiable trace: record why
         return sentinel("failed", f"{type(e).__name__}: {e}")

@@ -57,15 +57,18 @@ def actions_by_account(
             "action_id", "trace_id"
         )
         a = a.join(aa, ["action_id", "trace_id"], "left_semi")
-    if supported_action_types:
-        # version-shortcut expansion ("latest", "v2", "nft.v3", ...) — the
-        # client's action vocabulary (main.go:1352-1357, X-Actions-Version)
-        from ton_indexer_spark.classifier.action_versions import (
-            expand_action_type_shortcuts,
-        )
+    # version-shortcut expansion ("latest", "v2", "nft.v3", ...) — the
+    # client's action vocabulary.  ALWAYS applied: the reference defaults
+    # an absent param to ["latest"] (crud_actions_v2.go:21-24), so action
+    # types a client never opted into (e.g. tgbtc) don't leak
+    from ton_indexer_spark.classifier.action_versions import (
+        expand_action_type_shortcuts,
+    )
 
-        allowed = expand_action_type_shortcuts(list(supported_action_types))
-        a = a.filter(F.col("type").isin(sorted(allowed)))
+    allowed = expand_action_type_shortcuts(
+        list(supported_action_types) if supported_action_types else ["latest"]
+    )
+    a = a.filter(F.col("type").isin(sorted(allowed)))
     if action_types:
         a = a.filter(F.col("type").isin(list(action_types)))
     if exclude_types:
@@ -80,14 +83,18 @@ def actions_by_account(
         )
     if tx_hash is not None:
         a = a.filter(F.array_contains(F.col("tx_hashes"), tx_hash))
+    # the lt/utime span filters apply to the TRACE's end, not the
+    # action's own (crud_actions_v2.go:305-340: A.trace_end_utime /
+    # A.trace_end_lt) — an action inside a still-spanning trace stays
+    # addressable by the trace's completion point
     if start_lt is not None:
-        a = a.filter(F.col("end_lt") >= start_lt)
+        a = a.filter(F.col("trace_end_lt") >= start_lt)
     if end_lt is not None:
-        a = a.filter(F.col("end_lt") <= end_lt)
+        a = a.filter(F.col("trace_end_lt") <= end_lt)
     if start_utime is not None:
-        a = a.filter(F.col("end_utime") >= start_utime)
+        a = a.filter(F.col("trace_end_utime") >= start_utime)
     if end_utime is not None:
-        a = a.filter(F.col("end_utime") <= end_utime)
+        a = a.filter(F.col("trace_end_utime") <= end_utime)
 
     # post-join dedup (DISTINCT ON) — a trace/action pair may match through
     # several accounts of the same action
@@ -123,5 +130,14 @@ def actions_by_account(
         folded = member.groupBy("action_id").agg(
             F.array_sort(F.collect_list("tx")).alias("transactions_full")
         )
-        a = a.join(folded, "action_id", "left")
+        # the join discards paginate's ordering guarantee — re-apply the
+        # route's total order on the page-sized result
+        a = a.join(folded, "action_id", "left").orderBy(
+            F.col("trace_end_lt").desc() if sort == "desc"
+            else F.col("trace_end_lt").asc(),
+            F.col("trace_id").asc(),
+            F.col("end_lt").desc() if sort == "desc"
+            else F.col("end_lt").asc(),
+            F.col("action_id").asc(),
+        )
     return a

@@ -90,8 +90,15 @@ def masterchain_block_shard_state(cat: Catalog, seqno: int) -> DataFrame:
     tips = shard_blocks.groupBy("workchain", "shard").agg(
         F.max("seqno").alias("seqno")
     )
-    return shard_blocks.join(
-        F.broadcast(tips), ["workchain", "shard", "seqno"], "left_semi"
+    # the mc block itself is part of its shard state (DbScanner.cpp:154
+    # pushes the mc block into shard_blocks_ ahead of the shard tips)
+    mc_row = cat.blocks.filter(
+        (F.col("workchain") == -1) & (F.col("seqno") == seqno)
+    )
+    return mc_row.unionByName(
+        shard_blocks.join(
+            F.broadcast(tips), ["workchain", "shard", "seqno"], "left_semi"
+        )
     ).orderBy("workchain", "shard", "seqno")
 
 

@@ -78,9 +78,17 @@ def messages_query(
         )
         folded = folded.join(contents, "body_hash", "left")
 
+    # utime-filtered requests page by created_at, lt-paged otherwise —
+    # the reference switches order_col the same way (crud_messages.go:
+    # 67-80), and msg_hash follows the sort direction (:96)
+    key = (
+        "created_at"
+        if (start_utime is not None or end_utime is not None)
+        else "created_lt"
+    )
     return paginate(
         folded,
-        sort=[("created_lt", sort), ("msg_hash", "asc")],
+        sort=[(key, sort), ("msg_hash", sort)],
         limit=limit,
         offset=offset,
     )

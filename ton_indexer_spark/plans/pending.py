@@ -93,6 +93,13 @@ def pending_transactions_query(
         cat, _scoped_trace_ids(pending_txs, pending_msgs, account, trace_id)
     )
     txs = pending_txs.join(F.broadcast(ids), "trace_id", "left_semi")
+    if account is not None:
+        # the account route returns only the requested account's own
+        # transactions, not the whole trace (ContextByAccount is called
+        # with filter_transactions=true → FilterTransactionsByAccounts,
+        # main.go:355-356 + pending.go:292-316); the trace_id route keeps
+        # every member (ContextByTraces applies no tx filter)
+        txs = txs.filter(F.col("account") == account)
 
     # drop transactions whose in-message already landed finalized
     # (QueryPendingTransactionsImpl:220-243)
@@ -198,27 +205,27 @@ def pending_actions_query(
     if account is None and ext_msg_hash is None:
         raise ValueError("account or ext_msg_hash should be specified")
     acts = _drop_finalized(cat, pending_actions)
-    if supported_action_types:
-        # GetPendingActions defaults to ["latest"] then expands shortcuts
-        # (main.go:1496-1500 + ExpandActionTypeShortcuts)
-        from ton_indexer_spark.classifier.action_versions import (
-            expand_action_type_shortcuts,
-        )
+    # GetPendingActions defaults an absent param to ["latest"] then always
+    # expands+filters (main.go:1487-1489 + ExpandActionTypeShortcuts)
+    from ton_indexer_spark.classifier.action_versions import (
+        expand_action_type_shortcuts,
+    )
 
-        allowed = expand_action_type_shortcuts(supported_action_types)
-        acts = acts.filter(F.col("type").isin(sorted(allowed)))
+    allowed = expand_action_type_shortcuts(
+        list(supported_action_types) if supported_action_types
+        else ["latest"]
+    )
+    acts = acts.filter(F.col("type").isin(sorted(allowed)))
     if account is not None:
         acts = acts.filter(F.array_contains(F.col("accounts"), account))
     else:
         if pending_msgs is None:
             raise ValueError("ext_msg_hash scope needs pending messages")
-        ids = (
-            pending_msgs.filter(
-                (F.col("direction") == "in")
-                & F.col("source").isNull()
-                & (F.col("msg_hash") == ext_msg_hash)
-            )
-            .select("trace_id").distinct()
+        ids = _scoped_trace_ids(
+            pending_txs=None,  # unused in ext-hash mode
+            pending_msgs=pending_msgs,
+            account=None,
+            ext_msg_hash=ext_msg_hash,
         )
         acts = acts.join(F.broadcast(ids), "trace_id", "left_semi")
     return acts.orderBy("trace_id", "end_lt", "action_id")

@@ -102,19 +102,20 @@ def traces_query(
     )
     if include_actions:
         # includeActions hydration (crud_traces.go:162, 353-374): the
-        # page's traces gather their actions, optionally restricted to
-        # the client's expanded action vocabulary; ordered like the
-        # reference's (end_lt, action_id) serializer ordering
-        acts = cat.actions
-        if supported_action_types:
-            from ton_indexer_spark.classifier.action_versions import (
-                expand_action_type_shortcuts,
-            )
+        # page's traces gather their actions, restricted to the client's
+        # expanded action vocabulary — an absent param defaults to
+        # ["latest"] as in the reference route (main.go:1296-1297);
+        # ordered like the reference's (end_lt, action_id) serializer
+        from ton_indexer_spark.classifier.action_versions import (
+            expand_action_type_shortcuts,
+        )
 
-            allowed = expand_action_type_shortcuts(
-                list(supported_action_types)
-            )
-            acts = acts.filter(F.col("type").isin(sorted(allowed)))
+        acts = cat.actions
+        allowed = expand_action_type_shortcuts(
+            list(supported_action_types) if supported_action_types
+            else ["latest"]
+        )
+        acts = acts.filter(F.col("type").isin(sorted(allowed)))
         acts = acts.join(
             F.broadcast(tr.select("trace_id")), "trace_id", "left_semi"
         ).select(
@@ -128,4 +129,9 @@ def traces_query(
             F.array_sort(F.collect_list("a")).alias("actions")
         )
         tr = tr.join(folded, "trace_id", "left")
-    return tr
+    # hydration joins discard paginate's ordering guarantee — re-apply
+    # the route's total order on the page-sized result
+    return tr.orderBy(
+        F.col(key).desc() if sort == "desc" else F.col(key).asc(),
+        F.col("trace_id").asc(),
+    )

@@ -374,10 +374,12 @@ def _pending_fixture(spark: SparkSession):
     return txs, msgs
 
 
+# account scope returns only the requested account's own transactions
+# (FilterTransactionsByAccounts, pending.go:292-316) — pp1-b belongs to
+# another account and is excluded even though its trace matches
 _PENDING_TXS_ORACLE = f"""
 SELECT * FROM (VALUES
-  ('pp1', 'pp1-a', '{ACC[0]}', CAST(100 AS BIGINT), 'ext1', 1, 'pending'),
-  ('pp1', 'pp1-b', '{ACC[1]}', CAST(110 AS BIGINT), 'pp1-m1', 0, 'pending')
+  ('pp1', 'pp1-a', '{ACC[0]}', CAST(100 AS BIGINT), 'ext1', 1, 'pending')
 ) AS t(trace_id, hash, account, lt, in_msg_hash, n_out, finality)
 ORDER BY trace_id, lt, hash
 """
