@@ -364,6 +364,12 @@ def test_api_facade_routes(spark, fixture_dir):
     assert api.metadata().count() > 0
     assert api.top_accounts(5).count() == 5
     assert api.block_exists(-1, 1)
+    # deprecated aliases (main.go:2359, 2371, 2373)
+    ev = api.events(limit=3)
+    assert "actions" in ev.columns and ev.count() == 3
+    addr = api.account_states(limit=1).select("account").first()[0]
+    assert api.account(addr).columns == api.address_information(addr).columns
+    assert api.wallet(addr).columns == api.wallet_information(addr).columns
 
 
 def test_listings_plans_have_no_forced_broadcast(ton):

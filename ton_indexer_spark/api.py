@@ -16,6 +16,8 @@ Route map (reference → here):
 | /messages                     | messages                       |
 | /actions (v2)                 | actions                        |
 | /traces                       | traces                         |
+| /events (deprecated)          | events                         |
+| /account, /addressInformation | account, address_information   |
 | /jetton/masters               | jetton_masters                 |
 | /jetton/wallets               | jetton_wallets                 |
 | /jetton/transfers             | jetton_transfers               |
@@ -79,6 +81,21 @@ class TonIndexerApi:
 
     def traces(self, **kw) -> DataFrame:
         return plans.traces_query(self.cat, **kw)
+
+    def events(self, **kw) -> DataFrame:
+        """/api/v3/events (main.go:2359, deprecated alias of /traces):
+        the traces plan with actions always hydrated
+        (main.go:1304-1306 forces IncludeActions for this path)."""
+        kw["include_actions"] = True
+        return plans.traces_query(self.cat, **kw)
+
+    def account(self, address: str) -> DataFrame:
+        """/api/v3/account (main.go:2371): alias of addressInformation."""
+        return self.address_information(address)
+
+    def wallet(self, address: str) -> DataFrame:
+        """/api/v3/wallet (main.go:2373): alias of walletInformation."""
+        return self.wallet_information(address)
 
     def adjacent_transactions(self, tx_hash: str, **kw) -> DataFrame:
         return plans.adjacent_transactions(self.cat, tx_hash, **kw)
