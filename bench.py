@@ -35,6 +35,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_ivf_topk",
+    "embed_pq_topk",
     "dedup_embedding_cosine",
     "tumbling_window",
     "token_count",

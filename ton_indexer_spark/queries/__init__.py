@@ -77,6 +77,7 @@ _EXPOSURE_FIRST = [
     "line_dedup",
     "quality_score_hashed",
     "corpus_profile",
+    "embed_pq_topk",
     # never driver-sampled before round 6
     "semdedup",
     "embed_kmeans",

@@ -143,6 +143,76 @@ def embed_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embed_pq_topk",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    subv AS (
+        SELECT vec_id, u.m,
+               list_slice(v, u.m * 16 + 1, u.m * 16 + 16) AS sv
+        FROM v, unnest(range(0, 4)) AS u(m)
+    ),
+    subc AS (
+        SELECT code_idx, u.m,
+               list_slice(v, u.m * 16 + 1, u.m * 16 + 16) AS cv
+        FROM seeds, unnest(range(0, 4)) AS u(m)
+    ),
+    dists AS (
+        SELECT s.vec_id, s.m, c.code_idx,
+               CAST(ROUND(list_distance(s.sv, c.cv) * 1000000, 0) AS BIGINT)
+                   AS dus
+        FROM subv s JOIN subc c USING (m)
+    ),
+    codes AS (
+        SELECT vec_id, m, code_idx FROM (
+            SELECT vec_id, m, code_idx,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dus ASC, code_idx ASC) AS pr
+            FROM dists) WHERE pr = 1
+    ),
+    adc AS (
+        SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(d.dus) AS adc_dist_us
+        FROM codes c
+        JOIN dists d ON d.m = c.m AND d.code_idx = c.code_idx
+        WHERE d.vec_id % 50 = 10 AND c.vec_id != d.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dist_us,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist_us ASC,
+                                           neighbor_id ASC) AS "rank"
+        FROM adc
+    )
+    SELECT query_id, "rank", neighbor_id,
+           CAST(adc_dist_us AS BIGINT) AS adc_dist_us
+    FROM ranked WHERE "rank" <= 5
+    ORDER BY query_id, "rank"
+    """,
+    survey_ops=("beyond:ann-pq",),
+    description="product-quantization ANN top-5 (4 subspaces × 16 seed "
+    "codewords, asymmetric-distance scan): corpus compresses to 4 codes "
+    "per vector via Arrow-batch encoding, queries broadcast int64 "
+    "micro-unit lookup tables and the scan is table-gather sums — the "
+    "persisted-index scale path complementing the LSH and IVF variants",
+)
+def embed_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.similarity.pq import pq_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 50 == 10)
+    return pq_topk(queries, emb, n_code=16, n_sub=4, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 # ---- semantic dedup + k-means gates -------------------------------------
 
 _SEED_ASSIGN_CTE = """
