@@ -115,6 +115,30 @@ class TestPqTopk:
         with pytest.raises(ValueError, match="max_queries"):
             pq_topk(df, df, n_code=4, n_sub=2, k=2, max_queries=4)
 
+    def test_hard_negative_mode_masks_same_label(self, spark):
+        """brute.cosine_topk(exclude_label_col=...) — the hard-negative
+        miner must return the nearest OTHER-class vectors even when the
+        globally nearest neighbors share the query's class."""
+        from ton_indexer_spark.similarity.brute import cosine_topk
+
+        rng = np.random.default_rng(11)
+        a = rng.standard_normal(8)
+        vecs = [a, a * 1.01, a * 0.99, -a, rng.standard_normal(8)]
+        rows = [
+            (i, [float(x) for x in v], lab)
+            for i, (v, lab) in enumerate(zip(vecs, [0, 0, 0, 1, 2]))
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = cosine_topk(
+            df.filter(F.col("vec_id") == 0), df, k=2,
+            exclude_label_col="label",
+        ).collect()
+        got = {r["neighbor_id"] for r in out}
+        # ids 1/2 are near-copies but share label 0 — must be excluded
+        assert got == {3, 4}
+
     def test_trained_codebook_seam(self, spark):
         """A caller may pass offline-trained codebooks; the seeds path and
         an explicitly-passed identical tensor must agree."""

@@ -78,6 +78,7 @@ _EXPOSURE_FIRST = [
     "quality_score_hashed",
     "corpus_profile",
     "embed_pq_topk",
+    "hard_negatives",
     # never driver-sampled before round 6
     "semdedup",
     "embed_kmeans",

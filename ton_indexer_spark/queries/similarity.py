@@ -144,6 +144,47 @@ def embed_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
+               label AS qlabel
+        FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               ROUND(list_cosine_similarity(q.qvec,
+                                            CAST(c.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM embeddings c, q
+        WHERE c.vec_id != q.query_id AND c.label != q.qlabel
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, neighbor_label, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+        FROM scored
+    )
+    SELECT query_id, "rank", neighbor_id, sim
+    FROM ranked WHERE "rank" <= 8
+    ORDER BY query_id, "rank"
+    """,
+    survey_ops=("beyond:hard-negatives",),
+    description="contrastive hard-negative mining: per query, the top-8 "
+    "most-similar vectors from OTHER label classes (the brute kernel's "
+    "label-exclusion mode — same broadcast-query BLAS scan, mask swaps "
+    "self-exclusion for class-exclusion); the anchor/negative pair "
+    "generator for embedding-model training data",
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 100 == 7)
+    return cosine_topk(
+        queries, emb, k=8, exclude_label_col="label"
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "embed_pq_topk",
     """
     WITH v AS (

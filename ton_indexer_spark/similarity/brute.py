@@ -52,6 +52,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 65_536,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, sim) — top-k corpus rows per query by
     cosine; excludes self-matches (query_id == neighbor_id); sim rounded
@@ -67,13 +68,22 @@ def cosine_topk(
     global top-k.  The corpus never shuffles — only |queries|·k
     candidate rows per batch do — and the dense kernel replaces Spark's
     higher-order-function cosine, which is evaluated interpreted
-    (outside codegen) and loses by ~10× at |Q|·|C| pairs."""
+    (outside codegen) and loses by ~10× at |Q|·|C| pairs.
+
+    ``exclude_label_col`` — hard-negative mining mode: both sides must
+    carry that column, and a corpus row whose label EQUALS the query's is
+    masked out, so top-k returns the nearest vectors from OTHER classes
+    (the contrastive-training negatives a same-class top-k would hide).
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    q_cols = [id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    q_rows = queries.select(*q_cols).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
             f"cosine_topk query side exceeds max_queries={max_queries}; "
@@ -95,10 +105,11 @@ def cosine_topk(
         return spark.createDataFrame([], out_schema)
     # ids stay python objects (any orderable type); only vectors go dense
     q_ids = [r[0] for r in q_rows]
+    q_labels = [r[2] for r in q_rows] if exclude_label_col else None
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_norms[q_norms == 0] = 1.0
-    bc = spark.sparkContext.broadcast((q_ids, q_mat / q_norms))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat / q_norms, q_labels))
 
     scored_schema = T.StructType(
         [
@@ -109,8 +120,9 @@ def cosine_topk(
     )
 
     def score(batches):
-        ids, qm = bc.value
+        ids, qm, labels = bc.value
         id_arr = np.array(ids, dtype=object)
+        lab_arr = np.array(labels, dtype=object) if labels is not None else None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -120,6 +132,9 @@ def cosine_topk(
             norms[norms == 0] = 1.0
             sims = round_half_away(qm @ (c_mat / norms).T, 6)  # |Q| × batch
             mask = id_arr[:, None] != c_ids[None, :]
+            if lab_arr is not None:
+                c_labs = pdf[exclude_label_col].to_numpy()
+                mask &= lab_arr[:, None] != c_labs[None, :]
             # pre-order the batch once by neighbor id: a STABLE sort on
             # -sim then preserves the id tiebreak without per-element
             # Python comparisons (the interpreted sorted() this replaces
@@ -147,7 +162,10 @@ def cosine_topk(
                 }
             )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    c_cols = [id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    scored = corpus.select(*c_cols).mapInPandas(
         score, schema=scored_schema
     )
     w = Window.partitionBy("query_id").orderBy(
