@@ -79,6 +79,7 @@ _EXPOSURE_FIRST = [
     "corpus_profile",
     "embed_pq_topk",
     "hard_negatives",
+    "word_lm_score",
     # never driver-sampled before round 6
     "semdedup",
     "embed_kmeans",

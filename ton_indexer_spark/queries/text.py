@@ -424,6 +424,69 @@ def char_lm_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_lm_score",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(text),
+                                                       '[^a-z0-9]+', ' ', 'g'),
+                           ' '), x -> x != '') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM words, unnest(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+    vocab AS (
+        SELECT COUNT(DISTINCT t) AS v
+        FROM words, unnest(w) AS u(t)
+    ),
+    model AS (
+        SELECT b.w1, b.w2,
+               CAST(ROUND(-LN((b.c12 + 1.0) / (u.c1 + v.v)) * 1000000, 0)
+                    AS BIGINT) AS q
+        FROM big b JOIN uni u USING (w1) CROSS JOIN vocab v
+    ),
+    occ AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS n FROM bi GROUP BY 1, 2, 3
+    )
+    SELECT o.doc_id,
+           CAST(SUM(o.n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(o.n * m.q) AS BIGINT) AS nll_sum_scaled,
+           ROUND(SUM(o.n * m.q) * 1.0 / SUM(o.n) / 1000000, 6)
+               AS nll_per_bigram
+    FROM occ o JOIN model m USING (w1, w2)
+    GROUP BY o.doc_id
+    ORDER BY o.doc_id
+    """,
+    survey_ops=("beyond:wordlm",),
+    description="word-bigram LM perplexity scoring (the KenLM-style "
+    "distributed-model regime complementing char_lm_quality's broadcast "
+    "model): bigram/marginal counts stay DataFrames — vocabulary-sized, "
+    "never collected (only |V| is a scalar) — and scoring is a shuffle "
+    "join on the bigram key over per-doc TYPE counts with exact "
+    "micro-nat int64 sums",
+)
+def word_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.wordlm import (
+        doc_bigrams,
+        train_word_bigram_lm,
+        word_lm_score,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    # one tokenize+explode pass feeds both train and score (the
+    # localCheckpoint pattern the cluster-canonicalization gate uses
+    # for a multi-consumer intermediate)
+    bi = doc_bigrams(d).localCheckpoint(eager=False)
+    model, _ = train_word_bigram_lm(d, bigrams=bi)
+    return word_lm_score(d, model, bigrams=bi).orderBy("doc_id")
+
+
+@register(
     "common_ngrams",
     r"""
     WITH toks AS (
