@@ -10,7 +10,11 @@ delete-and-reinsert actions (event_classifier.py:93-352).  Spark shape:
         # the row join — the Spark analog of the reference's 5000-account
         # IN-list batches (interface_repository.py:512-534); the full
         # dimension is never shuffled or broadcast
-    actions = rows.groupBy(trace_id).applyInPandas(classify)  # C1-C5
+    actions = rows.repartition(trace_id).sortWithinPartitions(trace_id)
+        .mapInPandas(classify_stream)                         # C1-C5: the
+        # stream groups contiguous trace runs in python — same shuffle a
+        # groupBy/applyInPandas would run, without its per-trace pandas
+        # frame cost (a ~25× python-side win, see PERF.md)
     action_accounts = explode(involved accounts)              # J6 table
 
 The task-queue/mp.Queue machinery disappears into Spark's scheduler; the
@@ -276,33 +280,82 @@ _ROW_COLS = [
 ]
 
 
+_OUT_COLS = [f.name for f in ACTIONS_OUT_SCHEMA]
+_INT_ROW_FIELDS = (
+    "tx_lt", "tx_now", "value", "opcode", "created_lt", "created_at"
+)
+
+
+def _records(pdf: pd.DataFrame) -> list[dict]:
+    """Columnar pandas→python conversion: one ``tolist()`` per column
+    instead of a per-group ``astype(object)`` re-block (the per-trace
+    form dominated the classifier profile at ~10× the matcher cost).
+    NaN (a float64 null from Arrow) normalizes to None so opcode/value
+    comparisons see real Nones; the named int fields re-coerce from the
+    float64 that nullable int64 columns arrive as."""
+    names = list(pdf.columns)
+    cols = [pdf[c].tolist() for c in names]
+    recs = [dict(zip(names, vals)) for vals in zip(*cols)]
+    for r in recs:
+        for k, v in r.items():
+            if v is None or v != v:  # NaN -> None, any column
+                r[k] = None
+            elif k in _INT_ROW_FIELDS:
+                r[k] = int(v)
+    return recs
+
+
+def _sentinel_row(
+    trace_id, state: str, reason: str | None = None
+) -> dict:
+    return {c: None for c in _OUT_COLS} | {
+        "trace_id": trace_id,
+        "classification_state": state,
+        "failure_reason": reason,
+    }
+
+
+def _out_frame(out: list[dict]) -> pd.DataFrame:
+    res = pd.DataFrame(out, columns=_OUT_COLS)
+    # decimal-typed top-level columns must stay exact python ints:
+    # pd.DataFrame coerces an int+None column to float64/NaN, which
+    # Arrow rejects for decimal128 and which already lost precision
+    # past 2^53 — rebuild from the raw dicts as object dtype
+    for c in ("value", "amount"):
+        res[c] = pd.Series([r.get(c) for r in out], dtype=object)
+    return res
+
+
 def _classify_group(
     pdf: pd.DataFrame,
     big_trace_cutoff: int,
     dims_present: frozenset[str] = frozenset(),
 ) -> pd.DataFrame:
+    """One-trace pandas wrapper over ``_classify_rows`` (tests and any
+    per-group caller); ``classify_traces`` itself streams whole Arrow
+    batches through ``_classify_stream``."""
     trace_id = pdf["trace_id"].iloc[0]
-
-    def sentinel(state: str, reason: str | None = None) -> pd.DataFrame:
-        return pd.DataFrame(
-            [{c.name: None for c in ACTIONS_OUT_SCHEMA}
-             | {"trace_id": trace_id, "classification_state": state,
-                "failure_reason": reason}]
+    return _out_frame(
+        _classify_rows(
+            trace_id, _records(pdf), big_trace_cutoff, dims_present
         )
+    )
 
-    if pdf["tx_hash"].nunique() > big_trace_cutoff:
-        return sentinel(
-            "skipped", f"big_trace_cutoff: {pdf['tx_hash'].nunique()} txs"
-        )
+
+def _classify_rows(
+    trace_id,
+    rows: list[dict],
+    big_trace_cutoff: int,
+    dims_present: frozenset[str] = frozenset(),
+) -> list[dict]:
+
+    def sentinel(state: str, reason: str | None = None) -> list[dict]:
+        return [_sentinel_row(trace_id, state, reason)]
+
+    n_txs = len({r["tx_hash"] for r in rows})
+    if n_txs > big_trace_cutoff:
+        return sentinel("skipped", f"big_trace_cutoff: {n_txs} txs")
     try:
-        # object-cast first: assigning None into a float64 column silently
-        # re-coerces to NaN, and NaN != None breaks opcode matching
-        rows = pdf.astype(object).where(pd.notnull(pdf), None).to_dict("records")
-        for r in rows:
-            for k in ("tx_lt", "tx_now", "value", "opcode", "created_lt",
-                      "created_at"):
-                if r[k] is not None:
-                    r[k] = int(r[k])
         ctx = {
             # which dimension tables were supplied to classify_traces at
             # all — lets matchers distinguish "dimension hydrated but this
@@ -340,7 +393,7 @@ def _classify_group(
             # sentinel keeps the trace visible in classification_states
             # (action_id NULL rows are filtered out of the actions table)
             return sentinel("ok")
-        out = []
+        out: list[dict] = []
 
         def serialize(a: dict, parent_id: str | None) -> None:
             # matchers emit the reference-compatible content hash
@@ -375,15 +428,7 @@ def _classify_group(
 
         for a in acts:
             serialize(a, None)
-        res = pd.DataFrame(out)
-        # decimal-typed top-level columns must stay exact python ints:
-        # pd.DataFrame coerces an int+None column to float64/NaN, which
-        # Arrow rejects for decimal128 and which already lost precision
-        # past 2^53 — rebuild from the raw dicts as object dtype
-        for c in ("value", "amount"):
-            if c in res.columns:
-                res[c] = pd.Series([r.get(c) for r in out], dtype=object)
-        return res
+        return out
     except (NameError, ImportError):
         # unresolved-name/import bugs are build breakage, never data — fail
         # loudly instead of silently classifying every trace to zero
@@ -396,6 +441,49 @@ def _classify_group(
         raise
     except Exception as e:  # genuinely unclassifiable trace: record why
         return sentinel("failed", f"{type(e).__name__}: {e}")
+
+
+def _classify_stream(big_trace_cutoff: int, dims_present: frozenset[str]):
+    """mapInPandas generator over trace-sorted partitions.
+
+    The former per-trace ``groupBy().applyInPandas`` spent ~90% of its
+    time in pandas block slicing and per-group frame construction (the
+    matcher logic itself was <10% of the profile).  Streaming whole
+    Arrow batches, grouping contiguous trace_id runs in plain python and
+    emitting ONE output frame per input batch removes that overhead;
+    the input must be hash-partitioned and sorted by trace_id (the same
+    shuffle+sort the groupBy performed), with the tail group buffered
+    across batch boundaries."""
+
+    def gen(batches):
+        cur_tid = None
+        buf: list[dict] = []
+        out: list[dict] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for r in _records(pdf):
+                tid = r["trace_id"]
+                if tid != cur_tid:
+                    if cur_tid is not None:
+                        out.extend(
+                            _classify_rows(
+                                cur_tid, buf, big_trace_cutoff, dims_present
+                            )
+                        )
+                    cur_tid, buf = tid, []
+                buf.append(r)
+            if out:  # flush per input batch — bounded memory
+                yield _out_frame(out)
+                out = []
+        if cur_tid is not None:
+            out.extend(
+                _classify_rows(cur_tid, buf, big_trace_cutoff, dims_present)
+            )
+        if out:
+            yield _out_frame(out)
+
+    return gen
 
 
 @dataclass
@@ -539,11 +627,16 @@ def classify_traces(
         )
         if dim is not None
     )
+    # trace-locality via hash repartition + in-partition sort (exactly the
+    # shuffle+sort groupBy/applyInPandas would run), then stream whole
+    # Arrow batches — _classify_stream's python-side grouping replaces the
+    # per-trace pandas frame machinery that dominated the profile
     raw = (
         rows.select(*_ROW_COLS)
-        .groupBy("trace_id")
-        .applyInPandas(
-            lambda pdf: _classify_group(pdf, big_trace_cutoff, dims_present),
+        .repartition(F.col("trace_id"))
+        .sortWithinPartitions("trace_id")
+        .mapInPandas(
+            _classify_stream(big_trace_cutoff, dims_present),
             schema=ACTIONS_OUT_SCHEMA,
         )
     )
