@@ -8,7 +8,7 @@ pandas UDF:
 
     transactions ⋈ messages ⋈ message_contents   (rows, not objects)
       ⋈ broadcast dimension context               (C6 interface repository)
-      → groupBy(trace_id).applyInPandas(classify) (C1-C4)
+      → trace-partitioned mapInPandas stream (classify) (C1-C4)
       → actions + exploded action_accounts        (C5 serializer)
 
 This package implements the DSL and a representative matcher set

@@ -80,6 +80,7 @@ _EXPOSURE_FIRST = [
     "embed_pq_topk",
     "hard_negatives",
     "word_lm_score",
+    "mmr_select",
     # never driver-sampled before round 6
     "semdedup",
     "embed_kmeans",

@@ -254,6 +254,77 @@ def embed_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mmr_select",
+    """
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % 100 = 30),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv,
+               ROUND(list_cosine_similarity(q.qv, c.v), 6) AS sim
+        FROM v c, q WHERE c.vec_id != q.query_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, cv,
+               CAST(ROUND(sim * 1000000, 0) AS BIGINT) AS rel_us
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 20
+    ),
+    pair AS (
+        SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+               CAST(ROUND(list_cosine_similarity(a.cv, b.cv) * 1000000, 0)
+                    AS BIGINT) AS sim_us
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    ),
+    mmr AS (
+        SELECT query_id, 1 AS step, [neighbor_id] AS picked,
+               neighbor_id, rel_us AS score_us
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel_us DESC, neighbor_id ASC) AS pr FROM cand)
+        WHERE pr = 1
+        UNION ALL
+        SELECT query_id, step + 1, list_append(picked, neighbor_id),
+               neighbor_id, score_us
+        FROM (
+            SELECT m.query_id, m.step, m.picked, c.neighbor_id,
+                   c.rel_us - MAX(p.sim_us) AS score_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m.query_id, m.step
+                       ORDER BY c.rel_us - MAX(p.sim_us) DESC,
+                                c.neighbor_id ASC) AS pr
+            FROM mmr m
+            JOIN cand c ON c.query_id = m.query_id
+                       AND NOT list_contains(m.picked, c.neighbor_id)
+            JOIN pair p ON p.query_id = m.query_id
+                       AND p.a_id = c.neighbor_id
+                       AND list_contains(m.picked, p.b_id)
+            WHERE m.step < 5
+            GROUP BY m.query_id, m.step, m.picked, c.neighbor_id, c.rel_us
+        ) WHERE pr = 1
+    )
+    SELECT query_id, step, neighbor_id, score_us
+    FROM mmr ORDER BY query_id, step
+    """,
+    survey_ops=("beyond:mmr",),
+    description="maximal-marginal-relevance diversified top-5 over an "
+    "exact top-20 candidate pool (λ=0.5; integer micro-unit scores): "
+    "candidate generation is the distributed ANN stage, the inherently "
+    "sequential greedy runs per-query-local and parallel across queries "
+    "— no driver collect; oracle replays the greedy as a recursive CTE",
+)
+def mmr_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.similarity.mmr import mmr_select
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") % 100 == 30)
+    return mmr_select(queries, emb, k=5, n_candidates=20).orderBy(
+        "query_id", "step"
+    )
+
+
 # ---- semantic dedup + k-means gates -------------------------------------
 
 _SEED_ASSIGN_CTE = """
