@@ -97,6 +97,23 @@ def main() -> None:
     kept = kept.withColumn("q_score", hashed_linear_score(F.col("text")))
     kept = kept.filter(F.col("q_score") > -0.9)  # loose floor for the demo
 
+    # ---- 1c. word-bigram LM filter (the distributed-model perplexity
+    # regime: the model is a DataFrame joined on the bigram key, never
+    # collected — complements the broadcast char-LM above) ------------------
+    from ton_indexer_spark.functions.wordlm import (
+        train_word_bigram_lm,
+        word_lm_score,
+    )
+
+    wmodel, _v = train_word_bigram_lm(docs.filter(F.col("lang") == "en"))
+    wscores = word_lm_score(kept, wmodel).select("doc_id", "nll_per_bigram")
+    wcut = wscores.approxQuantile("nll_per_bigram", [0.95], 0.01)[0]
+    kept = kept.join(
+        wscores.filter(F.col("nll_per_bigram") <= wcut).select("doc_id"),
+        "doc_id",
+    )
+    n = stage("word-LM filter", kept, n)
+
     # ---- 2. PII redaction (map-side rewrite, text replaced in place) ------
     kept = kept.withColumn("text", redact_pii(F.col("text")))
 
@@ -237,6 +254,23 @@ def main() -> None:
     sizes = sorted(r["n"] for r in per_shard)
     print(f"  shard assignment          8 shards, {sizes[0]}-{sizes[-1]} "
           f"chunks each")
+    # ---- 11. embedding-side curation artifacts -----------------------------
+    # (a) diversified eval exemplars: ANN candidates -> per-query MMR, so
+    # the eval set spans the space instead of k near-copies of the center
+    from ton_indexer_spark.similarity.mmr import mmr_select
+
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exemplars = mmr_select(probes, emb, k=3, n_candidates=16)
+    print(f"  MMR eval exemplars        "
+          f"{exemplars.count()} picks for {probes.count()} probes")
+    # (b) contrastive hard negatives: nearest OTHER-class vectors per
+    # anchor — the (anchor, negative) pairs an embedding trainer consumes
+    from ton_indexer_spark.similarity.brute import cosine_topk
+
+    negs = cosine_topk(probes, emb, k=4, exclude_label_col="label")
+    print(f"  hard negatives            {negs.count()} pairs "
+          f"(4 per anchor, cross-label)")
+
     print("== done — every stage above is a lazy DataFrame plan; at 100 TB "
           "swap the paths and raise spark.sql.shuffle.partitions")
 
