@@ -1233,18 +1233,57 @@ MATCHERS: list[tuple[str, Callable[[Node, Ctx], dict | None]]] = [
 ]
 
 
-def classify_tree(nodes: list[Node], ctx: Ctx) -> list[dict]:
+def _build_index():
+    from ton_indexer_spark.classifier.dispatch import OpcodeIndex
+
+    # explicit keys for matchers whose root guard lives inside a helper
+    # the AST walk can't follow; each is justified here and covered by
+    # tests/test_dispatch_parity.py:
+    # - jetton_swap / dex_deposit_liquidity open with _jetton_chain(node),
+    #   whose first guard requires node.in_msg.opcode == JETTON_TRANSFER
+    #   (base.py::_jetton_chain) and every later leg derives from it;
+    # - stonfi_swap opens with _transfer_shape(node), both of whose arms
+    #   require _op(node) == JETTON_TRANSFER (protocols.py:753-762).
+    explicit = {
+        "jetton_swap": frozenset({JETTON_TRANSFER}),
+        "dex_deposit_liquidity": frozenset({JETTON_TRANSFER}),
+        "stonfi_swap": frozenset({JETTON_TRANSFER}),
+    }
+    return OpcodeIndex(MATCHERS, explicit=explicit)
+
+
+_INDEX = _build_index()
+
+
+def classify_tree(
+    nodes: list[Node], ctx: Ctx, use_index: bool = True
+) -> list[dict]:
     """Run matchers over the trace in lt order; unmatched non-external
     nodes fall back to 'unknown' (the reference's fallback action).
     Finished action lists flow through the trace post-processors
-    (postprocess.py — reference event_processing.py:304-307)."""
+    (postprocess.py — reference event_processing.py:304-307).
+
+    ``use_index`` — opcode-keyed candidate dispatch (dispatch.py);
+    priority order is preserved and the keys are derived from the
+    matcher guards themselves, so indexed ≡ full scan
+    (tests/test_dispatch_parity.py replays every golden fixture through
+    both).  The flag exists for that parity test."""
     from ton_indexer_spark.classifier.postprocess import run_post_processors
 
     actions: list[dict] = []
     for node in nodes:
         if node.consumed:
             continue
-        for _, matcher in MATCHERS:
+        if use_index:
+            global _INDEX
+            if _INDEX.matchers is not MATCHERS:
+                # registry replaced (tests monkeypatch it) — re-derive
+                _INDEX = _build_index()
+            op = node.in_msg.opcode if node.in_msg is not None else None
+            matcher_list = _INDEX.candidates(op)
+        else:
+            matcher_list = [m for _, m in MATCHERS]
+        for matcher in matcher_list:
             act = matcher(node, ctx)
             if act is not None:
                 actions.append(act)
