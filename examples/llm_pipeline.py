@@ -105,13 +105,19 @@ def main() -> None:
         word_lm_score,
     )
 
-    wmodel, _v = train_word_bigram_lm(docs.filter(F.col("lang") == "en"))
-    wscores = word_lm_score(kept, wmodel).select("doc_id", "nll_per_bigram")
-    wcut = wscores.approxQuantile("nll_per_bigram", [0.95], 0.01)[0]
-    kept = kept.join(
-        wscores.filter(F.col("nll_per_bigram") <= wcut).select("doc_id"),
-        "doc_id",
-    )
+    wlm, _v = train_word_bigram_lm(docs.filter(F.col("lang") == "en"))
+    wscores = word_lm_score(kept, wlm).select("doc_id", "nll_per_bigram")
+    # OOV bigrams take the smoothed floor, so every ≥2-token doc gets a
+    # score; sub-2-token docs are the don't-know bucket — kept, not cut
+    cuts = wscores.approxQuantile("nll_per_bigram", [0.95], 0.01)
+    if cuts:
+        scored_ok = wscores.filter(
+            F.col("nll_per_bigram") <= cuts[0]
+        ).select("doc_id")
+        unscored = kept.select("doc_id").join(
+            wscores.select("doc_id"), "doc_id", "left_anti"
+        )
+        kept = kept.join(scored_ok.union(unscored), "doc_id")
     n = stage("word-LM filter", kept, n)
 
     # ---- 2. PII redaction (map-side rewrite, text replaced in place) ------

@@ -139,6 +139,27 @@ class TestPqTopk:
         # ids 1/2 are near-copies but share label 0 — must be excluded
         assert got == {3, 4}
 
+    def test_hard_negative_null_label_excluded(self, spark):
+        """SQL `!=` semantics: a NULL label on either side is never a
+        hard negative (matches the gate oracle's NULL handling)."""
+        from ton_indexer_spark.similarity.brute import cosine_topk
+
+        a = [1.0, 0.0, 0.0, 0.0]
+        rows = [
+            (0, a, 0),          # query, label 0
+            (1, a, None),       # near-copy, NULL label — excluded
+            (2, a, 1),          # near-copy, other label — the negative
+            (3, a, 0),          # same label — excluded
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = cosine_topk(
+            df.filter(F.col("vec_id") == 0), df, k=4,
+            exclude_label_col="label",
+        ).collect()
+        assert {r["neighbor_id"] for r in out} == {2}
+
     def test_trained_codebook_seam(self, spark):
         """A caller may pass offline-trained codebooks; the seeds path and
         an explicitly-passed identical tensor must agree."""

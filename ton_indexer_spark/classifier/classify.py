@@ -291,8 +291,10 @@ def _records(pdf: pd.DataFrame) -> list[dict]:
     instead of a per-group ``astype(object)`` re-block (the per-trace
     form dominated the classifier profile at ~10× the matcher cost).
     NaN (a float64 null from Arrow) normalizes to None so opcode/value
-    comparisons see real Nones; the named int fields re-coerce from the
-    float64 that nullable int64 columns arrive as."""
+    comparisons see real Nones; the _INT_ROW_FIELDS re-coercion (from the
+    float64 that nullable int64 columns arrive as) happens inside
+    _classify_rows' try so a malformed value fails one trace, not the
+    batch."""
     names = list(pdf.columns)
     cols = [pdf[c].tolist() for c in names]
     recs = [dict(zip(names, vals)) for vals in zip(*cols)]
@@ -300,8 +302,6 @@ def _records(pdf: pd.DataFrame) -> list[dict]:
         for k, v in r.items():
             if v is None or v != v:  # NaN -> None, any column
                 r[k] = None
-            elif k in _INT_ROW_FIELDS:
-                r[k] = int(v)
     return recs
 
 
@@ -356,6 +356,14 @@ def _classify_rows(
     if n_txs > big_trace_cutoff:
         return sentinel("skipped", f"big_trace_cutoff: {n_txs} txs")
     try:
+        # int coercion INSIDE the per-trace try: a malformed numeric (inf,
+        # out-of-range) must yield this trace's 'failed' sentinel, never
+        # kill the whole Arrow batch
+        for r in rows:
+            for k in _INT_ROW_FIELDS:
+                v = r[k]
+                if v is not None:
+                    r[k] = int(v)
         ctx = {
             # which dimension tables were supplied to classify_traces at
             # all — lets matchers distinguish "dimension hydrated but this

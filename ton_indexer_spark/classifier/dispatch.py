@@ -362,13 +362,17 @@ class OpcodeIndex:
         inside a helper call the AST walk can't follow (each entry must
         carry a written justification at its definition site); they are
         covered by the same both-paths parity tests as derived keys."""
-        self.matchers = matchers
+        # keep both the source reference (identity staleness check) and a
+        # snapshot copy (an in-place append to the source changes its
+        # length relative to this copy, so callers detect that too)
+        self.source = matchers
+        self.matchers = list(matchers)
         self.keys: dict[str, frozenset[int] | None] = {}
         self._wild: list[tuple[int, Callable]] = []
         self._keyed: dict[int, list[tuple[int, Callable]]] = {}
         self._cache: dict[int | None, list[Callable]] = {}
         explicit = explicit or {}
-        for pos, (name, fn) in enumerate(matchers):
+        for pos, (name, fn) in enumerate(self.matchers):
             ops = root_opcode_guard(fn)
             if ops is None and name in explicit:
                 ops = explicit[name]
@@ -381,10 +385,17 @@ class OpcodeIndex:
 
     def candidates(self, op: int | None) -> list[Callable]:
         """Matchers that can possibly match a node whose in-msg opcode is
-        ``op``, in registry priority order."""
+        ``op``, in registry priority order.  Every opcode with no keyed
+        matcher shares ONE wildcard list, so memoization is bounded by
+        the number of keyed opcodes, not opcode diversity in the data."""
+        if op not in self._keyed:
+            wild = self._cache.get(None)
+            if wild is None:
+                wild = self._cache[None] = [fn for _, fn in self._wild]
+            return wild
         got = self._cache.get(op)
         if got is None:
-            merged = self._wild + self._keyed.get(op, [])
+            merged = self._wild + self._keyed[op]
             merged.sort(key=lambda t: t[0])
             got = self._cache[op] = [fn for _, fn in merged]
         return got

@@ -1276,8 +1276,12 @@ def classify_tree(
             continue
         if use_index:
             global _INDEX
-            if _INDEX.matchers is not MATCHERS:
-                # registry replaced (tests monkeypatch it) — re-derive
+            if _INDEX.source is not MATCHERS or len(
+                _INDEX.matchers
+            ) != len(MATCHERS):
+                # registry replaced (tests monkeypatch it) or grown
+                # in place — re-derive so a newly registered matcher is
+                # never silently skipped on the indexed path
                 _INDEX = _build_index()
             op = node.in_msg.opcode if node.in_msg is not None else None
             matcher_list = _INDEX.candidates(op)

@@ -482,8 +482,8 @@ def word_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint pattern the cluster-canonicalization gate uses
     # for a multi-consumer intermediate)
     bi = doc_bigrams(d).localCheckpoint(eager=False)
-    model, _ = train_word_bigram_lm(d, bigrams=bi)
-    return word_lm_score(d, model, bigrams=bi).orderBy("doc_id")
+    lm, _ = train_word_bigram_lm(d, bigrams=bi)
+    return word_lm_score(d, lm, bigrams=bi).orderBy("doc_id")
 
 
 @register(

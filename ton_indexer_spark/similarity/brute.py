@@ -133,8 +133,21 @@ def cosine_topk(
             sims = round_half_away(qm @ (c_mat / norms).T, 6)  # |Q| × batch
             mask = id_arr[:, None] != c_ids[None, :]
             if lab_arr is not None:
+                # SQL `c.label != q.label` semantics: a NULL label on
+                # EITHER side excludes the pair (unknown class is never
+                # mined as a negative), matching the gate oracle
                 c_labs = pdf[exclude_label_col].to_numpy()
-                mask &= lab_arr[:, None] != c_labs[None, :]
+                q_ok = np.array(
+                    [l is not None and l == l for l in lab_arr]
+                )
+                c_ok = np.array(
+                    [l is not None and l == l for l in c_labs]
+                )
+                mask &= (
+                    q_ok[:, None]
+                    & c_ok[None, :]
+                    & (lab_arr[:, None] != c_labs[None, :])
+                )
             # pre-order the batch once by neighbor id: a STABLE sort on
             # -sim then preserves the id tiebreak without per-element
             # Python comparisons (the interpreted sorted() this replaces
