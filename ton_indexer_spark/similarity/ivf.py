@@ -138,6 +138,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "tuple[np.ndarray, np.ndarray] | None" = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, sim) — IVF probe-list ANN top-k.
 
@@ -161,9 +162,15 @@ def ivf_topk(
         if n_lists is None:
             n_lists = auto_n_lists(corpus.count())
         seed_ids, seeds = ivf_seed_matrix(corpus, n_lists, id_col, vec_col)
-    assigned = ivf_assign(
-        corpus, seed_ids, seeds, nprobe=1, id_col=id_col, vec_col=vec_col
-    ).select(
+    if assigned is None:
+        # `assigned` — optional persisted inverted-list table
+        # (similarity/index_store.py): at deployment scale the corpus is
+        # assigned ONCE and served many times
+        assigned = ivf_assign(
+            corpus, seed_ids, seeds, nprobe=1, id_col=id_col,
+            vec_col=vec_col,
+        )
+    assigned = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cvec"),
         "list_id",

@@ -131,6 +131,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
     max_queries: int = 65_536,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, adc_dist_us) — PQ/ADC approximate
@@ -142,7 +143,10 @@ def pq_topk(
     the persisted index and this function's scan half runs alone."""
     if codebooks is None:
         codebooks = pq_seed_codebooks(corpus, n_code, n_sub, id_col, vec_col)
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    if codes is None:
+        # `codes` — optional persisted code table
+        # (similarity/index_store.py): encode once, serve many times
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
 
     spark = corpus.sparkSession
     q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
