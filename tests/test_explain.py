@@ -420,3 +420,23 @@ def test_pending_scope_broadcasts_ids(spark, fixture_dir):
                                               account="0:acc"))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "LeftAnti" in plan  # finalized shadowing + landed-msg removal
+
+
+def test_word_lm_model_join_not_forced_broadcast(spark, specs):
+    """word_lm_score: the bigram model is corpus-vocabulary-sized — at
+    100 TB it can never be broadcast, so the plan must not PIN a
+    broadcast on the model join (AQE may still pick one from runtime
+    size at toy scale; what we forbid is a strategy hint)."""
+    df = specs["word_lm_score"].builder(spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized[:800]
+
+
+def test_pq_scan_is_single_pass_per_side(spark, specs):
+    """embed_pq_topk: encode + ADC scan are chained mapInPandas over the
+    corpus with no shuffle between them; the only Exchange feeds the
+    final global top-k window."""
+    df = specs["embed_pq_topk"].builder(spark, SF_SMALL)
+    plan = plan_of(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # window partitioning + final sort
