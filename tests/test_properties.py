@@ -128,3 +128,73 @@ def test_connected_components_matches_union_find(spark, edges):
         labels = {got[m] for m in members}
         assert len(labels) == 1
         assert labels == {min(members)}
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(min_value=-4.0, max_value=4.0,
+                  allow_nan=False, allow_infinity=False, width=32),
+        min_size=8, max_size=8,
+    ),
+    min_size=6,
+    max_size=24,
+)
+
+
+@given(VECS)
+@settings(**SETTINGS)
+def test_pq_encode_deterministic_and_lossless_on_codebook_members(
+    spark, vecs
+):
+    """PQ codes are a pure function of (vector, codebook): repartitioning
+    can't change them, and a vector that IS a codeword quantizes to
+    itself (zero distance beats every alternative, ties to lowest id)."""
+    from ton_indexer_spark.similarity.pq import pq_encode, pq_seed_codebooks
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    n_code = min(4, len(vecs))
+    cb = pq_seed_codebooks(df, n_code=n_code, n_sub=2)
+    one = {r["vec_id"]: r["codes"]
+           for r in pq_encode(df.coalesce(1), cb).collect()}
+    many = {r["vec_id"]: r["codes"]
+            for r in pq_encode(df.repartition(5), cb).collect()}
+    assert one == many
+    # every vector's code must be the argmin of the QUANTIZED subspace
+    # distances (ties -> lowest code), replicated here in plain numpy;
+    # in particular a codebook member always lands at distance 0
+    import numpy as np
+
+    from ton_indexer_spark.similarity.pq import _sub_dists_us
+
+    f32 = np.array(vecs, dtype=np.float32).astype(np.float64)
+    dus = _sub_dists_us(f32, cb)
+    for i, codes in one.items():
+        assert codes == list(dus[i].argmin(axis=1))
+    for i in range(n_code):
+        assert dus[i, 0, one[i][0]] == 0
+        assert dus[i, 1, one[i][1]] == 0
+
+
+@given(VECS)
+@settings(**SETTINGS)
+def test_mmr_first_pick_is_relevance_argmax(spark, vecs):
+    """Whatever the geometry, MMR's step-1 pick must equal the plain
+    relevance argmax (rounded-6dp cosine, ties to smaller id)."""
+    from ton_indexer_spark.similarity.brute import cosine_topk
+    from ton_indexer_spark.similarity.mmr import mmr_select
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    top1 = cosine_topk(q, df, k=1).collect()
+    picks = mmr_select(q, df, k=3, n_candidates=len(vecs)).collect()
+    first = next(r for r in picks if r["step"] == 1)
+    assert first["neighbor_id"] == top1[0]["neighbor_id"]
+    # and no id is ever picked twice
+    ids = [r["neighbor_id"] for r in picks]
+    assert len(ids) == len(set(ids))
