@@ -2597,3 +2597,153 @@ def decode_cocoon_body(raw: bytes | str) -> dict | None:
         return d
     except Exception:
         return None
+
+
+# ------------------------------------------------ TEP-64 token content cells
+
+TOKEN_DATA_ATTRIBUTES = (
+    "uri", "name", "description", "image", "image_data", "symbol",
+    "decimals", "amount_style", "render_type",
+)
+
+
+def _hashmap_items(
+    cell: "Cell", n: int, prefix: int, out: list
+) -> None:
+    """HashmapE traversal keeping leaf VALUE slices: like _hashmap_keys
+    but appends (key, slice-after-label) so dict values are readable."""
+    s = cell.begin_parse()
+    if s.load_bit() == 0:  # hml_short$0
+        l = 0
+        while s.load_bit() == 1:
+            l += 1
+        bits = s.load_uint(l) if l else 0
+    elif s.load_bit() == 0:  # hml_long$10
+        l = s.load_uint(n.bit_length())
+        bits = s.load_uint(l) if l else 0
+    else:  # hml_same$11
+        b = s.load_bit()
+        l = s.load_uint(n.bit_length())
+        bits = (1 << l) - 1 if b else 0
+    prefix = (prefix << l) | bits
+    m = n - l
+    if m == 0:
+        out.append((prefix, s))
+        return
+    left = s.load_ref()
+    right = s.load_ref()
+    _hashmap_items(left, m - 1, prefix << 1, out)
+    _hashmap_items(right, m - 1, (prefix << 1) | 1, out)
+
+
+def _snake_bits(s: "Slice") -> bytes:
+    """Bit-exact snake read (parse_token_data.cpp:8-31 parse_snake_data):
+    concatenate ALL remaining bits of each cell, following the first-ref
+    chain; the total must end byte-aligned."""
+    acc: list[int] = []
+    cur: Slice | None = s
+    while cur is not None:
+        while cur.remaining_bits:
+            acc.append(cur.load_bit())
+        cur = (
+            cur.load_ref().begin_parse() if cur.remaining_refs else None
+        )
+    if len(acc) % 8:
+        raise BocError("snake data not byte aligned")
+    return bytes(
+        int("".join(map(str, acc[i:i + 8])), 2)
+        for i in range(0, len(acc), 8)
+    )
+
+
+def _chunked_bytes(s: "Slice") -> bytes:
+    """ChunkedData (parse_token_data.cpp:33-63 parse_chunks_data): a
+    HashmapE(32) of ^chunk cells, concatenated for consecutive integer
+    keys 0,1,2,… until the first gap; each chunk contributes only its
+    own cell's bits (no snake continuation), byte-aligned total."""
+    root = s.load_maybe_ref()
+    chunks: dict[int, "Cell"] = {}
+    if root is not None:
+        items: list = []
+        _hashmap_items(root, 32, 0, items)
+        for key, vs in items:
+            if vs.remaining_refs:
+                chunks[key] = vs.load_ref()
+    acc: list[int] = []
+    c = 0
+    while c in chunks:
+        cs = chunks[c].begin_parse()
+        while cs.remaining_bits:
+            acc.append(cs.load_bit())
+        c += 1
+    if len(acc) % 8:
+        raise BocError("chunked data not byte aligned")
+    return bytes(
+        int("".join(map(str, acc[i:i + 8])), 2)
+        for i in range(0, len(acc), 8)
+    )
+
+
+def _content_data(s: "Slice") -> bytes:
+    """ContentData: snake#00 … | chunks#01 …
+    (parse_token_data.cpp:65-84 parse_content_data)."""
+    tag = s.load_uint(8)
+    if tag == 0x00:
+        return _snake_bits(s)
+    if tag == 0x01:
+        return _chunked_bytes(s)
+    raise BocError(f"unknown ContentData tag {tag:#x}")
+
+
+def parse_token_data(raw: "bytes | str") -> dict[str, str]:
+    """TEP-64 FullContent cell → attribute map — the clean-room analog of
+    the reference worker's parse_token_data
+    (ton-index-worker/tondb-scanner/src/parse_token_data.cpp:87-155):
+
+    - ``offchain#01 uri:Text`` → {"uri": <snake string>}
+    - ``onchain#00 data:(HashmapE 256 ^ContentData)`` → the nine standard
+      attributes looked up by sha256(name), each snake- or chunk-decoded;
+      ``image_data`` base64-encodes (it is raw bytes), the rest must be
+      valid UTF-8; per-attribute failures are skipped, exactly as the
+      reference logs-and-continues (parse_token_data.cpp:128-131).
+      Values stored inline instead of behind the standard single ref are
+      accepted too (the non-conforming contracts the reference special-
+      cases at parse_token_data.cpp:120-126).
+
+    Raises BocError on a non-FullContent cell (callers record the row as
+    invalid, mirroring the worker's error path)."""
+    import base64 as _b64
+    import hashlib as _hl
+
+    s = parse_boc(raw).begin_parse()
+    tag = s.load_uint(8)
+    if tag == 0x01:  # offchain
+        uri = _snake_bits(s).decode("utf-8")  # strict: invalid uri raises
+        return {"uri": uri}
+    if tag != 0x00:
+        raise BocError(f"unknown FullContent tag {tag:#x}")
+    root = s.load_maybe_ref()
+    items: list = []
+    if root is not None:
+        _hashmap_items(root, 256, 0, items)
+    by_key = {k: vs for k, vs in items}
+    res: dict[str, str] = {}
+    for attr in TOKEN_DATA_ATTRIBUTES:
+        key = int.from_bytes(_hl.sha256(attr.encode()).digest(), "big")
+        vs = by_key.get(key)
+        if vs is None:
+            continue
+        if vs.remaining_bits == 0 and vs.remaining_refs == 1:
+            vs = vs.load_ref().begin_parse()  # standard ^ContentData
+        try:
+            data = _content_data(vs)
+        except BocError:
+            continue  # reference: log and continue per attribute
+        if attr == "image_data":
+            res[attr] = _b64.b64encode(data).decode("ascii")
+        else:
+            try:
+                res[attr] = data.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+    return res

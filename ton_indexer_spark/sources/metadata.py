@@ -146,3 +146,63 @@ def fetch_address_metadata(
             yield res
 
     return tasks.mapInPandas(run, ADDRESS_METADATA_FETCHED)
+
+
+# ---- TEP-64 on-chain content decode (parse_token_data.cpp parity) ----------
+
+TOKEN_CONTENT_DECODED = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("content_uri", T.StringType()),   # offchain uri
+        T.StructField("name", T.StringType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("image", T.StringType()),
+        T.StructField("image_data", T.StringType()),    # base64
+        T.StructField("decimals", T.StringType()),
+    ]
+)
+
+
+def decode_token_content(
+    content_rows: DataFrame,
+    boc_col: str = "content_boc",
+) -> DataFrame:
+    """(address, type, <boc_col>) → TOKEN_CONTENT_DECODED via the
+    clean-room TEP-64 parser (functions/boc.py::parse_token_data, parity
+    with ton-index-worker parse_token_data.cpp:87-155).
+
+    On-chain cells yield the attribute columns directly; off-chain cells
+    yield ``content_uri`` for ``metadata_fetch_tasks`` to queue; a
+    malformed cell yields valid=False (the worker's error row).  Pure
+    Arrow-batch map — the decode distributes with the dimension scan."""
+    from ton_indexer_spark.functions.boc import parse_token_data
+
+    out_cols = [f.name for f in TOKEN_CONTENT_DECODED.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                base = {c: None for c in out_cols}
+                base["address"], base["type"] = r.address, r.type
+                raw = getattr(r, boc_col)
+                try:
+                    attrs = parse_token_data(raw) if raw else {}
+                    base["valid"] = True
+                    base["content_uri"] = attrs.get("uri")
+                    for k in ("name", "symbol", "description", "image",
+                              "image_data", "decimals"):
+                        base[k] = attrs.get(k)
+                except Exception:
+                    base["valid"] = False
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return content_rows.select("address", "type", boc_col).mapInPandas(
+        run, TOKEN_CONTENT_DECODED
+    )
