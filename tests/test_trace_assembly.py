@@ -143,3 +143,73 @@ def test_forest_roots_cyclic_corruption_parity(spark):
     assert roots["b"] == "a" and roots["c"] == "a" and roots["d"] == "a"
     assert "a" not in roots  # a became the root: no parent row survives
     assert roots["x"] == "w" and roots["y"] == "w"
+
+
+def test_broken_trace_detection_and_repair(spark, fixture_dir):
+    """utils/fix-broken-traces parity: drop one leaf transaction from a
+    multi-node trace (a missed index write) — detection must flag
+    exactly that trace, and repair must re-derive consistent trace rows
+    for the surviving members from facts alone."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.operators.trace_assembly import (
+        broken_trace_roots,
+        repair_broken_traces,
+    )
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+
+    # pre-existing detections are exactly the traces that genuinely have
+    # unconsumed internal edges (the fixture's in-flight pending traces)
+    truth = spark.read.parquet(f"{fixture_dir}/traces.parquet")
+    pre = {r["trace_id"] for r in broken_trace_roots(msgs).collect()}
+    states = {
+        r["trace_id"]: r["state"]
+        for r in truth.join(
+            broken_trace_roots(msgs), "trace_id", "left_semi"
+        ).collect()
+    }
+    assert pre == set(states)
+    assert all(s != "complete" for s in states.values()), states
+
+    # pick a leaf tx (has an in-edge, no out-edges) of a ≥3-node COMPLETE
+    # trace — severing it simulates a missed index write
+    outs = msgs.filter(F.col("direction") == "out").select(
+        F.col("tx_hash").alias("hash")
+    )
+    complete_ids = truth.filter(F.col("state") == "complete").select(
+        "trace_id"
+    )
+    leaf = (
+        txs.join(outs, "hash", "left_anti")
+        .join(complete_ids, "trace_id", "left_semi")
+        .join(
+            txs.groupBy("trace_id").count().filter("count >= 3"),
+            "trace_id",
+        )
+        .select("hash", "trace_id")
+        .orderBy("hash")
+        .first()
+    )
+    crippled_txs = txs.filter(F.col("hash") != leaf["hash"])
+    crippled_msgs = msgs.filter(F.col("tx_hash") != leaf["hash"])
+
+    detected = {
+        r["trace_id"] for r in broken_trace_roots(crippled_msgs).collect()
+    }
+    assert detected - pre == {leaf["trace_id"]}
+
+    roots = spark.createDataFrame(
+        [(leaf["trace_id"],)], "trace_id string"
+    )
+    fixed = repair_broken_traces(crippled_txs, crippled_msgs, roots=roots)
+    # every surviving member is re-covered, ids are internally consistent
+    n_members = crippled_txs.filter(
+        F.col("trace_id") == leaf["trace_id"]
+    ).count()
+    assert fixed.transactions.count() == n_members
+    tr = fixed.traces.collect()
+    assert sum(r["nodes_"] for r in tr) == n_members
+    # the severed edge shows up as a pending edge, not silent completeness
+    assert any(r["pending_edges_"] > 0 and r["state"] == "pending" for r in tr)

@@ -186,3 +186,54 @@ def assemble_traces(
     )
     assigned = labeled.drop("component")
     return AssembledTraces(transactions=assigned, traces=traces)
+
+
+def broken_trace_roots(messages: DataFrame) -> DataFrame:
+    """Trace ids containing a dangling internal edge — an out-message
+    that names a destination but was never consumed by an indexed
+    transaction (the detection query of the reference's repair tool,
+    utils/fix-broken-traces/main.go:132-141: per msg_hash,
+    ``bool_or(destination is not null) and max(in-direction tx) is
+    null``).  One aggregation over messages; no fact is mutated."""
+    per_msg = messages.groupBy("trace_id", "msg_hash").agg(
+        F.max(
+            F.when(F.col("direction") == "out", F.col("destination"))
+        ).alias("dangling_dest"),
+        F.max(
+            F.when(F.col("direction") == "in", F.col("tx_hash"))
+        ).alias("consumer"),
+    )
+    return (
+        per_msg.filter(
+            F.col("dangling_dest").isNotNull() & F.col("consumer").isNull()
+        )
+        .select("trace_id")
+        .distinct()
+    )
+
+
+def repair_broken_traces(
+    transactions: DataFrame,
+    messages: DataFrame,
+    roots: DataFrame | None = None,
+) -> AssembledTraces:
+    """Re-derive the traces named by ``roots`` from facts alone — the
+    engine analog of the reference's utils/fix-broken-traces, whose
+    Postgres surgery (delete_broken_trace + re-insert trace_edges,
+    main.go:16-198) dissolves here because trace assignment is a pure
+    recomputation: repair = re-run ``assemble_traces`` over the affected
+    transaction subset and swap the rows in via
+    ``sources.writer.replace_by_key(key=trace_id)`` (the same idempotent
+    primitive reclassification uses).
+
+    ``roots`` defaults to ``broken_trace_roots(messages)``.  The member
+    scoping is a semi-join (no broadcast pin — a backfill repair set can
+    be arbitrarily large; AQE picks the strategy)."""
+    if roots is None:
+        roots = broken_trace_roots(messages)
+    roots = roots.select("trace_id")
+    member_txs = transactions.join(roots, "trace_id", "left_semi")
+    member_msgs = messages.join(roots, "trace_id", "left_semi")
+    return assemble_traces(
+        member_txs.drop("trace_id"), member_msgs.drop("trace_id")
+    )
