@@ -345,3 +345,47 @@ def test_push_confirmed_vs_finalized_tiers(spark, fixture_dir, tmp_path):
                for p in channels["confirmed_transactions"])
     assert all(p["finality"] == "finalized"
                for p in channels["transactions"])
+
+
+def test_imgproxy_signed_url_matches_reference_hmac(spark):
+    """Column-expression HMAC signing ≡ the reference resigner's
+    BuildUrl (utils/imgproxy-url-resigner/main.go:33-47), replicated
+    here with python hmac as the oracle."""
+    import base64
+    import hashlib
+    import hmac as hmac_mod
+
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.functions.presentation import imgproxy_signed_url
+
+    key, salt = b"\x01\x02secret-key", b"\xaa\xbbsalt"
+    ipfs_base = "https://ipfs.example/ipfs"
+
+    def oracle(src: str, preset: str) -> str:
+        if src.startswith("ipfs://"):
+            src = f"{ipfs_base}/{src[len('ipfs://'):]}"
+        enc = base64.urlsafe_b64encode(src.encode()).decode().rstrip("=")
+        path = f"/pr:{preset}/{enc}"
+        mac = hmac_mod.new(key, salt + path.encode(), hashlib.sha256)
+        sig = base64.urlsafe_b64encode(mac.digest()).decode().rstrip("=")
+        return f"/{sig}{path}"
+
+    srcs = [
+        "https://example.org/cat.png",
+        "ipfs://QmYwAPJzv5CZsnAzt8auVZRn1pfejErrs",
+        "http://x/y?z=1&w=2",  # query chars exercise url-safe encoding
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in srcs], "src string")
+    got = {
+        r["src"]: r["u"]
+        for r in df.withColumn(
+            "u",
+            imgproxy_signed_url(
+                F.col("src"), "small", key, salt, ipfs_base
+            ),
+        ).collect()
+    }
+    for s in srcs:
+        assert got[s] == (oracle(s, "small") if s is not None else None), s
