@@ -370,6 +370,13 @@ def test_api_facade_routes(spark, fixture_dir):
     addr = api.account_states(limit=1).select("account").first()[0]
     assert api.account(addr).columns == api.address_information(addr).columns
     assert api.wallet(addr).columns == api.wallet_information(addr).columns
+    # metadata-cache batch lookup (main.go:112-150)
+    book_addr = api.address_book().select("account").first()[0]
+    info = api.address_info([book_addr, "0:nonexistent"])
+    assert set(info) == {"metadata", "address_book"}
+    assert info["address_book"].count() == 1
+    only_md = api.address_info([book_addr], include_address_book=False)
+    assert set(only_md) == {"metadata"}
 
 
 def test_listings_plans_have_no_forced_broadcast(ton):

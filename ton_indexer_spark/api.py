@@ -35,11 +35,13 @@ Route map (reference → here):
 | /pendingTransactions          | pending_transactions           |
 | /pendingTraces                | pending_traces                 |
 | /pendingActions               | pending_actions                |
+| metadata-cache /address_info  | address_info                   |
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ton_indexer_spark import plans
 from ton_indexer_spark.catalog import Catalog
@@ -215,6 +217,28 @@ class TonIndexerApi:
     # -- enrichment dims ----------------------------------------------------
     def address_book(self) -> DataFrame:
         return plans.address_book(self.cat)
+
+    def address_info(
+        self,
+        addresses: list[str],
+        include_metadata: bool = True,
+        include_address_book: bool = True,
+    ) -> dict[str, DataFrame]:
+        """ton-metadata-cache POST /address_info (main.go:112-150): batch
+        metadata + address-book lookup for an address list.  The sidecar's
+        CDC-fed Redis cache dissolves — the plans ARE the derivation,
+        filtered to the requested set (request lists are page-sized, so
+        the IN-filter prunes at the scan)."""
+        out: dict[str, DataFrame] = {}
+        if include_metadata:
+            out["metadata"] = plans.metadata_union(self.cat).filter(
+                F.col("address").isin(addresses)
+            )
+        if include_address_book:
+            out["address_book"] = plans.address_book(self.cat).filter(
+                F.col("account").isin(addresses)
+            )
+        return out
 
     def metadata(self) -> DataFrame:
         return plans.metadata_union(self.cat)
