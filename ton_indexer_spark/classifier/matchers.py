@@ -1270,23 +1270,26 @@ def classify_tree(
     both).  The flag exists for that parity test."""
     from ton_indexer_spark.classifier.postprocess import run_post_processors
 
+    if use_index:
+        global _INDEX
+        if _INDEX.source is not MATCHERS or len(_INDEX.matchers) != len(
+            MATCHERS
+        ):
+            # registry replaced (tests monkeypatch it) or grown in
+            # place — re-derive so a newly registered matcher is never
+            # silently skipped on the indexed path
+            _INDEX = _build_index()
+    else:
+        full_scan = [m for _, m in MATCHERS]
     actions: list[dict] = []
     for node in nodes:
         if node.consumed:
             continue
         if use_index:
-            global _INDEX
-            if _INDEX.source is not MATCHERS or len(
-                _INDEX.matchers
-            ) != len(MATCHERS):
-                # registry replaced (tests monkeypatch it) or grown
-                # in place — re-derive so a newly registered matcher is
-                # never silently skipped on the indexed path
-                _INDEX = _build_index()
             op = node.in_msg.opcode if node.in_msg is not None else None
             matcher_list = _INDEX.candidates(op)
         else:
-            matcher_list = [m for _, m in MATCHERS]
+            matcher_list = full_scan
         for matcher in matcher_list:
             act = matcher(node, ctx)
             if act is not None:

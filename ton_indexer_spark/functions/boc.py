@@ -2636,6 +2636,15 @@ def _hashmap_items(
     _hashmap_items(right, m - 1, (prefix << 1) | 1, out)
 
 
+def _bits_to_bytes(acc: list[int], what: str) -> bytes:
+    if len(acc) % 8:
+        raise BocError(f"{what} not byte aligned")
+    return bytes(
+        int("".join(map(str, acc[i:i + 8])), 2)
+        for i in range(0, len(acc), 8)
+    )
+
+
 def _snake_bits(s: "Slice") -> bytes:
     """Bit-exact snake read (parse_token_data.cpp:8-31 parse_snake_data):
     concatenate ALL remaining bits of each cell, following the first-ref
@@ -2648,12 +2657,7 @@ def _snake_bits(s: "Slice") -> bytes:
         cur = (
             cur.load_ref().begin_parse() if cur.remaining_refs else None
         )
-    if len(acc) % 8:
-        raise BocError("snake data not byte aligned")
-    return bytes(
-        int("".join(map(str, acc[i:i + 8])), 2)
-        for i in range(0, len(acc), 8)
-    )
+    return _bits_to_bytes(acc, "snake data")
 
 
 def _chunked_bytes(s: "Slice") -> bytes:
@@ -2676,12 +2680,7 @@ def _chunked_bytes(s: "Slice") -> bytes:
         while cs.remaining_bits:
             acc.append(cs.load_bit())
         c += 1
-    if len(acc) % 8:
-        raise BocError("chunked data not byte aligned")
-    return bytes(
-        int("".join(map(str, acc[i:i + 8])), 2)
-        for i in range(0, len(acc), 8)
-    )
+    return _bits_to_bytes(acc, "chunked data")
 
 
 def _content_data(s: "Slice") -> bytes:

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from ton_indexer_spark.similarity.rounding import round_half_away
+from ton_indexer_spark.similarity.rounding import round_half_away, unit_rows
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -107,9 +107,7 @@ def cosine_topk(
     q_ids = [r[0] for r in q_rows]
     q_labels = [r[2] for r in q_rows] if exclude_label_col else None
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_norms[q_norms == 0] = 1.0
-    bc = spark.sparkContext.broadcast((q_ids, q_mat / q_norms, q_labels))
+    bc = spark.sparkContext.broadcast((q_ids, unit_rows(q_mat), q_labels))
 
     scored_schema = T.StructType(
         [
@@ -128,9 +126,7 @@ def cosine_topk(
                 continue
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = round_half_away(qm @ (c_mat / norms).T, 6)  # |Q| × batch
+            sims = round_half_away(qm @ unit_rows(c_mat).T, 6)  # |Q| × batch
             mask = id_arr[:, None] != c_ids[None, :]
             if lab_arr is not None:
                 # SQL `c.label != q.label` semantics: a NULL label on

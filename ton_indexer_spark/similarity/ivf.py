@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
-from ton_indexer_spark.similarity.rounding import round_half_away
+from ton_indexer_spark.similarity.rounding import round_half_away, unit_rows
 
 
 def ivf_seed_matrix(
@@ -56,9 +56,7 @@ def ivf_seed_matrix(
         raise ValueError("ivf_seed_matrix: corpus is empty — no centroids")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return ids, mat / norms
+    return ids, unit_rows(mat)
 
 
 def ivf_assign(
@@ -97,9 +95,7 @@ def ivf_assign(
             if pdf.empty:
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = round_half_away((mat / norms) @ seeds.T, round_digits)
+            sims = round_half_away(unit_rows(mat) @ seeds.T, round_digits)
             # argsort by (-sim, list_id): lexsort keys, last key primary
             order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims))
             probes = order[:, :nprobe]
@@ -204,10 +200,7 @@ def ivf_topk(
                       "sim": "float64"})
 
         def unit(col: pd.Series) -> np.ndarray:
-            m = np.array(list(col), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            return m / n
+            return unit_rows(np.array(list(col), dtype=np.float64))
 
         c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
         q_ids = qdf["query_id"].to_numpy(dtype=np.int64)

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ton_indexer_spark.similarity.brute import cosine_topk
-from ton_indexer_spark.similarity.rounding import round_half_away
+from ton_indexer_spark.similarity.rounding import round_half_away, unit_rows
 
 
 def mmr_select(
@@ -90,10 +90,7 @@ def mmr_select(
         qid = pdf["query_id"].iloc[0]
         ids = pdf["neighbor_id"].to_numpy()
         rel = pdf["rel_us"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["cvec"]), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
+        unit = unit_rows(np.array(list(pdf["cvec"]), dtype=np.float64))
         sim = round_half_away(unit @ unit.T * 1_000_000.0, 0).astype(np.int64)
         n = len(ids)
         # deterministic candidate order: score desc, id asc via lexsort

@@ -18,3 +18,11 @@ def round_half_away(x: "np.ndarray", digits: int = 6) -> "np.ndarray":
     """Round half away from zero (SQL ROUND semantics), vectorized."""
     scale = 10.0 ** digits
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def unit_rows(mat: "np.ndarray") -> "np.ndarray":
+    """Row-normalize a (n, d) float64 matrix; zero rows pass through
+    (norm treated as 1) — the shared pre-step of every cosine kernel."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
