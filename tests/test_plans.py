@@ -743,3 +743,44 @@ def test_messages_body_hash_direction_utime(ton, tduck):
         SELECT count(DISTINCT msg_hash) FROM messages
         WHERE direction = 'in' AND created_at <= {mid}""")
     assert got2.count() == want2
+
+
+def test_builtin_get_methods_token_standards(spark):
+    """get_wallet_data / get_nft_data answered straight off canonical
+    data cells (the methods the reference worker TVM-executes to build
+    dimensions, smc-interfaces/Tokens.cpp) — no TVM, code cell = null."""
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_wallet_data,
+        encode_nft_item_data,
+        parse_boc,
+    )
+    from ton_indexer_spark.functions.getmethod import builtin_executor
+
+    owner = "0:" + "11" * 32
+    master = "0:" + "22" * 32
+    jw = {"data_boc": encode_jetton_wallet_data(
+        balance=1234, owner=owner, jetton=master)}
+    res = builtin_executor(jw, "get_wallet_data", [])
+    assert res["exit_code"] == 0
+    kinds = [e[0] for e in res["stack"]]
+    assert kinds == ["num", "slice", "slice", "null"]
+    assert res["stack"][0][1] == hex(1234)
+    got_owner = parse_boc(
+        base64.b64decode(res["stack"][1][1])
+    ).begin_parse().load_address()
+    assert got_owner == owner.upper().replace("0:", "0:", 1) or got_owner == owner
+
+    coll = "0:" + "33" * 32
+    nft = {"data_boc": encode_nft_item_data(
+        index=7, collection=coll, owner=owner, init=True)}
+    res = builtin_executor(nft, "get_nft_data", [])
+    assert res["exit_code"] == 0
+    assert res["stack"][0] == ["num", "-0x1"]
+    assert res["stack"][1] == ["num", "0x7"]
+
+    # non-token data cell: unknown method, like a real TVM
+    assert builtin_executor(
+        {"data_boc": None}, "get_wallet_data", []
+    )["exit_code"] == 11

@@ -63,13 +63,30 @@ def _validate_result(res: dict) -> dict:
             "stack": [list(e) for e in stack]}
 
 
-def builtin_executor(state: dict, method: str, stack: list) -> dict:
-    """Wallet get-methods straight off the data cell — no TVM needed.
+def _addr_slice(addr: str | None) -> list:
+    """MsgAddress → v2 "slice" stack entry (base64 single-cell BOC)."""
+    import base64
 
-    Covers ``seqno`` and ``get_subwallet_id`` for the published wallet
-    code hashes (wallet_parse.go layouts); exit code 11 = TVM "unknown
-    method" for everything else, matching what a real executor returns
-    when the contract lacks the method."""
+    from ton_indexer_spark.functions.boc import Builder, serialize_boc
+
+    cell = Builder().store_address(addr).end_cell()
+    return ["slice", base64.b64encode(serialize_boc(cell)).decode("ascii")]
+
+
+def builtin_executor(state: dict, method: str, stack: list) -> dict:
+    """Token-standard get-methods straight off the data cell — no TVM.
+
+    Covers ``seqno`` / ``get_subwallet_id`` for the published wallet
+    code hashes (wallet_parse.go layouts), plus ``get_wallet_data``
+    (TEP-74 jetton wallet) and ``get_nft_data`` (TEP-62 item) via the
+    same canonical data-cell decoders the ingest dimension builders use
+    — exactly the methods the reference worker runs in a TVM to build
+    its dimensions (smc-interfaces/Tokens.cpp).  Code CELLS are not in
+    the state snapshot (only code_hash), so the trailing code-cell stack
+    entry comes back as ["null", None]; a deployment wanting the cell
+    resolves it from a code store or plugs in the real TVM.  Exit code
+    11 = TVM "unknown method" for everything else, matching what a real
+    executor returns when the contract lacks the method."""
     from ton_indexer_spark.functions.wallets import decode_wallet_data
 
     if method in ("seqno", "get_subwallet_id"):
@@ -89,6 +106,45 @@ def builtin_executor(state: dict, method: str, stack: list) -> dict:
                     "exit_code": 0,
                     "stack": [["num", hex(value)]],
                 }
+    if method == "get_wallet_data":
+        from ton_indexer_spark.functions.boc import (
+            decode_jetton_wallet_data,
+        )
+
+        try:
+            d = decode_jetton_wallet_data(state.get("data_boc"))
+            # TEP-74: (balance, owner, jetton, jetton_wallet_code)
+            return {
+                "gas_used": 0,
+                "exit_code": 0,
+                "stack": [
+                    ["num", hex(d["balance"])],
+                    _addr_slice(d["owner"]),
+                    _addr_slice(d["jetton"]),
+                    ["null", None],
+                ],
+            }
+        except Exception:
+            pass
+    if method == "get_nft_data":
+        from ton_indexer_spark.functions.boc import decode_nft_item_data
+
+        try:
+            d = decode_nft_item_data(state.get("data_boc"))
+            # TEP-62: (init, index, collection, owner, individual_content)
+            return {
+                "gas_used": 0,
+                "exit_code": 0,
+                "stack": [
+                    ["num", "-0x1" if d["init"] else "0x0"],
+                    ["num", hex(d["index"])],
+                    _addr_slice(d["collection_address"]),
+                    _addr_slice(d["owner_address"]),
+                    ["null", None],
+                ],
+            }
+        except Exception:
+            pass
     return {"gas_used": 0, "exit_code": 11, "stack": []}
 
 
