@@ -22,7 +22,7 @@ from ton_indexer_spark.classifier.fixture_replay import (
     load_fixture,
 )
 from ton_indexer_spark.classifier.matchers import _INDEX, MATCHERS, classify_tree
-from ton_indexer_spark.classifier.tree import build_tree
+from ton_indexer_spark.classifier.tree import Msg, Node, build_tree
 
 
 def _canon(acts: list[dict]) -> str:
@@ -174,3 +174,39 @@ class TestExtractorRules:
         # the index only pays off if most matchers key; alert if a source
         # refactor silently degrades extraction back toward full scans
         assert _INDEX.n_keyed >= 65, _INDEX.keys
+
+
+def test_index_rebuilds_on_in_place_element_replacement():
+    """MATCHERS[i] = (name, new_fn) keeps registry identity AND length —
+    the staleness check must still catch it (element-wise snapshot
+    compare), or the stale index would dispatch the old function."""
+    import ton_indexer_spark.classifier.matchers as M
+
+    calls = []
+    # find a keyed matcher so the replacement is observable via dispatch
+    idx, (name, orig_fn) = next(
+        (i, t) for i, t in enumerate(M.MATCHERS)
+        if t[0] == "ton_transfer"
+    )
+
+    def probe(node, ctx):
+        calls.append(node.tx_hash)
+        return orig_fn(node, ctx)
+
+    node = Node(
+        tx_hash="s1", tx_lt=1, tx_now=1, account="0:" + "0" * 64,
+        aborted=False, orig_status="active", end_status="active",
+        in_msg=Msg(
+            msg_hash="m1", direction="in", source="0:" + "1" * 64,
+            destination="0:" + "0" * 64, value=10, opcode=0,
+            created_lt=0,
+        ),
+    )
+    ctx = {"dims_present": frozenset()}
+    try:
+        M.MATCHERS[idx] = (name, probe)
+        acts = classify_tree([node], ctx, use_index=True)
+        assert calls == ["s1"], "stale index dispatched the old function"
+        assert any(a["type"] == "ton_transfer" for a in acts)
+    finally:
+        M.MATCHERS[idx] = (name, orig_fn)

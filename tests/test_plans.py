@@ -780,7 +780,16 @@ def test_builtin_get_methods_token_standards(spark):
     assert res["stack"][0] == ["num", "-0x1"]
     assert res["stack"][1] == ["num", "0x7"]
 
-    # non-token data cell: unknown method, like a real TVM
+    # malformed/missing data cell: the method EXISTS but fails — a real
+    # TVM errors (cell underflow, exit 9), it does NOT report 'unknown
+    # method' (11); callers bucketing absent-vs-failed rely on this
     assert builtin_executor(
         {"data_boc": None}, "get_wallet_data", []
+    )["exit_code"] == 9
+    assert builtin_executor(
+        {"data_boc": None}, "get_nft_data", []
+    )["exit_code"] == 9
+    # a method the builtin doesn't know at all is still 11
+    assert builtin_executor(
+        jw, "get_mystery_method", []
     )["exit_code"] == 11

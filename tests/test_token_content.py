@@ -233,3 +233,54 @@ def test_decoded_uri_feeds_fetch_queue(spark):
     assert [(r["address"], r["content_uri"]) for r in tasks] == [
         ("0:aa", "ipfs://hash")
     ]
+
+
+def test_onchain_chunked_refless_key_skipped_not_terminator():
+    """A PRESENT key whose value slice lacks the standard chunk ref is
+    SKIPPED and the walk continues to the next consecutive key — the
+    reference loops while uint_key_exists(c) and appends only when
+    lookup_ref(c) is non-null (parse_token_data.cpp:42-54), so keys
+    {0: data, 1: <no ref>, 2: data} decode to chunk0+chunk2, not
+    chunk0 alone."""
+    def edge(n, items):
+        # _hm_edge variant where a None value stores an EMPTY leaf
+        # (key exists, no value ref — the non-conforming shape)
+        assert items
+        if len(items) == 1:
+            l = n
+        else:
+            l = 0
+            while l < n and len(
+                {(k >> (n - 1 - l)) & 1 for k, _ in items}
+            ) == 1:
+                l += 1
+        prefix = (items[0][0] >> (n - l)) if l else 0
+        m = n - l
+        rem = [(k & ((1 << m) - 1) if m else 0, v) for k, v in items]
+        b = Builder().store_uint(2, 2)
+        b.store_uint(l, n.bit_length())
+        if l:
+            b.store_uint(prefix, l)
+        if m == 0:
+            if rem[0][1] is not None:
+                b.store_ref(rem[0][1])
+            return b.end_cell()
+        sub = (1 << (m - 1)) - 1
+        left = [(k & sub, v) for k, v in rem if ((k >> (m - 1)) & 1) == 0]
+        right = [(k & sub, v) for k, v in rem if ((k >> (m - 1)) & 1) == 1]
+        b.store_ref(edge(m - 1, left))
+        b.store_ref(edge(m - 1, right))
+        return b.end_cell()
+
+    part0, part2 = b"A" * 8, b"C" * 8
+    chunks_root = edge(32, [
+        (0, Builder().store_bytes(part0).end_cell()),
+        (1, None),  # present key, no ref
+        (2, Builder().store_bytes(part2).end_cell()),
+    ])
+    chunked = (
+        Builder().store_uint(1, 8).store_bit(1).store_ref(chunks_root)
+        .end_cell()
+    )
+    boc = _onchain({"name": chunked})
+    assert parse_token_data(boc) == {"name": (part0 + part2).decode()}

@@ -213,3 +213,62 @@ def test_broken_trace_detection_and_repair(spark, fixture_dir):
     assert sum(r["nodes_"] for r in tr) == n_members
     # the severed edge shows up as a pending edge, not silent completeness
     assert any(r["pending_edges_"] > 0 and r["state"] == "pending" for r in tr)
+
+
+def test_repair_split_trace_pulls_in_consumer_fragment(spark):
+    """A trace SPLIT across two stored trace_ids — producer fragment A
+    (whose out-message dangles within A) and consumer fragment B (which
+    holds the in-row, so B itself is never flagged) — is the case the
+    reference repair tool's recursive message walk exists for
+    (fix-broken-traces/main.go trace_get_transactions).  Detection flags
+    only A; the repair's msg_hash closure must pull B's transactions in
+    so reassembly yields ONE complete trace, not a no-op."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.operators.trace_assembly import (
+        broken_trace_roots,
+        repair_broken_traces,
+        trace_link_closure,
+    )
+
+    tx_schema = ("hash string, lt long, now long, mc_block_seqno long, "
+                 "trace_id string")
+    msg_schema = ("trace_id string, tx_hash string, tx_lt long, "
+                  "msg_hash string, direction string, source string, "
+                  "destination string")
+    txs = spark.createDataFrame([
+        ("t1", 10, 1000, 1, "A"),
+        ("t2", 20, 1001, 1, "B"),
+        ("t3", 30, 1002, 1, "B"),
+        # an unrelated healthy trace must stay untouched by the closure
+        ("u1", 40, 1003, 1, "C"),
+    ], tx_schema)
+    msgs = spark.createDataFrame([
+        ("A", "t1", 10, "e1", "in", None, "X"),
+        ("A", "t1", 10, "m1", "out", "X", "Y"),   # dangles WITHIN A
+        ("B", "t2", 20, "m1", "in", "X", "Y"),    # consumed under B
+        ("B", "t2", 20, "m2", "out", "Y", "Z"),
+        ("B", "t3", 30, "m2", "in", "Y", "Z"),
+        ("C", "u1", 40, "e2", "in", None, "Q"),
+    ], msg_schema)
+
+    flagged = {r["trace_id"] for r in broken_trace_roots(msgs).collect()}
+    assert flagged == {"A"}  # the consumer fragment is NOT flagged
+
+    closure = {
+        r["trace_id"]
+        for r in trace_link_closure(
+            msgs, spark.createDataFrame([("A",)], "trace_id string")
+        ).collect()
+    }
+    assert closure == {"A", "B"}
+
+    fixed = repair_broken_traces(txs, msgs)
+    got_txs = fixed.transactions.collect()
+    assert {r["hash"] for r in got_txs} == {"t1", "t2", "t3"}
+    assert {r["trace_id"] for r in got_txs} == {"t1"}  # rooted at t1
+    tr = fixed.traces.collect()
+    assert len(tr) == 1
+    assert tr[0]["nodes_"] == 3
+    assert tr[0]["state"] == "complete"
+    assert tr[0]["trace_id"] == "t1"

@@ -1272,12 +1272,11 @@ def classify_tree(
 
     if use_index:
         global _INDEX
-        if _INDEX.source is not MATCHERS or len(_INDEX.matchers) != len(
-            MATCHERS
-        ):
-            # registry replaced (tests monkeypatch it) or grown in
-            # place — re-derive so a newly registered matcher is never
-            # silently skipped on the indexed path
+        if _INDEX.source is not MATCHERS or _INDEX.matchers != MATCHERS:
+            # registry replaced (tests monkeypatch it), grown, or
+            # mutated IN PLACE (MATCHERS[i] = ...) — the snapshot copy
+            # compares element-wise, so any of the three re-derives the
+            # index and a changed matcher is never dispatched stale
             _INDEX = _build_index()
     else:
         full_scan = [m for _, m in MATCHERS]

@@ -2663,22 +2663,33 @@ def _snake_bits(s: "Slice") -> bytes:
 def _chunked_bytes(s: "Slice") -> bytes:
     """ChunkedData (parse_token_data.cpp:33-63 parse_chunks_data): a
     HashmapE(32) of ^chunk cells, concatenated for consecutive integer
-    keys 0,1,2,… until the first gap; each chunk contributes only its
-    own cell's bits (no snake continuation), byte-aligned total."""
+    keys 0,1,2,… until the first ABSENT key; each chunk contributes only
+    its own cell's bits (no snake continuation), byte-aligned total.
+
+    Bit-parity notes: the reference loops ``while uint_key_exists(c)``
+    and appends only when ``lookup_ref`` is non-null — a present key
+    whose value slice lacks a ref is SKIPPED, not a terminator
+    (parse_token_data.cpp:42-54); and a chunk that would overflow the
+    reference's 1024-byte buffer breaks the loop there, mirrored here so
+    non-conforming oversized content decodes to identical bytes."""
     root = s.load_maybe_ref()
-    chunks: dict[int, "Cell"] = {}
+    chunks: dict[int, "Cell | None"] = {}
     if root is not None:
         items: list = []
         _hashmap_items(root, 32, 0, items)
         for key, vs in items:
-            if vs.remaining_refs:
-                chunks[key] = vs.load_ref()
+            # key existence tracked regardless of ref presence
+            chunks[key] = vs.load_ref() if vs.remaining_refs else None
     acc: list[int] = []
     c = 0
     while c in chunks:
-        cs = chunks[c].begin_parse()
-        while cs.remaining_bits:
-            acc.append(cs.load_bit())
+        cell = chunks[c]
+        if cell is not None:
+            cs = cell.begin_parse()
+            if len(acc) + cs.remaining_bits > 1024 * 8:
+                break  # reference buffer-overflow guard
+            while cs.remaining_bits:
+                acc.append(cs.load_bit())
         c += 1
     return _bits_to_bytes(acc, "chunked data")
 

@@ -86,7 +86,10 @@ def builtin_executor(state: dict, method: str, stack: list) -> dict:
     entry comes back as ["null", None]; a deployment wanting the cell
     resolves it from a code store or plugs in the real TVM.  Exit code
     11 = TVM "unknown method" for everything else, matching what a real
-    executor returns when the contract lacks the method."""
+    executor returns when the contract lacks the method; a malformed or
+    non-canonical data cell for a KNOWN method returns exit 9 (cell
+    underflow) instead — the method exists and fails, it is not
+    absent."""
     from ton_indexer_spark.functions.wallets import decode_wallet_data
 
     if method in ("seqno", "get_subwallet_id"):
@@ -113,38 +116,43 @@ def builtin_executor(state: dict, method: str, stack: list) -> dict:
 
         try:
             d = decode_jetton_wallet_data(state.get("data_boc"))
-            # TEP-74: (balance, owner, jetton, jetton_wallet_code)
-            return {
-                "gas_used": 0,
-                "exit_code": 0,
-                "stack": [
-                    ["num", hex(d["balance"])],
-                    _addr_slice(d["owner"]),
-                    _addr_slice(d["jetton"]),
-                    ["null", None],
-                ],
-            }
         except Exception:
-            pass
+            # the method EXISTS for this code_hash but its data cell is
+            # malformed/non-canonical — a real TVM would run it and fail,
+            # not report 'method absent'.  Exit 9 = cell underflow, the
+            # code a data-cell short-read raises in the VM, so callers
+            # can distinguish 'failed' from 'unknown method' (11).
+            return {"gas_used": 0, "exit_code": 9, "stack": []}
+        # TEP-74: (balance, owner, jetton, jetton_wallet_code)
+        return {
+            "gas_used": 0,
+            "exit_code": 0,
+            "stack": [
+                ["num", hex(d["balance"])],
+                _addr_slice(d["owner"]),
+                _addr_slice(d["jetton"]),
+                ["null", None],
+            ],
+        }
     if method == "get_nft_data":
         from ton_indexer_spark.functions.boc import decode_nft_item_data
 
         try:
             d = decode_nft_item_data(state.get("data_boc"))
-            # TEP-62: (init, index, collection, owner, individual_content)
-            return {
-                "gas_used": 0,
-                "exit_code": 0,
-                "stack": [
-                    ["num", "-0x1" if d["init"] else "0x0"],
-                    ["num", hex(d["index"])],
-                    _addr_slice(d["collection_address"]),
-                    _addr_slice(d["owner_address"]),
-                    ["null", None],
-                ],
-            }
         except Exception:
-            pass
+            return {"gas_used": 0, "exit_code": 9, "stack": []}
+        # TEP-62: (init, index, collection, owner, individual_content)
+        return {
+            "gas_used": 0,
+            "exit_code": 0,
+            "stack": [
+                ["num", "-0x1" if d["init"] else "0x0"],
+                ["num", hex(d["index"])],
+                _addr_slice(d["collection_address"]),
+                _addr_slice(d["owner_address"]),
+                ["null", None],
+            ],
+        }
     return {"gas_used": 0, "exit_code": 11, "stack": []}
 
 

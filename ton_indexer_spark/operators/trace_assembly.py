@@ -212,6 +212,51 @@ def broken_trace_roots(messages: DataFrame) -> DataFrame:
     )
 
 
+def trace_link_closure(
+    messages: DataFrame, roots: DataFrame
+) -> DataFrame:
+    """Expand a set of trace ids to its msg_hash closure: every trace
+    reachable from a flagged one through shared message hashes,
+    transitively — the batch analog of the reference repair tool's
+    recursive CTE walk over ALL messages (fix-broken-traces/main.go,
+    trace_get_transactions), which follows msg links regardless of the
+    transactions' CURRENT trace assignment.
+
+    Why this matters: the dangling-edge detection flags only the
+    PRODUCER fragment of a split trace (the consumer fragment has no
+    dangling out-edge of its own), so reassembling the flagged trace ids
+    alone would silently reproduce the split.  Closure first, then
+    reassemble the union.
+
+    Cost shape: one distinct + one groupBy over (trace_id, msg_hash),
+    then connected components over only the CROSS-TRACE link pairs — a
+    graph bounded by the number of split points, not by message volume.
+    Returns a single-column ``trace_id`` DataFrame (superset of roots).
+    """
+    from ton_indexer_spark.operators.graph import connected_components
+
+    m = messages.select("trace_id", "msg_hash").distinct()
+    shared = (
+        m.groupBy("msg_hash")
+        .agg(F.collect_set("trace_id").alias("tids"))
+        .filter(F.size("tids") > 1)
+    )
+    # star edges: every trace at a shared hash links to the min trace
+    links = shared.select(
+        F.explode("tids").alias("src"), F.array_min("tids").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    comp = connected_components(links, "src", "dst").withColumnRenamed(
+        "node", "trace_id"
+    )
+    flagged_comps = comp.join(roots, "trace_id", "left_semi").select(
+        "component"
+    ).distinct()
+    linked = comp.join(flagged_comps, "component", "left_semi").select(
+        "trace_id"
+    )
+    return roots.select("trace_id").union(linked).distinct()
+
+
 def repair_broken_traces(
     transactions: DataFrame,
     messages: DataFrame,
@@ -227,13 +272,19 @@ def repair_broken_traces(
     primitive reclassification uses).
 
     ``roots`` defaults to ``broken_trace_roots(messages)``.  The member
-    scoping is a semi-join (no broadcast pin — a backfill repair set can
-    be arbitrarily large; AQE picks the strategy)."""
+    set is the msg_hash CLOSURE of the flagged trace ids
+    (``trace_link_closure``) — a trace split across two stored trace_ids
+    is flagged only on the producer fragment, so the consumer fragment
+    must be pulled in for the reassembly to actually heal the split
+    (the reference walks messages recursively for the same reason,
+    fix-broken-traces/main.go trace_get_transactions).  Scoping is a
+    semi-join (no broadcast pin — a backfill repair set can be
+    arbitrarily large; AQE picks the strategy)."""
     if roots is None:
         roots = broken_trace_roots(messages)
-    roots = roots.select("trace_id")
-    member_txs = transactions.join(roots, "trace_id", "left_semi")
-    member_msgs = messages.join(roots, "trace_id", "left_semi")
+    members = trace_link_closure(messages, roots.select("trace_id"))
+    member_txs = transactions.join(members, "trace_id", "left_semi")
+    member_msgs = messages.join(members, "trace_id", "left_semi")
     return assemble_traces(
         member_txs.drop("trace_id"), member_msgs.drop("trace_id")
     )
