@@ -6,4 +6,8 @@
 # Install:  ln -sf ../../scripts/precommit.sh .git/hooks/pre-commit
 set -e
 cd "$(git rev-parse --show-toplevel)"
-exec python -m pytest tests/test_classifier_smoke.py -q -x --no-header -p no:cacheprovider
+# + the query-registry contract (imports, 85+ specs, oracles present,
+# rotation names resolve) — a broken registration otherwise only
+# surfaces at driver time
+exec python -m pytest tests/test_classifier_smoke.py \
+  tests/test_registry_sanity.py -q -x --no-header -p no:cacheprovider

@@ -532,9 +532,16 @@ def test_subscription_and_multisig_approve(spark):
     r = b.tx(A[0], None)
     w = b.chain(r, A[4], opcode=SUBSCRIPTION_PAYMENT)
     b.chain(w, A[5], opcode=0, value=10**8)  # payment leg to beneficiary
+    from ton_indexer_spark.classifier.base import MULTISIG_APPROVE_ACCEPTED
+
     b2 = TraceBuilder("ma1")
     r2 = b2.tx(A[1], None)
+    # signer → order contract; the order answers approve_accepted AND,
+    # threshold reached, fires execute into the multisig — the reference
+    # approve matcher requires the accepted/rejected answer
+    # (multisig.py:178-189) and claims it into the action
     ms = b2.chain(r2, A[6], opcode=MULTISIG_APPROVE)
+    b2.chain(ms, A[1], opcode=MULTISIG_APPROVE_ACCEPTED)
     b2.chain(ms, A[7], opcode=MULTISIG_EXECUTE)
 
     res = run(spark, [b, b2])
@@ -543,6 +550,12 @@ def test_subscription_and_multisig_approve(spark):
     assert sub[0]["destination"] == A[5] and len(sub[0]["tx_hashes"]) == 3
     ma = acts_of(res, "ma1")
     assert [a["type"] for a in ma] == ["multisig_approve", "multisig_execute"]
+    approve = next(a for a in ma if a["type"] == "multisig_approve")
+    assert approve["success"] is True  # accepted answer → success
+    # approve node + claimed accepted leg + initiating tx (extended set)
+    assert len(approve["tx_hashes"]) == 3
+    assert sorted(approve["_claimed"] if "_claimed" in approve
+                  else approve["tx_hashes"])  # non-empty
 
 
 def test_nft_sale_lifecycle(spark):

@@ -64,3 +64,58 @@ def test_extract_features_feed_similarity(spark):
     topk = cosine_topk(q, c, k=3, id_col="vec_id", vec_col="embedding")
     got = topk.groupBy("query_id").count().collect()
     assert got and all(r["count"] == 3 for r in got)
+
+
+class TestImageHeaderDecode:
+    """PNG IHDR / JPEG SOFn / GIF descriptor parsing from spec-built
+    bytes (ISO 15948 §11.2.2, ITU-T.81 §B.2.2, GIF89a §18) — pure header
+    reads, no codec."""
+
+    def test_png(self):
+        from ton_indexer_spark.multimodal.binary import decode_image_header
+        blob = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+                + (7).to_bytes(4, "big") + (99999).to_bytes(4, "big"))
+        assert decode_image_header(blob) == ("png", 7, 99999)
+
+    def test_jpeg_progressive_sof2_and_restart_markers(self):
+        from ton_indexer_spark.multimodal.binary import decode_image_header
+        # fill bytes before the marker + SOF2 (progressive)
+        blob = (b"\xff\xd8\xff\xff\xff"
+                + b"\xc2" + (11).to_bytes(2, "big") + b"\x08"
+                + (33).to_bytes(2, "big") + (44).to_bytes(2, "big")
+                + b"\x01\x01\x11\x00")
+        assert decode_image_header(blob) == ("jpeg", 44, 33)
+
+    def test_jpeg_dht_is_not_a_frame_header(self):
+        from ton_indexer_spark.multimodal.binary import decode_image_header
+        # DHT (0xC4) sits in the SOF range numerically but is not a frame
+        blob = (b"\xff\xd8\xff"
+                + b"\xc4" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+                + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+                + (10).to_bytes(2, "big") + (20).to_bytes(2, "big")
+                + b"\x01\x01\x11\x00")
+        assert decode_image_header(blob) == ("jpeg", 20, 10)
+
+    def test_jpeg_sos_before_sof_gives_no_dims(self):
+        from ton_indexer_spark.multimodal.binary import decode_image_header
+        blob = (b"\xff\xd8\xff"
+                + b"\xda" + (4).to_bytes(2, "big") + b"\x00\x00"
+                + b"\x12\x34")
+        assert decode_image_header(blob) == ("jpeg", None, None)
+
+    def test_gif87a(self):
+        from ton_indexer_spark.multimodal.binary import decode_image_header
+        blob = b"GIF87a" + (2).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        assert decode_image_header(blob) == ("gif", 2, 3)
+
+    def test_garbage_and_none(self):
+        from ton_indexer_spark.multimodal.binary import decode_image_header
+        assert decode_image_header(b"\x00\x01") == (None, None, None)
+        assert decode_image_header(None) == (None, None, None)
+        assert decode_image_header(b"") == (None, None, None)
+
+    def test_png_wrong_first_chunk(self):
+        from ton_indexer_spark.multimodal.binary import decode_image_header
+        blob = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"XXXX"
+                + b"\x00" * 8)
+        assert decode_image_header(blob) == ("png", None, None)

@@ -1,0 +1,60 @@
+"""No-JVM query-registry sanity (<1 s).
+
+A broken spec registration — an import error in a queries module, a
+duplicate name, a missing oracle, a stale ``_EXPOSURE_FIRST`` entry —
+previously surfaced only at driver time.  These checks run without a
+SparkSession: ``all_specs()`` merely imports the query modules (builders
+execute lazily), so the whole registry contract is verifiable in the
+pre-commit path.
+"""
+
+from __future__ import annotations
+
+from ton_indexer_spark.queries import _EXPOSURE_FIRST, all_specs
+
+# specs whose semantics are deliberately non-SQL-expressible (the driver
+# runs a rows-only check for these); everything else must carry an oracle
+_ORACLE_EXEMPT: set[str] = set()
+
+
+def test_registry_imports_and_size():
+    specs = all_specs()
+    assert len(specs) >= 85, f"registry shrank: {len(specs)} specs"
+
+
+def test_every_spec_has_an_oracle():
+    missing = [
+        n for n, s in all_specs().items()
+        if s.oracle is None and n not in _ORACLE_EXEMPT
+    ]
+    assert not missing, f"specs without oracle SQL: {missing}"
+
+
+def test_every_spec_shape():
+    for name, s in all_specs().items():
+        assert s.name == name
+        assert callable(s.builder), name
+        assert s.oracle is None or (
+            isinstance(s.oracle, str) and "SELECT" in s.oracle.upper()
+        ), name
+
+
+def test_exposure_first_names_resolve():
+    """Every rotation entry must exist in the registry — a typo here
+    silently shrinks the driver's sample window."""
+    specs = all_specs()
+    unknown = [n for n in _EXPOSURE_FIRST if n not in specs]
+    assert not unknown, f"_EXPOSURE_FIRST names not registered: {unknown}"
+
+
+def test_exposure_first_is_window_prefix():
+    """all_specs() must actually lead with the rotation list (the driver
+    samples the first 50 in registration order)."""
+    names = list(all_specs())
+    want = [n for n in _EXPOSURE_FIRST]
+    assert names[: len(want)] == want
+
+
+def test_no_duplicate_registration():
+    names = list(all_specs())
+    assert len(names) == len(set(names))

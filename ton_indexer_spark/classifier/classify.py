@@ -277,12 +277,14 @@ _ROW_COLS = [
     "destination", "value", "opcode", "created_lt", "created_at", "body",
     "acc_jw_owner", "acc_jw_jetton", "acc_is_nft", "acc_pool_dex",
     "acc_is_multisig", "acc_is_auction", "acc_sale_nft", "acc_is_dns",
+    "acc_sale_price", "acc_sale_owner", "acc_sale_marketplace",
 ]
 
 
 _OUT_COLS = [f.name for f in ACTIONS_OUT_SCHEMA]
 _INT_ROW_FIELDS = (
-    "tx_lt", "tx_now", "value", "opcode", "created_lt", "created_at"
+    "tx_lt", "tx_now", "value", "opcode", "created_lt", "created_at",
+    "acc_sale_price",
 )
 
 
@@ -393,6 +395,22 @@ def _classify_rows(
                 r["account"]: r["acc_sale_nft"]
                 for r in rows
                 if r["acc_sale_nft"] is not None
+            },
+            # full listing records where the dimension supplied them —
+            # enables the purchase detection's price/owner/marketplace
+            # fields (matchers.py match_nft_transfer; reference
+            # nft.py:117-150)
+            "nft_sale_info": {
+                r["account"]: {
+                    "nft_address": r["acc_sale_nft"],
+                    "full_price": r["acc_sale_price"],
+                    "nft_owner_address": r["acc_sale_owner"],
+                    "marketplace_address": r["acc_sale_marketplace"],
+                }
+                for r in rows
+                if r["acc_sale_nft"] is not None
+                and (r["acc_sale_price"] is not None
+                     or r["acc_sale_owner"] is not None)
             },
         }
         nodes = build_tree(rows)
@@ -614,13 +632,28 @@ def classify_traces(
     else:
         rows = rows.withColumn("acc_is_auction", F.lit(False))
     if nft_sales is not None:
-        ns = nft_sales.select(
+        # the sale dimension optionally carries the full listing record
+        # (the reference interface repo's get_nft_sale fields,
+        # nft.py:117-150: full_price, nft_owner_address, marketplace) —
+        # absent columns degrade to the address→nft mapping alone
+        ns_cols = [
             F.col("address").alias("account"),
             F.col("nft_address").alias("acc_sale_nft"),
-        )
+        ]
+        for src, dst in (("full_price", "acc_sale_price"),
+                         ("owner", "acc_sale_owner"),
+                         ("marketplace_address", "acc_sale_marketplace")):
+            if src in nft_sales.columns:
+                ns_cols.append(F.col(src).alias(dst))
+        ns = nft_sales.select(*ns_cols)
         rows = rows.join(scoped(ns), "account", "left")
     else:
         rows = rows.withColumn("acc_sale_nft", F.lit(None).cast("string"))
+    for col, typ in (("acc_sale_price", "long"),
+                     ("acc_sale_owner", "string"),
+                     ("acc_sale_marketplace", "string")):
+        if col not in rows.columns:
+            rows = rows.withColumn(col, F.lit(None).cast(typ))
 
     dims_present = frozenset(
         name

@@ -28,6 +28,8 @@ from ton_indexer_spark.classifier.base import (  # noqa: F401  (re-exported)
     JETTON_NOTIFY,
     JETTON_TRANSFER,
     MULTISIG_APPROVE,
+    MULTISIG_APPROVE_ACCEPTED,
+    MULTISIG_APPROVE_REJECTED,
     MULTISIG_EXECUTE,
     MULTISIG_NEW_ORDER,
     NFT_DISCOVERY,
@@ -791,13 +793,44 @@ def match_multisig_approve(node: Node, ctx: Ctx) -> dict | None:
     m = node.in_msg
     if m is None:
         return None
+    signer_index = None
+    is_approve = False
     if m.opcode == MULTISIG_APPROVE:
-        body = m.decoded_body()
+        is_approve = True
+        signer_index = m.decoded_body().get("signer_index")
+    elif (
+        m.opcode in (None, 0)
+        and m.body
+        and m.decoded_body().get("comment") == "approve"
+    ):
+        # vote-by-comment arm (reference MultisigApproveBlockMatcher
+        # test_self, multisig.py:167-175); no signer index available
+        # through this path (multisig.py:192-200)
+        is_approve = True
+        signer_index = -1
+    if is_approve:
+        # the order contract must answer accepted or rejected — the
+        # reference refuses to build the block otherwise
+        # (multisig.py:178-189); success and exit_code come from which
+        accepted = node.child_via(MULTISIG_APPROVE_ACCEPTED)
+        rejected = (
+            None if accepted is not None
+            else node.child_via(MULTISIG_APPROVE_REJECTED)
+        )
+        resp = accepted or rejected
+        if resp is None:
+            return None
+        exit_code = (
+            0 if accepted is not None
+            else rejected.in_msg.decoded_body().get("exit_code")
+        )
         return _base(
-            node, "multisig_approve", destination=node.account,
+            node, "multisig_approve", claimed=[node, resp],
+            destination=node.account,
+            success=accepted is not None and not node.aborted,
             multisig_approve_data={
-                "signer_index": body.get("signer_index"),
-                "exit_code": body.get("exit_code"),
+                "signer_index": signer_index,
+                "exit_code": exit_code,
             },
         )
     if m.opcode == MULTISIG_EXECUTE:

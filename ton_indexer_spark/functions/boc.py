@@ -2080,6 +2080,155 @@ def encode_nft_transfer(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_jetton_notify(
+    query_id: int, amount: int, sender: str | None,
+    forward_payload: "Cell | None" = None,
+) -> str:
+    """transfer_notification#7362d09c (TEP-74) — payload inline-empty
+    unless given (Either arm bit 0/1, mirroring _forward_payload)."""
+    b = (
+        Builder()
+        .store_uint(OP_JETTON_NOTIFY, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_address(sender)
+    )
+    if forward_payload is not None:
+        b.store_bit(1).store_ref(forward_payload)
+    else:
+        b.store_bit(0)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_excesses(query_id: int) -> str:
+    """excesses#d53276db query_id:uint64 (TEP-74)."""
+    cell = (
+        Builder().store_uint(0xD53276DB, 32).store_uint(query_id, 64)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_nft_ownership_assigned(
+    query_id: int, prev_owner: str | None,
+) -> str:
+    """ownership_assigned#05138d91 (TEP-62), inline-empty payload."""
+    cell = (
+        Builder()
+        .store_uint(OP_NFT_OWNERSHIP, 32)
+        .store_uint(query_id, 64)
+        .store_address(prev_owner)
+        .store_bit(0)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_stonfi_swap(
+    query_id: int, user: str | None, token_wallet: str | None,
+    amount: int, min_out: int, from_real_user: str | None = None,
+    ref_address: str | None = None,
+) -> str:
+    """swap#25938561 (ston.fi v1, messages/swaps.py:8-24): router → pool
+    entry; the ref cell carries the actual sender (+ referral)."""
+    inner = Builder().store_address(from_real_user)
+    if ref_address is not None:
+        inner.store_address(ref_address)
+    cell = (
+        Builder()
+        .store_uint(OP_STONFI_SWAP, 32)
+        .store_uint(query_id, 64)
+        .store_address(user)
+        .store_address(token_wallet)
+        .store_coins(amount)
+        .store_coins(min_out)
+        .store_bit(1 if ref_address is not None else 0)
+        .store_ref(inner.end_cell())
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_stonfi_payment_request(
+    query_id: int, owner: str | None, exit_code: int,
+    amount0_out: int, token0_out: str | None,
+    amount1_out: int, token1_out: str | None,
+) -> str:
+    """payment_request#f93bb43f (messages/swaps.py:26-44): pool → router
+    payout order."""
+    ref = (
+        Builder()
+        .store_coins(amount0_out)
+        .store_address(token0_out)
+        .store_coins(amount1_out)
+        .store_address(token1_out)
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(OP_STONFI_PAYMENT_REQ, 32)
+        .store_uint(query_id, 64)
+        .store_address(owner)
+        .store_uint(exit_code, 32)
+        .store_ref(ref)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_multisig_approve(query_id: int, signer_index: int) -> str:
+    """approve#a762230f query_id:uint64 signer_index:uint8
+    (messages/multisig.py:69-83)."""
+    cell = (
+        Builder()
+        .store_uint(OP_MULTISIG_APPROVE, 32)
+        .store_uint(query_id, 64)
+        .store_uint(signer_index, 8)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_multisig_approve_accepted(query_id: int) -> str:
+    cell = (
+        Builder()
+        .store_uint(OP_MULTISIG_APPROVE_ACCEPTED, 32)
+        .store_uint(query_id, 64)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_multisig_approve_rejected(query_id: int, exit_code: int) -> str:
+    cell = (
+        Builder()
+        .store_uint(OP_MULTISIG_APPROVE_REJECTED, 32)
+        .store_uint(query_id, 64)
+        .store_uint(exit_code, 32)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_multisig_execute(
+    query_id: int, order_seqno: int, expiration_date: int,
+    approvals_num: int, signers_hash: bytes, order: "Cell | None" = None,
+) -> str:
+    """execute#75097f5d (messages/multisig.py:101-123)."""
+    b = (
+        Builder()
+        .store_uint(OP_MULTISIG_EXECUTE, 32)
+        .store_uint(query_id, 64)
+        .store_uint(order_seqno, 256)
+        .store_uint(expiration_date, 48)
+        .store_uint(approvals_num, 8)
+        .store_bytes(signers_hash)
+    )
+    if order is not None:
+        b.store_ref(order)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def decode_nft_auction_data(raw: bytes | str, version: str = "v3r3") -> dict:
     """Getgems auction contract DATA cell → listing fields.
 

@@ -31,8 +31,77 @@ META_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("digest", T.StringType()),
         T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Image HEADER decode — pure reads of the published container layouts (PNG
+# ISO/IEC 15948 §5.3/11.2.2, JPEG ITU-T.81 §B.2.2, GIF89a spec §17-18); no
+# codec library involved.  Full PIXEL decode remains the one declared
+# external seam (decode_image_stub below).
+
+def decode_image_header(blob: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from container header bytes alone; Nones
+    on anything that is not a recognizable/complete image header."""
+    if not blob:
+        return None, None, None
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            # first chunk must be IHDR: len(4) 'IHDR' width(4BE) height(4BE)
+            if len(blob) >= 24 and blob[12:16] == b"IHDR":
+                return (
+                    "png",
+                    int.from_bytes(blob[16:20], "big"),
+                    int.from_bytes(blob[20:24], "big"),
+                )
+            return "png", None, None
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            if len(blob) >= 10:
+                return (
+                    "gif",
+                    int.from_bytes(blob[6:8], "little"),
+                    int.from_bytes(blob[8:10], "little"),
+                )
+            return "gif", None, None
+        if blob[:3] == b"\xff\xd8\xff":
+            # walk marker segments to the first SOFn frame header
+            i = 2
+            n = len(blob)
+            while i + 3 < n:
+                if blob[i] != 0xFF:
+                    break
+                while i < n and blob[i] == 0xFF:  # fill bytes
+                    i += 1
+                if i >= n:
+                    break
+                marker = blob[i]
+                i += 1
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                    continue  # standalone markers, no length
+                if i + 1 >= n:
+                    break
+                seg_len = int.from_bytes(blob[i:i + 2], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
+                    # SOFn: len(2) precision(1) height(2BE) width(2BE)
+                    if i + 7 <= n:
+                        return (
+                            "jpeg",
+                            int.from_bytes(blob[i + 5:i + 7], "big"),
+                            int.from_bytes(blob[i + 3:i + 5], "big"),
+                        )
+                    break
+                if marker == 0xDA:  # SOS — entropy data follows, give up
+                    break
+                i += seg_len
+            return "jpeg", None, None
+    except Exception:
+        pass
+    return None, None, None
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text",
@@ -50,6 +119,7 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id",
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[payload_col]
+            headers = blobs.map(decode_image_header)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -58,6 +128,14 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id",
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
                     "format": blobs.map(_sniff),
+                    # real header reads (PNG IHDR / JPEG SOFn / GIF LSD);
+                    # nullable Int32 so non-images stay NULL, not NaN-float
+                    "width": pd.array(
+                        [h[1] for h in headers], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [h[2] for h in headers], dtype="Int32"
+                    ),
                 }
             )
 

@@ -66,42 +66,48 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # classifier gates — the round-5 blind spot; must stay sampled
-    "classify_actions",
-    "classify_states",
-    "classify_action_accounts",
-    "classify_failed_external",
-    "pending_transactions_route",
-    "pending_traces_route",
-    # new in round 6
-    "line_dedup",
-    "quality_score_hashed",
-    "corpus_profile",
-    "embed_pq_topk",
-    "hard_negatives",
-    "word_lm_score",
-    "mmr_select",
-    # never driver-sampled before round 6
-    "semdedup",
-    "embed_kmeans",
-    "source_mixture",
-    "dataset_split",
-    "group_sample",
-    "shard_assign",
-    "dsir_weight",
-    # last sampled in round 3
-    "json_extract",
-    "base64_roundtrip",
-    "opcode_conversion",
-    "multimodal_metadata",
-    "multimodal_frames",
-    "keyset_pagination",
-    "tumbling_window",
-    "approx_distinct",
-    "dedup_embedding_cosine",
-    "percentile_summary",
-    "stratified_sample",
-    "sequence_pack",
+    # new round-7 gates (real-BOC protocol classifier flows + the
+    # integrity/trainer/header gates added this round)
+    "classify_stonfi_swap",
+    "classify_nft_sale",
+    "classify_multisig",
+    "bpe_train",
+    "integrity_audit",
+    "image_header_meta",
+    # the 32 specs last driver-sampled in round 5 (COVERAGE.md tail of
+    # the round-6 window) — everything else was driver-green in r6
+    "prev_pointer",
+    "ordered_collect",
+    "sessionize",
+    "asof_join",
+    "funnel_steps",
+    "cohort_retention",
+    "group_topk",
+    "connected_components",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "tfidf_topk",
+    "doc_chunks",
+    "text_repetition",
+    "pii_detect",
+    "char_lm_quality",
+    "common_ngrams",
+    "bpe_pair_counts",
+    "bpe_encode_sample",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "decontaminate",
+    "dedup_cluster_canonical",
+    "bloom_membership",
+    "repeated_spans",
+    "cross_source_overlap",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "embed_ivf_topk",
 ]
 
 
@@ -132,6 +138,7 @@ def _load_modules() -> None:
         functions_q,
         analytics,
         classify_q,
+        audit_q,
     )
 
     _LOADED = True

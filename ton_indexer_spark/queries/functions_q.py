@@ -87,18 +87,79 @@ def opcode_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS digest,
-           'unknown' AS format
+           'unknown' AS format,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height
     FROM documents
     ORDER BY doc_id
     """,
     survey_ops=("beyond:multimodal",),
     description="binary-column metadata pass via Arrow mapInPandas (byte "
-    "length + digest + magic sniff); payload derived from text since the "
-    "container ships no media files — the plumbing is the product",
+    "length + digest + magic sniff + image-header width/height, NULL for "
+    "non-images); payload derived from text since the container ships no "
+    "media files — the plumbing is the product",
 )
 def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return binary_metadata(with_binary_payload(d)).orderBy("doc_id")
+
+
+def _image_blobs():
+    """Crafted REAL container headers, built field-by-field from the
+    published specs (PNG ISO 15948 §11.2.2, JPEG ITU-T.81 §B.2.2, GIF89a
+    §18) — no codec library involved in making or reading them."""
+    png = (b"\x89PNG\r\n\x1a\n"
+           + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00")
+    jpeg = (b"\xff\xd8\xff"
+            + b"\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            # a DQT segment before the frame header, as real files have
+            + b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big")
+            + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    gif = (b"GIF89a"
+           + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+           + b"\xf7\x00\x00")
+    trunc_png = b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big")  # no IHDR
+    return [
+        (1, png), (2, jpeg), (3, gif),
+        (4, trunc_png), (5, b"not an image"), (6, None),
+    ]
+
+
+@register(
+    "image_header_meta",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'png',  CAST(640 AS INTEGER),
+       CAST(480 AS INTEGER), CAST(33 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'jpeg', CAST(1920 AS INTEGER),
+       CAST(1080 AS INTEGER), CAST(108 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'gif',  CAST(320 AS INTEGER),
+       CAST(200 AS INTEGER), CAST(13 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'png',  CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(12 AS BIGINT)),
+      (CAST(5 AS BIGINT), 'unknown', CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(12 AS BIGINT)),
+      (CAST(6 AS BIGINT), 'empty', CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(0 AS BIGINT))
+    ) AS t(doc_id, format, width, height, n_bytes)
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:multimodal",),
+    description="REAL image-header decode inside the Arrow batch path: "
+    "PNG IHDR / JPEG SOFn / GIF descriptor parsed from crafted spec-"
+    "conformant bytes; truncated and non-image blobs yield NULL dims",
+)
+def image_header_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        _image_blobs(), "doc_id long, payload binary"
+    )
+    return binary_metadata(df).select(
+        "doc_id", "format", "width", "height", "n_bytes"
+    ).orderBy("doc_id")
 
 
 @register(

@@ -733,3 +733,77 @@ def quality_score_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0))
         ).alias("score"),
     ).orderBy("doc_id")
+
+
+def _bpe_train_oracle(n_merges: int = 10) -> str:
+    """DuckDB replay of JUST the trainer, emitting the ordered merge
+    sequence — the same p/m/v iteration template as
+    ``_bpe_encode_oracle`` (kept verbatim so the two oracles stay
+    bit-compatible), finishing with the merge rows instead of encoding."""
+    d1, d2 = "chr(1)", "chr(2)"
+    iters = []
+    for i in range(1, n_merges + 1):
+        prev = f"v{i-1}"
+        iters.append(f"""
+    p{i} AS MATERIALIZED (
+        SELECT s[i] || ' ' || s[i+1] AS pair, freq
+        FROM (SELECT regexp_extract_all(w, {d1}||'(.*?)'||{d2}, 1) AS s,
+                     freq FROM {prev}),
+             unnest(range(1, len(s))) AS t(i)
+        WHERE len(s) >= 2
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+               {i} AS rank
+        FROM p{i} GROUP BY pair ORDER BY SUM(freq) DESC, pair LIMIT 1
+    ),
+    v{i} AS MATERIALIZED (
+        SELECT replace(w,
+            (SELECT {d1}||a||{d2}||{d1}||b||{d2} FROM m{i}),
+            (SELECT {d1}||a||b||{d2} FROM m{i})) AS w, freq
+        FROM {prev}
+    )""")
+    merge_rows = " UNION ALL ".join(
+        f"SELECT rank, a AS left_sym, b AS right_sym FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE length(word) > 0
+    ),
+    wf AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT regexp_replace(word, '(.)', {d1}||'\\1'||{d2}, 'g') AS w,
+               freq
+        FROM wf
+    ),{",".join(iters)}
+    SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym
+    FROM ({merge_rows})
+    ORDER BY rank
+    """
+
+
+@register(
+    "bpe_train",
+    _bpe_train_oracle(),
+    survey_ops=("beyond:bpe-train",),
+    description="the BPE TRAINER itself as a gate: the ordered 10-merge "
+    "sequence learned over the corpus (count-desc / pair-lexicographic "
+    "tiebreak) — deterministic, so the merge list IS the oracle output "
+    "(Sennrich 2016 alg.1; one corpus pass then vocabulary-sized rounds)",
+)
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.bpe import bpe_train
+
+    d = Catalog(spark, sf_dir).documents
+    merges = bpe_train(d, n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string",
+    ).orderBy("rank")
