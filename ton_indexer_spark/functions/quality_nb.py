@@ -1,0 +1,145 @@
+"""Naive-Bayes quality-classifier TRAINER over hashed token features.
+
+``quality_model.py`` scores documents with a fastText-style hashed
+linear model and notes that "a trained weight vector drops in as a map
+literal".  This module supplies that trained vector: a multinomial
+Naive-Bayes log-odds model (the classic CCNet/GPT-3-era quality-filter
+shape) trained entirely with counting aggregations — no gradient loop,
+no float accumulation, exactly reproducible across engines.
+
+Training plan (100 TB shape):
+    tokenize -> explode -> groupBy(bucket)        one shuffle whose key
+    cardinality is ``n_buckets`` (default 1024), so map-side partial
+    aggregation collapses each task's output to <= n_buckets rows; the
+    reduce side is trivially small regardless of corpus size.
+
+Weights are **integer-quantized micro-log-units** (the engine's char-LM
+idiom, see ``queries/text.py::char_lm_quality``):
+
+    w_q[b] = floor((ln(pos_b+1) - ln(pos_tot+B)
+                   - ln(neg_b+1) + ln(neg_tot+B)) * SCALE + 0.5)
+
+so downstream score sums are exact int64 arithmetic — order-independent
+and bit-identical in Spark and DuckDB.
+
+Scoring plan: the trained table is ``n_buckets`` rows — it collects to a
+map literal (a bounded, codebook-sized collect, the repo's policy line)
+and scoring becomes the same map-only zero-shuffle projection as
+``quality_model.hashed_linear_raw``: one scan, ``F.aggregate`` over the
+token array, no explode, no join.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.functions.quality_model import (
+    N_BUCKETS,
+    token_bucket,
+    tokens_lower,
+)
+
+SCALE = 1_000_000
+
+
+def _quantize(x: Column) -> Column:
+    """floor(x*SCALE + 0.5) — identical half-up semantics in Spark and
+    DuckDB (unlike ROUND, whose negative-half tie behavior varies)."""
+    return F.floor(x * F.lit(SCALE) + F.lit(0.5)).cast("long")
+
+
+def nb_bucket_counts(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-bucket positive/negative token counts.
+
+    ``label`` is a boolean column (True = positive class).  Output:
+    (bucket, pos_cnt, neg_cnt) — at most ``n_buckets`` rows.
+    """
+    e = docs.select(
+        label.alias("y"),
+        F.explode(tokens_lower(F.col(text_col))).alias("tok"),
+    )
+    return (
+        e.groupBy(token_bucket(F.col("tok"), n_buckets).alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos_cnt"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg_cnt"),
+        )
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Train: (bucket, pos_cnt, neg_cnt, w_q) with w_q the quantized
+    Laplace-smoothed log-odds.  The totals are a 1-row broadcast join —
+    no second pass over the corpus."""
+    counts = nb_bucket_counts(docs, label, text_col, n_buckets)
+    totals = counts.agg(
+        F.sum("pos_cnt").alias("pos_tot"), F.sum("neg_cnt").alias("neg_tot")
+    )
+    b = F.lit(float(n_buckets))
+    w = (
+        F.log(F.col("pos_cnt") + F.lit(1.0))
+        - F.log(F.col("pos_tot") + b)
+        - F.log(F.col("neg_cnt") + F.lit(1.0))
+        + F.log(F.col("neg_tot") + b)
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", "pos_cnt", "neg_cnt", _quantize(w).alias("w_q")
+    )
+
+
+def nb_prior_q(docs: DataFrame, label: Column) -> int:
+    """Quantized class-prior log-odds (one scalar aggregate)."""
+    row = docs.select(
+        F.sum(F.when(label, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(label, 0).otherwise(1)).alias("n"),
+    ).first()
+    prior = F.log(F.lit(float(row["p"] + 1))) - F.log(F.lit(float(row["n"] + 1)))
+    # evaluate the same expression engine-side for bit parity with the gate
+    return int(
+        docs.sparkSession.range(1).select(_quantize(prior)).first()[0]
+    )
+
+
+def nb_weight_map(weights: DataFrame) -> Column:
+    """Collect the trained table (<= n_buckets rows) into a map literal.
+    Bounded collect: the model, not the data."""
+    rows = weights.select("bucket", "w_q").collect()
+    pairs = list(chain.from_iterable(
+        (F.lit(int(r["bucket"])), F.lit(int(r["w_q"]))) for r in rows
+    ))
+    return F.create_map(*pairs)
+
+
+def nb_score(
+    text: Column,
+    weight_map: Column,
+    prior_q: int,
+    n_buckets: int = N_BUCKETS,
+) -> Column:
+    """Map-only integer score: prior + sum of per-token quantized
+    log-odds.  Unseen buckets contribute 0 (they were smoothed into the
+    totals at train time).  Same zero-shuffle plan shape as
+    ``quality_model.hashed_linear_raw``."""
+    per_tok = F.aggregate(
+        tokens_lower(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(weight_map, token_bucket(t, n_buckets)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return per_tok + F.lit(prior_q)

@@ -74,6 +74,8 @@ _EXPOSURE_FIRST = [
     "bpe_train",
     "integrity_audit",
     "image_header_meta",
+    "quality_nb_train",
+    "quality_nb_score",
     # the 32 specs last driver-sampled in round 5 (COVERAGE.md tail of
     # the round-6 window) — everything else was driver-green in r6
     "prev_pointer",

@@ -807,3 +807,107 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left_sym string, right_sym string",
     ).orderBy("rank")
+
+
+_NB_SQL_COMMON = """
+    t AS (
+      SELECT doc_id, (lang = 'en') AS y,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+                                               '[^a-z0-9]+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, y,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, y, unnest(toks) AS tok FROM t)
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
+      FROM e GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(pos_cnt) AS pos_tot, SUM(neg_cnt) AS neg_tot FROM c
+    ),
+    w AS (
+      SELECT bucket, pos_cnt, neg_cnt,
+             CAST(FLOOR((ln(pos_cnt + 1.0) - ln(pos_tot + 1024.0)
+                       - ln(neg_cnt + 1.0) + ln(neg_tot + 1024.0))
+                        * 1000000 + 0.5) AS BIGINT) AS w_q
+      FROM c, tot
+    )"""
+
+
+@register(
+    "quality_nb_train",
+    f"""
+    WITH {_NB_SQL_COMMON}
+    SELECT bucket, pos_cnt, neg_cnt, w_q FROM w ORDER BY bucket
+    """,
+    survey_ops=("beyond:quality-nb-train",),
+    description="Naive-Bayes quality-classifier TRAINER over hashed token "
+    "features (the CCNet/GPT-3-era quality-filter shape): one "
+    "tokenize-explode-groupBy whose key cardinality is n_buckets=1024, so "
+    "map-side partial agg collapses the shuffle to <=1024 rows per task "
+    "at any corpus size; weights are integer-quantized micro-log-odds "
+    "(Laplace-smoothed), exact across engines",
+)
+def quality_nb_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.quality_nb import nb_train
+
+    d = Catalog(spark, sf_dir).documents
+    return nb_train(d, F.col("lang") == F.lit("en")).orderBy("bucket")
+
+
+@register(
+    "quality_nb_score",
+    f"""
+    WITH {_NB_SQL_COMMON},
+    pr AS (
+      SELECT CAST(FLOOR((ln(SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+                       - ln(SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1.0))
+                        * 1000000 + 0.5) AS BIGINT) AS prior_q
+      FROM t
+    ),
+    s AS (
+      SELECT e.doc_id, SUM(w.w_q) AS tok_sum
+      FROM e JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+           CAST(coalesce(s.tok_sum, 0)
+                + (SELECT prior_q FROM pr) AS BIGINT) AS score_q,
+           (coalesce(s.tok_sum, 0) + (SELECT prior_q FROM pr)) > 0
+             AS pred_pos
+    FROM t LEFT JOIN s USING (doc_id)
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:quality-nb-score",),
+    description="end-to-end trained-model scoring: the NB trainer's "
+    "<=1024-row weight table collects to a map literal (a bounded, "
+    "model-sized collect) and scoring becomes the same map-only "
+    "zero-shuffle F.aggregate projection as quality_score_hashed — "
+    "integer score sums, exact across engines",
+)
+def quality_nb_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.quality_nb import (
+        nb_prior_q,
+        nb_score,
+        nb_train,
+        nb_weight_map,
+    )
+    from ton_indexer_spark.functions.quality_model import tokens_lower
+
+    d = Catalog(spark, sf_dir).documents
+    label = F.col("lang") == F.lit("en")
+    wmap = nb_weight_map(nb_train(d, label))
+    prior = nb_prior_q(d, label)
+    t = F.col("text")
+    score = nb_score(t, wmap, prior)
+    return d.select(
+        "doc_id",
+        F.size(tokens_lower(t)).alias("n_tokens"),
+        score.alias("score_q"),
+        (score > 0).alias("pred_pos"),
+    ).orderBy("doc_id")
