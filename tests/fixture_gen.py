@@ -17,6 +17,7 @@ session to parquet.
 from __future__ import annotations
 
 import base64
+from collections import Counter
 import hashlib
 import json
 import os
@@ -151,6 +152,7 @@ class _Gen:
 
         node_txs: list[dict] = []
         edges = 0
+        root_in_mh = None  # the root's in-message hash (created at i == 0)
         for i, parent in enumerate(parents):
             acc = self.accounts[int(self.rng.integers(0, len(self.accounts)))]
             if i == 0:
@@ -169,6 +171,7 @@ class _Gen:
                     mh = self._new_msg_hash()
                     self._msg_row(tx, "in", mh, None, tx["account"], None,
                                   0, self._opcode())
+                root_in_mh = mh
             else:
                 ptx = node_txs[parent]
                 tx = self._tx(root_trace_id, acc)
@@ -207,13 +210,14 @@ class _Gen:
         nows = [t["now"] for t in node_txs]
         mcs = [t["mc_block_seqno"] for t in node_txs]
         ext = None if broken else self.msgs[-1]["msg_hash"]
-        root_in = [m for m in self.msgs
-                   if m["tx_hash"] == node_txs[0]["hash"] and m["direction"] == "in"]
+        # the root tx always gets exactly one in-row, created at i == 0
+        # above — equivalent to scanning self.msgs for it, without the
+        # O(traces x messages) blowup that made 30k-trace stores minutes
         self.traces.append(
             {
                 "trace_id": root_trace_id,
-                "external_hash": root_in[0]["msg_hash"] if root_in else ext,
-                "external_hash_norm": root_in[0]["msg_hash"] if root_in else ext,
+                "external_hash": root_in_mh if root_in_mh else ext,
+                "external_hash_norm": root_in_mh if root_in_mh else ext,
                 "mc_seqno_start": min(mcs),
                 "mc_seqno_end": max(mcs),
                 "start_lt": min(lts),
@@ -288,6 +292,7 @@ def generate(out_dir: str, n_traces: int = 300, seed: int = 42) -> str:
     _write(f"{out_dir}/message_contents.parquet", contents)
 
     mcs = sorted({t["mc_block_seqno"] for t in g.txs})
+    tx_count_by_mc = Counter(t["mc_block_seqno"] for t in g.txs)
     blocks = []
     for s in mcs:
         blocks.append({
@@ -295,7 +300,7 @@ def generate(out_dir: str, n_traces: int = 300, seed: int = 42) -> str:
             "mc_block_seqno": s,
             "gen_utime": T0 + s * 500, "start_lt": 1_000_000 + (s - 1) * 5000,
             "end_lt": 1_000_000 + s * 5000,
-            "tx_count": sum(1 for t in g.txs if t["mc_block_seqno"] == s),
+            "tx_count": tx_count_by_mc[s],
             "key_block": s % 100 == 0,
             "prev_blocks": [{"workchain": -1, "shard": -9223372036854775808,
                              "seqno": s - 1}] if s > 1 else [],
@@ -305,7 +310,7 @@ def generate(out_dir: str, n_traces: int = 300, seed: int = 42) -> str:
             "mc_block_seqno": s,
             "gen_utime": T0 + s * 500, "start_lt": 1_000_000 + (s - 1) * 5000,
             "end_lt": 1_000_000 + s * 5000,
-            "tx_count": sum(1 for t in g.txs if t["mc_block_seqno"] == s),
+            "tx_count": tx_count_by_mc[s],
             "key_block": False,
             "prev_blocks": [{"workchain": 0, "shard": -9223372036854775808,
                              "seqno": (s - 1) * 2}] if s > 1 else [],
