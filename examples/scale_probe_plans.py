@@ -57,6 +57,14 @@ def pending_overlay_frames(spark, cat):
         )
         .withColumn("finality", F.lit("pending"))
     )
+    # fresh never-seen pending txs: shifted copies of the re-emitted set
+    # (new hash + trace_id + lt) — these survive the finalized anti-join
+    fresh = ptxs.withColumn(
+        "hash", F.concat(F.col("hash"), F.lit("#P"))
+    ).withColumn(
+        "trace_id", F.concat(F.col("trace_id"), F.lit("#P"))
+    ).withColumn("lt", F.col("lt") + F.lit(10_000_000))
+    ptxs = ptxs.unionByName(fresh)
     msgs = cat.messages
     pmsgs = (
         msgs.join(pend_tids, "trace_id", "left_semi")
@@ -107,19 +115,32 @@ def probe(spark, sf_dir: str, label: str) -> dict:
         "actions_by_account(J6)",
         lambda: actions_by_account(cat, account=acct, limit=100).count(),
     )
+    # J8: actions by member tx hash — the reference's tx_hash = ANY(
+    # tx_hashes) array filter (crud_actions_v2.go); probe with the
+    # busiest account's latest tx
+    probe_tx = (
+        cat.transactions.filter(F.col("account") == acct)
+        .orderBy(F.desc("lt")).select("hash").first()["hash"]
+    )
     out["array_membership(J8)"] = timed(
         "array_membership(J8)",
         lambda: cat.actions.filter(
-            F.array_contains(F.col("accounts"), acct)
+            F.array_contains(F.col("tx_hashes"), probe_tx)
         ).count(),
     )
     ptxs, pmsgs = pending_overlay_frames(spark, cat)
     ptxs = ptxs.localCheckpoint(eager=True)
     pmsgs = pmsgs.localCheckpoint(eager=True)
+    # probe an account that IS in the overlay so the anti-joins produce
+    # rows (the busiest store account usually misses the ~1% overlay)
+    pacct = (
+        ptxs.groupBy("account").count().orderBy(F.desc("count"), "account")
+        .first()["account"]
+    )
     out["pending_overlay(T6)"] = timed(
         "pending_overlay(T6)",
         lambda: pending_transactions_query(
-            cat, ptxs, pmsgs, account=acct
+            cat, ptxs, pmsgs, account=pacct
         ).count(),
     )
     hist = cat.account_states_history
