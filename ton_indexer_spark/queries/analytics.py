@@ -488,3 +488,48 @@ def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "curriculum_order",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                   '[^a-z0-9]+'),
+                             x -> x != '')) AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT quantile_cont(n_tokens, 0.25) AS q1,
+             quantile_cont(n_tokens, 0.5)  AS q2,
+             quantile_cont(n_tokens, 0.75) AS q3
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(1 + (n_tokens > q1)::int + (n_tokens > q2)::int
+                  + (n_tokens > q3)::int AS INTEGER) AS tier,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS shuffle_key
+    FROM t, q
+    ORDER BY tier, shuffle_key, doc_id
+    """,
+    survey_ops=("beyond:curriculum-order",),
+    description="curriculum data ordering (Bengio 2009) as a SORT SPEC, "
+    "not a global rank: one scalar percentile aggregate yields the "
+    "n_tiers-1 exact difficulty cut points (bit-compatible with DuckDB "
+    "quantile_cont), then a map-only projection assigns tier + "
+    "deterministic md5 shuffle_key — the shard writer orders by "
+    "(tier, shuffle_key); no single-partition window at any scale",
+)
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.quality_model import tokens_lower
+    from ton_indexer_spark.operators.curriculum import curriculum_order
+
+    d = Catalog(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        F.size(tokens_lower(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return curriculum_order(
+        base, F.col("n_tokens"), n_tiers=4, id_col="doc_id"
+    ).orderBy("tier", "shuffle_key", "doc_id")
