@@ -64,6 +64,9 @@ HEADLINE = [
     "line_dedup",
     "quality_score_hashed",
     "classify_actions",
+    # round 7
+    "quality_nb_score",
+    "curriculum_order",
 ]
 
 

@@ -17,6 +17,30 @@ boilerplate by definition) but contributes >32k join pairs; dropping it
 changes Jaccard only for pairs that were already near-identical in their
 rare shingles.  Pass ``max_shingle_df=None`` to disable, and enable INFO
 logging on this module to see how many shingles the cap dropped.
+
+Two LOSSLESS candidate filters on top of the cap (output provably
+identical; both from the exact-similarity-join literature):
+
+- **size filter** (always on): J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t,
+  checked in exact integer arithmetic inside the posting join before
+  the per-pair aggregation — rows for size-incompatible pairs never
+  reach the shuffle's reduce side.
+- **prefix filter** (``prefix_filter=True``, OPT-IN — the
+  AllPairs/SSJoin family, Bayardo et al. WWW'07, Chaudhuri et al.
+  ICDE'06): under any global shingle order, a qualifying pair must
+  share a shingle inside the probing doc's first
+  ``|S| - ceil(t·|S|) + 1`` shingles (the common count is ≥
+  ceil(t·|S|) and only ceil(t·|S|) - 1 shingles lie outside the
+  prefix), so indexing only the prefix — ordered by ascending document
+  frequency, i.e. the RARE shingles — against full postings drops
+  candidate volume from Σ df² to Σ df_prefix·df.  That is a large win
+  exactly when shingle document frequency is Zipf-skewed (natural
+  text).  MEASURED counter-productive on this repo's synthetic
+  flat-frequency corpus (155-word vocabulary → near-uniform df): at
+  sf1 the prefix kept 71% of postings and candidate rows grew 152M vs
+  114M plain (the `!=` join sees both orientations), so the default
+  stays off and the gate uses the plain size-filtered join.  Natural
+  corpora should enable it.
 """
 
 from __future__ import annotations
@@ -25,7 +49,7 @@ import logging
 
 from fractions import Fraction
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ton_indexer_spark.dedup.shingles import shingles
@@ -42,16 +66,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Return (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs with
     Jaccard >= threshold (doc_a < doc_b).
 
     ``max_shingle_df`` caps the posting-list length per shingle (the
-    self-join skew guard — see module docstring); ``None`` disables."""
+    self-join skew guard — see module docstring); ``None`` disables.
+    ``prefix_filter`` enables the lossless rare-shingle prefix index
+    (identical output; wins on Zipf-skewed natural corpora, see module
+    docstring); the default is the plain size-filtered posting join."""
     sh = shingles(docs, id_col, text_col, k)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     if max_shingle_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        keep = df_counts.filter(F.col("df") <= max_shingle_df)
+        keep = df_counts.filter(F.col("sdf") <= max_shingle_df)
         if logger.isEnabledFor(logging.INFO):
             # no silent caps: count what the guard dropped (extra job, so
             # only when the caller opted into INFO logging)
@@ -60,28 +88,52 @@ def ngram_jaccard_pairs(
                 "ngram_jaccard_pairs: dropped %d shingles with df > %d",
                 n_dropped, max_shingle_df,
             )
+        df_counts = keep
         sh = sh.join(keep.select("shingle"), "shingle")
-    # the shingle set feeds three plan branches (a-side, b-side, sizes);
-    # without caching, Catalyst re-runs tokenize+explode per branch
+    # the shingle set feeds several plan branches (postings, prefix,
+    # sizes); without caching, Catalyst re-runs tokenize+explode per branch
     sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
-
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+    # postings carry the doc's set size: the size filter prunes inside
+    # the posting join, and the per-pair sizes ride through the
+    # aggregation (constant per group) instead of two downstream joins.
+    # sizes is one row per doc — explicitly broadcast: the agg output's
+    # planning-time stats are unknown, and without the hint the postings
+    # side gets shuffled by doc id just to meet a 16-byte-per-row table
+    shs = sh.join(F.broadcast(sizes), id_col)
+
+    if prefix_filter:
+        common = _prefix_filtered_common(shs, df_counts, frac, id_col)
+    else:
+        a = shs.select(
+            F.col(id_col).alias("doc_a"), "shingle", F.col("size").alias("size_a")
+        )
+        b = shs.select(
+            F.col(id_col).alias("doc_b"), "shingle", F.col("size").alias("size_b")
+        )
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            # lossless size filter: J >= t forces t*|B| <= |A| <= |B|/t
+            .filter(
+                (F.col("size_a") * F.lit(den) >= F.col("size_b") * F.lit(num))
+                & (F.col("size_b") * F.lit(den) >= F.col("size_a") * F.lit(num))
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("common"),
+                F.max("size_a").alias("size_a"),
+                F.max("size_b").alias("size_b"),
+            )
+        )
     out = (
-        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("size").alias("size_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("size").alias("size_b")), "doc_b")
-        .withColumn("union_size", F.col("size_a") + F.col("size_b") - F.col("common"))
+        common.withColumn(
+            "union_size", F.col("size_a") + F.col("size_b") - F.col("common")
+        )
         .filter(
-            F.col("common") * F.lit(frac.denominator)
-            >= F.lit(frac.numerator) * F.col("union_size")
+            F.col("common") * F.lit(den) >= F.lit(num) * F.col("union_size")
         )
         .select(
             "doc_a",
@@ -95,3 +147,81 @@ def ngram_jaccard_pairs(
         )
     )
     return out
+
+
+def _prefix_filtered_common(
+    shs: DataFrame, df_counts: DataFrame, frac: Fraction, id_col: str
+) -> DataFrame:
+    """(doc_a, doc_b, common, size_a, size_b) for every pair that can
+    reach the threshold.  ``shs`` is the posting table with a ``size``
+    column per doc.
+
+    Candidate generation: index only each doc's PREFIX — its first
+    ``s - ceil(t·s) + 1`` shingles under the global (df asc, shingle asc)
+    order — and join it against the FULL posting lists.  Lossless: a
+    qualifying pair shares ≥ ceil(t·s) shingles, and the probing doc has
+    only ceil(t·s) - 1 shingles outside its prefix, so at least one
+    shared shingle falls inside it.  The size filter applies inside the
+    candidate join.  Exact verification then recomputes |A∩B| with one
+    array_intersect over the two docs' shingle sets — per-candidate
+    work, no second posting join.
+    """
+    # rank each doc's shingles by global rarity; prefix = rarest few.
+    # ceil(t*s) in exact integer arithmetic: (num*s + den - 1) // den
+    ranked = shs.join(df_counts, "shingle")
+    w = Window.partitionBy(id_col).orderBy("sdf", "shingle")
+    num, den = frac.numerator, frac.denominator
+    size = F.col("size")
+    min_overlap = F.floor((F.lit(num) * size + F.lit(den - 1)) / F.lit(den))
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= size - min_overlap + F.lit(1))
+        .select(F.col(id_col).alias("_pa"), "shingle", size.alias("_za"))
+    )
+    cand = (
+        prefix.join(
+            shs.select(
+                F.col(id_col).alias("_pb"), "shingle", size.alias("_zb")
+            ),
+            "shingle",
+        )
+        .filter(F.col("_pa") != F.col("_pb"))
+        .filter(
+            (F.col("_za") * F.lit(den) >= F.col("_zb") * F.lit(num))
+            & (F.col("_zb") * F.lit(den) >= F.col("_za") * F.lit(num))
+        )
+        .select(
+            F.least("_pa", "_pb").alias("doc_a"),
+            F.greatest("_pa", "_pb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    docsets = shs.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shset"), F.max("size").alias("size")
+    )
+    return (
+        cand.join(
+            docsets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("shset").alias("_sa"),
+                F.col("size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docsets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("shset").alias("_sb"),
+                F.col("size").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("common"),
+            "size_a",
+            "size_b",
+        )
+        .filter(F.col("common") > 0)
+    )
