@@ -1,0 +1,76 @@
+"""Classifier evaluation: exact distributed AUC + confusion counts.
+
+A quality-filter pipeline needs to evaluate its classifier on labeled
+data at corpus scale.  AUC is the Mann-Whitney U statistic,
+
+    AUC = (#(pos,neg) pairs with s_pos > s_neg + ½·ties) / (npos·nneg),
+
+which naive formulations compute from global ranks — a single-partition
+window at scale.  This operator uses the group-by-score decomposition:
+
+    U = Σ_s pos_s · (cum_neg_below(s) + ½·neg_s)
+
+so the corpus collapses to one row per DISTINCT score (bounded by the
+score's quantization — the engine's integer micro-log-unit scores keep
+this small), and the cumulative term comes from the two-phase
+distributed prefix sum (``operators/prefix.py::global_running_sum``) —
+no single-partition window at any scale.
+
+All arithmetic is exact int64 (U is doubled to absorb the ½·ties term);
+the reported ``auc`` double is one IEEE division of exact integers —
+deterministic across engines, the repo's standard idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ton_indexer_spark.operators.prefix import global_running_sum
+
+
+def binary_auc(
+    df: DataFrame, score: Column, label: Column, threshold: int = 0
+) -> DataFrame:
+    """One-row DataFrame: (npos, nneg, u2, auc, tp, fp, tn, fn).
+
+    ``label`` is boolean (True = positive); ``score`` must be orderable
+    (integer-quantized scores recommended).  ``u2`` = 2·U so ties stay
+    integer.  Confusion counts use ``score > threshold`` as the
+    predicted-positive rule.
+    """
+    y = label
+    by_score = (
+        df.select(score.alias("score"), y.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg"),
+        )
+    )
+    run = global_running_sum(by_score, "score", "neg", out_col="cum_neg")
+    s = F.col("score")
+    return run.agg(
+        F.sum("pos").alias("npos"),
+        F.sum("neg").alias("nneg"),
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum_neg") - F.col("neg")) + F.col("neg"))
+        ).alias("u2"),
+        F.sum(F.when(s > threshold, F.col("pos")).otherwise(0)).alias("tp"),
+        F.sum(F.when(s > threshold, F.col("neg")).otherwise(0)).alias("fp"),
+        F.sum(F.when(s <= threshold, F.col("neg")).otherwise(0)).alias("tn"),
+        F.sum(F.when(s <= threshold, F.col("pos")).otherwise(0)).alias("fn"),
+    ).select(
+        "npos",
+        "nneg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (2.0 * F.col("npos").cast("double") * F.col("nneg").cast("double"))
+        ).alias("auc"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+    )

@@ -77,6 +77,7 @@ _EXPOSURE_FIRST = [
     "quality_nb_train",
     "quality_nb_score",
     "curriculum_order",
+    "quality_nb_auc",
     # the 32 specs last driver-sampled in round 5 (COVERAGE.md tail of
     # the round-6 window) — everything else was driver-green in r6
     "prev_pointer",

@@ -911,3 +911,75 @@ def quality_nb_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score_q"),
         (score > 0).alias("pred_pos"),
     ).orderBy("doc_id")
+
+
+@register(
+    "quality_nb_auc",
+    f"""
+    WITH {_NB_SQL_COMMON},
+    pr AS (
+      SELECT CAST(FLOOR((ln(SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+                       - ln(SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1.0))
+                        * 1000000 + 0.5) AS BIGINT) AS prior_q
+      FROM t
+    ),
+    sc AS (
+      SELECT t.doc_id, t.y,
+             coalesce(s.tok_sum, 0) + (SELECT prior_q FROM pr) AS score_q
+      FROM t LEFT JOIN (
+        SELECT e.doc_id, SUM(w.w_q) AS tok_sum
+        FROM e JOIN w USING (bucket) GROUP BY 1
+      ) s USING (doc_id)
+    ),
+    ag AS (
+      SELECT score_q,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+      FROM sc GROUP BY 1
+    ),
+    ac AS (
+      SELECT score_q, pos, neg,
+             SUM(neg) OVER (ORDER BY score_q) AS cum_neg
+      FROM ag
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+           CAST(SUM(neg) AS BIGINT) AS nneg,
+           CAST(SUM(pos * (2 * (cum_neg - neg) + neg)) AS BIGINT) AS u2,
+           CAST(SUM(pos * (2 * (cum_neg - neg) + neg)) AS DOUBLE)
+             / (2.0 * SUM(pos) * SUM(neg)) AS auc,
+           CAST(SUM(CASE WHEN score_q > 0 THEN pos ELSE 0 END) AS BIGINT)
+             AS tp,
+           CAST(SUM(CASE WHEN score_q > 0 THEN neg ELSE 0 END) AS BIGINT)
+             AS fp,
+           CAST(SUM(CASE WHEN score_q <= 0 THEN neg ELSE 0 END) AS BIGINT)
+             AS tn,
+           CAST(SUM(CASE WHEN score_q <= 0 THEN pos ELSE 0 END) AS BIGINT)
+             AS fn
+    FROM ac
+    """,
+    survey_ops=("beyond:quality-auc",),
+    description="exact distributed AUC (Mann-Whitney U) + confusion "
+    "counts for the trained NB quality classifier, evaluated in-sample "
+    "on the corpus labels: the corpus collapses to one row per DISTINCT "
+    "integer score, the cumulative term comes from the two-phase "
+    "distributed prefix sum (no single-partition window at any scale), "
+    "and U is doubled so tie handling stays exact int64",
+)
+def quality_nb_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.quality_nb import (
+        nb_prior_q,
+        nb_score,
+        nb_train,
+        nb_weight_map,
+    )
+    from ton_indexer_spark.operators.evaluation import binary_auc
+
+    d = Catalog(spark, sf_dir).documents
+    label = F.col("lang") == F.lit("en")
+    wmap = nb_weight_map(nb_train(d, label))
+    prior = nb_prior_q(d, label)
+    scored = d.select(
+        nb_score(F.col("text"), wmap, prior).alias("score_q"),
+        label.alias("y"),
+    )
+    return binary_auc(scored, F.col("score_q"), F.col("y"), threshold=0)
