@@ -27,6 +27,7 @@ Run:  python examples/make_sf1.py [dst_dir]     (default .sfgen/sf1)
 
 from __future__ import annotations
 
+import hashlib
 import os
 import random
 import sys
@@ -90,7 +91,9 @@ def _document_permutation(df, copy_idx: int, by_lang):
         return df
     mapping = {}
     for lang, words in by_lang.items():
-        rng = random.Random(20_000 + 1000 * copy_idx + hash(lang) % 997)
+        # stable seed: python's str hash is salted per process
+        lang_h = int(hashlib.md5(lang.encode()).hexdigest()[:6], 16)
+        rng = random.Random(20_000 + 1000 * copy_idx + lang_h % 997)
         shuffled = words[:]
         rng.shuffle(shuffled)
         for a, b in zip(words, shuffled):

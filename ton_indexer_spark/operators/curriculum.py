@@ -39,6 +39,8 @@ def difficulty_thresholds(
     row = df.agg(
         F.percentile(difficulty, F.array([F.lit(f) for f in fracs])).alias("t")
     ).first()
+    if row["t"] is None:  # empty input: everything lands in tier 1
+        return []
     return [float(x) for x in row["t"]]
 
 
