@@ -380,6 +380,7 @@ def test_multisig_family_boc_bodies(spark):
     from ton_indexer_spark.functions.boc import Builder
     from ton_indexer_spark.classifier.matchers import (
         MULTISIG_APPROVE,
+        MULTISIG_APPROVE_ACCEPTED,
         MULTISIG_NEW_ORDER,
     )
     from tests.test_classifier import A, TraceBuilder, acts_of, run
@@ -400,9 +401,17 @@ def test_multisig_family_boc_bodies(spark):
         Builder().store_uint(MULTISIG_APPROVE, 32).store_uint(3, 64)
         .store_uint(5, 8).end_cell()
     )
+    accepted = (
+        Builder().store_uint(MULTISIG_APPROVE_ACCEPTED, 32)
+        .store_uint(3, 64).end_cell()
+    )
     b2 = TraceBuilder("mb2")
     r2 = b2.tx(A[1], None)
-    b2.chain(r2, MS, opcode=MULTISIG_APPROVE, body=_b64(approve))
+    ms2 = b2.chain(r2, MS, opcode=MULTISIG_APPROVE, body=_b64(approve))
+    # the order must answer accepted/rejected or the reference refuses to
+    # build the block (multisig.py:178-189) — claim the answer leg
+    b2.chain(ms2, A[1], opcode=MULTISIG_APPROVE_ACCEPTED,
+             body=_b64(accepted))
 
     res = run(spark, [b, b2], multisig=[{"address": MS}])
     a1 = acts_of(res, "mb1")
