@@ -120,6 +120,36 @@ def main() -> None:
         kept = kept.join(scored_ok.union(unscored), "doc_id")
     n = stage("word-LM filter", kept, n)
 
+    # ---- 1d. distill the heuristic gates into a trained classifier: the
+    # CCNet/GPT-3 move — docs the gates KEPT are positives, the rest
+    # negatives; the NB trainer is one bounded-cardinality groupBy, the
+    # trained weights collapse to a map literal, and scoring is the same
+    # zero-shuffle projection as 1b.  AUC (exact, distributed) reports
+    # how well the learned model reproduces the gates.
+    from ton_indexer_spark.functions.quality_nb import (
+        nb_prior_q,
+        nb_score,
+        nb_train,
+        nb_weight_map,
+    )
+    from ton_indexer_spark.operators.evaluation import binary_auc
+
+    labeled = docs.join(
+        kept.select("doc_id", F.lit(True).alias("_kept")), "doc_id", "left"
+    ).withColumn("_kept", F.coalesce(F.col("_kept"), F.lit(False)))
+    wmap = nb_weight_map(nb_train(labeled, F.col("_kept")))
+    prior = nb_prior_q(labeled, F.col("_kept"))
+    ev = binary_auc(
+        labeled.select(
+            nb_score(F.col("text"), wmap, prior).alias("s"),
+            F.col("_kept").alias("y"),
+        ),
+        F.col("s"),
+        F.col("y"),
+    ).first()
+    print(f"  NB distilled classifier   AUC {ev['auc']:.3f} vs the gates "
+          f"({ev['npos']} pos / {ev['nneg']} neg)")
+
     # ---- 2. PII redaction (map-side rewrite, text replaced in place) ------
     kept = kept.withColumn("text", redact_pii(F.col("text")))
 
@@ -250,7 +280,19 @@ def main() -> None:
     print(f"  bpe tokenizer             {len(merges)} merges, first 5: "
           f"{['+'.join(m) for m in merges[:5]]}")
 
-    # ---- 10. deterministic shard assignment for the training loader -------
+    # ---- 10. curriculum order (sort spec: tier by difficulty quantile +
+    # deterministic shuffle key; the shard writer orders by it) -------------
+    from ton_indexer_spark.operators.curriculum import curriculum_order
+
+    curr = curriculum_order(
+        packed, F.col("chunk_tokens"), n_tiers=4, id_col="chunk_id"
+    )
+    tiers = {r["tier"]: r["n"] for r in curr.groupBy("tier")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"  curriculum order          4 tiers {tiers} "
+          f"(ORDER BY tier, shuffle_key)")
+
+    # ---- 11. deterministic shard assignment for the training loader -------
     from ton_indexer_spark.operators.sampling import shard_assign
 
     sharded = shard_assign(packed, id_col="chunk_id", n_shards=8)
@@ -260,7 +302,7 @@ def main() -> None:
     sizes = sorted(r["n"] for r in per_shard)
     print(f"  shard assignment          8 shards, {sizes[0]}-{sizes[-1]} "
           f"chunks each")
-    # ---- 11. embedding-side curation artifacts -----------------------------
+    # ---- 12. embedding-side curation artifacts -----------------------------
     # (a) diversified eval exemplars: ANN candidates -> per-query MMR, so
     # the eval set spans the space instead of k near-copies of the center
     from ton_indexer_spark.similarity.mmr import mmr_select
