@@ -59,9 +59,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d).orderBy("fingerprint")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+_NGRAM_JACCARD_ORACLE = f"""
     WITH {_SHINGLE_CTE},
     -- document-frequency skew cap, mirroring the Spark default
     -- (dedup/ngram.py DEFAULT_MAX_SHINGLE_DF)
@@ -85,7 +83,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE common * 10 >= 3 * (sa.sz + sb.sz - common)
     ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_JACCARD_ORACLE,
     survey_ops=("beyond:dedup-ngram",),
     description="3-gram shingle Jaccard pairs >= 0.3 (integer-exact threshold)",
 )
@@ -96,6 +99,23 @@ def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumnRenamed("size_a", "size_a")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_ngram_prefix",
+    _NGRAM_JACCARD_ORACLE,
+    survey_ops=("beyond:dedup-ngram-prefix",),
+    description="the SAME exact Jaccard pair set through the lossless "
+    "AllPairs rare-shingle prefix index (index prefix postings vs full "
+    "postings, size filter in the candidate join, array_intersect "
+    "verification) — one SQL ground truth attests both physical paths; "
+    "the prefix path is the Zipf-skewed-corpus scale plan",
+)
+def dedup_ngram_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return ngram_jaccard_pairs(
+        d, threshold=0.3, k=3, prefix_filter=True
+    ).orderBy("doc_a", "doc_b")
 
 
 def _minhash_pairs_with() -> str:
