@@ -70,7 +70,10 @@ def test_synthetic_corpus_indexed_equals_full_scan():
              CAST(NULL AS VARCHAR) AS acc_jw_jetton,
              FALSE AS acc_is_nft, CAST(NULL AS VARCHAR) AS acc_pool_dex,
              FALSE AS acc_is_multisig, FALSE AS acc_is_auction,
-             CAST(NULL AS VARCHAR) AS acc_sale_nft, FALSE AS acc_is_dns
+             CAST(NULL AS VARCHAR) AS acc_sale_nft, FALSE AS acc_is_dns,
+             CAST(NULL AS BIGINT) AS acc_sale_price,
+             CAST(NULL AS VARCHAR) AS acc_sale_owner,
+             CAST(NULL AS VARCHAR) AS acc_sale_marketplace
       FROM read_parquet('{fx}/transactions.parquet') t
       LEFT JOIN read_parquet('{fx}/messages.parquet') m
         ON m.tx_hash = t.hash

@@ -571,6 +571,7 @@ def test_typed_payloads_on_generic_matchers(spark):
     from ton_indexer_spark.classifier.base import (
         CHANGE_DNS_OP,
         MULTISIG_APPROVE,
+        MULTISIG_APPROVE_ACCEPTED,
         VESTING_ADD_WHITELIST,
         VESTING_ADD_WHITELIST_RESP,
     )
@@ -591,8 +592,11 @@ def test_typed_payloads_on_generic_matchers(spark):
 
     b3 = TraceBuilder("tp3")
     r3 = b3.tx(A[3], None)
-    b3.chain(r3, "0:msig" + "0" * 58, opcode=MULTISIG_APPROVE,
-             body=body_of({"signer_index": 2, "exit_code": 0}))
+    ms3 = b3.chain(r3, "0:msig" + "0" * 58, opcode=MULTISIG_APPROVE,
+                   body=body_of({"signer_index": 2, "exit_code": 0}))
+    # the order must answer accepted/rejected or the matcher refuses
+    # (reference multisig.py:178-189)
+    b3.chain(ms3, A[3], opcode=MULTISIG_APPROVE_ACCEPTED)
 
     b4 = TraceBuilder("tp4")
     r4 = b4.tx(A[4], None)
