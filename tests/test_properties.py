@@ -198,3 +198,84 @@ def test_mmr_first_pick_is_relevance_argmax(spark, vecs):
     # and no id is ever picked twice
     ids = [r["neighbor_id"] for r in picks]
     assert len(ids) == len(set(ids))
+
+
+# ---- round-7 properties: lossless ngram filters, exact AUC ----------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+DOCS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+    min_size=2,
+    max_size=14,
+)
+THRESH = st.sampled_from([0.2, 0.3, 0.5, 0.8])
+
+
+def _brute_jaccard_pairs(docs, threshold, k=3):
+    """Pure-python ground truth: distinct k-shingles per doc, all pairs."""
+    sets = {}
+    for i, words in enumerate(docs):
+        sh = {" ".join(words[j:j + k]) for j in range(len(words) - k + 1)}
+        sets[i] = sh
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            union = len(a | b)
+            if union and inter / union >= threshold - 1e-12:
+                # integer-exact check like the engine: inter/union >= t
+                from fractions import Fraction
+
+                f = Fraction(threshold).limit_denominator(10**6)
+                if inter * f.denominator >= f.numerator * union:
+                    out.add((ids[x], ids[y]))
+    return out
+
+
+@given(DOCS, THRESH)
+@settings(**SETTINGS)
+def test_ngram_pairs_match_bruteforce_both_paths(spark, docs, threshold):
+    from ton_indexer_spark.dedup.ngram import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    want = _brute_jaccard_pairs(docs, threshold)
+    for pf in (False, True):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(
+                df, threshold=threshold, max_shingle_df=None, prefix_filter=pf
+            ).collect()
+        }
+        assert got == want, (pf, threshold)
+
+
+SCORES = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # score
+        st.booleans(),                             # label
+    ),
+    min_size=2,
+    max_size=40,
+).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs))
+
+
+@given(SCORES)
+@settings(**SETTINGS)
+def test_binary_auc_matches_pair_enumeration(spark, rows):
+    from ton_indexer_spark.operators.evaluation import binary_auc
+
+    df = spark.createDataFrame(rows, "score long, y boolean")
+    r = binary_auc(df, F.col("score"), F.col("y")).first()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert r["u2"] == u2
+    assert r["npos"] == len(pos) and r["nneg"] == len(neg)
+    assert abs(r["auc"] - u2 / (2 * len(pos) * len(neg))) < 1e-12
