@@ -440,3 +440,43 @@ def test_pq_scan_is_single_pass_per_side(spark, specs):
     plan = plan_of(df)
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan  # window partitioning + final sort
+
+
+def test_nb_train_has_single_bucket_exchange(spark, specs):
+    """quality_nb_train's only data shuffle is the n_buckets-cardinality
+    groupBy (plus the 1-row totals broadcast): partial aggregation must
+    appear below it so each map task emits <= n_buckets rows."""
+    df = specs["quality_nb_train"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert "BroadcastExchange" in plan  # the totals join
+
+
+def test_curriculum_assignment_adds_no_exchange(spark, specs):
+    """After the scalar percentile agg collects the cut points, the
+    tier/shuffle_key projection must be map-only."""
+    from pyspark.sql import functions as F
+
+    from ton_indexer_spark.catalog import Catalog
+    from ton_indexer_spark.operators.curriculum import curriculum_order
+
+    d = Catalog(spark, SF_SMALL).documents.select(
+        "doc_id", F.length("text").alias("diff")
+    )
+    out = curriculum_order(d, F.col("diff"), n_tiers=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_auc_windows_are_partitioned(spark, specs):
+    """binary_auc must never plan a global single-partition data window:
+    every Window over the per-score table is partitioned by the prefix
+    sum's _pid (the only unpartitioned window runs on the #partitions-row
+    totals table, which is bounded by config, not data)."""
+    df = specs["quality_nb_auc"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every window operator over the score rows carries a partition spec
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("_pid" in w for w in wins) or "_pid" in plan
