@@ -983,3 +983,80 @@ def quality_nb_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         label.alias("y"),
     )
     return binary_auc(scored, F.col("score_q"), F.col("y"), threshold=0)
+
+
+def _wordpiece_oracle(rounds: int = 10, min_freq: int = 4,
+                      max_len: int = 6) -> str:
+    """DuckDB replay of greedy longest-match segmentation, rounds
+    unrolled as materialized CTEs (the bpe-oracle template; corpus max
+    word length is 8, so 10 rounds always finish).  max_by's tie set at
+    one cursor is a single distinct string (substr at fixed length is
+    unique), so the argmax is deterministic."""
+    adv = []
+    for i in range(1, rounds + 1):
+        adv.append(f"""
+    s{i} AS MATERIALIZED (
+        SELECT word, pos, toks FROM s{i - 1} WHERE pos > len(word)
+        UNION ALL
+        SELECT word, pos + len(t) AS pos, list_append(toks, t) AS toks
+        FROM (
+            SELECT s.word AS word, s.pos AS pos, s.toks AS toks,
+                   max_by(v.token, len(v.token)) AS t
+            FROM s{i - 1} s JOIN vocab v
+              ON v.token = substr(s.word, s.pos, len(v.token))
+            WHERE s.pos <= len(s.word)
+            GROUP BY 1, 2, 3
+        )
+    )""")
+    return f"""
+    WITH wf AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(trim(text), '\\s+'),
+                x -> x != '')) AS word
+            FROM documents) GROUP BY 1
+    ),
+    subs AS (
+        SELECT substr(word, s, l) AS token, freq
+        FROM wf,
+             unnest(range(1, len(word) + 1)) AS t1(s),
+             unnest(range(1, least({max_len}, len(word) - s + 1) + 1))
+               AS t2(l)
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, SUM(freq) AS tf FROM subs GROUP BY 1)
+        WHERE len(token) = 1 OR tf >= {min_freq}
+    ),
+    s0 AS (SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM wf),
+    {",".join(adv)}
+    SELECT word, CAST(len(toks) AS INT) AS n_tokens,
+           array_to_string(toks, ' ') AS segmented
+    FROM s{rounds}
+    ORDER BY word
+    """
+
+
+@register(
+    "wordpiece_segment",
+    _wordpiece_oracle(),
+    survey_ops=("beyond:wordpiece-segment",),
+    description="WordPiece/SentencePiece-style greedy longest-match "
+    "segmentation over a corpus-derived substring vocabulary — the "
+    "tokenizer-inference twin of the BPE trainer: segmentation runs "
+    "over the distinct-word VOCABULARY (Zipf-small), each round one "
+    "broadcast-vocab expression join + shrinking-frontier argmax, "
+    "rounds bounded by the longest word; single-char coverage "
+    "guarantees termination",
+)
+def wordpiece_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.bpe import word_frequencies
+    from ton_indexer_spark.functions.wordpiece import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    wf = word_frequencies(d)
+    vocab = wordpiece_vocab(wf, min_freq=4)
+    return wordpiece_segment(wf.select("word"), vocab).orderBy("word")
