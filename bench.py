@@ -67,6 +67,8 @@ HEADLINE = [
     # round 7
     "quality_nb_score",
     "curriculum_order",
+    "quality_nb_auc",
+    "wordpiece_segment",
 ]
 
 

@@ -80,6 +80,7 @@ _EXPOSURE_FIRST = [
     "quality_nb_auc",
     "dedup_ngram_prefix",
     "wordpiece_segment",
+    "vocab_spectrum",
     # the 32 specs last driver-sampled in round 5 (COVERAGE.md tail of
     # the round-6 window) — everything else was driver-green in r6
     "prev_pointer",

@@ -533,3 +533,42 @@ def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(
         base, F.col("n_tokens"), n_tiers=4, id_col="doc_id"
     ).orderBy("tier", "shuffle_key", "doc_id")
+
+
+@register(
+    "vocab_spectrum",
+    """
+    WITH wf AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                x -> x != '')) AS word
+            FROM documents) GROUP BY 1
+    )
+    SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM wf GROUP BY freq ORDER BY freq
+    """,
+    survey_ops=("beyond:vocab-spectrum",),
+    description="frequency-of-frequencies vocabulary spectrum (the Zipf "
+    "diagnostic corpus linguists and tokenizer trainers read first): two "
+    "count-keyed aggregations whose reduce sides are |vocabulary| and "
+    "|distinct frequencies| — both Zipf-small at any corpus size",
+)
+def vocab_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.functions.quality_model import tokens_lower
+
+    d = Catalog(spark, sf_dir).documents
+    wf = (
+        d.select(F.explode(tokens_lower(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        wf.groupBy("freq")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("n_occurrences"),
+        )
+        .orderBy("freq")
+    )
