@@ -87,7 +87,7 @@ def wordpiece_segment(
         "word", F.lit(1).alias("pos"),
         F.array().cast("array<string>").alias("toks"),
     ).localCheckpoint(eager=True)
-    done_parts = []
+    done_parts = [state.filter(F.lit(False))]  # schema anchor (empty input)
     max_rounds = int(
         words.agg(F.max(F.length("word"))).first()[0] or 0
     )
