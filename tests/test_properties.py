@@ -279,3 +279,60 @@ def test_binary_auc_matches_pair_enumeration(spark, rows):
     assert r["u2"] == u2
     assert r["npos"] == len(pos) and r["nneg"] == len(neg)
     assert abs(r["auc"] - u2 / (2 * len(pos) * len(neg))) < 1e-12
+
+
+WP_DOCS = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=7),
+        min_size=1, max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_wordpiece(docs, min_freq=3, max_len=6):
+    """Pure-python ground truth: substring vocab + greedy longest match."""
+    from collections import Counter
+
+    wf = Counter(w for words in docs for w in words)
+    tf = Counter()
+    for w, f in wf.items():
+        n = len(w)
+        for s in range(n):
+            for ln in range(1, min(max_len, n - s) + 1):
+                tf[w[s:s + ln]] += f
+    vocab = {t for t, c in tf.items() if len(t) == 1 or c >= min_freq}
+    segs = {}
+    for w in wf:
+        pos, toks = 0, []
+        while pos < len(w):
+            for ln in range(min(max_len, len(w) - pos), 0, -1):
+                if w[pos:pos + ln] in vocab:
+                    toks.append(w[pos:pos + ln])
+                    pos += ln
+                    break
+        segs[w] = (" ".join(toks), len(toks))
+    return segs
+
+
+@given(WP_DOCS)
+@settings(**SETTINGS)
+def test_wordpiece_matches_python_greedy(spark, docs):
+    from ton_indexer_spark.functions.bpe import word_frequencies
+    from ton_indexer_spark.functions.wordpiece import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    wf = word_frequencies(df)
+    v = wordpiece_vocab(wf, min_freq=3)
+    got = {
+        r["word"]: (r["segmented"], r["n_tokens"])
+        for r in wordpiece_segment(wf.select("word"), v).collect()
+    }
+    assert got == _py_wordpiece(docs)
