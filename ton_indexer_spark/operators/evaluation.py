@@ -18,7 +18,10 @@ no single-partition window at any scale.
 
 All arithmetic is exact int64 (U is doubled to absorb the ½·ties term);
 the reported ``auc`` double is one IEEE division of exact integers —
-deterministic across engines, the repo's standard idiom.
+deterministic across engines, the repo's standard idiom.  ``u2`` itself
+stays exact up to npos·nneg ≈ 2⁶² pairs; past ~2⁵³ the final double
+ratio rounds in its last bits (the integers remain exact for any
+downstream consumer that needs full precision).
 """
 
 from __future__ import annotations
