@@ -280,6 +280,24 @@ def main() -> None:
     print(f"  bpe tokenizer             {len(merges)} merges, first 5: "
           f"{['+'.join(m) for m in merges[:5]]}")
 
+    # ---- 9b. WordPiece greedy segmentation (tokenizer inference over the
+    # Zipf-small distinct-word vocabulary, never the corpus) ----------------
+    from ton_indexer_spark.functions.bpe import word_frequencies
+    from ton_indexer_spark.functions.wordpiece import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    wf_train = word_frequencies(split.filter(F.col("split") == "train"))
+    seg = wordpiece_segment(
+        wf_train.select("word"), wordpiece_vocab(wf_train, min_freq=4)
+    )
+    stats = seg.agg(
+        F.count(F.lit(1)).alias("w"), F.avg("n_tokens").alias("t")
+    ).first()
+    print(f"  wordpiece segmentation    {stats['w']} distinct words, "
+          f"{stats['t']:.2f} tokens/word")
+
     # ---- 10. curriculum order (sort spec: tier by difficulty quantile +
     # deterministic shuffle key; the shard writer orders by it) -------------
     from ton_indexer_spark.operators.curriculum import curriculum_order
@@ -289,8 +307,9 @@ def main() -> None:
     )
     tiers = {r["tier"]: r["n"] for r in curr.groupBy("tier")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
-    print(f"  curriculum order          4 tiers {tiers} "
-          f"(ORDER BY tier, shuffle_key)")
+    print(f"  curriculum order          {len(tiers)} occupied tiers "
+          f"{tiers} (quantile ties collapse on capped chunk sizes; "
+          f"ORDER BY tier, shuffle_key)")
 
     # ---- 11. deterministic shard assignment for the training loader -------
     from ton_indexer_spark.operators.sampling import shard_assign

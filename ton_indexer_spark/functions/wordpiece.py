@@ -82,14 +82,22 @@ def wordpiece_segment(
     lineage does not grow quadratically.
     """
     spark = words.sparkSession
-    vocab = F.broadcast(vocab.select("token", F.length("token").alias("_tl")))
+    # materialize the vocab ONCE: it joins into every round, and a
+    # broadcast hint alone would re-execute its (possibly long) upstream
+    # lineage per round — measured as a hang when the vocabulary derives
+    # from a full curation pipeline rather than a bare scan
+    vocab = F.broadcast(
+        vocab.select("token", F.length("token").alias("_tl"))
+        .localCheckpoint(eager=True)
+    )
     state = words.select(
         "word", F.lit(1).alias("pos"),
         F.array().cast("array<string>").alias("toks"),
     ).localCheckpoint(eager=True)
     done_parts = [state.filter(F.lit(False))]  # schema anchor (empty input)
+    # bound from the checkpointed state, not the raw input lineage
     max_rounds = int(
-        words.agg(F.max(F.length("word"))).first()[0] or 0
+        state.agg(F.max(F.length("word"))).first()[0] or 0
     )
     for _ in range(max_rounds):
         done_parts.append(state.filter(F.col("pos") > F.length("word")))
