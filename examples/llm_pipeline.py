@@ -340,6 +340,9 @@ def main() -> None:
 
     print("== done — every stage above is a lazy DataFrame plan; at 100 TB "
           "swap the paths and raise spark.sql.shuffle.partitions")
+    # free the walkthrough's cached intermediates (the test suite runs
+    # this inside its long-lived shared session)
+    spark.catalog.clearCache()
 
 
 if __name__ == "__main__":

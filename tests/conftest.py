@@ -12,6 +12,12 @@ SF_MED = "/root/testdata/sf0.01"
 def spark():
     from ton_indexer_spark.session import get_spark
 
+    # the whole suite (~800 tests, thousands of stages) shares ONE JVM:
+    # localCheckpoint blocks and broadcast variables are reclaimed lazily
+    # (ContextCleaner runs on driver GC), so the long-lived test session
+    # gets more heap than the 8g production default — a full-suite run
+    # OOM'd the shared JVM at ~7,500 stages in under 8g
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "20g")
     s = get_spark(app_name="ton_indexer_spark_tests", shuffle_partitions=8)
     yield s
 
