@@ -62,3 +62,20 @@ def test_no_single_partition_window(spark):
     # the prefix-sum path partitions windows by spark_partition_id, never
     # by the empty frame (a global single-partition sort)
     assert "Window [" not in plan or "_pid" in plan
+
+
+def test_zero_class_auc_is_null(spark):
+    # single-class input: 0 ranking pairs, AUC undefined -> NULL, never NaN
+    r = _auc(spark, [(3, True), (1, True)])
+    assert (r["npos"], r["nneg"]) == (2, 0)
+    assert r["auc"] is None
+    r = _auc(spark, [(3, False)])
+    assert (r["npos"], r["nneg"]) == (0, 1)
+    assert r["auc"] is None
+
+
+def test_empty_input_auc(spark):
+    df = spark.createDataFrame([], "score long, y boolean")
+    r = binary_auc(df, F.col("score"), F.col("y")).first()
+    assert (r["npos"], r["nneg"]) == (0, 0)
+    assert r["auc"] is None

@@ -37,9 +37,12 @@ def test_prefix_filter_identical_output(spark, threshold):
     pref = _rows(ngram_jaccard_pairs(d, threshold=threshold,
                                      prefix_filter=True))
     assert plain == pref
+    ids = {(r[0], r[1]) for r in plain}
     if threshold <= 0.3:
-        ids = {(r[0], r[1]) for r in plain}
-        assert (1, 3) in ids and (1, 2) in ids and (4, 7) not in ids or True
+        assert (1, 3) in ids and (1, 2) in ids
+    # (4,7): doc 4's 6 shingles are a subset of doc 7's 12 -> J = 0.5,
+    # so the size-skewed pair survives mid thresholds and dies at 0.9
+    assert ((4, 7) in ids) == (threshold <= 0.5)
 
 
 def test_exact_dup_pair_has_jaccard_one(spark):

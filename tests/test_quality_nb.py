@@ -99,3 +99,9 @@ def test_nb_scoring_plan_is_exchange_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_nb_prior_empty_input(spark):
+    # empty corpus: sums coalesce to 0, Laplace gives ln(1)-ln(1) = 0
+    d = spark.createDataFrame([], "doc_id long, text string, y boolean")
+    assert nb_prior_q(d, F.col("y")) == 0

@@ -58,6 +58,14 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_MAX_SHINGLE_DF = 256
 
+# The per-doc sizes table is one ~32-byte row per document — it grows
+# LINEARLY with the corpus, so a forced broadcast is only safe while the
+# corpus is bounded.  Above this cap (~128 MB serialized) the hint is
+# omitted and the join is left to AQE, whose runtime stats convert it to
+# a broadcast exactly when it is actually small; at the billions-of-docs
+# target the sizes side legitimately shuffles.
+MAX_BROADCAST_DOCS = 4_000_000
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -99,10 +107,14 @@ def ngram_jaccard_pairs(
     # postings carry the doc's set size: the size filter prunes inside
     # the posting join, and the per-pair sizes ride through the
     # aggregation (constant per group) instead of two downstream joins.
-    # sizes is one row per doc — explicitly broadcast: the agg output's
-    # planning-time stats are unknown, and without the hint the postings
-    # side gets shuffled by doc id just to meet a 16-byte-per-row table
-    shs = sh.join(F.broadcast(sizes), id_col)
+    # sizes is one row per doc, so the broadcast hint (which avoids
+    # shuffling the postings side by doc id just to meet a tiny table)
+    # is gated on corpus size — see MAX_BROADCAST_DOCS.  The count is
+    # one cheap job against a table this function aggregates anyway,
+    # negligible next to the posting self-join it protects.
+    if docs.count() <= MAX_BROADCAST_DOCS:
+        sizes = F.broadcast(sizes)
+    shs = sh.join(sizes, id_col)
 
     if prefix_filter:
         common = _prefix_filtered_common(shs, df_counts, frac, id_col)

@@ -20,7 +20,15 @@ idiom, see ``queries/text.py::char_lm_quality``):
                    - ln(neg_b+1) + ln(neg_tot+B)) * SCALE + 0.5)
 
 so downstream score sums are exact int64 arithmetic — order-independent
-and bit-identical in Spark and DuckDB.
+and engine-independent GIVEN the quantized weights.  Precision envelope
+for the quantization itself: w_q is derived from natural logs, so a
+1-ulp libm difference between JVM ``Math.log`` and another engine's
+``ln()`` can flip floor(x*1e6+0.5) when x*1e6 lands within ~1e-9 of a
+.5 boundary (probability ~1e-9 per weight per engine pair).  The gated
+oracle queries therefore compare weights trained by the SAME engine
+(Spark trains, both sides consume the literal), mirroring how
+``quality_model.quality_logit`` keeps raw ``exp()`` out of gated
+output; cross-engine training parity is expected but not claimed exact.
 
 Scoring plan: the trained table is ``n_buckets`` rows — it collects to a
 map literal (a bounded, codebook-sized collect, the repo's policy line)
@@ -101,10 +109,13 @@ def nb_train(
 
 
 def nb_prior_q(docs: DataFrame, label: Column) -> int:
-    """Quantized class-prior log-odds (one scalar aggregate)."""
+    """Quantized class-prior log-odds (one scalar aggregate).
+
+    Empty input yields the flat prior (0): the SUMs are coalesced to 0
+    so Laplace smoothing sees (0+1)/(0+1)."""
     row = docs.select(
-        F.sum(F.when(label, 1).otherwise(0)).alias("p"),
-        F.sum(F.when(label, 0).otherwise(1)).alias("n"),
+        F.coalesce(F.sum(F.when(label, 1).otherwise(0)), F.lit(0)).alias("p"),
+        F.coalesce(F.sum(F.when(label, 0).otherwise(1)), F.lit(0)).alias("n"),
     ).first()
     prior = F.log(F.lit(float(row["p"] + 1))) - F.log(F.lit(float(row["n"] + 1)))
     # evaluate the same expression engine-side for bit parity with the gate

@@ -54,8 +54,9 @@ def binary_auc(
     run = global_running_sum(by_score, "score", "neg", out_col="cum_neg")
     s = F.col("score")
     return run.agg(
-        F.sum("pos").alias("npos"),
-        F.sum("neg").alias("nneg"),
+        # coalesce: empty input yields (0, 0, NULL auc), not NULL counts
+        F.coalesce(F.sum("pos"), F.lit(0)).alias("npos"),
+        F.coalesce(F.sum("neg"), F.lit(0)).alias("nneg"),
         F.sum(
             F.col("pos")
             * (2 * (F.col("cum_neg") - F.col("neg")) + F.col("neg"))
@@ -68,9 +69,13 @@ def binary_auc(
         "npos",
         "nneg",
         "u2",
-        (
+        # AUC is undefined when either class is absent (0 ranking pairs):
+        # report NULL explicitly rather than a 0/0 NaN, so callers get a
+        # clear signal instead of NaN-poisoned downstream arithmetic.
+        F.when(
+            (F.col("npos") > 0) & (F.col("nneg") > 0),
             F.col("u2").cast("double")
-            / (2.0 * F.col("npos").cast("double") * F.col("nneg").cast("double"))
+            / (2.0 * F.col("npos").cast("double") * F.col("nneg").cast("double")),
         ).alias("auc"),
         "tp",
         "fp",
