@@ -1,0 +1,100 @@
+"""Full-registry DuckDB oracle sweep at an arbitrary scale factor.
+
+Runs the SAME comparison as tests/test_oracle_parity.py (and the grading
+driver) — Spark builder vs DuckDB oracle, columns sorted, rows sorted,
+values canonicalized — over every registered spec, against any sf store.
+Round-7 verdict ask #1: correctness had only ever been attested at
+sf0.001 (local) and sf0.01 (driver); this script produces the sf1
+attestation (ORACLE_sf1_r{N}.json) over the examples/make_sf1.py store.
+
+Usage:
+    python scripts/oracle_sweep.py [sf_dir] [out.json]
+    # defaults: .sfgen/sf1  ORACLE_sf1.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".sfgen/sf1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "ORACLE_sf1.json"
+
+    import duckdb
+
+    from tests.oracle_harness import compare
+    from ton_indexer_spark.queries import all_specs
+    from ton_indexer_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark(app_name="oracle_sweep", shuffle_partitions=32)
+    duck = duckdb.connect()
+
+    specs = all_specs()
+    results: dict[str, dict] = {}
+    n_ok = n_skip = n_fail = 0
+    for i, (name, spec) in enumerate(specs.items(), 1):
+        if spec.oracle is None:
+            # same weaker rows-only check the driver records
+            t0 = time.time()
+            try:
+                rows = spec.builder(spark, sf_dir).count()
+                results[name] = {
+                    "ok": True, "mode": "rows_only", "rows": rows,
+                    "sec": round(time.time() - t0, 2),
+                }
+                n_ok += 1
+            except Exception as exc:  # noqa: BLE001
+                results[name] = {
+                    "ok": False, "mode": "rows_only",
+                    "err": f"{type(exc).__name__}: {exc}"[:500],
+                    "sec": round(time.time() - t0, 2),
+                }
+                n_fail += 1
+            print(f"[{i}/{len(specs)}] {name}: {results[name]}", flush=True)
+            continue
+        t0 = time.time()
+        try:
+            ok, msg = compare(spark, duck, spec, sf_dir)
+            results[name] = {
+                "ok": ok, "mode": "oracle", "msg": msg.splitlines()[0][:300],
+                "sec": round(time.time() - t0, 2),
+            }
+            n_ok += ok
+            n_fail += not ok
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {
+                "ok": False, "mode": "oracle",
+                "err": f"{type(exc).__name__}: {exc}"[:500],
+                "sec": round(time.time() - t0, 2),
+            }
+            n_fail += 1
+            traceback.print_exc()
+        print(f"[{i}/{len(specs)}] {name}: {results[name]}", flush=True)
+        # checkpoint after every spec so a crash loses nothing
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_specs": len(specs),
+                       "results": results}, f, indent=1)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_specs": len(specs),
+        "n_ok": n_ok,
+        "n_fail": n_fail,
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"DONE ok={n_ok} fail={n_fail} -> {out_path}", flush=True)
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

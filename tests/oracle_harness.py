@@ -19,10 +19,15 @@ from ton_indexer_spark.catalog import DRIVER_TABLES
 def register_duck_views(con, sf_dir: str) -> None:
     for name in DRIVER_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # Spark-written dataset (directory of part files) — e.g. the
+            # make_sf1.py store; DuckDB needs the glob form
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -119,6 +119,29 @@ def test_global_running_sum_partition_invariant(spark):
     assert a[999] == sum(i % 37 + 1 for i in range(1000))
 
 
+def test_global_running_sum_exact_at_sampling_scale(spark):
+    """Regression for the sf1 sweep bug: the old spark_partition_id()
+    formulation silently corrupted offsets once the input outgrew the
+    range sampler's exact window (~50k keys at 16 partitions), because
+    the totals branch and the join branch could re-sample DIFFERENT
+    boundaries.  Bucket ids are now a deterministic function of the key;
+    this pins exactness at a size where the old code measurably broke."""
+    from ton_indexer_spark.operators.prefix import global_running_sum
+
+    n = 60_000
+    # non-contiguous, non-uniform keys (squares mod a prime, unique-ified
+    # by construction over a doubled range) and signed values
+    df = spark.range(0, n).select(
+        (F.col("id") * 7919 + (F.col("id") * F.col("id")) % 104729)
+        .alias("k"),
+        (F.when(F.col("id") % 3 == 0, -1).otherwise(2)
+         * (F.col("id") % 211 + 1)).alias("v"),
+    ).groupBy("k").agg(F.sum("v").alias("v"))
+    out = global_running_sum(df, "k", "v", "s", n_partitions=16).toPandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert (out["s"] == out["v"].cumsum()).all()
+
+
 def test_connected_components_local_matches_distributed(spark):
     """Size-gated single-task union-find ≡ distributed hash-min +
     pointer-jump loop, including chains (worst diameter), rings, stars,

@@ -2062,6 +2062,63 @@ def encode_dedust_swap(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_dedust_swap_notification(
+    asset_in: str, asset_out: str, amount_in: int, amount_out: int,
+    sender: str,
+) -> str:
+    """Fixture-side inverse of the OP_DEDUST_SWAP_NOTIFICATION decoder:
+    swap#9c610de3 asset_in:Asset asset_out:Asset amount_in:Coins
+    amount_out:Coins ^[sender:MsgAddressInt ...] (messages/swaps.py:81-94).
+    Assets use the "TON"/raw-address convention of store_dedust_asset."""
+    ref = Builder().store_address(sender).end_cell()
+    b = Builder().store_uint(OP_DEDUST_SWAP_NOTIFICATION, 32)
+    store_dedust_asset(b, asset_in)
+    store_dedust_asset(b, asset_out)
+    cell = (
+        b.store_coins(amount_in)
+        .store_coins(amount_out)
+        .store_ref(ref)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_dedust_payout(
+    query_id: int, amount: int, op: int = OP_DEDUST_PAYOUT,
+) -> str:
+    """payout#474f86cf / payout_from_pool#ad4eb6f5 query_id:uint64
+    proof:^Cell amount:Coins (messages/swaps.py:97-110) — the pool →
+    vault and vault → user payout legs share the layout."""
+    cell = (
+        Builder()
+        .store_uint(op, 32)
+        .store_uint(query_id, 64)
+        .store_ref(Builder().end_cell())
+        .store_coins(amount)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tonstakers_deposit(query_id: int) -> str:
+    """deposit#47d54391 query_id:uint64 (messages/staking.py:18-19)."""
+    cell = (
+        Builder().store_uint(OP_TONSTAKERS_DEPOSIT, 32)
+        .store_uint(query_id, 64).end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tonstakers_withdraw_request(query_id: int, amount: int) -> str:
+    """burn-notify → pool withdraw request: op 0x319b0cdc query_id:uint64
+    amount:Coins (messages/staking.py:21-23)."""
+    cell = (
+        Builder().store_uint(OP_TONSTAKERS_WITHDRAW, 32)
+        .store_uint(query_id, 64).store_coins(amount).end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_nft_transfer(
     query_id: int, new_owner: str | None, response: str | None = None,
     forward_amount: int = 0,

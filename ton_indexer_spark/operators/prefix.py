@@ -11,14 +11,23 @@ A naive `Window.orderBy(key)` running sum collapses everything into ONE
 window partition (single task — the classic Spark scale trap).  The
 scale path is the textbook two-phase distributed prefix sum:
 
-1. range-repartition by the order key (so partition p holds a contiguous
-   key range), cumsum within each partition via a window partitioned by
-   `spark_partition_id()` — parallel;
-2. one tiny aggregation of per-partition totals → exclusive offsets,
-   broadcast-joined back and added — O(#partitions) driver data.
+1. bucket rows by contiguous key range, cumsum within each bucket via a
+   window partitioned by the bucket id — parallel;
+2. one tiny aggregation of per-bucket totals → exclusive offsets,
+   broadcast-joined back and added — O(#buckets) driver data.
 
-The result is independent of where the range boundaries land, so the
-operator is deterministic even though the range sampler is not.
+Bucket ids are a DETERMINISTIC function of the key: range boundaries
+come from one `percentile_approx` pass, collected (n_buckets-1 scalars,
+a bounded driver collect) and baked into the plan as literals.  An
+earlier version derived the bucket from ``spark_partition_id()`` after
+``repartitionByRange`` — wrong at scale: the plan references the
+bucketed frame TWICE (totals + the final join), and when the exchange
+is not reused each execution re-SAMPLES the range boundaries, so the
+offsets were computed against a different partitioning than they were
+joined to (caught by the sf1 oracle sweep; invisible at small sf where
+the sampler sees the full data).  With data-derived bucket ids every
+branch agrees by construction and correctness is independent of
+physical partitioning; where the boundaries land only affects balance.
 """
 
 from __future__ import annotations
@@ -35,25 +44,35 @@ def global_running_sum(
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive running sum of ``value_col`` in
-    ``order_col`` order (order must be a unique key for determinism)."""
+    ``order_col`` order (order must be a unique NUMERIC key — unique for
+    determinism, numeric for the percentile bucketing)."""
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n_partitions, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # one cheap sketch pass; the collect is n_partitions-1 scalars
+    probs = [i / n_partitions for i in range(1, n_partitions)]
+    row = df.select(
+        F.percentile_approx(order_col, probs, 10_000).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"])) if row is not None and row["b"] else []
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(arr, lambda x: x < F.col(order_col)))
+    else:
+        bucket = F.lit(0)  # empty/constant input: single tiny bucket
+    bucketed = df.withColumn("_pid", bucket)
     w = (
         Window.partitionBy("_pid")
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_local_sum", F.sum(value_col).over(w))
-    # per-partition totals -> exclusive offset per partition (tiny table).
+    local = bucketed.withColumn("_local_sum", F.sum(value_col).over(w))
+    # per-bucket totals -> exclusive offset per bucket (tiny table).
     # Sum value_col directly (NOT max(_local_sum)): max of the running sum
-    # equals the partition total only for non-negative values, and this
+    # equals the bucket total only for non-negative values, and this
     # operator is generic (balance deltas etc. may be negative).
     totals = (
-        local.groupBy("_pid")
+        bucketed.groupBy("_pid")
         .agg(F.sum(value_col).alias("_total"))
         .withColumn(
             "_offset",

@@ -66,55 +66,63 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # new round-7 gates (real-BOC protocol classifier flows + the
-    # integrity/trainer/header gates added this round)
-    "classify_stonfi_swap",
-    "classify_nft_sale",
-    "classify_multisig",
-    "bpe_train",
-    "integrity_audit",
-    "image_header_meta",
-    "quality_nb_train",
-    "quality_nb_score",
-    "curriculum_order",
-    "quality_nb_auc",
-    "dedup_ngram_prefix",
-    "wordpiece_segment",
-    "vocab_spectrum",
-    # the 32 specs last driver-sampled in round 5 (COVERAGE.md tail of
-    # the round-6 window) — everything else was driver-green in r6
-    "prev_pointer",
-    "ordered_collect",
-    "sessionize",
-    "asof_join",
-    "funnel_steps",
-    "cohort_retention",
-    "group_topk",
-    "connected_components",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "tfidf_topk",
-    "doc_chunks",
-    "text_repetition",
-    "pii_detect",
-    "char_lm_quality",
-    "common_ngrams",
-    "bpe_pair_counts",
-    "bpe_encode_sample",
-    "dedup_exact",
+    # new round-8 gates (never driver-sampled): the DeDust multi-hop swap
+    # and tonstakers liquid-staking protocol families over real BOC
+    "classify_dedust_swap",
+    "classify_tonstakers",
+    # the 45 specs last driver-sampled in round 6 (COVERAGE.md tail of
+    # the round-7 window) — everything else was driver-green in r7
+    "inout_pivot",
+    "self_join_adjacent",
+    "union_meta",
+    "array_membership_join",
+    "top_k",
+    "coalesce_filter",
+    "distinct_pairs",
+    "scalar_agg",
+    "offset_page",
+    "rollup_agg",
+    "set_ops",
+    "first_per_group",
+    "latest_state",
+    "word_lm_score",
+    "quality_score_hashed",
+    "line_dedup",
+    "hard_negatives",
+    "embed_pq_topk",
+    "mmr_select",
+    "semdedup",
+    "embed_kmeans",
+    "json_extract",
+    "base64_roundtrip",
+    "opcode_conversion",
+    "multimodal_metadata",
+    "multimodal_frames",
+    "keyset_pagination",
+    "tumbling_window",
+    "approx_distinct",
+    "dedup_embedding_cosine",
+    "percentile_summary",
+    "stratified_sample",
+    "sequence_pack",
+    "source_mixture",
+    "dataset_split",
+    "group_sample",
+    "shard_assign",
+    "dsir_weight",
+    "corpus_profile",
+    "classify_actions",
+    "classify_states",
+    "classify_failed_external",
+    "classify_action_accounts",
+    "pending_transactions_route",
+    "pending_traces_route",
+    # changed-plan repeats: r7-attested specs whose plans were touched by
+    # the round-8 advice fixes (sizes-broadcast gating; AUC NULL guard),
+    # rotated back in so the changed code carries a fresh attestation
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "decontaminate",
-    "dedup_cluster_canonical",
-    "bloom_membership",
-    "repeated_spans",
-    "cross_source_overlap",
-    "embed_cosine_topk",
-    "embed_lsh_topk",
-    "embed_ivf_topk",
+    "dedup_ngram_prefix",
+    "quality_nb_auc",
 ]
 
 

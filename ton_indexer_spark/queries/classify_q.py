@@ -873,3 +873,353 @@ def classify_multisig(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id", "action_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8 protocol gates: DeDust multi-hop swap and the tonstakers
+# liquid-staking family (deposit / immediate withdrawal / delayed
+# withdrawal request), every decoded body through the real cell codec —
+# reference DedustSwapBlockMatcher (blocks/swaps.py:479-686) and
+# TONStakersDepositMatcher / TONStakersWithdrawMatcher
+# (blocks/staking.py:132-243).
+
+VAULT_A, VAULT_B = UP("7", "1"), UP("7", "2")
+POOL1, POOL2 = UP("C", "2"), UP("C", "3")
+JX = UP("E", "3")                      # intermediate hop asset
+VW_OUT, UW_J2 = UP("A", "5"), UP("A", "6")
+TS_POOL, TS_MINTER, TS_WALLET = UP("5", "1"), UP("5", "2"), UP("5", "3")
+TS_COLLECTION, TS_NFT = UP("5", "4"), UP("5", "5")
+
+
+def _dedust_fixture(spark: SparkSession):
+    """DeDust TON→J2 swap across TWO pools (multi-hop peer swap): user →
+    TON vault (swap#ea06185d) → pool1 (swap_external) → pool2 (swap_peer)
+    → J2 vault (payout_from_pool) → payout jetton chain back to the user.
+    Each pool emits a swap notification event (op 9c610de3) whose body —
+    like every other decoded body here — is a real BOC through the
+    engine's cell codec; two hops means peer_swaps carries both legs."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        DEDUST_PAYOUT_FROM_POOL,
+        DEDUST_SWAP,
+        DEDUST_SWAP_EXTERNAL,
+        DEDUST_SWAP_PEER,
+        DEDUST_SWAP_NOTIFICATION,
+    )
+    from ton_indexer_spark.functions.boc import (
+        OP_DEDUST_PAYOUT_POOL,
+        encode_dedust_payout,
+        encode_dedust_swap,
+        encode_dedust_swap_notification,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(n, account, lt):
+        h = f"dd1-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", "dd1"))
+        return h
+
+    def link(n, src_tx, src_lt, dst_tx, dst_lt, source, destination,
+             value, opcode, body):
+        mh, bh = f"dd1-m{n}", None
+        if body is not None:
+            bh = f"bh-dd1-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append(("dd1", src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append(("dd1", dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def event(n, src_tx, src_lt, source, opcode, body):
+        """External-out pool event: an out-row with no consuming tx."""
+        mh, bh = f"dd1-e{n}", f"bh-dd1-e{n}"
+        bodies.append((bh, body))
+        msgs.append(("dd1", src_tx, src_lt, mh, "out", source, None,
+                     None, opcode, src_lt + 1, bh))
+
+    t1 = tx(1, USER, 100)
+    msgs.append(("dd1", t1, 100, "dd1-e0", "in", None, USER,
+                 None, None, 98, None))
+    t2 = tx(2, VAULT_A, 110)
+    link(1, t1, 100, t2, 110, USER, VAULT_A, 2 * 10**9, DEDUST_SWAP,
+         encode_dedust_swap(1, 10**9, pool=POOL1))
+    t3 = tx(3, POOL1, 120)
+    link(2, t2, 110, t3, 120, VAULT_A, POOL1, 10**6,
+         DEDUST_SWAP_EXTERNAL, None)
+    event(1, t3, 120, POOL1, DEDUST_SWAP_NOTIFICATION,
+          encode_dedust_swap_notification("TON", JX, 10**9, 800,
+                                          sender=USER))
+    t4 = tx(4, POOL2, 130)
+    link(3, t3, 120, t4, 130, POOL1, POOL2, 10**6, DEDUST_SWAP_PEER, None)
+    event(2, t4, 130, POOL2, DEDUST_SWAP_NOTIFICATION,
+          encode_dedust_swap_notification(JX, J2, 800, 600, sender=USER))
+    t5 = tx(5, VAULT_B, 140)
+    link(4, t4, 130, t5, 140, POOL2, VAULT_B, 10**6,
+         DEDUST_PAYOUT_FROM_POOL,
+         encode_dedust_payout(1, 600, op=OP_DEDUST_PAYOUT_POOL))
+    t6 = tx(6, VW_OUT, 150)
+    link(5, t5, 140, t6, 150, VAULT_B, VW_OUT, 10**6, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(2, 600, destination=USER))
+    t7 = tx(7, UW_J2, 160)
+    link(6, t6, 150, t7, 160, VW_OUT, UW_J2, 10**5, JETTON_INTERNAL_OP,
+         encode_jetton_internal(2, 600, from_owner=VAULT_B))
+    t8 = tx(8, USER, 170)
+    link(7, t7, 160, t8, 170, UW_J2, USER, 1, JETTON_NOTIFY_OP,
+         encode_jetton_notify(2, 600, sender=VAULT_B))
+
+    jw = spark.createDataFrame(
+        [(VW_OUT, VAULT_B, J2), (UW_J2, USER, J2)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_DEDUST_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('dd1', 'jetton_swap', 'dedust', '{ACC[0]}', '{ACC[0]}', '{UW_J2}',
+   CAST(NULL AS VARCHAR), '{J2}', CAST(1000000000 AS BIGINT),
+   CAST(600 AS BIGINT), '{VAULT_A}', '{VW_OUT}', 2,
+   CAST(NULL AS VARCHAR), '{JX}', CAST(800 AS BIGINT),
+   '{JX}', '{J2}', CAST(600 AS BIGINT), TRUE, 8)
+) AS t(trace_id, action_type, dex, source, destination,
+       destination_wallet, asset_in, asset_out, amount_in, amount_out,
+       in_destination, out_source_wallet, n_peer_swaps,
+       hop1_asset_in, hop1_asset_out, hop1_amount_out,
+       hop2_asset_in, hop2_asset_out, hop2_amount_out, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_dedust_swap",
+    oracle=_DEDUST_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="DeDust multi-hop TON→jetton swap through the REAL cell "
+    "codec: vault swap#ea06185d → pool → peer pool (two swap-notification "
+    "events, op 9c610de3) → payout vault → payout jetton chain "
+    "(reference DedustSwapBlockMatcher, swaps.py:479-686)",
+)
+def classify_dedust_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _dedust_fixture(spark)
+    sd = F.col("jetton_swap_data")
+    inc, out, peers = (sd["dex_incoming_transfer"],
+                       sd["dex_outgoing_transfer"], sd["peer_swaps"])
+    return (
+        res.actions.filter(F.col("type") == "jetton_swap")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            sd["dex"].alias("dex"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("destination_wallet"),
+            inc["asset"].alias("asset_in"),
+            out["asset"].alias("asset_out"),
+            inc["amount"].cast("long").alias("amount_in"),
+            out["amount"].cast("long").alias("amount_out"),
+            inc["destination"].alias("in_destination"),
+            out["source_jetton_wallet"].alias("out_source_wallet"),
+            F.size(peers).alias("n_peer_swaps"),
+            peers[0]["asset_in"].alias("hop1_asset_in"),
+            peers[0]["asset_out"].alias("hop1_asset_out"),
+            peers[0]["amount_out"].cast("long").alias("hop1_amount_out"),
+            peers[1]["asset_in"].alias("hop2_asset_in"),
+            peers[1]["asset_out"].alias("hop2_asset_out"),
+            peers[1]["amount_out"].cast("long").alias("hop2_amount_out"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+def _tonstakers_fixture(spark: SparkSession):
+    """Tonstakers liquid-staking family, three golden traces: ts1 deposit
+    (pool deposit#47d54391 → tsTON mint → internal_transfer → notify +
+    excesses), ts2 immediate withdrawal (tsTON burn → burn notify →
+    withdraw request#319b0cdc at the pool → pool_withdrawal payout), ts3
+    delayed withdrawal (same entry, pool mints a payout NFT instead).
+    Every decoded body (deposit, burn, withdraw request, internal
+    transfer, notify, excesses) is a real BOC."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import (
+        BURN_NOTIFY,
+        JETTON_BURN,
+        POOL_WITHDRAWAL,
+        STAKE_DEPOSIT_OP,
+    )
+    from ton_indexer_spark.classifier.matchers import TS_MINT_TOKENS
+    from ton_indexer_spark.classifier.protocols import (
+        TS_INIT_NFT,
+        TS_WITHDRAW_REQUEST,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_excesses,
+        encode_jetton_burn,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_tonstakers_deposit,
+        encode_tonstakers_withdraw_request,
+    )
+
+    USER = ACC[0]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    # ts1: deposit 101 TON, mint 100e9 tsTON shares back to the user
+    t1 = tx("ts1", 1, USER, 100); ext("ts1", t1, 100)
+    t2 = tx("ts1", 2, TS_POOL, 110)
+    link("ts1", 1, t1, 100, t2, 110, USER, TS_POOL, 101 * TON,
+         STAKE_DEPOSIT_OP, encode_tonstakers_deposit(1))
+    t3 = tx("ts1", 3, TS_MINTER, 120)
+    link("ts1", 2, t2, 110, t3, 120, TS_POOL, TS_MINTER, 10**6,
+         TS_MINT_TOKENS, None)
+    t4 = tx("ts1", 4, TS_WALLET, 130)
+    link("ts1", 3, t3, 120, t4, 130, TS_MINTER, TS_WALLET, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(1, 100 * TON, from_owner=TS_POOL))
+    t5 = tx("ts1", 5, USER, 140)
+    link("ts1", 4, t4, 130, t5, 140, TS_WALLET, USER, 1,
+         JETTON_NOTIFY_OP, encode_jetton_notify(1, 100 * TON,
+                                                sender=TS_POOL))
+    t6 = tx("ts1", 6, USER, 150)
+    link("ts1", 5, t2, 110, t6, 150, TS_POOL, USER, 10**6,
+         0xD53276DB, encode_excesses(1))
+
+    # ts2: burn 50e9 tsTON, pool pays out immediately
+    u1 = tx("ts2", 1, USER, 200); ext("ts2", u1, 200)
+    u2 = tx("ts2", 2, TS_WALLET, 210)
+    link("ts2", 1, u1, 200, u2, 210, USER, TS_WALLET, TON, JETTON_BURN,
+         encode_jetton_burn(2, 50 * TON, response=USER))
+    u3 = tx("ts2", 3, TS_MINTER, 220)
+    link("ts2", 2, u2, 210, u3, 220, TS_WALLET, TS_MINTER, 10**6,
+         BURN_NOTIFY, None)
+    u4 = tx("ts2", 4, TS_POOL, 230)
+    link("ts2", 3, u3, 220, u4, 230, TS_MINTER, TS_POOL, 10**8,
+         TS_WITHDRAW_REQUEST,
+         encode_tonstakers_withdraw_request(2, 50 * TON))
+    u5 = tx("ts2", 5, USER, 240)
+    link("ts2", 4, u4, 230, u5, 240, TS_POOL, USER, 50 * TON + 10**8,
+         POOL_WITHDRAWAL, None)
+
+    # ts3: burn 70e9 tsTON, pool defers: mints a payout NFT instead
+    v1 = tx("ts3", 1, USER, 300); ext("ts3", v1, 300)
+    v2 = tx("ts3", 2, TS_WALLET, 310)
+    link("ts3", 1, v1, 300, v2, 310, USER, TS_WALLET, TON, JETTON_BURN,
+         encode_jetton_burn(3, 70 * TON, response=USER))
+    v3 = tx("ts3", 3, TS_MINTER, 320)
+    link("ts3", 2, v2, 310, v3, 320, TS_WALLET, TS_MINTER, 10**6,
+         BURN_NOTIFY, None)
+    v4 = tx("ts3", 4, TS_POOL, 330)
+    link("ts3", 3, v3, 320, v4, 330, TS_MINTER, TS_POOL, 10**8,
+         TS_WITHDRAW_REQUEST,
+         encode_tonstakers_withdraw_request(3, 70 * TON))
+    v5 = tx("ts3", 4 + 1, TS_COLLECTION, 340)
+    link("ts3", 4, v4, 330, v5, 340, TS_POOL, TS_COLLECTION, 10**7,
+         TS_MINT_TOKENS, None)
+    v6 = tx("ts3", 6, TS_NFT, 350)
+    link("ts3", 5, v5, 340, v6, 350, TS_COLLECTION, TS_NFT, 10**6,
+         TS_INIT_NFT, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_TONSTAKERS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('ts1', 'stake_deposit', 'liquid_staking', '{ACC[0]}',
+   CAST(NULL AS VARCHAR), '{TS_POOL}', CAST(100000000000 AS BIGINT),
+   '{TS_MINTER}', CAST(100000000000 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS VARCHAR), TRUE, 6),
+  ('ts2', 'stake_withdrawal', 'liquid_staking', '{ACC[0]}',
+   CAST(NULL AS VARCHAR), '{TS_POOL}', CAST(50000000000 AS BIGINT),
+   '{TS_MINTER}', CAST(NULL AS BIGINT), CAST(50000000000 AS BIGINT),
+   CAST(NULL AS VARCHAR), TRUE, 5),
+  ('ts3', 'stake_withdrawal_request', 'liquid_staking', '{ACC[0]}',
+   '{TS_WALLET}', '{TS_POOL}', CAST(70000000000 AS BIGINT),
+   '{TS_MINTER}', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   '{TS_NFT}', TRUE, 5)
+) AS t(trace_id, action_type, provider, source, source_wallet,
+       destination, amount, asset, tokens_minted, tokens_burnt,
+       ts_nft, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_tonstakers",
+    oracle=_TONSTAKERS_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="tonstakers liquid-staking family through the REAL cell "
+    "codec: deposit#47d54391 with tsTON mint, immediate withdrawal "
+    "(burn → request#319b0cdc → pool_withdrawal), and delayed "
+    "withdrawal minting a payout NFT (reference "
+    "TONStakersDepositMatcher/TONStakersWithdrawMatcher, "
+    "staking.py:132-243)",
+)
+def classify_tonstakers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _tonstakers_fixture(spark)
+    st = F.col("staking_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin(
+                "stake_deposit", "stake_withdrawal",
+                "stake_withdrawal_request",
+            )
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            st["provider"].alias("provider"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            F.col("amount").cast("long").alias("amount"),
+            "asset",
+            st["tokens_minted"].cast("long").alias("tokens_minted"),
+            st["tokens_burnt"].cast("long").alias("tokens_burnt"),
+            st["ts_nft"].alias("ts_nft"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
