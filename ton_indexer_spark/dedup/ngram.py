@@ -161,6 +161,85 @@ def ngram_jaccard_pairs(
     return out
 
 
+def candidate_counts(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> dict:
+    """Candidate-pair volume of the plain posting self-join vs the
+    AllPairs prefix index, on the SAME shingle/size-filter setup as
+    ``ngram_jaccard_pairs`` — the deterministic metric behind the
+    prefix-index design point (wins exactly when shingle df is
+    Zipf-skewed; measured counter-productive on flat df).  Returns
+    {"plain": candidate rows entering the plain pair aggregation,
+    "prefix": candidate rows entering the prefix verification}."""
+    sh = shingles(docs, id_col, text_col, k)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    if max_shingle_df is not None:
+        keep = df_counts.filter(F.col("sdf") <= max_shingle_df)
+        df_counts = keep
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sh = sh.cache()
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+    shs = sh.join(sizes, id_col)
+    a = shs.select(F.col(id_col).alias("doc_a"), "shingle",
+                   F.col("size").alias("size_a"))
+    b = shs.select(F.col(id_col).alias("doc_b"), "shingle",
+                   F.col("size").alias("size_b"))
+    plain = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("size_a") * F.lit(den) >= F.col("size_b") * F.lit(num))
+            & (F.col("size_b") * F.lit(den) >= F.col("size_a") * F.lit(num))
+        )
+        .count()
+    )
+    prefix = _prefix_candidates(shs, df_counts, frac, id_col).count()
+    sh.unpersist()
+    return {"plain": plain, "prefix": prefix}
+
+
+def _prefix_candidates(
+    shs: DataFrame, df_counts: DataFrame, frac: Fraction, id_col: str
+) -> DataFrame:
+    """Pre-dedup candidate pair rows of the prefix index: each doc's
+    rare-shingle prefix joined against the full posting lists, size
+    filter applied inside (the volume the prefix path shuffles)."""
+    ranked = shs.join(df_counts, "shingle")
+    w = Window.partitionBy(id_col).orderBy("sdf", "shingle")
+    num, den = frac.numerator, frac.denominator
+    size = F.col("size")
+    min_overlap = F.floor((F.lit(num) * size + F.lit(den - 1)) / F.lit(den))
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= size - min_overlap + F.lit(1))
+        .select(F.col(id_col).alias("_pa"), "shingle", size.alias("_za"))
+    )
+    return (
+        prefix.join(
+            shs.select(
+                F.col(id_col).alias("_pb"), "shingle", size.alias("_zb")
+            ),
+            "shingle",
+        )
+        .filter(F.col("_pa") != F.col("_pb"))
+        .filter(
+            (F.col("_za") * F.lit(den) >= F.col("_zb") * F.lit(num))
+            & (F.col("_zb") * F.lit(den) >= F.col("_za") * F.lit(num))
+        )
+        .select(
+            F.least("_pa", "_pb").alias("doc_a"),
+            F.greatest("_pa", "_pb").alias("doc_b"),
+        )
+    )
+
+
 def _prefix_filtered_common(
     shs: DataFrame, df_counts: DataFrame, frac: Fraction, id_col: str
 ) -> DataFrame:
@@ -178,36 +257,9 @@ def _prefix_filtered_common(
     array_intersect over the two docs' shingle sets — per-candidate
     work, no second posting join.
     """
-    # rank each doc's shingles by global rarity; prefix = rarest few.
-    # ceil(t*s) in exact integer arithmetic: (num*s + den - 1) // den
-    ranked = shs.join(df_counts, "shingle")
-    w = Window.partitionBy(id_col).orderBy("sdf", "shingle")
-    num, den = frac.numerator, frac.denominator
-    size = F.col("size")
-    min_overlap = F.floor((F.lit(num) * size + F.lit(den - 1)) / F.lit(den))
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= size - min_overlap + F.lit(1))
-        .select(F.col(id_col).alias("_pa"), "shingle", size.alias("_za"))
-    )
-    cand = (
-        prefix.join(
-            shs.select(
-                F.col(id_col).alias("_pb"), "shingle", size.alias("_zb")
-            ),
-            "shingle",
-        )
-        .filter(F.col("_pa") != F.col("_pb"))
-        .filter(
-            (F.col("_za") * F.lit(den) >= F.col("_zb") * F.lit(num))
-            & (F.col("_zb") * F.lit(den) >= F.col("_za") * F.lit(num))
-        )
-        .select(
-            F.least("_pa", "_pb").alias("doc_a"),
-            F.greatest("_pa", "_pb").alias("doc_b"),
-        )
-        .distinct()
-    )
+    # rank each doc's shingles by global rarity; prefix = rarest few
+    # (candidate generation shared with candidate_counts)
+    cand = _prefix_candidates(shs, df_counts, frac, id_col).distinct()
     docsets = shs.groupBy(id_col).agg(
         F.collect_set("shingle").alias("shset"), F.max("size").alias("size")
     )

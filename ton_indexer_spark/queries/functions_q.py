@@ -62,22 +62,29 @@ def base64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "opcode_conversion",
     """
     SELECT event_id,
-           CAST(user_id - 128 AS INTEGER) AS op_signed,
+           CAST(((user_id - 128 + 2147483648) % 4294967296
+                 + 4294967296) % 4294967296 - 2147483648
+                AS BIGINT) AS op_signed,
            ((user_id - 128) & 4294967295) AS op_unsigned
     FROM events
     ORDER BY event_id
     """,
     survey_ops=("F8",),
     description="signed int32 ↔ unsigned opcode view (opcode & 0xFFFFFFFF, "
-    "tree_utils.py:46-49)",
+    "tree_utils.py:46-49); the int32 view WRAPS two's-complement style "
+    "like the reference's Postgres column, never errors — a plain "
+    "CAST(... AS INT) threw under ANSI mode on the sf1 store's wide ids",
 )
 def opcode_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
-    signed = (F.col("user_id") - 128).cast("int")
+    x = F.col("user_id") - 128
+    # explicit int32 wraparound in long arithmetic (engine-independent):
+    # ((x + 2^31) pmod 2^32) - 2^31
+    signed = F.pmod(x + F.lit(2**31), F.lit(2**32)) - F.lit(2**31)
     return ev.select(
         "event_id",
         signed.alias("op_signed"),
-        signed.cast("long").bitwiseAND(F.lit(0xFFFFFFFF)).alias("op_unsigned"),
+        x.bitwiseAND(F.lit(0xFFFFFFFF)).alias("op_unsigned"),
     ).orderBy("event_id")
 
 
