@@ -271,6 +271,45 @@ _PAYLOAD_KEYS = tuple(
     )
 )
 
+_FIELD_TYPE = {f.name: f.dataType for f in ACTIONS_OUT_SCHEMA}
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+_I32_MIN, _I32_MAX = -(2**31), 2**31 - 1
+_DEC38_MAX = 10**38 - 1
+
+
+def _bound_numeric(v, dt):
+    """uint256 overflow policy (SURVEY §1.2, round-7 verdict ask #7).
+
+    TON numerics wider than the column domain become NULL at the
+    serialize boundary — never a silent two's-complement wrap, never
+    saturation — and full fidelity stays recoverable from the raw body
+    BOC (and the ``order_boc``/``initial_price_x96`` string twins).
+    Spec-conformant ``Coins`` (TEP-74 VarUInteger 16, <= 2^120-1) always
+    fit DecimalType(38,0) (max ~1.7e38 > 1.3e36), so a NULL can only
+    come from a genuinely uint256-typed field (order seqnos, asset ids)
+    or an out-of-protocol/adversarial body.  Without this bound a
+    >int64 python int would fail Arrow conversion and poison the whole
+    batch, not just the offending trace."""
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(dt, T.DecimalType):
+        return v if not isinstance(v, int) or abs(v) <= _DEC38_MAX else None
+    if isinstance(dt, T.LongType):
+        return v if not isinstance(v, int) or _I64_MIN <= v <= _I64_MAX \
+            else None
+    if isinstance(dt, T.IntegerType):
+        return v if not isinstance(v, int) or _I32_MIN <= v <= _I32_MAX \
+            else None
+    if isinstance(dt, T.StructType) and isinstance(v, dict):
+        types = {f.name: f.dataType for f in dt.fields}
+        return {
+            k: _bound_numeric(x, types[k]) if k in types else x
+            for k, x in v.items()
+        }
+    if isinstance(dt, T.ArrayType) and isinstance(v, (list, tuple)):
+        return [_bound_numeric(x, dt.elementType) for x in v]
+    return v
+
 _ROW_COLS = [
     "trace_id", "tx_hash", "tx_lt", "tx_now", "account", "aborted",
     "orig_status", "end_status", "msg_hash", "direction", "source",
@@ -446,7 +485,10 @@ def _classify_rows(
                     "classification_state": "ok",
                     "failure_reason": None,
                     "parent_action_id": parent_id,
-                    **{k: a.get(k) for k in _PAYLOAD_KEYS},
+                    **{
+                        k: _bound_numeric(a.get(k), _FIELD_TYPE[k])
+                        for k in _PAYLOAD_KEYS
+                    },
                 }
             )
             for child in a.get("children", ()):  # C5 hierarchy serialization

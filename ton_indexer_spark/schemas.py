@@ -139,6 +139,19 @@ TRACES = T.StructType(
     ]
 )
 
+# Token-amount columns: the reference stores them as Postgres `numeric`
+# (arbitrary precision, migrate.cpp:313-383); Spark's widest exact type
+# is DecimalType(38,0) (max 10^38-1 ≈ 2^126.2).  uint256 OVERFLOW POLICY
+# (SURVEY §1.2, tests/test_uint256_policy.py):
+#   - TEP-74 `Coins` is VarUInteger 16, max 2^120-1 ≈ 1.3e36 — ALWAYS
+#     representable here, so spec-conformant amounts are exact end-to-end
+#     (decode → schema → aggregation);
+#   - values outside a column's domain (genuinely uint256-typed ids,
+#     adversarial bodies) keep full fidelity at the decode layer (python
+#     ints) and become NULL at the serialize boundary — never a silent
+#     two's-complement wrap, never saturation; full fidelity stays
+#     recoverable from the raw body BOC / *_boc string twins
+#     (classifier/classify.py::_bound_numeric).
 DEC38 = T.DecimalType(38, 0)
 
 JETTON_TRANSFER_DATA = T.StructType(
