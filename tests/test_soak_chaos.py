@@ -1,0 +1,80 @@
+"""Chaos-recovery test: SIGKILL mid-batch, restore, converge (T2/T3/T8).
+
+Pytest-scale version of examples/soak_chaos.py (the PERF.md soak runs
+100k traces / 20 batches): a child process is hard-killed by a timer
+thread HALFWAY THROUGH a batch — torn snapshot writes included — and a
+fresh process restores from the last committed snapshot and replays.
+The restored run's full output (finalized trace set + per-trace action
+multiset, both hashed) must equal an uninterrupted run's.
+
+Child processes get their own JVMs: killing the shared test session
+would take the whole suite down, and a real crash kills driver +
+executors together anyway.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import signal
+import subprocess
+import sys
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "soak_chaos",
+    os.path.join(os.path.dirname(__file__), "..", "examples",
+                 "soak_chaos.py"),
+)
+soak = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(soak)
+
+N_TRACES, N_BATCHES, KILL_AT = 2_500, 8, 4
+
+
+@pytest.fixture(scope="module")
+def soak_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("soak"))
+    soak.make_fixture(os.path.join(root, "fixture"), N_TRACES, N_BATCHES)
+    return root
+
+
+def _child(root: str, sub: str, kill: int | None):
+    cmd = [sys.executable, soak.__file__, "--child",
+           os.path.join(root, sub), os.path.join(root, "fixture"),
+           str(N_BATCHES)]
+    if kill is not None:
+        cmd.append(str(kill))
+    return subprocess.run(
+        cmd, capture_output=True, text=True,
+        env=dict(os.environ, SPARK_GRAFT_DRIVER_MEM="6g"),
+    )
+
+
+def test_sigkill_restore_converges(spark, soak_root):
+    ref = _child(soak_root, "ref", None)
+    assert ref.returncode == 0, ref.stderr[-2000:]
+
+    a = _child(soak_root, "chaos", KILL_AT)
+    assert a.returncode == -signal.SIGKILL, (
+        f"child A exited {a.returncode}, expected SIGKILL"
+    )
+    b = _child(soak_root, "chaos", None)
+    assert b.returncode == 0, b.stderr[-2000:]
+    # resume must start from a batch <= KILL_AT (the torn batch or the
+    # one after the last committed snapshot), not from scratch
+    first = next(json.loads(x)["batch"] for x in b.stdout.splitlines()
+                 if x.startswith('{"batch"'))
+    assert 0 < first <= KILL_AT
+
+    h_ref = soak.output_hash(spark, os.path.join(soak_root, "ref"))
+    h_chaos = soak.output_hash(spark, os.path.join(soak_root, "chaos"))
+    assert h_ref == h_chaos
+    # and the state dir holds no uncommitted garbage snapshots
+    state = os.path.join(soak_root, "chaos", "state")
+    for d in os.listdir(state):
+        if d.startswith("snap="):
+            for t in ("txs", "msgs"):
+                assert os.path.exists(os.path.join(state, d, t, "_SUCCESS"))

@@ -397,3 +397,60 @@ def test_merge_dimension_pins_bucket_count(spark, tmp_path):
     assert len(rows) == 1  # LWW held: no stale version in another bucket
     assert rows[0]["balance"] == 777
     assert spark.read.parquet(path).count() == 40
+
+
+def test_streaming_integrity_audit(spark, fixture_dir, tmp_path):
+    """The continuous audit (SURVEY §5, reference IntegrityChecker's
+    seqno-window walk) wired into the micro-batch loop: clean batches
+    audit to zero findings; a lost sink write is caught on the very
+    batch that dropped it, with the evidence written to
+    integrity_findings/."""
+    import ton_indexer_spark.streaming.ingest as ingest_mod
+    from ton_indexer_spark.streaming.ingest import IngestPipeline
+
+    txs = spark.read.parquet(f"{fixture_dir}/transactions.parquet")
+    msgs = spark.read.parquet(f"{fixture_dir}/messages.parquet")
+    seqnos = sorted(
+        r[0] for r in txs.select("mc_block_seqno").distinct().collect())
+    k = len(seqnos) // 3 + 1
+    slices = [set(seqnos[i * k: (i + 1) * k]) for i in range(3)]
+
+    def batch(i):
+        bt = txs.filter(
+            F.col("mc_block_seqno").isin(slices[i])).drop("trace_id")
+        bm = msgs.filter(F.col("mc_seqno").isin(slices[i]))
+        return bt, bm
+
+    # clean run: every batch audited, zero findings
+    out = str(tmp_path / "out_clean")
+    pipe = IngestPipeline(spark, out_dir=out,
+                          state_dir=str(tmp_path / "state_clean"),
+                          audit_every=1)
+    for i in range(3):
+        pipe.process_batch(*batch(i), batch_id=i)
+    assert pipe.audit_findings and set(pipe.audit_findings) == {0, 1, 2}
+    assert all(n == 0 for n in pipe.audit_findings.values())
+    assert not os.path.exists(os.path.join(out, "integrity_findings"))
+
+    # corrupted run: the traces sink silently drops one row of batch 0
+    real_write = ingest_mod.write_facts_batch
+
+    def lossy_write(df, path, sort_cols, batch_id, **kw):
+        if path.endswith("/traces") and batch_id == 0:
+            victim = df.select("trace_id").limit(1)
+            df = df.join(victim, "trace_id", "left_anti")
+        return real_write(df, path, sort_cols, batch_id, **kw)
+
+    ingest_mod.write_facts_batch = lossy_write
+    try:
+        out2 = str(tmp_path / "out_lossy")
+        pipe2 = IngestPipeline(spark, out_dir=out2,
+                               state_dir=str(tmp_path / "state_lossy"),
+                               audit_every=1)
+        pipe2.process_batch(*batch(0), batch_id=0)
+    finally:
+        ingest_mod.write_facts_batch = real_write
+    assert pipe2.audit_findings[0] > 0
+    findings = spark.read.parquet(os.path.join(out2, "integrity_findings"))
+    rows = findings.collect()
+    assert rows and all(r["issue"] == "missing" for r in rows)

@@ -67,6 +67,7 @@ class IngestPipeline:
         jetton_wallets: DataFrame | None = None,
         nft_items: DataFrame | None = None,
         publisher: Publisher | None = None,
+        audit_every: int | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -78,6 +79,14 @@ class IngestPipeline:
         self.jetton_wallets = jetton_wallets
         self.nft_items = nft_items
         self.publisher = publisher
+        # continuous integrity audit (SURVEY §5 "data integrity"): every
+        # K-th micro-batch re-derives the traces just sunk from the batch's
+        # own facts and diffs them against the batch=<id> directory READ
+        # BACK from disk — the streaming analog of the reference checker's
+        # seqno-window walk (IntegrityChecker.cpp:61-104).  Scoped to one
+        # batch dir, so the audit never rescans history.
+        self.audit_every = audit_every
+        self.audit_findings: dict[int, int] = {}
 
     def process_batch(self, txs: DataFrame, msgs: DataFrame,
                       batch_id: int | None = None,
@@ -147,6 +156,34 @@ class IngestPipeline:
                         "action_accounts",
                         sort_cols=["account", "trace_end_lt"],
                     )
+
+        if (
+            self.audit_every is not None
+            and batch_id is not None
+            and batch_id % self.audit_every == 0
+            and final.head(1)
+        ):
+            from ton_indexer_spark.operators.audit import audit_traces
+
+            stored = self.spark.read.parquet(
+                os.path.join(self.out_dir, "traces", f"batch={batch_id}")
+            )
+            findings = audit_traces(
+                flushed.drop("trace_id"),
+                res.final_messages.drop("trace_id"),
+                stored,
+            )
+            n = findings.count()
+            self.audit_findings[batch_id] = n
+            if n:
+                # keep the evidence; the caller decides whether to halt
+                write_facts_batch(
+                    findings.withColumn("mc_block_seqno", F.lit(None)
+                                        .cast("long")),
+                    os.path.join(self.out_dir, "integrity_findings"),
+                    sort_cols=["check", "key"],
+                    batch_id=batch_id,
+                )
 
         # derived dimension: latest account state per account (W2)
         merge_dimension(

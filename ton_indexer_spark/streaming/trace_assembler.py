@@ -108,13 +108,24 @@ class IncrementalTraceAssembler:
 
     # -- batch-id-keyed snapshots (T3/T8 replay coordination) ----------------
     def _snap_ids(self) -> list[int]:
+        """COMMITTED snapshots only: a snapshot counts iff both tables
+        carry their _SUCCESS markers.  A SIGKILL mid-persist leaves either
+        a .staging-* dir (never listed) or, for older layouts, a partial
+        snap dir — both must be invisible to recovery (the soak/chaos test
+        kills the process mid-write and restores; examples/soak_chaos.py)."""
         if not self.state_dir or not os.path.isdir(self.state_dir):
             return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.state_dir)
-            if d.startswith("snap=")
-        )
+        out = []
+        for d in os.listdir(self.state_dir):
+            if not d.startswith("snap="):
+                continue
+            base = os.path.join(self.state_dir, d)
+            if all(
+                os.path.exists(os.path.join(base, t, "_SUCCESS"))
+                for t in ("txs", "msgs")
+            ):
+                out.append(int(d.split("=", 1)[1]))
+        return sorted(out)
 
     def _load_snap(self, snap_id: int) -> None:
         base = os.path.join(self.state_dir, f"snap={snap_id}")
@@ -163,17 +174,33 @@ class IncrementalTraceAssembler:
             # same batch reloads the previous snapshot first, so the rerun
             # derives identical outputs — the sink side (batch-keyed fact
             # dirs) then replaces rather than duplicates (T8).
-            from ton_indexer_spark.sources.writer import atomic_replace_many
-
-            base = os.path.join(self.state_dir, f"snap={batch_id}")
-            atomic_replace_many(
-                [
-                    (txs, os.path.join(base, "txs")),
-                    (msgs, os.path.join(base, "msgs")),
-                ]
-            )
-            self._load_snap(batch_id)
+            #
+            # CRASH ATOMICITY: both tables are written into a .staging-*
+            # dir (invisible to _snap_ids) and the WHOLE snapshot appears
+            # with one directory rename.  A per-table swap is not enough —
+            # a SIGKILL between the two table writes/renames left a
+            # half-snapshot that recovery trusted (caught by the chaos
+            # test, examples/soak_chaos.py).  If the process dies between
+            # rmtree and rename below, the previous snapshot (always
+            # retained) is the rewind target and the driver re-delivers
+            # this batch.
             import shutil
+            import uuid
+
+            staging = os.path.join(
+                self.state_dir, f".staging-{batch_id}-{uuid.uuid4().hex[:8]}"
+            )
+            txs.write.mode("overwrite").parquet(
+                os.path.join(staging, "txs")
+            )
+            msgs.write.mode("overwrite").parquet(
+                os.path.join(staging, "msgs")
+            )
+            base = os.path.join(self.state_dir, f"snap={batch_id}")
+            if os.path.exists(base):  # redelivered batch: replace
+                shutil.rmtree(base)
+            os.rename(staging, base)
+            self._load_snap(batch_id)
 
             # retain the current snapshot plus the latest one BEFORE it
             # (the rewind target for a redelivered batch — correct for any
@@ -188,6 +215,15 @@ class IncrementalTraceAssembler:
                     shutil.rmtree(
                         os.path.join(self.state_dir, f"snap={sid}")
                     )
+            # sweep leftovers of crashed persists: uncommitted snaps and
+            # orphaned staging dirs are garbage once a newer commit exists
+            for d in os.listdir(self.state_dir):
+                p = os.path.join(self.state_dir, d)
+                if d.startswith(".staging-") or (
+                    d.startswith("snap=")
+                    and int(d.split("=", 1)[1]) not in snaps
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
         elif self.state_dir:
             from ton_indexer_spark.sources.writer import atomic_replace_many
 
