@@ -39,8 +39,23 @@ identical; both from the exact-similarity-join literature):
   flat-frequency corpus (155-word vocabulary → near-uniform df): at
   sf1 the prefix kept 71% of postings and candidate rows grew 152M vs
   114M plain (the `!=` join sees both orientations), so the default
-  stays off and the gate uses the plain size-filtered join.  Natural
-  corpora should enable it.
+  stays off and the gate uses the plain size-filtered join.
+
+MEASURED regimes on a 500k-doc Zipf corpus (PERF.md round 8, local[32]):
+
+- **EXACT mode (``max_shingle_df=None``): enable the prefix filter.**
+  Hot-shingle df grows linearly with the corpus, so plain candidate
+  volume grows quadratically (1.77B candidate rows, 1,340 s) while hot
+  shingles stay OUT of rarity-ordered prefixes (7.7M candidates,
+  111 s — 12× faster, 231× less join volume, and the gap widens every
+  decade: at 50k docs plain still won, 9.4 s vs 25 s).  The prefix
+  index is what makes exact all-pairs Jaccard tractable at scale.
+- **capped mode (the lossy default)**: the df cap already bounds the
+  quadratic term, and the capped plain join's narrow-row codegen beats
+  the prefix path's set-verification wall-clock locally (20-26 s vs
+  85-109 s) even though the prefix still generates 20× fewer candidate
+  rows (3.7M vs 76M) — worth flipping on when the CLUSTER is
+  shuffle-network-bound rather than CPU-bound.
 """
 
 from __future__ import annotations
