@@ -2963,3 +2963,86 @@ def parse_token_data(raw: "bytes | str") -> dict[str, str]:
             except UnicodeDecodeError:
                 continue
     return res
+
+
+def encode_evaa_supply_master(
+    query_id: int, amount: int, recipient: str,
+    include_user_code: bool = False,
+) -> str:
+    """supply_master#1 query_id:uint64 include_user_code:int2
+    amount:uint64 recipient:MsgAddressInt (messages/evaa.py:8-26)."""
+    cell = (
+        Builder()
+        .store_uint(OP_EVAA_SUPPLY_MASTER, 32)
+        .store_uint(query_id, 64)
+        .store_int(-1 if include_user_code else 0, 2)
+        .store_uint(amount, 64)
+        .store_address(recipient)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_evaa_withdraw_master(
+    query_id: int, asset_id: str, amount: int, recipient: str,
+) -> str:
+    """withdraw_master#2 query_id:uint64 asset_id:uint256 amount:uint64
+    recipient:MsgAddressInt (messages/evaa.py:121-141)."""
+    cell = (
+        Builder()
+        .store_uint(OP_EVAA_WITHDRAW_MASTER, 32)
+        .store_uint(query_id, 64)
+        .store_uint(int(asset_id, 16), 256)
+        .store_uint(amount, 64)
+        .store_address(recipient)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_evaa_supply_success(
+    query_id: int, owner: str, asset_id: str, amount: int,
+    op: int = OP_EVAA_SUPPLY_SUCCESS,
+) -> str:
+    """supply_success#11a / supply_fail#11f query_id:uint64
+    owner:MsgAddressInt asset_id:uint256 amount:uint64
+    (messages/evaa.py:75-116) — withdraw_collateralized#211 shares the
+    layout (evaa.py:169-190), select via ``op``."""
+    cell = (
+        Builder()
+        .store_uint(op, 32)
+        .store_uint(query_id, 64)
+        .store_address(owner)
+        .store_uint(int(asset_id, 16), 256)
+        .store_uint(amount, 64)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_evaa_user_headered(
+    op: int, query_id: int, asset_id: str, amount: int | None = None,
+    recipient: str | None = None, user_version: int = 6,
+) -> str:
+    """EVAA user-contract message WITH the version header that garbles
+    the raw opcode column: user_version:Coins upgrade_info:(Maybe ^Cell)
+    upgrade_exec:uint2 then the real op (blocks/evaa.py:59-92
+    load_user_header; fixture-side inverse of decode_evaa_user_body).
+    op 0x11 carries asset_id+amount; 0x21 adds s_rate/b_rate+recipient;
+    0x211a/0x211f carry asset_id only."""
+    b = (
+        Builder()
+        .store_coins(user_version)
+        .store_bit(0)        # upgrade_info: nothing
+        .store_uint(0, 2)    # upgrade_exec
+        .store_uint(op, 32)
+        .store_uint(query_id, 64)
+        .store_uint(int(asset_id, 16), 256)
+    )
+    if op in (0x11, 0x21):
+        b.store_uint(amount, 64)
+    if op == 0x21:
+        b.store_uint(1_000_000, 64)  # s_rate
+        b.store_uint(1_000_000, 64)  # b_rate
+        b.store_address(recipient)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()

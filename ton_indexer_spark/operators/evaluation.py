@@ -50,6 +50,13 @@ def binary_auc(
             F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
             F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg"),
         )
+        # one row per DISTINCT score — bounded by the quantization, tiny
+        # relative to the corpus.  Cache it: the prefix sum reads this
+        # frame from three plan branches (percentile bounds, the window,
+        # the per-bucket totals) and without the cache each branch
+        # re-runs the full upstream scoring scan (measured 13 s -> ~5 s
+        # on the sf1 NB-AUC gate).
+        .cache()
     )
     run = global_running_sum(by_score, "score", "neg", out_col="cum_neg")
     s = F.col("score")

@@ -66,10 +66,12 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # new round-8 gates (never driver-sampled): the DeDust multi-hop swap
-    # and tonstakers liquid-staking protocol families over real BOC
+    # new round-8 gates (never driver-sampled): the DeDust multi-hop
+    # swap, tonstakers liquid-staking and EVAA lending protocol families
+    # over real BOC (EVAA includes the version-headered user bodies)
     "classify_dedust_swap",
     "classify_tonstakers",
+    "classify_evaa",
     # the 45 specs last driver-sampled in round 6 (COVERAGE.md tail of
     # the round-7 window) — everything else was driver-green in r7
     "inout_pivot",
@@ -117,12 +119,15 @@ _EXPOSURE_FIRST = [
     "classify_action_accounts",
     "pending_transactions_route",
     "pending_traces_route",
-    # changed-plan repeats: r7-attested specs whose plans were touched by
-    # the round-8 advice fixes (sizes-broadcast gating; AUC NULL guard),
-    # rotated back in so the changed code carries a fresh attestation
-    "dedup_ngram_jaccard",
-    "dedup_ngram_prefix",
+    # changed-plan repeats: r7-attested specs whose plans were touched
+    # this round (the prefix-sum determinism fix behind the AUC; the
+    # sizes-broadcast gating in the n-gram join), rotated back in so the
+    # changed code carries a fresh external attestation.  The third
+    # changed spec (dedup_ngram_prefix, candidate-generation refactor)
+    # yields its slot to the new classify_evaa gate: it stays pinned by
+    # the four-threshold identity tests + local parity.
     "quality_nb_auc",
+    "dedup_ngram_jaccard",
 ]
 
 

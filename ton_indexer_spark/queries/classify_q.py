@@ -1223,3 +1223,161 @@ def classify_tonstakers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+EVAA_MASTER, EVAA_USER_SC = UP("6", "1"), UP("6", "2")
+EVAA_TON_ID = "1a4219fe5e60d63af2a3cc7dce6fec69b45c6b5718497a6148e7c232ac87bd8a"
+
+
+def _evaa_fixture(spark: SparkSession):
+    """EVAA lending family, TON arm, two golden traces through the real
+    cell codec INCLUDING the version-headered user-contract bodies that
+    garble the raw opcode column (blocks/evaa.py:59-92): ev1 supply
+    (supply_master#1 → headered supply_user#11 → supply_success#11a +
+    protocol comment) and ev2 withdraw (withdraw_master#2 → headered
+    withdraw_user#21 → withdraw_collateralized#211 → headered 211a data
+    update + TON payout leg)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        EVAA_SUPPLY_MASTER,
+        EVAA_SUPPLY_SUCCESS,
+        EVAA_WITHDRAW_COLLATERALIZED,
+        EVAA_WITHDRAW_MASTER,
+        EVAA_WITHDRAW_SUCCESS,
+    )
+    from ton_indexer_spark.functions.boc import (
+        OP_EVAA_WITHDRAW_COLL,
+        encode_comment,
+        encode_evaa_supply_master,
+        encode_evaa_supply_success,
+        encode_evaa_user_headered,
+        encode_evaa_withdraw_master,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    # ev1: supply 500 TON; user contract confirms 500 credited
+    t1 = tx("ev1", 1, USER, 100); ext("ev1", t1, 100)
+    t2 = tx("ev1", 2, EVAA_MASTER, 110)
+    link("ev1", 1, t1, 100, t2, 110, USER, EVAA_MASTER, 500 * 10**9 + 10**9,
+         EVAA_SUPPLY_MASTER,
+         encode_evaa_supply_master(1, 500 * 10**9, recipient=USER))
+    t3 = tx("ev1", 3, EVAA_USER_SC, 120)
+    # headered body: the raw opcode column carries the header's first 32
+    # bits on real data — model that with a junk opcode the matcher must
+    # NOT rely on (membership decodes the body)
+    link("ev1", 2, t2, 110, t3, 120, EVAA_MASTER, EVAA_USER_SC, 10**8,
+         0x7E000000,
+         encode_evaa_user_headered(0x11, 1, EVAA_TON_ID,
+                                   amount=500 * 10**9))
+    t4 = tx("ev1", 4, EVAA_MASTER, 130)
+    link("ev1", 3, t3, 120, t4, 130, EVAA_USER_SC, EVAA_MASTER, 10**7,
+         EVAA_SUPPLY_SUCCESS,
+         encode_evaa_supply_success(1, USER, EVAA_TON_ID, 500 * 10**9))
+    t5 = tx("ev1", 5, USER, 140)
+    link("ev1", 4, t4, 130, t5, 140, EVAA_MASTER, USER, 10**6, 0,
+         encode_comment("EVAA supply."))
+
+    # ev2: withdraw 300 TON; collateral check passes, payout + update
+    u1 = tx("ev2", 1, USER, 200); ext("ev2", u1, 200)
+    u2 = tx("ev2", 2, EVAA_MASTER, 210)
+    link("ev2", 1, u1, 200, u2, 210, USER, EVAA_MASTER, 10**9,
+         EVAA_WITHDRAW_MASTER,
+         encode_evaa_withdraw_master(2, EVAA_TON_ID, 300 * 10**9,
+                                     recipient=USER))
+    u3 = tx("ev2", 3, EVAA_USER_SC, 220)
+    link("ev2", 2, u2, 210, u3, 220, EVAA_MASTER, EVAA_USER_SC, 10**8,
+         0x7E000000,
+         encode_evaa_user_headered(0x21, 2, EVAA_TON_ID,
+                                   amount=300 * 10**9, recipient=USER))
+    u4 = tx("ev2", 4, EVAA_MASTER, 230)
+    link("ev2", 3, u3, 220, u4, 230, EVAA_USER_SC, EVAA_MASTER, 10**7,
+         EVAA_WITHDRAW_COLLATERALIZED,
+         encode_evaa_supply_success(2, USER, EVAA_TON_ID, 300 * 10**9,
+                                    op=OP_EVAA_WITHDRAW_COLL))
+    u5 = tx("ev2", 5, EVAA_USER_SC, 240)
+    link("ev2", 4, u4, 230, u5, 240, EVAA_MASTER, EVAA_USER_SC, 10**6,
+         0x7E000000,
+         encode_evaa_user_headered(EVAA_WITHDRAW_SUCCESS, 2, EVAA_TON_ID))
+    u6 = tx("ev2", 5 + 1, USER, 250)
+    link("ev2", 5, u4, 230, u6, 250, EVAA_MASTER, USER,
+         300 * 10**9, EVAA_WITHDRAW_SUCCESS, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_EVAA_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('ev1', 'evaa_supply', '{ACC[0]}', '{ACC[0]}', '{EVAA_USER_SC}',
+   CAST(500000000000 AS BIGINT), '{EVAA_MASTER}', '0x{EVAA_TON_ID}',
+   TRUE, CAST(NULL AS VARCHAR), TRUE, 5),
+  ('ev2', 'evaa_withdraw', '{ACC[0]}', '{ACC[0]}', '{EVAA_USER_SC}',
+   CAST(300000000000 AS BIGINT), '{EVAA_MASTER}', '0x{EVAA_TON_ID}',
+   CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), TRUE, 6)
+) AS t(trace_id, action_type, source, destination, destination_sc,
+       amount, master, asset_id, is_ton, fail_reason, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_evaa",
+    oracle=_EVAA_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="EVAA lending family through the REAL cell codec, "
+    "including the version-HEADERED user-contract bodies whose raw "
+    "opcode column is garbage: supply_master#1 → supply_user#11 → "
+    "supply_success#11a, and withdraw_master#2 → withdraw_user#21 → "
+    "withdraw_collateralized#211 → 211a update + TON payout "
+    "(reference EvaaSupply/WithdrawBlockMatcher, blocks/evaa.py:119-565)",
+)
+def classify_evaa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _evaa_fixture(spark)
+    sup, wd = F.col("evaa_supply_data"), F.col("evaa_withdraw_data")
+    return (
+        res.actions.filter(F.col("type").isin("evaa_supply",
+                                              "evaa_withdraw"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("destination_sc"),
+            F.col("amount").cast("long").alias("amount"),
+            F.coalesce(sup["master"], wd["master"]).alias("master"),
+            F.coalesce(sup["asset_id"], wd["asset_id"]).alias("asset_id"),
+            sup["is_ton"].alias("is_ton"),
+            wd["fail_reason"].alias("fail_reason"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
