@@ -1149,7 +1149,7 @@ def _tonstakers_fixture(spark: SparkSession):
     link("ts3", 3, v3, 320, v4, 330, TS_MINTER, TS_POOL, 10**8,
          TS_WITHDRAW_REQUEST,
          encode_tonstakers_withdraw_request(3, 70 * TON))
-    v5 = tx("ts3", 4 + 1, TS_COLLECTION, 340)
+    v5 = tx("ts3", 5, TS_COLLECTION, 340)
     link("ts3", 4, v4, 330, v5, 340, TS_POOL, TS_COLLECTION, 10**7,
          TS_MINT_TOKENS, None)
     v6 = tx("ts3", 6, TS_NFT, 350)
@@ -1322,7 +1322,7 @@ def _evaa_fixture(spark: SparkSession):
     link("ev2", 4, u4, 230, u5, 240, EVAA_MASTER, EVAA_USER_SC, 10**6,
          0x7E000000,
          encode_evaa_user_headered(EVAA_WITHDRAW_SUCCESS, 2, EVAA_TON_ID))
-    u6 = tx("ev2", 5 + 1, USER, 250)
+    u6 = tx("ev2", 6, USER, 250)
     link("ev2", 5, u4, 230, u6, 250, EVAA_MASTER, USER,
          300 * 10**9, EVAA_WITHDRAW_SUCCESS, None)
 
