@@ -3497,8 +3497,16 @@ def match_teleitem_start_auction(node: Node, ctx: Ctx) -> dict | None:
         "min_bid": body.get("initial_min_bid"),
         "marketplace": "fragment",
     }
+    # the item acts as its own auction: it is the action's asset
+    # (reference NftPutOnAuctionBlockData.nft_address, auction.py:483),
+    # and the optional teleitem_ok ack is part of the pattern
+    # (TeleitemStartAuctionMatcher child_matcher, auction.py:463)
+    ok = node.child_via(TELEITEM_OK)
+    claimed = [node] + ([ok] if ok is not None else [])
     return _base(
         node, "teleitem_start_auction",
+        claimed=claimed,
+        asset=node.account,
         **({"nft_listing_data": listing}
            if body.get("initial_min_bid") is not None else {}),
     )

@@ -3046,3 +3046,57 @@ def encode_evaa_user_headered(
         b.store_uint(1_000_000, 64)  # b_rate
         b.store_address(recipient)
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_teleitem_start_auction(
+    query_id: int, beneficiary: str, initial_min_bid: int, max_bid: int,
+    min_bid_step: int = 5, min_extend_time: int = 3600,
+    duration: int = 604800,
+) -> str:
+    """teleitem_start_auction#487a8e81 query_id:uint64
+    ^[beneficiary:MsgAddress initial_min_bid:Coins max_bid:Coins
+    min_bid_step:uint8 min_extend_time:uint32 duration:uint32]
+    (messages/nft.py:104-129)."""
+    cfg = (
+        Builder()
+        .store_address(beneficiary)
+        .store_coins(initial_min_bid)
+        .store_coins(max_bid)
+        .store_uint(min_bid_step, 8)
+        .store_uint(min_extend_time, 32)
+        .store_uint(duration, 32)
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(OP_TELEITEM_START_AUCTION, 32)
+        .store_uint(query_id, 64)
+        .store_ref(cfg)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_nft_ownership_assigned_bid(
+    query_id: int, prev_owner: str | None, bid: int, bid_ts: int,
+) -> str:
+    """ownership_assigned#05138d91 whose forward payload is the fragment
+    purchase evidence teleitem_bid_info#38127de1 bid:Coins bid_ts:uint32
+    (messages/nft.py:7-13) — carried as a payload ref."""
+    info = (
+        Builder()
+        .store_uint(0x38127DE1, 32)
+        .store_coins(bid)
+        .store_uint(bid_ts, 32)
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(OP_NFT_OWNERSHIP, 32)
+        .store_uint(query_id, 64)
+        .store_address(prev_owner)
+        .store_bit(1)
+        .store_ref(info)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()

@@ -66,12 +66,15 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # new round-8 gates (never driver-sampled): the DeDust multi-hop
-    # swap, tonstakers liquid-staking and EVAA lending protocol families
-    # over real BOC (EVAA includes the version-headered user bodies)
+    # new round-8 gates (never driver-sampled): five protocol families
+    # over real BOC — DeDust multi-hop swap, tonstakers liquid staking,
+    # EVAA lending (incl. the version-headered user bodies), TON DNS
+    # record management, and the fragment teleitem auction family
     "classify_dedust_swap",
     "classify_tonstakers",
     "classify_evaa",
+    "classify_dns",
+    "classify_fragment_auction",
     # the 45 specs last driver-sampled in round 6 (COVERAGE.md tail of
     # the round-7 window) — everything else was driver-green in r7
     "inout_pivot",
@@ -119,15 +122,12 @@ _EXPOSURE_FIRST = [
     "classify_action_accounts",
     "pending_transactions_route",
     "pending_traces_route",
-    # changed-plan repeats: r7-attested specs whose plans were touched
-    # this round (the prefix-sum determinism fix behind the AUC; the
-    # sizes-broadcast gating in the n-gram join), rotated back in so the
-    # changed code carries a fresh external attestation.  The third
-    # changed spec (dedup_ngram_prefix, candidate-generation refactor)
-    # yields its slot to the new classify_evaa gate: it stays pinned by
-    # the four-threshold identity tests + local parity.
-    "quality_nb_auc",
-    "dedup_ngram_jaccard",
+    # (exactly 5 new + 45 r6-stale = the 50-slot window, the round-7
+    # verdict's prescribed shape.  The r7-attested specs whose plans
+    # changed this round stay verified elsewhere: quality_nb_auc re-ran
+    # post-fix at sf1 in ORACLE_sf1_r08.json; the n-gram paths are
+    # pinned by the four-threshold identity tests, the Zipf-store parity
+    # test, and every test run's full-registry local parity sweep.)
 ]
 
 

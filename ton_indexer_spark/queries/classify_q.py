@@ -1381,3 +1381,242 @@ def classify_evaa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+DNS_ITEM = UP("4", "1")
+DNS_TARGET = UP("4", "2")
+
+
+def _dns_fixture(spark: SparkSession):
+    """TON DNS record management through the REAL cell codec, all three
+    reference-distinguished shapes of change_dns_record#4eb1f0f9
+    (reference blocks/dns.py:51-69 + messages/dns.py:6-40): dn1 sets a
+    DNSSmcAddress record (value ref present), dn2 renews (all-zero key,
+    empty record), dn3 deletes a named record (non-zero key, empty
+    record)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.functions.boc import encode_change_dns
+
+    CHANGE_DNS = 0x4EB1F0F9
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def one(trace, lt, body):
+        r = f"{trace}-tx1"
+        txs.append((r, USER, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        msgs.append((trace, r, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+        t = f"{trace}-tx2"
+        txs.append((t, DNS_ITEM, lt + 10, 1_700_000_010 + lt, False,
+                    "active", "active", trace))
+        bh = f"bh-{trace}"
+        bodies.append((bh, body))
+        clt = lt + 1
+        msgs.append((trace, r, lt, f"{trace}-m1", "out", USER, DNS_ITEM,
+                     10**8, CHANGE_DNS, clt, bh))
+        msgs.append((trace, t, lt + 10, f"{trace}-m1", "in", USER,
+                     DNS_ITEM, 10**8, CHANGE_DNS, clt, bh))
+
+    # the sha256-style record key "wallet" is any 32-byte constant here
+    wallet_key = bytes.fromhex("e8d44050873dba865aa7c170ab4cce64"
+                               "d90839a34dcfc6bf71d6634b7dec75e7")
+    one("dn1", 100, encode_change_dns(1, wallet_key,
+                                      value_address=DNS_TARGET,
+                                      schema=0x9FD3))
+    one("dn2", 200, encode_change_dns(2, b"\x00" * 32))
+    one("dn3", 300, encode_change_dns(3, wallet_key))
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_DNS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('dn1', 'change_dns', '{ACC[0]}', '{DNS_ITEM}',
+   'e8d44050873dba865aa7c170ab4cce64d90839a34dcfc6bf71d6634b7dec75e7',
+   'DNSSmcAddress', '{DNS_TARGET}', TRUE, 2),
+  ('dn2', 'renew_dns', '{ACC[0]}', '{DNS_ITEM}',
+   '{"0" * 64}', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE, 2),
+  ('dn3', 'delete_dns', '{ACC[0]}', '{DNS_ITEM}',
+   'e8d44050873dba865aa7c170ab4cce64d90839a34dcfc6bf71d6634b7dec75e7',
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE, 2)
+) AS t(trace_id, action_type, source, asset, key, value_schema, value,
+       success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_dns",
+    oracle=_DNS_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="TON DNS record management through the REAL cell codec: "
+    "change_dns_record#4eb1f0f9 in all three reference-distinguished "
+    "shapes — set a DNSSmcAddress record, renew (all-zero key, empty "
+    "record), delete (named key, empty record) — classified to "
+    "change_dns / renew_dns / delete_dns (reference blocks/dns.py:51-69)",
+)
+def classify_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _dns_fixture(spark)
+    dd = F.col("change_dns_record_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("change_dns", "renew_dns", "delete_dns")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "asset",
+            dd["key"].alias("key"),
+            dd["value_schema"].alias("value_schema"),
+            dd["value"].alias("value"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+TELEITEM = UP("3", "1")
+
+
+def _fragment_fixture(spark: SparkSession):
+    """Fragment (telegram username/number) auction family through the
+    real cell codec: fr1 starts an auction at the teleitem (config ref
+    decoded into the listing payload), fr2 is the winning fill-up — the
+    item is its own auction contract; ownership_assigned carries the
+    teleitem_bid_info#38127de1 purchase evidence — and fr3 cancels an
+    auction with the teleitem_ok ack (reference
+    TeleitemStartAuction/TelegramNftPurchase/TeleitemCancelAuction,
+    blocks/auction.py + messages/nft.py:7-129)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        AUCTION_FILL_UP,
+        TELEITEM_CANCEL_AUCTION,
+        TELEITEM_OK,
+        TELEITEM_START_AUCTION,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_nft_ownership_assigned_bid,
+        encode_teleitem_start_auction,
+    )
+
+    USER, BUYER = ACC[0], ACC[1]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, who):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, who,
+                     None, None, lt - 2, None))
+
+    # fr1: owner starts the auction (min 10 TON, buy-now 1000 TON)
+    t1 = tx("fr1", 1, USER, 100); ext("fr1", t1, 100, USER)
+    t2 = tx("fr1", 2, TELEITEM, 110)
+    link("fr1", 1, t1, 100, t2, 110, USER, TELEITEM, 10**8,
+         TELEITEM_START_AUCTION,
+         encode_teleitem_start_auction(1, USER, 10 * TON, 1000 * TON))
+
+    # fr2: buyer wins at 55 TON; ownership_assigned carries bid info
+    u1 = tx("fr2", 1, BUYER, 200); ext("fr2", u1, 200, BUYER)
+    u2 = tx("fr2", 2, TELEITEM, 210)
+    link("fr2", 1, u1, 200, u2, 210, BUYER, TELEITEM, 55 * TON,
+         AUCTION_FILL_UP, None)
+    u3 = tx("fr2", 3, BUYER, 220)
+    link("fr2", 2, u2, 210, u3, 220, TELEITEM, BUYER, 10**6,
+         0x05138D91,
+         encode_nft_ownership_assigned_bid(2, USER, 55 * TON,
+                                           1_700_000_000))
+
+    # fr3: owner cancels a running auction; the item acks teleitem_ok
+    v1 = tx("fr3", 1, USER, 300); ext("fr3", v1, 300, USER)
+    v2 = tx("fr3", 2, TELEITEM, 310)
+    link("fr3", 1, v1, 300, v2, 310, USER, TELEITEM, 10**8,
+         TELEITEM_CANCEL_AUCTION, None)
+    v3 = tx("fr3", 3, USER, 320)
+    link("fr3", 2, v2, 310, v3, 320, TELEITEM, USER, 10**6,
+         TELEITEM_OK, None)
+
+    ni = spark.createDataFrame([(TELEITEM,)], "address string")
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        nft_items=ni,
+        big_trace_cutoff=20,
+    )
+
+
+_FRAGMENT_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('fr1', 'teleitem_start_auction', '{ACC[0]}', '{TELEITEM}',
+   CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(10000000000 AS BIGINT), CAST(1000000000000 AS BIGINT), TRUE, 2),
+  ('fr2', 'nft_purchase', '{ACC[1]}', '{TELEITEM}', TRUE,
+   CAST(55000000000 AS BIGINT), 'fragment', CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), TRUE, 3),
+  ('fr3', 'teleitem_cancel_auction', '{ACC[0]}', '{TELEITEM}',
+   CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE, 3)
+) AS t(trace_id, action_type, source, asset, is_purchase, price,
+       marketplace, min_bid, max_bid, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_fragment_auction",
+    oracle=_FRAGMENT_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="fragment teleitem auction family through the REAL cell "
+    "codec: start-auction (config ref → listing payload), winning "
+    "fill-up whose ownership_assigned carries teleitem_bid_info#38127de1, "
+    "and cancel with the teleitem_ok ack (reference blocks/auction.py, "
+    "messages/nft.py:7-129)",
+)
+def classify_fragment_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _fragment_fixture(spark)
+    nt, nl = F.col("nft_transfer_data"), F.col("nft_listing_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("teleitem_start_auction", "nft_purchase",
+                               "teleitem_cancel_auction")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "asset",
+            nt["is_purchase"].alias("is_purchase"),
+            nt["price"].cast("long").alias("price"),
+            nt["marketplace"].alias("marketplace"),
+            nl["min_bid"].cast("long").alias("min_bid"),
+            nl["max_bid"].cast("long").alias("max_bid"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
