@@ -3100,3 +3100,29 @@ def encode_nft_ownership_assigned_bid(
         .end_cell()
     )
     return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_jetton_mint(
+    query_id: int, to: str, ton_amount: int, amount: int,
+    op: int = OP_JETTON_MINT_ALT,
+) -> str:
+    """mint#642b7d07 (or minter mint#15) query_id:uint64 to:MsgAddress
+    ton_amount:Coins master_msg:^Cell{internal_transfer amount:Coins}
+    (messages/jettons.py:142-173)."""
+    master = (
+        Builder()
+        .store_uint(OP_JETTON_INTERNAL, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(op, 32)
+        .store_uint(query_id, 64)
+        .store_address(to)
+        .store_coins(ton_amount)
+        .store_ref(master)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()

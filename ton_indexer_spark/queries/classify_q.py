@@ -1620,3 +1620,124 @@ def classify_fragment_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+ETH_POOL, TSUSDE_MINTER = UP("2", "1"), UP("2", "2")
+UW_USDE, PW_USDE, UW_TSUSDE = UP("A", "7"), UP("A", "8"), UP("A", "9")
+USDE = UP("E", "4")
+
+
+def _ethena_fixture(spark: SparkSession):
+    """Ethena staking deposit through the real cell codec: the user's
+    USDe jetton-transfer chain lands on the pool, whose tsUSDe minter
+    answers with mint#642b7d07 (master_msg ref carrying the minted
+    amount) and the mint's internal transfer to the user's tsUSDe wallet
+    (reference EthenaDepositBlockMatcher, ethena_staking.py:109-160,
+    serialized as stake_deposit/provider=ethena)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import JETTON_MINT_OP
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_internal,
+        encode_jetton_mint,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(n, account, lt):
+        h = f"et1-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", "et1"))
+        return h
+
+    def link(n, src_tx, src_lt, dst_tx, dst_lt, source, destination,
+             value, opcode, body):
+        mh, bh = f"et1-m{n}", None
+        if body is not None:
+            bh = f"bh-et1-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append(("et1", src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append(("et1", dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    t1 = tx(1, USER, 100)
+    msgs.append(("et1", t1, 100, "et1-e0", "in", None, USER,
+                 None, None, 98, None))
+    t2 = tx(2, UW_USDE, 110)
+    link(1, t1, 100, t2, 110, USER, UW_USDE, 10**8, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(1, 200_000_000, destination=ETH_POOL))
+    t3 = tx(3, PW_USDE, 120)
+    link(2, t2, 110, t3, 120, UW_USDE, PW_USDE, 10**7, JETTON_INTERNAL_OP,
+         encode_jetton_internal(1, 200_000_000, from_owner=USER))
+    t4 = tx(4, ETH_POOL, 130)
+    link(3, t3, 120, t4, 130, PW_USDE, ETH_POOL, 10**6, JETTON_NOTIFY_OP,
+         encode_jetton_notify(1, 200_000_000, sender=USER))
+    t5 = tx(5, TSUSDE_MINTER, 140)
+    link(4, t4, 130, t5, 140, ETH_POOL, TSUSDE_MINTER, 10**6,
+         JETTON_MINT_OP,
+         encode_jetton_mint(1, to=USER, ton_amount=10**5,
+                            amount=199_000_000))
+    t6 = tx(6, UW_TSUSDE, 150)
+    link(5, t5, 140, t6, 150, TSUSDE_MINTER, UW_TSUSDE, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(1, 199_000_000, from_owner=ETH_POOL))
+
+    jw = spark.createDataFrame(
+        [(UW_USDE, USER, USDE), (PW_USDE, ETH_POOL, USDE),
+         (UW_TSUSDE, USER, TSUSDE_MINTER)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_ETHENA_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('et1', 'stake_deposit', 'ethena', '{ACC[0]}', '{UW_USDE}',
+   '{ETH_POOL}', '{TSUSDE_MINTER}', '{USDE}',
+   CAST(200000000 AS BIGINT), CAST(199000000 AS BIGINT), TRUE, 6)
+) AS t(trace_id, action_type, provider, source, source_wallet,
+       destination, asset, asset2, amount, tokens_minted, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_ethena",
+    oracle=_ETHENA_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Ethena USDe staking deposit through the REAL cell "
+    "codec: USDe jetton chain into the pool, tsUSDe mint#642b7d07 with "
+    "the master_msg internal-transfer ref, mint delivery to the user "
+    "(reference EthenaDepositBlockMatcher, ethena_staking.py:109-160)",
+)
+def classify_ethena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _ethena_fixture(spark)
+    st = F.col("staking_data")
+    return (
+        res.actions.filter(F.col("type") == "stake_deposit")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            st["provider"].alias("provider"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            "asset",
+            "asset2",
+            F.col("amount").cast("long").alias("amount"),
+            st["tokens_minted"].cast("long").alias("tokens_minted"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
