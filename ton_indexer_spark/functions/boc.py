@@ -3126,3 +3126,53 @@ def encode_jetton_mint(
         .end_cell()
     )
     return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_coffee_swap_native(
+    query_id: int, amount: int, first_pool: str, min_out: int = 0,
+) -> str:
+    """swap.coffee native swap entry: op 0xc0ffee00 query_id:uint64
+    amount:Coins pool_address_hash:uint256 min_output_amount:Coins
+    (messages/coffee.py:331-344 + SwapStepParams coffee.py:89-101)."""
+    cell = (
+        Builder()
+        .store_uint(OP_COFFEE_SWAP_NATIVE, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_uint(int(first_pool.split(":")[1], 16), 256)
+        .store_coins(min_out)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_coffee_swap_event(
+    query_id: int, input_asset: str, input_amount: int,
+    output_amount: int,
+) -> str:
+    """swap.coffee swap-success event log (op 0xc0ffee30): input:Asset
+    input_amount:Coins output_amount:Coins (messages/coffee.py:387-403)."""
+    b = (
+        Builder()
+        .store_uint(OP_COFFEE_SWAP_EVENT, 32)
+        .store_uint(query_id, 64)
+    )
+    store_coffee_asset(b, input_asset)
+    cell = b.store_coins(input_amount).store_coins(output_amount).end_cell()
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_coffee_payout_internal(
+    query_id: int, recipient: str, amount: int,
+) -> str:
+    """swap.coffee pool→vault payout (op 0xc0ffee21): recipient:Addr
+    amount:Coins (messages/coffee.py:673-694)."""
+    cell = (
+        Builder()
+        .store_uint(OP_COFFEE_PAYOUT_INTERNAL, 32)
+        .store_uint(query_id, 64)
+        .store_address(recipient)
+        .store_coins(amount)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()

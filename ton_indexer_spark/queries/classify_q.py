@@ -1741,3 +1741,140 @@ def classify_ethena(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+CVAULT_TON, CVAULT_J, CPOOL = UP("1", "1"), UP("1", "2"), UP("C", "4")
+CVW, UW_J5, J5 = UP("A", "B"), UP("A", "C"), UP("E", "5")
+
+
+def _coffee_fixture(spark: SparkSession):
+    """swap.coffee TON→jetton swap through the real cell codec: native
+    swap entry at the TON vault (op c0ffee00 with the SwapStepParams
+    tail), swap_internal at the pool emitting the c0ffee30 success event
+    log, payout_internal (c0ffee21) to the paying vault, and the payout
+    jetton chain to the user (reference CoffeeSwapBlockMatcher,
+    blocks/swaps.py:1231-1448)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_PAYOUT_INTERNAL,
+        COFFEE_SWAP_EVENT,
+        COFFEE_SWAP_INTERNAL,
+        COFFEE_SWAP_NATIVE,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_coffee_payout_internal,
+        encode_coffee_swap_event,
+        encode_coffee_swap_native,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(n, account, lt):
+        h = f"cf1-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", "cf1"))
+        return h
+
+    def link(n, src_tx, src_lt, dst_tx, dst_lt, source, destination,
+             value, opcode, body):
+        mh, bh = f"cf1-m{n}", None
+        if body is not None:
+            bh = f"bh-cf1-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append(("cf1", src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append(("cf1", dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    t1 = tx(1, USER, 100)
+    msgs.append(("cf1", t1, 100, "cf1-e0", "in", None, USER,
+                 None, None, 98, None))
+    t2 = tx(2, CVAULT_TON, 110)
+    link(1, t1, 100, t2, 110, USER, CVAULT_TON, 2 * 10**9,
+         COFFEE_SWAP_NATIVE,
+         encode_coffee_swap_native(1, 10**9, first_pool=CPOOL,
+                                   min_out=450))
+    t3 = tx(3, CPOOL, 120)
+    link(2, t2, 110, t3, 120, CVAULT_TON, CPOOL, 10**6,
+         COFFEE_SWAP_INTERNAL, None)
+    # pool success event log (external-out, no consuming tx)
+    ev_body = encode_coffee_swap_event(1, "TON", 10**9, 600)
+    bodies.append(("bh-cf1-ev", ev_body))
+    msgs.append(("cf1", t3, 120, "cf1-ev", "out", CPOOL, None,
+                 None, COFFEE_SWAP_EVENT, 121, "bh-cf1-ev"))
+    t4 = tx(4, CVAULT_J, 130)
+    link(3, t3, 120, t4, 130, CPOOL, CVAULT_J, 10**6,
+         COFFEE_PAYOUT_INTERNAL,
+         encode_coffee_payout_internal(1, recipient=USER, amount=600))
+    t5 = tx(5, CVW, 140)
+    link(4, t4, 130, t5, 140, CVAULT_J, CVW, 10**5, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(2, 600, destination=USER))
+    t6 = tx(6, UW_J5, 150)
+    link(5, t5, 140, t6, 150, CVW, UW_J5, 10**4, JETTON_INTERNAL_OP,
+         encode_jetton_internal(2, 600, from_owner=CVAULT_J))
+    t7 = tx(7, USER, 160)
+    link(6, t6, 150, t7, 160, UW_J5, USER, 1, JETTON_NOTIFY_OP,
+         encode_jetton_notify(2, 600, sender=CVAULT_J))
+
+    jw = spark.createDataFrame(
+        [(CVW, CVAULT_J, J5), (UW_J5, USER, J5)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_COFFEE_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('cf1', 'jetton_swap', 'coffee', '{ACC[0]}', '{ACC[0]}', '{UW_J5}',
+   CAST(NULL AS VARCHAR), '{J5}', CAST(1000000000 AS BIGINT),
+   CAST(600 AS BIGINT), TRUE, 7)
+) AS t(trace_id, action_type, dex, source, destination,
+       destination_wallet, asset_in, asset_out, amount_in, amount_out,
+       success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_coffee_swap",
+    oracle=_COFFEE_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="swap.coffee TON→jetton swap through the REAL cell "
+    "codec: native entry (c0ffee00 + SwapStepParams), pool swap_internal "
+    "with the c0ffee30 success event log, payout_internal to the paying "
+    "vault, payout jetton chain (reference CoffeeSwapBlockMatcher, "
+    "blocks/swaps.py:1231-1448)",
+)
+def classify_coffee_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _coffee_fixture(spark)
+    sd = F.col("jetton_swap_data")
+    inc, out = sd["dex_incoming_transfer"], sd["dex_outgoing_transfer"]
+    return (
+        res.actions.filter(F.col("type") == "jetton_swap")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            sd["dex"].alias("dex"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("destination_wallet"),
+            inc["asset"].alias("asset_in"),
+            out["asset"].alias("asset_out"),
+            inc["amount"].cast("long").alias("amount_in"),
+            out["amount"].cast("long").alias("amount_out"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
