@@ -1968,6 +1968,7 @@ def encode_jetton_transfer(
     response: str | None = None,
     forward_ton_amount: int = 0,
     forward_comment: str | None = None,
+    forward_payload: str | None = None,
 ) -> str:
     b = (
         Builder()
@@ -1987,6 +1988,10 @@ def encode_jetton_transfer(
             .end_cell()
         )
         b.store_bit(1).store_ref(inner)
+    elif forward_payload is not None:
+        # raw Either-right payload ref (b64 BOC of the payload cell) —
+        # protocol entries like the JVault stake period ride here
+        b.store_bit(1).store_ref(parse_boc(forward_payload))
     else:
         b.store_bit(0)
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
@@ -2231,6 +2236,140 @@ def encode_stonfi_payment_request(
         .end_cell()
     )
     return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_stonfi_v2_pay_to(
+    query_id: int, to_address: str | None, excesses_address: str | None,
+    original_caller: str | None, exit_code: int, fwd_ton_amount: int,
+    amount0_out: int, token0_address: str | None,
+    amount1_out: int, token1_address: str | None,
+) -> str:
+    """pay_to#657b54f5 (ston.fi v2 router payout, messages/swaps.py:64-78):
+    pool → router; the ref cell carries the payout legs.  Layout mirrors
+    the dual-use decoder's pay_to branch (this module, OP_STONFI_V2_PAYOUT
+    above): addresses + exit_code + Maybe custom_payload in the root,
+    [fwd_ton, amount0, token0, amount1, token1] in the ref."""
+    ref = (
+        Builder()
+        .store_coins(fwd_ton_amount)
+        .store_coins(amount0_out)
+        .store_address(token0_address)
+        .store_coins(amount1_out)
+        .store_address(token1_address)
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(OP_STONFI_V2_PAYOUT, 32)
+        .store_uint(query_id, 64)
+        .store_address(to_address)
+        .store_address(excesses_address)
+        .store_address(original_caller)
+        .store_uint(exit_code, 32)
+        .store_bit(0)  # custom_payload: Maybe ^Cell, absent
+        .store_ref(ref)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def _hashmap_cell(keys: list[int], n: int) -> Cell:
+    """Unit-valued Hashmap(n) over integer keys (TL-B hml_long labels
+    throughout) — the write-side mirror of ``_hashmap_keys`` above."""
+    keys = sorted(set(keys))
+    if len(keys) == 1:
+        l, bits = n, keys[0]
+    else:
+        l = 0
+        while l < n:
+            if len({(k >> (n - l - 1)) & 1 for k in keys}) > 1:
+                break
+            l += 1
+        bits = keys[0] >> (n - l) if l else 0
+    b = Builder().store_bit(1).store_bit(0)  # hml_long$10
+    b.store_uint(l, n.bit_length())
+    if l:
+        b.store_uint(bits, l)
+    m = n - l
+    if m == 0:
+        return b.end_cell()  # unit value: no bits
+    mask = (1 << (m - 1)) - 1
+    rem = [k & ((1 << m) - 1) for k in keys]
+    left = [k & mask for k in rem if not (k >> (m - 1))]
+    right = [k & mask for k in rem if k >> (m - 1)]
+    b.store_ref(_hashmap_cell(left, m - 1))
+    b.store_ref(_hashmap_cell(right, m - 1))
+    return b.end_cell()
+
+
+def encode_address_hashmap(addresses: list[str]) -> Cell | None:
+    """HashmapE(267, Unit) root over MsgAddressStd keys (addr_std$10
+    prefix + workchain + hash), the JVault whitelist/claim-dict shape
+    (messages/jvault.py:6-12).  Returns None for the empty dict."""
+    if not addresses:
+        return None
+    keys = []
+    for a in addresses:
+        wc_s, h = a.split(":")
+        wc = int(wc_s) & 0xFF
+        keys.append((0b100 << 264) | (wc << 256) | int(h, 16))
+    return _hashmap_cell(keys, 267)
+
+
+def encode_jvault_receive(
+    query_id: int, received_jettons: int, min_deposit: int = 1,
+    max_deposit: int = 10**15, unstake_commission: int = 0,
+    unstake_fee: int = 0,
+) -> str:
+    """receive_jettons#d68a4ac1 (messages/jvault.py:15-46): pool → stake
+    wallet deposit registration; received_jettons trails the whitelist."""
+    cell = (
+        Builder()
+        .store_uint(OP_JVAULT_RECEIVE, 32)
+        .store_uint(query_id, 64)
+        .store_coins(min_deposit)
+        .store_coins(max_deposit)
+        .store_uint(unstake_commission, 16)
+        .store_coins(unstake_fee)
+        .store_bit(0)  # whitelist: empty HashmapE
+        .store_coins(received_jettons)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_jvault_unstake(
+    query_id: int, amount: int, force_unstake: bool = False,
+    request_only: bool = False,
+) -> str:
+    """unstake_jettons#499a9262 / unstake_request#0168d4b7
+    (messages/jvault.py:48-79)."""
+    b = (
+        Builder()
+        .store_uint(OP_JVAULT_UNSTAKE_REQ if request_only
+                    else OP_JVAULT_UNSTAKE, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+    )
+    if not request_only:
+        b.store_bit(1 if force_unstake else 0)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_jvault_claim(query_id: int, jettons: list[str]) -> str:
+    """claim_rewards#78d9f109 query_id:uint64
+    jettons_to_claim:(HashmapE 267 Bit) (messages/jvault.py:81-97)."""
+    b = (
+        Builder()
+        .store_uint(OP_JVAULT_CLAIM, 32)
+        .store_uint(query_id, 64)
+    )
+    dict_root = encode_address_hashmap(jettons)
+    if dict_root is None:
+        b.store_bit(0)
+    else:
+        b.store_bit(1).store_ref(dict_root)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:

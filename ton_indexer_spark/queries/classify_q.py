@@ -1878,3 +1878,395 @@ def classify_coffee_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Ston.fi v2 multi-hop swap — the reference's second-generation router
+# (StonfiV2SwapBlockMatcher, blocks/swaps.py:233-477): jetton chain into
+# the router, swap#6664de2a at each pool, pay_to#657b54f5 back at the
+# router between hops, a full payout jetton chain to the user at the end.
+
+V2ROUTER = UP("B", "2")
+V2POOL1, V2POOL2 = UP("C", "2"), UP("C", "3")
+UW2_A, RW2_A = UP("A", "5"), UP("A", "6")
+RW2_B, RW2_B2 = UP("A", "7"), UP("A", "8")
+RW2_C, UW2_C = UP("A", "9"), UP("A", "0")
+J_A, J_B, J_C = UP("E", "3"), UP("E", "4"), UP("E", "6")
+
+
+def _stonfi_v2_fixture(spark: SparkSession):
+    """Two-hop ston.fi v2 swap J_A → J_B → J_C through the real cell
+    codec: user jetton chain → router notify → swap#6664de2a at pool 1 →
+    pay_to#657b54f5 (exit ok) at the router → router-pays-itself jetton
+    chain → second swap at pool 2 → pay_to → payout chain to the user.
+    14 transactions; every decoded body (three full TEP-74 chains and two
+    pay_to payloads) is a real BOC.  Reference walk:
+    StonfiV2SwapBlockMatcher, blocks/swaps.py:233-477."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        STONFI_V2_EXIT_OK,
+        STONFI_V2_PAYOUT,
+        STONFI_V2_POOL_SWAP,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+        encode_stonfi_v2_pay_to,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(n, account, lt):
+        h = f"sv2-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", "sv2"))
+        return h
+
+    def link(n, src_tx, src_lt, dst_tx, dst_lt, source, destination,
+             value, opcode, body):
+        mh, bh = f"sv2-m{n}", None
+        if body is not None:
+            bh = f"bh-sv2-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append(("sv2", src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append(("sv2", dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def pay_to(q, amount_out, token_wallet):
+        return encode_stonfi_v2_pay_to(
+            q, to_address=V2ROUTER, excesses_address=V2ROUTER,
+            original_caller=USER, exit_code=STONFI_V2_EXIT_OK,
+            fwd_ton_amount=0, amount0_out=amount_out,
+            token0_address=token_wallet, amount1_out=0,
+            token1_address=None,
+        )
+
+    t1 = tx(1, USER, 100)
+    msgs.append(("sv2", t1, 100, "sv2-e0", "in", None, USER,
+                 None, None, 98, None))
+    # input chain: user J_A wallet → router J_A wallet → router notify
+    t2 = tx(2, UW2_A, 110)
+    link(1, t1, 100, t2, 110, USER, UW2_A, 10**8, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(7, 1000, destination=V2ROUTER))
+    t3 = tx(3, RW2_A, 120)
+    link(2, t2, 110, t3, 120, UW2_A, RW2_A, 10**7, JETTON_INTERNAL_OP,
+         encode_jetton_internal(7, 1000, from_owner=USER))
+    t4 = tx(4, V2ROUTER, 130)
+    link(3, t3, 120, t4, 130, RW2_A, V2ROUTER, 10**6, JETTON_NOTIFY_OP,
+         encode_jetton_notify(7, 1000, sender=USER))
+    # hop 1: swap at pool 1, pay_to back at the router
+    t5 = tx(5, V2POOL1, 140)
+    link(4, t4, 130, t5, 140, V2ROUTER, V2POOL1, 10**6,
+         STONFI_V2_POOL_SWAP, None)
+    t6 = tx(6, V2ROUTER, 150)
+    link(5, t5, 140, t6, 150, V2POOL1, V2ROUTER, 10**6,
+         STONFI_V2_PAYOUT, pay_to(7, 800, RW2_B))
+    # router pays itself J_B and the notify triggers hop 2
+    t7 = tx(7, RW2_B, 160)
+    link(6, t6, 150, t7, 160, V2ROUTER, RW2_B, 10**6, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(8, 800, destination=V2ROUTER))
+    t8 = tx(8, RW2_B2, 170)
+    link(7, t7, 160, t8, 170, RW2_B, RW2_B2, 10**5, JETTON_INTERNAL_OP,
+         encode_jetton_internal(8, 800, from_owner=V2ROUTER))
+    t9 = tx(9, V2ROUTER, 180)
+    link(8, t8, 170, t9, 180, RW2_B2, V2ROUTER, 10**4, JETTON_NOTIFY_OP,
+         encode_jetton_notify(8, 800, sender=V2ROUTER))
+    t10 = tx(10, V2POOL2, 190)
+    link(9, t9, 180, t10, 190, V2ROUTER, V2POOL2, 10**4,
+         STONFI_V2_POOL_SWAP, None)
+    t11 = tx(11, V2ROUTER, 200)
+    link(10, t10, 190, t11, 200, V2POOL2, V2ROUTER, 10**4,
+         STONFI_V2_PAYOUT, pay_to(8, 600, RW2_C))
+    # payout chain: router J_C wallet → user J_C wallet → user notify
+    t12 = tx(12, RW2_C, 210)
+    link(11, t11, 200, t12, 210, V2ROUTER, RW2_C, 10**4,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(9, 600, destination=USER))
+    t13 = tx(13, UW2_C, 220)
+    link(12, t12, 210, t13, 220, RW2_C, UW2_C, 10**3, JETTON_INTERNAL_OP,
+         encode_jetton_internal(9, 600, from_owner=V2ROUTER))
+    t14 = tx(14, USER, 230)
+    link(13, t13, 220, t14, 230, UW2_C, USER, 1, JETTON_NOTIFY_OP,
+         encode_jetton_notify(9, 600, sender=V2ROUTER))
+
+    jw = spark.createDataFrame(
+        [(UW2_A, USER, J_A), (RW2_A, V2ROUTER, J_A),
+         (RW2_B, V2ROUTER, J_B), (RW2_B2, V2ROUTER, J_B),
+         (RW2_C, V2ROUTER, J_C), (UW2_C, USER, J_C)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_STONFI_V2_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('sv2', 'jetton_swap', 'stonfi_v2', '{ACC[0]}', '{ACC[0]}', '{UW2_C}',
+   '{J_A}', '{J_C}', CAST(1000 AS BIGINT), CAST(600 AS BIGINT),
+   '{V2ROUTER}', '{RW2_C}', 2,
+   '{J_A}', '{J_B}', CAST(800 AS BIGINT),
+   '{J_B}', '{J_C}', CAST(600 AS BIGINT), TRUE, 14)
+) AS t(trace_id, action_type, dex, source, destination,
+       destination_wallet, asset_in, asset_out, amount_in, amount_out,
+       in_destination, out_source_wallet, n_peer_swaps,
+       hop1_asset_in, hop1_asset_out, hop1_amount_out,
+       hop2_asset_in, hop2_asset_out, hop2_amount_out, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_stonfi_v2_swap",
+    oracle=_STONFI_V2_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="ston.fi v2 two-hop swap through the REAL cell codec: "
+    "jetton chain → swap#6664de2a at pool 1 → pay_to#657b54f5 → "
+    "router-pays-itself chain → pool 2 → payout chain; peer_swaps "
+    "carries both hops (reference StonfiV2SwapBlockMatcher, "
+    "blocks/swaps.py:233-477)",
+)
+def classify_stonfi_v2_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _stonfi_v2_fixture(spark)
+    sd = F.col("jetton_swap_data")
+    inc, out, peers = (sd["dex_incoming_transfer"],
+                       sd["dex_outgoing_transfer"], sd["peer_swaps"])
+    return (
+        res.actions.filter(F.col("type") == "jetton_swap")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            sd["dex"].alias("dex"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("destination_wallet"),
+            inc["asset"].alias("asset_in"),
+            out["asset"].alias("asset_out"),
+            inc["amount"].cast("long").alias("amount_in"),
+            out["amount"].cast("long").alias("amount_out"),
+            inc["destination"].alias("in_destination"),
+            out["source_jetton_wallet"].alias("out_source_wallet"),
+            F.size(peers).alias("n_peer_swaps"),
+            peers[0]["asset_in"].alias("hop1_asset_in"),
+            peers[0]["asset_out"].alias("hop1_asset_out"),
+            peers[0]["amount_out"].cast("long").alias("hop1_amount_out"),
+            peers[1]["asset_in"].alias("hop2_asset_in"),
+            peers[1]["asset_out"].alias("hop2_asset_out"),
+            peers[1]["amount_out"].cast("long").alias("hop2_amount_out"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# JVault staking family (blocks/jvault.py 104-475): deposit via jetton
+# chain + receive_jettons at the stake wallet, rewards claim via
+# claim_rewards → send_claimed_rewards → payout chain, and unstake via
+# unstake_jettons → rewards round-trip → return chain.  Exercises the
+# write-side HashmapE(267) codec (claim dict) and the raw forward_payload
+# ref (stake period).
+
+JV_POOL, JV_STAKE_W = UP("7", "1"), UP("7", "2")
+JV_UW, JV_PW = UP("7", "3"), UP("7", "4")
+JV_PRW, JV_URW = UP("7", "5"), UP("7", "6")
+JV_J, JV_RJ = UP("7", "8"), UP("7", "9")
+JV_PERIOD = 7776000  # 90 days in seconds
+
+
+def _jvault_fixture(spark: SparkSession):
+    """Three golden JVault traces, every decoded body a real BOC:
+    jv1 stake (transfer with the period forward-payload → pool notify →
+    receive_jettons#d68a4ac1 → request_update_rewards), jv2 claim
+    (claim_rewards#78d9f109 with a one-key HashmapE(267) jetton dict →
+    send_claimed_rewards → reward jetton chain), jv3 unstake
+    (unstake_jettons#499a9262 → rewards round-trip → return chain).
+    Reference: JVaultStakeBlockMatcher (jvault.py:104-183),
+    JVaultClaimBlockMatcher (:317-371), JVaultUnstakeBlockMatcher
+    (:207-296)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        JVAULT_CLAIM,
+        JVAULT_RECEIVE,
+        JVAULT_REQUEST_UPDATE,
+        JVAULT_SEND_CLAIMED,
+        JVAULT_UNSTAKE,
+    )
+    from ton_indexer_spark.functions.boc import (
+        Builder,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+        encode_jvault_claim,
+        encode_jvault_receive,
+        encode_jvault_unstake,
+        serialize_boc,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    period_payload = base64.b64encode(serialize_boc(
+        Builder().store_uint(0x17, 32).store_uint(JV_PERIOD, 32)
+        .end_cell())).decode()
+
+    # jv1: stake 1000 JV_J for 90 days
+    t1 = tx("jv1", 1, USER, 100); ext("jv1", t1, 100)
+    t2 = tx("jv1", 2, JV_UW, 110)
+    link("jv1", 1, t1, 100, t2, 110, USER, JV_UW, 10**8,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(11, 1000, destination=JV_POOL,
+                                forward_payload=period_payload))
+    t3 = tx("jv1", 3, JV_PW, 120)
+    link("jv1", 2, t2, 110, t3, 120, JV_UW, JV_PW, 10**7,
+         JETTON_INTERNAL_OP, encode_jetton_internal(11, 1000,
+                                                    from_owner=USER))
+    t4 = tx("jv1", 4, JV_POOL, 130)
+    link("jv1", 3, t3, 120, t4, 130, JV_PW, JV_POOL, 10**6,
+         JETTON_NOTIFY_OP, encode_jetton_notify(11, 1000, sender=USER))
+    t5 = tx("jv1", 5, JV_STAKE_W, 140)
+    link("jv1", 4, t4, 130, t5, 140, JV_POOL, JV_STAKE_W, 10**6,
+         JVAULT_RECEIVE, encode_jvault_receive(11, 1000))
+    t6 = tx("jv1", 6, JV_POOL, 150)
+    link("jv1", 5, t5, 140, t6, 150, JV_STAKE_W, JV_POOL, 10**5,
+         JVAULT_REQUEST_UPDATE, None)
+
+    # jv2: claim rewards — 250 JV_RJ paid out through a full chain
+    u1 = tx("jv2", 1, USER, 200); ext("jv2", u1, 200)
+    u2 = tx("jv2", 2, JV_STAKE_W, 210)
+    link("jv2", 1, u1, 200, u2, 210, USER, JV_STAKE_W, 10**8,
+         JVAULT_CLAIM, encode_jvault_claim(12, [JV_RJ]))
+    u3 = tx("jv2", 3, JV_POOL, 220)
+    link("jv2", 2, u2, 210, u3, 220, JV_STAKE_W, JV_POOL, 10**7,
+         JVAULT_SEND_CLAIMED, None)
+    u4 = tx("jv2", 4, JV_PRW, 230)
+    link("jv2", 3, u3, 220, u4, 230, JV_POOL, JV_PRW, 10**6,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(12, 250, destination=USER))
+    u5 = tx("jv2", 5, JV_URW, 240)
+    link("jv2", 4, u4, 230, u5, 240, JV_PRW, JV_URW, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(12, 250, from_owner=JV_POOL))
+    u6 = tx("jv2", 6, USER, 250)
+    link("jv2", 5, u5, 240, u6, 250, JV_URW, USER, 1,
+         JETTON_NOTIFY_OP, encode_jetton_notify(12, 250, sender=JV_POOL))
+
+    # jv3: unstake 777 — rewards round-trip, jettons returned
+    v1 = tx("jv3", 1, USER, 300); ext("jv3", v1, 300)
+    v2 = tx("jv3", 2, JV_STAKE_W, 310)
+    link("jv3", 1, v1, 300, v2, 310, USER, JV_STAKE_W, 10**8,
+         JVAULT_UNSTAKE, encode_jvault_unstake(13, 777))
+    v3 = tx("jv3", 3, JV_POOL, 320)
+    link("jv3", 2, v2, 310, v3, 320, JV_STAKE_W, JV_POOL, 10**7,
+         JVAULT_REQUEST_UPDATE, None)
+    v4 = tx("jv3", 4, JV_PW, 330)
+    link("jv3", 3, v3, 320, v4, 330, JV_POOL, JV_PW, 10**6,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(13, 777, destination=USER))
+    v5 = tx("jv3", 5, JV_UW, 340)
+    link("jv3", 4, v4, 330, v5, 340, JV_PW, JV_UW, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(13, 777, from_owner=JV_POOL))
+    v6 = tx("jv3", 6, USER, 350)
+    link("jv3", 5, v5, 340, v6, 350, JV_UW, USER, 1,
+         JETTON_NOTIFY_OP, encode_jetton_notify(13, 777, sender=JV_POOL))
+
+    jw = spark.createDataFrame(
+        [(JV_UW, USER, JV_J), (JV_PW, JV_POOL, JV_J),
+         (JV_PRW, JV_POOL, JV_RJ), (JV_URW, USER, JV_RJ)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_JVAULT_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('jv1', 'jvault_stake', '{ACC[0]}', '{JV_UW}', '{JV_POOL}',
+   CAST(1000 AS BIGINT), '{JV_J}', {JV_PERIOD}, '{JV_STAKE_W}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), TRUE, 6),
+  ('jv2', 'jvault_claim', '{ACC[0]}', '{JV_STAKE_W}', '{JV_POOL}',
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+   CAST(NULL AS VARCHAR), '{JV_RJ}', CAST(250 AS BIGINT), TRUE, 6),
+  ('jv3', 'jvault_unstake', '{ACC[0]}', '{JV_STAKE_W}', '{JV_POOL}',
+   CAST(777 AS BIGINT), '{JV_J}', CAST(NULL AS INT),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+   TRUE, 6)
+) AS t(trace_id, action_type, source, source_wallet, destination,
+       amount, asset, stake_period, stake_wallet, claimed_jetton,
+       claimed_amount, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_jvault",
+    oracle=_JVAULT_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="JVault staking family through the REAL cell codec: "
+    "stake (period forward-payload + receive_jettons#d68a4ac1), claim "
+    "(one-key HashmapE(267) claim dict, write-side hashmap codec), and "
+    "unstake with the rewards round-trip (reference blocks/jvault.py:"
+    "104-475)",
+)
+def classify_jvault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _jvault_fixture(spark)
+    stake = F.col("jvault_stake_data")
+    claim = F.col("jvault_claim_data")
+    return (
+        res.actions.filter(F.col("type").startswith("jvault"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            F.col("amount").cast("long").alias("amount"),
+            "asset",
+            stake["period"].cast("int").alias("stake_period"),
+            stake["stake_wallet"].alias("stake_wallet"),
+            F.element_at(claim["claimed_jettons"], 1)
+            .alias("claimed_jetton"),
+            F.element_at(claim["claimed_amounts"], 1).cast("long")
+            .alias("claimed_amount"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
