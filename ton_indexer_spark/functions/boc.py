@@ -2372,6 +2372,146 @@ def encode_jvault_claim(query_id: int, jettons: list[str]) -> str:
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def encode_lz_packet(
+    src_eid: int, src_oapp: int, dst_eid: int, dst_oapp: int,
+    nonce: int, guid: int, message: bytes = b"\xde\xad",
+) -> Cell:
+    """lz::Packet cell (messages/layerzero.py:149-207): header + filler
+    prefix, path ref (eid/oapp route), message ref, nonce + guid — the
+    write-side mirror of ``_lz_packet_fields``."""
+    ones = (1 << _LZ_CELL_FILLER_BITS) - 1
+    path = (
+        Builder()
+        .store_uint(_LZ_PATH_HEADER, _LZ_CELL_HEADER_BITS)
+        .store_uint(ones, _LZ_CELL_FILLER_BITS)
+        .store_uint(src_eid, 32).store_uint(src_oapp, 256)
+        .store_uint(dst_eid, 32).store_uint(dst_oapp, 256)
+        .end_cell()
+    )
+    msg = Builder().store_bytes(message).end_cell()
+    return (
+        Builder()
+        .store_uint(_LZ_PACKET_HEADER, _LZ_CELL_HEADER_BITS)
+        .store_uint(ones, _LZ_CELL_FILLER_BITS)
+        .store_ref(path)
+        .store_ref(msg)
+        .store_uint(nonce, 64)
+        .store_uint(guid, 256)
+        .end_cell()
+    )
+
+
+def encode_lz_send_callback(
+    send_request_id: int, msglib_manager: int, msglib: int,
+    packet: Cell, native_fee: int, zro_fee: int,
+) -> str:
+    """Layerzero::CHANNEL_SEND_CALLBACK body (messages/layerzero.py:
+    86-117): the lzSend metadata rides at refs[0].refs[0].refs[0] —
+    name:uint80 'lzSend', header+filler, request id, msglib manager +
+    address, the packet ref, extra options, and the fee cell."""
+    fees = (
+        Builder()
+        .store_uint(1, 256)  # msglib_connection
+        .store_uint(native_fee, 128).store_uint(zro_fee, 128)
+        .end_cell()
+    )
+    lz = (
+        Builder()
+        .store_uint(_LZ_MD_NAME, 80)
+        .store_uint(_LZ_SEND_HEADER, _LZ_SEND_HEADER_BITS)
+        .store_uint((1 << _LZ_SEND_FILLER_BITS) - 1, _LZ_SEND_FILLER_BITS)
+        .store_uint(send_request_id, 64)
+        .store_uint(msglib_manager, 256)
+        .store_uint(msglib, 256)
+        .store_ref(packet)
+        .store_ref(Builder().end_cell())  # extra_options
+        .store_ref(fees)
+        .end_cell()
+    )
+    md_obj = Builder().store_ref(lz).end_cell()
+    body = (
+        Builder()
+        .store_uint(0xA2B5FBAE, 32)  # Layerzero::CHANNEL_SEND_CALLBACK
+        .store_uint(0, 64)
+        .store_ref(Builder().store_ref(md_obj).end_cell())
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(body)).decode()
+
+
+def encode_lz_packet_envelope(op: int, packet: Cell) -> str:
+    """Channel commit / execute body: the packet cell rides at
+    refs[0].refs[0] (messages/layerzero.py:383-391, 1377-1383)."""
+    body = (
+        Builder()
+        .store_uint(op, 32)
+        .store_uint(0, 64)
+        .store_ref(Builder().store_ref(packet).end_cell())
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(body)).decode()
+
+
+def encode_tgbtc_mint_event(
+    amount: int, recipient: str | None, bitcoin_txid_le_hex: str,
+) -> str:
+    """mint#77a80ef3 event log (messages/tgbtc.py:9-27): the txid is
+    stored big-endian on chain and rendered little-endian by the
+    reference — the argument here is the little-endian display hex."""
+    cell = (
+        Builder()
+        .store_uint(OP_TGBTC_MINT_EVENT, 32)
+        .store_coins(amount)
+        .store_address(recipient)
+        .store_uint(int.from_bytes(bytes.fromhex(bitcoin_txid_le_hex),
+                                   "little"), 256)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tgbtc_burn_event(
+    amount: int, sender: str | None, pegout: str | None,
+) -> str:
+    """burn#ca444ce6 event log (messages/tgbtc.py:29-58)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TGBTC_BURN_EVENT, 32)
+        .store_coins(amount)
+        .store_address(sender)
+        .store_address(pegout)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tgbtc_new_key_event(
+    amount: int, new_internal_pubkey: int, pegout: str | None,
+) -> str:
+    """new_key#27756729 event log (messages/tgbtc.py:60-74)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TGBTC_NEW_KEY_EVENT, 32)
+        .store_coins(amount)
+        .store_uint(new_internal_pubkey, 256)
+        .store_address(pegout)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tgbtc_dkg_event(timestamp: int, internal_pubkey: int) -> str:
+    """dkg_completed#453443a6 event log (messages/tgbtc.py:76-86)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TGBTC_DKG_EVENT, 32)
+        .store_uint(timestamp, 64)
+        .store_uint(internal_pubkey, 256)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

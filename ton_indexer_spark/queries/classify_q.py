@@ -2270,3 +2270,394 @@ def classify_jvault(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# LayerZero cross-chain messaging (blocks/layerzero.py 149-506): the
+# endpoint-send chain (packet metadata recovered from the channel send
+# callback), the receive prepare→lock→execute chain, and the
+# DVN packet-verification commit — all three packet-carrying bodies are
+# real BOCs through the lz::Packet codec.
+
+LZO_OAPP, LZO_ENDPOINT = UP("D", "2"), UP("D", "3")
+LZO_CHANNEL, LZO_MCONN = UP("D", "4"), UP("D", "5")
+LZO_ULN, LZO_UCONN = UP("D", "6"), UP("D", "7")
+LZO_EXEC, LZO_DVN = UP("D", "8"), UP("D", "9")
+LZ_SRC_EID, LZ_DST_EID = 30343, 30184
+LZ_SRC_OAPP, LZ_DST_OAPP = 0xAA, 0xBB
+
+
+def _layerzero_fixture(spark: SparkSession):
+    """Three golden LayerZero traces: lz1 send (endpoint → channel →
+    msglib-connection → uln → msglib callback → OApp callback whose body
+    embeds the lzSend metadata tree), lz2 receive (receive-prepare →
+    OApp prepare → receive lock → execute carrying the packet →
+    execute callback), lz3 commit (uln commit → uln-connection →
+    endpoint → channel commit carrying the packet → msglib-connection
+    callback).  Reference: LayerZeroSendMatcher (layerzero.py:149-272),
+    receive (:338-424), commit (:424-506)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        LZ_CHANNEL_COMMIT_PACKET,
+        LZ_CHANNEL_SEND,
+        LZ_ENDPOINT_COMMIT,
+        LZ_ENDPOINT_SEND,
+        LZ_MCONN_COMMIT_CB,
+        LZ_MCONN_SEND,
+        LZ_MSGLIB_SEND_CB,
+        LZ_OAPP_EXECUTE_CB,
+        LZ_OAPP_RECEIVE_PREPARE,
+        LZ_OAPP_SEND_CB,
+        LZ_RECEIVE_EXECUTE,
+        LZ_RECEIVE_LOCK,
+        LZ_RECEIVE_PREPARE,
+        LZ_ULN_COMMIT,
+        LZ_ULN_CONN_COMMIT,
+        LZ_ULN_SEND,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_lz_packet,
+        encode_lz_packet_envelope,
+        encode_lz_send_callback,
+    )
+
+    packet = encode_lz_packet(LZ_SRC_EID, LZ_SRC_OAPP, LZ_DST_EID,
+                              LZ_DST_OAPP, nonce=77, guid=0xCAFE)
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # lz1: send — OApp → endpoint → channel → mconn → uln → cb → OApp cb
+    t1 = tx("lz1", 1, LZO_OAPP, 100); ext("lz1", t1, 100, LZO_OAPP)
+    t2 = tx("lz1", 2, LZO_ENDPOINT, 110)
+    link("lz1", 1, t1, 100, t2, 110, LZO_OAPP, LZO_ENDPOINT, 10**7,
+         LZ_ENDPOINT_SEND, None)
+    t3 = tx("lz1", 3, LZO_CHANNEL, 120)
+    link("lz1", 2, t2, 110, t3, 120, LZO_ENDPOINT, LZO_CHANNEL, 10**6,
+         LZ_CHANNEL_SEND, None)
+    t4 = tx("lz1", 4, LZO_MCONN, 130)
+    link("lz1", 3, t3, 120, t4, 130, LZO_CHANNEL, LZO_MCONN, 10**6,
+         LZ_MCONN_SEND, None)
+    t5 = tx("lz1", 5, LZO_ULN, 140)
+    link("lz1", 4, t4, 130, t5, 140, LZO_MCONN, LZO_ULN, 10**6,
+         LZ_ULN_SEND, None)
+    t6 = tx("lz1", 6, LZO_CHANNEL, 150)
+    link("lz1", 5, t5, 140, t6, 150, LZO_ULN, LZO_CHANNEL, 10**6,
+         LZ_MSGLIB_SEND_CB, None)
+    t7 = tx("lz1", 7, LZO_OAPP, 160)
+    link("lz1", 6, t6, 150, t7, 160, LZO_CHANNEL, LZO_OAPP, 10**6,
+         LZ_OAPP_SEND_CB,
+         encode_lz_send_callback(42, 0x11, 0x22, packet,
+                                 native_fee=5000, zro_fee=3))
+
+    # lz2: receive — executor → channel prepare → OApp prepare → lock →
+    # execute (packet) → execute callback
+    u1 = tx("lz2", 1, LZO_EXEC, 200); ext("lz2", u1, 200, LZO_EXEC)
+    u2 = tx("lz2", 2, LZO_CHANNEL, 210)
+    link("lz2", 1, u1, 200, u2, 210, LZO_EXEC, LZO_CHANNEL, 10**7,
+         LZ_RECEIVE_PREPARE, None)
+    u3 = tx("lz2", 3, LZO_OAPP, 220)
+    link("lz2", 2, u2, 210, u3, 220, LZO_CHANNEL, LZO_OAPP, 10**6,
+         LZ_OAPP_RECEIVE_PREPARE, None)
+    u4 = tx("lz2", 4, LZO_CHANNEL, 230)
+    link("lz2", 3, u3, 220, u4, 230, LZO_OAPP, LZO_CHANNEL, 10**6,
+         LZ_RECEIVE_LOCK, None)
+    u5 = tx("lz2", 5, LZO_OAPP, 240)
+    link("lz2", 4, u4, 230, u5, 240, LZO_CHANNEL, LZO_OAPP, 10**6,
+         LZ_RECEIVE_EXECUTE,
+         encode_lz_packet_envelope(LZ_RECEIVE_EXECUTE, packet))
+    u6 = tx("lz2", 6, LZO_CHANNEL, 250)
+    link("lz2", 5, u5, 240, u6, 250, LZO_OAPP, LZO_CHANNEL, 10**6,
+         LZ_OAPP_EXECUTE_CB, None)
+
+    # lz3: commit — dvn → uln commit → uln-connection → endpoint →
+    # channel commit (packet) → msglib-connection callback
+    v1 = tx("lz3", 1, LZO_DVN, 300); ext("lz3", v1, 300, LZO_DVN)
+    v2 = tx("lz3", 2, LZO_ULN, 310)
+    link("lz3", 1, v1, 300, v2, 310, LZO_DVN, LZO_ULN, 10**7,
+         LZ_ULN_COMMIT, None)
+    v3 = tx("lz3", 3, LZO_UCONN, 320)
+    link("lz3", 2, v2, 310, v3, 320, LZO_ULN, LZO_UCONN, 10**6,
+         LZ_ULN_CONN_COMMIT, None)
+    v4 = tx("lz3", 4, LZO_ENDPOINT, 330)
+    link("lz3", 3, v3, 320, v4, 330, LZO_UCONN, LZO_ENDPOINT, 10**6,
+         LZ_ENDPOINT_COMMIT, None)
+    v5 = tx("lz3", 5, LZO_CHANNEL, 340)
+    link("lz3", 4, v4, 330, v5, 340, LZO_ENDPOINT, LZO_CHANNEL, 10**6,
+         LZ_CHANNEL_COMMIT_PACKET,
+         encode_lz_packet_envelope(LZ_CHANNEL_COMMIT_PACKET, packet))
+    v6 = tx("lz3", 6, LZO_MCONN, 350)
+    link("lz3", 5, v5, 340, v6, 350, LZO_CHANNEL, LZO_MCONN, 10**6,
+         LZ_MCONN_COMMIT_CB, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_LAYERZERO_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('lz1', 'layerzero_send', '{LZO_OAPP}', '{LZO_ENDPOINT}',
+   CAST(42 AS BIGINT), '{LZO_ULN}', '{LZO_ENDPOINT}', '{LZO_CHANNEL}',
+   CAST(5000 AS BIGINT), CAST(3 AS BIGINT),
+   '0xaa', '0xbb', {LZ_SRC_EID}, {LZ_DST_EID}, CAST(77 AS BIGINT),
+   '0xcafe', TRUE, 7),
+  ('lz2', 'layerzero_receive', '{LZO_EXEC}', '{LZO_OAPP}',
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   '0xaa', '0xbb', {LZ_SRC_EID}, {LZ_DST_EID}, CAST(77 AS BIGINT),
+   '0xcafe', TRUE, 6),
+  ('lz3', 'layerzero_commit_packet', '{LZO_DVN}', '{LZO_UCONN}',
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   '0xaa', '0xbb', {LZ_SRC_EID}, {LZ_DST_EID}, CAST(77 AS BIGINT),
+   '0xcafe', TRUE, 6)
+) AS t(trace_id, action_type, source, destination, send_request_id,
+       uln, endpoint, channel, native_fee, zro_fee,
+       src_oapp, dst_oapp, src_eid, dst_eid, nonce, guid, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_layerzero",
+    oracle=_LAYERZERO_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="LayerZero send / receive / commit-packet through the "
+    "REAL cell codec: lzSend metadata tree, packet envelopes at "
+    "refs[0].refs[0], eid/oapp route + nonce/guid asserted per trace "
+    "(reference blocks/layerzero.py:149-506)",
+)
+def classify_layerzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _layerzero_fixture(spark)
+    send = F.col("layerzero_send_data")
+    pkt = F.col("layerzero_packet_data")
+    return (
+        res.actions.filter(F.col("type").startswith("layerzero"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            send["send_request_id"].cast("long").alias("send_request_id"),
+            send["uln"].alias("uln"),
+            send["endpoint"].alias("endpoint"),
+            send["channel"].alias("channel"),
+            send["native_fee"].cast("long").alias("native_fee"),
+            send["zro_fee"].cast("long").alias("zro_fee"),
+            pkt["src_oapp"].alias("src_oapp"),
+            pkt["dst_oapp"].alias("dst_oapp"),
+            pkt["src_eid"].cast("int").alias("src_eid"),
+            pkt["dst_eid"].cast("int").alias("dst_eid"),
+            pkt["nonce"].cast("long").alias("nonce"),
+            pkt["guid"].alias("guid"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# tgBTC bridge (blocks/tgbtc.py 54-332): peg-in mint chain with the mint
+# event log + jetton mint, peg-out burn with the notify chain to the
+# teleport's burn event, and the DKG new-key announcement (paired event
+# logs on parent and child).  All four event-log bodies are real BOCs.
+
+TB_COORD, TB_HEAD = UP("F", "2"), UP("F", "3")
+TB_TELEPORT, TB_MINTER = UP("F", "4"), UP("F", "5")
+TB_UW, TB_PEGOUT, TB_MASTER = UP("F", "6"), UP("F", "7"), UP("F", "8")
+TB_TXID = "aa55" * 16           # little-endian display hex
+TB_PUBKEY, TB_PUBKEY2 = 0xBEEF, 0xF00D
+TB_DKG_TS = 1_700_000_500
+
+
+def _tgbtc_fixture(spark: SparkSession):
+    """Three golden tgBTC traces: tb1 peg-in (head#3f781d24 →
+    tail#e42a879b with the mint#77a80ef3 event log → jetton mint →
+    internal transfer to the recipient wallet), tb2 peg-out (wallet burn
+    → burn-notify chain → teleport's burn#ca444ce6 event), tb3 DKG
+    new-key (dkg_completed#453443a6 on the teleport, new_key#27756729 on
+    the coordinator call).  Reference: TgBTCMintBlockMatcher
+    (tgbtc.py:54-156), TgBTCBurnBlockMatcher (:179-246),
+    TgBTCNewKeyBlockMatcher (:270-332)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import JETTON_BURN
+    from ton_indexer_spark.classifier.protocols import (
+        TGBTC_BURN_EVENT,
+        TGBTC_BURN_NOTIFY,
+        TGBTC_BURN_NOTIFY_ALT,
+        TGBTC_DKG_EVENT,
+        TGBTC_MINT_EVENT,
+        TGBTC_MINT_HEAD,
+        TGBTC_MINT_TAIL,
+        TGBTC_NEW_KEY_CALL,
+        TGBTC_NEW_KEY_EVENT,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_burn,
+        encode_jetton_internal,
+        encode_jetton_mint,
+        encode_tgbtc_burn_event,
+        encode_tgbtc_dkg_event,
+        encode_tgbtc_mint_event,
+        encode_tgbtc_new_key_event,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    def event(trace, n, src_tx, src_lt, source, opcode, body):
+        bh = f"bh-{trace}-ev{n}"
+        bodies.append((bh, body))
+        msgs.append((trace, src_tx, src_lt, f"{trace}-ev{n}", "out",
+                     source, None, None, opcode, src_lt + 1, bh))
+
+    # tb1: peg-in — mint 100000 sat-nanos of tgBTC to the user
+    t1 = tx("tb1", 1, TB_COORD, 100); ext("tb1", t1, 100, TB_COORD)
+    t2 = tx("tb1", 2, TB_HEAD, 110)
+    link("tb1", 1, t1, 100, t2, 110, TB_COORD, TB_HEAD, 10**7,
+         TGBTC_MINT_HEAD, None)
+    t3 = tx("tb1", 3, TB_TELEPORT, 120)
+    link("tb1", 2, t2, 110, t3, 120, TB_HEAD, TB_TELEPORT, 10**6,
+         TGBTC_MINT_TAIL, None)
+    event("tb1", 1, t3, 120, TB_TELEPORT, TGBTC_MINT_EVENT,
+          encode_tgbtc_mint_event(100000, USER, TB_TXID))
+    t4 = tx("tb1", 4, TB_MINTER, 130)
+    link("tb1", 3, t3, 120, t4, 130, TB_TELEPORT, TB_MINTER, 10**6,
+         0x642B7D07, encode_jetton_mint(31, USER, 10**6, 100000))
+    t5 = tx("tb1", 5, TB_UW, 140)
+    link("tb1", 4, t4, 130, t5, 140, TB_MINTER, TB_UW, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(31, 100000, from_owner=TB_TELEPORT))
+
+    # tb2: peg-out — burn 5000, notify chain to the teleport's event
+    u1 = tx("tb2", 1, USER, 200); ext("tb2", u1, 200, USER)
+    u2 = tx("tb2", 2, TB_UW, 210)
+    link("tb2", 1, u1, 200, u2, 210, USER, TB_UW, 10**8, JETTON_BURN,
+         encode_jetton_burn(32, 5000, response=USER))
+    u3 = tx("tb2", 3, TB_MINTER, 220)
+    link("tb2", 2, u2, 210, u3, 220, TB_UW, TB_MINTER, 10**6,
+         TGBTC_BURN_NOTIFY, None)
+    u4 = tx("tb2", 4, TB_TELEPORT, 230)
+    link("tb2", 3, u3, 220, u4, 230, TB_MINTER, TB_TELEPORT, 10**6,
+         TGBTC_BURN_NOTIFY_ALT, None)
+    event("tb2", 1, u4, 230, TB_TELEPORT, TGBTC_BURN_EVENT,
+          encode_tgbtc_burn_event(5000, USER, TB_PEGOUT))
+
+    # tb3: DKG new key — dkg log on the teleport, new-key on the call
+    v1 = tx("tb3", 1, TB_TELEPORT, 300); ext("tb3", v1, 300, TB_TELEPORT)
+    event("tb3", 1, v1, 300, TB_TELEPORT, TGBTC_DKG_EVENT,
+          encode_tgbtc_dkg_event(TB_DKG_TS, TB_PUBKEY))
+    v2 = tx("tb3", 2, TB_COORD, 310)
+    link("tb3", 1, v1, 300, v2, 310, TB_TELEPORT, TB_COORD, 10**6,
+         TGBTC_NEW_KEY_CALL, None)
+    event("tb3", 2, v2, 310, TB_COORD, TGBTC_NEW_KEY_EVENT,
+          encode_tgbtc_new_key_event(3000, TB_PUBKEY2, TB_PEGOUT))
+
+    jw = spark.createDataFrame(
+        [(TB_UW, USER, TB_MASTER)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_TGBTC_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('tb1', 'tgbtc_mint', '{TB_COORD}', '{TB_TELEPORT}', '{ACC[0]}',
+   '{TB_UW}', CAST(100000 AS BIGINT), '{TB_MINTER}', '{TB_TXID}',
+   CAST(10000000 AS BIGINT), TRUE, 5),
+  ('tb2', 'tgbtc_burn', '{ACC[0]}', '{TB_UW}', '{TB_PEGOUT}',
+   CAST(NULL AS VARCHAR), CAST(5000 AS BIGINT), '{TB_MASTER}',
+   CAST(NULL AS VARCHAR), CAST(100000000 AS BIGINT), TRUE, 4),
+  ('tb3', 'tgbtc_new_key', '{TB_TELEPORT}', '{TB_PUBKEY2:x}',
+   '{TB_COORD}', '{TB_PEGOUT}', CAST(3000 AS BIGINT),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST({TB_DKG_TS} AS BIGINT), TRUE, 2)
+) AS t(trace_id, action_type, source, source_secondary, destination,
+       destination_secondary, amount, asset, bitcoin_txid, value,
+       success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_tgbtc",
+    oracle=_TGBTC_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="tgBTC bridge through the REAL cell codec: peg-in mint "
+    "chain (head/tail + mint event log + jetton mint), peg-out burn via "
+    "the notify chain to the teleport's burn event, and the DKG new-key "
+    "pair of event logs (reference blocks/tgbtc.py:54-332)",
+)
+def classify_tgbtc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _tgbtc_fixture(spark)
+    return (
+        res.actions.filter(F.col("type").startswith("tgbtc"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "source_secondary",
+            "destination",
+            "destination_secondary",
+            F.col("amount").cast("long").alias("amount"),
+            "asset",
+            F.col("asset_secondary").alias("bitcoin_txid"),
+            F.col("value").cast("long").alias("value"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
