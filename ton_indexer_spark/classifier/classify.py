@@ -186,6 +186,14 @@ ACTIONS_OUT_SCHEMA = T.StructType(
         T.StructField("asset_secondary", T.StringType()),
         T.StructField("asset2", T.StringType()),
         T.StructField("asset2_secondary", T.StringType()),
+        # deferred dimension lookup: a jetton WALLET recovered from a
+        # decoded payload that never transacts in the trace (e.g. the
+        # intended target of a FAILED tonco swap, swaps.py:1154-1186) —
+        # the trace-scoped context can't resolve it, so classify_traces
+        # runs a post-classification point-lookup join and drops this
+        # column (the reference's interface_repository.get_jetton_wallet
+        # await at the same spot)
+        T.StructField("asset2_wallet_unresolved", T.StringType()),
         T.StructField("opcode", T.LongType()),
         T.StructField("value", _D),
         T.StructField("amount", _D),
@@ -727,6 +735,47 @@ def classify_traces(
     actions = raw.filter(F.col("action_id").isNotNull()).drop(
         "classification_state", "failure_reason"
     )
+    # Deferred dimension point lookups (the reference's
+    # interface_repository.get_jetton_wallet awaits, swaps.py:1164-1180):
+    # a matcher may reference a jetton wallet that never transacts in its
+    # trace (a FAILED swap's intended target), which the trace-scoped
+    # context can't resolve.  Resolve here on the (rare) flagged subset:
+    # broadcast the distinct unresolved keys, prune the dimension
+    # map-side (same discipline as scoped() above — the full dim is never
+    # shuffled), then broadcast-join the pruned rows back.
+    if jetton_wallets is not None:
+        from ton_indexer_spark.classifier.base import PTON_MASTERS
+
+        need = actions.filter(F.col("asset2_wallet_unresolved").isNotNull())
+        keys = need.select(
+            F.col("asset2_wallet_unresolved").alias("address")
+        ).distinct()
+        dim = (
+            jetton_wallets.join(F.broadcast(keys), "address", "left_semi")
+            .select(F.col("address").alias("asset2_wallet_unresolved"),
+                    F.col("jetton").alias("_deferred_jetton"))
+        )
+        resolved = (
+            need.join(F.broadcast(dim), "asset2_wallet_unresolved", "left")
+            .withColumn(
+                "asset2",
+                F.coalesce(
+                    F.col("asset2"),
+                    # pTON-family wallets resolve to TON = NULL asset,
+                    # the _wallet_asset lookup discipline
+                    F.when(
+                        ~F.col("_deferred_jetton").isin(*PTON_MASTERS),
+                        F.col("_deferred_jetton"),
+                    ),
+                ),
+            )
+            .drop("_deferred_jetton")
+        )
+        actions = (
+            actions.filter(F.col("asset2_wallet_unresolved").isNull())
+            .unionByName(resolved)
+        )
+    actions = actions.drop("asset2_wallet_unresolved")
     states = (
         raw.select("trace_id", "classification_state", "failure_reason")
         .groupBy("trace_id")

@@ -1225,6 +1225,7 @@ def match_tonco_swap(node: Node, ctx: Ctx) -> dict | None:
 
     destination_asset = out_data["asset"]
     min_out = out_data["amount"]
+    unresolved_wallet = None
     if not ok and fwd:
         from ton_indexer_spark.functions.boc import decode_tonco_swap_payload
 
@@ -1233,6 +1234,13 @@ def match_tonco_swap(node: Node, ctx: Ctx) -> dict | None:
             t_wallet, t_min = targets[-1]
             destination_asset = _wallet_asset(t_wallet, ctx)
             min_out = t_min
+            # the intended target wallet never transacts in a refunded
+            # trace, so the trace-scoped context can't know its jetton —
+            # defer to the post-classification point lookup
+            # (swaps.py:1164-1180 awaits the interface repository here)
+            if (destination_asset is None
+                    and t_wallet not in ctx.get("jetton_wallets", {})):
+                unresolved_wallet = t_wallet
 
     act = _base(
         node,
@@ -1244,6 +1252,7 @@ def match_tonco_swap(node: Node, ctx: Ctx) -> dict | None:
         destination_secondary=out_data["destination_jetton_wallet"],
         asset=in_data["asset"],
         asset2=destination_asset,
+        asset2_wallet_unresolved=unresolved_wallet,
         jetton_swap_data={
             "dex": "tonco",
             "sender": in_data["source"],

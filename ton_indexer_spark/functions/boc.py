@@ -2512,6 +2512,126 @@ def encode_tgbtc_dkg_event(timestamp: int, internal_pubkey: int) -> str:
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_tonco_pay_to(
+    query_id: int, receiver0: str | None, receiver1: str | None,
+    exit_code: int, amount0: int | None = None,
+    jetton0: str | None = None, amount1: int | None = None,
+    jetton1: str | None = None, seqno: int = 0,
+) -> str:
+    """ROUTERV3_PAY_TO#a1daa96d (messages/swaps.py:307-366): pool →
+    router payout order with the Maybe coinsinfo ref."""
+    b = (
+        Builder()
+        .store_uint(OP_TONCO_PAY_TO, 32)
+        .store_uint(query_id, 64)
+        .store_address(receiver0)
+        .store_address(receiver1)
+        .store_uint(exit_code, 32)
+        .store_uint(seqno, 64)
+    )
+    if amount0 is None and amount1 is None:
+        b.store_bit(0)
+    else:
+        coins = (
+            Builder()
+            .store_coins(amount0 or 0)
+            .store_address(jetton0)
+            .store_coins(amount1 or 0)
+            .store_address(jetton1)
+            .end_cell()
+        )
+        b.store_bit(1).store_ref(coins)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_tonco_swap_payload(
+    steps: "list[tuple[str, int, str | None]]",
+) -> Cell:
+    """Tonco POOLV3_SWAP multicall payload cell — (target router jetton
+    wallet, min_out, recipient) per hop, chained through Maybe refs
+    (messages/swaps.py:245-299); the read-side mirror is
+    ``decode_tonco_swap_payload``."""
+    cell = None
+    for wallet, min_out, recipient in reversed(steps):
+        b = (
+            Builder()
+            .store_uint(OP_TONCO_SWAP, 32)
+            .store_address(wallet)
+            .store_uint(0, 160)  # price_limit_sqrt
+            .store_coins(min_out)
+            .store_address(recipient)
+        )
+        if cell is None:
+            b.store_bit(0)
+        else:
+            b.store_bit(1).store_ref(cell)
+        cell = b.end_cell()
+    return cell
+
+
+def encode_cocoon_payout_payload(
+    query_id: int, new_tokens: int, expected_address: str | None,
+    last: bool = False,
+) -> str:
+    """Cocoon [Last]PayoutPayload (messages/cocoon.py): proxy → worker
+    settlement order; 0xf5f26a36 is the channel-closing variant."""
+    cell = (
+        Builder()
+        .store_uint(0xF5F26A36 if last else 0xA040AD28, 32)
+        .store_uint(query_id, 64)
+        .store_uint(new_tokens, 64)
+        .store_address(expected_address)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_cocoon_worker_request(
+    query_id: int, owner_address: str | None, state: int, tokens: int,
+) -> str:
+    """Cocoon WorkerProxyRequest#4d725d2c (messages/cocoon.py)."""
+    cell = (
+        Builder()
+        .store_uint(0x4D725D2C, 32)
+        .store_uint(query_id, 64)
+        .store_address(owner_address)
+        .store_uint(state, 2)
+        .store_uint(tokens, 64)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_cocoon_client_topup(
+    query_id: int, amount: int, send_excesses_to: str | None,
+) -> str:
+    """Cocoon ExtClientTopUp#f172e6c2 (messages/cocoon.py)."""
+    cell = (
+        Builder()
+        .store_uint(0xF172E6C2, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_address(send_excesses_to)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_cocoon_client_register(
+    query_id: int, nonce: int, send_excesses_to: str | None,
+) -> str:
+    """Cocoon OwnerClientRegister#c45f9f3b (messages/cocoon.py)."""
+    cell = (
+        Builder()
+        .store_uint(0xC45F9F3B, 32)
+        .store_uint(query_id, 64)
+        .store_uint(nonce, 64)
+        .store_address(send_excesses_to)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

@@ -2661,3 +2661,457 @@ def classify_tgbtc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Tonco CLMM swap (blocks/swaps.py 687-1230): jetton chain into the
+# router, POOLV3_SWAP#a7fb58f8 at the pool, ROUTERV3_PAY_TO#a1daa96d
+# back at the router, payout chain out.  tc2 is the FAILED arm — the
+# router refunds the input and the intended target asset + min_out are
+# recovered from the recursive swap payload riding in the notify.
+
+TC_ROUTER, TC_POOL = UP("8", "2"), UP("8", "3")
+TC_UW, TC_RW_IN = UP("8", "4"), UP("8", "5")
+TC_RW_OUT, TC_UW_OUT = UP("8", "6"), UP("8", "7")
+TC_J_IN, TC_J_OUT = UP("8", "8"), UP("8", "9")
+
+
+def _tonco_fixture(spark: SparkSession):
+    """Two golden Tonco traces: tc1 success (swap 1000 J_IN → 600 J_OUT,
+    exit 200, payout chain to the user) and tc2 FAILED (exit 500, router
+    refunds the 1000 J_IN; the intended J_OUT target and min_out=450 are
+    recovered from the multicall swap payload in the notify).  Every
+    decoded body — transfer chains, pay_to orders, the recursive swap
+    payload — is a real BOC.  Reference: ToncoSwapBlockMatcher,
+    blocks/swaps.py:687-1230 (failed-arm target parse :1154-1186)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        TONCO_PAY_TO,
+        TONCO_SWAP,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+        encode_tonco_pay_to,
+        encode_tonco_swap_payload,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    payload = encode_tonco_swap_payload([(TC_RW_OUT, 450, USER)])
+
+    def swap_trace(trace, exit_code, out_amount, refund):
+        t1 = tx(trace, 1, USER, 100); ext(trace, t1, 100)
+        t2 = tx(trace, 2, TC_UW, 110)
+        link(trace, 1, t1, 100, t2, 110, USER, TC_UW, 10**8,
+             JETTON_TRANSFER_OP,
+             encode_jetton_transfer(21, 1000, destination=TC_ROUTER))
+        t3 = tx(trace, 3, TC_RW_IN, 120)
+        link(trace, 2, t2, 110, t3, 120, TC_UW, TC_RW_IN, 10**7,
+             JETTON_INTERNAL_OP,
+             encode_jetton_internal(21, 1000, from_owner=USER))
+        t4 = tx(trace, 4, TC_ROUTER, 130)
+        link(trace, 3, t3, 120, t4, 130, TC_RW_IN, TC_ROUTER, 10**6,
+             JETTON_NOTIFY_OP,
+             encode_jetton_notify(21, 1000, sender=USER,
+                                  forward_payload=payload))
+        t5 = tx(trace, 5, TC_POOL, 140)
+        link(trace, 4, t4, 130, t5, 140, TC_ROUTER, TC_POOL, 10**6,
+             TONCO_SWAP, None)
+        t6 = tx(trace, 6, TC_ROUTER, 150)
+        pay_wallet = TC_RW_IN if refund else TC_RW_OUT
+        link(trace, 5, t5, 140, t6, 150, TC_POOL, TC_ROUTER, 10**6,
+             TONCO_PAY_TO,
+             encode_tonco_pay_to(21, USER, None, exit_code,
+                                 amount0=out_amount, jetton0=pay_wallet))
+        # payout (or refund) chain back to the user
+        recv_w = TC_UW if refund else TC_UW_OUT
+        t7 = tx(trace, 7, pay_wallet, 160)
+        link(trace, 6, t6, 150, t7, 160, TC_ROUTER, pay_wallet, 10**5,
+             JETTON_TRANSFER_OP,
+             encode_jetton_transfer(22, out_amount, destination=USER))
+        t8 = tx(trace, 8, recv_w, 170)
+        link(trace, 7, t7, 160, t8, 170, pay_wallet, recv_w, 10**4,
+             JETTON_INTERNAL_OP,
+             encode_jetton_internal(22, out_amount,
+                                    from_owner=TC_ROUTER))
+        t9 = tx(trace, 9, USER, 180)
+        link(trace, 8, t8, 170, t9, 180, recv_w, USER, 1,
+             JETTON_NOTIFY_OP,
+             encode_jetton_notify(22, out_amount, sender=TC_ROUTER))
+
+    swap_trace("tc1", exit_code=200, out_amount=600, refund=False)
+    swap_trace("tc2", exit_code=500, out_amount=1000, refund=True)
+
+    jw = spark.createDataFrame(
+        [(TC_UW, USER, TC_J_IN), (TC_RW_IN, TC_ROUTER, TC_J_IN),
+         (TC_RW_OUT, TC_ROUTER, TC_J_OUT), (TC_UW_OUT, USER, TC_J_OUT)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_TONCO_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('tc1', 'jetton_swap', 'tonco', '{ACC[0]}', '{ACC[0]}',
+   '{TC_J_IN}', CAST(1000 AS BIGINT), '{TC_J_OUT}',
+   CAST(600 AS BIGINT), '{TC_J_OUT}', CAST(600 AS BIGINT), TRUE, 9),
+  ('tc2', 'jetton_swap', 'tonco', '{ACC[0]}', '{ACC[0]}',
+   '{TC_J_IN}', CAST(1000 AS BIGINT), '{TC_J_IN}',
+   CAST(1000 AS BIGINT), '{TC_J_OUT}', CAST(450 AS BIGINT), FALSE, 9)
+) AS t(trace_id, action_type, dex, source, destination,
+       asset_in, amount_in, asset_out, amount_out,
+       intended_asset, min_out, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_tonco_swap",
+    oracle=_TONCO_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Tonco CLMM swap through the REAL cell codec: success "
+    "and FAILED arms — the failed trace recovers the intended target "
+    "asset and min_out from the recursive multicall swap payload "
+    "(reference ToncoSwapBlockMatcher, blocks/swaps.py:687-1230)",
+)
+def classify_tonco_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _tonco_fixture(spark)
+    sd = F.col("jetton_swap_data")
+    inc, out = sd["dex_incoming_transfer"], sd["dex_outgoing_transfer"]
+    return (
+        res.actions.filter(F.col("type") == "jetton_swap")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            sd["dex"].alias("dex"),
+            "source",
+            "destination",
+            inc["asset"].alias("asset_in"),
+            inc["amount"].cast("long").alias("amount_in"),
+            out["asset"].alias("asset_out"),
+            out["amount"].cast("long").alias("amount_out"),
+            F.col("asset2").alias("intended_asset"),
+            sd["min_out_amount"].cast("long").alias("min_out"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Nominator pool (blocks/staking.py NominatorPool*Matcher): the text
+# protocol — a plain value transfer with comment 'd' deposits, 'w'
+# requests withdrawal — plus op 0x2 processing queued withdrawals with
+# value payout legs.
+
+NP_POOL = UP("9", "4")
+
+
+def _nominator_fixture(spark: SparkSession):
+    """Three golden nominator-pool traces: np1 deposit (comment 'd'),
+    np2 withdrawal request (comment 'w'), np3 process-withdrawals
+    (op 0x2 with two value payout legs).  The comment bodies are real
+    text-comment BOCs (op 0 + snake string).  Reference:
+    blocks/staking.py nominator matchers; messages/staking.py:60."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        NOMINATOR_PROCESS_WITHDRAWS,
+    )
+    from ton_indexer_spark.functions.boc import encode_comment
+
+    USER, U1, U2, OWNER = ACC[0], ACC[1], ACC[2], ACC[3]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # np1: deposit 10 TON with comment 'd'
+    t1 = tx("np1", 1, USER, 100); ext("np1", t1, 100, USER)
+    t2 = tx("np1", 2, NP_POOL, 110)
+    link("np1", 1, t1, 100, t2, 110, USER, NP_POOL, 10 * TON, None,
+         encode_comment("d"))
+
+    # np2: withdrawal request with comment 'w'
+    u1 = tx("np2", 1, USER, 200); ext("np2", u1, 200, USER)
+    u2 = tx("np2", 2, NP_POOL, 210)
+    link("np2", 1, u1, 200, u2, 210, USER, NP_POOL, TON, None,
+         encode_comment("w"))
+
+    # np3: owner triggers op 0x2 — pool pays two queued withdrawals
+    v1 = tx("np3", 1, OWNER, 300); ext("np3", v1, 300, OWNER)
+    v2 = tx("np3", 2, NP_POOL, 310)
+    link("np3", 1, v1, 300, v2, 310, OWNER, NP_POOL, TON,
+         NOMINATOR_PROCESS_WITHDRAWS, None)
+    v3 = tx("np3", 3, U1, 320)
+    link("np3", 2, v2, 310, v3, 320, NP_POOL, U1, 30 * TON, None, None)
+    v4 = tx("np3", 4, U2, 330)
+    link("np3", 3, v2, 310, v4, 330, NP_POOL, U2, 20 * TON, None, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_NOMINATOR_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('np1', 'nominator_pool_deposit', '{ACC[0]}', '{NP_POOL}',
+   CAST(NULL AS BIGINT), CAST(10000000000 AS BIGINT), TRUE, 2),
+  ('np2', 'nominator_pool_withdraw_request', '{ACC[0]}', '{NP_POOL}',
+   CAST(NULL AS BIGINT), CAST(1000000000 AS BIGINT), TRUE, 2),
+  ('np3', 'nominator_pool_withdraw', '{NP_POOL}', '{ACC[1]}',
+   CAST(50000000000 AS BIGINT), CAST(1000000000 AS BIGINT), TRUE, 4)
+) AS t(trace_id, action_type, source, destination, amount, value,
+       success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_nominator_pool",
+    oracle=_NOMINATOR_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Nominator-pool native staking through the REAL cell "
+    "codec: 'd'/'w' text-comment protocol + op 0x2 queued-withdrawal "
+    "processing with value payout legs (reference blocks/staking.py "
+    "nominator matchers)",
+)
+def classify_nominator_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _nominator_fixture(spark)
+    return (
+        res.actions.filter(F.col("type").startswith("nominator_pool"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("amount").cast("long").alias("amount"),
+            F.col("value").cast("long").alias("value"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cocoon payment channels (blocks/cocoon.py 67-760): the worker payout
+# settlement (PayoutPayload → WorkerProxyRequest → payout + excesses),
+# a client top-up entering as an EXTERNAL message, and the owner-driven
+# client registration — three of the protocol's flows over real BOC.
+
+CO_WORKER, CO_PROXY, CO_CLIENT = UP("B", "3"), UP("B", "4"), UP("B", "5")
+
+
+def _cocoon_fixture(spark: SparkSession):
+    """Three golden Cocoon traces: cw1 worker payout (PayoutPayload
+    #a040ad28 at the worker → WorkerProxyRequest#4d725d2c back at the
+    proxy → value payout to the owner + excesses back), ct1 client
+    top-up (ExtClientTopUp#f172e6c2 arriving as an EXTERNAL message —
+    source recovered from send_excesses_to — → ClientProxyRequest →
+    excesses), cg1 client registration (OwnerClientRegister#c45f9f3b).
+    Reference: blocks/cocoon.py:67-222 (worker payout), :435-508
+    (top-up), :670-760 (register)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COCOON_CLIENT_REQUEST,
+        COCOON_EXT_CLIENT_TOPUP,
+        COCOON_OWNER_CLIENT_REGISTER,
+        COCOON_PAYOUT,
+        COCOON_PAYOUT_PAYLOAD,
+        COCOON_RETURN_EXCESSES,
+        COCOON_WORKER_REQUEST,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_cocoon_client_register,
+        encode_cocoon_client_topup,
+        encode_cocoon_payout_payload,
+        encode_cocoon_worker_request,
+    )
+
+    OWNER = ACC[4]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account, opcode=None, body=None):
+        bh = None
+        if body is not None:
+            bh = f"bh-{trace}-e0"
+            bodies.append((bh, body))
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, opcode, lt - 2, bh))
+
+    # cw1: proxy settles 1200 new tokens with the worker; owner paid 7 TON
+    t1 = tx("cw1", 1, CO_PROXY, 100); ext("cw1", t1, 100, CO_PROXY)
+    t2 = tx("cw1", 2, CO_WORKER, 110)
+    link("cw1", 1, t1, 100, t2, 110, CO_PROXY, CO_WORKER, 10**6,
+         COCOON_PAYOUT_PAYLOAD,
+         encode_cocoon_payout_payload(51, 1200, CO_WORKER))
+    t3 = tx("cw1", 3, CO_PROXY, 120)
+    link("cw1", 2, t2, 110, t3, 120, CO_WORKER, CO_PROXY, 10**6,
+         COCOON_WORKER_REQUEST,
+         encode_cocoon_worker_request(51, OWNER, state=1, tokens=1200))
+    t4 = tx("cw1", 4, OWNER, 130)
+    link("cw1", 3, t3, 120, t4, 130, CO_PROXY, OWNER, 7 * TON,
+         COCOON_PAYOUT, None)
+    t5 = tx("cw1", 5, CO_WORKER, 140)
+    link("cw1", 4, t3, 120, t5, 140, CO_PROXY, CO_WORKER, 10**5,
+         COCOON_RETURN_EXCESSES, None)
+
+    # ct1: external top-up of 5 TON at the client
+    u1 = tx("ct1", 1, CO_CLIENT, 200)
+    ext("ct1", u1, 200, CO_CLIENT, opcode=COCOON_EXT_CLIENT_TOPUP,
+        body=encode_cocoon_client_topup(52, 5 * TON, OWNER))
+    u2 = tx("ct1", 2, CO_PROXY, 210)
+    link("ct1", 1, u1, 200, u2, 210, CO_CLIENT, CO_PROXY, 10**6,
+         COCOON_CLIENT_REQUEST, None)
+    u3 = tx("ct1", 3, OWNER, 220)
+    link("ct1", 2, u2, 210, u3, 220, CO_PROXY, OWNER, 10**5,
+         COCOON_RETURN_EXCESSES, None)
+
+    # cg1: owner registers the client with nonce 99
+    v1 = tx("cg1", 1, OWNER, 300); ext("cg1", v1, 300, OWNER)
+    v2 = tx("cg1", 2, CO_CLIENT, 310)
+    link("cg1", 1, v1, 300, v2, 310, OWNER, CO_CLIENT, TON,
+         COCOON_OWNER_CLIENT_REGISTER,
+         encode_cocoon_client_register(53, 99, OWNER))
+    v3 = tx("cg1", 3, CO_PROXY, 320)
+    link("cg1", 2, v2, 310, v3, 320, CO_CLIENT, CO_PROXY, 10**6,
+         COCOON_CLIENT_REQUEST, None)
+    v4 = tx("cg1", 4, OWNER, 330)
+    link("cg1", 3, v3, 320, v4, 330, CO_PROXY, OWNER, 10**5,
+         COCOON_RETURN_EXCESSES, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_COCOON_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('cg1', 'cocoon_client_register', '{ACC[4]}', '{CO_CLIENT}',
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(99 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+   TRUE, 4),
+  ('ct1', 'cocoon_client_top_up', '{ACC[4]}', '{CO_CLIENT}',
+   CAST(5000000000 AS BIGINT), CAST(52 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+   TRUE, 3),
+  ('cw1', 'cocoon_worker_payout', '{CO_PROXY}', '{ACC[4]}',
+   CAST(7000000000 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(51 AS BIGINT), CAST(NULL AS BIGINT), 'regular',
+   CAST(1200 AS BIGINT), TRUE, 5)
+) AS t(trace_id, action_type, source, destination, amount,
+       topup_query_id, payout_query_id, register_nonce, payout_type,
+       new_tokens, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_cocoon",
+    oracle=_COCOON_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Cocoon payment channels through the REAL cell codec: "
+    "worker payout settlement, EXTERNAL-entry client top-up (source "
+    "recovered from send_excesses_to), and owner client registration "
+    "(reference blocks/cocoon.py:67-760)",
+)
+def classify_cocoon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cocoon_fixture(spark)
+    top = F.col("cocoon_client_top_up_data")
+    pay = F.col("cocoon_worker_payout_data")
+    reg = F.col("cocoon_client_register_data")
+    return (
+        res.actions.filter(F.col("type").startswith("cocoon"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("amount").cast("long").alias("amount"),
+            top["query_id"].cast("long").alias("topup_query_id"),
+            pay["query_id"].cast("long").alias("payout_query_id"),
+            reg["nonce"].cast("long").alias("register_nonce"),
+            pay["payout_type"].alias("payout_type"),
+            pay["new_tokens"].cast("long").alias("new_tokens"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
