@@ -2632,6 +2632,60 @@ def encode_cocoon_client_register(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_dedust_deposit_ton(
+    query_id: int, amount: int, asset0: str, asset1: str,
+    min_lp: int, asset0_target: int, asset1_target: int,
+    stable: bool = False,
+) -> str:
+    """dedust_deposit_liquidity#d55e4686 (messages/liquidity.py:17-37):
+    TON straight into the vault, pool params inline, deposit params in
+    the ref.  Assets use the DeDust Asset coding ('TON' or 'wc:hex')."""
+    params = (
+        Builder()
+        .store_coins(min_lp)
+        .store_coins(asset0_target)
+        .store_coins(asset1_target)
+        .end_cell()
+    )
+    b = (
+        Builder()
+        .store_uint(OP_DEDUST_DEPOSIT_TON, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_bit(1 if stable else 0)
+    )
+    store_dedust_asset(b, asset0)
+    store_dedust_asset(b, asset1)
+    b.store_ref(params)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_dedust_deposit_to_pool(
+    query_id: int, owner: str | None, min_lp: int,
+    asset1: str, amount1: int, asset2: str, amount2: int,
+) -> str:
+    """deposit_liquidity#b56b9598 (messages/liquidity.py:73-88):
+    deposit contract → pool, the asset pair in the ref cell."""
+    pair = Builder()
+    store_dedust_asset(pair, asset1)
+    pair.store_coins(amount1)
+    store_dedust_asset(pair, asset2)
+    pair.store_coins(amount2)
+    cell = (
+        Builder()
+        .store_uint(OP_DEDUST_DEPOSIT_TO_POOL, 32)
+        .store_uint(query_id, 64)
+        .store_ref(Builder().end_cell())  # proof
+        .store_address(owner)
+        .store_coins(min_lp)
+        .store_ref(pair.end_cell())
+        .store_bit(0)  # fulfill: Maybe ^Cell, absent
+        .store_bit(0)  # reject: Maybe ^Cell, absent
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

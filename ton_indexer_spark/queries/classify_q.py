@@ -3115,3 +3115,198 @@ def classify_cocoon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DeDust liquidity (blocks/liquidity.py 297-566): the completing deposit
+# leg — vault → deposit-contract top-up → deposit_liquidity#b56b9598 at
+# the pool → LP mint + deposit-contract destroy + vault excess returns —
+# and the LP-burn withdrawal with two pool payouts.  First driver gate
+# for the dex_deposit/withdraw_liquidity action family.
+
+DD_TON_VAULT, DD_POOL, DD_DEPOSIT = UP("C", "5"), UP("C", "6"), UP("C", "7")
+DD_LPW, DD_J = UP("C", "8"), UP("C", "9")
+DD_VAULT_J, DD_LP_J = UP("B", "6"), UP("B", "7")
+
+
+def _dedust_liquidity_fixture(spark: SparkSession):
+    """Two golden DeDust liquidity traces: dl1 deposit (TON arm —
+    deposit#d55e4686 into the vault carrying the target pair, top-up at
+    the deposit contract, deposit_liquidity#b56b9598 to the pool, 500 LP
+    minted, contract destroyed, one TON vault excess paid back), dl2
+    withdrawal (LP burn → burn notify → two payout legs, TON + jetton).
+    Reference: blocks/liquidity.py:297-470 (deposit), the DeDust-shape
+    burn matcher (protocols.py match_dedust_withdraw_liquidity)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import JETTON_BURN
+    from ton_indexer_spark.classifier.protocols import (
+        BURN_NOTIFY,
+        DEDUST_DEPOSIT_TO_POOL,
+        DEDUST_DEPOSIT_TON,
+        DEDUST_DESTROY_DEPOSIT,
+        DEDUST_PAYOUT,
+        DEDUST_PAYOUT_FROM_POOL,
+        DEDUST_RETURN_EXCESS,
+        DEDUST_TOPUP_DEPOSIT,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_dedust_deposit_to_pool,
+        encode_dedust_deposit_ton,
+        encode_jetton_burn,
+        encode_jetton_internal,
+        encode_jetton_notify,
+    )
+
+    USER = ACC[0]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    # dl1: deposit 2 TON toward the TON/J pool, 500 LP minted
+    t1 = tx("dl1", 1, USER, 100); ext("dl1", t1, 100)
+    t2 = tx("dl1", 2, DD_TON_VAULT, 110)
+    link("dl1", 1, t1, 100, t2, 110, USER, DD_TON_VAULT, 2 * TON + 10**8,
+         DEDUST_DEPOSIT_TON,
+         encode_dedust_deposit_ton(71, 2 * TON, "TON", DD_J,
+                                   min_lp=1, asset0_target=2 * TON,
+                                   asset1_target=1000))
+    t3 = tx("dl1", 3, DD_DEPOSIT, 120)
+    link("dl1", 2, t2, 110, t3, 120, DD_TON_VAULT, DD_DEPOSIT, 10**6,
+         DEDUST_TOPUP_DEPOSIT, None)
+    t4 = tx("dl1", 4, DD_POOL, 130)
+    link("dl1", 3, t3, 120, t4, 130, DD_DEPOSIT, DD_POOL, 10**6,
+         DEDUST_DEPOSIT_TO_POOL,
+         encode_dedust_deposit_to_pool(71, USER, 1, "TON", 2 * TON,
+                                       DD_J, 1000))
+    t5 = tx("dl1", 5, DD_LPW, 140)
+    link("dl1", 4, t4, 130, t5, 140, DD_POOL, DD_LPW, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(71, 500, from_owner=DD_POOL))
+    t6 = tx("dl1", 6, USER, 150)
+    link("dl1", 5, t5, 140, t6, 150, DD_LPW, USER, 1,
+         JETTON_NOTIFY_OP, encode_jetton_notify(71, 500, sender=DD_POOL))
+    t7 = tx("dl1", 7, DD_DEPOSIT, 160)
+    link("dl1", 6, t4, 130, t7, 160, DD_POOL, DD_DEPOSIT, 10**5,
+         DEDUST_DESTROY_DEPOSIT, None)
+    t8 = tx("dl1", 8, DD_TON_VAULT, 170)
+    link("dl1", 7, t7, 160, t8, 170, DD_DEPOSIT, DD_TON_VAULT, 10**5,
+         DEDUST_RETURN_EXCESS, None)
+    t9 = tx("dl1", 9, USER, 180)
+    link("dl1", 8, t8, 170, t9, 180, DD_TON_VAULT, USER, 5 * 10**7,
+         DEDUST_PAYOUT, None)
+
+    # dl2: burn 500 LP, pool pays 2 TON + 1000 jetton back
+    u1 = tx("dl2", 1, USER, 200); ext("dl2", u1, 200)
+    u2 = tx("dl2", 2, DD_LPW, 210)
+    link("dl2", 1, u1, 200, u2, 210, USER, DD_LPW, TON, JETTON_BURN,
+         encode_jetton_burn(72, 500, response=USER))
+    u3 = tx("dl2", 3, DD_POOL, 220)
+    link("dl2", 2, u2, 210, u3, 220, DD_LPW, DD_POOL, 10**6,
+         BURN_NOTIFY, None)
+    u4 = tx("dl2", 4, DD_TON_VAULT, 230)
+    link("dl2", 3, u3, 220, u4, 230, DD_POOL, DD_TON_VAULT, 2 * TON,
+         DEDUST_PAYOUT_FROM_POOL, None)
+    u5 = tx("dl2", 5, DD_VAULT_J, 240)
+    link("dl2", 4, u3, 220, u5, 240, DD_POOL, DD_VAULT_J, 1000,
+         DEDUST_PAYOUT_FROM_POOL, None)
+    u6 = tx("dl2", 6, USER, 250)
+    link("dl2", 5, u4, 230, u6, 250, DD_TON_VAULT, USER, 2 * TON,
+         DEDUST_PAYOUT, None)
+
+    jw = spark.createDataFrame(
+        [(DD_LPW, USER, DD_LP_J)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_DEDUST_LIQ_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('dl1', 'dex_deposit_liquidity', 'dedust', '{ACC[0]}', '{DD_POOL}',
+   '{DD_DEPOSIT}', CAST(2000000000 AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(500 AS BIGINT), CAST(NULL AS VARCHAR), CAST(2000000000 AS BIGINT),
+   '{DD_J}', CAST(1000 AS BIGINT), 1, CAST(50000000 AS BIGINT),
+   CAST(NULL AS BIGINT), TRUE, 9),
+  ('dl2', 'dex_withdraw_liquidity', 'dedust', '{ACC[0]}', '{DD_POOL}',
+   CAST(NULL AS VARCHAR), CAST(500 AS BIGINT), '{DD_LP_J}',
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+   CAST(NULL AS BIGINT), CAST(1000 AS BIGINT), TRUE, 6)
+) AS t(trace_id, action_type, dex, source, destination,
+       deposit_contract, amount, asset, lp_tokens,
+       target_asset_1, target_amount_1, target_asset_2, target_amount_2,
+       n_excesses, excess1_amount, payout2_amount, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_dedust_liquidity",
+    oracle=_DEDUST_LIQ_ORACLE,
+    survey_ops=("C3", "C4", "C9", "F2"),
+    description="DeDust liquidity through the REAL cell codec: the "
+    "completing deposit leg (deposit#d55e4686 targets, "
+    "deposit_liquidity#b56b9598 pair, LP mint, contract destroy, vault "
+    "excess) and the LP-burn withdrawal with two pool payouts — first "
+    "driver gate for the dex_deposit/withdraw_liquidity family "
+    "(reference blocks/liquidity.py:297-566)",
+)
+def classify_dedust_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _dedust_liquidity_fixture(spark)
+    dep = F.col("dex_deposit_liquidity_data")
+    wd = F.col("dex_withdraw_liquidity_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("dex_deposit_liquidity",
+                               "dex_withdraw_liquidity")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            F.coalesce(dep["dex"], wd["dex"]).alias("dex"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("deposit_contract"),
+            F.col("amount").cast("long").alias("amount"),
+            "asset",
+            dep["lp_tokens_minted"].cast("long").alias("lp_tokens"),
+            dep["target_asset_1"].alias("target_asset_1"),
+            dep["target_amount_1"].cast("long").alias("target_amount_1"),
+            dep["target_asset_2"].alias("target_asset_2"),
+            dep["target_amount_2"].cast("long").alias("target_amount_2"),
+            F.size(dep["vault_excesses"]).alias("n_excesses"),
+            dep["vault_excesses"][0]["amount"].cast("long")
+            .alias("excess1_amount"),
+            wd["amount2"].cast("long").alias("payout2_amount"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
