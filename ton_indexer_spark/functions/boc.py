@@ -2686,6 +2686,113 @@ def encode_dedust_deposit_to_pool(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_coffee_staking_deposit(
+    query_id: int, sender: str | None, jetton_amount: int,
+    from_user: str | None, period_id: int,
+) -> str:
+    """staking_deposit#f9471134 (messages/coffee.py:1039)."""
+    cell = (
+        Builder()
+        .store_uint(OP_COFFEE_STK_DEPOSIT, 32)
+        .store_uint(query_id, 64)
+        .store_address(sender)
+        .store_coins(jetton_amount)
+        .store_address(from_user)
+        .store_uint(period_id, 32)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_coffee_staking_claim(
+    query_id: int, jetton_wallet: str | None, jetton_amount: int,
+    receiver: str | None,
+) -> str:
+    """staking_claim_rewards#b30c7310 (messages/coffee.py:1075)."""
+    cell = (
+        Builder()
+        .store_uint(OP_COFFEE_STK_CLAIM, 32)
+        .store_uint(query_id, 64)
+        .store_address(jetton_wallet)
+        .store_coins(jetton_amount)
+        .store_address(receiver)
+        .store_bit(0)  # payload: Maybe ^Cell, absent
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_coffee_staking_withdraw(
+    query_id: int, *, nft_id: int | None = None, owner: str | None = None,
+    points: int | None = None, jetton_wallet: str | None = None,
+    jetton_amount: int | None = None,
+) -> str:
+    """staking_position_withdraw#cb03bfaf in its three hop shapes
+    (messages/coffee.py:1096-1144): w1 bare query_id; w2 adds
+    nft_id/owner/points + the ^[wallet amount] ref; w3 carries
+    jetton_wallet/jetton_amount/owner inline."""
+    b = (
+        Builder()
+        .store_uint(OP_COFFEE_STK_WITHDRAW, 32)
+        .store_uint(query_id, 64)
+    )
+    if nft_id is not None:  # w2
+        b.store_uint(nft_id, 64)
+        b.store_address(owner)
+        b.store_coins(points or 0)
+        b.store_ref(
+            Builder()
+            .store_address(jetton_wallet)
+            .store_coins(jetton_amount or 0)
+            .end_cell()
+        )
+    elif jetton_wallet is not None:  # w3
+        b.store_address(jetton_wallet)
+        b.store_coins(jetton_amount or 0)
+        b.store_address(owner)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_evaa_liquidate_master(
+    query_id: int, borrower: str | None, liquidator: str | None,
+    asset_id: int, min_collateral: int, debt_amount: int,
+) -> str:
+    """liquidate_master#3 (messages/evaa.py:258-283): the liquidator's
+    entry at the master; liquidate_incoming_amount is the repaid debt."""
+    cell = (
+        Builder()
+        .store_uint(OP_EVAA_LIQUIDATE_MASTER, 32)
+        .store_uint(query_id, 64)
+        .store_address(borrower)
+        .store_address(liquidator)
+        .store_uint(asset_id, 256)
+        .store_uint(min_collateral, 64)
+        .store_int(0, 2)  # include_user_code
+        .store_uint(debt_amount, 64)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_ethena_tsusde_transfer(
+    query_id: int, amount: int, from_owner: str | None,
+) -> str:
+    """Ethena timelocked tsUSDe leg (0xb2583ed5): jetton
+    internal-transfer layout under the custom op
+    (ethena_staking.py:64,92)."""
+    cell = (
+        Builder()
+        .store_uint(OP_ETHENA_TSUSDE_TRANSFER, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_address(from_owner)
+        .store_address(from_owner)
+        .store_coins(0)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

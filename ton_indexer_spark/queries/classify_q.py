@@ -3310,3 +3310,439 @@ def classify_dedust_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# swap.coffee staking (blocks/staking.py 433-700): jetton deposit into
+# the pool minting a position NFT, the three-hop shared-opcode withdraw
+# (NFT → master → pool → payout chain), and the admin rewards claim.
+
+CS_POOL, CS_MASTER, CS_NFT = UP("E", "7"), UP("E", "8"), UP("E", "9")
+CS_UW, CS_PW, CS_RW = UP("F", "9"), UP("F", "A"), UP("F", "B")
+CS_J = UP("F", "C")
+
+
+def _coffee_staking_fixture(spark: SparkSession):
+    """Three golden swap.coffee staking traces: cs1 deposit (jetton
+    chain → staking_deposit#f9471134 pool call → position-NFT mint leg),
+    cs2 withdraw (three hops of the SHARED opcode cb03bfaf — shape-
+    discriminated w1/w2/w3 bodies — then the payout chain), cs3 admin
+    claim (staking_claim_rewards#b30c7310 → reward jetton chain).
+    Reference: CoffeeStakingDeposit/Withdraw/ClaimRewards matchers,
+    blocks/staking.py:433-700."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_STAKING_CLAIM,
+        COFFEE_STAKING_DEPOSIT,
+        COFFEE_STAKING_WITHDRAW,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_coffee_staking_claim,
+        encode_coffee_staking_deposit,
+        encode_coffee_staking_withdraw,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER, RECV = ACC[0], ACC[5]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # cs1: stake 1000 CS_J for period 3 — position NFT minted
+    t1 = tx("cs1", 1, USER, 100); ext("cs1", t1, 100, USER)
+    t2 = tx("cs1", 2, CS_UW, 110)
+    link("cs1", 1, t1, 100, t2, 110, USER, CS_UW, 10**8,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(81, 1000, destination=CS_POOL))
+    t3 = tx("cs1", 3, CS_PW, 120)
+    link("cs1", 2, t2, 110, t3, 120, CS_UW, CS_PW, 10**7,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(81, 1000, from_owner=USER))
+    t4 = tx("cs1", 4, CS_POOL, 130)
+    link("cs1", 3, t3, 120, t4, 130, CS_PW, CS_POOL, 10**6,
+         JETTON_NOTIFY_OP, encode_jetton_notify(81, 1000, sender=USER))
+    t5 = tx("cs1", 5, CS_MASTER, 140)
+    link("cs1", 4, t4, 130, t5, 140, CS_POOL, CS_MASTER, 10**6,
+         COFFEE_STAKING_DEPOSIT,
+         encode_coffee_staking_deposit(81, CS_POOL, 1000, USER,
+                                       period_id=3))
+    t6 = tx("cs1", 6, CS_NFT, 150)
+    link("cs1", 5, t5, 140, t6, 150, CS_MASTER, CS_NFT, 10**5,
+         0x1, None)
+
+    # cs2: withdraw position 7 — 900 CS_J paid back, 5000 points
+    u1 = tx("cs2", 1, USER, 200); ext("cs2", u1, 200, USER)
+    u2 = tx("cs2", 2, CS_NFT, 210)
+    link("cs2", 1, u1, 200, u2, 210, USER, CS_NFT, 10**8,
+         COFFEE_STAKING_WITHDRAW, encode_coffee_staking_withdraw(82))
+    u3 = tx("cs2", 3, CS_MASTER, 220)
+    link("cs2", 2, u2, 210, u3, 220, CS_NFT, CS_MASTER, 10**7,
+         COFFEE_STAKING_WITHDRAW,
+         encode_coffee_staking_withdraw(82, nft_id=7, owner=USER,
+                                        points=5000,
+                                        jetton_wallet=CS_PW,
+                                        jetton_amount=900))
+    u4 = tx("cs2", 4, CS_POOL, 230)
+    link("cs2", 3, u3, 220, u4, 230, CS_MASTER, CS_POOL, 10**6,
+         COFFEE_STAKING_WITHDRAW,
+         encode_coffee_staking_withdraw(82, jetton_wallet=CS_PW,
+                                        jetton_amount=900, owner=USER))
+    u5 = tx("cs2", 5, CS_PW, 240)
+    link("cs2", 4, u4, 230, u5, 240, CS_POOL, CS_PW, 10**5,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(82, 900, destination=USER))
+    u6 = tx("cs2", 6, CS_UW, 250)
+    link("cs2", 5, u5, 240, u6, 250, CS_PW, CS_UW, 10**4,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(82, 900, from_owner=CS_POOL))
+    u7 = tx("cs2", 7, USER, 260)
+    link("cs2", 6, u6, 250, u7, 260, CS_UW, USER, 1,
+         JETTON_NOTIFY_OP, encode_jetton_notify(82, 900, sender=CS_POOL))
+
+    # cs3: admin claims 444 CS_J of rewards for RECV
+    v1 = tx("cs3", 1, ACC[3], 300); ext("cs3", v1, 300, ACC[3])
+    v2 = tx("cs3", 2, CS_POOL, 310)
+    link("cs3", 1, v1, 300, v2, 310, ACC[3], CS_POOL, 10**8,
+         COFFEE_STAKING_CLAIM,
+         encode_coffee_staking_claim(83, CS_PW, 444, RECV))
+    v3 = tx("cs3", 3, CS_PW, 320)
+    link("cs3", 2, v2, 310, v3, 320, CS_POOL, CS_PW, 10**6,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(83, 444, destination=RECV))
+    v4 = tx("cs3", 4, CS_RW, 330)
+    link("cs3", 3, v3, 320, v4, 330, CS_PW, CS_RW, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(83, 444, from_owner=CS_POOL))
+    v5 = tx("cs3", 5, RECV, 340)
+    link("cs3", 4, v4, 330, v5, 340, CS_RW, RECV, 1,
+         JETTON_NOTIFY_OP, encode_jetton_notify(83, 444, sender=CS_POOL))
+
+    jw = spark.createDataFrame(
+        [(CS_UW, USER, CS_J), (CS_PW, CS_POOL, CS_J),
+         (CS_RW, RECV, CS_J)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_COFFEE_STAKING_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('cs1', 'coffee_staking_deposit', '{ACC[0]}', '{CS_UW}', '{CS_MASTER}',
+   '{CS_PW}', CAST(1000 AS BIGINT), '{CS_J}', '{CS_NFT}',
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE, 6),
+  ('cs2', 'coffee_staking_withdraw', '{ACC[0]}', '{CS_UW}', '{CS_NFT}',
+   '{CS_PW}', CAST(900 AS BIGINT), '{CS_J}', '{CS_NFT}',
+   CAST(7 AS BIGINT), CAST(5000 AS BIGINT), TRUE, 7),
+  ('cs3', 'coffee_staking_claim_rewards', '{CS_POOL}', '{CS_PW}',
+   '{ACC[5]}', '{CS_RW}', CAST(444 AS BIGINT), '{CS_J}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   TRUE, 5)
+) AS t(trace_id, action_type, source, source_wallet, destination,
+       destination_wallet, amount, asset, nft_address, nft_index,
+       points, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_coffee_staking",
+    oracle=_COFFEE_STAKING_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="swap.coffee staking through the REAL cell codec: "
+    "deposit with position-NFT mint, the three-hop SHARED-opcode "
+    "withdraw (w1/w2/w3 bodies shape-discriminated by the codec), and "
+    "the admin rewards claim (reference blocks/staking.py:433-700)",
+)
+def classify_coffee_staking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _coffee_staking_fixture(spark)
+    dep = F.col("coffee_staking_deposit_data")
+    wd = F.col("coffee_staking_withdraw_data")
+    return (
+        res.actions.filter(F.col("type").startswith("coffee_staking"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            F.col("destination_secondary").alias("destination_wallet"),
+            F.col("amount").cast("long").alias("amount"),
+            "asset",
+            F.coalesce(dep["minted_item_address"], wd["nft_address"])
+            .alias("nft_address"),
+            wd["nft_index"].cast("long").alias("nft_index"),
+            wd["points"].cast("long").alias("points"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# EVAA liquidation (blocks/evaa.py liquidate flow) and the Ethena
+# withdrawal request (timelocked tsUSDe position) — completes both
+# lending and Ethena staking families.
+
+EVL_BORROWER, EVL_LIQ = UP("4", "3"), UP("4", "4")
+EVL_ASSET_ID = 0xDD11
+EW_UW, EW_PW = UP("2", "3"), UP("2", "4")
+EW_TSPOS, EW_USDE = UP("2", "5"), UP("2", "6")
+
+
+def _evaa_liquidate_fixture(spark: SparkSession):
+    """Two golden EVAA liquidation traces through the real codec: el1
+    satisfied (master#3 → user#31 → satisfied#311 → success#311a) and
+    el2 unsatisfied (#31f → fail#311f) — the liquidate_master body
+    carries borrower/liquidator/asset/debt and opcode 0x3 is
+    shape-discriminated against its generic uses.  Reference:
+    blocks/evaa.py liquidate matchers; messages/evaa.py:258-283."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        EVAA_LIQUIDATE_FAIL,
+        EVAA_LIQUIDATE_MASTER,
+        EVAA_LIQUIDATE_SATISFIED,
+        EVAA_LIQUIDATE_SUCCESS,
+        EVAA_LIQUIDATE_UNSATISFIED,
+        EVAA_LIQUIDATE_USER,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_evaa_liquidate_master,
+    )
+
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    def liq_trace(trace, verdict_op, done_op):
+        t1 = tx(trace, 1, EVL_LIQ, 100); ext(trace, t1, 100, EVL_LIQ)
+        t2 = tx(trace, 2, EVAA_MASTER, 110)
+        link(trace, 1, t1, 100, t2, 110, EVL_LIQ, EVAA_MASTER, 10**8,
+             EVAA_LIQUIDATE_MASTER,
+             encode_evaa_liquidate_master(91, EVL_BORROWER, EVL_LIQ,
+                                          EVL_ASSET_ID, 1, 5000))
+        t3 = tx(trace, 3, EVAA_USER_SC, 120)
+        link(trace, 2, t2, 110, t3, 120, EVAA_MASTER, EVAA_USER_SC,
+             10**7, EVAA_LIQUIDATE_USER, None)
+        t4 = tx(trace, 4, EVAA_MASTER, 130)
+        link(trace, 3, t3, 120, t4, 130, EVAA_USER_SC, EVAA_MASTER,
+             10**6, verdict_op, None)
+        t5 = tx(trace, 5, EVL_LIQ, 140)
+        link(trace, 4, t4, 130, t5, 140, EVAA_MASTER, EVL_LIQ, 10**5,
+             done_op, None)
+
+    liq_trace("el1", EVAA_LIQUIDATE_SATISFIED, EVAA_LIQUIDATE_SUCCESS)
+    liq_trace("el2", EVAA_LIQUIDATE_UNSATISFIED, EVAA_LIQUIDATE_FAIL)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_EVAA_LIQ_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('el1', 'evaa_liquidate', '{EVL_LIQ}', '{EVAA_MASTER}',
+   CAST(5000 AS BIGINT), '{EVL_ASSET_ID:064x}', CAST(NULL AS VARCHAR),
+   TRUE, 5),
+  ('el2', 'evaa_liquidate', '{EVL_LIQ}', '{EVAA_MASTER}',
+   CAST(5000 AS BIGINT), '{EVL_ASSET_ID:064x}', 'liquidate_unsatisfied',
+   FALSE, 5)
+) AS t(trace_id, action_type, source, destination, debt_amount,
+       asset_id, fail_reason, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_evaa_liquidate",
+    oracle=_EVAA_LIQ_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="EVAA liquidation through the REAL cell codec: satisfied "
+    "and unsatisfied arms of master#3 → user#31 → verdict → result, "
+    "liquidate body shape-discriminated against generic op 0x3 uses "
+    "(reference blocks/evaa.py liquidate matchers)",
+)
+def classify_evaa_liquidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _evaa_liquidate_fixture(spark)
+    liq = F.col("evaa_liquidate_data")
+    return (
+        res.actions.filter(F.col("type") == "evaa_liquidate")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            liq["debt_amount"].cast("long").alias("debt_amount"),
+            liq["asset_id"].alias("asset_id"),
+            liq["fail_reason"].alias("fail_reason"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+def _ethena_withdrawal_fixture(spark: SparkSession):
+    """Golden Ethena withdrawal request: USDe chain into the pool →
+    tsUSDe mint#642b7d07 → the timelocked tsUSDe leg (0xb2583ed5) at the
+    position wallet.  Serialized as stake_withdrawal_request /
+    provider=ethena.  Reference: EthenaWithdrawalRequestBlockMatcher,
+    ethena_staking.py:58-106."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        ETHENA_TSUSDE_TRANSFER,
+        JETTON_MINT_OP,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_ethena_tsusde_transfer,
+        encode_jetton_internal,
+        encode_jetton_mint,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(n, account, lt):
+        h = f"ew1-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", "ew1"))
+        return h
+
+    def link(n, src_tx, src_lt, dst_tx, dst_lt, source, destination,
+             value, opcode, body):
+        mh, bh = f"ew1-m{n}", None
+        if body is not None:
+            bh = f"bh-ew1-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append(("ew1", src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append(("ew1", dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    t1 = tx(1, USER, 100)
+    msgs.append(("ew1", t1, 100, "ew1-e0", "in", None, USER,
+                 None, None, 98, None))
+    t2 = tx(2, EW_UW, 110)
+    link(1, t1, 100, t2, 110, USER, EW_UW, 10**8, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(92, 700, destination=ETH_POOL))
+    t3 = tx(3, EW_PW, 120)
+    link(2, t2, 110, t3, 120, EW_UW, EW_PW, 10**7, JETTON_INTERNAL_OP,
+         encode_jetton_internal(92, 700, from_owner=USER))
+    t4 = tx(4, ETH_POOL, 130)
+    link(3, t3, 120, t4, 130, EW_PW, ETH_POOL, 10**6, JETTON_NOTIFY_OP,
+         encode_jetton_notify(92, 700, sender=USER))
+    t5 = tx(5, TSUSDE_MINTER, 140)
+    link(4, t4, 130, t5, 140, ETH_POOL, TSUSDE_MINTER, 10**6,
+         JETTON_MINT_OP, encode_jetton_mint(92, USER, 10**5, 650))
+    t6 = tx(6, EW_TSPOS, 150)
+    link(5, t5, 140, t6, 150, TSUSDE_MINTER, EW_TSPOS, 10**5,
+         ETHENA_TSUSDE_TRANSFER,
+         encode_ethena_tsusde_transfer(92, 650, from_owner=ETH_POOL))
+
+    jw = spark.createDataFrame(
+        [(EW_UW, USER, EW_USDE), (EW_PW, ETH_POOL, EW_USDE)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_ETHENA_WR_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('ew1', 'stake_withdrawal_request', 'ethena', '{ACC[0]}', '{EW_UW}',
+   '{ETH_POOL}', '{EW_USDE}', CAST(700 AS BIGINT),
+   CAST(650 AS BIGINT), TRUE, 6)
+) AS t(trace_id, action_type, provider, source, source_wallet,
+       destination, asset, amount, tokens_minted, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_ethena_withdrawal",
+    oracle=_ETHENA_WR_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Ethena withdrawal request through the REAL cell codec: "
+    "USDe chain → tsUSDe mint → the timelocked 0xb2583ed5 position leg, "
+    "serialized as stake_withdrawal_request/provider=ethena (reference "
+    "EthenaWithdrawalRequestBlockMatcher, ethena_staking.py:58-106)",
+)
+def classify_ethena_withdrawal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _ethena_withdrawal_fixture(spark)
+    st = F.col("staking_data")
+    return (
+        res.actions.filter(F.col("type") == "stake_withdrawal_request")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            st["provider"].alias("provider"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            "asset",
+            F.col("amount").cast("long").alias("amount"),
+            st["tokens_minted"].cast("long").alias("tokens_minted"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
