@@ -1390,3 +1390,238 @@ def test_pton_inline_comment():
     d = decode_message_body(base64.b64encode(serialize_boc(c)).decode())
     assert d["amount"] == 77
     assert d["comment"] == "inline note"
+
+
+def test_address_hashmap_write_read_roundtrip():
+    """The write-side HashmapE(267) codec (boc.encode_address_hashmap)
+    round-trips through the existing key parser for single keys,
+    multi-key radix splits, and negative workchains."""
+    from ton_indexer_spark.functions.boc import (
+        address_hashmap_keys,
+        encode_address_hashmap,
+    )
+
+    assert encode_address_hashmap([]) is None
+    single = ["0:" + "ab" * 32]
+    got = address_hashmap_keys(encode_address_hashmap(single))
+    assert [a.lower() for a in got] == [a.lower() for a in single]
+    multi = [
+        "0:" + "ab" * 32,
+        "0:" + "ac" * 32,   # long shared prefix → deep fork
+        "-1:" + "cd" * 32,  # masterchain: wc 0xFF in the key
+        "0:" + "00" * 32,
+    ]
+    got = address_hashmap_keys(encode_address_hashmap(multi))
+    assert sorted(a.lower() for a in got) == sorted(
+        a.lower() for a in multi
+    )
+
+
+def test_jvault_body_encoders_roundtrip():
+    from ton_indexer_spark.functions.boc import (
+        decode_body_cell,
+        encode_jvault_claim,
+        encode_jvault_receive,
+        encode_jvault_unstake,
+        parse_boc,
+    )
+
+    d = decode_body_cell(parse_boc(encode_jvault_receive(5, 1234)))
+    assert d["amount"] == 1234 and d["min_deposit"] == 1
+    d = decode_body_cell(parse_boc(
+        encode_jvault_unstake(6, 777, force_unstake=True)))
+    assert d["amount"] == 777 and d["force_unstake"] is True
+    d = decode_body_cell(parse_boc(
+        encode_jvault_unstake(7, 88, request_only=True)))
+    assert d["amount"] == 88 and "force_unstake" not in d
+    jet = "0:" + "e" * 63 + "7"
+    d = decode_body_cell(parse_boc(encode_jvault_claim(8, [jet])))
+    assert [a.lower() for a in d["jettons_to_claim"]] == [jet.lower()]
+    d = decode_body_cell(parse_boc(encode_jvault_claim(9, [])))
+    assert d["jettons_to_claim"] == []
+
+
+def test_lz_packet_tree_encoders_roundtrip():
+    from ton_indexer_spark.functions.boc import (
+        decode_lz_commit_packet,
+        decode_lz_execute_callback,
+        decode_lz_send_callback,
+        encode_lz_packet,
+        encode_lz_packet_envelope,
+        encode_lz_send_callback,
+    )
+
+    pkt = encode_lz_packet(30343, 0xAA, 30184, 0xBB, nonce=77,
+                           guid=0xCAFE, message=b"\x01\x02")
+    md = decode_lz_send_callback(
+        encode_lz_send_callback(42, 0x11, 0x22, pkt, 5000, 3))
+    assert md["send_request_id"] == 42
+    assert md["native_fee"] == 5000 and md["zro_fee"] == 3
+    assert md["packet"]["src_eid"] == 30343
+    assert md["packet"]["dst_oapp"] == hex(0xBB)
+    assert md["packet"]["message"] == "0x0102"
+    for dec in (decode_lz_commit_packet, decode_lz_execute_callback):
+        got = dec(encode_lz_packet_envelope(0x5388CD88, pkt))
+        assert got["nonce"] == 77 and got["guid"] == hex(0xCAFE)
+
+
+def test_tgbtc_event_encoders_roundtrip():
+    from ton_indexer_spark.functions.boc import (
+        decode_body_cell,
+        encode_tgbtc_burn_event,
+        encode_tgbtc_dkg_event,
+        encode_tgbtc_mint_event,
+        encode_tgbtc_new_key_event,
+        parse_boc,
+    )
+
+    user = "0:" + "0" * 64
+    txid = "aa55" * 16  # little-endian display hex
+    d = decode_body_cell(parse_boc(
+        encode_tgbtc_mint_event(100000, user, txid)))
+    assert d["amount"] == 100000 and d["bitcoin_txid"] == txid
+    d = decode_body_cell(parse_boc(
+        encode_tgbtc_burn_event(5000, user, None)))
+    assert d["amount"] == 5000 and d["pegout_address"] is None
+    d = decode_body_cell(parse_boc(
+        encode_tgbtc_new_key_event(3000, 0xF00D, user)))
+    assert d["new_internal_pubkey"] == "f00d"  # hex()[2:] parity
+    d = decode_body_cell(parse_boc(encode_tgbtc_dkg_event(1700, 0xBEEF)))
+    assert d["timestamp"] == 1700 and d["internal_pubkey"] == "beef"
+
+
+def test_tonco_payload_encoders_roundtrip():
+    import base64
+
+    from ton_indexer_spark.functions.boc import (
+        decode_body_cell,
+        decode_tonco_fund_payload,
+        decode_tonco_swap_payload,
+        encode_tonco_add_liquidity,
+        encode_tonco_fund_payload,
+        encode_tonco_pay_to,
+        encode_tonco_pool_burn,
+        encode_tonco_position_burn,
+        encode_tonco_position_init,
+        encode_tonco_start_burn,
+        encode_tonco_swap_payload,
+        parse_boc,
+        serialize_boc,
+    )
+
+    w = "0:" + "8" * 63 + "6"
+    u = "0:" + "0" * 64
+    raw = base64.b64encode(serialize_boc(
+        encode_tonco_swap_payload([(w, 450, u), (w, 10, None)]))).decode()
+    assert decode_tonco_swap_payload(raw) == [
+        (w.upper(), 450), (w.upper(), 10)]
+    raw = base64.b64encode(serialize_boc(
+        encode_tonco_fund_payload(w, 1000, 0))).decode()
+    fp = decode_tonco_fund_payload(raw)
+    assert fp["other_jetton_wallet"].lower() == w.lower()
+    assert fp["amount0"] == 1000 and fp["amount1"] == 0
+    d = decode_body_cell(parse_boc(
+        encode_tonco_add_liquidity(1, 10, 0, 10, 20, 777, -60, 60)))
+    assert d["new_amount0"] == 10 and d["tick_lower"] == -60
+    d = decode_body_cell(parse_boc(
+        encode_tonco_position_init(1, u, 777, -60, 60, 5, 10, 20)))
+    assert d["liquidity"] == 777 and d["nft_index"] == 5
+    d = decode_body_cell(parse_boc(
+        encode_tonco_start_burn(1, 5, 777, -60, 60)))
+    assert d["nft_index"] == 5 and d["amount"] == 777
+    d = decode_body_cell(parse_boc(
+        encode_tonco_position_burn(1, u, 777, -60, 60)))
+    assert d["liquidity_to_burn"] == 777
+    d = decode_body_cell(parse_boc(
+        encode_tonco_pool_burn(1, u, 5, 777, -60, 60)))
+    assert d["burned_index"] == 5
+    d = decode_body_cell(parse_boc(encode_tonco_pay_to(
+        1, u, None, 200, amount0=600, jetton0=w)))
+    assert d["exit_code"] == 200 and d["amount0"] == 600
+
+
+def test_stonfi_v2_pay_to_encoder_roundtrip():
+    from ton_indexer_spark.functions.boc import (
+        decode_body_cell,
+        encode_stonfi_v2_pay_to,
+        parse_boc,
+    )
+
+    w = "0:" + "a" * 63 + "7"
+    d = decode_body_cell(parse_boc(encode_stonfi_v2_pay_to(
+        7, w, w, "0:" + "0" * 64, 0xC64370E5, 0, 800, w, 0, None)))
+    assert d["exit_code"] == 0xC64370E5
+    assert d["amount0_out"] == 800 and d["token1_address"] is None
+
+
+def test_cocoon_and_staking_body_encoders_roundtrip():
+    from ton_indexer_spark.functions.boc import (
+        decode_body_cell,
+        decode_cocoon_body,
+        encode_cocoon_client_register,
+        encode_cocoon_client_topup,
+        encode_cocoon_payout_payload,
+        encode_cocoon_worker_request,
+        encode_coffee_staking_claim,
+        encode_coffee_staking_deposit,
+        encode_coffee_staking_withdraw,
+        encode_ethena_tsusde_transfer,
+        encode_evaa_liquidate_master,
+        parse_boc,
+    )
+
+    u = "0:" + "0" * 64
+    d = decode_cocoon_body(encode_cocoon_payout_payload(51, 1200, u))
+    assert d["new_tokens"] == 1200 and d["query_id"] == 51
+    d = decode_cocoon_body(encode_cocoon_payout_payload(5, 9, u, last=True))
+    assert d["opcode"] == 0xF5F26A36
+    d = decode_cocoon_body(encode_cocoon_worker_request(51, u, 1, 1200))
+    assert d["state"] == 1 and d["tokens"] == 1200
+    d = decode_cocoon_body(encode_cocoon_client_topup(52, 5, u))
+    assert d["amount"] == 5
+    d = decode_cocoon_body(encode_cocoon_client_register(53, 99, u))
+    assert d["nonce"] == 99
+    d = decode_body_cell(parse_boc(
+        encode_coffee_staking_deposit(81, u, 1000, u, 3)))
+    assert d["jetton_amount"] == 1000 and d["period_id"] == 3
+    d = decode_body_cell(parse_boc(
+        encode_coffee_staking_claim(83, u, 444, u)))
+    assert d["jetton_amount"] == 444
+    # the three withdraw hop shapes decode to their distinct field sets
+    d = decode_body_cell(parse_boc(encode_coffee_staking_withdraw(82)))
+    assert d == {"opcode": 0xCB03BFAF, "query_id": 82}
+    d = decode_body_cell(parse_boc(encode_coffee_staking_withdraw(
+        82, nft_id=7, owner=u, points=5000, jetton_wallet=u,
+        jetton_amount=900)))
+    assert d["nft_id"] == 7 and d["points"] == 5000
+    d = decode_body_cell(parse_boc(encode_coffee_staking_withdraw(
+        82, jetton_wallet=u, jetton_amount=900, owner=u)))
+    assert d["jetton_amount"] == 900 and "nft_id" not in d
+    d = decode_body_cell(parse_boc(encode_evaa_liquidate_master(
+        91, u, u, 0xDD11, 1, 5000)))
+    assert d["debt_amount"] == 5000 and d["asset_id"] == f"{0xDD11:064x}"
+    d = decode_body_cell(parse_boc(
+        encode_ethena_tsusde_transfer(92, 650, u)))
+    assert d["amount"] == 650
+
+
+def test_dedust_deposit_encoders_roundtrip():
+    from ton_indexer_spark.functions.boc import (
+        decode_body_cell,
+        encode_dedust_deposit_to_pool,
+        encode_dedust_deposit_ton,
+        parse_boc,
+    )
+
+    j = "0:" + "c" * 63 + "9"
+    u = "0:" + "0" * 64
+    d = decode_body_cell(parse_boc(encode_dedust_deposit_ton(
+        71, 2 * 10**9, "TON", j, min_lp=1, asset0_target=2 * 10**9,
+        asset1_target=1000)))
+    assert d["amount"] == 2 * 10**9 and d["asset0"] == "TON"
+    assert d["asset1"].lower() == j.lower()
+    assert d["asset1_target_balance"] == 1000
+    d = decode_body_cell(parse_boc(encode_dedust_deposit_to_pool(
+        71, u, 1, "TON", 2 * 10**9, j, 1000)))
+    assert d["owner"] == u.upper() or d["owner"].lower() == u.lower()
+    assert d["asset1"] == "TON" and d["amount2"] == 1000

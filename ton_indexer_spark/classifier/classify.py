@@ -746,34 +746,54 @@ def classify_traces(
     if jetton_wallets is not None:
         from ton_indexer_spark.classifier.base import PTON_MASTERS
 
-        need = actions.filter(F.col("asset2_wallet_unresolved").isNotNull())
-        keys = need.select(
-            F.col("asset2_wallet_unresolved").alias("address")
-        ).distinct()
+        # flag format "<field>|<wallet>": a2 = top-level asset2 (failed
+        # tonco swap target), dep1/dep2 = the deposit payload's
+        # target_asset_1/_2 (the pair's other wallet)
+        flag = F.col("asset2_wallet_unresolved")
+        need = actions.filter(flag.isNotNull())
+        wallet_of = F.substring_index(flag, "|", -1)
+        field_of = F.substring_index(flag, "|", 1)
+        keys = need.select(wallet_of.alias("address")).distinct()
         dim = (
             jetton_wallets.join(F.broadcast(keys), "address", "left_semi")
-            .select(F.col("address").alias("asset2_wallet_unresolved"),
+            .select(F.col("address").alias("_deferred_wallet"),
                     F.col("jetton").alias("_deferred_jetton"))
         )
+        # pTON-family wallets resolve to TON = NULL asset, the
+        # _wallet_asset lookup discipline
+        fill = F.when(
+            ~F.col("_deferred_jetton").isin(*PTON_MASTERS),
+            F.col("_deferred_jetton"),
+        )
+        dep = F.col("dex_deposit_liquidity_data")
         resolved = (
-            need.join(F.broadcast(dim), "asset2_wallet_unresolved", "left")
+            need.withColumn("_deferred_wallet", wallet_of)
+            .withColumn("_deferred_field", field_of)
+            .join(F.broadcast(dim), "_deferred_wallet", "left")
             .withColumn(
                 "asset2",
-                F.coalesce(
-                    F.col("asset2"),
-                    # pTON-family wallets resolve to TON = NULL asset,
-                    # the _wallet_asset lookup discipline
-                    F.when(
-                        ~F.col("_deferred_jetton").isin(*PTON_MASTERS),
-                        F.col("_deferred_jetton"),
-                    ),
-                ),
+                F.when(F.col("_deferred_field") == "a2",
+                       F.coalesce(F.col("asset2"), fill))
+                .otherwise(F.col("asset2")),
             )
-            .drop("_deferred_jetton")
+            .withColumn(
+                "dex_deposit_liquidity_data",
+                F.when(
+                    F.col("_deferred_field") == "dep1",
+                    dep.withField(
+                        "target_asset_1",
+                        F.coalesce(dep["target_asset_1"], fill)),
+                ).when(
+                    F.col("_deferred_field") == "dep2",
+                    dep.withField(
+                        "target_asset_2",
+                        F.coalesce(dep["target_asset_2"], fill)),
+                ).otherwise(dep),
+            )
+            .drop("_deferred_wallet", "_deferred_field", "_deferred_jetton")
         )
         actions = (
-            actions.filter(F.col("asset2_wallet_unresolved").isNull())
-            .unionByName(resolved)
+            actions.filter(flag.isNull()).unionByName(resolved)
         )
     actions = actions.drop("asset2_wallet_unresolved")
     states = (

@@ -1237,10 +1237,11 @@ def match_tonco_swap(node: Node, ctx: Ctx) -> dict | None:
             # the intended target wallet never transacts in a refunded
             # trace, so the trace-scoped context can't know its jetton —
             # defer to the post-classification point lookup
-            # (swaps.py:1164-1180 awaits the interface repository here)
+            # (swaps.py:1164-1180 awaits the interface repository here);
+            # the "a2|" prefix tells the resolver which field to patch
             if (destination_asset is None
                     and t_wallet not in ctx.get("jetton_wallets", {})):
-                unresolved_wallet = t_wallet
+                unresolved_wallet = f"a2|{t_wallet}"
 
     act = _base(
         node,
@@ -1370,9 +1371,16 @@ def match_tonco_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
         else None
     )
     first_asset = _wallet_asset(notify.in_msg.source, ctx)
-    second_asset = _wallet_asset(
-        payload.get("other_jetton_wallet") if payload else None, ctx
-    )
+    other_wallet = payload.get("other_jetton_wallet") if payload else None
+    second_asset = _wallet_asset(other_wallet, ctx)
+    # the pair's other wallet is only referenced inside the fund payload
+    # and may never transact in this trace — defer its asset to the
+    # post-classification point lookup (the reference awaits the
+    # interface repository at liquidity.py's wallet map miss)
+    unresolved_wallet = None
+    if (second_asset is None and other_wallet is not None
+            and other_wallet not in ctx.get("jetton_wallets", {})):
+        unresolved_wallet = other_wallet
 
     # completion chain: account → POOLV3_MINT → {PAY_TO refunds, NFT init}
     lp_tokens = nft_index = nft_address = None
@@ -1425,6 +1433,10 @@ def match_tonco_deposit_liquidity(node: Node, ctx: Ctx) -> dict | None:
         source_secondary=w1 or w2,
         destination=fund.account,
         destination_secondary=add.account,
+        asset2_wallet_unresolved=(
+            f"{'dep2' if is_first else 'dep1'}|{unresolved_wallet}"
+            if unresolved_wallet is not None else None
+        ),
         dex_deposit_liquidity_data={
             "dex": "tonco",
             "amount1": c_amount1,

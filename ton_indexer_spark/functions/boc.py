@@ -2793,6 +2793,132 @@ def encode_ethena_tsusde_transfer(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_tonco_fund_payload(
+    other_jetton_wallet: str | None, amount0: int, amount1: int,
+) -> Cell:
+    """Tonco POOLV3_FUND_ACCOUNT forward payload (messages/liquidity.py:
+    257-287) — rides inside the jetton notify during provision; the
+    read-side mirror is ``decode_tonco_fund_payload``."""
+    return (
+        Builder()
+        .store_uint(OP_TONCO_FUND_ACCOUNT, 32)
+        .store_address(other_jetton_wallet)
+        .store_coins(amount0)
+        .store_coins(amount1)
+        .end_cell()
+    )
+
+
+def encode_tonco_add_liquidity(
+    query_id: int, new_amount0: int, new_amount1: int,
+    new_enough0: int, new_enough1: int, liquidity: int,
+    tick_lower: int, tick_upper: int,
+) -> str:
+    """ACCOUNTV3_ADD_LIQUIDITY#3ebe5431 (messages/liquidity.py:465-492)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TONCO_ADD_LIQUIDITY, 32)
+        .store_uint(query_id, 64)
+        .store_coins(new_amount0)
+        .store_coins(new_amount1)
+        .store_coins(new_enough0)
+        .store_coins(new_enough1)
+        .store_uint(liquidity, 128)
+        .store_int(tick_lower, 24)
+        .store_int(tick_upper, 24)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tonco_position_init(
+    query_id: int, user: str | None, liquidity: int,
+    tick_lower: int, tick_upper: int, nft_index: int,
+    jetton0_amount: int, jetton1_amount: int,
+) -> str:
+    """POSITIONNFTV3_POSITION_INIT#d5ecca2a (messages/liquidity.py:
+    391-429) with the fee/index ref cell."""
+    fees = (
+        Builder()
+        .store_uint(0, 256)
+        .store_uint(0, 256)
+        .store_uint(nft_index, 64)
+        .store_coins(jetton0_amount)
+        .store_coins(jetton1_amount)
+        .store_int(0, 24)  # tick
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(OP_TONCO_POSITION_INIT, 32)
+        .store_uint(query_id, 64)
+        .store_address(user)
+        .store_uint(liquidity, 128)
+        .store_int(tick_lower, 24)
+        .store_int(tick_upper, 24)
+        .store_ref(fees)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tonco_start_burn(
+    query_id: int, nft_index: int, liquidity: int,
+    tick_lower: int, tick_upper: int,
+) -> str:
+    """POOLV3_START_BURN#530b5f2c (messages/liquidity.py:165-184)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TONCO_START_BURN, 32)
+        .store_uint(query_id, 64)
+        .store_uint(nft_index, 64)
+        .store_uint(liquidity, 128)
+        .store_int(tick_lower, 24)
+        .store_int(tick_upper, 24)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tonco_position_burn(
+    query_id: int, nft_owner: str | None, liquidity: int,
+    tick_lower: int, tick_upper: int,
+) -> str:
+    """POSITIONNFTV3_POSITION_BURN#46ca335a (messages/liquidity.py:
+    432-462)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TONCO_POSITION_BURN, 32)
+        .store_uint(query_id, 64)
+        .store_address(nft_owner)
+        .store_uint(liquidity, 128)
+        .store_int(tick_lower, 24)
+        .store_int(tick_upper, 24)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tonco_pool_burn(
+    query_id: int, recipient: str | None, burned_index: int,
+    liquidity: int, tick_lower: int, tick_upper: int,
+) -> str:
+    """POOLV3_BURN#d73ac09d (messages/liquidity.py:187-224)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TONCO_POOL_BURN, 32)
+        .store_uint(query_id, 64)
+        .store_address(recipient)
+        .store_uint(burned_index, 64)
+        .store_uint(liquidity, 128)
+        .store_int(tick_lower, 24)
+        .store_int(tick_upper, 24)
+        .store_uint(liquidity, 128)  # liquidity_to_burn
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

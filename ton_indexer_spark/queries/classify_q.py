@@ -3746,3 +3746,244 @@ def classify_ethena_withdrawal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Tonco CLMM liquidity (blocks/liquidity.py 289-1505): concentrated
+# positions with tick ranges and position NFTs — provision via the
+# fund-account payload + ACCOUNTV3_ADD_LIQUIDITY completion, withdrawal
+# via POOLV3_START_BURN with two router payout legs.
+
+TQ_ROUTER, TQ_POOL, TQ_ACCT = UP("3", "2"), UP("3", "3"), UP("3", "4")
+TQ_NFT, TQ_UW, TQ_RW = UP("3", "5"), UP("3", "6"), UP("3", "7")
+TQ_UW2, TQ_RW2 = UP("3", "8"), UP("3", "9")
+TQ_JX, TQ_JY = UP("3", "A"), UP("3", "B")
+
+
+def _tonco_liquidity_fixture(spark: SparkSession):
+    """Two golden Tonco CLMM liquidity traces: tl1 provision (jetton
+    chain → fund-account payload in the notify → POOLV3_FUND_ACCOUNT →
+    ACCOUNTV3_ADD_LIQUIDITY → POOLV3_MINT → position-NFT init with
+    liquidity/index in the fee ref) and tl2 withdrawal
+    (POOLV3_START_BURN → position burn → pool burn → ROUTERV3_PAY_TO →
+    two payout chains, legs ordered by the router coinsinfo).
+    Reference: ToncoDepositLiquidity / ToncoWithdrawLiquidity matchers,
+    blocks/liquidity.py:289-1505."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        TONCO_ADD_LIQUIDITY,
+        TONCO_FUND_ACCOUNT,
+        TONCO_MINT_REFUND,
+        TONCO_PAY_TO,
+        TONCO_POOL_BURN,
+        TONCO_POSITION_BURN,
+        TONCO_POSITION_INIT,
+        TONCO_START_BURN,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+        encode_tonco_add_liquidity,
+        encode_tonco_fund_payload,
+        encode_tonco_pay_to,
+        encode_tonco_pool_burn,
+        encode_tonco_position_burn,
+        encode_tonco_position_init,
+        encode_tonco_start_burn,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    # tl1: provide 1000 J_X toward ticks [-60, 60], 777 liquidity minted
+    fund_payload = encode_tonco_fund_payload(TQ_RW2, 1000, 0)
+    t1 = tx("tl1", 1, USER, 100); ext("tl1", t1, 100)
+    t2 = tx("tl1", 2, TQ_UW, 110)
+    link("tl1", 1, t1, 100, t2, 110, USER, TQ_UW, 10**8,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(95, 1000, destination=TQ_ROUTER))
+    t3 = tx("tl1", 3, TQ_RW, 120)
+    link("tl1", 2, t2, 110, t3, 120, TQ_UW, TQ_RW, 10**7,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(95, 1000, from_owner=USER))
+    t4 = tx("tl1", 4, TQ_ROUTER, 130)
+    link("tl1", 3, t3, 120, t4, 130, TQ_RW, TQ_ROUTER, 10**6,
+         JETTON_NOTIFY_OP,
+         encode_jetton_notify(95, 1000, sender=USER,
+                              forward_payload=fund_payload))
+    t5 = tx("tl1", 5, TQ_POOL, 140)
+    link("tl1", 4, t4, 130, t5, 140, TQ_ROUTER, TQ_POOL, 10**6,
+         TONCO_FUND_ACCOUNT, None)
+    t6 = tx("tl1", 6, TQ_ACCT, 150)
+    link("tl1", 5, t5, 140, t6, 150, TQ_POOL, TQ_ACCT, 10**6,
+         TONCO_ADD_LIQUIDITY,
+         encode_tonco_add_liquidity(95, 1000, 0, 1000, 2000, 777,
+                                    -60, 60))
+    t7 = tx("tl1", 7, TQ_POOL, 160)
+    link("tl1", 6, t6, 150, t7, 160, TQ_ACCT, TQ_POOL, 10**5,
+         TONCO_MINT_REFUND, None)
+    t8 = tx("tl1", 8, TQ_NFT, 170)
+    link("tl1", 7, t7, 160, t8, 170, TQ_POOL, TQ_NFT, 10**5,
+         TONCO_POSITION_INIT,
+         encode_tonco_position_init(95, USER, 777, -60, 60,
+                                    nft_index=5, jetton0_amount=1000,
+                                    jetton1_amount=2000))
+
+    # tl2: burn position 5 — 1000 J_X + 2000 J_Y paid back
+    u1 = tx("tl2", 1, USER, 200); ext("tl2", u1, 200)
+    u2 = tx("tl2", 2, TQ_ROUTER, 210)
+    link("tl2", 1, u1, 200, u2, 210, USER, TQ_ROUTER, 10**8,
+         TONCO_START_BURN,
+         encode_tonco_start_burn(96, 5, 777, -60, 60))
+    u3 = tx("tl2", 3, TQ_NFT, 220)
+    link("tl2", 2, u2, 210, u3, 220, TQ_ROUTER, TQ_NFT, 10**7,
+         TONCO_POSITION_BURN,
+         encode_tonco_position_burn(96, USER, 777, -60, 60))
+    u4 = tx("tl2", 4, TQ_POOL, 230)
+    link("tl2", 3, u3, 220, u4, 230, TQ_NFT, TQ_POOL, 10**6,
+         TONCO_POOL_BURN,
+         encode_tonco_pool_burn(96, USER, 5, 777, -60, 60))
+    u5 = tx("tl2", 5, TQ_ROUTER, 240)
+    link("tl2", 4, u4, 230, u5, 240, TQ_POOL, TQ_ROUTER, 10**6,
+         TONCO_PAY_TO,
+         encode_tonco_pay_to(96, USER, None, 0, amount0=1000,
+                             jetton0=TQ_RW, amount1=2000,
+                             jetton1=TQ_RW2))
+    u6 = tx("tl2", 6, TQ_RW, 250)
+    link("tl2", 5, u5, 240, u6, 250, TQ_ROUTER, TQ_RW, 10**5,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(96, 1000, destination=USER))
+    u7 = tx("tl2", 7, TQ_UW, 260)
+    link("tl2", 6, u6, 250, u7, 260, TQ_RW, TQ_UW, 10**4,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(96, 1000, from_owner=TQ_ROUTER))
+    u8 = tx("tl2", 8, USER, 270)
+    link("tl2", 7, u7, 260, u8, 270, TQ_UW, USER, 1,
+         JETTON_NOTIFY_OP,
+         encode_jetton_notify(96, 1000, sender=TQ_ROUTER))
+    u9 = tx("tl2", 9, TQ_RW2, 280)
+    link("tl2", 8, u5, 240, u9, 280, TQ_ROUTER, TQ_RW2, 10**5,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(97, 2000, destination=USER))
+    u10 = tx("tl2", 10, TQ_UW2, 290)
+    link("tl2", 9, u9, 280, u10, 290, TQ_RW2, TQ_UW2, 10**4,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(97, 2000, from_owner=TQ_ROUTER))
+    u11 = tx("tl2", 11, USER, 300)
+    link("tl2", 10, u10, 290, u11, 300, TQ_UW2, USER, 1,
+         JETTON_NOTIFY_OP,
+         encode_jetton_notify(97, 2000, sender=TQ_ROUTER))
+
+    jw = spark.createDataFrame(
+        [(TQ_UW, USER, TQ_JX), (TQ_RW, TQ_ROUTER, TQ_JX),
+         (TQ_UW2, USER, TQ_JY), (TQ_RW2, TQ_ROUTER, TQ_JY)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=25,
+    )
+
+
+_TONCO_LIQ_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('tl1', 'dex_deposit_liquidity', 'tonco', '{ACC[0]}', '{TQ_POOL}',
+   '{TQ_ACCT}', CAST(1000 AS BIGINT), '{TQ_JX}', CAST(NULL AS BIGINT),
+   CAST(NULL AS VARCHAR), CAST(777 AS BIGINT), -60, 60,
+   CAST(5 AS BIGINT), '{TQ_NFT}', CAST(1000 AS BIGINT),
+   CAST(2000 AS BIGINT), '{TQ_JX}', '{TQ_JY}', TRUE, 8),
+  ('tl2', 'dex_withdraw_liquidity', 'tonco', '{ACC[0]}', '{TQ_ROUTER}',
+   CAST(NULL AS VARCHAR), CAST(1000 AS BIGINT), '{TQ_JX}',
+   CAST(2000 AS BIGINT), '{TQ_JY}', CAST(777 AS BIGINT), -60, 60,
+   CAST(5 AS BIGINT), '{TQ_NFT}', CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   TRUE, 11)
+) AS t(trace_id, action_type, dex, source, destination,
+       account_contract, amount1, asset1, amount2, asset2, liquidity,
+       tick_lower, tick_upper, nft_index, nft_address,
+       target_amount_1, target_amount_2, target_asset_1, target_asset_2,
+       success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_tonco_liquidity",
+    oracle=_TONCO_LIQ_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Tonco CLMM liquidity through the REAL cell codec: "
+    "provision (fund-account payload, add-liquidity completion, "
+    "position-NFT init carrying liquidity/index in the fee ref) and "
+    "withdrawal (start-burn → position burn → pool burn → pay_to with "
+    "two ordered payout chains); tick ranges asserted end-to-end "
+    "(reference blocks/liquidity.py:289-1505)",
+)
+def classify_tonco_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _tonco_liquidity_fixture(spark)
+    dep = F.col("dex_deposit_liquidity_data")
+    wd = F.col("dex_withdraw_liquidity_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("dex_deposit_liquidity",
+                               "dex_withdraw_liquidity")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            F.coalesce(dep["dex"], wd["dex"]).alias("dex"),
+            "source",
+            "destination",
+            F.when(F.col("type") == "dex_deposit_liquidity",
+                   F.col("destination_secondary"))
+            .alias("account_contract"),
+            F.coalesce(dep["amount1"], wd["amount1"]).cast("long")
+            .alias("amount1"),
+            F.coalesce(dep["asset1"], wd["asset1_out"]).alias("asset1"),
+            F.coalesce(dep["amount2"], wd["amount2"]).cast("long")
+            .alias("amount2"),
+            F.coalesce(dep["asset2"], wd["asset2_out"]).alias("asset2"),
+            F.coalesce(dep["lp_tokens_minted"], wd["lp_tokens_burnt"])
+            .cast("long").alias("liquidity"),
+            F.coalesce(dep["tick_lower"], wd["tick_lower"]).cast("int")
+            .alias("tick_lower"),
+            F.coalesce(dep["tick_upper"], wd["tick_upper"]).cast("int")
+            .alias("tick_upper"),
+            F.coalesce(dep["nft_index"], wd["burned_nft_index"])
+            .cast("long").alias("nft_index"),
+            F.coalesce(dep["nft_address"], wd["burned_nft_address"])
+            .alias("nft_address"),
+            dep["target_amount_1"].cast("long").alias("target_amount_1"),
+            dep["target_amount_2"].cast("long").alias("target_amount_2"),
+            dep["target_asset_1"].alias("target_asset_1"),
+            dep["target_asset_2"].alias("target_asset_2"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
