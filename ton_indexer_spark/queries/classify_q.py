@@ -3987,3 +3987,296 @@ def classify_tonco_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Ston.fi v2 liquidity withdrawal and LayerZero token send — both built
+# entirely from chains + bodies already covered by the codec.
+
+LPW2, LP2_J, UW2_B = UP("B", "8"), UP("B", "9"), UP("B", "A")
+
+
+def _stonfi_v2_withdraw_fixture(spark: SparkSession):
+    """Golden ston.fi v2 liquidity withdrawal: LP burn →
+    withdraw_liquidity#297437cf at the pool → two pay_to#657b54f5 legs
+    at the router, each paying a full jetton chain to the user.
+    Reference: StonfiV2WithdrawLiquidityMatcher, liquidity.py:789-880."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import JETTON_BURN
+    from ton_indexer_spark.classifier.protocols import (
+        STONFI_V2_PAYOUT,
+        STONFI_V2_WITHDRAW,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_burn,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(n, account, lt):
+        h = f"sv3-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", "sv3"))
+        return h
+
+    def link(n, src_tx, src_lt, dst_tx, dst_lt, source, destination,
+             value, opcode, body):
+        mh, bh = f"sv3-m{n}", None
+        if body is not None:
+            bh = f"bh-sv3-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append(("sv3", src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append(("sv3", dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    t1 = tx(1, USER, 100)
+    msgs.append(("sv3", t1, 100, "sv3-e0", "in", None, USER,
+                 None, None, 98, None))
+    t2 = tx(2, LPW2, 110)
+    link(1, t1, 100, t2, 110, USER, LPW2, 10**8, JETTON_BURN,
+         encode_jetton_burn(55, 250, response=USER))
+    t3 = tx(3, V2POOL1, 120)
+    link(2, t2, 110, t3, 120, LPW2, V2POOL1, 10**6,
+         STONFI_V2_WITHDRAW, None)
+    # leg 1: 300 J_B through the router
+    t4 = tx(4, V2ROUTER, 130)
+    link(3, t3, 120, t4, 130, V2POOL1, V2ROUTER, 10**6,
+         STONFI_V2_PAYOUT, None)
+    t5 = tx(5, RW2_B, 140)
+    link(4, t4, 130, t5, 140, V2ROUTER, RW2_B, 10**5, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(55, 300, destination=USER))
+    t6 = tx(6, UW2_B, 150)
+    link(5, t5, 140, t6, 150, RW2_B, UW2_B, 10**4, JETTON_INTERNAL_OP,
+         encode_jetton_internal(55, 300, from_owner=V2ROUTER))
+    t7 = tx(7, USER, 160)
+    link(6, t6, 150, t7, 160, UW2_B, USER, 1, JETTON_NOTIFY_OP,
+         encode_jetton_notify(55, 300, sender=V2ROUTER))
+    # leg 2: 400 J_C through the router
+    t8 = tx(8, V2ROUTER, 170)
+    link(7, t3, 120, t8, 170, V2POOL1, V2ROUTER, 10**6,
+         STONFI_V2_PAYOUT, None)
+    t9 = tx(9, RW2_C, 180)
+    link(8, t8, 170, t9, 180, V2ROUTER, RW2_C, 10**5, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(56, 400, destination=USER))
+    t10 = tx(10, UW2_C, 190)
+    link(9, t9, 180, t10, 190, RW2_C, UW2_C, 10**4, JETTON_INTERNAL_OP,
+         encode_jetton_internal(56, 400, from_owner=V2ROUTER))
+    t11 = tx(11, USER, 200)
+    link(10, t10, 190, t11, 200, UW2_C, USER, 1, JETTON_NOTIFY_OP,
+         encode_jetton_notify(56, 400, sender=V2ROUTER))
+
+    jw = spark.createDataFrame(
+        [(LPW2, USER, LP2_J), (RW2_B, V2ROUTER, J_B),
+         (UW2_B, USER, J_B), (RW2_C, V2ROUTER, J_C),
+         (UW2_C, USER, J_C)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=25,
+    )
+
+
+_STONFI_V2_WD_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('sv3', 'dex_withdraw_liquidity', 'stonfi_v2', '{ACC[0]}', '{LPW2}',
+   '{V2POOL1}', '{LP2_J}', CAST(250 AS BIGINT), CAST(250 AS BIGINT),
+   CAST(300 AS BIGINT), '{J_B}', '{UW2_B}',
+   CAST(400 AS BIGINT), '{J_C}', '{UW2_C}', TRUE, 11)
+) AS t(trace_id, action_type, dex, source, source_wallet, destination,
+       asset, amount, lp_tokens_burnt, amount1, asset1_out,
+       user_wallet_1, amount2, asset2_out, user_wallet_2, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_stonfi_v2_withdraw",
+    oracle=_STONFI_V2_WD_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="ston.fi v2 liquidity withdrawal through the REAL cell "
+    "codec: LP burn → withdraw_liquidity#297437cf → two pay_to legs, "
+    "each a full jetton chain to the user (reference "
+    "StonfiV2WithdrawLiquidityMatcher, liquidity.py:789-880)",
+)
+def classify_stonfi_v2_withdraw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _stonfi_v2_withdraw_fixture(spark)
+    wd = F.col("dex_withdraw_liquidity_data")
+    return (
+        res.actions.filter(F.col("type") == "dex_withdraw_liquidity")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            wd["dex"].alias("dex"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            "asset",
+            F.col("amount").cast("long").alias("amount"),
+            wd["lp_tokens_burnt"].cast("long").alias("lp_tokens_burnt"),
+            wd["amount1"].cast("long").alias("amount1"),
+            wd["asset1_out"].alias("asset1_out"),
+            wd["user_jetton_wallet_1"].alias("user_wallet_1"),
+            wd["amount2"].cast("long").alias("amount2"),
+            wd["asset2_out"].alias("asset2_out"),
+            wd["user_jetton_wallet_2"].alias("user_wallet_2"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+def _lz_send_tokens_fixture(spark: SparkSession):
+    """Golden LayerZero token send: jetton chain into the OApp whose
+    notify drives the full endpoint-send chain (packet metadata in the
+    channel send callback) — one layerzero_send_tokens action instead
+    of transfer + send.  Reference: LayerZeroSendTokensMatcher,
+    blocks/layerzero.py:276-330."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        LZ_CHANNEL_SEND,
+        LZ_ENDPOINT_SEND,
+        LZ_MCONN_SEND,
+        LZ_MSGLIB_SEND_CB,
+        LZ_OAPP_SEND_CB,
+        LZ_ULN_SEND,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+        encode_lz_packet,
+        encode_lz_send_callback,
+    )
+
+    USER = ACC[0]
+    packet = encode_lz_packet(LZ_SRC_EID, LZ_SRC_OAPP, LZ_DST_EID,
+                              LZ_DST_OAPP, nonce=88, guid=0xFEED)
+    txs, msgs, bodies = [], [], []
+
+    def tx(n, account, lt):
+        h = f"lz4-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", "lz4"))
+        return h
+
+    def link(n, src_tx, src_lt, dst_tx, dst_lt, source, destination,
+             value, opcode, body):
+        mh, bh = f"lz4-m{n}", None
+        if body is not None:
+            bh = f"bh-lz4-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append(("lz4", src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append(("lz4", dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    t1 = tx(1, USER, 100)
+    msgs.append(("lz4", t1, 100, "lz4-e0", "in", None, USER,
+                 None, None, 98, None))
+    t2 = tx(2, LZT_UW, 110)
+    link(1, t1, 100, t2, 110, USER, LZT_UW, 10**8, JETTON_TRANSFER_OP,
+         encode_jetton_transfer(66, 5000, destination=LZO_OAPP))
+    t3 = tx(3, LZT_OW, 120)
+    link(2, t2, 110, t3, 120, LZT_UW, LZT_OW, 10**7, JETTON_INTERNAL_OP,
+         encode_jetton_internal(66, 5000, from_owner=USER))
+    t4 = tx(4, LZO_OAPP, 130)
+    link(3, t3, 120, t4, 130, LZT_OW, LZO_OAPP, 10**6, JETTON_NOTIFY_OP,
+         encode_jetton_notify(66, 5000, sender=USER))
+    t5 = tx(5, LZO_ENDPOINT, 140)
+    link(4, t4, 130, t5, 140, LZO_OAPP, LZO_ENDPOINT, 10**6,
+         LZ_ENDPOINT_SEND, None)
+    t6 = tx(6, LZO_CHANNEL, 150)
+    link(5, t5, 140, t6, 150, LZO_ENDPOINT, LZO_CHANNEL, 10**6,
+         LZ_CHANNEL_SEND, None)
+    t7 = tx(7, LZO_MCONN, 160)
+    link(6, t6, 150, t7, 160, LZO_CHANNEL, LZO_MCONN, 10**6,
+         LZ_MCONN_SEND, None)
+    t8 = tx(8, LZO_ULN, 170)
+    link(7, t7, 160, t8, 170, LZO_MCONN, LZO_ULN, 10**6,
+         LZ_ULN_SEND, None)
+    t9 = tx(9, LZO_CHANNEL, 180)
+    link(8, t8, 170, t9, 180, LZO_ULN, LZO_CHANNEL, 10**6,
+         LZ_MSGLIB_SEND_CB, None)
+    t10 = tx(10, LZO_OAPP, 190)
+    link(9, t9, 180, t10, 190, LZO_CHANNEL, LZO_OAPP, 10**6,
+         LZ_OAPP_SEND_CB,
+         encode_lz_send_callback(43, 0x11, 0x22, packet,
+                                 native_fee=7000, zro_fee=0))
+
+    jw = spark.createDataFrame(
+        [(LZT_UW, USER, LZT_J), (LZT_OW, LZO_OAPP, LZT_J)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=25,
+    )
+
+
+LZT_UW, LZT_OW, LZT_J = UP("D", "A"), UP("D", "B"), UP("D", "C")
+
+
+_LZ_SEND_TOKENS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('lz4', 'layerzero_send_tokens', '{ACC[0]}', '{LZT_UW}',
+   '{LZO_OAPP}', '{LZT_OW}', '{LZT_J}', CAST(5000 AS BIGINT),
+   CAST(43 AS BIGINT), CAST(7000 AS BIGINT), {LZ_SRC_EID}, {LZ_DST_EID},
+   CAST(88 AS BIGINT), '0xfeed', TRUE, 10)
+) AS t(trace_id, action_type, source, source_wallet, destination,
+       destination_wallet, asset, amount, send_request_id, native_fee,
+       src_eid, dst_eid, nonce, guid, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_lz_send_tokens",
+    oracle=_LZ_SEND_TOKENS_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="LayerZero token send through the REAL cell codec: "
+    "jetton chain into the OApp driving the full endpoint-send chain, "
+    "surfaced as ONE layerzero_send_tokens action with the packet "
+    "metadata (reference LayerZeroSendTokensMatcher, "
+    "blocks/layerzero.py:276-330)",
+)
+def classify_lz_send_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _lz_send_tokens_fixture(spark)
+    send = F.col("layerzero_send_data")
+    pkt = F.col("layerzero_packet_data")
+    return (
+        res.actions.filter(F.col("type") == "layerzero_send_tokens")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            F.col("destination_secondary").alias("destination_wallet"),
+            "asset",
+            F.col("amount").cast("long").alias("amount"),
+            send["send_request_id"].cast("long").alias("send_request_id"),
+            send["native_fee"].cast("long").alias("native_fee"),
+            pkt["src_eid"].cast("int").alias("src_eid"),
+            pkt["dst_eid"].cast("int").alias("dst_eid"),
+            pkt["nonce"].cast("long").alias("nonce"),
+            pkt["guid"].alias("guid"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
