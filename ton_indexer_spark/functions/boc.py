@@ -2919,6 +2919,57 @@ def encode_tonco_pool_burn(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_coffee_depository_request(
+    query_id: int, amount: int, recipient: str | None,
+    first: str, second: str,
+) -> str:
+    """swap.coffee create-liquidity-depository request#c0ffee27
+    (messages/coffee.py:803-821): amount inline, recipient in the params
+    ref, the pool's asset pair in the pool ref."""
+    params = Builder().store_address(recipient).end_cell()
+    pool = Builder()
+    store_coffee_asset(pool, first)
+    store_coffee_asset(pool, second)
+    cell = (
+        Builder()
+        .store_uint(0xC0FFEE27, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+        .store_ref(params)
+        .store_ref(pool.end_cell())
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_coffee_deposit_event(
+    query_id: int, amount1: int, amount2: int, lp_amount: int,
+) -> str:
+    """deposit_liquidity_successful_event#c0ffee33
+    (messages/coffee.py:520-539)."""
+    cell = (
+        Builder()
+        .store_uint(0xC0FFEE33, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount1)
+        .store_coins(amount2)
+        .store_coins(lp_amount)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_coffee_withdraw_deposit(query_id: int) -> str:
+    """withdraw_deposit#c0ffee07 (messages/coffee.py:584-594)."""
+    cell = (
+        Builder()
+        .store_uint(OP_COFFEE_WITHDRAW, 32)
+        .store_uint(query_id, 64)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

@@ -4280,3 +4280,194 @@ def classify_lz_send_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# swap.coffee liquidity (blocks/liquidity.py 1640-1816): the completing
+# jetton deposit leg — depository request carrying the pool's asset
+# pair, deploy, deposit_internal emitting the success event + LP mint +
+# a native excess payout — and the depository withdrawal.
+
+CD_VAULT, CD_DEP, CD_POOL = UP("1", "3"), UP("1", "4"), UP("1", "5")
+CD_UW, CD_VW, CD_J = UP("1", "6"), UP("1", "7"), UP("1", "8")
+CD_LPW, CD_DEPC = UP("1", "9"), UP("1", "A")
+
+
+def _coffee_liquidity_fixture(spark: SparkSession):
+    """Two golden swap.coffee liquidity traces: cd1 completing jetton
+    deposit (chain → depository request#c0ffee27 with the asset pair →
+    deploy#c0ffee22 → deposit_internal#c0ffee29 at the pool emitting
+    the #c0ffee33 success event, minting 600 LP and paying one native
+    excess via payout_internal), cd2 depository withdrawal
+    (withdraw_deposit#c0ffee07 → native payout#c0ffee32).  Reference:
+    CoffeeDepositLiquidityMatcher, liquidity.py:1640-1816."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_DEPLOY_OP,
+        COFFEE_DEPOSIT_EVENT,
+        COFFEE_DEPOSIT_INTERNAL,
+        COFFEE_DEPOSITORY_REQUEST,
+        COFFEE_PAYOUT,
+        COFFEE_PAYOUT_INTERNAL,
+        COFFEE_WITHDRAW_DEPOSIT,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_coffee_deposit_event,
+        encode_coffee_depository_request,
+        encode_coffee_payout_internal,
+        encode_coffee_withdraw_deposit,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    # cd1: deposit 1000 CD_J toward the CD_J/TON pool, 600 LP minted
+    t1 = tx("cd1", 1, USER, 100); ext("cd1", t1, 100)
+    t2 = tx("cd1", 2, CD_UW, 110)
+    link("cd1", 1, t1, 100, t2, 110, USER, CD_UW, 10**8,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(61, 1000, destination=CD_VAULT))
+    t3 = tx("cd1", 3, CD_VW, 120)
+    link("cd1", 2, t2, 110, t3, 120, CD_UW, CD_VW, 10**7,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(61, 1000, from_owner=USER))
+    t4 = tx("cd1", 4, CD_VAULT, 130)
+    link("cd1", 3, t3, 120, t4, 130, CD_VW, CD_VAULT, 10**6,
+         JETTON_NOTIFY_OP, encode_jetton_notify(61, 1000, sender=USER))
+    t5 = tx("cd1", 5, CD_DEP, 140)
+    link("cd1", 4, t4, 130, t5, 140, CD_VAULT, CD_DEP, 10**6,
+         COFFEE_DEPOSITORY_REQUEST,
+         encode_coffee_depository_request(61, 1000, USER, CD_J, "TON"))
+    t6 = tx("cd1", 6, CD_DEPC, 150)
+    link("cd1", 5, t5, 140, t6, 150, CD_DEP, CD_DEPC, 10**6,
+         COFFEE_DEPLOY_OP, None)
+    t7 = tx("cd1", 7, CD_POOL, 160)
+    link("cd1", 6, t6, 150, t7, 160, CD_DEPC, CD_POOL, 10**6,
+         COFFEE_DEPOSIT_INTERNAL, None)
+    ev_body = encode_coffee_deposit_event(61, 1000, 2000, 600)
+    bodies.append(("bh-cd1-ev", ev_body))
+    msgs.append(("cd1", t7, 160, "cd1-ev", "out", CD_POOL, None,
+                 None, COFFEE_DEPOSIT_EVENT, 161, "bh-cd1-ev"))
+    t8 = tx("cd1", 8, CD_LPW, 170)
+    link("cd1", 7, t7, 160, t8, 170, CD_POOL, CD_LPW, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(61, 600, from_owner=CD_POOL))
+    t9 = tx("cd1", 9, CD_VAULT, 180)
+    link("cd1", 8, t7, 160, t9, 180, CD_POOL, CD_VAULT, 10**5,
+         COFFEE_PAYOUT_INTERNAL,
+         encode_coffee_payout_internal(61, recipient=USER,
+                                       amount=5 * 10**7))
+    t10 = tx("cd1", 10, USER, 190)
+    link("cd1", 9, t9, 180, t10, 190, CD_VAULT, USER, 5 * 10**7,
+         COFFEE_PAYOUT, None)
+
+    # cd2: withdraw the pending depository — native payout back
+    u1 = tx("cd2", 1, USER, 200); ext("cd2", u1, 200)
+    u2 = tx("cd2", 2, CD_DEPC, 210)
+    link("cd2", 1, u1, 200, u2, 210, USER, CD_DEPC, 10**7,
+         COFFEE_WITHDRAW_DEPOSIT, encode_coffee_withdraw_deposit(62))
+    u3 = tx("cd2", 3, USER, 220)
+    link("cd2", 2, u2, 210, u3, 220, CD_DEPC, USER, 10**9,
+         COFFEE_PAYOUT, None)
+
+    jw = spark.createDataFrame(
+        [(CD_UW, USER, CD_J), (CD_VW, CD_VAULT, CD_J),
+         (CD_LPW, USER, UP("1", "B"))],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=25,
+    )
+
+
+_COFFEE_LIQ_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('cd1', 'dex_deposit_liquidity', 'coffee', '{ACC[0]}', '{CD_POOL}',
+   '{CD_DEPC}', CAST(1000 AS BIGINT), '{CD_J}', '{CD_UW}',
+   '{CD_J}', CAST(NULL AS VARCHAR), CAST(600 AS BIGINT), 1,
+   CAST(50000000 AS BIGINT), CAST(NULL AS BIGINT), TRUE, 10),
+  ('cd2', 'dex_withdraw_liquidity', 'coffee', '{ACC[0]}', '{CD_DEPC}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), TRUE, 3)
+) AS t(trace_id, action_type, dex, source, destination,
+       deposit_contract, amount, asset1, user_wallet_1,
+       target_asset_1, target_asset_2, lp_tokens, n_excesses,
+       excess1_amount, lp_tokens_burnt, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_coffee_liquidity",
+    oracle=_COFFEE_LIQ_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="swap.coffee liquidity through the REAL cell codec: the "
+    "completing jetton deposit leg (depository request#c0ffee27 asset "
+    "pair, deploy, deposit_internal + #c0ffee33 success event, LP mint, "
+    "native excess payout) and the depository withdrawal (reference "
+    "CoffeeDepositLiquidityMatcher, liquidity.py:1640-1816)",
+)
+def classify_coffee_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _coffee_liquidity_fixture(spark)
+    dep = F.col("dex_deposit_liquidity_data")
+    wd = F.col("dex_withdraw_liquidity_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("dex_deposit_liquidity",
+                               "dex_withdraw_liquidity")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            F.coalesce(dep["dex"], wd["dex"]).alias("dex"),
+            "source",
+            "destination",
+            F.when(F.col("type") == "dex_deposit_liquidity",
+                   F.col("destination_secondary"))
+            .alias("deposit_contract"),
+            F.col("amount").cast("long").alias("amount"),
+            dep["asset1"].alias("asset1"),
+            dep["user_jetton_wallet_1"].alias("user_wallet_1"),
+            dep["target_asset_1"].alias("target_asset_1"),
+            dep["target_asset_2"].alias("target_asset_2"),
+            dep["lp_tokens_minted"].cast("long").alias("lp_tokens"),
+            F.size(dep["vault_excesses"]).alias("n_excesses"),
+            dep["vault_excesses"][0]["amount"].cast("long")
+            .alias("excess1_amount"),
+            wd["lp_tokens_burnt"].cast("long").alias("lp_tokens_burnt"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
