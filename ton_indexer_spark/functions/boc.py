@@ -2970,6 +2970,55 @@ def encode_coffee_withdraw_deposit(query_id: int) -> str:
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_vesting_send_message(
+    query_id: int, destination: str | None, value: int,
+    send_mode: int = 3, src: str | None = None,
+) -> str:
+    """send_message#a7733acd (messages/vesting.py:10-28): the inner
+    message rides as a ref whose int_msg_info header carries the
+    forwarded destination and value."""
+    inner = (
+        Builder()
+        .store_bit(0)        # int_msg_info$0
+        .store_uint(0, 3)    # ihr_disabled/bounce/bounced
+        .store_address(src)
+        .store_address(destination)
+        .store_coins(value)
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(OP_VESTING_SEND, 32)
+        .store_uint(query_id, 64)
+        .store_uint(send_mode, 8)
+        .store_ref(inner)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_vesting_add_whitelist(
+    query_id: int, addresses: list[str],
+) -> str:
+    """add_whitelist#7258a69b (messages/vesting.py:31-45): first address
+    inline, the rest chained through refs."""
+    cell = None
+    for a in reversed(addresses[1:]):
+        b = Builder().store_address(a)
+        if cell is not None:
+            b.store_ref(cell)
+        cell = b.end_cell()
+    b = (
+        Builder()
+        .store_uint(OP_VESTING_ADD_WL, 32)
+        .store_uint(query_id, 64)
+        .store_address(addresses[0] if addresses else None)
+    )
+    if cell is not None:
+        b.store_ref(cell)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

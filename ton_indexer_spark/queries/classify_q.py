@@ -4471,3 +4471,133 @@ def classify_coffee_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Vesting wallet (reference blocks vesting matchers; messages/vesting.py):
+# send_message forwards an inner message whose destination/value surface
+# on the action; add_whitelist extends the allowed-destination list
+# through a ref-chained address list.
+
+VS_WALLET = UP("9", "5")
+VS_D1, VS_D2, VS_D3 = UP("9", "6"), UP("9", "7"), UP("9", "8")
+
+
+def _vesting_fixture(spark: SparkSession):
+    """Two golden vesting traces: vt1 send_message#a7733acd (the inner
+    message BOC decoded for destination + value, ack leg claimed, the
+    forwarded transfer left to classify on its own) and vt2
+    add_whitelist#7258a69b with a three-address ref chain."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import (
+        VESTING_ADD_WHITELIST,
+        VESTING_ADD_WHITELIST_RESP,
+        VESTING_SEND,
+        VESTING_SEND_RESP,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_vesting_add_whitelist,
+        encode_vesting_send_message,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    # vt1: owner sends through the vesting wallet; ack leg claimed
+    t1 = tx("vt1", 1, USER, 100); ext("vt1", t1, 100)
+    t2 = tx("vt1", 2, VS_WALLET, 110)
+    link("vt1", 1, t1, 100, t2, 110, USER, VS_WALLET, 10**8,
+         VESTING_SEND,
+         encode_vesting_send_message(31, VS_D1, 12345, src=VS_WALLET))
+    t3 = tx("vt1", 3, USER, 120)
+    link("vt1", 2, t2, 110, t3, 120, VS_WALLET, USER, 10**5,
+         VESTING_SEND_RESP, None)
+    t4 = tx("vt1", 4, VS_D1, 130)
+    link("vt1", 3, t2, 110, t4, 130, VS_WALLET, VS_D1, 12345, None, None)
+
+    # vt2: whitelist three destinations in one ref-chained body
+    u1 = tx("vt2", 1, USER, 200); ext("vt2", u1, 200)
+    u2 = tx("vt2", 2, VS_WALLET, 210)
+    link("vt2", 1, u1, 200, u2, 210, USER, VS_WALLET, 10**8,
+         VESTING_ADD_WHITELIST,
+         encode_vesting_add_whitelist(32, [VS_D1, VS_D2, VS_D3]))
+    u3 = tx("vt2", 3, USER, 220)
+    link("vt2", 2, u2, 210, u3, 220, VS_WALLET, USER, 10**5,
+         VESTING_ADD_WHITELIST_RESP, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_VESTING_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('vt1', 'vesting_send_message', '{ACC[0]}', '{VS_WALLET}', '{VS_D1}',
+   CAST(12345 AS BIGINT), CAST(31 AS BIGINT), CAST(NULL AS INT),
+   CAST(NULL AS VARCHAR), TRUE),
+  ('vt2', 'vesting_add_whitelist', '{ACC[0]}', '{VS_WALLET}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(32 AS BIGINT), 3,
+   '{VS_D2}', TRUE)
+) AS t(trace_id, action_type, source, destination, message_destination,
+       amount, query_id, n_whitelisted, second_added, success)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_vesting",
+    oracle=_VESTING_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Vesting wallet through the REAL cell codec: "
+    "send_message (inner message BOC decoded for destination/value, "
+    "ack claimed, forwarded transfer classifies separately) and "
+    "add_whitelist with a ref-chained address list (reference vesting "
+    "matchers; messages/vesting.py)",
+)
+def classify_vesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _vesting_fixture(spark)
+    sm = F.col("vesting_send_message_data")
+    wl = F.col("vesting_add_whitelist_data")
+    return (
+        res.actions.filter(F.col("type").startswith("vesting"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("message_destination"),
+            F.col("amount").cast("long").alias("amount"),
+            F.coalesce(sm["query_id"], wl["query_id"]).cast("long")
+            .alias("query_id"),
+            F.size(wl["accounts_added"]).cast("int")
+            .alias("n_whitelisted"),
+            F.element_at(wl["accounts_added"], 2).alias("second_added"),
+            "success",
+        )
+        .orderBy("trace_id")
+    )
