@@ -3019,6 +3019,33 @@ def encode_vesting_add_whitelist(
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def encode_pton_transfer(
+    query_id: int, ton_amount: int, refund: str | None = None,
+    comment: str | None = None,
+) -> str:
+    """pTON ton_transfer#01f3835d (messages/swaps.py:50-60): proxy-TON
+    wrap of a plain value move; an optional text comment rides in the
+    Either-right forward payload."""
+    b = (
+        Builder()
+        .store_uint(OP_PTON_TRANSFER, 32)
+        .store_uint(query_id, 64)
+        .store_coins(ton_amount)
+        .store_address(refund)
+    )
+    if comment is not None:
+        inner = (
+            Builder()
+            .store_uint(OP_TEXT_COMMENT, 32)
+            .store_snake_string(comment)
+            .end_cell()
+        )
+        b.store_bit(1).store_ref(inner)
+    else:
+        b.store_bit(0)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

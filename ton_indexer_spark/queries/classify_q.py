@@ -4601,3 +4601,152 @@ def classify_vesting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Three single-shape matchers: pTON transfer (proxy-TON surfaced as a
+# plain ton_transfer), auction outbid (value bid bouncing the previous
+# bid back), and DNS purchase (auction fill-up at a .ton item — the
+# dimension consult that must happen before the fragment matcher).
+
+PT_WALLET = UP("9", "9")
+AO_AUCTION, AO_BIDDER1 = UP("9", "A"), ACC[1]
+DP_ITEM = UP("9", "B")
+
+
+def _singles_fixture(spark: SparkSession):
+    """Three golden single-matcher traces: pt1 pTON ton_transfer#01f3835d
+    with a text comment, ao1 auction outbid (plain value bid at a known
+    auction bouncing the previous bid to a different account), dp1 DNS
+    purchase (fill-up#370fec51 at a dns_items-flagged item with the
+    ownership-assigned leg).  References: PTonTransferMatcher
+    (blocks/jettons.py), AuctionOutbidMatcher (blocks/nft.py),
+    DnsPurchaseMatcher (auction.py:545-585)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import OWNERSHIP_ASSIGNED
+    from ton_indexer_spark.classifier.protocols import (
+        AUCTION_FILL_UP,
+        PTON_TRANSFER,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_nft_ownership_assigned,
+        encode_pton_transfer,
+    )
+
+    USER = ACC[0]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # pt1: proxy-TON transfer of 999 with a comment, one value child
+    t1 = tx("pt1", 1, USER, 100); ext("pt1", t1, 100, USER)
+    t2 = tx("pt1", 2, PT_WALLET, 110)
+    link("pt1", 1, t1, 100, t2, 110, USER, PT_WALLET, TON,
+         PTON_TRANSFER, encode_pton_transfer(21, 999, comment="gm"))
+    t3 = tx("pt1", 3, ACC[2], 120)
+    link("pt1", 2, t2, 110, t3, 120, PT_WALLET, ACC[2], 999, None, None)
+
+    # ao1: USER bids 5 TON; the auction bounces 4 TON back to BIDDER1
+    u1 = tx("ao1", 1, USER, 200); ext("ao1", u1, 200, USER)
+    u2 = tx("ao1", 2, AO_AUCTION, 210)
+    link("ao1", 1, u1, 200, u2, 210, USER, AO_AUCTION, 5 * TON,
+         None, None)
+    u3 = tx("ao1", 3, AO_BIDDER1, 220)
+    link("ao1", 2, u2, 210, u3, 220, AO_AUCTION, AO_BIDDER1, 4 * TON,
+         None, None)
+
+    # dp1: fill-up at the .ton item; ownership assigned back to the buyer
+    v1 = tx("dp1", 1, USER, 300); ext("dp1", v1, 300, USER)
+    v2 = tx("dp1", 2, DP_ITEM, 310)
+    link("dp1", 1, v1, 300, v2, 310, USER, DP_ITEM, 7 * TON,
+         AUCTION_FILL_UP, None)
+    v3 = tx("dp1", 3, USER, 320)
+    link("dp1", 2, v2, 310, v3, 320, DP_ITEM, USER, 10**6,
+         OWNERSHIP_ASSIGNED,
+         encode_nft_ownership_assigned(22, prev_owner=None))
+
+    dns = spark.createDataFrame([(DP_ITEM,)], "address string")
+    auctions = spark.createDataFrame([(AO_AUCTION,)], "address string")
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        dns_items=dns,
+        auctions=auctions,
+        big_trace_cutoff=20,
+    )
+
+
+_SINGLES_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('ao1', 'auction_outbid', '{ACC[0]}', '{AO_BIDDER1}', '{AO_AUCTION}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BOOLEAN), TRUE, 3),
+  ('dp1', 'dns_purchase', '{ACC[0]}', CAST(NULL AS VARCHAR), '{ACC[0]}',
+   '{DP_ITEM}', CAST(7000000000 AS BIGINT), CAST(NULL AS VARCHAR),
+   TRUE, TRUE, 3),
+  ('pt1', 'ton_transfer', '{ACC[0]}', CAST(NULL AS VARCHAR),
+   '{PT_WALLET}', 'TON', CAST(999 AS BIGINT), 'gm',
+   CAST(NULL AS BOOLEAN), TRUE, 3)
+) AS t(trace_id, action_type, source, outbid_bidder, destination,
+       asset, amount, comment, is_purchase, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_pton_outbid_dns",
+    oracle=_SINGLES_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Three single-shape matchers over real BOC / dimension "
+    "context: pTON transfer surfaced as ton_transfer (comment decoded "
+    "from the Either payload), auction outbid (auctions dim + bounced "
+    "previous bid), and DNS purchase (fill-up at a dns_items-flagged "
+    "item, consulted before the fragment matcher)",
+)
+def classify_pton_outbid_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _singles_fixture(spark)
+    tt = F.col("ton_transfer_data")
+    nt = F.col("nft_transfer_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("ton_transfer", "auction_outbid",
+                               "dns_purchase")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            F.col("source_secondary").alias("outbid_bidder"),
+            "destination",
+            "asset",
+            F.coalesce(F.col("amount"), nt["price"]).cast("long")
+            .alias("amount"),
+            tt["content"].alias("comment"),
+            nt["is_purchase"].alias("is_purchase"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
