@@ -766,10 +766,14 @@ def classify_traces(
             F.col("_deferred_jetton"),
         )
         dep = F.col("dex_deposit_liquidity_data")
+        # no forced broadcast on the outer join: the build side is
+        # already pruned to the flagged keys, so AQE broadcasts it when
+        # small — and the plan keeps the "no forced dim broadcast"
+        # invariant (tests/test_explain.py)
         resolved = (
             need.withColumn("_deferred_wallet", wallet_of)
             .withColumn("_deferred_field", field_of)
-            .join(F.broadcast(dim), "_deferred_wallet", "left")
+            .join(dim, "_deferred_wallet", "left")
             .withColumn(
                 "asset2",
                 F.when(F.col("_deferred_field") == "a2",
