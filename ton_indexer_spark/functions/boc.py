@@ -3046,6 +3046,89 @@ def encode_pton_transfer(
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def encode_tonco_create_pool(
+    query_id: int, jetton_wallet0: str | None, jetton_wallet1: str | None,
+    tick_spacing: int, initial_price_x96: int, protocol_fee: int,
+    lp_fee_base: int, lp_fee_current: int,
+    jetton0_minter: str | None = None, jetton1_minter: str | None = None,
+) -> str:
+    """ROUTERV3_CREATE_POOL#2e3034ef (messages/liquidity.py:346-388)."""
+    minters = (
+        Builder()
+        .store_address(jetton0_minter)
+        .store_address(jetton1_minter)
+        .end_cell()
+    )
+    cell = (
+        Builder()
+        .store_uint(OP_TONCO_CREATE_POOL, 32)
+        .store_uint(query_id, 64)
+        .store_address(jetton_wallet0)
+        .store_address(jetton_wallet1)
+        .store_int(tick_spacing, 24)
+        .store_uint(initial_price_x96, 160)
+        .store_uint(protocol_fee, 16)
+        .store_uint(lp_fee_base, 16)
+        .store_uint(lp_fee_current, 16)
+        .store_ref(Builder().end_cell())  # nftv3_content
+        .store_ref(Builder().end_cell())  # nftv3item_content
+        .store_ref(minters)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_tonco_pool_init(
+    query_id: int, tick_spacing: int, initial_price_x96: int,
+    pool_active: bool = True, protocol_fee: int = 0,
+    lp_fee_base: int = 0, lp_fee_current: int = 0,
+) -> str:
+    """POOLV3_INIT#441c39ed (messages/liquidity.py:289-344)."""
+    cell = (
+        Builder()
+        .store_uint(OP_TONCO_POOL_INIT, 32)
+        .store_uint(query_id, 64)
+        .store_bit(0)   # from_admin
+        .store_bit(0)   # has_admin
+        .store_address(None)
+        .store_bit(0)   # has_controller
+        .store_address(None)
+        .store_bit(1)   # set_spacing
+        .store_int(tick_spacing, 24)
+        .store_bit(1)   # set_price
+        .store_uint(initial_price_x96, 160)
+        .store_bit(1)   # set_active
+        .store_bit(1 if pool_active else 0)
+        .store_uint(protocol_fee, 16)
+        .store_uint(lp_fee_base, 16)
+        .store_uint(lp_fee_current, 16)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_lz_verify_callback(nonce: int, status_code: int) -> str:
+    """ULN_CONNECTION_VERIFY_CALLBACK#3cb38090 (messages/layerzero.py:
+    912-947): the VerificationStatus cell rides at md.refs[0]."""
+    st = (
+        Builder()
+        .store_uint(_LZ_STATUS_HEADER, _LZ_STATUS_HEADER_BITS)
+        .store_uint((1 << _LZ_STATUS_FILLER_BITS) - 1,
+                    _LZ_STATUS_FILLER_BITS)
+        .store_uint(nonce, 64)
+        .store_uint(status_code, 32)
+        .end_cell()
+    )
+    md = Builder().store_ref(st).end_cell()
+    body = (
+        Builder()
+        .store_uint(OP_LZ_ULN_VERIFY_CB, 32)
+        .store_ref(md)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(body)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

@@ -4750,3 +4750,157 @@ def classify_pton_outbid_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Tonco pool deployment and the LayerZero DVN verification chain — the
+# last two infrastructure-side flows of their families.
+
+TDP_DEPLOYER = UP("3", "C")
+LZV_DVN2, LZV_PROXY = UP("D", "D"), UP("D", "E")
+
+
+def _deploy_verify_fixture(spark: SparkSession):
+    """Two golden traces: td1 Tonco pool deployment
+    (ROUTERV3_CREATE_POOL#2e3034ef with wallets/minters/fees →
+    POOLV3_INIT#441c39ed echoing spacing/price/activation) and lv1 the
+    LayerZero DVN verify chain (verify#a0d51a8d → proxy call → ULN
+    verify → ULN-connection verify → callback#3cb38090 carrying
+    nonce+status in the VerificationStatus cell).  References:
+    ToncoDeployPoolBlockMatcher (liquidity.py:1535-1620),
+    LayerZeroDvnVerifyMatcher (layerzero.py:508-560)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        LZ_DVN_VERIFY,
+        LZ_PROXY_CALL,
+        LZ_ULN_CONN_VERIFY,
+        LZ_ULN_VERIFY,
+        LZ_ULN_VERIFY_CB,
+        TONCO_CREATE_POOL,
+        TONCO_POOL_INIT,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_lz_verify_callback,
+        encode_tonco_create_pool,
+        encode_tonco_pool_init,
+    )
+
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # td1: deploy the TQ_JX/TQ_JY pool at tick spacing 60
+    t1 = tx("td1", 1, TDP_DEPLOYER, 100); ext("td1", t1, 100, TDP_DEPLOYER)
+    t2 = tx("td1", 2, TQ_ROUTER, 110)
+    link("td1", 1, t1, 100, t2, 110, TDP_DEPLOYER, TQ_ROUTER, 10**8,
+         TONCO_CREATE_POOL,
+         encode_tonco_create_pool(41, TQ_RW, TQ_RW2, 60, 2**96, 30,
+                                  100, 100, TQ_JX, TQ_JY))
+    t3 = tx("td1", 3, TQ_POOL, 120)
+    link("td1", 2, t2, 110, t3, 120, TQ_ROUTER, TQ_POOL, 10**7,
+         TONCO_POOL_INIT,
+         encode_tonco_pool_init(41, 60, 2**96, pool_active=True,
+                                protocol_fee=30, lp_fee_base=100,
+                                lp_fee_current=100))
+
+    # lv1: DVN verify chain with the status callback
+    u1 = tx("lv1", 1, LZV_DVN2, 200); ext("lv1", u1, 200, LZV_DVN2)
+    u2 = tx("lv1", 2, LZV_DVN2, 210)
+    link("lv1", 1, u1, 200, u2, 210, LZV_DVN2, LZV_DVN2, 10**7,
+         LZ_DVN_VERIFY, None)
+    u3 = tx("lv1", 3, LZV_PROXY, 220)
+    link("lv1", 2, u2, 210, u3, 220, LZV_DVN2, LZV_PROXY, 10**6,
+         LZ_PROXY_CALL, None)
+    u4 = tx("lv1", 4, LZO_ULN, 230)
+    link("lv1", 3, u3, 220, u4, 230, LZV_PROXY, LZO_ULN, 10**6,
+         LZ_ULN_VERIFY, None)
+    u5 = tx("lv1", 5, LZO_UCONN, 240)
+    link("lv1", 4, u4, 230, u5, 240, LZO_ULN, LZO_UCONN, 10**6,
+         LZ_ULN_CONN_VERIFY, None)
+    u6 = tx("lv1", 6, LZO_CHANNEL, 250)
+    link("lv1", 5, u5, 240, u6, 250, LZO_UCONN, LZO_CHANNEL, 10**5,
+         LZ_ULN_VERIFY_CB,
+         encode_lz_verify_callback(99, 0x3BBC306B))
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_DEPLOY_VERIFY_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('lv1', 'layerzero_dvn_verify', '{LZV_DVN2}', '{LZV_DVN2}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BOOLEAN), CAST(99 AS BIGINT), 'succeeded',
+   '{LZV_PROXY}', '{LZO_ULN}', '{LZO_UCONN}', TRUE, 6),
+  ('td1', 'tonco_deploy_pool', '{TDP_DEPLOYER}', '{TQ_ROUTER}',
+   '{TQ_POOL}', 60, '{2**96}', TRUE, CAST(NULL AS BIGINT),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), TRUE, 3)
+) AS t(trace_id, action_type, source, destination, pool,
+       tick_spacing, price_x96, pool_active, nonce, status,
+       proxy, uln, uln_connection, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_deploy_verify",
+    oracle=_DEPLOY_VERIFY_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Tonco pool deployment (create-pool body with wallets/"
+    "minters/fees echoed by POOLV3_INIT; the x96 price stringified at "
+    "the serialization boundary) and the LayerZero DVN verify chain "
+    "with nonce+status from the VerificationStatus callback (reference "
+    "liquidity.py:1535-1620, layerzero.py:508-560)",
+)
+def classify_deploy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _deploy_verify_fixture(spark)
+    dp = F.col("tonco_deploy_pool_data")
+    dv = F.col("layerzero_dvn_verify_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("tonco_deploy_pool", "layerzero_dvn_verify")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("pool"),
+            dp["tick_spacing"].cast("int").alias("tick_spacing"),
+            dp["initial_price_x96"].alias("price_x96"),
+            dp["pool_active"].alias("pool_active"),
+            dv["nonce"].cast("long").alias("nonce"),
+            dv["status"].alias("status"),
+            dv["proxy"].alias("proxy"),
+            dv["uln"].alias("uln"),
+            dv["uln_connection"].alias("uln_connection"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
