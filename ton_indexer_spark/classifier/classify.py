@@ -750,10 +750,15 @@ def classify_traces(
         # tonco swap target), dep1/dep2 = the deposit payload's
         # target_asset_1/_2 (the pair's other wallet)
         flag = F.col("asset2_wallet_unresolved")
-        need = actions.filter(flag.isNotNull())
-        wallet_of = F.substring_index(flag, "|", -1)
+        wallet_of = F.when(
+            flag.isNotNull(), F.substring_index(flag, "|", -1)
+        )
         field_of = F.substring_index(flag, "|", 1)
-        keys = need.select(wallet_of.alias("address")).distinct()
+        keys = (
+            actions.filter(flag.isNotNull())
+            .select(F.substring_index(flag, "|", -1).alias("address"))
+            .distinct()
+        )
         dim = (
             jetton_wallets.join(F.broadcast(keys), "address", "left_semi")
             .select(F.col("address").alias("_deferred_wallet"),
@@ -766,12 +771,14 @@ def classify_traces(
             F.col("_deferred_jetton"),
         )
         dep = F.col("dex_deposit_liquidity_data")
-        # no forced broadcast on the outer join: the build side is
-        # already pruned to the flagged keys, so AQE broadcasts it when
-        # small — and the plan keeps the "no forced dim broadcast"
-        # invariant (tests/test_explain.py)
-        resolved = (
-            need.withColumn("_deferred_wallet", wallet_of)
+        # ONE left join over all actions — no filter/union split, so the
+        # classify UDF is not re-executed per branch.  The build side is
+        # pruned to the flagged keys (usually empty), AQE picks the
+        # strategy (no forced broadcast — the plan keeps the "no forced
+        # dim broadcast" invariant, tests/test_explain.py), and unflagged
+        # rows carry a NULL join key that simply misses.
+        actions = (
+            actions.withColumn("_deferred_wallet", wallet_of)
             .withColumn("_deferred_field", field_of)
             .join(dim, "_deferred_wallet", "left")
             .withColumn(
@@ -795,9 +802,6 @@ def classify_traces(
                 ).otherwise(dep),
             )
             .drop("_deferred_wallet", "_deferred_field", "_deferred_jetton")
-        )
-        actions = (
-            actions.filter(flag.isNull()).unionByName(resolved)
         )
     actions = actions.drop("asset2_wallet_unresolved")
     states = (
