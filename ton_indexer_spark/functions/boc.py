@@ -3129,6 +3129,22 @@ def encode_lz_verify_callback(nonce: int, status_code: int) -> str:
     return base64.b64encode(serialize_boc(body)).decode()
 
 
+def encode_cocoon_simple(op: int, query_id: int,
+                         address: str | None = None,
+                         tokens: int | None = None) -> str:
+    """The small cocoon bodies sharing the query_id prefix
+    (messages/cocoon.py): ExtProxyPayoutRequest / OwnerClientRequestRefund
+    (op + qid + send_excesses_to), Charge/GrantRefund payloads
+    (op + qid + new_tokens_used + expected_address), and the
+    OwnerWalletSendMessage wrapper (op + qid)."""
+    b = Builder().store_uint(op, 32).store_uint(query_id, 64)
+    if tokens is not None:
+        b.store_uint(tokens, 64)
+    if address is not None or tokens is not None:
+        b.store_address(address)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

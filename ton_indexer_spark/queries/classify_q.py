@@ -4904,3 +4904,185 @@ def classify_deploy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Cocoon extras (blocks/cocoon.py 241-1219): the proxy-side payout and
+# charge flows, the refund grant, and the via-wallet refund request —
+# completing the payment-channel family's driver coverage.
+
+CX_WALLETC = UP("B", "C")
+
+
+def _cocoon_extras_fixture(spark: SparkSession):
+    """Four golden traces: cp1 ExtProxyPayoutRequest (external entry at
+    the proxy → payout + excesses), cc1 ChargePayload (proxy → client
+    request → excesses back), cg2 GrantRefundPayload (proxy → client →
+    client request → refund payout to the owner), cr2 refund request
+    WRAPPED in the owner-wallet send (0x9c69f376 → 0xfafa6cc1).
+    Reference: blocks/cocoon.py:241-314, :336-414, :1104-1219,
+    :834-960."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COCOON_CHARGE_PAYLOAD,
+        COCOON_CLIENT_REQUEST,
+        COCOON_EXT_PROXY_PAYOUT,
+        COCOON_GRANT_REFUND_PAYLOAD,
+        COCOON_PAYOUT,
+        COCOON_REQUEST_REFUND,
+        COCOON_RETURN_EXCESSES,
+        COCOON_WALLET_SEND,
+    )
+    from ton_indexer_spark.functions.boc import encode_cocoon_simple
+
+    OWNER = ACC[4]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account, opcode=None, body=None):
+        bh = None
+        if body is not None:
+            bh = f"bh-{trace}-e0"
+            bodies.append((bh, body))
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, opcode, lt - 2, bh))
+
+    # cp1: external payout request at the proxy
+    t1 = tx("cp1", 1, CO_PROXY, 100)
+    ext("cp1", t1, 100, CO_PROXY, opcode=COCOON_EXT_PROXY_PAYOUT,
+        body=encode_cocoon_simple(COCOON_EXT_PROXY_PAYOUT, 71,
+                                  address=OWNER))
+    t2 = tx("cp1", 2, OWNER, 110)
+    link("cp1", 1, t1, 100, t2, 110, CO_PROXY, OWNER, 3 * TON,
+         COCOON_PAYOUT, None)
+    t3 = tx("cp1", 3, OWNER, 120)
+    link("cp1", 2, t1, 100, t3, 120, CO_PROXY, OWNER, 10**5,
+         COCOON_RETURN_EXCESSES, None)
+
+    # cc1: charge payload at the proxy → client request
+    u1 = tx("cc1", 1, CO_PROXY, 200)
+    ext("cc1", u1, 200, CO_PROXY, opcode=COCOON_CHARGE_PAYLOAD,
+        body=encode_cocoon_simple(COCOON_CHARGE_PAYLOAD, 72, tokens=700,
+                                  address=CO_CLIENT))
+    u2 = tx("cc1", 2, CO_CLIENT, 210)
+    link("cc1", 1, u1, 200, u2, 210, CO_PROXY, CO_CLIENT, 10**6,
+         COCOON_CLIENT_REQUEST, None)
+    u3 = tx("cc1", 3, CO_PROXY, 220)
+    link("cc1", 2, u2, 210, u3, 220, CO_CLIENT, CO_PROXY, 10**5,
+         COCOON_RETURN_EXCESSES, None)
+
+    # cg2: refund grant — proxy → client → request → payout to owner
+    v1 = tx("cg2", 1, CO_PROXY, 300); ext("cg2", v1, 300, CO_PROXY)
+    v2 = tx("cg2", 2, CO_CLIENT, 310)
+    link("cg2", 1, v1, 300, v2, 310, CO_PROXY, CO_CLIENT, 10**7,
+         COCOON_GRANT_REFUND_PAYLOAD,
+         encode_cocoon_simple(COCOON_GRANT_REFUND_PAYLOAD, 73,
+                              tokens=800, address=CO_CLIENT))
+    v3 = tx("cg2", 3, CO_PROXY, 320)
+    link("cg2", 2, v2, 310, v3, 320, CO_CLIENT, CO_PROXY, 10**6,
+         COCOON_CLIENT_REQUEST, None)
+    v4 = tx("cg2", 4, OWNER, 330)
+    link("cg2", 3, v3, 320, v4, 330, CO_PROXY, OWNER, 2 * TON,
+         COCOON_PAYOUT, None)
+
+    # cr2: refund request wrapped in the owner-wallet send
+    w1 = tx("cr2", 1, OWNER, 400); ext("cr2", w1, 400, OWNER)
+    w2 = tx("cr2", 2, CX_WALLETC, 410)
+    link("cr2", 1, w1, 400, w2, 410, OWNER, CX_WALLETC, 10**7,
+         COCOON_WALLET_SEND,
+         encode_cocoon_simple(COCOON_WALLET_SEND, 74))
+    w3 = tx("cr2", 3, CO_CLIENT, 420)
+    link("cr2", 2, w2, 410, w3, 420, CX_WALLETC, CO_CLIENT, 10**6,
+         COCOON_REQUEST_REFUND,
+         encode_cocoon_simple(COCOON_REQUEST_REFUND, 74, address=OWNER))
+    w4 = tx("cr2", 4, CO_PROXY, 430)
+    link("cr2", 3, w3, 420, w4, 430, CO_CLIENT, CO_PROXY, 10**5,
+         COCOON_CLIENT_REQUEST, None)
+    w5 = tx("cr2", 5, OWNER, 440)
+    link("cr2", 4, w4, 430, w5, 440, CO_PROXY, OWNER, TON,
+         COCOON_PAYOUT, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_COCOON_EXTRAS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('cc1', 'cocoon_proxy_charge', '{CO_PROXY}', '{CO_CLIENT}',
+   CAST(0 AS BIGINT), CAST(72 AS BIGINT), CAST(700 AS BIGINT),
+   '{CO_CLIENT}', CAST(NULL AS BOOLEAN), TRUE, 3),
+  ('cg2', 'cocoon_grant_refund', '{CO_CLIENT}', '{ACC[4]}',
+   CAST(2000000000 AS BIGINT), CAST(73 AS BIGINT), CAST(800 AS BIGINT),
+   '{CO_CLIENT}', CAST(NULL AS BOOLEAN), TRUE, 4),
+  ('cp1', 'cocoon_proxy_payout', '{CO_PROXY}', '{ACC[4]}',
+   CAST(NULL AS BIGINT), CAST(71 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN), TRUE, 3),
+  ('cr2', 'cocoon_client_request_refund', '{ACC[4]}', '{CO_CLIENT}',
+   CAST(NULL AS BIGINT), CAST(74 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS VARCHAR), TRUE, TRUE, 5)
+) AS t(trace_id, action_type, source, destination, amount, query_id,
+       new_tokens_used, expected_address, via_wallet, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_cocoon_extras",
+    oracle=_COCOON_EXTRAS_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Cocoon proxy payout / charge / refund grant / wrapped "
+    "refund request through the REAL cell codec — completes the "
+    "payment-channel family (reference blocks/cocoon.py:241-1219)",
+)
+def classify_cocoon_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cocoon_extras_fixture(spark)
+    pp = F.col("cocoon_proxy_payout_data")
+    pc = F.col("cocoon_proxy_charge_data")
+    gr = F.col("cocoon_grant_refund_data")
+    rr = F.col("cocoon_client_request_refund_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin(
+                "cocoon_proxy_payout", "cocoon_proxy_charge",
+                "cocoon_grant_refund", "cocoon_client_request_refund")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("amount").cast("long").alias("amount"),
+            F.coalesce(pp["query_id"], pc["query_id"], gr["query_id"],
+                       rr["query_id"]).cast("long").alias("query_id"),
+            F.coalesce(pc["new_tokens_used"], gr["new_tokens_used"])
+            .cast("long").alias("new_tokens_used"),
+            F.coalesce(pc["expected_address"], gr["expected_address"])
+            .alias("expected_address"),
+            rr["via_wallet"].alias("via_wallet"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
