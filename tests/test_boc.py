@@ -1625,3 +1625,29 @@ def test_dedust_deposit_encoders_roundtrip():
         71, u, 1, "TON", 2 * 10**9, j, 1000)))
     assert d["owner"] == u.upper() or d["owner"].lower() == u.lower()
     assert d["asset1"] == "TON" and d["amount2"] == 1000
+
+
+def test_address_hashmap_roundtrip_property():
+    """Property: any set of distinct MsgAddressStd keys survives the
+    write-side hashmap codec (random radix splits, shared prefixes,
+    both workchains)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ton_indexer_spark.functions.boc import (
+        address_hashmap_keys,
+        encode_address_hashmap,
+    )
+
+    addr = st.tuples(
+        st.sampled_from([0, -1]),
+        st.integers(min_value=0, max_value=(1 << 256) - 1),
+    ).map(lambda t: f"{t[0]}:{t[1]:064X}")
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(addr, min_size=1, max_size=24, unique=True))
+    def check(addresses):
+        got = address_hashmap_keys(encode_address_hashmap(addresses))
+        assert sorted(got) == sorted(addresses)
+
+    check()
