@@ -3145,6 +3145,55 @@ def encode_cocoon_simple(op: int, query_id: int,
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def encode_coffee_create_vault(query_id: int, asset: str) -> str:
+    """create_vault#c0ffee06 query_id:uint64 asset:Asset
+    (messages/coffee.py:628-639)."""
+    b = Builder().store_uint(0xC0FFEE06, 32).store_uint(query_id, 64)
+    store_coffee_asset(b, asset)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_coffee_create_pool_native(
+    query_id: int, amount: int, first: str, second: str,
+    recipient: str | None,
+) -> str:
+    """create_pool_native#c0ffee02 (messages/coffee.py:426-441): amount +
+    pool params (asset pair, amm) + public/private creation params."""
+    b = (
+        Builder()
+        .store_uint(OP_COFFEE_POOL_NATIVE, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount)
+    )
+    store_coffee_asset(b, first)
+    store_coffee_asset(b, second)
+    b.store_uint(0, 3)      # amm tag
+    b.store_bit(0)          # amm settings: absent
+    b.store_address(recipient)
+    b.store_bit(0)          # use_recipient_on_failure
+    b.store_bit(0)          # notification data: absent
+    b.store_bit(0)          # private is_active
+    b.store_bit(0)          # private extra: absent
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
+def encode_coffee_pool_request(
+    query_id: int, amount1: int, amount2: int,
+    tx_initiator: str | None,
+) -> str:
+    """create_pool_request#c0ffee25 (messages/coffee.py:752-775)."""
+    cell = (
+        Builder()
+        .store_uint(0xC0FFEE25, 32)
+        .store_uint(query_id, 64)
+        .store_coins(amount1)
+        .store_coins(amount2)
+        .store_address(tx_initiator)
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

@@ -5086,3 +5086,169 @@ def classify_cocoon_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# swap.coffee factory flows (blocks/liquidity.py 1991-2280): vault
+# creation and the completing pool-creation leg (native entry → pool
+# creator deploy → create_pool_request → pool deploy with LP mint and
+# success event).
+
+CV_FACTORY, CV_VAULT, CV_J = UP("C", "A"), UP("C", "B"), UP("C", "C")
+CP_VAULT_TON, CP_CREATOR, CP_DEPLOY = (UP("C", "D"), UP("C", "E"),
+                                       UP("C", "F"))
+CP_POOLREQ, CP_POOL, CP_LPW = UP("E", "A"), UP("E", "B"), UP("E", "C")
+
+
+def _coffee_factory_fixture(spark: SparkSession):
+    """Two golden swap.coffee factory traces: cv1 vault creation
+    (create_vault#c0ffee06 with the Asset body → deploy#c0ffee22) and
+    cp2 pool creation, completing native leg (create_pool_native
+    #c0ffee02 with the pool/creation params → creator request →
+    creator deploy → create_pool_request#c0ffee25 with both amounts →
+    pool deploy emitting the #c0ffee33 event and minting 500 LP).
+    Reference: CoffeeCreateVaultMatcher (liquidity.py:1991-2027),
+    CoffeeCreatePoolMatcher (:2157-2280)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_CREATE_POOL_NATIVE,
+        COFFEE_CREATE_VAULT,
+        COFFEE_DEPLOY_OP,
+        COFFEE_DEPOSIT_EVENT,
+        COFFEE_POOL_CREATOR_REQUEST,
+        COFFEE_POOL_REQUEST,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_coffee_create_pool_native,
+        encode_coffee_create_vault,
+        encode_coffee_deposit_event,
+        encode_coffee_pool_request,
+        encode_jetton_internal,
+    )
+
+    USER = ACC[0]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    # cv1: create the CV_J vault
+    t1 = tx("cv1", 1, USER, 100); ext("cv1", t1, 100)
+    t2 = tx("cv1", 2, CV_FACTORY, 110)
+    link("cv1", 1, t1, 100, t2, 110, USER, CV_FACTORY, TON,
+         COFFEE_CREATE_VAULT, encode_coffee_create_vault(51, CV_J))
+    t3 = tx("cv1", 3, CV_VAULT, 120)
+    link("cv1", 2, t2, 110, t3, 120, CV_FACTORY, CV_VAULT, 10**7,
+         COFFEE_DEPLOY_OP, None)
+
+    # cp2: create the TON/CV_J pool — native completing leg
+    u1 = tx("cp2", 1, USER, 200); ext("cp2", u1, 200)
+    u2 = tx("cp2", 2, CP_VAULT_TON, 210)
+    link("cp2", 1, u1, 200, u2, 210, USER, CP_VAULT_TON, 3 * TON + 10**8,
+         COFFEE_CREATE_POOL_NATIVE,
+         encode_coffee_create_pool_native(52, 3 * TON, "TON", CV_J,
+                                          USER))
+    u3 = tx("cp2", 3, CP_CREATOR, 220)
+    link("cp2", 2, u2, 210, u3, 220, CP_VAULT_TON, CP_CREATOR, 10**6,
+         COFFEE_POOL_CREATOR_REQUEST, None)
+    u4 = tx("cp2", 4, CP_DEPLOY, 230)
+    link("cp2", 3, u3, 220, u4, 230, CP_CREATOR, CP_DEPLOY, 10**6,
+         COFFEE_DEPLOY_OP, None)
+    u5 = tx("cp2", 5, CP_POOLREQ, 240)
+    link("cp2", 4, u4, 230, u5, 240, CP_DEPLOY, CP_POOLREQ, 10**6,
+         COFFEE_POOL_REQUEST,
+         encode_coffee_pool_request(52, 3 * TON, 7000, ACC[1]))
+    u6 = tx("cp2", 6, CP_POOL, 250)
+    link("cp2", 5, u5, 240, u6, 250, CP_POOLREQ, CP_POOL, 10**6,
+         COFFEE_DEPLOY_OP, None)
+    ev = encode_coffee_deposit_event(52, 3 * TON, 7000, 500)
+    bodies.append(("bh-cp2-ev", ev))
+    msgs.append(("cp2", u6, 250, "cp2-ev", "out", CP_POOL, None,
+                 None, COFFEE_DEPOSIT_EVENT, 251, "bh-cp2-ev"))
+    u7 = tx("cp2", 7, CP_LPW, 260)
+    link("cp2", 6, u6, 250, u7, 260, CP_POOL, CP_LPW, 10**5,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(52, 500, from_owner=CP_POOL))
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_COFFEE_FACTORY_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('cp2', 'coffee_create_pool', '{ACC[0]}', '{CP_POOL}', '{CP_DEPLOY}',
+   CAST(NULL AS VARCHAR), '{CV_J}', CAST(3000000000 AS BIGINT),
+   CAST(3000000000 AS BIGINT), CAST(7000 AS BIGINT), '{ACC[0]}',
+   '{ACC[1]}', CAST(500 AS BIGINT), TRUE, 7),
+  ('cv1', 'coffee_create_vault', '{ACC[0]}', '{CV_VAULT}',
+   CAST(NULL AS VARCHAR), '{CV_J}', CAST(NULL AS VARCHAR),
+   CAST(1000000000 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), TRUE, 3)
+) AS t(trace_id, action_type, source, destination, creator_contract,
+       asset, asset2, amount, amount_1, amount_2, initiator_1,
+       initiator_2, lp_tokens, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_coffee_factory",
+    oracle=_COFFEE_FACTORY_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="swap.coffee factory flows through the REAL cell codec: "
+    "vault creation (Asset body) and the completing pool-creation leg "
+    "(native entry params → creator deploy → create_pool_request with "
+    "both amounts → pool deploy + LP mint + success event) — reference "
+    "liquidity.py:1991-2280",
+)
+def classify_coffee_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _coffee_factory_fixture(spark)
+    cp = F.col("coffee_create_pool_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin("coffee_create_vault", "coffee_create_pool")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("creator_contract"),
+            "asset",
+            "asset2",
+            F.col("amount").cast("long").alias("amount"),
+            cp["amount_1"].cast("long").alias("amount_1"),
+            cp["amount_2"].cast("long").alias("amount_2"),
+            cp["initiator_1"].alias("initiator_1"),
+            cp["initiator_2"].alias("initiator_2"),
+            cp["lp_tokens_minted"].cast("long").alias("lp_tokens"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
