@@ -1024,23 +1024,92 @@ def match_stonfi_v2_swap(node: Node, ctx: Ctx) -> dict | None:
     return act
 
 
+STONFI_V2_ACCOUNT_ADD = 0x50C6A654  # account add-liquidity (liquidity.py:716)
+STONFI_V2_CB_ADD = 0x06ECD527       # pool cb_add_liquidity (liquidity.py:711)
+
+
 def match_stonfi_v2_provide_liquidity(node: Node, ctx: Ctx) -> dict | None:
-    if _op(node) != STONFI_V2_PROVIDE_LIQUIDITY:
+    """Ston.fi v2 liquidity provision (liquidity.py:687-785
+    StonfiV2ProvideLiquidityMatcher): anchored at the entry transfer
+    (jetton chain or pTON) whose notify raises provide_liquidity
+    #37c096df at the pool; the account answers 0x50c6a654 and the pool's
+    cb 0x06ecd527 either mints LP (internal transfer) or refunds —
+    the refund arm fails the action.  The reference's cross-leg merge of
+    a paired deposit stays per-leg here (each leg is its own action)."""
+    op = _op(node)
+    if op == JETTON_TRANSFER:
+        chain = _jetton_chain(node, ctx)
+        if chain is None or chain["notify"] is None:
+            return None
+        notify = chain["notify"]
+        asset = _wallet_asset(node.account, ctx)
+        wallet = node.account
+        claimed = list(chain["claimed"])
+        provide = notify.child_via(STONFI_V2_PROVIDE_LIQUIDITY)
+        if provide is None:
+            return None
+        claimed.append(provide)
+    elif op == PTON_TRANSFER:
+        notify = node.child_via(JETTON_NOTIFY)
+        if notify is None:
+            return None
+        asset, wallet = None, None
+        claimed = [node, notify]
+        provide = notify.child_via(STONFI_V2_PROVIDE_LIQUIDITY)
+        if provide is None:
+            return None
+        claimed.append(provide)
+    elif op == STONFI_V2_PROVIDE_LIQUIDITY:
+        # bare pool anchor: the entry chain is absent (or was claimed
+        # upstream) — classify the provide call on its own, the shape
+        # the pre-merge matcher covered
+        provide = node
+        asset = node.in_msg.decoded_body().get("asset1")
+        wallet = None
+        claimed = [node] + _claim_chain(node, JETTON_INTERNAL,
+                                        JETTON_NOTIFY)[1:]
+    else:
         return None
-    claimed = _claim_chain(node, JETTON_INTERNAL, JETTON_NOTIFY)
-    body = node.in_msg.decoded_body()
-    return _base(
+    body = provide.in_msg.decoded_body()
+    amount = _int(body.get("amount")) or _int(body.get("amount2"))
+    lp_tokens = None
+    failed = False
+    acc = provide.child_via(STONFI_V2_ACCOUNT_ADD)
+    if acc is not None:
+        claimed.append(acc)
+        cb = acc.child_via(STONFI_V2_CB_ADD)
+        if cb is not None:
+            claimed.append(cb)
+            lp = cb.child_via(JETTON_INTERNAL)
+            refund = cb.child_via(STONFI_V2_ACCOUNT_ADD)
+            if lp is not None:
+                claimed.append(lp)
+                lp_tokens = _int(lp.in_msg.decoded_body().get("amount"))
+                lp_notify = lp.child_via(JETTON_NOTIFY)
+                if lp_notify is not None:
+                    claimed.append(lp_notify)
+            elif refund is not None:
+                claimed.append(refund)
+                failed = True
+    act = _base(
         node,
         "dex_deposit_liquidity",
         claimed=claimed,
-        amount=body.get("amount"),
+        source=body.get("from_user", node.in_msg.source),
+        source_secondary=wallet,
+        destination=provide.account,
+        amount=amount,
         dex_deposit_liquidity_data={
             "dex": "stonfi_v2",
-            "amount1": body.get("amount"),
-            "asset1": body.get("asset1"),
-            "lp_tokens_minted": body.get("lp_tokens_minted"),
+            "amount1": amount,
+            "asset1": asset,
+            "user_jetton_wallet_1": wallet,
+            "lp_tokens_minted": lp_tokens,
         },
     )
+    if failed:
+        act["success"] = False
+    return act
 
 
 def match_pton_transfer(node: Node, ctx: Ctx) -> dict | None:

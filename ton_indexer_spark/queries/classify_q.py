@@ -5252,3 +5252,160 @@ def classify_coffee_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Ston.fi v2 liquidity provision — success and refunded (failed) arms.
+
+SVP_POOL, SVP_ACC, SVP_LPW = UP("E", "D"), UP("E", "E"), UP("E", "F")
+
+
+def _stonfi_v2_provide_fixture(spark: SparkSession):
+    """Two golden v2 provision traces: sp1 success (jetton chain →
+    provide_liquidity#37c096df at the pool → account 0x50c6a654 → cb
+    0x06ecd527 → 300 LP minted to the user) and sp2 refunded (the cb's
+    second 0x50c6a654 leg = failed arm).  Reference:
+    StonfiV2ProvideLiquidityMatcher, liquidity.py:687-785."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        STONFI_V2_ACCOUNT_ADD,
+        STONFI_V2_CB_ADD,
+        STONFI_V2_PROVIDE_LIQUIDITY,
+    )
+    from ton_indexer_spark.functions.boc import (
+        Builder,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+        serialize_boc,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    def provide_body(q, amount1, amount2, from_user):
+        # provide_liquidity#37c096df query_id from_user amount1 amount2
+        cell = (Builder().store_uint(0x37C096DF, 32).store_uint(q, 64)
+                .store_address(from_user).store_coins(amount1)
+                .store_coins(amount2).end_cell())
+        return base64.b64encode(serialize_boc(cell)).decode()
+
+    def trace(tid, success):
+        t1 = tx(tid, 1, USER, 100); ext(tid, t1, 100)
+        t2 = tx(tid, 2, UW2_A, 110)
+        link(tid, 1, t1, 100, t2, 110, USER, UW2_A, 10**8,
+             JETTON_TRANSFER_OP,
+             encode_jetton_transfer(57, 1200, destination=V2ROUTER))
+        t3 = tx(tid, 3, RW2_A, 120)
+        link(tid, 2, t2, 110, t3, 120, UW2_A, RW2_A, 10**7,
+             JETTON_INTERNAL_OP,
+             encode_jetton_internal(57, 1200, from_owner=USER))
+        t4 = tx(tid, 4, V2ROUTER, 130)
+        link(tid, 3, t3, 120, t4, 130, RW2_A, V2ROUTER, 10**6,
+             JETTON_NOTIFY_OP, encode_jetton_notify(57, 1200, sender=USER))
+        t5 = tx(tid, 5, SVP_POOL, 140)
+        link(tid, 4, t4, 130, t5, 140, V2ROUTER, SVP_POOL, 10**6,
+             STONFI_V2_PROVIDE_LIQUIDITY,
+             provide_body(57, 1200, 0, USER))
+        t6 = tx(tid, 6, SVP_ACC, 150)
+        link(tid, 5, t5, 140, t6, 150, SVP_POOL, SVP_ACC, 10**5,
+             STONFI_V2_ACCOUNT_ADD, None)
+        t7 = tx(tid, 7, SVP_POOL, 160)
+        link(tid, 6, t6, 150, t7, 160, SVP_ACC, SVP_POOL, 10**5,
+             STONFI_V2_CB_ADD, None)
+        if success:
+            t8 = tx(tid, 8, SVP_LPW, 170)
+            link(tid, 7, t7, 160, t8, 170, SVP_POOL, SVP_LPW, 10**4,
+                 JETTON_INTERNAL_OP,
+                 encode_jetton_internal(57, 300, from_owner=SVP_POOL))
+            t9 = tx(tid, 9, USER, 180)
+            link(tid, 8, t8, 170, t9, 180, SVP_LPW, USER, 1,
+                 JETTON_NOTIFY_OP,
+                 encode_jetton_notify(57, 300, sender=SVP_POOL))
+        else:
+            t8 = tx(tid, 8, SVP_ACC, 170)
+            link(tid, 7, t7, 160, t8, 170, SVP_POOL, SVP_ACC, 10**4,
+                 STONFI_V2_ACCOUNT_ADD, None)
+
+    trace("sp1", success=True)
+    trace("sp2", success=False)
+
+    jw = spark.createDataFrame(
+        [(UW2_A, USER, J_A), (RW2_A, V2ROUTER, J_A),
+         (SVP_LPW, USER, UP("E", "0"))],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_STONFI_V2_PROVIDE_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('sp1', 'dex_deposit_liquidity', 'stonfi_v2', '{ACC[0]}', '{UW2_A}',
+   '{SVP_POOL}', CAST(1200 AS BIGINT), '{J_A}', CAST(300 AS BIGINT),
+   TRUE, 9),
+  ('sp2', 'dex_deposit_liquidity', 'stonfi_v2', '{ACC[0]}', '{UW2_A}',
+   '{SVP_POOL}', CAST(1200 AS BIGINT), '{J_A}', CAST(NULL AS BIGINT),
+   FALSE, 8)
+) AS t(trace_id, action_type, dex, source, source_wallet, destination,
+       amount, asset1, lp_tokens, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_stonfi_v2_provide",
+    oracle=_STONFI_V2_PROVIDE_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="ston.fi v2 liquidity provision through the REAL cell "
+    "codec: success (LP minted through cb 0x06ecd527) and the REFUNDED "
+    "failed arm (second 0x50c6a654 leg) — the matcher now merges the "
+    "entry transfer like the reference (liquidity.py:687-785)",
+)
+def classify_stonfi_v2_provide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _stonfi_v2_provide_fixture(spark)
+    dep = F.col("dex_deposit_liquidity_data")
+    return (
+        res.actions.filter(F.col("type") == "dex_deposit_liquidity")
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            dep["dex"].alias("dex"),
+            "source",
+            F.col("source_secondary").alias("source_wallet"),
+            "destination",
+            F.col("amount").cast("long").alias("amount"),
+            dep["asset1"].alias("asset1"),
+            dep["lp_tokens_minted"].cast("long").alias("lp_tokens"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
