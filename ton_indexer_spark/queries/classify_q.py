@@ -5409,3 +5409,165 @@ def classify_stonfi_v2_provide(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Remaining protocol arms: swap.coffee MEV-protect (escrow hold + failed
+# protected swap refund), the JVault unstake REQUEST variant, and the
+# tgBTC crippled log-only fallbacks (only the event log survives).
+
+MEV_ESCROW = UP("E", "1")  # reuse of the J1 slot is fine across fixtures
+
+
+def _remaining_arms_fixture(spark: SparkSession):
+    """Five golden traces: mv1 MEV hold (TON into the escrow + service
+    fee leg), mv2 MEV failed-swap refund (recipient decoded from
+    0xee51ce51), jr1 JVault unstake_request (rewards round-trip, no
+    transfer required), tf1 tgBTC mint fallback (lone mint event log),
+    tf2 tgBTC burn fallback (lone burn event log).  References:
+    liquidity.py:2281-2384, blocks/jvault.py:207-296,
+    tgbtc.py:335-390."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COFFEE_MEV_FAILED_SWAP,
+        COFFEE_MEV_HOLD_FUNDS,
+        COFFEE_SERVICE_FEE,
+        JVAULT_REQUEST_UPDATE,
+        TGBTC_BURN_EVENT,
+        TGBTC_MINT_EVENT,
+    )
+    from ton_indexer_spark.classifier.protocols import (
+        JVAULT_UNSTAKE_REQUEST as JV_UR,
+    )
+    from ton_indexer_spark.functions.boc import (
+        Builder,
+        encode_jvault_unstake,
+        encode_tgbtc_burn_event,
+        encode_tgbtc_mint_event,
+        serialize_boc,
+    )
+
+    USER = ACC[0]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    def event(trace, n, src_tx, src_lt, source, opcode, body):
+        bh = f"bh-{trace}-ev{n}"
+        bodies.append((bh, body))
+        msgs.append((trace, src_tx, src_lt, f"{trace}-ev{n}", "out",
+                     source, None, None, opcode, src_lt + 1, bh))
+
+    # mv1: 4 TON held in the MEV escrow, service fee leg claimed
+    t1 = tx("mv1", 1, USER, 100); ext("mv1", t1, 100, USER)
+    t2 = tx("mv1", 2, MEV_ESCROW, 110)
+    link("mv1", 1, t1, 100, t2, 110, USER, MEV_ESCROW, 4 * TON,
+         COFFEE_MEV_HOLD_FUNDS, None)
+    t3 = tx("mv1", 3, ACC[3], 120)
+    link("mv1", 2, t2, 110, t3, 120, MEV_ESCROW, ACC[3], 10**7,
+         COFFEE_SERVICE_FEE, None)
+
+    # mv2: failed protected swap — refund with the recipient in the body
+    fs = (Builder().store_uint(COFFEE_MEV_FAILED_SWAP, 32)
+          .store_uint(58, 64).store_address(USER).end_cell())
+    u1 = tx("mv2", 1, MEV_ESCROW, 200); ext("mv2", u1, 200, MEV_ESCROW)
+    u2 = tx("mv2", 2, USER, 210)
+    link("mv2", 1, u1, 200, u2, 210, MEV_ESCROW, USER, 4 * TON,
+         COFFEE_MEV_FAILED_SWAP,
+         base64.b64encode(serialize_boc(fs)).decode())
+
+    # jr1: unstake REQUEST — rewards round-trip only, no payout chain
+    v1 = tx("jr1", 1, USER, 300); ext("jr1", v1, 300, USER)
+    v2 = tx("jr1", 2, JV_STAKE_W, 310)
+    link("jr1", 1, v1, 300, v2, 310, USER, JV_STAKE_W, 10**8, JV_UR,
+         encode_jvault_unstake(59, 333, request_only=True))
+    v3 = tx("jr1", 3, JV_POOL, 320)
+    link("jr1", 2, v2, 310, v3, 320, JV_STAKE_W, JV_POOL, 10**7,
+         JVAULT_REQUEST_UPDATE, None)
+
+    # tf1/tf2: crippled traces — only the event log survives
+    w1 = tx("tf1", 1, TB_TELEPORT, 400); ext("tf1", w1, 400, TB_TELEPORT)
+    event("tf1", 1, w1, 400, TB_TELEPORT, TGBTC_MINT_EVENT,
+          encode_tgbtc_mint_event(2500, ACC[2], TB_TXID))
+    x1 = tx("tf2", 1, TB_TELEPORT, 500); ext("tf2", x1, 500, TB_TELEPORT)
+    event("tf2", 1, x1, 500, TB_TELEPORT, TGBTC_BURN_EVENT,
+          encode_tgbtc_burn_event(1700, ACC[2], TB_PEGOUT))
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_REMAINING_ARMS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('jr1', 'jvault_unstake_request', '{ACC[0]}', '{JV_POOL}',
+   CAST(333 AS BIGINT), '{JV_STAKE_W}', TRUE, 3),
+  ('mv1', 'coffee_mev_protect_hold_funds', '{ACC[0]}', '{MEV_ESCROW}',
+   CAST(4000000000 AS BIGINT), CAST(NULL AS VARCHAR), TRUE, 3),
+  ('mv2', 'coffee_mev_protect_failed_swap', '{MEV_ESCROW}', '{ACC[0]}',
+   CAST(4000000000 AS BIGINT), CAST(NULL AS VARCHAR), TRUE, 2),
+  ('tf1', 'tgbtc_mint_fallback', CAST(NULL AS VARCHAR), '{ACC[2]}',
+   CAST(2500 AS BIGINT), '{TB_TELEPORT}', TRUE, 1),
+  ('tf2', 'tgbtc_burn_fallback', '{ACC[2]}', '{TB_PEGOUT}',
+   CAST(1700 AS BIGINT), CAST(NULL AS VARCHAR), TRUE, 1)
+) AS t(trace_id, action_type, source, destination, amount,
+       secondary, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_remaining_arms",
+    oracle=_REMAINING_ARMS_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="The remaining protocol arms over real BOC: swap.coffee "
+    "MEV-protect hold + failed-swap refund, JVault unstake request, and "
+    "the tgBTC log-only mint/burn fallbacks (reference "
+    "liquidity.py:2281-2384, jvault.py:207-296, tgbtc.py:335-390)",
+)
+def classify_remaining_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _remaining_arms_fixture(spark)
+    return (
+        res.actions.filter(
+            F.col("type").isin(
+                "coffee_mev_protect_hold_funds",
+                "coffee_mev_protect_failed_swap",
+                "jvault_unstake_request",
+                "tgbtc_mint_fallback", "tgbtc_burn_fallback")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("amount").cast("long").alias("amount"),
+            F.coalesce(F.col("source_secondary")).alias("secondary"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
