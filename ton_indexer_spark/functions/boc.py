@@ -3194,6 +3194,52 @@ def encode_coffee_pool_request(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_cocoon_unregister_proxy(query_id: int, seqno: int) -> str:
+    """UnregisterProxy#6d49eaf2 (messages/cocoon.py)."""
+    cell = (Builder().store_uint(0x6D49EAF2, 32).store_uint(query_id, 64)
+            .store_uint(seqno, 32).end_cell())
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_cocoon_change_secret_hash(
+    query_id: int, new_secret_hash: int, send_excesses_to: str | None,
+) -> str:
+    """OwnerClientChangeSecretHash#a9357034 (messages/cocoon.py)."""
+    cell = (Builder().store_uint(0xA9357034, 32).store_uint(query_id, 64)
+            .store_uint(new_secret_hash, 256)
+            .store_address(send_excesses_to).end_cell())
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_cocoon_increase_stake(
+    query_id: int, new_stake: int, send_excesses_to: str | None,
+) -> str:
+    """OwnerClientIncreaseStake#6a1f6a60 (messages/cocoon.py)."""
+    cell = (Builder().store_uint(0x6A1F6A60, 32).store_uint(query_id, 64)
+            .store_coins(new_stake)
+            .store_address(send_excesses_to).end_cell())
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
+def encode_cocoon_client_request(
+    query_id: int, owner: str | None,
+    payload_op: int | None = None, payload_coins: int | None = None,
+) -> str:
+    """ClientProxyRequest#65448ff4 (messages/cocoon.py): state-data ref
+    plus an optional payload ref (RefundGranted carries the coins)."""
+    b = (Builder().store_uint(0x65448FF4, 32).store_uint(query_id, 64)
+         .store_address(owner)
+         .store_ref(Builder().end_cell()))
+    if payload_op is not None:
+        pl = Builder().store_uint(payload_op, 32)
+        if payload_coins is not None:
+            pl.store_coins(payload_coins)
+        b.store_bit(1).store_ref(pl.end_cell())
+    else:
+        b.store_bit(0)
+    return base64.b64encode(serialize_boc(b.end_cell())).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

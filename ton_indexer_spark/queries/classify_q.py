@@ -5571,3 +5571,176 @@ def classify_remaining_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Cocoon admin flows — proxy register/unregister, secret-hash rotation,
+# stake increase and the owner withdraw whose amount rides in the
+# ClientProxyRequest's RefundGranted payload.  Completes the family:
+# every cocoon matcher now has a driver gate.
+
+
+def _cocoon_admin_fixture(spark: SparkSession):
+    """Five golden traces: ca1 RegisterProxy, ca2 UnregisterProxy
+    (seqno), ca3 secret-hash rotation, ca4 stake increase, ca5 owner
+    withdraw (amount decoded from the request payload's RefundGranted
+    coins).  Reference: blocks/cocoon.py:527-648, :965-1100 and the
+    owner-client matchers."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.protocols import (
+        COCOON_CHANGE_SECRET_HASH,
+        COCOON_CLIENT_REQUEST,
+        COCOON_CLIENT_WITHDRAW_OP,
+        COCOON_INCREASE_STAKE,
+        COCOON_REGISTER_PROXY,
+        COCOON_RETURN_EXCESSES,
+        COCOON_UNREGISTER_PROXY,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_cocoon_change_secret_hash,
+        encode_cocoon_client_request,
+        encode_cocoon_increase_stake,
+        encode_cocoon_simple,
+        encode_cocoon_unregister_proxy,
+    )
+
+    OWNER = ACC[4]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # ca1: register a proxy (+excess back)
+    t1 = tx("ca1", 1, OWNER, 100); ext("ca1", t1, 100, OWNER)
+    t2 = tx("ca1", 2, CO_PROXY, 110)
+    link("ca1", 1, t1, 100, t2, 110, OWNER, CO_PROXY, 10**8,
+         COCOON_REGISTER_PROXY,
+         encode_cocoon_simple(COCOON_REGISTER_PROXY, 81))
+    t3 = tx("ca1", 3, OWNER, 120)
+    link("ca1", 2, t2, 110, t3, 120, CO_PROXY, OWNER, 10**5,
+         COCOON_RETURN_EXCESSES, None)
+
+    # ca2: unregister with seqno 42
+    u1 = tx("ca2", 1, OWNER, 200); ext("ca2", u1, 200, OWNER)
+    u2 = tx("ca2", 2, CO_PROXY, 210)
+    link("ca2", 1, u1, 200, u2, 210, OWNER, CO_PROXY, 10**8,
+         COCOON_UNREGISTER_PROXY, encode_cocoon_unregister_proxy(82, 42))
+
+    # ca3: rotate the client's secret hash
+    v1 = tx("ca3", 1, OWNER, 300); ext("ca3", v1, 300, OWNER)
+    v2 = tx("ca3", 2, CO_CLIENT, 310)
+    link("ca3", 1, v1, 300, v2, 310, OWNER, CO_CLIENT, 10**7,
+         COCOON_CHANGE_SECRET_HASH,
+         encode_cocoon_change_secret_hash(83, 0xABCD, OWNER))
+    v3 = tx("ca3", 3, CO_PROXY, 320)
+    link("ca3", 2, v2, 310, v3, 320, CO_CLIENT, CO_PROXY, 10**6,
+         COCOON_CLIENT_REQUEST, None)
+
+    # ca4: increase the client's stake by 9 TON
+    w1 = tx("ca4", 1, OWNER, 400); ext("ca4", w1, 400, OWNER)
+    w2 = tx("ca4", 2, CO_CLIENT, 410)
+    link("ca4", 1, w1, 400, w2, 410, OWNER, CO_CLIENT, 10 * 10**9,
+         COCOON_INCREASE_STAKE,
+         encode_cocoon_increase_stake(84, 9 * 10**9, OWNER))
+    w3 = tx("ca4", 3, CO_PROXY, 420)
+    link("ca4", 2, w2, 410, w3, 420, CO_CLIENT, CO_PROXY, 10**6,
+         COCOON_CLIENT_REQUEST, None)
+
+    # ca5: withdraw — 5 TON refunded through the request payload
+    x1 = tx("ca5", 1, OWNER, 500); ext("ca5", x1, 500, OWNER)
+    x2 = tx("ca5", 2, CO_CLIENT, 510)
+    link("ca5", 1, x1, 500, x2, 510, OWNER, CO_CLIENT, 10**7,
+         COCOON_CLIENT_WITHDRAW_OP,
+         encode_cocoon_simple(COCOON_CLIENT_WITHDRAW_OP, 85,
+                              address=OWNER))
+    x3 = tx("ca5", 3, CO_PROXY, 520)
+    link("ca5", 2, x2, 510, x3, 520, CO_CLIENT, CO_PROXY, 10**6,
+         COCOON_CLIENT_REQUEST,
+         encode_cocoon_client_request(85, OWNER, 0xC68EBC7B, 5 * 10**9))
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_COCOON_ADMIN_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('ca1', 'cocoon_register_proxy', '{ACC[4]}', '{CO_PROXY}',
+   CAST(81 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE, 3),
+  ('ca2', 'cocoon_unregister_proxy', '{ACC[4]}', '{CO_PROXY}',
+   CAST(82 AS BIGINT), CAST(42 AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE, 2),
+  ('ca3', 'cocoon_client_change_secret_hash', '{ACC[4]}', '{CO_CLIENT}',
+   CAST(83 AS BIGINT), CAST(NULL AS BIGINT), 'abcd',
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE, 3),
+  ('ca4', 'cocoon_client_increase_stake', '{ACC[4]}', '{CO_CLIENT}',
+   CAST(84 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(9000000000 AS BIGINT), CAST(NULL AS BIGINT), TRUE, 3),
+  ('ca5', 'cocoon_client_withdraw', '{ACC[4]}', '{CO_CLIENT}',
+   CAST(85 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), CAST(5000000000 AS BIGINT), TRUE, 3)
+) AS t(trace_id, action_type, source, destination, query_id, seqno,
+       new_secret_hash, new_stake, withdraw_amount, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_cocoon_admin",
+    oracle=_COCOON_ADMIN_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Cocoon admin flows over real BOC: proxy register/"
+    "unregister (seqno), secret-hash rotation, stake increase, and the "
+    "owner withdraw whose amount decodes from the RefundGranted request "
+    "payload — EVERY cocoon matcher now has a driver gate (reference "
+    "blocks/cocoon.py:527-1100)",
+)
+def classify_cocoon_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cocoon_admin_fixture(spark)
+    rp = F.col("cocoon_register_proxy_data")
+    up = F.col("cocoon_unregister_proxy_data")
+    sh = F.col("cocoon_client_change_secret_hash_data")
+    st = F.col("cocoon_client_increase_stake_data")
+    wd = F.col("cocoon_client_withdraw_data")
+    return (
+        res.actions.filter(F.col("type").startswith("cocoon"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.coalesce(rp["query_id"], up["query_id"], sh["query_id"],
+                       st["query_id"], wd["query_id"]).cast("long")
+            .alias("query_id"),
+            up["seqno"].cast("long").alias("seqno"),
+            sh["new_secret_hash"].alias("new_secret_hash"),
+            st["new_stake"].cast("long").alias("new_stake"),
+            wd["withdraw_amount"].cast("long").alias("withdraw_amount"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
