@@ -3240,6 +3240,15 @@ def encode_cocoon_client_request(
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 
 
+def encode_coffee_withdraw_event(
+    query_id: int, amount1: int, amount2: int,
+) -> str:
+    """liquidity_withdrawal_event#c0ffee35 (messages/coffee.py:565-580)."""
+    cell = (Builder().store_uint(0xC0FFEE35, 32).store_uint(query_id, 64)
+            .store_coins(amount1).store_coins(amount2).end_cell())
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

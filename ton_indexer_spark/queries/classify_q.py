@@ -5744,3 +5744,204 @@ def classify_cocoon_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Final arms: swap.coffee LP withdrawal (event + two payout_internal
+# legs), the first (incomplete) pool-creator leg, and the two simple
+# single-op matchers (dns_release, nft_update_sale).  With these, EVERY
+# protocol matcher in the library has a driver gate.
+
+
+def _final_arms_fixture(spark: SparkSession):
+    """Four golden traces: fw1 coffee LP withdrawal (burn → pool burn
+    notify with the #c0ffee35 event → two payout_internal legs: one
+    jetton chain, one native payout), fc1 the incomplete pool-creator
+    leg (no pool request), fd1 dns_release, fn1 nft_update_sale.
+    Reference: liquidity.py:1838-1968, :2055-2123; messages/dns.py,
+    getgems sale update."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import JETTON_BURN
+    from ton_indexer_spark.classifier.protocols import (
+        BURN_NOTIFY,
+        COFFEE_CREATE_POOL_NATIVE,
+        COFFEE_DEPLOY_OP,
+        COFFEE_PAYOUT,
+        COFFEE_PAYOUT_INTERNAL,
+        COFFEE_POOL_CREATOR_REQUEST,
+        COFFEE_WITHDRAW_EVENT,
+        DNS_RELEASE,
+        NFT_SALE_UPDATE,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_coffee_create_pool_native,
+        encode_coffee_payout_internal,
+        encode_coffee_withdraw_event,
+        encode_jetton_burn,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_jetton_transfer,
+    )
+
+    USER = ACC[0]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
+                     None, None, lt - 2, None))
+
+    def event(trace, n, src_tx, src_lt, source, opcode, body):
+        bh = f"bh-{trace}-ev{n}"
+        bodies.append((bh, body))
+        msgs.append((trace, src_tx, src_lt, f"{trace}-ev{n}", "out",
+                     source, None, None, opcode, src_lt + 1, bh))
+
+    # fw1: burn 400 LP → 1000 CD_J + 2 TON paid out
+    t1 = tx("fw1", 1, USER, 100); ext("fw1", t1, 100)
+    t2 = tx("fw1", 2, CD_LPW, 110)
+    link("fw1", 1, t1, 100, t2, 110, USER, CD_LPW, TON, JETTON_BURN,
+         encode_jetton_burn(91, 400, response=USER))
+    t3 = tx("fw1", 3, CD_POOL, 120)
+    link("fw1", 2, t2, 110, t3, 120, CD_LPW, CD_POOL, 10**6,
+         BURN_NOTIFY, None)
+    event("fw1", 1, t3, 120, CD_POOL, COFFEE_WITHDRAW_EVENT,
+          encode_coffee_withdraw_event(91, 1000, 2 * TON))
+    t4 = tx("fw1", 4, CD_VAULT, 130)
+    link("fw1", 3, t3, 120, t4, 130, CD_POOL, CD_VAULT, 10**5,
+         COFFEE_PAYOUT_INTERNAL,
+         encode_coffee_payout_internal(91, recipient=USER, amount=1000))
+    t5 = tx("fw1", 5, CD_VW, 140)
+    link("fw1", 4, t4, 130, t5, 140, CD_VAULT, CD_VW, 10**4,
+         JETTON_TRANSFER_OP,
+         encode_jetton_transfer(91, 1000, destination=USER))
+    t6 = tx("fw1", 6, CD_UW, 150)
+    link("fw1", 5, t5, 140, t6, 150, CD_VW, CD_UW, 10**3,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(91, 1000, from_owner=CD_VAULT))
+    t7 = tx("fw1", 7, USER, 160)
+    link("fw1", 6, t6, 150, t7, 160, CD_UW, USER, 1, JETTON_NOTIFY_OP,
+         encode_jetton_notify(91, 1000, sender=CD_VAULT))
+    t8 = tx("fw1", 8, CP_VAULT_TON, 170)
+    link("fw1", 7, t3, 120, t8, 170, CD_POOL, CP_VAULT_TON, 10**5,
+         COFFEE_PAYOUT_INTERNAL,
+         encode_coffee_payout_internal(91, recipient=USER,
+                                       amount=2 * TON))
+    t9 = tx("fw1", 9, USER, 180)
+    link("fw1", 8, t8, 170, t9, 180, CP_VAULT_TON, USER, 2 * TON,
+         COFFEE_PAYOUT, None)
+
+    # fc1: first pool-creation leg — creator deployed, no pool request
+    u1 = tx("fc1", 1, USER, 200); ext("fc1", u1, 200)
+    u2 = tx("fc1", 2, CP_VAULT_TON, 210)
+    link("fc1", 1, u1, 200, u2, 210, USER, CP_VAULT_TON, 2 * TON,
+         COFFEE_CREATE_POOL_NATIVE,
+         encode_coffee_create_pool_native(92, TON, "TON", CV_J, USER))
+    u3 = tx("fc1", 3, CP_CREATOR, 220)
+    link("fc1", 2, u2, 210, u3, 220, CP_VAULT_TON, CP_CREATOR, 10**6,
+         COFFEE_POOL_CREATOR_REQUEST, None)
+    u4 = tx("fc1", 4, CP_DEPLOY, 230)
+    link("fc1", 3, u3, 220, u4, 230, CP_CREATOR, CP_DEPLOY, 10**6,
+         COFFEE_DEPLOY_OP, None)
+
+    # fd1 / fn1: simple single-op shapes
+    v1 = tx("fd1", 1, USER, 300); ext("fd1", v1, 300)
+    v2 = tx("fd1", 2, DNS_ITEM, 310)
+    link("fd1", 1, v1, 300, v2, 310, USER, DNS_ITEM, 10**7,
+         DNS_RELEASE, None)
+    w1 = tx("fn1", 1, USER, 400); ext("fn1", w1, 400)
+    w2 = tx("fn1", 2, SALE, 410)
+    link("fn1", 1, w1, 400, w2, 410, USER, SALE, 10**7,
+         NFT_SALE_UPDATE, None)
+
+    jw = spark.createDataFrame(
+        [(CD_LPW, USER, UP("1", "B")), (CD_VW, CD_VAULT, CD_J),
+         (CD_UW, USER, CD_J)],
+        "address string, owner string, jetton string",
+    )
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw,
+        big_trace_cutoff=20,
+    )
+
+
+_FINAL_ARMS_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('fc1', 'coffee_create_pool_creator', '{ACC[0]}', '{ACC[0]}',
+   '{CP_DEPLOY}', CAST(1000000000 AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   TRUE, 4),
+  ('fd1', 'dns_release', '{ACC[0]}', '{DNS_ITEM}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   TRUE, 2),
+  ('fn1', 'nft_update_sale', '{ACC[0]}', '{SALE}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   TRUE, 2),
+  ('fw1', 'dex_withdraw_liquidity', '{ACC[0]}', '{CD_POOL}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), '{UP("1", "B")}',
+   CAST(NULL AS VARCHAR), CAST(1000 AS BIGINT),
+   CAST(2000000000 AS BIGINT), TRUE, 9)
+) AS t(trace_id, action_type, source, destination, secondary,
+       amount, asset, asset2, amount1, amount2, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_final_arms",
+    oracle=_FINAL_ARMS_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="The last ungated arms: swap.coffee LP withdrawal "
+    "(#c0ffee35 event + mixed jetton/native payout legs), the "
+    "incomplete pool-creator leg, dns_release and nft_update_sale — "
+    "EVERY protocol matcher now has a driver gate (reference "
+    "liquidity.py:1838-2123)",
+)
+def classify_final_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _final_arms_fixture(spark)
+    wd = F.col("dex_withdraw_liquidity_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin(
+                "dex_withdraw_liquidity", "coffee_create_pool_creator",
+                "dns_release", "nft_update_sale")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("secondary"),
+            F.col("amount").cast("long").alias("amount"),
+            "asset",
+            "asset2",
+            wd["amount1"].cast("long").alias("amount1"),
+            wd["amount2"].cast("long").alias("amount2"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
