@@ -769,6 +769,28 @@ def match_subscription(node: Node, ctx: Ctx) -> dict | None:
         )
     if m.opcode == SUBSCRIPTION_PAYMENT:
         claimed = [node]
+        grams = m.decoded_body().get("grams")
+        # full round-trip present: the wallet's response returns to the
+        # subscription which pays the beneficiary — walk through so the
+        # action's destination is the BENEFICIARY, not the subscription
+        # (the request anchor runs first in the node-major loop, so it
+        # must build the same fill the response anchor would)
+        resp = node.child_via(SUBSCRIPTION_PAY_RESPONSE)
+        if resp is not None:
+            claimed.append(resp)
+            paid = resp.child_via(SUBSCRIPTION_PAY_INTERNAL)
+            if paid is not None:
+                claimed.append(paid)
+            return _base(
+                node, "subscribe", claimed=claimed,
+                source=node.account,
+                destination=paid.account if paid is not None else None,
+                destination_secondary=m.source,
+                amount=int(grams) if grams is not None else (
+                    resp.in_msg.value if resp.in_msg else None
+                ),
+                success=not node.aborted,
+            )
         paid = next(
             (c for c in node.children
              if c.in_msg is not None and (c.in_msg.value or 0) > 0),
@@ -776,7 +798,6 @@ def match_subscription(node: Node, ctx: Ctx) -> dict | None:
         )
         if paid is not None:
             claimed.append(paid)
-        grams = m.decoded_body().get("grams")
         return _base(
             node, "subscribe", claimed=claimed,
             source=node.account,

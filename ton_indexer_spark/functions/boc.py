@@ -3249,6 +3249,14 @@ def encode_coffee_withdraw_event(
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_subscription_payment(query_id: int, grams: int) -> str:
+    """payment_request#706c7567 query_id:uint64 grams:Coins
+    (messages/subscriptions.py:6-12)."""
+    cell = (Builder().store_uint(OP_SUBSCRIPTION_PAY_REQ, 32)
+            .store_uint(query_id, 64).store_coins(grams).end_cell())
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

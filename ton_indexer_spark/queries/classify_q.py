@@ -5945,3 +5945,119 @@ def classify_final_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Wallet-plugin subscriptions (reference subscriptions.py): the payment
+# round-trip (plug request → wallet response → 'subs' leg to the
+# beneficiary) and the plugin destruct ('dstr') = unsubscribe.
+
+SB_SUB, SB_BENEF = UP("9", "C"), ACC[5]
+
+
+def _subscription_fixture(spark: SparkSession):
+    """Two golden subscription traces: sb1 payment (payment_request
+    #706c7567 carrying grams → wallet response #f06c7567 → 'subs'
+    payment to the beneficiary) and sb2 unsubscribe ('dstr' destruct at
+    the subscription).  Reference: messages/subscriptions.py:6-24 and
+    the subscribe/unsubscribe fills."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import (
+        SUBSCRIPTION_PAY_INTERNAL,
+        SUBSCRIPTION_PAY_RESPONSE,
+        SUBSCRIPTION_PAYMENT,
+        UNSUBSCRIBE_OP,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_subscription_payment,
+    )
+
+    USER = ACC[0]
+    TON = 10**9
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    "active", "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # sb1: subscription charges 2 TON — request → response → 'subs' leg
+    t1 = tx("sb1", 1, SB_SUB, 100); ext("sb1", t1, 100, SB_SUB)
+    t2 = tx("sb1", 2, USER, 110)
+    link("sb1", 1, t1, 100, t2, 110, SB_SUB, USER, 10**6,
+         SUBSCRIPTION_PAYMENT, encode_subscription_payment(61, 2 * TON))
+    t3 = tx("sb1", 3, SB_SUB, 120)
+    link("sb1", 2, t2, 110, t3, 120, USER, SB_SUB, 2 * TON + 10**6,
+         SUBSCRIPTION_PAY_RESPONSE, None)
+    t4 = tx("sb1", 4, SB_BENEF, 130)
+    link("sb1", 3, t3, 120, t4, 130, SB_SUB, SB_BENEF, 2 * TON,
+         SUBSCRIPTION_PAY_INTERNAL, None)
+
+    # sb2: destruct the plugin
+    u1 = tx("sb2", 1, USER, 200); ext("sb2", u1, 200, USER)
+    u2 = tx("sb2", 2, SB_SUB, 210)
+    link("sb2", 1, u1, 200, u2, 210, USER, SB_SUB, 10**7,
+         UNSUBSCRIBE_OP, None)
+
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        big_trace_cutoff=20,
+    )
+
+
+_SUBSCRIPTION_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('sb1', 'subscribe', '{ACC[0]}', '{ACC[5]}', '{SB_SUB}',
+   CAST(2000000000 AS BIGINT), TRUE, 4),
+  ('sb2', 'unsubscribe', '{ACC[0]}', '{SB_SUB}', CAST(NULL AS VARCHAR),
+   CAST(NULL AS BIGINT), TRUE, 2)
+) AS t(trace_id, action_type, source, destination, subscription,
+       amount, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_subscription",
+    oracle=_SUBSCRIPTION_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Wallet-plugin subscriptions through the REAL cell "
+    "codec: the payment round-trip (grams from the plug request, "
+    "response-anchored, 'subs' leg to the beneficiary) and the 'dstr' "
+    "unsubscribe (reference subscriptions.py:6-24)",
+)
+def classify_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _subscription_fixture(spark)
+    return (
+        res.actions.filter(F.col("type").isin("subscribe", "unsubscribe"))
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            F.col("destination_secondary").alias("subscription"),
+            F.col("amount").cast("long").alias("amount"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
