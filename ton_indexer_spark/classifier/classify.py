@@ -750,19 +750,23 @@ def classify_traces(
         # tonco swap target), dep1/dep2 = the deposit payload's
         # target_asset_1/_2 (the pair's other wallet)
         flag = F.col("asset2_wallet_unresolved")
+        # decoded payload addresses render uppercase hex while the
+        # dimension's case is caller-defined — join case-insensitively
         wallet_of = F.when(
-            flag.isNotNull(), F.substring_index(flag, "|", -1)
+            flag.isNotNull(), F.upper(F.substring_index(flag, "|", -1))
         )
         field_of = F.substring_index(flag, "|", 1)
         keys = (
             actions.filter(flag.isNotNull())
-            .select(F.substring_index(flag, "|", -1).alias("address"))
+            .select(F.upper(F.substring_index(flag, "|", -1))
+                    .alias("_deferred_wallet"))
             .distinct()
         )
         dim = (
-            jetton_wallets.join(F.broadcast(keys), "address", "left_semi")
-            .select(F.col("address").alias("_deferred_wallet"),
+            jetton_wallets
+            .select(F.upper(F.col("address")).alias("_deferred_wallet"),
                     F.col("jetton").alias("_deferred_jetton"))
+            .join(F.broadcast(keys), "_deferred_wallet", "left_semi")
         )
         # pTON-family wallets resolve to TON = NULL asset, the
         # _wallet_asset lookup discipline
