@@ -3257,6 +3257,26 @@ def encode_subscription_payment(query_id: int, grams: int) -> str:
     return base64.b64encode(serialize_boc(cell)).decode()
 
 
+def encode_multisig_new_order(
+    query_id: int, order_seqno: int, is_created_by_signer: bool,
+    creator_index: int, expiration_date: int,
+) -> str:
+    """new_order#f718510f (messages/multisig.py:14-40) with an empty
+    order ref."""
+    cell = (
+        Builder()
+        .store_uint(0xF718510F, 32)
+        .store_uint(query_id, 64)
+        .store_uint(order_seqno, 256)
+        .store_bit(1 if is_created_by_signer else 0)
+        .store_uint(creator_index, 8)
+        .store_uint(expiration_date, 48)
+        .store_ref(Builder().end_cell())
+        .end_cell()
+    )
+    return base64.b64encode(serialize_boc(cell)).decode()
+
+
 def encode_multisig_approve(query_id: int, signer_index: int) -> str:
     """approve#a762230f query_id:uint64 signer_index:uint8
     (messages/multisig.py:69-83)."""

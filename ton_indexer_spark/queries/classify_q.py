@@ -6061,3 +6061,166 @@ def classify_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trace_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Token/base action types that had no direct driver assertion: jetton
+# burn + mint, NFT mint, put-on-sale (dimension-gated deploys) and the
+# multisig v2 order creation.
+
+BT_BW, BT_BJ = UP("4", "5"), UP("4", "6")
+BT_MW, BT_MJ = UP("4", "7"), UP("4", "8")
+BT_COLL, BT_NFT = UP("4", "9"), UP("4", "A")
+BT_SALE2, BT_NFT2, BT_MS = UP("4", "B"), UP("4", "C"), UP("4", "D")
+
+
+def _base_types_fixture(spark: SparkSession):
+    """Five golden traces for the base token/multisig types: bt1 jetton
+    burn (wallet-gated), bt2 jetton mint (internal transfer DIRECT from
+    the master), bt3 NFT mint (deploy of a known item), bt4 put-on-sale
+    (deploy of a known sale contract, getgems default), bt5 multisig v2
+    order creation (new_order#f718510f with seqno/creator/expiry)."""
+    from ton_indexer_spark.classifier import classify_traces
+    from ton_indexer_spark.classifier.base import (
+        JETTON_BURN,
+        MULTISIG_NEW_ORDER,
+    )
+    from ton_indexer_spark.functions.boc import (
+        encode_jetton_burn,
+        encode_jetton_internal,
+        encode_jetton_notify,
+        encode_multisig_new_order,
+    )
+
+    USER = ACC[0]
+    txs, msgs, bodies = [], [], []
+
+    def tx(trace, n, account, lt, orig="active"):
+        h = f"{trace}-tx{n}"
+        txs.append((h, account, lt, 1_700_000_000 + lt, False,
+                    orig, "active", trace))
+        return h
+
+    def link(trace, n, src_tx, src_lt, dst_tx, dst_lt, source,
+             destination, value, opcode, body):
+        mh, bh = f"{trace}-m{n}", None
+        if body is not None:
+            bh = f"bh-{trace}-m{n}"
+            bodies.append((bh, body))
+        clt = src_lt + 1
+        msgs.append((trace, src_tx, src_lt, mh, "out", source,
+                     destination, value, opcode, clt, bh))
+        msgs.append((trace, dst_tx, dst_lt, mh, "in", source,
+                     destination, value, opcode, clt, bh))
+
+    def ext(trace, root_tx, lt, account):
+        msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None,
+                     account, None, None, lt - 2, None))
+
+    # bt1: burn 800 at the user's wallet
+    t1 = tx("bt1", 1, USER, 100); ext("bt1", t1, 100, USER)
+    t2 = tx("bt1", 2, BT_BW, 110)
+    link("bt1", 1, t1, 100, t2, 110, USER, BT_BW, 10**8, JETTON_BURN,
+         encode_jetton_burn(95, 800, response=USER))
+
+    # bt2: mint — internal transfer straight from the master
+    u1 = tx("bt2", 1, BT_MJ, 200); ext("bt2", u1, 200, BT_MJ)
+    u2 = tx("bt2", 2, BT_MW, 210)
+    link("bt2", 1, u1, 200, u2, 210, BT_MJ, BT_MW, 10**6,
+         JETTON_INTERNAL_OP,
+         encode_jetton_internal(96, 1234, from_owner=BT_MJ))
+    u3 = tx("bt2", 3, USER, 220)
+    link("bt2", 2, u2, 210, u3, 220, BT_MW, USER, 1, JETTON_NOTIFY_OP,
+         encode_jetton_notify(96, 1234, sender=BT_MJ))
+
+    # bt3: NFT item deployed by its collection = mint
+    v1 = tx("bt3", 1, BT_COLL, 300); ext("bt3", v1, 300, BT_COLL)
+    v2 = tx("bt3", 2, BT_NFT, 310, orig="nonexist")
+    link("bt3", 1, v1, 300, v2, 310, BT_COLL, BT_NFT, 10**7, 0x1, None)
+
+    # bt4: sale contract deployed = put on sale (getgems default)
+    w1 = tx("bt4", 1, USER, 400); ext("bt4", w1, 400, USER)
+    w2 = tx("bt4", 2, BT_SALE2, 410, orig="nonexist")
+    link("bt4", 1, w1, 400, w2, 410, USER, BT_SALE2, 10**7, None, None)
+
+    # bt5: multisig v2 order creation
+    x1 = tx("bt5", 1, USER, 500); ext("bt5", x1, 500, USER)
+    x2 = tx("bt5", 2, BT_MS, 510)
+    link("bt5", 1, x1, 500, x2, 510, USER, BT_MS, 10**8,
+         MULTISIG_NEW_ORDER,
+         encode_multisig_new_order(97, 7, True, 2, 1_800_000_000))
+
+    jw = spark.createDataFrame(
+        [(BT_BW, USER, BT_BJ), (BT_MW, USER, BT_MJ)],
+        "address string, owner string, jetton string",
+    )
+    ni = spark.createDataFrame([(BT_NFT,)], "address string")
+    ms = spark.createDataFrame([(BT_MS,)], "address string")
+    ns = spark.createDataFrame([(BT_SALE2, BT_NFT2)],
+                               "address string, nft_address string")
+    return classify_traces(
+        spark.createDataFrame(txs, _TX_SCHEMA),
+        spark.createDataFrame(msgs, _MSG_SCHEMA),
+        spark.createDataFrame(bodies, "hash string, body string"),
+        jetton_wallets=jw, nft_items=ni, multisig=ms, nft_sales=ns,
+        big_trace_cutoff=20,
+    )
+
+
+_BASE_TYPES_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('bt1', 'jetton_burn', '{ACC[0]}', CAST(NULL AS VARCHAR), '{BT_BJ}',
+   CAST(800 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), TRUE, 2),
+  ('bt2', 'jetton_mint', '{BT_MJ}', '{ACC[0]}', '{BT_MJ}',
+   CAST(1234 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), TRUE, 3),
+  ('bt3', 'nft_mint', '{BT_COLL}', '{BT_NFT}', '{BT_COLL}',
+   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), TRUE, 2),
+  ('bt4', 'nft_put_on_sale', '{ACC[0]}', '{BT_SALE2}', '{BT_NFT2}',
+   CAST(NULL AS BIGINT), 'getgems', CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), TRUE, 2),
+  ('bt5', 'multisig_create_order', '{ACC[0]}', '{BT_MS}',
+   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+   CAST(7 AS BIGINT), CAST(2 AS BIGINT), TRUE, 2)
+) AS t(trace_id, action_type, source, destination, asset, amount,
+       marketplace, order_seqno, creator_index, success, n_tx)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_base_types",
+    oracle=_BASE_TYPES_ORACLE,
+    survey_ops=("C3", "C4", "F2"),
+    description="Base token/multisig action types over real BOC: jetton "
+    "burn (wallet-gated) and mint (master-direct internal transfer), "
+    "NFT mint and put-on-sale (dimension-gated deploys), and the "
+    "multisig v2 order creation — closes the action-type gate audit",
+)
+def classify_base_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _base_types_fixture(spark)
+    lst = F.col("nft_listing_data")
+    mco = F.col("multisig_create_order_data")
+    return (
+        res.actions.filter(
+            F.col("type").isin(
+                "jetton_burn", "jetton_mint", "nft_mint",
+                "nft_put_on_sale", "multisig_create_order")
+        )
+        .select(
+            "trace_id",
+            F.col("type").alias("action_type"),
+            "source",
+            "destination",
+            "asset",
+            F.col("amount").cast("long").alias("amount"),
+            lst["marketplace"].alias("marketplace"),
+            mco["order_seqno"].cast("long").alias("order_seqno"),
+            mco["creator_index"].cast("long").alias("creator_index"),
+            "success",
+            F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
