@@ -66,68 +66,67 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # new round-8 gates (never driver-sampled): five protocol families
-    # over real BOC — DeDust multi-hop swap, tonstakers liquid staking,
-    # EVAA lending (incl. the version-headered user bodies), TON DNS
-    # record management, and the fragment teleitem auction family
-    "classify_dedust_swap",
-    "classify_tonstakers",
-    "classify_evaa",
-    "classify_dns",
-    "classify_fragment_auction",
-    # the 45 specs last driver-sampled in round 6 (COVERAGE.md tail of
-    # the round-7 window) — everything else was driver-green in r7
-    "inout_pivot",
-    "self_join_adjacent",
-    "union_meta",
-    "array_membership_join",
-    "top_k",
-    "coalesce_filter",
-    "distinct_pairs",
-    "scalar_agg",
-    "offset_page",
-    "rollup_agg",
-    "set_ops",
-    "first_per_group",
-    "latest_state",
-    "word_lm_score",
-    "quality_score_hashed",
-    "line_dedup",
-    "hard_negatives",
-    "embed_pq_topk",
-    "mmr_select",
-    "semdedup",
-    "embed_kmeans",
-    "json_extract",
-    "base64_roundtrip",
-    "opcode_conversion",
-    "multimodal_metadata",
-    "multimodal_frames",
-    "keyset_pagination",
-    "tumbling_window",
-    "approx_distinct",
-    "dedup_embedding_cosine",
-    "percentile_summary",
-    "stratified_sample",
-    "sequence_pack",
-    "source_mixture",
-    "dataset_split",
-    "group_sample",
-    "shard_assign",
-    "dsir_weight",
-    "corpus_profile",
-    "classify_actions",
-    "classify_states",
-    "classify_failed_external",
-    "classify_action_accounts",
-    "pending_transactions_route",
-    "pending_traces_route",
-    # (exactly 5 new + 45 r6-stale = the 50-slot window, the round-7
-    # verdict's prescribed shape.  The r7-attested specs whose plans
-    # changed this round stay verified elsewhere: quality_nb_auc re-ran
-    # post-fix at sf1 in ORACLE_sf1_r08.json; the n-gram paths are
-    # pinned by the four-threshold identity tests, the Zipf-store parity
-    # test, and every test run's full-registry local parity sweep.)
+    # Round-9 window (COVERAGE.md pre-committed plan): the 28 protocol
+    # gates added after the r8 window was fixed — every one a driver-
+    # facing fixture over real BOC with a literal VALUES oracle, none
+    # ever driver-sampled — followed by the 22 oldest r7-stale specs
+    # (reference-surface plans first).
+    "classify_ethena",
+    "classify_coffee_swap",
+    "classify_stonfi_v2_swap",
+    "classify_jvault",
+    "classify_layerzero",
+    "classify_tgbtc",
+    "classify_tonco_swap",
+    "classify_nominator_pool",
+    "classify_cocoon",
+    "classify_dedust_liquidity",
+    "classify_coffee_staking",
+    "classify_evaa_liquidate",
+    "classify_ethena_withdrawal",
+    "classify_tonco_liquidity",
+    "classify_stonfi_v2_withdraw",
+    "classify_lz_send_tokens",
+    "classify_coffee_liquidity",
+    "classify_vesting",
+    "classify_pton_outbid_dns",
+    "classify_deploy_verify",
+    "classify_cocoon_extras",
+    "classify_coffee_factory",
+    "classify_stonfi_v2_provide",
+    "classify_remaining_arms",
+    "classify_cocoon_admin",
+    "classify_final_arms",
+    "classify_subscription",
+    "classify_base_types",
+    # 22 r7-stale specs, oldest exposure first (COVERAGE.md r9 plan);
+    # the remaining r7-stale specs rotate in r10
+    "filter_sort_page",
+    "group_agg",
+    "join_enrich",
+    "semi_join",
+    "anti_join",
+    "prev_pointer",
+    "ordered_collect",
+    "sessionize",
+    "asof_join",
+    "funnel_steps",
+    "cohort_retention",
+    "group_topk",
+    "connected_components",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "tfidf_topk",
+    "doc_chunks",
+    "text_repetition",
+    "pii_detect",
+    "char_lm_quality",
+    # (28 never-sampled + 22 r7-stale = the 50-slot driver window.
+    # Every spec stays hash-verified locally each test run regardless
+    # via tests/test_oracle_parity.py; rotation changes external
+    # attestation only.)
 ]
 
 
