@@ -166,12 +166,23 @@ def test_stonfi_family(spark):
     o2 = b.chain(o1, W4, opcode=JETTON_INTERNAL)
     b.chain(o2, A[0], opcode=JETTON_NOTIFY)
 
-    # v2 provide-liquidity
+    # v2 provide-liquidity — the reference's required shape
+    # (liquidity.py:720-721): the pool anchor must route through the
+    # 0x50c6a654 account-add and the 0x06ecd527 cb before the LP mint
+    from ton_indexer_spark.classifier.protocols import (
+        STONFI_V2_ACCOUNT_ADD,
+        STONFI_V2_CB_ADD,
+    )
+
+    V2ACC = "0:v2acc" + "0" * 56
     b2 = TraceBuilder("sf2")
     r2 = b2.tx(A[1], None)
     pl = b2.chain(r2, POOL, opcode=STONFI_V2_PROVIDE_LIQUIDITY,
                   body=body_of({"amount": 10, "asset1": "0:tokA"}))
-    lp = b2.chain(pl, LPW, opcode=JETTON_INTERNAL)
+    acc = b2.chain(pl, V2ACC, opcode=STONFI_V2_ACCOUNT_ADD)
+    cb = b2.chain(acc, POOL, opcode=STONFI_V2_CB_ADD)
+    lp = b2.chain(cb, LPW, opcode=JETTON_INTERNAL,
+                  body=body_of({"amount": 7}))
     b2.chain(lp, A[1], opcode=JETTON_NOTIFY)
 
     # pTON transfer surfaces as ton_transfer

@@ -567,6 +567,13 @@ class ClassifiedActions:
     actions: DataFrame
     action_accounts: DataFrame
     classification_states: DataFrame  # (trace_id, classification_state)
+    # the persisted classify-stage output; batch owners release it once
+    # all three outputs are materialized
+    _cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._cached is not None:
+            self._cached.unpersist()
 
 
 def classify_traces(
@@ -731,6 +738,15 @@ def classify_traces(
             schema=ACTIONS_OUT_SCHEMA,
         )
     )
+    # The classify stage fans out to up to three consumers — the actions
+    # plan, the states rollup, and (when dims are present) the deferred-
+    # resolver `keys` broadcast, each a separate Spark job.  Persist the
+    # (batch-sized) UDF output so the expensive repartition+mapInPandas
+    # stage executes once; lazy, spills to disk, and callers that own a
+    # batch lifecycle release it via ClassifiedActions.unpersist().
+    from pyspark import StorageLevel
+
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
 
     actions = raw.filter(F.col("action_id").isNotNull()).drop(
         "classification_state", "failure_reason"
@@ -767,6 +783,10 @@ def classify_traces(
             .select(F.upper(F.col("address")).alias("_deferred_wallet"),
                     F.col("jetton").alias("_deferred_jetton"))
             .join(F.broadcast(keys), "_deferred_wallet", "left_semi")
+            # the uppercased key must stay unique on the build side: two
+            # dim rows differing only in address case (or plain dup rows)
+            # would otherwise fan each flagged action out into duplicates
+            .dropDuplicates(["_deferred_wallet"])
         )
         # pTON-family wallets resolve to TON = NULL asset, the
         # _wallet_asset lookup discipline
@@ -776,7 +796,9 @@ def classify_traces(
         )
         dep = F.col("dex_deposit_liquidity_data")
         # ONE left join over all actions — no filter/union split, so the
-        # classify UDF is not re-executed per branch.  The build side is
+        # classify UDF is not re-executed per branch (and the `keys`
+        # broadcast materializes from the persisted stage, not a rerun).
+        # The build side is
         # pruned to the flagged keys (usually empty), AQE picks the
         # strategy (no forced broadcast — the plan keeps the "no forced
         # dim broadcast" invariant, tests/test_explain.py), and unflagged
@@ -786,9 +808,14 @@ def classify_traces(
             .withColumn("_deferred_field", field_of)
             .join(dim, "_deferred_wallet", "left")
             .withColumn(
+                # a2 rows carry the refund-leg asset as a fallback; a
+                # RESOLVED lookup (dim row matched) overwrites it — to the
+                # wallet's jetton, or to TON (NULL) for pTON-family
+                # wallets — while a miss keeps the fallback, matching the
+                # reference's `if target_asset:` guard (swaps.py:1187-1190)
                 "asset2",
-                F.when(F.col("_deferred_field") == "a2",
-                       F.coalesce(F.col("asset2"), fill))
+                F.when((F.col("_deferred_field") == "a2")
+                       & F.col("_deferred_jetton").isNotNull(), fill)
                 .otherwise(F.col("asset2")),
             )
             .withColumn(
@@ -845,4 +872,5 @@ def classify_traces(
         actions=actions,
         action_accounts=action_accounts,
         classification_states=states,
+        _cached=raw,
     )

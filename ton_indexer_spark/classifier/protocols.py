@@ -1074,7 +1074,12 @@ def match_stonfi_v2_provide_liquidity(node: Node, ctx: Ctx) -> dict | None:
     amount = _int(body.get("amount")) or _int(body.get("amount2"))
     lp_tokens = None
     failed = False
+    # the reference requires the 0x50c6a654 account-add child on every
+    # arm (liquidity.py:720-721, non-optional child_matcher) — without
+    # it the trace stays unclassified, including the bare pool anchor
     acc = provide.child_via(STONFI_V2_ACCOUNT_ADD)
+    if acc is None:
+        return None
     if acc is not None:
         claimed.append(acc)
         cb = acc.child_via(STONFI_V2_CB_ADD)
@@ -1299,17 +1304,19 @@ def match_tonco_swap(node: Node, ctx: Ctx) -> dict | None:
         from ton_indexer_spark.functions.boc import decode_tonco_swap_payload
 
         targets = decode_tonco_swap_payload(fwd)
-        if targets:
+        if targets and targets[-1][0]:
             t_wallet, t_min = targets[-1]
-            destination_asset = _wallet_asset(t_wallet, ctx)
             min_out = t_min
-            # the intended target wallet never transacts in a refunded
-            # trace, so the trace-scoped context can't know its jetton —
-            # defer to the post-classification point lookup
-            # (swaps.py:1164-1180 awaits the interface repository here);
-            # the "a2|" prefix tells the resolver which field to patch
-            if (destination_asset is None
-                    and t_wallet not in ctx.get("jetton_wallets", {})):
+            if t_wallet in ctx.get("jetton_wallets", {}):
+                destination_asset = _wallet_asset(t_wallet, ctx)
+            else:
+                # unknown target wallet: KEEP the refund-leg asset as the
+                # asset2 fallback — the reference only overwrites
+                # destination_asset when its interface-repository lookup
+                # RESOLVES (swaps.py:1165-1190, `if target_asset:`) —
+                # and defer to the post-classification point lookup; the
+                # "a2|" prefix tells the resolver which field to patch
+                # (it overwrites asset2 only on a resolved dim row)
                 unresolved_wallet = f"a2|{t_wallet}"
 
     act = _base(

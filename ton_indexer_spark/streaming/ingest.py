@@ -156,6 +156,9 @@ class IngestPipeline:
                         "action_accounts",
                         sort_cols=["account", "trace_end_lt"],
                     )
+                # all classify outputs are on disk — release the cached
+                # classify-stage output for this batch
+                cls.unpersist()
 
         if (
             self.audit_every is not None
@@ -220,6 +223,7 @@ class IngestPipeline:
                     pend.actions.withColumn("finality", F.lit("pending")),
                     os.path.join(self.out_dir, "pending_actions"),
                 )
+                pend.unpersist()
 
         if self.publisher is not None:  # T7 fan-out
             publish_batch(
