@@ -687,13 +687,22 @@ def test_liquidity_matchers_on_boc_bodies(spark):
 
     USR = "0:" + "12" * 32
 
+    from ton_indexer_spark.classifier.protocols import (
+        STONFI_V2_ACCOUNT_ADD,
+        STONFI_V2_CB_ADD,
+    )
+
     prov = (Builder().store_uint(OP_STONFI_V2_PROVIDE, 32).store_uint(3, 64)
             .store_address(USR).store_coins(100).store_coins(200).end_cell())
     b = TraceBuilder("sv2")
     r = b.tx(A[0], None)
     p = b.chain(r, A[5], opcode=STONFI_V2_PROVIDE_LIQUIDITY,
                 body=_b64(prov))
-    b.chain(p, A[6], opcode=JETTON_INTERNAL)
+    # the reference requires the 0x50c6a654 account-add + 0x06ecd527 cb
+    # legs (liquidity.py:720-721) before the LP mint
+    acc = b.chain(p, A[6], opcode=STONFI_V2_ACCOUNT_ADD)
+    cb = b.chain(acc, A[5], opcode=STONFI_V2_CB_ADD)
+    b.chain(cb, A[6], opcode=JETTON_INTERNAL)
 
     # tonco deposit, reference shape over REAL BOC bodies:
     # pTON entry -> notify -> FUND_ACCOUNT -> ADD_LIQUIDITY

@@ -1868,21 +1868,74 @@ def encode_nft_item_data(
 def decode_nft_collection_data(raw: bytes | str) -> dict:
     """Canonical TEP-62 collection DATA cell:
     ``owner:MsgAddress next_item_index:uint64 content:^Cell
-    item_code:^Cell royalty:^Cell``."""
+    item_code:^Cell royalty:^Cell``.
+
+    Mirrors BOTH collection get-methods the reference TVM-executes for
+    dimension bootstrap, with no TVM:
+
+    * ``get_collection_data`` (Tokens.cpp:497-527): next_item_index,
+      collection content (= the FIRST ref of the content cell, which the
+      standard collection returns and parse_token_data decodes), owner;
+    * ``royalty_params`` (TEP-66; Telemint.cpp:129-133): the royalty ref
+      is ``numerator:uint16 denominator:uint16 destination:MsgAddress``.
+
+    Collections storing fewer refs than the canonical layout (or an
+    undecodable content/royalty cell) surface None for those fields —
+    the log-and-skip discipline of the state-dimension builders."""
     s = parse_boc(raw).begin_parse()
     d: dict = {"owner_address": s.load_address()}
     d["next_item_index"] = s.load_uint(64)
+    d["collection_content"] = None
+    d["royalty_numerator"] = None
+    d["royalty_denominator"] = None
+    d["royalty_destination"] = None
+    try:
+        content = s.load_ref()  # ^[ collection_content, common_content ]
+        s.load_ref()  # item code — hash only matters, never decoded
+        royalty = s.load_ref().begin_parse()
+        cs = content.begin_parse()
+        if cs.remaining_refs >= 1:
+            raw_cc = serialize_boc(cs.load_ref())
+            d["collection_content"] = parse_token_data(raw_cc)
+            # the raw cell too — runGetMethod returns it as a "cell"
+            # stack entry (Tokens.cpp stack slot 1)
+            d["collection_content_boc"] = (
+                base64.b64encode(raw_cc).decode("ascii")
+            )
+        d["royalty_numerator"] = royalty.load_uint(16)
+        d["royalty_denominator"] = royalty.load_uint(16)
+        d["royalty_destination"] = royalty.load_address()
+    except BocError:
+        pass
     return d
 
 
 def encode_nft_collection_data(
-    *, owner: str | None = None, next_item_index: int = 0
+    *,
+    owner: str | None = None,
+    next_item_index: int = 0,
+    content_uri: str | None = None,
+    royalty: tuple[int, int, str | None] | None = None,
 ) -> str:
-    """Fixture encoder for the canonical collection data layout."""
+    """Fixture encoder for the canonical collection data layout.
+    ``content_uri`` builds an offchain TEP-64 collection-content ref;
+    ``royalty`` is (numerator, denominator, destination)."""
     empty = Builder().end_cell()
+    if content_uri is not None:
+        cc = (Builder().store_uint(0x01, 8)
+              .store_snake_string(content_uri).end_cell())
+        content = Builder().store_ref(cc).store_ref(empty).end_cell()
+    else:
+        content = empty
+    if royalty is not None:
+        num, den, dest = royalty
+        roy = (Builder().store_uint(num, 16).store_uint(den, 16)
+               .store_address(dest).end_cell())
+    else:
+        roy = empty
     b = (
         Builder().store_address(owner).store_uint(next_item_index, 64)
-        .store_ref(empty).store_ref(empty).store_ref(empty)
+        .store_ref(content).store_ref(empty).store_ref(roy)
     )
     return base64.b64encode(serialize_boc(b.end_cell())).decode()
 

@@ -153,6 +153,90 @@ def builtin_executor(state: dict, method: str, stack: list) -> dict:
                 ["null", None],
             ],
         }
+    if method == "get_collection_data":
+        from ton_indexer_spark.functions.boc import (
+            decode_nft_collection_data,
+        )
+
+        try:
+            d = decode_nft_collection_data(state.get("data_boc"))
+        except Exception:
+            return {"gas_used": 0, "exit_code": 9, "stack": []}
+        # Tokens.cpp:497-509 <3>: (next_item_index, collection_content
+        # cell, owner slice) — the content comes back as the raw cell,
+        # exactly what the reference's stack slot 1 carries
+        cc = d.get("collection_content_boc")
+        return {
+            "gas_used": 0,
+            "exit_code": 0,
+            "stack": [
+                ["num", hex(d["next_item_index"])],
+                ["cell", cc] if cc is not None else ["null", None],
+                _addr_slice(d["owner_address"]),
+            ],
+        }
+    if method == "royalty_params":
+        from ton_indexer_spark.functions.boc import (
+            decode_nft_collection_data,
+        )
+
+        try:
+            d = decode_nft_collection_data(state.get("data_boc"))
+        except Exception:
+            return {"gas_used": 0, "exit_code": 9, "stack": []}
+        if d.get("royalty_numerator") is None:
+            # collection stores no TEP-66 royalty cell — the method would
+            # fail in a real TVM, not be absent
+            return {"gas_used": 0, "exit_code": 9, "stack": []}
+        # Telemint.cpp:129-133 <3>: (numerator, denominator, destination)
+        return {
+            "gas_used": 0,
+            "exit_code": 0,
+            "stack": [
+                ["num", hex(d["royalty_numerator"])],
+                ["num", hex(d["royalty_denominator"])],
+                _addr_slice(d["royalty_destination"]),
+            ],
+        }
+    if method == "get_sale_data":
+        from ton_indexer_spark.functions.boc import (
+            SALE_LATEST,
+            SALE_VERSION_MAPPING,
+            decode_nft_sale_data,
+        )
+
+        version = SALE_VERSION_MAPPING.get(
+            state.get("code_hash") or "", SALE_LATEST
+        )
+        try:
+            d = decode_nft_sale_data(state.get("data_boc"), version)
+        except Exception:
+            return {"gas_used": 0, "exit_code": 9, "stack": []}
+        # NftSale.cpp:22-26 <11>: FIXP magic, is_complete, created_at,
+        # marketplace, nft, owner, full_price, fee_addr, fee,
+        # royalty_addr, royalty.  (Auction code hashes keep exit 11 —
+        # their dimension rows come off the state scan,
+        # sources/tx_ingest.py::nft_auctions_from_states.)
+        def num(v):
+            return ["num", hex(v)] if v is not None else ["null", None]
+
+        return {
+            "gas_used": 0,
+            "exit_code": 0,
+            "stack": [
+                ["num", hex(0x46495850)],
+                ["num", "-0x1" if d.get("is_complete") else "0x0"],
+                num(d.get("created_at") or 0),
+                _addr_slice(d.get("marketplace_address")),
+                _addr_slice(d.get("nft_address")),
+                _addr_slice(d.get("nft_owner_address")),
+                num(d.get("full_price")),
+                _addr_slice(d.get("marketplace_fee_address")),
+                num(d.get("marketplace_fee")),
+                _addr_slice(d.get("royalty_address")),
+                num(d.get("royalty_amount")),
+            ],
+        }
     return {"gas_used": 0, "exit_code": 11, "stack": []}
 
 

@@ -99,7 +99,16 @@ _EXPOSURE_FIRST = [
     "classify_final_arms",
     "classify_subscription",
     "classify_base_types",
-    # 22 r7-stale specs, oldest exposure first (COVERAGE.md r9 plan);
+    # the five NEW round-9 gates (never sampled by construction): the
+    # r8 verdict's asks #3/#4/#5 — per-trace balance changes, the
+    # composed address-book plan, and the TVM-free state-dimension
+    # bootstrap (sales / auctions / collection content + royalty)
+    "trace_balance_changes",
+    "address_book",
+    "nft_sale_state_dims",
+    "nft_auction_state_dims",
+    "nft_collection_state_dims",
+    # 17 r7-stale specs, oldest exposure first (COVERAGE.md r9 plan);
     # the remaining r7-stale specs rotate in r10
     "filter_sort_page",
     "group_agg",
@@ -118,12 +127,7 @@ _EXPOSURE_FIRST = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
-    "tfidf_topk",
-    "doc_chunks",
-    "text_repetition",
-    "pii_detect",
-    "char_lm_quality",
-    # (28 never-sampled + 22 r7-stale = the 50-slot driver window.
+    # (28 + 5 never-sampled + 17 r7-stale = the 50-slot driver window.
     # Every spec stays hash-verified locally each test run regardless
     # via tests/test_oracle_parity.py; rotation changes external
     # attestation only.)
@@ -158,6 +162,9 @@ def _load_modules() -> None:
         analytics,
         classify_q,
         audit_q,
+        balances_q,
+        addressbook_q,
+        state_dims_q,
     )
 
     _LOADED = True

@@ -420,6 +420,54 @@ def nft_items_from_states(
     return df.mapInPandas(run, schema=NFT_ITEM_STATE_SCHEMA)
 
 
+NFT_COLLECTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("owner_address", T.StringType()),
+        T.StructField("next_item_index", T.DecimalType(38, 0)),
+        T.StructField(
+            "collection_content", T.MapType(T.StringType(), T.StringType())
+        ),
+        T.StructField("royalty_numerator", T.LongType()),
+        T.StructField("royalty_denominator", T.LongType()),
+        T.StructField("royalty_destination", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def nft_collections_from_states(
+    df: DataFrame, boc_col: str = "data_boc", address_col: str = "address"
+) -> DataFrame:
+    """Canonical TEP-62 collection state cells → nft_collections dimension
+    rows with TEP-64 content AND TEP-66 royalty params — the no-TVM
+    equivalent of the reference executing ``get_collection_data`` +
+    ``royalty_params`` per collection account (Tokens.cpp:497-527,
+    Telemint.cpp:129-133) to bootstrap the dimension."""
+    from ton_indexer_spark.functions.boc import decode_nft_collection_data
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in NFT_COLLECTION_STATE_SCHEMA}
+                row["address"] = rec.get(address_col)
+                try:
+                    row.update(decode_nft_collection_data(rec[boc_col]))
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in NFT_COLLECTION_STATE_SCHEMA]
+            )
+            out["next_item_index"] = pd.Series(
+                [r.get("next_item_index") for r in rows], dtype=object
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=NFT_COLLECTION_STATE_SCHEMA)
+
+
 BLOCK_HEADER_SCHEMA = T.StructType(
     [
         T.StructField("workchain", T.IntegerType()),
