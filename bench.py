@@ -141,12 +141,23 @@ def _sf_of(sf_dir: str):
     return float(sf) if sf.replace(".", "").isdigit() else sf
 
 
+def _headline() -> list[str]:
+    """$SPARK_GRAFT_BENCH_QUERIES (comma-separated) narrows the set —
+    used by the scaling runs (sf10) that only exercise the families
+    whose plan shape is under test."""
+    sel = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if not sel:
+        return HEADLINE
+    want = [s.strip() for s in sel.split(",") if s.strip()]
+    return [n for n in want if n]
+
+
 def main() -> None:
     spark, specs, sf_dir = _setup()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in _headline():
         spec = specs.get(name)
         if spec is None:
             continue
@@ -195,7 +206,7 @@ def main_latency(runs: int = 7) -> None:
 
     lat: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in _headline():
         spec = specs.get(name)
         if spec is None:
             continue

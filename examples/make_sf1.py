@@ -37,8 +37,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-STRIDE = 10_000_000_000
-N_COPIES = 10
+# For a THIRD scaling decade, point SRC at a generated sf1 store and
+# raise the stride a level so second-generation shifts cannot collide
+# with first-generation ones (sf1 keys already carry i*1e10 offsets):
+#   SPARK_GRAFT_SF_DIR=.sfgen/sf1 SPARK_GRAFT_STRIDE=1000000000000 \
+#     python examples/make_sf1.py .sfgen/sf10
+STRIDE = int(os.environ.get("SPARK_GRAFT_STRIDE", 10_000_000_000))
+N_COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", 10))
 
 SHIFT_COLS = {
     "customer": ["c_custkey"],

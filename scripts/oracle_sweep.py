@@ -29,7 +29,7 @@ def main() -> int:
 
     import duckdb
 
-    from tests.oracle_harness import compare
+    from tests.oracle_harness import compare_frames, register_duck_views
     from ton_indexer_spark.queries import all_specs
     from ton_indexer_spark.session import get_spark
 
@@ -62,10 +62,23 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            ok, msg = compare(spark, duck, spec, sf_dir)
+            # spark and oracle walls recorded SEPARATELY (round-8 verdict
+            # ask #9): at sf1 several oracles are all-pairs verifications
+            # that dwarf the Spark plan — one combined number misreads as
+            # an engine regression
+            ts = time.time()
+            sdf = spec.builder(spark, sf_dir).toPandas()
+            spark_sec = time.time() - ts
+            register_duck_views(duck, sf_dir)
+            ts = time.time()
+            ddf = duck.execute(spec.oracle).df()
+            oracle_sec = time.time() - ts
+            ok, msg = compare_frames(sdf, ddf)
             results[name] = {
                 "ok": ok, "mode": "oracle", "msg": msg.splitlines()[0][:300],
                 "sec": round(time.time() - t0, 2),
+                "spark_sec": round(spark_sec, 2),
+                "oracle_sec": round(oracle_sec, 2),
             }
             n_ok += ok
             n_fail += not ok

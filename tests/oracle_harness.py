@@ -53,7 +53,13 @@ def compare(spark, duck, spec, sf_dir: str) -> tuple[bool, str]:
     sdf = spec.builder(spark, sf_dir).toPandas()
     register_duck_views(duck, sf_dir)
     ddf = duck.execute(spec.oracle).df()
+    return compare_frames(sdf, ddf)
 
+
+def compare_frames(sdf: pd.DataFrame, ddf: pd.DataFrame) -> tuple[bool, str]:
+    """The normalization+equality half of :func:`compare`, split out so
+    callers (scripts/oracle_sweep.py) can time the Spark and DuckDB
+    executions separately."""
     if sorted(sdf.columns) != sorted(ddf.columns):
         return False, f"schema mismatch: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
     if len(sdf) != len(ddf):
