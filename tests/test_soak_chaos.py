@@ -41,7 +41,7 @@ def soak_root(tmp_path_factory):
     return root
 
 
-def _child(root: str, sub: str, kill: int | None):
+def _child(root: str, sub: str, kill: int | str | None):
     cmd = [sys.executable, soak.__file__, "--child",
            os.path.join(root, sub), os.path.join(root, "fixture"),
            str(N_BATCHES)]
@@ -78,3 +78,35 @@ def test_sigkill_restore_converges(spark, soak_root):
         if d.startswith("snap="):
             for t in ("txs", "msgs"):
                 assert os.path.exists(os.path.join(state, d, t, "_SUCCESS"))
+
+
+def test_post_persist_kill_redelivers(spark, soak_root):
+    """Deterministic worst-case crash point: SIGKILL right AFTER the
+    batch's state snapshot commits but BEFORE its sink dirs are written.
+    Recovery must re-deliver that batch (the assembler rewinds to the
+    prior snapshot; the batch-keyed sink replaces) — resuming from the
+    snapshot id alone would silently lose the batch's outputs."""
+    ref = _child(soak_root, "ref2", None)
+    assert ref.returncode == 0, ref.stderr[-2000:]
+
+    a = _child(soak_root, "chaos2", f"{KILL_AT}:post")
+    assert a.returncode == -signal.SIGKILL
+    # the torn batch's snapshot IS committed...
+    state = os.path.join(soak_root, "chaos2", "state")
+    snaps = [int(d.split("=")[1]) for d in os.listdir(state)
+             if d.startswith("snap=")]
+    assert KILL_AT in snaps
+    # ...and its sink dirs are NOT
+    assert not os.path.exists(os.path.join(
+        soak_root, "chaos2", "out", f"batch={KILL_AT}", "traces",
+        "_SUCCESS"))
+
+    b = _child(soak_root, "chaos2", None)
+    assert b.returncode == 0, b.stderr[-2000:]
+    first = next(json.loads(x)["batch"] for x in b.stdout.splitlines()
+                 if x.startswith('{"batch"'))
+    assert first == KILL_AT, "resume must re-deliver the torn batch"
+
+    h_ref = soak.output_hash(spark, os.path.join(soak_root, "ref2"))
+    h_chaos = soak.output_hash(spark, os.path.join(soak_root, "chaos2"))
+    assert h_ref == h_chaos
