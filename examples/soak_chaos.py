@@ -273,13 +273,20 @@ def main() -> None:
     kills = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["13"])
     audit_every = int(sys.argv[4]) if len(sys.argv) > 4 else None
     root = tempfile.mkdtemp(prefix="soak_chaos_")
-    fixture = os.path.join(root, "fixture")
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
-    print(f"workdir {root}: generating {n_traces} traces...", flush=True)
-    t0 = time.time()
-    make_fixture(fixture, n_traces, n_batches)
-    print(f"fixture generated in {time.time() - t0:.1f}s", flush=True)
+    # SPARK_GRAFT_SOAK_FIXTURE: reuse a pre-generated fixture (the 1M
+    # generation is minutes of driver-side python; build it once)
+    fixture = os.environ.get("SPARK_GRAFT_SOAK_FIXTURE",
+                             os.path.join(root, "fixture"))
+    if os.path.exists(os.path.join(fixture, BATCH_PLAN)):
+        print(f"workdir {root}: reusing fixture {fixture}", flush=True)
+    else:
+        print(f"workdir {root}: generating {n_traces} traces...",
+              flush=True)
+        t0 = time.time()
+        make_fixture(fixture, n_traces, n_batches)
+        print(f"fixture generated in {time.time() - t0:.1f}s", flush=True)
 
     # uninterrupted reference run (own process for a fair wall clock);
     # the audit overlay runs HERE so its overhead is measured against

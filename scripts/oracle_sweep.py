@@ -8,8 +8,10 @@ sf0.001 (local) and sf0.01 (driver); this script produces the sf1
 attestation (ORACLE_sf1_r{N}.json) over the examples/make_sf1.py store.
 
 Usage:
-    python scripts/oracle_sweep.py [sf_dir] [out.json]
+    python scripts/oracle_sweep.py [sf_dir] [out.json] [--resume]
     # defaults: .sfgen/sf1  ORACLE_sf1.json
+    # --resume: skip specs already recorded ok in out.json (the sweep
+    # checkpoints per spec, so an interrupted run loses nothing)
 """
 
 from __future__ import annotations
@@ -24,8 +26,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".sfgen/sf1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "ORACLE_sf1.json"
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else ".sfgen/sf1"
+    out_path = args[1] if len(args) > 1 else "ORACLE_sf1.json"
 
     import duckdb
 
@@ -39,8 +43,16 @@ def main() -> int:
 
     specs = all_specs()
     results: dict[str, dict] = {}
-    n_ok = n_skip = n_fail = 0
+    if resume and os.path.exists(out_path):
+        prior = json.load(open(out_path)).get("results", {})
+        results = {k: v for k, v in prior.items()
+                   if k in specs and v.get("ok")}
+        print(f"resuming: {len(results)} specs already ok", flush=True)
+    n_ok = sum(1 for v in results.values() if v.get("ok"))
+    n_skip = n_fail = 0
     for i, (name, spec) in enumerate(specs.items(), 1):
+        if name in results:
+            continue
         if spec.oracle is None:
             # same weaker rows-only check the driver records
             t0 = time.time()

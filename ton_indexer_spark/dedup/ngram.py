@@ -90,6 +90,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     prefix_filter: bool = False,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Return (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs with
     Jaccard >= threshold (doc_a < doc_b).
@@ -124,10 +125,12 @@ def ngram_jaccard_pairs(
     # aggregation (constant per group) instead of two downstream joins.
     # sizes is one row per doc, so the broadcast hint (which avoids
     # shuffling the postings side by doc id just to meet a tiny table)
-    # is gated on corpus size — see MAX_BROADCAST_DOCS.  The count is
-    # one cheap job against a table this function aggregates anyway,
-    # negligible next to the posting self-join it protects.
-    if docs.count() <= MAX_BROADCAST_DOCS:
+    # is gated on corpus size — see MAX_BROADCAST_DOCS.  Callers that
+    # already know the corpus size pass ``n_docs`` to skip the gate's
+    # count job; otherwise the count is one cheap job against a table
+    # this function aggregates anyway, negligible next to the posting
+    # self-join it protects.
+    if (n_docs if n_docs is not None else docs.count()) <= MAX_BROADCAST_DOCS:
         sizes = F.broadcast(sizes)
     shs = sh.join(sizes, id_col)
 
