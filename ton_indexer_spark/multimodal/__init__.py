@@ -7,15 +7,18 @@ feature-extract / resize / frame-sample run as Arrow-batched
 and partitioning stays byte-size-aware (a 100 TB corpus partitions by
 ``total bytes per partition``, not row count).
 
-The decode step itself requires codec libraries not present in this
-container, so it is STUBBED (`NotImplementedError` / deterministic fake) —
-the Spark-side plumbing (schema, UDF signature, batch shape, metadata
-computation) is real and tested.
+PNG pixel decode is REAL and fully in-engine (stdlib zlib + numpy,
+``png.py`` — all five scanline filters, palette/tRNS expansion, CRC
+checks).  JPEG/GIF pixel decode still requires codec libraries not
+present in this container, so those route to the declared external seam
+(`decode_image_stub`); the deterministic-fake resize/frame/feature
+stages remain for pipeline-shape tests.
 """
 
 from ton_indexer_spark.multimodal.binary import (
     binary_metadata,
     decode_image_stub,
+    decode_images,
     extract_features,
     resize_images,
     sample_frames,
@@ -25,6 +28,7 @@ from ton_indexer_spark.multimodal.binary import (
 __all__ = [
     "binary_metadata",
     "decode_image_stub",
+    "decode_images",
     "extract_features",
     "resize_images",
     "sample_frames",

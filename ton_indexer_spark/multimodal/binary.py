@@ -152,12 +152,74 @@ def _sniff(blob: bytes | None) -> str:
 
 
 def decode_image_stub(blob: bytes) -> None:
-    """Decode stage stub — the real implementation needs an image codec
-    (PIL/libjpeg) that is intentionally not vendored here.  The mapInPandas
-    wrapper calling this is identical to ``binary_metadata``'s."""
+    """Decode stage stub for the formats whose codecs are NOT in-engine
+    (JPEG entropy decode, GIF LZW) — wire PIL/libjpeg here.  PNG no
+    longer routes through this: ``multimodal/png.py`` is a real
+    stdlib-zlib pixel decode (see ``decode_images`` below)."""
     raise NotImplementedError(
-        "image decode requires a codec library; wire PIL/torchvision here — "
-        "the Spark-side batch plumbing is binary_metadata()'s shape"
+        "JPEG/GIF decode requires a codec library; wire PIL here — PNG "
+        "decodes in-engine via multimodal.png.decode_png"
+    )
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    out_w: int | None = None, out_h: int | None = None,
+) -> DataFrame:
+    """REAL image decode stage: PNG blobs -> interleaved u8 pixel planes
+    via the in-engine stdlib-zlib codec (``multimodal/png.py``);
+    non-PNG formats surface a ``decode_error`` row instead of raising,
+    so one bad blob can't fail a 100 TB stage.  Optional ``out_w/out_h``
+    applies a vectorized nearest-neighbor resample AFTER decode — the
+    decode+resize fusion keeps full-size planes out of the shuffle."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ton_indexer_spark.multimodal.png import (
+            decode_png,
+            resample_nearest,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                fmt = _sniff(blob)
+                try:
+                    if fmt != "png":
+                        raise ValueError(f"no in-engine codec for {fmt}")
+                    w, h, ch, px = decode_png(blob)
+                    if out_w is not None and out_h is not None:
+                        px = resample_nearest(px, w, h, ch, out_w, out_h)
+                        w, h = out_w, out_h
+                    rows.append((doc_id, fmt, w, h, ch, px, None))
+                except Exception as exc:  # noqa: BLE001 — per-blob quarantine
+                    rows.append(
+                        (doc_id, fmt, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "width", "height",
+                         "channels", "pixels", "decode_error"],
+            ).astype({"width": "Int32", "height": "Int32",
+                      "channels": "Int32"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, schema=DECODE_SCHEMA
     )
 
 

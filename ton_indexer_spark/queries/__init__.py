@@ -108,7 +108,10 @@ _EXPOSURE_FIRST = [
     "nft_sale_state_dims",
     "nft_auction_state_dims",
     "nft_collection_state_dims",
-    # 17 r7-stale specs, oldest exposure first (COVERAGE.md r9 plan);
+    # the round-9 PNG pixel-decode gate (never sampled by construction:
+    # the in-engine stdlib-zlib codec shrinking the image-decode seam)
+    "png_decode",
+    # 16 r7-stale specs, oldest exposure first (COVERAGE.md r9 plan);
     # the remaining r7-stale specs rotate in r10
     "filter_sort_page",
     "group_agg",
@@ -126,8 +129,8 @@ _EXPOSURE_FIRST = [
     "token_count",
     "text_quality",
     "lang_id",
-    "doc_fingerprint",
-    # (28 + 5 never-sampled + 17 r7-stale = the 50-slot driver window.
+    # (28 + 5 + 1 never-sampled + 16 r7-stale = the 50-slot driver
+    # window; doc_fingerprint defers to r10 with the other r7-stale.
     # Every spec stays hash-verified locally each test run regardless
     # via tests/test_oracle_parity.py; rotation changes external
     # attestation only.)
