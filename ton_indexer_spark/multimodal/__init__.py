@@ -22,6 +22,7 @@ from ton_indexer_spark.multimodal.binary import (
     extract_features,
     resize_images,
     sample_frames,
+    sample_gif_frames,
     with_binary_payload,
 )
 
@@ -32,5 +33,6 @@ __all__ = [
     "extract_features",
     "resize_images",
     "sample_frames",
+    "sample_gif_frames",
     "with_binary_payload",
 ]

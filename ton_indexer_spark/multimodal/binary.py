@@ -152,13 +152,14 @@ def _sniff(blob: bytes | None) -> str:
 
 
 def decode_image_stub(blob: bytes) -> None:
-    """Decode stage stub for the formats whose codecs are NOT in-engine
-    (JPEG entropy decode, GIF LZW) — wire PIL/libjpeg here.  PNG no
-    longer routes through this: ``multimodal/png.py`` is a real
-    stdlib-zlib pixel decode (see ``decode_images`` below)."""
+    """Decode stage stub for the one format whose codec is NOT
+    in-engine (JPEG entropy decode) — wire PIL/libjpeg here.  PNG and
+    GIF no longer route through this: ``multimodal/png.py`` (stdlib
+    zlib) and ``multimodal/gif.py`` (pure-python LZW) are real pixel
+    decodes (see ``decode_images`` below)."""
     raise NotImplementedError(
-        "JPEG/GIF decode requires a codec library; wire PIL here — PNG "
-        "decodes in-engine via multimodal.png.decode_png"
+        "JPEG decode requires a codec library; wire PIL here — PNG/GIF "
+        "decode in-engine via multimodal.png / multimodal.gif"
     )
 
 
@@ -179,14 +180,18 @@ def decode_images(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
     out_w: int | None = None, out_h: int | None = None,
 ) -> DataFrame:
-    """REAL image decode stage: PNG blobs -> interleaved u8 pixel planes
-    via the in-engine stdlib-zlib codec (``multimodal/png.py``);
-    non-PNG formats surface a ``decode_error`` row instead of raising,
-    so one bad blob can't fail a 100 TB stage.  Optional ``out_w/out_h``
-    applies a vectorized nearest-neighbor resample AFTER decode — the
-    decode+resize fusion keeps full-size planes out of the shuffle."""
+    """REAL image decode stage: PNG and GIF blobs -> interleaved u8
+    pixel planes via the in-engine codecs (``multimodal/png.py``
+    stdlib-zlib, ``multimodal/gif.py`` pure-python LZW; GIF renders
+    frame 0 on the logical screen as RGBA).  Formats without an
+    in-engine codec (JPEG) surface a ``decode_error`` row instead of
+    raising, so one bad blob can't fail a 100 TB stage.  Optional
+    ``out_w/out_h`` applies a vectorized nearest-neighbor resample
+    AFTER decode — the decode+resize fusion keeps full-size planes out
+    of the shuffle."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ton_indexer_spark.multimodal.gif import first_frame
         from ton_indexer_spark.multimodal.png import (
             decode_png,
             resample_nearest,
@@ -199,9 +204,12 @@ def decode_images(
             ):
                 fmt = _sniff(blob)
                 try:
-                    if fmt != "png":
+                    if fmt == "png":
+                        w, h, ch, px = decode_png(blob)
+                    elif fmt == "gif":
+                        w, h, ch, px = first_frame(blob)
+                    else:
                         raise ValueError(f"no in-engine codec for {fmt}")
-                    w, h, ch, px = decode_png(blob)
                     if out_w is not None and out_h is not None:
                         px = resample_nearest(px, w, h, ch, out_w, out_h)
                         w, h = out_w, out_h
@@ -322,6 +330,59 @@ def sample_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         stage, schema=FRAME_SCHEMA
+    )
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("rgba", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def sample_gif_frames(
+    df: DataFrame, every_n: int = 1,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling for animated GIF: every-Nth frame LZW-decoded
+    in-engine (``multimodal/gif.py``) and exploded 1->many inside the
+    Arrow batch — ``sample_frames``'s production shape with the fake
+    byte-slice decode replaced by the actual codec.  Undecodable blobs
+    yield one quarantine row (frame_idx NULL + decode_error)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ton_indexer_spark.multimodal.gif import decode_gif
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                try:
+                    g = decode_gif(blob)
+                    for i in range(0, len(g["frames"]), every_n):
+                        f = g["frames"][i]
+                        rows.append((doc_id, i, f["delay_cs"],
+                                     f["width"], f["height"], f["rgba"],
+                                     None))
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append((doc_id, None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "delay_cs", "width",
+                         "height", "rgba", "decode_error"],
+            ).astype({"frame_idx": "Int32", "delay_cs": "Int32",
+                      "width": "Int32", "height": "Int32"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, schema=GIF_FRAME_SCHEMA
     )
 
 

@@ -232,7 +232,7 @@ def _png_gate_blobs():
        CAST(NULL AS VARCHAR)),
       (CAST(7 AS BIGINT), 'gif', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-       CAST(NULL AS VARCHAR), 'ValueError'),
+       CAST(NULL AS VARCHAR), 'GifError'),
       (CAST(8 AS BIGINT), 'png', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST(NULL AS VARCHAR), 'PngError')
@@ -254,6 +254,78 @@ def png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decode_images(df, id_col="img_id")
     return out.select(
+        F.col("doc_id").alias("img_id"),
+        "format", "width", "height", "channels",
+        F.when(
+            F.col("pixels").isNotNull(), F.md5(F.col("pixels"))
+        ).alias("pixel_md5"),
+        F.substring_index("decode_error", ":", 1).alias("err_kind"),
+    ).orderBy("img_id")
+
+
+def _gif_gate_blobs():
+    """Deterministic GIF89a fixtures from the in-engine encoder: plain,
+    interlaced, transparent-index, 3-frame animation, plus a truncated
+    blob and a non-GIF blob for the quarantine rows."""
+    import numpy as np
+
+    from ton_indexer_spark.multimodal.gif import encode_gif
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+    def idx(seed: int, n: int) -> bytes:
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 4, size=n, dtype=np.uint8).tobytes()
+
+    return [
+        (1, encode_gif(idx(101, 8 * 5), 8, 5, pal)),
+        (2, encode_gif(idx(102, 6 * 13), 6, 13, pal, interlace=True)),
+        (3, encode_gif(idx(103, 4 * 4), 4, 4, pal, transparent=1)),
+        (4, encode_gif(idx(104, 5 * 5), 5, 5, pal,
+                       animate=[idx(105, 5 * 5), idx(106, 5 * 5)])),
+        (5, b"GIF89a\x00\x00"),          # truncated
+        (6, b"\xff\xd8\xffJPEG bytes"),  # no in-engine codec
+    ]
+
+
+@register(
+    "gif_decode",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'gif', CAST(8 AS INTEGER), CAST(5 AS INTEGER),
+       CAST(4 AS INTEGER), 'b22458510ade8bd16b50d148c88ce9cc',
+       CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'gif', CAST(6 AS INTEGER), CAST(13 AS INTEGER),
+       CAST(4 AS INTEGER), 'b9dcd38e2028a0dd18d03e0199d7f2cf',
+       CAST(NULL AS VARCHAR)),
+      (CAST(3 AS BIGINT), 'gif', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+       CAST(4 AS INTEGER), 'e43790c28377375e42dc808ff793babb',
+       CAST(NULL AS VARCHAR)),
+      (CAST(4 AS BIGINT), 'gif', CAST(5 AS INTEGER), CAST(5 AS INTEGER),
+       CAST(4 AS INTEGER), '0c69cebd1c1124ca1adda7ca3e9134e7',
+       CAST(NULL AS VARCHAR)),
+      (CAST(5 AS BIGINT), 'gif', CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), 'GifError'),
+      (CAST(6 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), 'ValueError')
+    ) AS t(img_id, format, width, height, channels, pixel_md5, err_kind)
+    ORDER BY img_id
+    """,
+    survey_ops=("beyond:multimodal",),
+    description="REAL in-engine GIF pixel decode (pure-python LZW, "
+    "multimodal/gif.py): plain/interlaced/transparent/animated frames "
+    "LZW-decoded and rendered RGBA inside the Arrow stage; truncated "
+    "and codec-less blobs quarantine as typed decode_error rows",
+)
+def gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.multimodal.binary import decode_images
+
+    df = spark.createDataFrame(
+        _gif_gate_blobs(), "img_id long, payload binary"
+    )
+    return decode_images(df, id_col="img_id").select(
         F.col("doc_id").alias("img_id"),
         "format", "width", "height", "channels",
         F.when(
