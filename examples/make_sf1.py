@@ -18,9 +18,16 @@ scaling point we build sf1 = ten disjoint copies of sf0.1 with:
     expectation; cross-copy cosines collapse to ~N(0, 1/64), far below
     the 0.4 near-dup threshold).
   * ``documents.text``: copy *i* applies a seeded per-language
-    vocabulary permutation (a bijection on words preserves within-copy
-    n-gram/minhash/simhash duplicate structure exactly; cross-copy
-    shingle overlap collapses).  ``n_chars`` is recomputed.
+    vocabulary permutation PLUS a ``~i`` copy tag on every word — a
+    bijection into a DISJOINT word space.  A bijection preserves
+    within-copy n-gram/minhash/simhash duplicate structure exactly;
+    disjointness keeps the shingle-df distribution FLAT across copies.
+    (The first version permuted within the same tiny vocabulary: the
+    ~30k-shingle universe saturates, so shingle df multiplied with the
+    copy count — 9 -> 87 -> 873 median over two decades — until at
+    sf10 every shingle crossed the df-256 boilerplate cap and the
+    capped Jaccard join correctly returned zero pairs.  Caught by the
+    round-9 third-decade scaling probe.)  ``n_chars`` is recomputed.
 
 Run:  python examples/make_sf1.py [dst_dir]     (default .sfgen/sf1)
 """
@@ -91,35 +98,41 @@ def _vocab_permutations(spark, docs):
 
 
 def _document_permutation(df, copy_idx: int, by_lang):
-    """Apply the per-(lang, copy) vocabulary bijection to text."""
+    """Apply the per-(lang, copy) vocabulary bijection to text: permute
+    within the language's word list, then tag every word with ``~i`` so
+    each copy's vocabulary (hence shingle universe) is DISJOINT — df
+    distribution identical to the source instead of multiplying.
+
+    Runs as a broadcast-dict mapInPandas stage rather than a
+    ``create_map`` literal: at the second generation (sf1 -> sf10) the
+    collected vocabulary is 10x, and a 10^5-entry literal expression
+    tree is where Catalyst hurts."""
     if copy_idx == 0:
         return df
-    mapping = {}
+    mapping: dict[str, dict[str, str]] = {}
     for lang, words in by_lang.items():
         # stable seed: python's str hash is salted per process
         lang_h = int(hashlib.md5(lang.encode()).hexdigest()[:6], 16)
         rng = random.Random(20_000 + 1000 * copy_idx + lang_h % 997)
         shuffled = words[:]
         rng.shuffle(shuffled)
-        for a, b in zip(words, shuffled):
-            mapping[(lang, a)] = b
-    kv = []
-    for (lang, a), b in sorted(mapping.items()):
-        kv += [F.lit(lang + "\x00" + a), F.lit(b)]
-    m = F.create_map(*kv)
-    lang = F.col("lang")
-    mapped = F.array_join(
-        F.transform(
-            F.split("text", " "),
-            lambda w: F.coalesce(
-                m[F.concat(lang, F.lit("\x00"), w)], w
-            ),
-        ),
-        " ",
-    )
-    return df.withColumn("text", mapped).withColumn(
-        "n_chars", F.length("text").cast("long")
-    )
+        tag = f"~{copy_idx}"
+        mapping[lang] = {a: b + tag for a, b in zip(words, shuffled)}
+
+    def stage(batches):
+        for pdf in batches:
+            texts = []
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                m = mapping.get(lang, {})
+                texts.append(
+                    " ".join(m.get(w, w) for w in text.split(" "))
+                )
+            pdf = pdf.copy()
+            pdf["text"] = texts
+            pdf["n_chars"] = [len(t) for t in texts]
+            yield pdf
+
+    return df.mapInPandas(stage, schema=df.schema)
 
 
 def build(spark, src: str, dst: str) -> None:

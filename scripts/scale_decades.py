@@ -69,6 +69,8 @@ def main() -> int:
         ratios[f"{b}/{a}"] = {
             q: round(points[b]["queries"][q] / points[a]["queries"][q], 2)
             for q in QUERIES
+            if q in points[a].get("queries", {})
+            and q in points[b].get("queries", {})
         }
     summary = {
         "metric": "scaling_decades",

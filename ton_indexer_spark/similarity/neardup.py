@@ -81,12 +81,31 @@ def cosine_neardup_pairs(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
-        sims = round_half_away(mat @ mat.T, round_digits)
-        ai, bj = np.nonzero(
-            (sims >= threshold) & (ids[:, None] < ids[None, :])
-        )
+        # BLOCKED matmul: a full |bucket|² fp64 sims matrix is O(n²)
+        # MEMORY, not just flops — a 12.5k-row bucket is 1.25 GB, and 32
+        # concurrent workers took the host down at the sf10 scaling
+        # decade (OS oom-kill, round 9).  Row-blocks bound the live sims
+        # slab at ~64 MB per worker for any bucket size; the pair set
+        # and sims are bit-identical to the one-shot product.
+        n = len(ids)
+        blk = max(1, (64 << 20) // (8 * max(1, n)))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for s in range(0, n, blk):
+            sims = round_half_away(mat[s:s + blk] @ mat.T, round_digits)
+            ai, bj = np.nonzero(
+                (sims >= threshold) & (ids[s:s + blk, None] < ids[None, :])
+            )
+            out_a.append(ids[s:s + blk][ai])
+            out_b.append(ids[bj])
+            out_s.append(sims[ai, bj])
         return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bj], "sim": sims[ai, bj]}
+            {
+                "vec_a": np.concatenate(out_a) if out_a else out_a,
+                "vec_b": np.concatenate(out_b) if out_b else out_b,
+                "sim": np.concatenate(out_s) if out_s else out_s,
+            }
         )
 
     return (
