@@ -126,7 +126,7 @@ def test_decode_images_stage(spark):
     }.items():
         px = _pix(f"stage{img_id}", w * h * ch)
         rows.append((img_id, encode_png(px, w, h, ch, filter_type=ft), px))
-    rows.append((4, b"\xff\xd8\xff" + b"\x00" * 20, None))  # jpeg: no codec
+    rows.append((4, b"RIFF" + b"\x00" * 20, None))  # riff: no codec
     bad = bytearray(rows[0][1]); bad[-5] ^= 0xFF       # corrupt IEND CRC
     rows.append((5, bytes(bad), None))
     df = spark.createDataFrame(
@@ -137,7 +137,7 @@ def test_decode_images_stage(spark):
         r = out[img_id]
         assert r["decode_error"] is None and bytes(r["pixels"]) == px
     assert out[4]["decode_error"].startswith("ValueError")
-    assert out[4]["format"] == "jpeg" and out[4]["pixels"] is None
+    assert out[4]["format"] == "riff" and out[4]["pixels"] is None
     assert out[5]["decode_error"].startswith("PngError")
 
     # decode+resize fusion: plane shape is (out_w * out_h * channels)

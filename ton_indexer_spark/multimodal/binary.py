@@ -152,14 +152,16 @@ def _sniff(blob: bytes | None) -> str:
 
 
 def decode_image_stub(blob: bytes) -> None:
-    """Decode stage stub for the one format whose codec is NOT
-    in-engine (JPEG entropy decode) — wire PIL/libjpeg here.  PNG and
-    GIF no longer route through this: ``multimodal/png.py`` (stdlib
-    zlib) and ``multimodal/gif.py`` (pure-python LZW) are real pixel
-    decodes (see ``decode_images`` below)."""
+    """External-codec hook, now EMPTY of formats: PNG (``png.py``,
+    stdlib zlib), GIF (``gif.py``, pure-python LZW) and baseline JPEG
+    (``jpeg.py``, Huffman + IDCT) all decode in-engine via
+    ``decode_images``.  What still routes external if a deployment
+    needs it: progressive/arithmetic JPEG, 12-bit precision, and
+    formats outside these three (webp/avif/tiff) — wire PIL here;
+    until then such blobs surface as typed ``decode_error`` rows."""
     raise NotImplementedError(
-        "JPEG decode requires a codec library; wire PIL here — PNG/GIF "
-        "decode in-engine via multimodal.png / multimodal.gif"
+        "no in-engine codec for this format; wire PIL here — PNG/GIF/"
+        "baseline-JPEG decode in-engine via multimodal.{png,gif,jpeg}"
     )
 
 
@@ -180,18 +182,20 @@ def decode_images(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
     out_w: int | None = None, out_h: int | None = None,
 ) -> DataFrame:
-    """REAL image decode stage: PNG and GIF blobs -> interleaved u8
-    pixel planes via the in-engine codecs (``multimodal/png.py``
-    stdlib-zlib, ``multimodal/gif.py`` pure-python LZW; GIF renders
-    frame 0 on the logical screen as RGBA).  Formats without an
-    in-engine codec (JPEG) surface a ``decode_error`` row instead of
-    raising, so one bad blob can't fail a 100 TB stage.  Optional
-    ``out_w/out_h`` applies a vectorized nearest-neighbor resample
-    AFTER decode — the decode+resize fusion keeps full-size planes out
-    of the shuffle."""
+    """REAL image decode stage: PNG, GIF and baseline-JPEG blobs ->
+    interleaved u8 pixel planes via the in-engine codecs
+    (``multimodal/png.py`` stdlib-zlib, ``multimodal/gif.py``
+    pure-python LZW with frame 0 rendered on the logical screen as
+    RGBA, ``multimodal/jpeg.py`` Huffman + matrix IDCT).  Anything
+    undecodable (progressive JPEG, webp, corrupt bytes) surfaces a
+    ``decode_error`` row instead of raising, so one bad blob can't fail
+    a 100 TB stage.  Optional ``out_w/out_h`` applies a vectorized
+    nearest-neighbor resample AFTER decode — the decode+resize fusion
+    keeps full-size planes out of the shuffle."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ton_indexer_spark.multimodal.gif import first_frame
+        from ton_indexer_spark.multimodal.jpeg import decode_jpeg
         from ton_indexer_spark.multimodal.png import (
             decode_png,
             resample_nearest,
@@ -208,6 +212,8 @@ def decode_images(
                         w, h, ch, px = decode_png(blob)
                     elif fmt == "gif":
                         w, h, ch, px = first_frame(blob)
+                    elif fmt == "jpeg":
+                        w, h, ch, px = decode_jpeg(blob)
                     else:
                         raise ValueError(f"no in-engine codec for {fmt}")
                     if out_w is not None and out_h is not None:

@@ -309,7 +309,7 @@ def _gif_gate_blobs():
        CAST(NULL AS VARCHAR), 'GifError'),
       (CAST(6 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-       CAST(NULL AS VARCHAR), 'ValueError')
+       CAST(NULL AS VARCHAR), 'JpegError')
     ) AS t(img_id, format, width, height, channels, pixel_md5, err_kind)
     ORDER BY img_id
     """,
@@ -324,6 +324,95 @@ def gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.createDataFrame(
         _gif_gate_blobs(), "img_id long, payload binary"
+    )
+    return decode_images(df, id_col="img_id").select(
+        F.col("doc_id").alias("img_id"),
+        "format", "width", "height", "channels",
+        F.when(
+            F.col("pixels").isNotNull(), F.md5(F.col("pixels"))
+        ).alias("pixel_md5"),
+        F.substring_index("decode_error", ":", 1).alias("err_kind"),
+    ).orderBy("img_id")
+
+
+def _jpeg_gate_blobs():
+    """Deterministic baseline JPEGs from the in-engine encoder:
+    grayscale, colour, 4:2:0 subsampled, restart-interval, and lossy
+    quantization; a torn entropy stream and a progressive-marker patch
+    for the quarantine rows."""
+    import numpy as np
+
+    from ton_indexer_spark.multimodal.jpeg import encode_jpeg
+
+    def noise(seed: int, h: int, w: int, ch: int) -> bytes:
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, ch)).astype(
+            np.uint8
+        ).tobytes()
+
+    def smooth(h: int, w: int) -> bytes:
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(xx * 8) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256],
+            axis=-1,
+        ).astype(np.uint8).tobytes()
+
+    rows = [
+        (1, encode_jpeg(noise(201, 8, 16, 1), 16, 8, 1, quant=1)),
+        (2, encode_jpeg(noise(202, 17, 9, 3), 9, 17, 3, quant=1)),
+        (3, encode_jpeg(smooth(20, 30), 30, 20, 3, quant=1,
+                        subsample=True)),
+        (4, encode_jpeg(smooth(12, 12), 12, 12, 3, quant=1,
+                        restart_interval=2)),
+        (5, encode_jpeg(noise(205, 16, 16, 3), 16, 16, 3, quant=8)),
+        (6, b"\xff\xd8\xff" + b"\x00" * 10),  # torn stream
+    ]
+    good = rows[0][1]
+    i = good.index(b"\xff\xc0")
+    rows.append((7, good[:i] + b"\xff\xc2" + good[i + 2:]))  # progressive
+    return rows
+
+
+@register(
+    "jpeg_decode",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(8 AS INTEGER),
+       CAST(1 AS INTEGER), '447ee4a94dc4ec345128d20eb2a1b0e6',
+       CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'jpeg', CAST(9 AS INTEGER), CAST(17 AS INTEGER),
+       CAST(3 AS INTEGER), 'e9a81dd291bc6389713187f22e9edb13',
+       CAST(NULL AS VARCHAR)),
+      (CAST(3 AS BIGINT), 'jpeg', CAST(30 AS INTEGER), CAST(20 AS INTEGER),
+       CAST(3 AS INTEGER), '2b988058d514754c1926b611966c157c',
+       CAST(NULL AS VARCHAR)),
+      (CAST(4 AS BIGINT), 'jpeg', CAST(12 AS INTEGER), CAST(12 AS INTEGER),
+       CAST(3 AS INTEGER), '5f7e73b74e5a14784d29494f17a52fc5',
+       CAST(NULL AS VARCHAR)),
+      (CAST(5 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER),
+       CAST(3 AS INTEGER), 'eabc37db1759874f4d7fb1bfa5ca135d',
+       CAST(NULL AS VARCHAR)),
+      (CAST(6 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), 'JpegError'),
+      (CAST(7 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), 'JpegError')
+    ) AS t(img_id, format, width, height, channels, pixel_md5, err_kind)
+    ORDER BY img_id
+    """,
+    survey_ops=("beyond:multimodal",),
+    description="REAL in-engine baseline JPEG decode (Huffman + matrix "
+    "IDCT + BT.601, multimodal/jpeg.py): grayscale/colour/4:2:0/"
+    "restart-interval/lossy-quant streams decoded inside the Arrow "
+    "stage; torn and progressive streams quarantine as typed "
+    "decode_error rows",
+)
+def jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.multimodal.binary import decode_images
+
+    df = spark.createDataFrame(
+        _jpeg_gate_blobs(), "img_id long, payload binary"
     )
     return decode_images(df, id_col="img_id").select(
         F.col("doc_id").alias("img_id"),
