@@ -338,6 +338,45 @@ def main() -> None:
     print(f"  hard negatives            {negs.count()} pairs "
           f"(4 per anchor, cross-label)")
 
+    # ---- 13. multimodal leg: decode -> resize -> embed -> near-dup --------
+    # REAL in-engine PNG decode (stdlib zlib) on synthesized payloads;
+    # the decode+resize fusion keeps full-size planes out of the
+    # shuffle, and the extracted vectors feed the same similarity
+    # operators the text side uses — one engine, both modalities.
+    from ton_indexer_spark.multimodal.binary import (
+        decode_images,
+        extract_features,
+    )
+    from ton_indexer_spark.multimodal.png import encode_png
+    from ton_indexer_spark.similarity.neardup import cosine_neardup_pairs
+
+    def _to_png(batches):
+        import hashlib as _h
+
+        for pdf in batches:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                # deterministic 16x16 gray plane from the doc content
+                seed = _h.md5(f"{did}:{text[:64]}".encode()).digest()
+                px = (seed * 16)[:256]
+                blobs.append(encode_png(px, 16, 16, 1, filter_type=2))
+            pdf = pdf[["doc_id"]].copy()
+            pdf["payload"] = blobs
+            yield pdf
+
+    media = kept.limit(200).select("doc_id", "text").mapInPandas(
+        _to_png, schema="doc_id long, payload binary"
+    )
+    decoded = decode_images(media, out_w=8, out_h=8)
+    n_ok = decoded.filter(F.col("decode_error").isNull()).count()
+    vecs = extract_features(
+        decoded.filter(F.col("decode_error").isNull()),
+        dim=64, payload_col="pixels",
+    ).withColumnRenamed("doc_id", "vec_id")
+    media_dups = cosine_neardup_pairs(vecs, threshold=0.95)
+    print(f"  multimodal leg            {n_ok} PNGs decoded in-engine, "
+          f"{media_dups.count()} near-dup pairs at cos>=0.95")
+
     print("== done — every stage above is a lazy DataFrame plan; at 100 TB "
           "swap the paths and raise spark.sql.shuffle.partitions")
     # free the walkthrough's cached intermediates (the test suite runs

@@ -7,11 +7,14 @@ feature-extract / resize / frame-sample run as Arrow-batched
 and partitioning stays byte-size-aware (a 100 TB corpus partitions by
 ``total bytes per partition``, not row count).
 
-PNG pixel decode is REAL and fully in-engine (stdlib zlib + numpy,
-``png.py`` — all five scanline filters, palette/tRNS expansion, CRC
-checks).  JPEG/GIF pixel decode still requires codec libraries not
-present in this container, so those route to the declared external seam
-(`decode_image_stub`); the deterministic-fake resize/frame/feature
+Pixel decode is REAL and fully in-engine for all three driver-visible
+image formats: PNG (``png.py`` — stdlib zlib, all five scanline
+filters, palette/tRNS, CRC checks), GIF (``gif.py`` — pure-python LZW,
+interlace, transparency, animated frame sampling) and baseline JPEG
+(``jpeg.py`` — canonical Huffman, restart markers, exact matrix IDCT,
+4:2:0/4:2:2 chroma, BT.601).  `decode_image_stub` remains only as the
+hook a deployment would wire PIL into for progressive JPEG or formats
+outside these three; the deterministic-fake resize/frame/feature
 stages remain for pipeline-shape tests.
 """
 
