@@ -19,7 +19,9 @@ stages remain for pipeline-shape tests.
 """
 
 from ton_indexer_spark.multimodal.binary import (
+    audio_features,
     binary_metadata,
+    decode_audio,
     decode_image_stub,
     decode_images,
     extract_features,
@@ -30,7 +32,9 @@ from ton_indexer_spark.multimodal.binary import (
 )
 
 __all__ = [
+    "audio_features",
     "binary_metadata",
+    "decode_audio",
     "decode_image_stub",
     "decode_images",
     "extract_features",

@@ -392,6 +392,104 @@ def sample_gif_frames(
     )
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("pcm16", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio decode stage: WAV/PCM blobs -> canonical 16-bit mono
+    PCM (``multimodal/wav.py``, pure numpy — 8/16/32-bit int and
+    float32 sources all normalize through [-1,1]).  Compressed codecs
+    and corrupt containers quarantine as typed ``decode_error`` rows."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ton_indexer_spark.multimodal.wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                try:
+                    rate, ch, x = decode_wav(blob)
+                    mono = x.mean(axis=1)
+                    pcm16 = np.clip(
+                        np.rint(mono * 32767), -32768, 32767
+                    ).astype("<i2").tobytes()
+                    rows.append((
+                        doc_id, rate, ch, len(mono),
+                        int(len(mono) * 1000 / rate), pcm16, None,
+                    ))
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append((doc_id, None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels",
+                         "n_samples", "duration_ms", "pcm16",
+                         "decode_error"],
+            ).astype({"sample_rate": "Int32", "channels": "Int32",
+                      "n_samples": "Int32", "duration_ms": "Int32"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, schema=AUDIO_SCHEMA
+    )
+
+
+def audio_features(
+    df: DataFrame, n_mels: int = 20,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """WAV blob -> pooled log-mel embedding (mean + std per mel band,
+    2*n_mels dims): the real spectral front-end (Hann rFFT + HTK mel
+    filterbank) computed in-engine, pooled so the output feeds the
+    similarity operators exactly like the `embeddings` table."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ton_indexer_spark.multimodal.wav import decode_wav, logmel
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, blob in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                try:
+                    rate, _ch, x = decode_wav(blob)
+                except Exception:  # noqa: BLE001 — skip undecodable
+                    continue
+                m = logmel(x, rate, n_mels=n_mels)
+                vec = np.concatenate([m.mean(axis=0), m.std(axis=0)])
+                ids.append(doc_id)
+                vecs.append(vec.astype(np.float32).tolist())
+            # explicit dtypes: an all-quarantined batch otherwise infers
+            # float64 columns that Arrow can't cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "embedding": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stage, schema=FEATURE_SCHEMA
+    )
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -424,6 +424,80 @@ def jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("img_id")
 
 
+def _wav_gate_blobs():
+    """Deterministic WAV fixtures from the in-engine encoder: 16-bit
+    mono, 16-bit stereo, float32, 8-bit (odd length), plus an ADPCM-
+    tagged container and a truncated blob for the quarantine rows."""
+    import numpy as np
+
+    from ton_indexer_spark.multimodal.wav import encode_wav
+
+    def tone(freq: float, rate: int, n: int, ch: int = 1) -> np.ndarray:
+        t = np.arange(n) / rate
+        x = 0.5 * np.sin(2 * np.pi * freq * t)
+        return np.stack([x] * ch, axis=1) if ch > 1 else x
+
+    rows = [
+        (1, encode_wav(tone(440, 8000, 800), 8000, bits=16)),
+        (2, encode_wav(tone(880, 16000, 1600, ch=2), 16000, bits=16)),
+        (3, encode_wav(tone(100, 4000, 200), 4000, bits=32)),
+        (4, encode_wav(tone(220, 8000, 123), 8000, bits=8)),
+    ]
+    good = rows[0][1]
+    i = good.index(b"fmt ") + 8
+    rows.append((5, good[:i] + b"\x02\x00" + good[i + 2:]))  # ADPCM tag
+    rows.append((6, good[:30]))                              # truncated
+    return rows
+
+
+@register(
+    "wav_decode",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+       CAST(800 AS INTEGER), CAST(100 AS INTEGER),
+       '5b68257c50c8fa57fcbbf34cbb4b23f7', CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), CAST(16000 AS INTEGER), CAST(2 AS INTEGER),
+       CAST(1600 AS INTEGER), CAST(100 AS INTEGER),
+       '9d2156ee2dedaa59a21312d9bb229552', CAST(NULL AS VARCHAR)),
+      (CAST(3 AS BIGINT), CAST(4000 AS INTEGER), CAST(1 AS INTEGER),
+       CAST(200 AS INTEGER), CAST(50 AS INTEGER),
+       'b5793aabf2bfc3a9ad000b57a46183b0', CAST(NULL AS VARCHAR)),
+      (CAST(4 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+       CAST(123 AS INTEGER), CAST(15 AS INTEGER),
+       '9e6b440eba247f0fc4de4852503671fb', CAST(NULL AS VARCHAR)),
+      (CAST(5 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), 'WavError'),
+      (CAST(6 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), 'WavError')
+    ) AS t(doc_id, sample_rate, channels, n_samples, duration_ms,
+           pcm_md5, err_kind)
+    ORDER BY doc_id
+    """,
+    survey_ops=("beyond:multimodal",),
+    description="REAL in-engine WAV/PCM audio decode (pure numpy, "
+    "multimodal/wav.py): 8/16-bit int and float32 sources normalized "
+    "to canonical 16-bit mono PCM inside the Arrow stage; compressed-"
+    "codec and truncated containers quarantine as typed decode_error "
+    "rows",
+)
+def wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.multimodal.binary import decode_audio
+
+    df = spark.createDataFrame(
+        _wav_gate_blobs(), "doc_id long, payload binary"
+    )
+    return decode_audio(df).select(
+        "doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
+        F.when(
+            F.col("pcm16").isNotNull(), F.md5(F.col("pcm16"))
+        ).alias("pcm_md5"),
+        F.substring_index("decode_error", ":", 1).alias("err_kind"),
+    ).orderBy("doc_id")
+
+
 @register(
     "multimodal_frames",
     """
