@@ -80,6 +80,12 @@ HEADLINE = [
     "curriculum_order",
     "quality_nb_auc",
     "wordpiece_segment",
+    # round 9: the in-engine media codecs (fixture-sized fixed-cost
+    # gates — they measure the Arrow decode stage, not corpus scans)
+    "png_decode",
+    "gif_decode",
+    "jpeg_decode",
+    "wav_decode",
 ]
 
 
