@@ -99,7 +99,15 @@ def ngram_jaccard_pairs(
     self-join skew guard — see module docstring); ``None`` disables.
     ``prefix_filter`` enables the lossless rare-shingle prefix index
     (identical output; wins on Zipf-skewed natural corpora, see module
-    docstring); the default is the plain size-filtered posting join."""
+    docstring); the default is the plain size-filtered posting join.
+
+    ``n_docs`` contract: it skips the broadcast-gate count job, so it
+    MUST be an UPPER BOUND on the corpus row count (e.g. a catalog/
+    snapshot count taken at or after the read).  An understated value
+    below ``MAX_BROADCAST_DOCS`` would force a broadcast of an
+    arbitrarily large sizes table (driver/executor OOM).  When in doubt
+    leave it ``None`` — the fallback count is one cheap job against a
+    table this function aggregates anyway."""
     sh = shingles(docs, id_col, text_col, k)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     if max_shingle_df is not None:

@@ -17,8 +17,15 @@ disposal methods across frames is presentation policy, so
 ``first_frame`` renders frame 0 onto the logical screen (background =
 transparent) and leaves multi-frame compositing to callers.
 
-JPEG remains the one image format whose pixel decode stays an external
-seam (entropy decode is a codec-library-sized job).
+Baseline JPEG decodes in-engine too as of the same change set
+(``jpeg.py``, Huffman + matrix IDCT) — ``decode_images`` routes all
+three formats without an external codec.
+
+Decompression-bomb hardening: screen/frame dimensions are validated
+against a pixel budget (``max_pixels``) BEFORE any allocation, and the
+LZW loop stops emitting once the frame's declared fw*fh bytes are out —
+a crafted small blob (LZW amplifies up to ~2700x) raises ``GifError``
+or truncates harmlessly instead of OOM-killing the executor.
 """
 
 from __future__ import annotations
@@ -28,6 +35,12 @@ import numpy as np
 
 class GifError(ValueError):
     pass
+
+
+# Per-blob pixel budget (default 2^26 px; the RGBA canvas is 4 bytes/px
+# so worst-case live memory is ~256 MB/frame).  Checked before any
+# frame/canvas allocation so a tiny crafted blob can't OOM an executor.
+MAX_PIXELS = 1 << 26
 
 
 def _color_table(data: bytes, pos: int, n: int) -> tuple[np.ndarray, int]:
@@ -55,9 +68,17 @@ def _subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None,
+) -> bytearray:
     """GIF-flavor LZW (spec Appendix F): variable width starting at
-    min+1 bits, CLEAR resets the dictionary, EOI terminates."""
+    min+1 bits, CLEAR resets the dictionary, EOI terminates.
+
+    ``max_out`` bounds the emitted byte count (callers pass the frame's
+    declared fw*fh): LZW amplifies up to ~2700x, so without the bound a
+    small crafted stream could balloon memory long before the caller's
+    size check runs.  Emission stops once the bound is met — exactly the
+    bytes the caller would keep."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -95,6 +116,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
             raise GifError(f"code {code} beyond dictionary")
         out += entry
         prev = entry
+        if max_out is not None and len(out) >= max_out:
+            return out  # frame filled: ignore any trailing codes
         if len(table) >= (1 << width) and width < 12:
             width += 1
     return out  # missing EOI: tolerate, like most renderers
@@ -112,7 +135,7 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif(blob: bytes) -> dict:
+def decode_gif(blob: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     """Full decode -> {width, height, frames: [{left, top, width,
     height, delay_cs, rgba}]}; ``rgba`` is the frame rect's interleaved
     u8 RGBA (transparent index -> alpha 0)."""
@@ -122,6 +145,10 @@ def decode_gif(blob: bytes) -> dict:
         raise GifError("truncated logical screen descriptor")
     sw = int.from_bytes(blob[6:8], "little")
     sh = int.from_bytes(blob[8:10], "little")
+    if sw * sh > max_pixels:
+        raise GifError(
+            f"logical screen {sw}x{sh} exceeds pixel budget {max_pixels}"
+        )
     flags = blob[10]
     pos = 13
     gct = None
@@ -155,6 +182,10 @@ def decode_gif(blob: bytes) -> dict:
         fh = int.from_bytes(blob[pos + 6:pos + 8], "little")
         iflags = blob[pos + 8]
         pos += 9
+        if fw * fh > max_pixels:
+            raise GifError(
+                f"frame {fw}x{fh} exceeds pixel budget {max_pixels}"
+            )
         table = gct
         if iflags & 0x80:
             table, pos = _color_table(blob, pos, 2 << (iflags & 7))
@@ -165,7 +196,7 @@ def decode_gif(blob: bytes) -> dict:
         min_code = blob[pos]
         pos += 1
         lzw, pos = _subblocks(blob, pos)
-        idx_flat = _lzw_decode(lzw, min_code)
+        idx_flat = _lzw_decode(lzw, min_code, max_out=fw * fh)
         if len(idx_flat) < fw * fh:
             raise GifError(
                 f"LZW stream short: {len(idx_flat)} < {fw * fh}"

@@ -36,6 +36,14 @@ class JpegError(ValueError):
     pass
 
 
+# Per-blob pixel budget (default 2^24 px = 16 Mpx; the component planes
+# are float64, so worst-case live memory for a 3-component scan is
+# ~3*8 bytes/px ≈ 400 MB).  Checked at SOF0 — before any plane
+# allocation — so a crafted 20-byte header claiming 65535x65535 raises
+# a typed JpegError (quarantined by decode_images) instead of OOMing.
+MAX_PIXELS = 1 << 24
+
+
 # zigzag order: index i of the scan -> (row, col) in the 8x8 block
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -134,7 +142,9 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+def decode_jpeg(
+    blob: bytes, max_pixels: int = MAX_PIXELS
+) -> tuple[int, int, int, bytes]:
     """Decode baseline JPEG -> (width, height, channels, pixels)
     interleaved u8 (1ch grayscale or 3ch RGB)."""
     if blob[:2] != b"\xff\xd8":
@@ -189,6 +199,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("12-bit precision not supported")
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
+            if width * height > max_pixels:
+                raise JpegError(
+                    f"{width}x{height} exceeds pixel budget {max_pixels}"
+                )
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

@@ -15,8 +15,18 @@ codec library.  This module decodes (and, for tests, encodes) PNG:
   (hot-path note: at training-pipeline scale this stage is distributed
   across executors by ``decode_images``; per-image cost is the bound)
 
-16-bit depth, Adam7 interlace and ancillary color transforms (gAMA,
-iCCP) raise ``ValueError`` — callers route those to an external codec.
+16-bit depth and Adam7 interlace raise ``ValueError`` — callers route
+those to an external codec.  Ancillary color chunks (gAMA, iCCP, sRGB)
+are IGNORED like every unknown ancillary chunk: pixels come back in the
+file's encoded color space with no gamma/ICC transform applied, which
+matches what most u8 pipelines want (the transform is presentation
+policy, not decode).
+
+Decompression-bomb hardening: the declared image size is validated
+against a pixel budget (``max_pixels``) BEFORE any allocation, and IDAT
+inflation is bounded to exactly the declared scanline size via
+``zlib.decompressobj`` — a crafted small blob cannot balloon memory; it
+raises ``PngError`` and quarantines as a ``decode_error`` row.
 
 Everything here derives from the public PNG spec; the reference indexer
 has no image pipeline (this module serves the LLM-data-curation side of
@@ -34,6 +44,12 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 
 # channels per pixel by color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Per-blob pixel budget (default 2^26 px = 64 Mpx; peak live memory is
+# ~5 bytes/px u8 for the raw+unfiltered planes, so ~320 MB worst case).
+# The check runs BEFORE inflate/alloc so a 200-byte bomb can't OOM an
+# executor — it quarantines as a typed decode_error row instead.
+MAX_PIXELS = 1 << 26
 
 
 class PngError(ValueError):
@@ -90,7 +106,9 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+def decode_png(
+    blob: bytes, max_pixels: int = MAX_PIXELS
+) -> tuple[int, int, int, bytes]:
     """Decode a PNG blob -> (width, height, channels, pixels).
 
     ``pixels`` is row-major interleaved u8: gray -> 1ch, gray+alpha ->
@@ -126,6 +144,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
                 raise PngError(f"bit depth {depth} not supported")
             if ctype not in _CHANNELS:
                 raise PngError(f"color type {ctype} not supported")
+            if width * height > max_pixels:
+                raise PngError(
+                    f"{width}x{height} exceeds pixel budget {max_pixels}"
+                )
         elif tag == b"PLTE":
             plte = data
         elif tag == b"tRNS":
@@ -142,7 +164,15 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     if not idat:
         raise PngError("missing IDAT")
     bpp = _CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: never produce more bytes than the declared
+    # scanline size — a zlib bomb raises instead of ballooning memory
+    expected = height * (width * bpp + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected)
+    if dec.unconsumed_tail or dec.flush(1):
+        raise PngError(
+            f"IDAT inflates past the declared {expected}-byte image"
+        )
     px = _unfilter(raw, width, height, bpp)
     if ctype == 3:
         if plte is None:
