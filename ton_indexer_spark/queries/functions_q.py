@@ -3,6 +3,7 @@ multimodal metadata pass and keyset pagination."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -205,6 +206,10 @@ def _png_gate_blobs():
     bad = bytearray(rows[0][1])
     bad[-5] ^= 0xFF  # flip a bit inside the IEND CRC
     rows.append((8, bytes(bad)))
+    # externally-generated rows: ImageIO-encoded PNGs (adaptive per-row
+    # filters) with digests pinned from ImageIO's own pixel dumps
+    rows.append((9, _golden("java_rgb.png")))
+    rows.append((10, _golden("java_rgba.png")))
     return rows
 
 
@@ -235,7 +240,13 @@ def _png_gate_blobs():
        CAST(NULL AS VARCHAR), 'GifError'),
       (CAST(8 AS BIGINT), 'png', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-       CAST(NULL AS VARCHAR), 'PngError')
+       CAST(NULL AS VARCHAR), 'PngError'),
+      (CAST(9 AS BIGINT), 'png', CAST(31 AS INTEGER), CAST(19 AS INTEGER),
+       CAST(3 AS INTEGER), 'c3025a08ea1d181574b7757bfc5ef386',
+       CAST(NULL AS VARCHAR)),
+      (CAST(10 AS BIGINT), 'png', CAST(21 AS INTEGER), CAST(13 AS INTEGER),
+       CAST(4 AS INTEGER), '0bce7dcd3fd3aca1f6ca8a678a46263d',
+       CAST(NULL AS VARCHAR))
     ) AS t(img_id, format, width, height, channels, pixel_md5, err_kind)
     ORDER BY img_id
     """,
@@ -244,7 +255,9 @@ def _png_gate_blobs():
     "multimodal/png.py): all five scanline filters, gray/RGB/alpha "
     "channel layouts and per-row mixed filters decoded inside the Arrow "
     "mapInPandas stage; non-PNG and corrupt-CRC blobs quarantine as "
-    "typed decode_error rows instead of failing the stage",
+    "typed decode_error rows instead of failing the stage; rows 9-10 "
+    "are EXTERNALLY-GENERATED ImageIO PNGs (adaptive per-row filters) "
+    "with digests pinned from ImageIO's own pixel dumps",
 )
 def png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ton_indexer_spark.multimodal.binary import decode_images
@@ -263,10 +276,26 @@ def png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("img_id")
 
 
+def _golden(name: str) -> bytes:
+    """Committed golden fixture bytes — produced by OpenJDK ImageIO, an
+    independent standard codec implementation (provenance + exact
+    generation commands: multimodal/golden/README.md)."""
+    from pathlib import Path
+
+    return (Path(__file__).resolve().parents[1] / "multimodal" / "golden"
+            / name).read_bytes()
+
+
 def _gif_gate_blobs():
-    """Deterministic GIF89a fixtures from the in-engine encoder: plain,
-    interlaced, transparent-index, 3-frame animation, plus a truncated
-    blob and a non-GIF blob for the quarantine rows."""
+    """GIF fixtures: three ImageIO-ENCODED files (real LZW streams with
+    dictionary growth — 4/16/256-color palettes, the 256-color one
+    reaching wide codes) whose expected RGBA digests were pinned from
+    ImageIO's own pixel dumps; one interlaced file from OUR encoder
+    whose digest is pinned from ImageIO's DECODE of it (both directions
+    externally attested); a transparent-index and a 3-frame-animation
+    case from the in-engine encoder (feature coverage the single-frame
+    ImageIO writer doesn't exercise); a truncated blob and a torn
+    non-GIF blob for the quarantine rows."""
     import numpy as np
 
     from ton_indexer_spark.multimodal.gif import encode_gif
@@ -278,13 +307,15 @@ def _gif_gate_blobs():
         return rng.integers(0, 4, size=n, dtype=np.uint8).tobytes()
 
     return [
-        (1, encode_gif(idx(101, 8 * 5), 8, 5, pal)),
-        (2, encode_gif(idx(102, 6 * 13), 6, 13, pal, interlace=True)),
-        (3, encode_gif(idx(103, 4 * 4), 4, 4, pal, transparent=1)),
-        (4, encode_gif(idx(104, 5 * 5), 5, 5, pal,
+        (1, _golden("java_pal16.gif")),
+        (2, _golden("java_pal4.gif")),
+        (3, _golden("java_pal256.gif")),
+        (4, _golden("ours_interlaced.gif")),
+        (5, encode_gif(idx(103, 4 * 4), 4, 4, pal, transparent=1)),
+        (6, encode_gif(idx(104, 5 * 5), 5, 5, pal,
                        animate=[idx(105, 5 * 5), idx(106, 5 * 5)])),
-        (5, b"GIF89a\x00\x00"),          # truncated
-        (6, b"\xff\xd8\xffJPEG bytes"),  # no in-engine codec
+        (7, b"GIF89a\x00\x00"),          # truncated
+        (8, b"\xff\xd8\xffJPEG bytes"),  # no in-engine codec
     ]
 
 
@@ -292,22 +323,28 @@ def _gif_gate_blobs():
     "gif_decode",
     """
     SELECT * FROM (VALUES
-      (CAST(1 AS BIGINT), 'gif', CAST(8 AS INTEGER), CAST(5 AS INTEGER),
-       CAST(4 AS INTEGER), 'b22458510ade8bd16b50d148c88ce9cc',
+      (CAST(1 AS BIGINT), 'gif', CAST(64 AS INTEGER), CAST(48 AS INTEGER),
+       CAST(4 AS INTEGER), 'cb28cffd2fe939ff921c444cff8e2d99',
        CAST(NULL AS VARCHAR)),
-      (CAST(2 AS BIGINT), 'gif', CAST(6 AS INTEGER), CAST(13 AS INTEGER),
-       CAST(4 AS INTEGER), 'b9dcd38e2028a0dd18d03e0199d7f2cf',
+      (CAST(2 AS BIGINT), 'gif', CAST(23 AS INTEGER), CAST(17 AS INTEGER),
+       CAST(4 AS INTEGER), '38455cc35525add88b0a6d41d1d45f0a',
        CAST(NULL AS VARCHAR)),
-      (CAST(3 AS BIGINT), 'gif', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+      (CAST(3 AS BIGINT), 'gif', CAST(128 AS INTEGER), CAST(96 AS INTEGER),
+       CAST(4 AS INTEGER), '3bdcb63189cd4fb9aa8e464d4fb34a8e',
+       CAST(NULL AS VARCHAR)),
+      (CAST(4 AS BIGINT), 'gif', CAST(26 AS INTEGER), CAST(18 AS INTEGER),
+       CAST(4 AS INTEGER), '11cb19e539afddd9043bd992ac1f74fc',
+       CAST(NULL AS VARCHAR)),
+      (CAST(5 AS BIGINT), 'gif', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
        CAST(4 AS INTEGER), 'e43790c28377375e42dc808ff793babb',
        CAST(NULL AS VARCHAR)),
-      (CAST(4 AS BIGINT), 'gif', CAST(5 AS INTEGER), CAST(5 AS INTEGER),
+      (CAST(6 AS BIGINT), 'gif', CAST(5 AS INTEGER), CAST(5 AS INTEGER),
        CAST(4 AS INTEGER), '0c69cebd1c1124ca1adda7ca3e9134e7',
        CAST(NULL AS VARCHAR)),
-      (CAST(5 AS BIGINT), 'gif', CAST(NULL AS INTEGER),
+      (CAST(7 AS BIGINT), 'gif', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST(NULL AS VARCHAR), 'GifError'),
-      (CAST(6 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
+      (CAST(8 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST(NULL AS VARCHAR), 'JpegError')
     ) AS t(img_id, format, width, height, channels, pixel_md5, err_kind)
@@ -315,9 +352,13 @@ def _gif_gate_blobs():
     """,
     survey_ops=("beyond:multimodal",),
     description="REAL in-engine GIF pixel decode (pure-python LZW, "
-    "multimodal/gif.py): plain/interlaced/transparent/animated frames "
-    "LZW-decoded and rendered RGBA inside the Arrow stage; truncated "
-    "and codec-less blobs quarantine as typed decode_error rows",
+    "multimodal/gif.py) against EXTERNALLY-GENERATED golden fixtures: "
+    "rows 1-3 are OpenJDK-ImageIO-encoded real-LZW streams (4/16/256 "
+    "colors, dictionary growth to wide codes) with digests pinned from "
+    "ImageIO's own pixel dumps; row 4 is our interlaced stream pinned "
+    "from ImageIO's decode of it; transparent/animated rows cover "
+    "features the ImageIO writer doesn't; truncated and codec-less "
+    "blobs quarantine as typed decode_error rows",
 )
 def gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ton_indexer_spark.multimodal.binary import decode_images
@@ -335,42 +376,30 @@ def gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("img_id")
 
 
-def _jpeg_gate_blobs():
-    """Deterministic baseline JPEGs from the in-engine encoder:
-    grayscale, colour, 4:2:0 subsampled, restart-interval, and lossy
-    quantization; a torn entropy stream and a progressive-marker patch
-    for the quarantine rows."""
-    import numpy as np
-
-    from ton_indexer_spark.multimodal.jpeg import encode_jpeg
-
-    def noise(seed: int, h: int, w: int, ch: int) -> bytes:
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(h, w, ch)).astype(
-            np.uint8
-        ).tobytes()
-
-    def smooth(h: int, w: int) -> bytes:
-        yy, xx = np.mgrid[0:h, 0:w]
-        return np.stack(
-            [(xx * 8) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256],
-            axis=-1,
-        ).astype(np.uint8).tobytes()
-
-    rows = [
-        (1, encode_jpeg(noise(201, 8, 16, 1), 16, 8, 1, quant=1)),
-        (2, encode_jpeg(noise(202, 17, 9, 3), 9, 17, 3, quant=1)),
-        (3, encode_jpeg(smooth(20, 30), 30, 20, 3, quant=1,
-                        subsample=True)),
-        (4, encode_jpeg(smooth(12, 12), 12, 12, 3, quant=1,
-                        restart_interval=2)),
-        (5, encode_jpeg(noise(205, 16, 16, 3), 16, 16, 3, quant=8)),
-        (6, b"\xff\xd8\xff" + b"\x00" * 10),  # torn stream
+def _jpeg_gate_fixtures():
+    """Golden baseline JPEGs: rows 1-4 are ImageIO-ENCODED (grayscale
+    4:4:4 and 4:2:0 colour incl. odd partial-MCU dims) with the
+    reference pixels being ImageIO's OWN decode of each file; row 5 is
+    our restart-interval stream with ImageIO's decode of it as the
+    reference (cross-attests the RSTn path).  Tolerances cover
+    integer-vs-float IDCT plus triangle-vs-nearest chroma upsample
+    (measured max diff 1/7 — see multimodal/golden/README.md).
+    Rows 6-7: a torn entropy stream and a progressive-marker patch for
+    the quarantine rows."""
+    specs = [
+        (1, "java_gray_grad.jpg", "java_gray_grad.gray", 2),
+        (2, "java_gray_noise.jpg", "java_gray_noise.gray", 2),
+        (3, "java_rgb_grad.jpg", "java_rgb_grad.rgb", 10),
+        (4, "java_rgb_odd.jpg", "java_rgb_odd.rgb", 10),
+        (5, "ours_rst.jpg", "ours_rst.rgb", 4),
     ]
-    good = rows[0][1]
+    blobs = [(i, _golden(f)) for i, f, _, _ in specs]
+    refs = [(i, _golden(p), tol) for i, _, p, tol in specs]
+    blobs.append((6, b"\xff\xd8\xff" + b"\x00" * 10))  # torn stream
+    good = blobs[0][1]
     i = good.index(b"\xff\xc0")
-    rows.append((7, good[:i] + b"\xff\xc2" + good[i + 2:]))  # progressive
-    return rows
+    blobs.append((7, good[:i] + b"\xff\xc2" + good[i + 2:]))  # progressive
+    return blobs, refs
 
 
 @register(
@@ -378,48 +407,69 @@ def _jpeg_gate_blobs():
     """
     SELECT * FROM (VALUES
       (CAST(1 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(8 AS INTEGER),
-       CAST(1 AS INTEGER), '447ee4a94dc4ec345128d20eb2a1b0e6',
-       CAST(NULL AS VARCHAR)),
-      (CAST(2 AS BIGINT), 'jpeg', CAST(9 AS INTEGER), CAST(17 AS INTEGER),
-       CAST(3 AS INTEGER), 'e9a81dd291bc6389713187f22e9edb13',
-       CAST(NULL AS VARCHAR)),
-      (CAST(3 AS BIGINT), 'jpeg', CAST(30 AS INTEGER), CAST(20 AS INTEGER),
-       CAST(3 AS INTEGER), '2b988058d514754c1926b611966c157c',
-       CAST(NULL AS VARCHAR)),
-      (CAST(4 AS BIGINT), 'jpeg', CAST(12 AS INTEGER), CAST(12 AS INTEGER),
-       CAST(3 AS INTEGER), '5f7e73b74e5a14784d29494f17a52fc5',
-       CAST(NULL AS VARCHAR)),
-      (CAST(5 AS BIGINT), 'jpeg', CAST(16 AS INTEGER), CAST(16 AS INTEGER),
-       CAST(3 AS INTEGER), 'eabc37db1759874f4d7fb1bfa5ca135d',
-       CAST(NULL AS VARCHAR)),
+       CAST(1 AS INTEGER), TRUE, CAST(NULL AS VARCHAR)),
+      (CAST(2 AS BIGINT), 'jpeg', CAST(24 AS INTEGER), CAST(16 AS INTEGER),
+       CAST(1 AS INTEGER), TRUE, CAST(NULL AS VARCHAR)),
+      (CAST(3 AS BIGINT), 'jpeg', CAST(32 AS INTEGER), CAST(24 AS INTEGER),
+       CAST(3 AS INTEGER), TRUE, CAST(NULL AS VARCHAR)),
+      (CAST(4 AS BIGINT), 'jpeg', CAST(17 AS INTEGER), CAST(11 AS INTEGER),
+       CAST(3 AS INTEGER), TRUE, CAST(NULL AS VARCHAR)),
+      (CAST(5 AS BIGINT), 'jpeg', CAST(12 AS INTEGER), CAST(12 AS INTEGER),
+       CAST(3 AS INTEGER), TRUE, CAST(NULL AS VARCHAR)),
       (CAST(6 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-       CAST(NULL AS VARCHAR), 'JpegError'),
+       CAST(NULL AS BOOLEAN), 'JpegError'),
       (CAST(7 AS BIGINT), 'jpeg', CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-       CAST(NULL AS VARCHAR), 'JpegError')
-    ) AS t(img_id, format, width, height, channels, pixel_md5, err_kind)
+       CAST(NULL AS BOOLEAN), 'JpegError')
+    ) AS t(img_id, format, width, height, channels, within_tol, err_kind)
     ORDER BY img_id
     """,
     survey_ops=("beyond:multimodal",),
     description="REAL in-engine baseline JPEG decode (Huffman + matrix "
-    "IDCT + BT.601, multimodal/jpeg.py): grayscale/colour/4:2:0/"
-    "restart-interval/lossy-quant streams decoded inside the Arrow "
-    "stage; torn and progressive streams quarantine as typed "
-    "decode_error rows",
+    "IDCT + BT.601, multimodal/jpeg.py) against EXTERNALLY-GENERATED "
+    "golden fixtures: ImageIO-encoded grayscale/4:2:0-colour/odd-dim "
+    "streams compared to ImageIO's own decoded pixels within a pinned "
+    "tolerance (no float-derived digest — the r9 ADVICE item), plus "
+    "our restart-interval stream vs ImageIO's decode of it; torn and "
+    "progressive streams quarantine as typed decode_error rows",
 )
 def jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ton_indexer_spark.multimodal.binary import decode_images
 
-    df = spark.createDataFrame(
-        _jpeg_gate_blobs(), "img_id long, payload binary"
+    blobs, refs = _jpeg_gate_fixtures()
+    df = spark.createDataFrame(blobs, "img_id long, payload binary")
+    ref_df = spark.createDataFrame(
+        refs, "img_id long, ref binary, tol int"
     )
-    return decode_images(df, id_col="img_id").select(
-        F.col("doc_id").alias("img_id"),
-        "format", "width", "height", "channels",
+
+    @F.pandas_udf("integer")
+    def max_abs_diff(px: pd.Series, ref: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for a, b in zip(px, ref):
+            if a is None or b is None:
+                out.append(None)
+            elif len(a) != len(b):
+                out.append(9999)  # wrong plane size: never within tol
+            else:
+                out.append(int(np.abs(
+                    np.frombuffer(a, np.uint8).astype(np.int16)
+                    - np.frombuffer(b, np.uint8).astype(np.int16)
+                ).max()) if len(a) else 0)
+        return pd.Series(out, dtype="Int32")
+
+    out = decode_images(df, id_col="img_id").withColumnRenamed(
+        "doc_id", "img_id"
+    )
+    return out.join(F.broadcast(ref_df), "img_id", "left").select(
+        "img_id", "format", "width", "height", "channels",
         F.when(
-            F.col("pixels").isNotNull(), F.md5(F.col("pixels"))
-        ).alias("pixel_md5"),
+            F.col("pixels").isNotNull() & F.col("ref").isNotNull(),
+            max_abs_diff(F.col("pixels"), F.col("ref"))
+            <= F.col("tol"),
+        ).alias("within_tol"),
         F.substring_index("decode_error", ":", 1).alias("err_kind"),
     ).orderBy("img_id")
 
@@ -427,21 +477,27 @@ def jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _wav_gate_blobs():
     """Deterministic WAV fixtures from the in-engine encoder: 16-bit
     mono, 16-bit stereo, float32, 8-bit (odd length), plus an ADPCM-
-    tagged container and a truncated blob for the quarantine rows."""
+    tagged container and a truncated blob for the quarantine rows.
+
+    The waveform is a LIBM-FREE sawtooth (integer phase accumulator +
+    correctly-rounded IEEE division/multiply only — the r9 ADVICE
+    flagged np.sin + np.rint digests as platform-fragile; every
+    operation here is bit-identical across platforms and numpy
+    builds)."""
     import numpy as np
 
     from ton_indexer_spark.multimodal.wav import encode_wav
 
-    def tone(freq: float, rate: int, n: int, ch: int = 1) -> np.ndarray:
-        t = np.arange(n) / rate
-        x = 0.5 * np.sin(2 * np.pi * freq * t)
+    def saw(step: int, rate: int, n: int, ch: int = 1) -> np.ndarray:
+        phase = (np.arange(n, dtype=np.int64) * step) % rate
+        x = 0.9 * (phase / rate) - 0.45
         return np.stack([x] * ch, axis=1) if ch > 1 else x
 
     rows = [
-        (1, encode_wav(tone(440, 8000, 800), 8000, bits=16)),
-        (2, encode_wav(tone(880, 16000, 1600, ch=2), 16000, bits=16)),
-        (3, encode_wav(tone(100, 4000, 200), 4000, bits=32)),
-        (4, encode_wav(tone(220, 8000, 123), 8000, bits=8)),
+        (1, encode_wav(saw(440, 8000, 800), 8000, bits=16)),
+        (2, encode_wav(saw(880, 16000, 1600, ch=2), 16000, bits=16)),
+        (3, encode_wav(saw(100, 4000, 200), 4000, bits=32)),
+        (4, encode_wav(saw(220, 8000, 123), 8000, bits=8)),
     ]
     good = rows[0][1]
     i = good.index(b"fmt ") + 8
@@ -456,16 +512,16 @@ def _wav_gate_blobs():
     SELECT * FROM (VALUES
       (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
        CAST(800 AS INTEGER), CAST(100 AS INTEGER),
-       '5b68257c50c8fa57fcbbf34cbb4b23f7', CAST(NULL AS VARCHAR)),
+       '817626cae7bccc8e6e37c79e0300f5a8', CAST(NULL AS VARCHAR)),
       (CAST(2 AS BIGINT), CAST(16000 AS INTEGER), CAST(2 AS INTEGER),
        CAST(1600 AS INTEGER), CAST(100 AS INTEGER),
-       '9d2156ee2dedaa59a21312d9bb229552', CAST(NULL AS VARCHAR)),
+       'cfcc9e25a008ceb5c6005d229673d87d', CAST(NULL AS VARCHAR)),
       (CAST(3 AS BIGINT), CAST(4000 AS INTEGER), CAST(1 AS INTEGER),
        CAST(200 AS INTEGER), CAST(50 AS INTEGER),
-       'b5793aabf2bfc3a9ad000b57a46183b0', CAST(NULL AS VARCHAR)),
+       'f88359aee5d084e806d90e89816119ba', CAST(NULL AS VARCHAR)),
       (CAST(4 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
        CAST(123 AS INTEGER), CAST(15 AS INTEGER),
-       '9e6b440eba247f0fc4de4852503671fb', CAST(NULL AS VARCHAR)),
+       '2c8699a7800057641475cf51ab5a7507', CAST(NULL AS VARCHAR)),
       (CAST(5 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST(NULL AS VARCHAR), 'WavError'),
