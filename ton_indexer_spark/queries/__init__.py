@@ -168,6 +168,7 @@ def _load_modules() -> None:
         balances_q,
         addressbook_q,
         state_dims_q,
+        streaming_q,
     )
 
     _LOADED = True

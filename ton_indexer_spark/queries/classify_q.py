@@ -2676,14 +2676,21 @@ TC_RW_OUT, TC_UW_OUT = UP("8", "6"), UP("8", "7")
 TC_J_IN, TC_J_OUT = UP("8", "8"), UP("8", "9")
 
 
-def _tonco_fixture(spark: SparkSession):
+def _tonco_fixture(spark: SparkSession, payload_wallet: str | None = None):
     """Two golden Tonco traces: tc1 success (swap 1000 J_IN → 600 J_OUT,
     exit 200, payout chain to the user) and tc2 FAILED (exit 500, router
     refunds the 1000 J_IN; the intended J_OUT target and min_out=450 are
     recovered from the multicall swap payload in the notify).  Every
     decoded body — transfer chains, pay_to orders, the recursive swap
     payload — is a real BOC.  Reference: ToncoSwapBlockMatcher,
-    blocks/swaps.py:687-1230 (failed-arm target parse :1154-1186)."""
+    blocks/swaps.py:687-1230 (failed-arm target parse :1154-1186).
+
+    ``payload_wallet`` overrides the swap payload's target wallet
+    (default TC_RW_OUT, which the dims resolve); passing a wallet ABSENT
+    from the dims drives the deferred resolver down its MISS branch —
+    the refund-leg asset must survive as asset2
+    (classifier/classify.py deferred lookup, the reference's
+    `if target_asset:` guard in swaps.py:1187-1190)."""
     from ton_indexer_spark.classifier import classify_traces
     from ton_indexer_spark.classifier.protocols import (
         TONCO_PAY_TO,
@@ -2722,7 +2729,9 @@ def _tonco_fixture(spark: SparkSession):
         msgs.append((trace, root_tx, lt, f"{trace}-e0", "in", None, USER,
                      None, None, lt - 2, None))
 
-    payload = encode_tonco_swap_payload([(TC_RW_OUT, 450, USER)])
+    payload = encode_tonco_swap_payload(
+        [(payload_wallet or TC_RW_OUT, 450, USER)]
+    )
 
     def swap_trace(trace, exit_code, out_amount, refund):
         t1 = tx(trace, 1, USER, 100); ext(trace, t1, 100)
@@ -2825,6 +2834,50 @@ def classify_tonco_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
             sd["min_out_amount"].cast("long").alias("min_out"),
             "success",
             F.size("tx_hashes").alias("n_tx"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+# a syntactically valid wallet address that appears in NO dimension table:
+# the deferred point lookup must MISS on it
+TC_UNRESOLVED_W = UP("8", "e")
+
+_TONCO_UNRES_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('tc1', '{TC_J_IN}', '{TC_J_OUT}', '{TC_J_OUT}',
+   CAST(600 AS BIGINT), TRUE),
+  ('tc2', '{TC_J_IN}', '{TC_J_IN}', '{TC_J_IN}',
+   CAST(450 AS BIGINT), FALSE)
+) AS t(trace_id, asset_in, asset_out, intended_asset, min_out, success)
+ORDER BY trace_id
+"""
+
+
+@register(
+    "classify_tonco_unresolved",
+    oracle=_TONCO_UNRES_ORACLE,
+    survey_ops=("C3", "C4", "J13"),
+    description="Tonco failed swap whose payload names a wallet ABSENT "
+    "from the dims: the deferred point-lookup resolver MISSES and the "
+    "refund-leg asset must survive as asset2 (intended_asset = J_IN, "
+    "not NULL) while min_out still comes from the payload — the one "
+    "branch of the r8 ADVICE fix previously covered only by unit tests "
+    "(reference `if target_asset:` guard, blocks/swaps.py:1187-1190)",
+)
+def classify_tonco_unresolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _tonco_fixture(spark, payload_wallet=TC_UNRESOLVED_W)
+    sd = F.col("jetton_swap_data")
+    inc, out = sd["dex_incoming_transfer"], sd["dex_outgoing_transfer"]
+    return (
+        res.actions.filter(F.col("type") == "jetton_swap")
+        .select(
+            "trace_id",
+            inc["asset"].alias("asset_in"),
+            out["asset"].alias("asset_out"),
+            F.col("asset2").alias("intended_asset"),
+            sd["min_out_amount"].cast("long").alias("min_out"),
+            "success",
         )
         .orderBy("trace_id")
     )
