@@ -66,74 +66,69 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # Round-9 window (COVERAGE.md pre-committed plan): the 28 protocol
-    # gates added after the r8 window was fixed — every one a driver-
-    # facing fixture over real BOC with a literal VALUES oracle, none
-    # ever driver-sampled — followed by the 22 oldest r7-stale specs
-    # (reference-surface plans first).
-    "classify_ethena",
-    "classify_coffee_swap",
-    "classify_stonfi_v2_swap",
-    "classify_jvault",
-    "classify_layerzero",
-    "classify_tgbtc",
-    "classify_tonco_swap",
-    "classify_nominator_pool",
-    "classify_cocoon",
-    "classify_dedust_liquidity",
-    "classify_coffee_staking",
-    "classify_evaa_liquidate",
-    "classify_ethena_withdrawal",
-    "classify_tonco_liquidity",
-    "classify_stonfi_v2_withdraw",
-    "classify_lz_send_tokens",
-    "classify_coffee_liquidity",
-    "classify_vesting",
-    "classify_pton_outbid_dns",
-    "classify_deploy_verify",
-    "classify_cocoon_extras",
-    "classify_coffee_factory",
-    "classify_stonfi_v2_provide",
-    "classify_remaining_arms",
-    "classify_cocoon_admin",
-    "classify_final_arms",
-    "classify_subscription",
-    "classify_base_types",
-    # the five NEW round-9 gates (never sampled by construction): the
-    # r8 verdict's asks #3/#4/#5 — per-trace balance changes, the
-    # composed address-book plan, and the TVM-free state-dimension
-    # bootstrap (sales / auctions / collection content + royalty)
-    "trace_balance_changes",
-    "address_book",
-    "nft_sale_state_dims",
-    "nft_auction_state_dims",
-    "nft_collection_state_dims",
-    # the round-9 PNG pixel-decode gate (never sampled by construction:
-    # the in-engine stdlib-zlib codec shrinking the image-decode seam)
-    "png_decode",
-    # 16 r7-stale specs, oldest exposure first (COVERAGE.md r9 plan);
-    # the remaining r7-stale specs rotate in r10
-    "filter_sort_page",
-    "group_agg",
-    "join_enrich",
-    "semi_join",
-    "anti_join",
-    "prev_pointer",
-    "ordered_collect",
-    "sessionize",
-    "asof_join",
-    "funnel_steps",
-    "cohort_retention",
-    "group_topk",
-    "connected_components",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    # (28 + 5 + 1 never-sampled + 16 r7-stale = the 50-slot driver
-    # window; doc_fingerprint defers to r10 with the other r7-stale.
-    # Every spec stays hash-verified locally each test run regardless
-    # via tests/test_oracle_parity.py; rotation changes external
-    # attestation only.)
+    # Round-10 window (COVERAGE.md pre-committed r10 plan): first the
+    # never-driver-sampled gates — the three codec gates added late in
+    # r9 (now re-pinned against the EXTERNALLY-generated ImageIO golden
+    # fixtures) and the two gates new in r10 (the incremental trace
+    # assembler with restart + the tonco deferred-resolver miss branch)
+    "gif_decode",
+    "jpeg_decode",
+    "wav_decode",
+    "trace_assembly_incremental",
+    "classify_tonco_unresolved",
+    # then every r7-stale spec that did NOT make the r9 window
+    # (34 specs, reference-surface plans first, then text / quality /
+    # dedup / embedding families in registry order)
+    "doc_fingerprint",
+    "classify_stonfi_swap",
+    "classify_nft_sale",
+    "classify_multisig",
+    "integrity_audit",
+    "image_header_meta",
+    "tfidf_topk",
+    "doc_chunks",
+    "text_repetition",
+    "pii_detect",
+    "char_lm_quality",
+    "common_ngrams",
+    "bpe_pair_counts",
+    "bpe_encode_sample",
+    "bpe_train",
+    "quality_nb_train",
+    "quality_nb_score",
+    "quality_nb_auc",
+    "wordpiece_segment",
+    "curriculum_order",
+    "vocab_spectrum",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "decontaminate",
+    "dedup_cluster_canonical",
+    "bloom_membership",
+    "repeated_spans",
+    "cross_source_overlap",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "embed_ivf_topk",
+    # finally the 11 oldest r8-attested reference-surface specs
+    "inout_pivot",
+    "self_join_adjacent",
+    "union_meta",
+    "array_membership_join",
+    "top_k",
+    "coalesce_filter",
+    "distinct_pairs",
+    "scalar_agg",
+    "offset_page",
+    "rollup_agg",
+    "set_ops",
+    # (3 codec + 2 new-r10 + 34 r7-stale + 11 r8-attested = the 50-slot
+    # driver window.  Every spec stays hash-verified locally each test
+    # run regardless via tests/test_oracle_parity.py; rotation changes
+    # external attestation only.)
 ]
 
 
