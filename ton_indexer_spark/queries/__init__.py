@@ -66,11 +66,16 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # Round-10 window (COVERAGE.md pre-committed r10 plan): first the
-    # never-driver-sampled gates — the three codec gates added late in
-    # r9 (now re-pinned against the EXTERNALLY-generated ImageIO golden
-    # fixtures) and the two gates new in r10 (the incremental trace
-    # assembler with restart + the tonco deferred-resolver miss branch)
+    # Round-10 window (COVERAGE.md pre-committed r10 plan, amended
+    # mid-round — see COVERAGE.md): the in-engine TVM gate, built this
+    # round, inserted at the head per the never-sampled-first rule; the
+    # displaced 50th slot moves to the r11 plan
+    "tvm_get_method",
+    # then the rest of the pre-committed window: the three codec gates
+    # added late in r9 (now re-pinned against the EXTERNALLY-generated
+    # ImageIO golden fixtures) and the two gates new in r10 (the
+    # incremental trace assembler with restart + the tonco
+    # deferred-resolver miss branch)
     "gif_decode",
     "jpeg_decode",
     "wav_decode",
@@ -164,6 +169,7 @@ def _load_modules() -> None:
         addressbook_q,
         state_dims_q,
         streaming_q,
+        tvm_q,
     )
 
     _LOADED = True

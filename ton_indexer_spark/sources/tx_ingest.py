@@ -584,3 +584,126 @@ def nft_auctions_from_states(
             yield out
 
     return df.mapInPandas(run, schema=NFT_AUCTION_STATE_SCHEMA)
+
+
+JETTON_WALLET_TVM_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("exit_code", T.IntegerType()),
+        T.StructField("balance", T.DecimalType(38, 0)),
+        T.StructField("owner", T.StringType()),
+        T.StructField("jetton", T.StringType()),
+        T.StructField("exec_error", T.StringType()),
+    ]
+)
+
+
+def jetton_wallets_via_tvm(
+    df: DataFrame,
+    code_col: str = "code_boc",
+    data_col: str = "data_boc",
+    address_col: str = "address",
+) -> DataFrame:
+    """Jetton-wallet dimension rows by EXECUTING ``get_wallet_data``.
+
+    Where :func:`jetton_wallets_from_states` assumes the canonical
+    TEP-74 data layout, this runs the account's real code cell on the
+    in-engine TVM (ton_indexer_spark/tvm) — the same execution the
+    reference performs per account through the C++ TVM (tondb-scanner
+    smc-interfaces/Tokens.cpp:43-57), so NON-standard wallets (globals-
+    style codegen, wrapped layouts) derive correctly too.  Same narrow
+    Arrow-batched map + per-row quarantine discipline; a contract-level
+    failure surfaces as its TVM exit code, a codec-level failure as
+    ``exec_error`` — neither fails the stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ton_indexer_spark.tvm import (
+            run_get_method,
+            stack_address,
+            stack_int,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in JETTON_WALLET_TVM_SCHEMA}
+                row["address"] = rec.get(address_col)
+                try:
+                    res = run_get_method(
+                        rec[code_col], rec.get(data_col),
+                        "get_wallet_data",
+                        my_address=rec.get(address_col))
+                    row["exit_code"] = res.exit_code
+                    if res.success and len(res.stack) >= 4:
+                        row["balance"] = stack_int(res.stack[-4])
+                        row["owner"] = stack_address(res.stack[-3])
+                        row["jetton"] = stack_address(res.stack[-2])
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["exec_error"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in JETTON_WALLET_TVM_SCHEMA])
+            out["balance"] = pd.Series(
+                [r.get("balance") for r in rows], dtype=object)
+            yield out
+
+    return df.mapInPandas(run, schema=JETTON_WALLET_TVM_SCHEMA)
+
+
+NFT_ITEM_TVM_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("exit_code", T.IntegerType()),
+        T.StructField("init", T.BooleanType()),
+        T.StructField("index", T.DecimalType(38, 0)),
+        T.StructField("collection_address", T.StringType()),
+        T.StructField("owner_address", T.StringType()),
+        T.StructField("exec_error", T.StringType()),
+    ]
+)
+
+
+def nft_items_via_tvm(
+    df: DataFrame,
+    code_col: str = "code_boc",
+    data_col: str = "data_boc",
+    address_col: str = "address",
+) -> DataFrame:
+    """NFT-item dimension rows by executing ``get_nft_data`` on the
+    in-engine TVM (reference: Tokens.cpp get_nft_data per account) —
+    the TEP-62 counterpart of :func:`jetton_wallets_via_tvm`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ton_indexer_spark.tvm import (
+            run_get_method,
+            stack_address,
+            stack_int,
+        )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                row = {f.name: None for f in NFT_ITEM_TVM_SCHEMA}
+                row["address"] = rec.get(address_col)
+                try:
+                    res = run_get_method(
+                        rec[code_col], rec.get(data_col), "get_nft_data",
+                        my_address=rec.get(address_col))
+                    row["exit_code"] = res.exit_code
+                    if res.success and len(res.stack) >= 5:
+                        row["init"] = bool(stack_int(res.stack[-5]))
+                        row["index"] = stack_int(res.stack[-4])
+                        row["collection_address"] = stack_address(
+                            res.stack[-3])
+                        row["owner_address"] = stack_address(res.stack[-2])
+                except Exception as e:  # noqa: BLE001 — log-and-skip seam
+                    row["exec_error"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in NFT_ITEM_TVM_SCHEMA])
+            out["index"] = pd.Series(
+                [r.get("index") for r in rows], dtype=object)
+            yield out
+
+    return df.mapInPandas(run, schema=NFT_ITEM_TVM_SCHEMA)

@@ -1,0 +1,19 @@
+"""In-engine TVM interpreter (get-method subset) — see engine.py."""
+
+from ton_indexer_spark.tvm.engine import (  # noqa: F401
+    NAN,
+    VM,
+    VmError,
+    VmHalt,
+    VmTuple,
+)
+from ton_indexer_spark.tvm.run import (  # noqa: F401
+    GetMethodResult,
+    method_id,
+    run_get_method,
+    smart_contract_info,
+    stack_address,
+    stack_cell,
+    stack_int,
+    to_v2_stack,
+)
