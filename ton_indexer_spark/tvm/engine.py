@@ -61,6 +61,7 @@ from ton_indexer_spark.functions.boc import (
 from ton_indexer_spark.tvm.hashmap import (
     DictError,
     dict_get,
+    dict_get_next,
     int_key_bits,
     slice_key_bits,
 )
@@ -2388,6 +2389,16 @@ def _ed_family(vm, b):
                        saved_stack=cont.saved_stack, nargs=cont.nargs)
         cont.save.setdefault("c0", f)
         vm.push(cont)
+    elif sub == 0xFA:  # SAMEALT: c1 := c0
+        vm.regs["c1"] = vm.regs["c0"]
+    elif sub == 0xFB:  # SAMEALTSAVE: save c1 into c0, then c1 := c0
+        c0 = vm.regs["c0"]
+        if isinstance(c0, OrdCont) and "c1" not in c0.save:
+            c0 = OrdCont(code=c0.code, save=dict(c0.save),
+                         saved_stack=c0.saved_stack, nargs=c0.nargs)
+            c0.save["c1"] = vm.regs["c1"]
+            vm.regs["c0"] = c0
+        vm.regs["c1"] = vm.regs["c0"]
     else:
         raise VmError(EXC_INVALID_OPCODE, f"ed{sub:02x}")
 
@@ -2618,6 +2629,25 @@ def _f4_family(vm, b):
             vm.call(cont)
         else:
             vm.jump(cont)
+    elif 0x78 <= sub <= 0x7F:
+        # DICT[IU]GETNEXT / NEXTEQ / PREV / PREVEQ (integer-key forms):
+        # (x D n -- x' v' -1 | 0)
+        signed = sub < 0x7C
+        backward = bool(sub & 2)
+        allow_eq = bool(sub & 1)
+        n = vm.pop_smallint(0, 1024)
+        d = vm.pop_maybe_cell()
+        pivot = vm.pop_int()
+        if d is not None:
+            vm.gas_cell_load(d)
+        hit = dict_get_next(d, n, pivot, signed=signed,
+                            backward=backward, allow_eq=allow_eq)
+        if hit is None:
+            vm.push(0)
+        else:
+            vm.push(hit[0])
+            vm.push(hit[1])
+            vm.push(-1)
     elif (sub >> 2) == (0xA4 >> 2) or sub in (0xA4, 0xA5, 0xA6, 0xA7):
         # DICTPUSHCONST: 14-bit prefix + 1 ref + 10-bit n; the low 2 bits
         # of `sub` are the top 2 bits of n
@@ -2720,6 +2750,38 @@ def _f9_family(vm, b):
         sc = clone_slice(s)
         data = bytes(sc.load_uint(8) for _ in range(s.remaining_bits // 8))
         vm.push(int.from_bytes(hashlib.sha256(data).digest(), "big"))
+    elif sub in (0x04, 0x05):  # HASHEXT / HASHEXTR (TVM 2023 upgrade)
+        hid = vm.cc.load_uint(8)
+        algo = {0: "sha256", 1: "sha512", 2: "blake2b"}.get(hid)
+        if algo is None:
+            # 3/4 = keccak-256/512: original-padding Keccak is not in
+            # the stdlib — typed gap, loud like every unknown opcode
+            raise VmError(EXC_INVALID_OPCODE, f"hashext hash id {hid}")
+        cnt = vm.pop_smallint(0, 256)
+        parts = [vm.pop() for _ in range(cnt)]
+        if sub == 0x04:  # HASHEXT: s0 is the LAST part
+            parts.reverse()
+        bits: list[int] = []
+        for p in parts:
+            if isinstance(p, Slice):
+                bits.extend(slice_bits_remaining(p))
+            elif isinstance(p, Builder):
+                bits.extend(p._bits)
+            else:
+                raise VmError(EXC_TYPE_CHECK, "hashext part")
+        if len(bits) % 8:
+            raise VmError(EXC_CELL_UNDERFLOW, "hashext unaligned")
+        data = bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8))
+        digest = hashlib.new(algo, data).digest()
+        if len(digest) <= 32:
+            vm.push(int.from_bytes(digest, "big"))
+        else:  # 512-bit digests: tuple of two 256-bit words, MSB first
+            vm.push(VmTuple([
+                int.from_bytes(digest[:32], "big"),
+                int.from_bytes(digest[32:], "big"),
+            ]))
     elif sub in (0x10, 0x11):  # CHKSIGNU / CHKSIGNS
         key = vm.pop_int()
         sig_slice = vm.pop_slice()

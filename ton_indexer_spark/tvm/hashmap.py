@@ -105,3 +105,68 @@ def slice_key_bits(s: Slice, n: int) -> list[int] | None:
         byte = s._data[(pos + i) // 8]
         bits.append((byte >> (7 - (pos + i) % 8)) & 1)
     return bits
+
+
+def dict_keys(root: Cell | None, n: int) -> list[list[int]]:
+    """All keys of a HashmapE as bit lists, in ascending bit order."""
+    out: list[list[int]] = []
+    if root is None:
+        return out
+
+    def walk(node: Cell, prefix: list[int], rem: int) -> None:
+        s = node.begin_parse()
+        ln, label = _load_label(s, rem)
+        prefix = prefix + label
+        rem -= ln
+        if rem == 0:
+            out.append(prefix)
+            return
+        if s.remaining_refs < 2:
+            raise DictError("fork node missing children")
+        left, right = s.load_ref(), s.load_ref()
+        walk(left, prefix + [0], rem - 1)
+        walk(right, prefix + [1], rem - 1)
+
+    walk(root, [], n)
+    return out
+
+
+def dict_get_next(
+    root: Cell | None,
+    n: int,
+    pivot: int,
+    *,
+    signed: bool,
+    backward: bool = False,
+    allow_eq: bool = False,
+) -> tuple[int, Slice] | None:
+    """DICT[IU]GETNEXT/PREV[EQ]: nearest key after (before) the pivot.
+
+    The pivot may lie outside the n-bit range (the published semantics —
+    e.g. pivot -1 on an unsigned dict yields the minimum).  Enumerates
+    keys via :func:`dict_keys`; contract-held dictionaries on the
+    get-method path are small (method tables, asset lists), so the walk
+    is bounded — callers needing huge-dict iteration should lift to a
+    relational plan instead.
+    """
+    if root is None:
+        return None
+    best: int | None = None
+    for bits in dict_keys(root, n):
+        v = int("".join(map(str, bits)) or "0", 2)
+        if signed and n and bits[0] == 1:
+            v -= 1 << n
+        if backward:
+            ok = v <= pivot if allow_eq else v < pivot
+            better = best is None or v > best
+        else:
+            ok = v >= pivot if allow_eq else v > pivot
+            better = best is None or v < best
+        if ok and better:
+            best = v
+    if best is None:
+        return None
+    kb = int_key_bits(best, n, signed)
+    val = dict_get(root, kb)
+    assert val is not None
+    return best, val
