@@ -87,8 +87,9 @@ HEADLINE = [
     "jpeg_decode",
     "wav_decode",
     # round 10: the in-engine TVM executing real mainnet contract code
-    # (fixture-sized fixed-cost gate, like the codecs)
+    # (fixture-sized fixed-cost gates, like the codecs)
     "tvm_get_method",
+    "tvm_compute_replay",
 ]
 
 

@@ -149,5 +149,132 @@ def main() -> int:
     return 0
 
 
+def make_replay_golden() -> int:
+    """Extract compute-phase replay fixtures: real deployment
+    transactions (in-message init_state code+data + the inbound body)
+    with their CAPTURED on-chain outcomes (compute exit code + the
+    out-messages' destination/opcode set) — the chain itself is the
+    oracle.  Only transactions the interpreter reproduces exactly are
+    committed (the gate pins continued agreement; the live-agreement
+    test in tests/test_tvm.py covers the full 131-tx population with a
+    threshold instead)."""
+    import glob
+
+    from ton_indexer_spark.functions.boc import parse_boc
+    from ton_indexer_spark.functions.fixture_codec import load_lz4_msgpack
+    from ton_indexer_spark.tvm.run import (
+        build_internal_message,
+        run_compute_phase,
+    )
+
+    out_path = os.path.join(REPO, "ton_indexer_spark", "tvm", "golden",
+                            "compute_replay.json")
+
+    def state_init_cells(b64):
+        s = parse_boc(b64).begin_parse()
+        if s.load_bit():
+            s.load_uint(5)
+        if s.load_bit():
+            s.load_uint(2)
+        return s.load_maybe_ref(), s.load_maybe_ref()
+
+    rows = []
+    seen_code = set()
+    for f in sorted(glob.glob(os.path.join(TRACES, "*.lz4"))):
+        d = load_lz4_msgpack(f)
+        for tx in d["transactions"]:
+            if tx.get("descr") != "ord":
+                continue
+            inm = next((m for m in tx["messages"]
+                        if m["direction"] == "in"), None)
+            if not inm or not (inm.get("init_state") or {}).get("body"):
+                continue
+            if inm.get("source") is None:
+                continue
+            try:
+                code, data = state_init_cells(inm["init_state"]["body"])
+            except Exception:
+                continue
+            if code is None or data is None or code.exotic \
+                    or code.bits == 264:
+                continue
+            from ton_indexer_spark.functions.boc import cell_hash_b64
+            ch = cell_hash_b64(code)
+            if ch in seen_code:
+                continue
+            mc = inm.get("message_content") or {}
+            if not mc.get("body"):
+                continue
+            try:
+                body = parse_boc(mc["body"])
+            except Exception:
+                continue
+            value = int(inm.get("value") or 0)
+            acct = inm["destination"]
+            msg = build_internal_message(
+                src=inm.get("source"), dest=acct, value=value, body=body,
+                init=parse_boc(inm["init_state"]["body"]),
+                bounce=bool(inm.get("bounce")),
+                fwd_fee=int(inm.get("fwd_fee") or 0),
+                created_lt=int(inm.get("created_lt") or 0),
+                created_at=int(inm.get("created_at") or 0))
+            res = run_compute_phase(
+                code, data, my_address=acct, in_msg=msg, body=body,
+                msg_value=value, balance=value, unixtime=tx["now"],
+                block_lt=tx["lt"])
+            want_exit = tx.get("compute_exit_code")
+            want_out = sorted(
+                (str(m["destination"]), str(m.get("opcode")))
+                for m in tx["messages"] if m["direction"] == "out")
+            got = []
+            for a in res.actions:
+                if a["type"] != "send_msg":
+                    continue
+                op = a.get("opcode")
+                if op is not None and op >= (1 << 31):
+                    op -= 1 << 32
+                got.append((str(a.get("dest")), str(op)))
+            if res.exit_code != want_exit or sorted(got) != want_out:
+                continue  # only exactly-reproducing txs become goldens
+            if not want_out:
+                continue  # prefer txs that actually send something
+            seen_code.add(ch)
+            rows.append({
+                "account": acct,
+                "tx_hash": tx["hash"],
+                "source_trace": os.path.basename(f),
+                "code_hash": ch,
+                "init_state_boc": inm["init_state"]["body"],
+                "body_boc": mc["body"],
+                "src": inm.get("source"),
+                "value": value,
+                "bounce": bool(inm.get("bounce")),
+                "fwd_fee": int(inm.get("fwd_fee") or 0),
+                "created_lt": int(inm.get("created_lt") or 0),
+                "created_at": int(inm.get("created_at") or 0),
+                "now": tx["now"],
+                "lt": tx["lt"],
+                "expected_exit_code": want_exit,
+                "expected_out": want_out,
+            })
+            if len(rows) >= 8:
+                break
+        if len(rows) >= 8:
+            break
+    with open(out_path, "w") as fh:
+        json.dump({"provenance":
+                   "reference golden traces: real deployment txs; "
+                   "expected values are the CAPTURED on-chain outcomes "
+                   "(compute_exit_code + out-message dest/opcode), not "
+                   "anything this repo computed",
+                   "rows": rows}, fh, indent=1)
+    print(f"wrote {len(rows)} replay rows -> {out_path}")
+    for r in rows:
+        print(" ", r["tx_hash"][:16], len(r["expected_out"]), "out msgs",
+              r["source_trace"][:20])
+    return 0
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(make_replay_golden() if "--replay" in sys.argv
+                     else main())

@@ -88,3 +88,93 @@ def run_get_method_batch(
             yield pd.DataFrame(out)
 
     return pruned.mapInPandas(_run, schema=_OUT_SCHEMA)
+
+
+_REPLAY_SCHEMA = (
+    "account string, tx_hash string, exit_code int, gas_used long, "
+    "n_actions int, out_msgs string, exec_error string"
+)
+
+
+def replay_compute_batch(txs: DataFrame, *, gas_limit: int = 10_000_000
+                         ) -> DataFrame:
+    """Replay ordinary-transaction compute phases across a DataFrame.
+
+    Input columns: account, tx_hash, init_state_boc (deployment
+    StateInit), body_boc, src, value, bounce, fwd_fee, created_lt,
+    created_at, now, lt.  Output: the contract's exit code + the
+    decoded c5 send_msg actions as a deterministic "dest#opcode"
+    comma-joined string (sorted), for direct comparison against the
+    captured chain outcome.  Same narrow-map / typed-quarantine shape
+    as run_get_method_batch — the reference analog is the trace
+    emulator's per-tx TVM invocation
+    (ton-index-worker/ton-trace-emulator)."""
+    import pandas as pd
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ton_indexer_spark.functions.boc import parse_boc
+        from ton_indexer_spark.tvm.run import (
+            build_internal_message,
+            run_compute_phase,
+        )
+
+        def state_init_cells(b64):
+            s = parse_boc(b64).begin_parse()
+            if s.load_bit():
+                s.load_uint(5)
+            if s.load_bit():
+                s.load_uint(2)
+            return s.load_maybe_ref(), s.load_maybe_ref()
+
+        for pdf in batches:
+            out = {k: [] for k in ("account", "tx_hash", "exit_code",
+                                   "gas_used", "n_actions", "out_msgs",
+                                   "exec_error")}
+            for rec in pdf.to_dict("records"):
+                out["account"].append(rec.get("account"))
+                out["tx_hash"].append(rec.get("tx_hash"))
+                try:
+                    code, data = state_init_cells(rec["init_state_boc"])
+                    body = parse_boc(rec["body_boc"])
+                    value = int(rec.get("value") or 0)
+                    msg = build_internal_message(
+                        src=rec.get("src"), dest=rec.get("account"),
+                        value=value, body=body,
+                        init=parse_boc(rec["init_state_boc"]),
+                        bounce=bool(rec.get("bounce")),
+                        fwd_fee=int(rec.get("fwd_fee") or 0),
+                        created_lt=int(rec.get("created_lt") or 0),
+                        created_at=int(rec.get("created_at") or 0))
+                    res = run_compute_phase(
+                        code, data, my_address=rec.get("account"),
+                        in_msg=msg, body=body, msg_value=value,
+                        balance=value, unixtime=int(rec.get("now") or 0),
+                        block_lt=int(rec.get("lt") or 0),
+                        gas_limit=gas_limit)
+                    sends = []
+                    for a in res.actions:
+                        if a["type"] != "send_msg":
+                            continue
+                        op = a.get("opcode")
+                        if op is not None and op >= (1 << 31):
+                            op -= 1 << 32
+                        sends.append(f"{a.get('dest')}#{op}")
+                    out["exit_code"].append(res.exit_code)
+                    out["gas_used"].append(res.gas_used)
+                    out["n_actions"].append(len(res.actions))
+                    out["out_msgs"].append(",".join(sorted(sends)))
+                    out["exec_error"].append(None)
+                except Exception as e:  # quarantine, never fail the stage
+                    out["exit_code"].append(None)
+                    out["gas_used"].append(None)
+                    out["n_actions"].append(None)
+                    out["out_msgs"].append(None)
+                    out["exec_error"].append(
+                        f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(out)
+
+    cols = [c for c in ("account", "tx_hash", "init_state_boc",
+                        "body_boc", "src", "value", "bounce", "fwd_fee",
+                        "created_lt", "created_at", "now", "lt")
+            if c in txs.columns]
+    return txs.select(*cols).mapInPandas(_run, schema=_REPLAY_SCHEMA)

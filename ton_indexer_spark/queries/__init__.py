@@ -69,8 +69,9 @@ _EXPOSURE_FIRST = [
     # Round-10 window (COVERAGE.md pre-committed r10 plan, amended
     # mid-round — see COVERAGE.md): the in-engine TVM gate, built this
     # round, inserted at the head per the never-sampled-first rule; the
-    # displaced 50th slot moves to the r11 plan
+    # displaced 50th slots move to the r11 plan
     "tvm_get_method",
+    "tvm_compute_replay",
     # then the rest of the pre-committed window: the three codec gates
     # added late in r9 (now re-pinned against the EXTERNALLY-generated
     # ImageIO golden fixtures) and the two gates new in r10 (the

@@ -114,3 +114,60 @@ def tvm_get_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("collection_address").alias("collection"),
     )
     return w.unionByName(i).orderBy("account")
+
+
+_REPLAY_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tvm", "golden", "compute_replay.json")
+
+
+def _replay_rows() -> list[dict]:
+    with open(_REPLAY_GOLDEN) as fh:
+        return json.load(fh)["rows"]
+
+
+def _replay_oracle() -> str:
+    vals = []
+    for r in sorted(_replay_rows(), key=lambda r: r["tx_hash"]):
+        out = ",".join(sorted(f"{d}#{o}" for d, o in r["expected_out"]))
+        vals.append(
+            f"  ('{r['tx_hash']}', '{r['account']}', "
+            f"{r['expected_exit_code']}, '{out}')")
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(vals) + "\n"
+        ") AS t(tx_hash, account, exit_code, out_msgs)\nORDER BY tx_hash"
+    )
+
+
+@register(
+    "tvm_compute_replay",
+    oracle=_replay_oracle(),
+    survey_ops=("C8", "T6"),
+    description="compute-phase replay of real mainnet deployment "
+    "transactions (captured in the reference's golden traces): the "
+    "in-engine TVM runs each contract's recv_internal on the actual "
+    "inbound message and must reproduce the CHAIN's own outcome — "
+    "compute exit code and the produced out-message (dest, opcode) "
+    "set decoded from the c5 action list",
+)
+def tvm_compute_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.tvm_exec import replay_compute_batch
+
+    rows = _replay_rows()
+    schema = ("account string, tx_hash string, init_state_boc string, "
+              "body_boc string, src string, value long, bounce boolean, "
+              "fwd_fee long, created_lt long, created_at long, "
+              "now long, lt long")
+    df = spark.createDataFrame(
+        [(r["account"], r["tx_hash"], r["init_state_boc"], r["body_boc"],
+          r["src"], r["value"], r["bounce"], r["fwd_fee"],
+          r["created_lt"], r["created_at"], r["now"], r["lt"])
+         for r in rows],
+        schema,
+    )
+    out = replay_compute_batch(df)
+    return out.select(
+        "tx_hash", "account",
+        F.col("exit_code").cast("int").alias("exit_code"),
+        "out_msgs",
+    ).orderBy("tx_hash")

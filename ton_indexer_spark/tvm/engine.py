@@ -60,8 +60,10 @@ from ton_indexer_spark.functions.boc import (
 )
 from ton_indexer_spark.tvm.hashmap import (
     DictError,
+    dict_delete,
     dict_get,
     dict_get_next,
+    dict_min_max,
     int_key_bits,
     slice_key_bits,
 )
@@ -1284,34 +1286,40 @@ def _div_word(vm, b):
 
     Bit layout of the second byte, anchored on the published encodings
     DIV=A904, MOD=A908, DIVMOD=A90C, MULDIV=A984, MULDIVMOD=A98C,
-    RSHIFTR#=A935, MODPOW2#=A938, MULRSHIFT#=A9B5-ish family:
-      bit7  m: premultiply by an extra operand
-      bit6  s: the *divisor* is a power of two (shift division)
-      bit5  c: shift amount is an immediate byte tt (else from stack)
-      bits4-2 d: 1 = quotient, 2 = remainder, 3 = both
+    RSHIFTR#=A935, MODPOW2#=A938, MULRSHIFT#=A9B4:
+      bit7  premultiply the numerator by an int operand (y)
+      bit6  premultiply the numerator by a left shift
+      bit5  the divisor is a power of two (right-shift division)
+      bit4  the shift amount is an immediate byte tt+1 (else stack)
+      bits3-2 d: 1 = quotient, 2 = remainder, 3 = both
       bits1-0 f: rounding — 0 floor, 1 nearest (ties toward +inf), 2 ceil
     Only the combinations FunC's stdlib emits are accepted; anything
     else raises exception 6 with the word so coverage gaps are loud.
     """
     v = vm.cc.load_uint(8)
-    premul = (v >> 7) & 1
-    shift_div = (v >> 6) & 1
-    imm = (v >> 5) & 1
+    premul_int = (v >> 7) & 1
+    premul_shift = (v >> 6) & 1
+    div_shift = (v >> 5) & 1
+    imm = (v >> 4) & 1
     d = (v >> 2) & 3
     f = v & 3
-    if d == 0 or f == 3:
+    if d == 0 or f == 3 or (premul_int and premul_shift) or (
+            premul_shift and div_shift) or (
+            imm and not (premul_shift or div_shift)):
         raise VmError(EXC_INVALID_OPCODE, f"div word a9{v:02x}")
     tt = (vm.cc.load_uint(8) + 1) if imm else None
-    if shift_div:
+    shift = None
+    if premul_shift or div_shift:
         shift = tt if tt is not None else vm.pop_smallint(0, 257)
+    if div_shift:
         y = 1 << shift
     else:
-        if imm:
-            raise VmError(EXC_INVALID_OPCODE, f"div word a9{v:02x}")
         y = vm.pop_int()
-    if premul:
+    if premul_int:
         mul = vm.pop_int()
         x = vm.pop_int() * mul
+    elif premul_shift:
+        x = vm.pop_int() << shift
     else:
         x = vm.pop_int()
     q, r = _round_div(x, y, f)
@@ -1681,9 +1689,9 @@ def _cf_family(vm, b):
         vm.push(out)
         return
     sub = vm.cc.load_uint(7)
-    if sub == 0x00:  # STIX
-        bld = vm.pop_builder()
+    if sub == 0x00:  # STIX: (x b n -- b')
         n = vm.pop_smallint(0, 258)
+        bld = vm.pop_builder()
         x = vm.pop_int()
         if not (-(1 << (n - 1)) <= x < (1 << (n - 1))) if n else x != 0:
             raise VmError(EXC_RANGE_CHECK, "stix")
@@ -1691,8 +1699,8 @@ def _cf_family(vm, b):
         out.store_int(x, n)
         vm.push(out)
     elif sub == 0x01:  # STUX
-        bld = vm.pop_builder()
         n = vm.pop_smallint(0, 257)
+        bld = vm.pop_builder()
         x = vm.pop_int()
         if not (0 <= x < (1 << n)):
             raise VmError(EXC_RANGE_CHECK, "stux")
@@ -1769,9 +1777,9 @@ def _cf_family(vm, b):
         bld = vm.pop_builder()
         if builder_bits(bld) + n > 1023:
             raise VmError(EXC_CELL_OVERFLOW, "bchkbits")
-    elif sub == 0x40:  # STZEROES
-        bld = vm.pop_builder()
+    elif sub == 0x40:  # STZEROES: (b n -- b')
         n = vm.pop_smallint(0, 1024)
+        bld = vm.pop_builder()
         out = builder_clone(bld)
         if builder_bits(out) + n > 1023:
             raise VmError(EXC_CELL_OVERFLOW, "stzeroes")
@@ -1779,8 +1787,8 @@ def _cf_family(vm, b):
             out.store_bit(0)
         vm.push(out)
     elif sub == 0x41:  # STONES
-        bld = vm.pop_builder()
         n = vm.pop_smallint(0, 1024)
+        bld = vm.pop_builder()
         out = builder_clone(bld)
         if builder_bits(out) + n > 1023:
             raise VmError(EXC_CELL_OVERFLOW, "stones")
@@ -1867,11 +1875,12 @@ def _subslice_first(s: Slice, n_bits: int, n_refs: int) -> Slice:
 def _d7_family(vm, b):
     sub = vm.cc.load_uint(8)
     if sub in (0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07):
+        # (s n -- ...): the width is on TOP of the stack
         signed = (sub & 1) == 0
         preload = bool(sub & 2)
         quiet = bool(sub & 4)
-        s = vm.pop_slice()
         n = vm.pop_smallint(0, 258 if signed else 257)
+        s = vm.pop_slice()
         if s.remaining_bits < n:
             if not quiet:
                 raise VmError(EXC_CELL_UNDERFLOW, "ld[iu]x")
@@ -1922,15 +1931,15 @@ def _d7_family(vm, b):
             v = (v << 1) | (peek_bit_at(s, i) if i < avail else 0)
         vm.push(s)
         vm.push(v)
-    elif sub == 0x18:  # LDSLICEX
-        s = vm.pop_slice()
+    elif sub == 0x18:  # LDSLICEX: (s n -- s' s)
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         bits = take_bits_list(s, n)
         vm.push(slice_of_cell(bits_to_cell(bits)))
         vm.push(s)
     elif sub == 0x19:  # PLDSLICEX
-        s = vm.pop_slice()
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         if s.remaining_bits < n:
             raise VmError(EXC_CELL_UNDERFLOW, "pldslicex")
         vm.push(_subslice_first(s, n, 0))
@@ -1946,28 +1955,28 @@ def _d7_family(vm, b):
         if s.remaining_bits < n:
             raise VmError(EXC_CELL_UNDERFLOW, "pldslice")
         vm.push(_subslice_first(s, n, 0))
-    elif sub == 0x20:  # SDCUTFIRST
-        s = vm.pop_slice()
+    elif sub == 0x20:  # SDCUTFIRST: (s n -- s')
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         if s.remaining_bits < n:
             raise VmError(EXC_CELL_UNDERFLOW, "sdcutfirst")
         vm.push(_subslice_first(s, n, 0))
     elif sub == 0x21:  # SDSKIPFIRST
-        s = vm.pop_slice()
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         take_bits_list(s, n)
         vm.push(s)
     elif sub == 0x22:  # SDCUTLAST
-        s = vm.pop_slice()
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         total = s.remaining_bits
         if total < n:
             raise VmError(EXC_CELL_UNDERFLOW, "sdcutlast")
         bits = slice_bits_remaining(s)[total - n:]
         vm.push(slice_of_cell(bits_to_cell(bits)))
     elif sub == 0x23:  # SDSKIPLAST
-        s = vm.pop_slice()
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         total = s.remaining_bits
         if total < n:
             raise VmError(EXC_CELL_UNDERFLOW, "sdskiplast")
@@ -2009,17 +2018,17 @@ def _d7_family(vm, b):
                 take_bits_list(s, len(bits))
             vm.push(s)
             vm.push(_to_bool(ok))
-    elif sub == 0x30:  # SCUTFIRST
-        s = vm.pop_slice()
+    elif sub == 0x30:  # SCUTFIRST: (s n r -- s')
         r = vm.pop_smallint(0, 5)
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         if s.remaining_bits < n or s.remaining_refs < r:
             raise VmError(EXC_CELL_UNDERFLOW, "scutfirst")
         vm.push(_subslice_first(s, n, r))
     elif sub == 0x31:  # SSKIPFIRST
-        s = vm.pop_slice()
         r = vm.pop_smallint(0, 5)
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         if s.remaining_bits < n or s.remaining_refs < r:
             raise VmError(EXC_CELL_UNDERFLOW, "sskipfirst")
         take_bits_list(s, n)
@@ -2027,9 +2036,9 @@ def _d7_family(vm, b):
             s.load_ref()
         vm.push(s)
     elif sub == 0x36:  # SPLIT
-        s = vm.pop_slice()
         r = vm.pop_smallint(0, 5)
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         if s.remaining_bits < n or s.remaining_refs < r:
             raise VmError(EXC_CELL_UNDERFLOW, "split")
         head = _subslice_first(s, n, r)
@@ -2038,11 +2047,19 @@ def _d7_family(vm, b):
             s.load_ref()
         vm.push(head)
         vm.push(s)
-    elif sub == 0x41:  # SCHKBITS? (n from stack)
-        s = vm.pop_slice()
+    elif sub == 0x41:  # SCHKBITS (n from stack)
         n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
         if s.remaining_bits < n:
             raise VmError(EXC_CELL_UNDERFLOW, "schkbits")
+    elif sub in (0x4C, 0x4D, 0x4E, 0x4F):  # PLDREFIDX n (2-bit)
+        n = sub & 3
+        s = vm.pop_slice()
+        if s.remaining_refs <= n:
+            raise VmError(EXC_CELL_UNDERFLOW, "pldrefidx")
+        c = s._refs[s._ref_pos + n]
+        vm.gas_cell_load(c)
+        vm.push(c)
     elif sub == 0x49:  # SBITS
         vm.push(vm.pop_slice().remaining_bits)
     elif sub == 0x4A:  # SREFS
@@ -2334,8 +2351,36 @@ def _ed_family(vm, b):
                          saved_stack=list(c0.saved_stack or []) + rest,
                          nargs=c0.nargs)
             vm.regs["c0"] = c0
+    elif sub == 0x11:  # SETCONTVARARGS: (x1..xr c r n -- c')
+        n = vm.pop_smallint(-1, 256)
+        r = vm.pop_smallint(0, 256)
+        cont = vm.pop_cont()
+        if len(vm.stack) < r:
+            raise VmError(EXC_STACK_UNDERFLOW, "setcontvarargs")
+        vals = vm.stack[len(vm.stack) - r:] if r else []
+        if r:
+            del vm.stack[len(vm.stack) - r:]
+        if not isinstance(cont, OrdCont):
+            raise VmError(EXC_TYPE_CHECK, "setcontvarargs")
+        cont = OrdCont(code=cont.code, save=dict(cont.save),
+                       saved_stack=list(cont.saved_stack or []) + vals,
+                       nargs=n)
+        vm.push(cont)
     elif sub == 0x1E:  # BLESS: slice -> continuation
         vm.push(ord_cont(vm.pop_slice()))
+    elif sub == 0x1F:  # BLESSVARARGS: (x1..xr s r n -- c)
+        n = vm.pop_smallint(-1, 256)
+        r = vm.pop_smallint(0, 256)
+        s = vm.pop_slice()
+        if len(vm.stack) < r:
+            raise VmError(EXC_STACK_UNDERFLOW, "blessvarargs")
+        vals = vm.stack[len(vm.stack) - r:] if r else []
+        if r:
+            del vm.stack[len(vm.stack) - r:]
+        cont = ord_cont(s)
+        cont.saved_stack = vals
+        cont.nargs = n
+        vm.push(cont)
     elif hi == 0x4:  # PUSHCTR
         if lo not in (0, 1, 2, 3, 4, 5, 7):
             raise VmError(EXC_RANGE_CHECK, f"pushctr c{lo}")
@@ -2388,6 +2433,25 @@ def _ed_family(vm, b):
         cont = OrdCont(code=cont.code, save=dict(cont.save),
                        saved_stack=cont.saved_stack, nargs=cont.nargs)
         cont.save.setdefault("c0", f)
+        vm.push(cont)
+    elif sub == 0xF1:  # COMPOSALT (BOOLOR): cont'.save[c1] := f
+        f = vm.pop_cont()
+        cont = vm.pop_cont()
+        if not isinstance(cont, OrdCont):
+            raise VmError(EXC_TYPE_CHECK, "composalt")
+        cont = OrdCont(code=cont.code, save=dict(cont.save),
+                       saved_stack=cont.saved_stack, nargs=cont.nargs)
+        cont.save.setdefault("c1", f)
+        vm.push(cont)
+    elif sub == 0xF2:  # COMPOSBOTH
+        f = vm.pop_cont()
+        cont = vm.pop_cont()
+        if not isinstance(cont, OrdCont):
+            raise VmError(EXC_TYPE_CHECK, "composboth")
+        cont = OrdCont(code=cont.code, save=dict(cont.save),
+                       saved_stack=cont.saved_stack, nargs=cont.nargs)
+        cont.save.setdefault("c0", f)
+        cont.save.setdefault("c1", f)
         vm.push(cont)
     elif sub == 0xFA:  # SAMEALT: c1 := c0
         vm.regs["c1"] = vm.regs["c0"]
@@ -2499,14 +2563,28 @@ def _f2_family(vm, b):
         nn = vm.pop_smallint(0, 1 << 16)
         arg = vm.pop()
         vm.throw_exc(nn, arg)
-    elif sub == 0xF2:  # THROWANYIF
+    elif sub == 0xF2:  # THROWANYIF: (n f -- ), flag on top
+        f = vm.pop_int()
         nn = vm.pop_smallint(0, 1 << 16)
-        if vm.pop_int() != 0:
+        if f != 0:
             vm.throw_exc(nn, 0)
+    elif sub == 0xF3:  # THROWARGANYIF: (x n f -- )
+        f = vm.pop_int()
+        nn = vm.pop_smallint(0, 1 << 16)
+        arg = vm.pop()
+        if f != 0:
+            vm.throw_exc(nn, arg)
     elif sub == 0xF4:  # THROWANYIFNOT
+        f = vm.pop_int()
         nn = vm.pop_smallint(0, 1 << 16)
-        if vm.pop_int() == 0:
+        if f == 0:
             vm.throw_exc(nn, 0)
+    elif sub == 0xF5:  # THROWARGANYIFNOT
+        f = vm.pop_int()
+        nn = vm.pop_smallint(0, 1 << 16)
+        arg = vm.pop()
+        if f == 0:
+            vm.throw_exc(nn, arg)
     elif sub == 0xFF:  # TRY
         handler = vm.pop_cont()
         body = vm.pop_cont()
@@ -2629,9 +2707,44 @@ def _f4_family(vm, b):
             vm.call(cont)
         else:
             vm.jump(cont)
+    elif 0x12 <= sub <= 0x17 or 0x41 <= sub <= 0x43:
+        # DICTSET / DICTSETREF (slice/int/uint keys) and the builder-
+        # value forms DICTSETB/DICTISETB/DICTUSETB: (v k D n -- D')
+        if sub >= 0x41:
+            mode = {0x41: "", 0x42: "i", 0x43: "u"}[sub]
+            by_ref, by_builder = False, True
+        else:
+            by_ref = bool(sub & 1)
+            by_builder = False
+            mode = {0x2: "", 0x4: "i", 0x6: "u"}[sub & 0x6]
+        n = vm.pop_smallint(0, 1024)
+        d = vm.pop_maybe_cell()
+        if mode == "":
+            kb = slice_key_bits(vm.pop_slice(), n)
+        else:
+            kb = int_key_bits(vm.pop_int(), n, signed=(mode == "i"))
+        if by_builder:
+            val_b = vm.pop_builder()
+            vm.use_gas(GAS_CELL_CREATE)
+            val = slice_of_cell(val_b.end_cell())
+        elif by_ref:
+            c = vm.pop_cell()
+            val = slice_of_cell(
+                Builder().store_ref(c).end_cell())
+        else:
+            val = vm.pop_slice()
+        if kb is None:
+            raise VmError(EXC_RANGE_CHECK, "dictset key out of range")
+        if d is not None:
+            vm.gas_cell_load(d)
+        vm.use_gas(GAS_CELL_CREATE)
+        from ton_indexer_spark.tvm.hashmap import dict_set as _dset
+        vm.push(_dset(d, kb, val))
     elif 0x78 <= sub <= 0x7F:
         # DICT[IU]GETNEXT / NEXTEQ / PREV / PREVEQ (integer-key forms):
-        # (x D n -- x' v' -1 | 0)
+        # (x D n -- v k -1 | 0).  Native output order is VALUE then KEY —
+        # FunC's stdlib reorders with `asm(-> 1 0 2)` on udict_get_next?,
+        # so compiled code expects value below key.
         signed = sub < 0x7C
         backward = bool(sub & 2)
         allow_eq = bool(sub & 1)
@@ -2645,9 +2758,50 @@ def _f4_family(vm, b):
         if hit is None:
             vm.push(0)
         else:
-            vm.push(hit[0])
             vm.push(hit[1])
+            vm.push(hit[0])
             vm.push(-1)
+    elif 0x82 <= sub <= 0x9F and ((sub - 0x82) & 0x07) < 6:
+        # A.10.7 DICT{,I,U}{MIN,MAX,REMMIN,REMMAX}{,REF}:
+        #   F482+ MIN, F48A+ MAX, F492+ REMMIN, F49A+ REMMAX
+        #   within each: +0/+1 slice-key, +2/+3 signed, +4/+5 unsigned;
+        #   odd = REF-valued.  Native outputs: [D' for REM*] v k flag.
+        group = (sub - 0x82) >> 3
+        off = (sub - 0x82) & 0x07
+        maximize = bool(group & 1)
+        remove = bool(group & 2)
+        kind = off >> 1              # 0 slice, 1 signed, 2 unsigned
+        by_ref = bool(off & 1)
+        n = vm.pop_smallint(0, 1024)
+        d = vm.pop_maybe_cell()
+        if d is not None:
+            vm.gas_cell_load(d)
+        hit = dict_min_max(d, n, maximize=maximize,
+                           signed=(kind == 1)) if d is not None else None
+        if hit is None:
+            if remove:
+                vm.push(d)
+            vm.push(0)
+            return
+        kb, val = hit
+        if remove:
+            vm.use_gas(GAS_CELL_CREATE)
+            new_root, _found = dict_delete(d, kb)
+            vm.push(new_root)
+        if by_ref:
+            if val.remaining_refs < 1:
+                raise VmError(EXC_DICT_ERROR, "min/max ref: no ref")
+            vm.push(clone_slice(val).load_ref())
+        else:
+            vm.push(val)
+        if kind == 0:
+            vm.push(slice_of_cell(bits_to_cell(kb)))
+        else:
+            k = int("".join(map(str, kb)) or "0", 2)
+            if kind == 1 and n and kb[0] == 1:
+                k -= 1 << n
+            vm.push(k)
+        vm.push(-1)
     elif (sub >> 2) == (0xA4 >> 2) or sub in (0xA4, 0xA5, 0xA6, 0xA7):
         # DICTPUSHCONST: 14-bit prefix + 1 ref + 10-bit n; the low 2 bits
         # of `sub` are the top 2 bits of n
@@ -2709,6 +2863,8 @@ def _f8_family(vm, b):
                 vm.push(-1)
         else:  # CONFIGOPTPARAM: (i -- c|null)
             vm.push(ref)
+    elif sub in (0x36, 0x37, 0x38, 0x3A, 0x3B, 0x3C):
+        _fee_ops(vm, sub)
     elif 0x40 <= sub <= 0x5F:  # GETGLOBVAR / GETGLOB k
         if sub == 0x40:
             k = vm.pop_smallint(0, 255)
@@ -2731,6 +2887,67 @@ def _f8_family(vm, b):
         vm.regs["c7"] = t2
     else:
         raise VmError(EXC_INVALID_OPCODE, f"f8{sub:02x}")
+
+
+# Published TON mainnet fee-config constants (chain config params
+# 18/20/21/24/25; public network parameters, masterchain = 10x/1000x the
+# basechain rates).  The fee words (TVM 2023-07 upgrade) read these from
+# the unpacked config in a real node; get-method/replay runs here use the
+# published values — behavior-gating comparisons against captured chain
+# data surface any drift rather than hiding it.
+_FEE_CFG = {
+    # (flat_gas_limit, flat_gas_price, gas_price<<16)
+    "gas": {0: (100, 40_000, 26_214_400), -1: (100, 1_000_000, 655_360_000)},
+    # (lump_price, bit_price<<16, cell_price<<16)
+    "fwd": {0: (400_000, 26_214_400, 2_621_440_000),
+            -1: (10_000_000, 655_360_000, 65_536_000_000)},
+    # (bit_price_ps, cell_price_ps)
+    "storage": {0: (1, 500), -1: (1_000, 500_000)},
+    "first_frac": 21_845,  # fwd-fee first-transit fraction (1/3 of 2^16)
+}
+
+
+def _fee_ops(vm, sub):
+    def wc_key():
+        is_mc = vm.pop_int()
+        return -1 if is_mc != 0 else 0
+
+    if sub == 0x36:  # GETGASFEE: (gas_used is_mc -- price)
+        k = wc_key()
+        gas = vm.pop_int()
+        lim, flat, price = _FEE_CFG["gas"][k]
+        fee = flat if gas <= lim else flat + -(-((gas - lim) * price)
+                                               // (1 << 16))
+        vm.push(fee)
+    elif sub == 0x37:  # GETSTORAGEFEE: (cells bits secs is_mc -- price)
+        k = wc_key()
+        secs = vm.pop_int()
+        bits = vm.pop_int()
+        cells = vm.pop_int()
+        bp, cp = _FEE_CFG["storage"][k]
+        vm.push(-(-((cells * cp + bits * bp) * secs) // (1 << 16)))
+    elif sub == 0x38:  # GETFORWARDFEE: (cells bits is_mc -- price)
+        k = wc_key()
+        bits = vm.pop_int()
+        cells = vm.pop_int()
+        lump, bitp, cellp = _FEE_CFG["fwd"][k]
+        vm.push(lump + -(-(bitp * bits + cellp * cells) // (1 << 16)))
+    elif sub == 0x3A:  # GETORIGINALFWDFEE: (fwd_fee is_mc -- orig)
+        wc_key()
+        fwd = vm.pop_int()
+        ff = _FEE_CFG["first_frac"]
+        vm.push(fwd * (1 << 16) // ((1 << 16) - ff))
+    elif sub == 0x3B:  # GETGASFEESIMPLE: (gas_used is_mc -- price)
+        k = wc_key()
+        gas = vm.pop_int()
+        _, _, price = _FEE_CFG["gas"][k]
+        vm.push(-(-(gas * price) // (1 << 16)))
+    elif sub == 0x3C:  # GETFORWARDFEESIMPLE: (cells bits is_mc -- price)
+        k = wc_key()
+        bits = vm.pop_int()
+        cells = vm.pop_int()
+        _, bitp, cellp = _FEE_CFG["fwd"][k]
+        vm.push(-(-(bitp * bits + cellp * cells) // (1 << 16)))
 
 
 @_op(0xF9)
@@ -2831,11 +3048,13 @@ def _fa_family(vm, b):
         vm.push(v)
         vm.push(s)
     elif sub in (0x02, 0x03, 0x06, 0x07):
-        # STGRAMS / STVARINT16 / STVARUINT32 / STVARINT32
+        # STGRAMS / STVARINT16 / STVARUINT32 / STVARINT32: (b x -- b')
+        # NB: unlike STU/STI, the VALUE is on top here (FunC's stdlib
+        # reorders STU's args with asm(x b); store_coins passes through)
         signed = bool(sub & 1)
         len_bits = 4 if sub < 0x04 else 5
-        bld = vm.pop_builder()
         x = vm.pop_int()
+        bld = vm.pop_builder()
         out = builder_clone(bld)
         if x == 0:
             out.store_uint(0, len_bits)
@@ -2924,13 +3143,80 @@ def _skip_msg_addr(s: Slice) -> None:
     take_bits_list(s, ln)
 
 
+def _push_action(vm, action: Builder) -> None:
+    """Append one action to the c5 out-list (block.tlb out_list$_:
+    each node = prev-list ref + the action body inline)."""
+    prev = vm.regs["c5"]
+    if not isinstance(prev, Cell):
+        raise VmError(EXC_TYPE_CHECK, "c5 is not a cell")
+    node = Builder().store_ref(prev)
+    node._bits.extend(action._bits)
+    node._refs.extend(action._refs)
+    if builder_bits(node) > 1023 or builder_refs(node) > 4:
+        raise VmError(EXC_CELL_OVERFLOW, "action too large")
+    vm.use_gas(GAS_CELL_CREATE)
+    vm.regs["c5"] = node.end_cell()
+
+
 @_op(0xFB)
 def _fb_family(vm, b):
+    """Transaction-phase action primitives (whitepaper A.11.10).
+
+    These build the c5 action list that the action phase consumes —
+    needed for compute-phase replay/emulation (streaming/emulate.py);
+    plain get-methods never reach them."""
     sub = vm.cc.load_uint(8)
-    # SENDRAWMSG / RAWRESERVE / SETCODE are transaction-phase actions; a
-    # get-method that reaches them is out of the supported envelope.
-    raise VmError(EXC_INVALID_OPCODE,
-                  f"fb{sub:02x}: action primitives not in get-method scope")
+    if sub == 0x00:  # SENDRAWMSG: (c x -- )  action_send_msg#0ec3c86d
+        mode = vm.pop_smallint(0, 256)
+        msg = vm.pop_cell()
+        act = Builder().store_uint(0x0EC3C86D, 32).store_uint(mode, 8)
+        act.store_ref(msg)
+        _push_action(vm, act)
+    elif sub == 0x02:  # RAWRESERVE: (x y -- ) action_reserve#36e6b809
+        mode = vm.pop_smallint(0, 256)
+        amount = vm.pop_int()
+        if amount < 0:
+            raise VmError(EXC_RANGE_CHECK, "rawreserve negative")
+        act = Builder().store_uint(0x36E6B809, 32).store_uint(mode, 8)
+        act.store_coins(amount)
+        act.store_bit(0)  # no extra currencies
+        _push_action(vm, act)
+    elif sub == 0x04:  # SETCODE: (c -- )  action_set_code#ad4de08e
+        code = vm.pop_cell()
+        act = Builder().store_uint(0xAD4DE08E, 32).store_ref(code)
+        _push_action(vm, act)
+    elif sub == 0x08:  # SENDMSG (TVM 2023-07): (c x -- fwd_fee_estimate)
+        mode = vm.pop_smallint(0, 2048)
+        msg = vm.pop_cell()
+        # estimate the action-phase fwd fee from the message tree stats
+        # (published formula: lump + ceil((bit_price*bits +
+        # cell_price*cells)/2^16), root cell excluded)
+        seen: set[int] = set()
+        cells = bits = 0
+
+        def walk(c: Cell) -> None:
+            nonlocal cells, bits
+            if id(c) in seen:
+                return
+            seen.add(id(c))
+            cells += 1
+            bits += c.bits
+            for r in c.refs:
+                walk(r)
+
+        walk(msg)
+        cells -= 1
+        bits -= msg.bits
+        lump, bitp, cellp = _FEE_CFG["fwd"][0]
+        fee = lump + -(-(bitp * bits + cellp * cells) // (1 << 16))
+        if not (mode & 1024):  # +1024 = estimate only, do not send
+            act = Builder().store_uint(0x0EC3C86D, 32).store_uint(
+                mode & 0xFF, 8)
+            act.store_ref(msg)
+            _push_action(vm, act)
+        vm.push(fee)
+    else:
+        raise VmError(EXC_INVALID_OPCODE, f"fb{sub:02x}")
 
 
 @_op(0xFE)

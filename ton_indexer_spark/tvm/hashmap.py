@@ -170,3 +170,167 @@ def dict_get_next(
     val = dict_get(root, kb)
     assert val is not None
     return best, val
+
+
+def _store_label(b, label: list[int], m: int) -> None:
+    """Write the shortest of the three hml encodings (what real
+    serializers emit; any valid encoding parses back identically)."""
+    mlen = m.bit_length()
+    n = len(label)
+    same = n > 1 and all(x == label[0] for x in label)
+    cost_short = 1 + (n + 1) + n
+    cost_long = 2 + mlen + n
+    cost_same = 3 + mlen if same else 1 << 30
+    best = min(cost_short, cost_long, cost_same)
+    if best == cost_same:
+        b.store_uint(3, 2).store_bit(label[0])
+        b.store_uint(n, mlen)
+    elif best == cost_long:
+        b.store_uint(2, 2)
+        b.store_uint(n, mlen)
+        for bit in label:
+            b.store_bit(bit)
+    else:
+        b.store_bit(0)
+        for _ in range(n):
+            b.store_bit(1)
+        b.store_bit(0)
+        for bit in label:
+            b.store_bit(bit)
+
+
+def _slice_remainder_into(b, s: Slice) -> None:
+    sc = Slice(Cell(s._data, s._bits, list(s._refs)))
+    sc._pos, sc._ref_pos = s._pos, s._ref_pos
+    while sc.remaining_bits:
+        b.store_bit(sc.load_bit())
+    while sc.remaining_refs:
+        b.store_ref(sc.load_ref())
+
+
+def dict_set(root: Cell | None, key_bits: list[int], value: Slice) -> Cell:
+    """Insert/replace one key in a HashmapE; returns the new root.
+
+    Pure-functional (builds new nodes along the path; shares untouched
+    subtrees), matching the TVM DICTSET primitives' semantics."""
+    from ton_indexer_spark.functions.boc import Builder
+
+    def leaf(remaining: list[int], m: int) -> Cell:
+        b = Builder()
+        _store_label(b, remaining, m)
+        _slice_remainder_into(b, value)
+        return b.end_cell()
+
+    def insert(node: Cell | None, key: list[int], m: int) -> Cell:
+        if node is None:
+            return leaf(key, m)
+        s = node.begin_parse()
+        n, label = _load_label(s, m)
+        common = 0
+        while common < n and common < len(key) and \
+                label[common] == key[common]:
+            common += 1
+        if common == n:
+            if n == len(key):  # exact node: replace value
+                return leaf(key, m)
+            # descend into the fork
+            if s.remaining_refs < 2:
+                raise DictError("fork node missing children")
+            left, right = s.load_ref(), s.load_ref()
+            branch = key[n]
+            child_m = m - n - 1
+            new_child = insert(right if branch else left,
+                               key[n + 1:], child_m)
+            b = Builder()
+            _store_label(b, label, m)
+            if branch == 0:
+                b.store_ref(new_child).store_ref(right)
+            else:
+                b.store_ref(left).store_ref(new_child)
+            return b.end_cell()
+        # split: common prefix, then a new fork
+        child_m = m - common - 1
+        old_branch = label[common]
+        # old node re-labeled below the fork
+        b_old = Builder()
+        _store_label(b_old, label[common + 1:], child_m)
+        _slice_remainder_into(b_old, s)
+        old_cell = b_old.end_cell()
+        new_cell = leaf(key[common + 1:], child_m)
+        b = Builder()
+        _store_label(b, label[:common], m)
+        if old_branch == 0:
+            b.store_ref(old_cell).store_ref(new_cell)
+        else:
+            b.store_ref(new_cell).store_ref(old_cell)
+        return b.end_cell()
+
+    return insert(root, list(key_bits), len(key_bits))
+
+
+def dict_min_max(root: Cell | None, n: int, *, maximize: bool,
+                 signed: bool = False) -> tuple[list[int], Slice] | None:
+    """Smallest/largest key (bit order; sign-aware when signed) + value."""
+    if root is None:
+        return None
+    best_bits = None
+    best_v = None
+    for bits in dict_keys(root, n):
+        v = int("".join(map(str, bits)) or "0", 2)
+        if signed and n and bits[0] == 1:
+            v -= 1 << n
+        if best_v is None or (v > best_v if maximize else v < best_v):
+            best_v, best_bits = v, bits
+    val = dict_get(root, best_bits)
+    assert val is not None
+    return best_bits, val
+
+
+def dict_delete(root: Cell | None, key_bits: list[int]) -> \
+        tuple[Cell | None, bool]:
+    """Remove one key; returns (new_root, found).  When a fork loses a
+    child, the sibling merges upward (label = fork label + branch bit +
+    sibling label), keeping the hashmap invariant."""
+    from ton_indexer_spark.functions.boc import Builder
+
+    def relabel(node: Cell, prefix: list[int], m: int) -> Cell:
+        s = node.begin_parse()
+        ln, label = _load_label(s, m - len(prefix))
+        b = Builder()
+        _store_label(b, prefix + label, m)
+        _slice_remainder_into(b, s)
+        return b.end_cell()
+
+    def remove(node: Cell, key: list[int], m: int) -> \
+            tuple[Cell | None, bool]:
+        s = node.begin_parse()
+        n_lab, label = _load_label(s, m)
+        if label != key[: n_lab]:
+            return node, False
+        rest = key[n_lab:]
+        if not rest:
+            return None, True  # this leaf goes away entirely
+        if s.remaining_refs < 2:
+            raise DictError("fork node missing children")
+        left, right = s.load_ref(), s.load_ref()
+        branch = rest[0]
+        child = right if branch else left
+        child_m = m - n_lab - 1
+        new_child, found = remove(child, rest[1:], child_m)
+        if not found:
+            return node, False
+        if new_child is None:
+            # fork collapses: sibling absorbs label + inverted branch bit
+            sibling = left if branch else right
+            return relabel(sibling, label + [1 - branch], m), True
+        b = Builder()
+        _store_label(b, label, m)
+        if branch == 0:
+            b.store_ref(new_child).store_ref(right)
+        else:
+            b.store_ref(left).store_ref(new_child)
+        return b.end_cell(), True
+
+    if root is None:
+        return None, False
+    return remove(root, list(key_bits), len(key_bits))

@@ -195,3 +195,189 @@ def to_v2_stack(values: list) -> list:
         else:
             out.append(["unknown", repr(v)])
     return out
+
+
+# ------------------------------------------------- compute-phase replay
+
+
+def build_internal_message(
+    *,
+    src: str | None,
+    dest: str | None,
+    value: int,
+    body: Cell | None = None,
+    init: Cell | None = None,
+    ihr_disabled: bool = True,
+    bounce: bool = True,
+    bounced: bool = False,
+    ihr_fee: int = 0,
+    fwd_fee: int = 0,
+    created_lt: int = 0,
+    created_at: int = 0,
+) -> Cell:
+    """Assemble a full inbound internal message cell (block.tlb
+    int_msg_info$0 ... + Maybe init + Either body) — what the compute
+    phase hands the contract as ``in_msg_full``."""
+    b = Builder()
+    b.store_uint(0, 1)                      # int_msg_info$0
+    b.store_bit(1 if ihr_disabled else 0)
+    b.store_bit(1 if bounce else 0)
+    b.store_bit(1 if bounced else 0)
+    b.store_address(src)
+    b.store_address(dest)
+    b.store_coins(value)
+    b.store_bit(0)                          # no extra currencies
+    b.store_coins(ihr_fee)
+    b.store_coins(fwd_fee)
+    b.store_uint(created_lt, 64)
+    b.store_uint(created_at, 32)
+    if init is None:
+        b.store_bit(0)                      # init: nothing
+    else:
+        b.store_bit(1).store_bit(1)         # just (right ^StateInit)
+        b.store_ref(init)
+    if body is None:
+        body = Cell()
+    b.store_bit(1)                          # body: right ^X (always ref)
+    b.store_ref(body)
+    return b.end_cell()
+
+
+@dataclass
+class ComputePhaseResult:
+    exit_code: int
+    gas_used: int
+    stack: list
+    c4: Cell | None        # the (possibly updated) persistent data
+    c5: Cell | None        # raw action list
+    actions: list          # decoded actions (see parse_actions)
+
+    @property
+    def success(self) -> bool:
+        return self.exit_code in (0, 1)
+
+
+def parse_actions(c5: Cell | None) -> list[dict]:
+    """Decode the c5 out-list: newest action is the OUTERMOST node.
+    Returns actions oldest-first.  send_msg actions carry the decoded
+    MessageRelaxed header fields for comparison against captured
+    transactions."""
+    out: list[dict] = []
+    node = c5
+    while node is not None and (node.bits or node.refs):
+        s = node.begin_parse()
+        prev = s.load_ref()
+        tag = s.load_uint(32)
+        if tag == 0x0EC3C86D:  # action_send_msg
+            mode = s.load_uint(8)
+            msg = s.load_ref()
+            out.append({"type": "send_msg", "mode": mode,
+                        "message": msg, **_parse_message_relaxed(msg)})
+        elif tag == 0x36E6B809:  # action_reserve_currency
+            mode = s.load_uint(8)
+            amount = s.load_coins()
+            out.append({"type": "reserve", "mode": mode,
+                        "amount": amount})
+        elif tag == 0xAD4DE08E:  # action_set_code
+            out.append({"type": "set_code", "code": s.load_ref()})
+        else:
+            out.append({"type": f"unknown_{tag:08x}"})
+        node = prev
+    out.reverse()
+    return out
+
+
+def _parse_message_relaxed(msg: Cell) -> dict:
+    """dest / value / opcode / body of a MessageRelaxed (send_msg arm).
+
+    value is the cell's literal grams field — the action phase may
+    rewrite it for carry modes (+64/+128), so callers comparing against
+    captured chain messages should match on dest/opcode/body."""
+    s = msg.begin_parse()
+    info: dict = {}
+    if s.load_bit() == 0:  # int_msg_info$0
+        s.load_bit()                       # ihr_disabled
+        info["bounce"] = bool(s.load_bit())
+        s.load_bit()                       # bounced
+        s.load_address()                   # src (often addr_none here)
+        info["dest"] = s.load_address()
+        info["value"] = s.load_coins()
+        if s.load_bit():
+            s.load_ref()                   # extra currencies
+        s.load_coins()                     # ihr_fee
+        s.load_coins()                     # fwd_fee
+        s.load_uint(64)
+        s.load_uint(32)
+    else:  # ext_out_msg_info$11 (external-out: logs/events)
+        s.load_bit()
+        s.load_address()
+        info["dest"] = s.load_address()    # addr_extern/none -> None
+        info["value"] = None
+        s.load_uint(64)
+        s.load_uint(32)
+        info["external"] = True
+    if s.load_bit():                       # init
+        if s.load_bit():
+            s.load_ref()
+        else:
+            # inline StateInit: skip its fields minimally
+            pass
+    if s.load_bit():
+        body = s.load_ref()
+    else:
+        from ton_indexer_spark.tvm.engine import slice_as_cell
+
+        body = slice_as_cell(s)
+    info["body"] = body
+    bs = body.begin_parse()
+    info["opcode"] = bs.load_uint(32) if body.bits >= 32 else None
+    return info
+
+
+def run_compute_phase(
+    code: Cell | bytes | str,
+    data: Cell | bytes | str | None,
+    *,
+    my_address: str | None,
+    in_msg: Cell,
+    body: Cell,
+    msg_value: int,
+    balance: int,
+    unixtime: int = 1_700_000_000,
+    block_lt: int = 0,
+    config_root: Cell | None = None,
+    gas_limit: int = 10_000_000,
+) -> ComputePhaseResult:
+    """Replay an ordinary transaction's compute phase: run the account
+    code with the standard internal-message stack
+    ``[balance, msg_value, in_msg_full, body_slice, selector=0]``
+    (whitepaper 4.4; reference analog: the trace emulator's per-tx TVM
+    invocation, ton-index-worker/ton-trace-emulator).  ``balance`` is
+    the account balance AFTER crediting the message value, as the real
+    compute phase sees it.  Returns exit code, gas, the updated c4 and
+    the decoded c5 action list — the storage/action phases (fees,
+    actual sends, bounces) are NOT applied here."""
+    if not isinstance(code, Cell):
+        code = parse_boc(code)
+    if data is not None and not isinstance(data, Cell):
+        data = parse_boc(data)
+    stack = [balance, msg_value, in_msg, Slice(body), 0]
+    vm = VM(
+        code,
+        stack,
+        c4=data,
+        c7=smart_contract_info(
+            my_address=my_address, balance=balance, unixtime=unixtime,
+            block_lt=block_lt, trans_lt=block_lt,
+            config_root=config_root, my_code=code),
+        gas_limit=gas_limit,
+    )
+    exit_code = vm.run()
+    c5 = vm.regs.get("c5")
+    try:
+        actions = parse_actions(c5) if exit_code in (0, 1) else []
+    except Exception:
+        actions = [{"type": "parse_error"}]
+    return ComputePhaseResult(
+        exit_code=exit_code, gas_used=vm.gas_used, stack=vm.stack,
+        c4=vm.regs.get("c4"), c5=c5, actions=actions)
