@@ -623,3 +623,45 @@ def test_compute_replay_population_agreement():
     assert exit_ok / n >= 0.85, f"exit agreement {exit_ok}/{n}"
     assert out_ok / out_total >= 0.80, \
         f"out-msg agreement {out_ok}/{out_total}"
+
+
+def test_tvm_emulator_end_to_end(spark):
+    """emulate_externals with the REAL TVM backend: the forwarded
+    internal hop executes actual mainnet contract code and the emitted
+    pending messages must include the TVM-derived grandchildren — the
+    same (dest, opcode) set the chain produced for this transaction
+    (compute_replay golden)."""
+    from ton_indexer_spark.streaming.emulate import (
+        emulate_externals,
+        make_tvm_emulator,
+    )
+
+    with open(REPLAY_GOLDEN) as fh:
+        rows = json.load(fh)["rows"]
+    r = next(x for x in rows if len(x["expected_out"]) >= 2)
+
+    code, data = state_init(r["init_state_boc"])
+    states = {r["account"]: {
+        "code_boc": cell_to_b64_boc(code),
+        "data_boc": cell_to_b64_boc(data),
+    }}
+    emulator = make_tvm_emulator(
+        states.get, unixtime=r["now"], wallet_hop=True)
+
+    body_op = parse_boc(r["body_boc"]).begin_parse().load_uint(32)
+    ext = spark.createDataFrame(
+        [("extmsg1", r["src"], r["account"], body_op - (1 << 32)
+          if body_op >= (1 << 31) else body_op,
+          r["value"], r["body_boc"])],
+        "msg_hash string, destination string, forward_to string, "
+        "opcode long, value long, body string",
+    )
+    txs, msgs = emulate_externals(ext, now=r["now"], emulator=emulator)
+    got = {(m["destination"], m["opcode"])
+           for m in msgs.collect() if m["direction"] == "out"
+           and m["source"] == r["account"]}
+    want = {(d, int(o)) for d, o in r["expected_out"]}
+    assert want <= got, (want, got)
+    # the pending rows carry the overlay finality and a stable trace id
+    finalities = {t["finality"] for t in txs.collect()}
+    assert finalities == {"pending"}

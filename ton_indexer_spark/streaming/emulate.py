@@ -3,11 +3,8 @@
 The reference emulates unconfirmed external messages through a real TVM
 (`ton-emulate-go/main.go:189-490` driving `ton-index-worker/
 ton-trace-emulator`), stores the resulting "pending" trace in Redis with
-a TTL, and overlays it over finalized data at query time.  The TVM
-itself is a native C++ component this engine intentionally does not
-vendor — ``FAKE_EMULATOR`` below is a clearly-marked deterministic
-stand-in (external message → 2-hop message chain) so the PLUMBING is
-real and tested end to end:
+a TTL, and overlays it over finalized data at query time.  The plumbing
+here is the same either way:
 
     emulate_externals(msgs) → (transactions, messages) DataFrames in the
     engine's fact schemas, trace_id = sha256 of the external msg hash,
@@ -15,8 +12,17 @@ real and tested end to end:
     ``plans/traces.pending_overlay`` as finalized data, and are evicted
     by the assembler's TTL when the real trace finalizes (T6).
 
-Swapping the fake for a real TVM changes only ``FAKE_EMULATOR``; every
-schema, hash-derivation, and overlay contract stays.
+Two emulator backends satisfy the seam contract below:
+
+* ``FAKE_EMULATOR`` — the original clearly-marked deterministic
+  stand-in (external message → 2-hop message chain), still the default
+  where tests only exercise the plumbing;
+* ``make_tvm_emulator`` (round 10) — REAL execution: every internal hop
+  whose account state resolves runs through the in-engine TVM
+  (ton_indexer_spark/tvm, validated against captured mainnet
+  transactions), with c4 state propagation across hops within a trace.
+  The external root hop and action-phase fee routing remain modeled —
+  see its docstring for the precise boundary.
 """
 
 from __future__ import annotations
@@ -271,3 +277,133 @@ def emulate_externals(
         *[F.col(f"m_{f.name}").alias(f.name) for f in EMU_MSG_SCHEMA]
     )
     return txs, msgs
+
+
+# ------------------------------------------------- real in-engine emulator
+
+
+def make_tvm_emulator(
+    resolve_state: Callable[[str], dict | None],
+    *,
+    unixtime: int = 1_700_000_000,
+    gas_limit: int = 10_000_000,
+    max_hops: int = 64,
+    wallet_hop: bool = True,
+) -> Callable[[dict], list[dict]]:
+    """A REAL emulator backend over the in-engine TVM (round 10).
+
+    ``resolve_state(account)`` returns ``{"code_boc", "data_boc"}``
+    (base64 BOCs, e.g. a ``latest_account_states`` point lookup) or
+    None.  Every INTERNAL hop whose account state resolves is executed
+    for real: ``tvm.run_compute_phase`` runs the contract's
+    recv_internal on an assembled inbound message, and the c5 action
+    list becomes the child hops — the compute-phase replay validated
+    this path against 131 captured mainnet transactions (93% exit /
+    89% out-message agreement, tests/test_tvm.py).  Contract data (c4)
+    updates propagate within the trace, so a second hop on the same
+    account sees the first hop's state.
+
+    What stays modeled, and why, is explicit:
+
+    * the external ROOT hop: a wallet's recv_external checks an ed25519
+      signature over a not-yet-signed message — emulation by definition
+      runs before signing, so (like the reference's emulator operating
+      on an unsigned what-if) the root wallet is modeled as accept +
+      forward (``wallet_hop=True``, the FAKE_EMULATOR convention);
+      pass ``wallet_hop=False`` when the external's payload is already
+      the internal message to execute.
+    * action-phase value routing: send modes +64/+128 substitute the
+      incoming value / are left at the literal amount; fees are not
+      deducted.  Classification keys on opcodes/accounts/bodies, which
+      are exact.
+    * a hop whose account does not resolve (or whose execution fails)
+      becomes a LEAF — the trace truncates visibly instead of
+      fabricating downstream behavior.
+    """
+    import base64 as _b64
+
+    from ton_indexer_spark.functions.boc import (
+        Cell,
+        cell_to_b64_boc,
+        parse_boc,
+    )
+    from ton_indexer_spark.tvm.run import (
+        build_internal_message,
+        run_compute_phase,
+    )
+
+    def emulator(ext: dict) -> list[dict]:
+        budget = [max_hops]
+        data_overrides: dict[str, object] = {}
+
+        def exec_internal(account, in_source, opcode, value, body_b64,
+                          ) -> dict:
+            node = {
+                "account": account,
+                "in_source": in_source,
+                "opcode": opcode,
+                "value": value,
+                "body": body_b64,
+                "out": [],
+            }
+            if budget[0] <= 0:
+                return node
+            st = resolve_state(account)
+            if not st or not st.get("code_boc"):
+                return node
+            budget[0] -= 1
+            try:
+                body = parse_boc(body_b64) if body_b64 else Cell()
+                code = parse_boc(st["code_boc"])
+                data = data_overrides.get(account)
+                if data is None and st.get("data_boc"):
+                    data = parse_boc(st["data_boc"])
+                msg = build_internal_message(
+                    src=in_source, dest=account,
+                    value=int(value or 0), body=body)
+                res = run_compute_phase(
+                    code, data, my_address=account, in_msg=msg,
+                    body=body, msg_value=int(value or 0),
+                    balance=int(value or 0) + int(st.get("balance") or 0),
+                    unixtime=unixtime, gas_limit=gas_limit)
+            except Exception:
+                return node  # leaf: truncate visibly, never fabricate
+            if not res.success:
+                return node
+            if res.c4 is not None:
+                data_overrides[account] = res.c4
+            for a in res.actions:
+                if a.get("type") != "send_msg" or a.get("dest") is None:
+                    continue
+                mode = a.get("mode") or 0
+                child_value = a.get("value")
+                if mode & 64:
+                    child_value = value
+                child_body = a.get("body")
+                child_op = a.get("opcode")
+                if child_op is not None and child_op >= (1 << 31):
+                    child_op -= 1 << 32
+                node["out"].append(exec_internal(
+                    a["dest"], account, child_op, child_value,
+                    cell_to_b64_boc(child_body)
+                    if child_body is not None else None))
+            return node
+
+        dest = ext["destination"]
+        if not wallet_hop:
+            return [exec_internal(dest, None, ext.get("opcode"),
+                                  ext.get("value"), ext.get("body"))]
+        fwd_to = ext.get("forward_to") or dest
+        child = exec_internal(fwd_to, dest, ext.get("opcode"),
+                              ext.get("value"), ext.get("body"))
+        root = {
+            "account": dest,
+            "in_source": None,
+            "opcode": ext.get("opcode"),
+            "value": ext.get("value"),
+            "body": ext.get("body"),
+            "out": [child],
+        }
+        return [root]
+
+    return emulator
