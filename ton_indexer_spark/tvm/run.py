@@ -356,11 +356,19 @@ def run_compute_phase(
     the account balance AFTER crediting the message value, as the real
     compute phase sees it.  Returns exit code, gas, the updated c4 and
     the decoded c5 action list — the storage/action phases (fees,
-    actual sends, bounces) are NOT applied here."""
+    actual sends, bounces) are NOT applied here.
+
+    ``config_root`` defaults to the synthesized published-params config
+    (tvm/config.py) so CONFIGPARAM-reading contracts see real price
+    records instead of null; pass an explicit cell to override."""
     if not isinstance(code, Cell):
         code = parse_boc(code)
     if data is not None and not isinstance(data, Cell):
         data = parse_boc(data)
+    if config_root is None:
+        from ton_indexer_spark.tvm.config import default_config_root
+
+        config_root = default_config_root()
     stack = [balance, msg_value, in_msg, Slice(body), 0]
     vm = VM(
         code,
