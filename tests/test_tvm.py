@@ -665,3 +665,55 @@ def test_tvm_emulator_end_to_end(spark):
     # the pending rows carry the overlay finality and a stable trace id
     finalities = {t["finality"] for t in txs.collect()}
     assert finalities == {"pending"}
+
+
+def test_keccak_vectors_and_permutation():
+    """keccak256('') is the universally-published Ethereum constant;
+    the permutation+sponge is additionally cross-checked bit-exactly
+    against the stdlib's sha3 (identical Keccak-f[1600], different
+    domain byte) across block boundaries."""
+    import hashlib
+    import os as _os
+
+    from ton_indexer_spark.tvm import keccak as K
+
+    assert K.keccak256(b"").hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0"
+        "e500b653ca82273b7bfad8045d85a470")
+
+    def sha3_256_via_engine(data: bytes) -> bytes:
+        rate = 136
+        padded = bytearray(data)
+        pad_len = rate - (len(padded) % rate)
+        padded += (b"\x06" + b"\x00" * (pad_len - 2) + b"\x80") \
+            if pad_len >= 2 else b"\x86"
+        a = [[0] * 5 for _ in range(5)]
+        for off in range(0, len(padded), rate):
+            block = padded[off:off + rate]
+            for i in range(rate // 8):
+                a[i % 5][i // 5] ^= int.from_bytes(
+                    block[8 * i:8 * i + 8], "little")
+            K._keccak_f(a)
+        out = bytearray()
+        for i in range(rate // 8):
+            out += a[i % 5][i // 5].to_bytes(8, "little")
+            if len(out) >= 32:
+                break
+        return bytes(out[:32])
+
+    for n in (0, 1, 71, 135, 136, 137, 500):
+        d = _os.urandom(n)
+        assert sha3_256_via_engine(d) == hashlib.sha3_256(d).digest(), n
+
+
+def test_hashext_keccak_in_vm():
+    # PUSHSLICE x{} (empty); PUSHINT 1; HASHEXT keccak256
+    b = Builder()
+    b.store_uint(0x8B, 8).store_uint(0, 4)   # PUSHSLICE, x=0
+    b.store_uint(0x8, 4)                      # empty + completion tag
+    b.store_uint(0x71, 8)                     # PUSHINT 1
+    b.store_uint(0xF904, 16).store_uint(3, 8)
+    ec, st = run_code(b.end_cell())
+    assert ec == 0
+    assert st == [int("c5d2460186f7233c927e7db2dcc703c0"
+                      "e500b653ca82273b7bfad8045d85a470", 16)]

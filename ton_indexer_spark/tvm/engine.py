@@ -2969,10 +2969,9 @@ def _f9_family(vm, b):
         vm.push(int.from_bytes(hashlib.sha256(data).digest(), "big"))
     elif sub in (0x04, 0x05):  # HASHEXT / HASHEXTR (TVM 2023 upgrade)
         hid = vm.cc.load_uint(8)
-        algo = {0: "sha256", 1: "sha512", 2: "blake2b"}.get(hid)
+        algo = {0: "sha256", 1: "sha512", 2: "blake2b",
+                3: "keccak256", 4: "keccak512"}.get(hid)
         if algo is None:
-            # 3/4 = keccak-256/512: original-padding Keccak is not in
-            # the stdlib — typed gap, loud like every unknown opcode
             raise VmError(EXC_INVALID_OPCODE, f"hashext hash id {hid}")
         cnt = vm.pop_smallint(0, 256)
         parts = [vm.pop() for _ in range(cnt)]
@@ -2991,7 +2990,12 @@ def _f9_family(vm, b):
         data = bytes(
             int("".join(map(str, bits[i:i + 8])), 2)
             for i in range(0, len(bits), 8))
-        digest = hashlib.new(algo, data).digest()
+        if algo.startswith("keccak"):
+            from ton_indexer_spark.tvm.keccak import keccak
+
+            digest = keccak(data, 256 if algo == "keccak256" else 512)
+        else:
+            digest = hashlib.new(algo, data).digest()
         if len(digest) <= 32:
             vm.push(int.from_bytes(digest, "big"))
         else:  # 512-bit digests: tuple of two 256-bit words, MSB first
