@@ -717,3 +717,90 @@ def test_hashext_keccak_in_vm():
     assert ec == 0
     assert st == [int("c5d2460186f7233c927e7db2dcc703c0"
                       "e500b653ca82273b7bfad8045d85a470", 16)]
+
+
+# ------------------------------------------- review-fix regression pins
+
+
+def test_nullswap_family_positions():
+    # NULLSWAPIF on [5, -1]: null directly under the flag
+    ec, st = run_code(asm(0x6F, 0xA0), [5, -1])
+    assert (ec, st) == (0, [5, None, -1])
+    # NULLSWAPIFNOT on [5, 0]
+    ec, st = run_code(asm(0x6F, 0xA1), [5, 0])
+    assert (ec, st) == (0, [5, None, 0])
+    # NULLROTRIF on [5, 7, -1]: null under the SECOND value
+    ec, st = run_code(asm(0x6F, 0xA2), [5, 7, -1])
+    assert (ec, st) == (0, [5, None, 7, -1])
+    # NULLSWAPIFNOT2 on [5, 0]: two nulls under the flag
+    ec, st = run_code(asm(0x6F, 0xA5), [5, 0])
+    assert (ec, st) == (0, [5, None, None, 0])
+    # miss path: untouched
+    ec, st = run_code(asm(0x6F, 0xA0), [5, 0])
+    assert (ec, st) == (0, [5, 0])
+
+
+def test_slices_are_values_not_cursors():
+    # CTOS; DUP; LDU 8; DROP; DROP -> the remaining duplicate must be
+    # untouched by the load on its sibling: SBITS == 16
+    code = asm(0x81, (0x1234, 16), 0xC8, 0xCB, 0x0F, 0xC9,  # cell 16 bits
+               0xD0, 0x20,                                  # CTOS; DUP
+               0xD3, 0x07, 0x30, 0x30,                      # LDU 8; 2x DROP
+               0xD7, 0x49)                                  # SBITS
+    ec, st = run_code(code)
+    assert (ec, st) == (0, [16])
+
+
+def test_quiet_division_stack_shapes():
+    # QDIVMOD by zero: both results NaN
+    ec, st = run_code(asm(0xB7, 0xA9, 0x0C), [99, 7, 0])
+    assert ec == 0 and st[0] == 99 and st[1] is NAN and st[2] is NAN
+    # QMULDIV by zero: three operands consumed, one NaN
+    ec, st = run_code(asm(0xB7, 0xA9, 0x84), [99, 7, 5, 0])
+    assert ec == 0 and st == [99, NAN]
+
+
+def test_out_of_gas_during_throw_halts_cleanly():
+    # THROW 1 with a gas limit too small to afford the exception charge:
+    # must return an exit code, never escape as a Python exception
+    ec, st = run_code(asm(0xF2, 0x01), gas_limit=40)
+    assert ec in (1, 13)
+
+
+def test_parse_message_relaxed_inline_stateinit():
+    from ton_indexer_spark.tvm.run import _parse_message_relaxed
+
+    body = Builder().store_uint(0xDEADBEEF, 32).end_cell()
+    code_cell = Builder().store_uint(1, 8).end_cell()
+    b = Builder()
+    b.store_uint(0, 1)                     # int_msg_info$0
+    b.store_bit(1).store_bit(1).store_bit(0)
+    b.store_address(None)
+    b.store_address("0:" + "AA" * 32)
+    b.store_coins(5)
+    b.store_bit(0)
+    b.store_coins(0).store_coins(0)
+    b.store_uint(0, 64).store_uint(0, 32)
+    b.store_bit(1).store_bit(0)            # init: just (left StateInit)
+    b.store_bit(0)                         # no split_depth
+    b.store_bit(0)                         # no special
+    b.store_bit(1).store_ref(code_cell)    # code
+    b.store_bit(0)                         # no data
+    b.store_bit(0)                         # no library
+    b.store_bit(1).store_ref(body)         # body: right ^X
+    info = _parse_message_relaxed(b.end_cell())
+    assert info["opcode"] == 0xDEADBEEF
+    assert info["dest"] == "0:" + "AA" * 32
+
+
+def test_get_method_and_replay_share_config_default():
+    # CONFIGPARAM 21 must resolve on the shared synthesized config:
+    # PUSHINT8 21; CONFIGPARAM
+    b = Builder().store_uint(0x80, 8).store_uint(21, 8)
+    b.store_uint(0xF8, 8).store_uint(0x32, 8)
+    from ton_indexer_spark.tvm.config import default_config_root
+    from ton_indexer_spark.tvm.run import smart_contract_info
+
+    c7 = smart_contract_info(config_root=default_config_root())
+    ec, st = run_code(b.end_cell(), c7=c7)
+    assert ec == 0 and st[-1] == -1 and isinstance(st[-2], Cell)

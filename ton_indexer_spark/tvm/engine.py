@@ -383,10 +383,15 @@ class VM:
         raise VmError(EXC_TYPE_CHECK, f"expected cell|null, got {type(v)}")
 
     def pop_slice(self) -> Slice:
+        """Pop a slice AS A VALUE: TVM slices are immutable, but the
+        Python Slice object is a mutable cursor, so ops that advance it
+        (LDU, LDMSGADDR, SKIPDICT, ...) must never be handed an object
+        still aliased by PUSH/DUP copies deeper in the stack — every
+        pop clones, making mutation invisible to other references."""
         v = self.pop()
         if not isinstance(v, Slice):
             raise VmError(EXC_TYPE_CHECK, f"expected slice, got {type(v)}")
-        return v
+        return clone_slice(v)
 
     def pop_builder(self) -> Builder:
         v = self.pop()
@@ -558,20 +563,32 @@ class VM:
             except VmHalt as h:
                 return h.exit_code
             except VmError as e:
-                try:
-                    self.throw_exc(e.code, e.arg)
-                except VmHalt as h:
-                    return h.exit_code
-            except BocError as e:
-                try:
-                    self.throw_exc(EXC_CELL_UNDERFLOW, 0)
-                except VmHalt as h:
-                    return h.exit_code
+                rc = self._route_exc(e.code, e.arg)
+                if rc is not None:
+                    return rc
+            except BocError:
+                rc = self._route_exc(EXC_CELL_UNDERFLOW, 0)
+                if rc is not None:
+                    return rc
             except DictError:
-                try:
-                    self.throw_exc(EXC_DICT_ERROR, 0)
-                except VmHalt as h:
-                    return h.exit_code
+                rc = self._route_exc(EXC_DICT_ERROR, 0)
+                if rc is not None:
+                    return rc
+
+    def _route_exc(self, code: int, arg) -> int | None:
+        """Route an exception through c2; returns the exit code when the
+        machine halts (including out-of-gas raised while charging the
+        exception itself), or None to continue in a handler."""
+        try:
+            self.throw_exc(code, arg)
+        except VmHalt as h:
+            return h.exit_code
+        except VmError as e2:
+            # a second fault while dispatching (e.g. the exception's own
+            # gas charge exceeding the limit) halts with that code —
+            # never escapes as a raw Python exception
+            return e2.code
+        return None
 
     def step(self) -> None:
         self.steps += 1
@@ -1077,7 +1094,9 @@ def _tuple_var_ops(vm, ext):
 
 
 def _null_swap_ops(vm, ext):
-    # 6FA0 NULLSWAPIF .. 6FA7 NULLROTRIFNOT2
+    # 6FA0 NULLSWAPIF .. 6FA7 NULLROTRIFNOT2.  SWAP inserts the null(s)
+    # directly under the popped flag; ROTR inserts them one position
+    # deeper (under the value below the flag).
     if ext > 0x7:
         raise VmError(EXC_INVALID_OPCODE, f"6fa{ext:x}")
     cond_not = bool(ext & 1)
@@ -1086,19 +1105,11 @@ def _null_swap_ops(vm, ext):
     x = vm.pop_int()
     hit = (x == 0) if cond_not else (x != 0)
     if hit:
-        count = 2 if two else 1
-        for _ in range(count):
-            if rotr:
-                # insert null under the top TWO values
-                v1 = vm.pop()
-                v2 = vm.pop()
-                vm.push(None)
-                vm.push(v2)
-                vm.push(v1)
-            else:
-                v1 = vm.pop()
-                vm.push(None)
-                vm.push(v1)
+        keep = [vm.pop()] if rotr else []
+        for _ in range(2 if two else 1):
+            vm.push(None)
+        for v in reversed(keep):
+            vm.push(v)
     vm.push(x)
 
 
@@ -1441,6 +1452,26 @@ _QUIET_ARITY = {
 }
 
 
+def _div_word_shape(v: int) -> tuple[int, int]:
+    """(stack operands consumed, results produced) of an A9 word — used
+    by the quiet prefix to rebuild the correct stack shape on failure."""
+    premul_int = (v >> 7) & 1
+    premul_shift = (v >> 6) & 1
+    div_shift = (v >> 5) & 1
+    imm = (v >> 4) & 1
+    d = (v >> 2) & 3
+    n = 1 + premul_int  # x (+ the premultiplier)
+    if premul_shift or div_shift:
+        if not imm:
+            n += 1           # the shift amount
+        if premul_shift:
+            n += 1           # the plain divisor y
+    else:
+        n += 1               # the plain divisor y
+    results = 2 if d == 3 else 1
+    return n, results
+
+
 @_op(0xB7)
 def _quiet_prefix(vm, b):
     """B7: quiet arithmetic — on int-overflow push NaN instead of
@@ -1448,6 +1479,7 @@ def _quiet_prefix(vm, b):
     compute, so on failure the code stream is already positioned
     correctly and only the stack needs restoring."""
     nb = vm.cc.load_uint(8)
+    word_pos = vm.cc._pos  # the A9 division word starts here
     handler = _DISPATCH[nb]
     if handler is None:
         raise VmError(EXC_INVALID_OPCODE, f"b7{nb:02x}")
@@ -1458,10 +1490,20 @@ def _quiet_prefix(vm, b):
         if e.code != EXC_INT_OVERFLOW:
             raise
         vm.stack = saved
-        for _ in range(_QUIET_ARITY.get(nb, 2)):
+        if nb == 0xA9:
+            word = 0
+            for i in range(8):
+                word = (word << 1) | (
+                    (vm.cc._data[(word_pos + i) >> 3]
+                     >> (7 - ((word_pos + i) & 7))) & 1)
+            arity, results = _div_word_shape(word)
+        else:
+            arity, results = _QUIET_ARITY.get(nb, 2), 1
+        for _ in range(arity):
             if vm.stack:
                 vm.pop()
-        vm.push(NAN)
+        for _ in range(results):
+            vm.push(NAN)
 
 
 # --------------------------------------------------------- A.6 comparison

@@ -32,20 +32,13 @@ from ton_indexer_spark.tvm.engine import (
 
 # ------------------------------------------------------------- method ids
 
-
-def crc16_xmodem(data: bytes) -> int:
-    """CRC-16/XMODEM (poly 0x1021, init 0) — the TVM method-id hash."""
-    crc = 0
-    for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x1021) if crc & 0x8000 else (crc << 1)
-            crc &= 0xFFFF
-    return crc
-
-
-def method_id(name: str) -> int:
-    return (crc16_xmodem(name.encode()) & 0xFFFF) | 0x10000
+# one CRC implementation in the codebase: the interface-detection module
+# already ships it (functions/interfaces.py, validated against the
+# published registry's method ids)
+from ton_indexer_spark.functions.interfaces import (  # noqa: E402
+    crc16_xmodem,
+    method_name_hash as method_id,
+)
 
 
 # --------------------------------------------------------------- c7 setup
@@ -116,11 +109,20 @@ def run_get_method(
     config_root: Cell | None = None,
     gas_limit: int = 1_000_000,
 ) -> GetMethodResult:
-    """Execute a contract get-method against its code + data cells."""
+    """Execute a contract get-method against its code + data cells.
+
+    ``config_root`` defaults to the synthesized published-params config
+    (tvm/config.py), the same default as :func:`run_compute_phase`, so
+    CONFIGPARAM-reading get-methods behave consistently across both
+    surfaces."""
     if not isinstance(code, Cell):
         code = parse_boc(code)
     if data is not None and not isinstance(data, Cell):
         data = parse_boc(data)
+    if config_root is None:
+        from ton_indexer_spark.tvm.config import default_config_root
+
+        config_root = default_config_root()
     mid = method if isinstance(method, int) else method_id(method)
     stack = list(args or []) + [mid]
     vm = VM(
@@ -316,12 +318,22 @@ def _parse_message_relaxed(msg: Cell) -> dict:
         s.load_uint(64)
         s.load_uint(32)
         info["external"] = True
-    if s.load_bit():                       # init
+    if s.load_bit():                       # init: Maybe (Either SI ^SI)
         if s.load_bit():
-            s.load_ref()
+            s.load_ref()                   # right: ^StateInit
         else:
-            # inline StateInit: skip its fields minimally
-            pass
+            # left: inline StateInit — skip every field so the body
+            # Either bit is read from the right position
+            if s.load_bit():
+                s.load_uint(5)             # split_depth
+            if s.load_bit():
+                s.load_uint(2)             # special: TickTock
+            if s.load_bit():
+                s.load_ref()               # code
+            if s.load_bit():
+                s.load_ref()               # data
+            if s.load_bit():
+                s.load_ref()               # library (HashmapE root)
     if s.load_bit():
         body = s.load_ref()
     else:
