@@ -61,6 +61,7 @@ def main() -> int:
         return s.load_maybe_ref(), s.load_maybe_ref()
 
     rows = []
+    skipped = []  # accounts dropped because interpreter != captured iface
     seen_hashes = set()
     kind_counts = {"JettonWallet": 0, "NftItem": 0}
     for f in sorted(glob.glob(os.path.join(TRACES, "*.lz4"))):
@@ -110,6 +111,9 @@ def main() -> int:
                                 jetton != want.get("jetton"):
                             print("SKIP (disagrees with captured iface):",
                                   acct)
+                            skipped.append(
+                                {"account": acct, "kind": kind,
+                                 "reason": "iface disagreement"})
                             continue
                         row["expected"] = {
                             "owner": want["owner"],
@@ -119,6 +123,9 @@ def main() -> int:
                         coll = stack_address(res.stack[-3])
                         if coll != want.get("collection_address"):
                             print("SKIP (collection mismatch):", acct)
+                            skipped.append(
+                                {"account": acct, "kind": kind,
+                                 "reason": "collection mismatch"})
                             continue
                         row["expected"] = {
                             "index": int(want["index"]),
@@ -134,6 +141,15 @@ def main() -> int:
                     seen_hashes.add(h)
                     kind_counts[kind] += 1
                     rows.append(row)
+    # Regeneration guard: the goldens pin the AGREEING population; a
+    # growing skip list would mean interpreter regressions silently
+    # shrinking the fixture instead of failing.  Cap it hard.
+    MAX_SKIPS = 2
+    if len(skipped) > MAX_SKIPS:
+        print(f"FATAL: {len(skipped)} interpreter/interface "
+              f"disagreements (cap {MAX_SKIPS}) — fix the interpreter, "
+              f"do not regenerate around it: {skipped}")
+        return 1
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:
         json.dump({"provenance":
@@ -141,8 +157,11 @@ def main() -> int:
                    "deployment init_state code+data; expected values = "
                    "the reference's captured interface context (real "
                    "C++ TVM output), NOT this repo's interpreter",
+                   "skipped_for_disagreement": skipped,
+                   "skip_cap": MAX_SKIPS,
                    "rows": rows}, fh, indent=1)
-    print(f"wrote {len(rows)} rows -> {OUT}")
+    print(f"wrote {len(rows)} rows -> {OUT} "
+          f"({len(skipped)} skipped for disagreement)")
     for r in rows:
         print(" ", r["kind"], r["exit_code"], r["account"][:24],
               r["source_trace"])

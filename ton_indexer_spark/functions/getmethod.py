@@ -260,6 +260,7 @@ def tvm_executor(state: dict, method: str, stack: list) -> dict:
     misuse; contract-level failures surface as nonzero exit codes,
     exactly like the proxied executor's responses."""
     import base64 as _b64
+    import binascii
 
     from ton_indexer_spark.functions.boc import parse_boc
     from ton_indexer_spark.tvm import run_get_method as _tvm_run
@@ -280,6 +281,10 @@ def tvm_executor(state: dict, method: str, stack: list) -> dict:
             args.append(cell if typ == "cell" else cell.begin_parse())
         else:
             raise GetMethodContractError(f"unsupported stack arg {typ}")
+    from ton_indexer_spark.functions.boc import BocError
+    from ton_indexer_spark.tvm.engine import VmError
+    from ton_indexer_spark.tvm.hashmap import DictError
+
     try:
         res = _tvm_run(
             code_boc,
@@ -289,10 +294,21 @@ def tvm_executor(state: dict, method: str, stack: list) -> dict:
             my_address=state.get("account"),
             balance=int(state.get("balance") or 0),
         )
-    except Exception:
+    except (BocError, VmError, DictError, ValueError, binascii.Error):
         # undecodable code/data cell — the executor cannot even start;
-        # matches the proxy surfacing an executor-side failure
+        # matches the proxy surfacing an executor-side failure.  Only
+        # the EXPECTED decode/VM error types map to exit 9; anything
+        # else (RecursionError, OverflowError, ...) is an interpreter
+        # defect and is surfaced distinctly instead of being laundered
+        # as the contract's own failure.
         return {"gas_used": 0, "exit_code": 9, "stack": []}
+    except Exception as exc:  # noqa: BLE001 — deliberate diagnostic surface
+        return {
+            "gas_used": 0,
+            "exit_code": 9,
+            "stack": [],
+            "exec_error": f"{type(exc).__name__}: {exc}",
+        }
     return {
         "gas_used": res.gas_used,
         "exit_code": res.exit_code,

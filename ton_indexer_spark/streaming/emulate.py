@@ -298,8 +298,9 @@ def make_tvm_emulator(
     for real: ``tvm.run_compute_phase`` runs the contract's
     recv_internal on an assembled inbound message, and the c5 action
     list becomes the child hops — the compute-phase replay validated
-    this path against 131 captured mainnet transactions (93% exit /
-    89% out-message agreement, tests/test_tvm.py).  Contract data (c4)
+    this path against 131 captured mainnet transactions (97% exit /
+    89% out-message agreement after the post-review fixes of commit
+    d0820a7, tests/test_tvm.py).  Contract data (c4)
     updates propagate within the trace, so a second hop on the same
     account sees the first hop's state.
 

@@ -592,14 +592,20 @@ class VM:
 
     def step(self) -> None:
         self.steps += 1
-        pos0 = self.cc._pos
-        b = self.cc.load_uint(8)
+        # Snapshot the slice OBJECT, not just self.cc: handlers that
+        # transfer control (EXECUTE/JMPX/CALLREF/IF...) replace self.cc,
+        # so charging `self.cc._pos - pos0` would mix positions of two
+        # different slices and go (largely) negative around every call.
+        # Bit-gas is owed only for operand bits consumed from the slice
+        # the opcode was fetched from.
+        cc0 = self.cc
+        pos0 = cc0._pos
+        b = cc0.load_uint(8)
         handler = _DISPATCH[b]
         if handler is None:
             raise VmError(EXC_INVALID_OPCODE, f"opcode {b:02x}")
         handler(self, b)
-        self.use_gas(GAS_PER_INSTR
-                     + GAS_PER_BIT * (self.cc._pos - pos0))
+        self.use_gas(GAS_PER_INSTR + GAS_PER_BIT * (cc0._pos - pos0))
 
 
 # ============================================================ opcode table
@@ -1985,18 +1991,50 @@ def _d7_family(vm, b):
         if s.remaining_bits < n:
             raise VmError(EXC_CELL_UNDERFLOW, "pldslicex")
         vm.push(_subslice_first(s, n, 0))
-    elif sub == 0x1C:  # LDSLICE# (quiet? no: LDSLICEQ#) — treat as LDSLICE
+    elif sub in (0x1A, 0x1B):  # LDSLICEXQ / PLDSLICEXQ (quiet)
+        # (s l -- s'' s' -1 | s 0) / (s l -- s'' -1 | 0)
+        preload = sub == 0x1B
+        n = vm.pop_smallint(0, 1024)
+        s = vm.pop_slice()
+        if s.remaining_bits < n:
+            if not preload:
+                vm.push(s)
+            vm.push(0)
+        else:
+            vm.push(_subslice_first(s, n, 0))
+            if not preload:
+                take_bits_list(s, n)
+                vm.push(s)
+            vm.push(-1)
+    elif sub == 0x1C:
+        # LDSLICE cc+1 — NON-quiet per the published cp0 registration
+        # (td crypto/vm/cellops.cpp: D71C "LDSLICE", D71E "LDSLICEQ");
+        # underflow throws, no success flag is pushed.
         n = vm.cc.load_uint(8) + 1
         s = vm.pop_slice()
         bits = take_bits_list(s, n)
         vm.push(slice_of_cell(bits_to_cell(bits)))
         vm.push(s)
-    elif sub == 0x1D:  # PLDSLICE# cc+1
+    elif sub == 0x1D:  # PLDSLICE cc+1 (non-quiet)
         n = vm.cc.load_uint(8) + 1
         s = vm.pop_slice()
         if s.remaining_bits < n:
             raise VmError(EXC_CELL_UNDERFLOW, "pldslice")
         vm.push(_subslice_first(s, n, 0))
+    elif sub in (0x1E, 0x1F):  # LDSLICEQ / PLDSLICEQ cc+1 (quiet)
+        preload = sub == 0x1F
+        n = vm.cc.load_uint(8) + 1
+        s = vm.pop_slice()
+        if s.remaining_bits < n:
+            if not preload:
+                vm.push(s)
+            vm.push(0)
+        else:
+            vm.push(_subslice_first(s, n, 0))
+            if not preload:
+                take_bits_list(s, n)
+                vm.push(s)
+            vm.push(-1)
     elif sub == 0x20:  # SDCUTFIRST: (s n -- s')
         n = vm.pop_smallint(0, 1024)
         s = vm.pop_slice()

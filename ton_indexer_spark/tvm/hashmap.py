@@ -173,8 +173,17 @@ def dict_get_next(
 
 
 def _store_label(b, label: list[int], m: int) -> None:
-    """Write the shortest of the three hml encodings (what real
-    serializers emit; any valid encoding parses back identically)."""
+    """Write the canonical (min-cost, short-wins-ties) hml encoding.
+
+    Tie-breaking verified EMPIRICALLY against 9 real compiler-built
+    method dicts from the golden traces (103 labels): on every cost tie
+    between hml_short and hml_long (23 observed cases) the real
+    serializer emitted hml_short, and it never emitted hml_same when a
+    cheaper-or-equal alternative existed (9 observed short-beats-same
+    cases).  Preferring short on ties makes DICTSET-rebuilt dicts
+    hash-identical to chain-built ones (see
+    tests/test_tvm.py::test_dict_rebuild_matches_chain_hash).
+    """
     mlen = m.bit_length()
     n = len(label)
     same = n > 1 and all(x == label[0] for x in label)
@@ -182,19 +191,19 @@ def _store_label(b, label: list[int], m: int) -> None:
     cost_long = 2 + mlen + n
     cost_same = 3 + mlen if same else 1 << 30
     best = min(cost_short, cost_long, cost_same)
-    if best == cost_same:
-        b.store_uint(3, 2).store_bit(label[0])
-        b.store_uint(n, mlen)
-    elif best == cost_long:
-        b.store_uint(2, 2)
-        b.store_uint(n, mlen)
-        for bit in label:
-            b.store_bit(bit)
-    else:
+    if cost_short == best:  # short wins all ties (empirical canon)
         b.store_bit(0)
         for _ in range(n):
             b.store_bit(1)
         b.store_bit(0)
+        for bit in label:
+            b.store_bit(bit)
+    elif cost_same == best:
+        b.store_uint(3, 2).store_bit(label[0])
+        b.store_uint(n, mlen)
+    else:
+        b.store_uint(2, 2)
+        b.store_uint(n, mlen)
         for bit in label:
             b.store_bit(bit)
 
