@@ -288,7 +288,7 @@ def make_tvm_emulator(
     unixtime: int = 1_700_000_000,
     gas_limit: int = 10_000_000,
     max_hops: int = 64,
-    wallet_hop: bool = True,
+    wallet_hop: bool | str = "auto",
 ) -> Callable[[dict], list[dict]]:
     """A REAL emulator backend over the in-engine TVM (round 10).
 
@@ -304,15 +304,20 @@ def make_tvm_emulator(
     updates propagate within the trace, so a second hop on the same
     account sees the first hop's state.
 
+    The external ROOT hop (round 11): with the in-engine RFC 8032
+    verifier behind CHKSIGNU, an ALREADY-SIGNED external executes
+    recv_external for REAL — ``wallet_hop="auto"`` (the default) first
+    tries real root execution and uses its c5 actions as the children;
+    only when that fails (the usual pre-signing what-if, where the
+    signature does not exist yet) does it fall back to the modeled
+    accept+forward convention.  ``wallet_hop=True`` forces the modeled
+    hop; ``wallet_hop=False`` treats the external's payload as the
+    internal message to execute directly.  Real signed-external replay
+    is validated against the chain's captured wallet deployments
+    (tests/test_tvm.py::test_signed_external_replay).
+
     What stays modeled, and why, is explicit:
 
-    * the external ROOT hop: a wallet's recv_external checks an ed25519
-      signature over a not-yet-signed message — emulation by definition
-      runs before signing, so (like the reference's emulator operating
-      on an unsigned what-if) the root wallet is modeled as accept +
-      forward (``wallet_hop=True``, the FAKE_EMULATOR convention);
-      pass ``wallet_hop=False`` when the external's payload is already
-      the internal message to execute.
     * action-phase value routing: send modes +64/+128 substitute the
       incoming value / are left at the literal amount; fees are not
       deducted.  Classification keys on opcodes/accounts/bodies, which
@@ -329,8 +334,10 @@ def make_tvm_emulator(
         parse_boc,
     )
     from ton_indexer_spark.tvm.run import (
+        build_external_message,
         build_internal_message,
         run_compute_phase,
+        run_compute_phase_external,
     )
 
     def emulator(ext: dict) -> list[dict]:
@@ -390,8 +397,60 @@ def make_tvm_emulator(
                     if child_body is not None else None))
             return node
 
+        def exec_external_real(account, body_b64) -> dict | None:
+            """Execute recv_external on the account's real state: the
+            REAL root hop for an already-signed external.  Returns the
+            node on acceptance (exit 0/1), None when the contract
+            rejects (unsigned what-if, seqno/sig mismatch) so the
+            caller can fall back to the modeled hop."""
+            st = resolve_state(account)
+            if not st or not st.get("code_boc") or budget[0] <= 0:
+                return None
+            try:
+                body = parse_boc(body_b64) if body_b64 else Cell()
+                code = parse_boc(st["code_boc"])
+                data = (parse_boc(st["data_boc"])
+                        if st.get("data_boc") else None)
+                msg = build_external_message(dest=account, body=body)
+                res = run_compute_phase_external(
+                    code, data, my_address=account, in_msg=msg,
+                    body=body, balance=int(st.get("balance") or 0),
+                    unixtime=unixtime, gas_limit=gas_limit)
+            except Exception:
+                return None
+            if not res.success:
+                return None
+            budget[0] -= 1
+            if res.c4 is not None:
+                data_overrides[account] = res.c4
+            node = {
+                "account": account,
+                "in_source": None,
+                "opcode": ext.get("opcode"),
+                "value": ext.get("value"),
+                "body": body_b64,
+                "out": [],
+            }
+            for a in res.actions:
+                if a.get("type") != "send_msg" or a.get("dest") is None:
+                    continue
+                child_op = a.get("opcode")
+                if child_op is not None and child_op >= (1 << 31):
+                    child_op -= 1 << 32
+                child_body = a.get("body")
+                node["out"].append(exec_internal(
+                    a["dest"], account, child_op, a.get("value"),
+                    cell_to_b64_boc(child_body)
+                    if child_body is not None else None))
+            return node
+
         dest = ext["destination"]
-        if not wallet_hop:
+        if wallet_hop == "auto":
+            real = exec_external_real(dest, ext.get("body"))
+            if real is not None:
+                return [real]
+            # fall through to the modeled accept+forward convention
+        elif not wallet_hop:
             return [exec_internal(dest, None, ext.get("opcode"),
                                   ext.get("value"), ext.get("body"))]
         fwd_to = ext.get("forward_to") or dest

@@ -10,10 +10,12 @@ from ton_indexer_spark.tvm.engine import (  # noqa: F401
 from ton_indexer_spark.tvm.run import (  # noqa: F401
     ComputePhaseResult,
     GetMethodResult,
+    build_external_message,
     build_internal_message,
     method_id,
     parse_actions,
     run_compute_phase,
+    run_compute_phase_external,
     run_get_method,
     smart_contract_info,
     stack_address,

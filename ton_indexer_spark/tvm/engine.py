@@ -33,9 +33,10 @@ Scope and honesty notes:
   exceptions 50, implicit jmp 10) — close enough to bound runaway code
   and to expose relative cost, but NOT oracle-exact against the C++ TVM's
   full table; callers must not assert exact gas equality.
-* CHKSIGNU/CHKSIGNS need ed25519 (not in the stdlib); they raise unless a
-  verifier callable is injected, keeping signature-checking replay an
-  explicit external seam like the TVM was before this module.
+* CHKSIGNU/CHKSIGNS verify for real by default through the clean-room
+  RFC 8032 implementation in :mod:`ton_indexer_spark.tvm.ed25519`
+  (round 11; previously an injection-only seam).  A custom verifier
+  callable can still be injected via ``sig_verifier`` for tests.
 
 Verification strategy (tests/test_tvm.py): execute the 43 real
 mainnet-compiled contracts captured in the reference's golden trace
@@ -3087,11 +3088,11 @@ def _f9_family(vm, b):
         key = vm.pop_int()
         sig_slice = vm.pop_slice()
         data = vm.pop()
+        if not (0 <= key < 1 << 256):
+            raise VmError(EXC_RANGE_CHECK, "chksign key out of range")
         if vm.sig_verifier is None:
-            raise VmError(
-                EXC_FATAL,
-                "CHKSIGN needs an ed25519 verifier (external seam; "
-                "inject sig_verifier to enable)")
+            from ton_indexer_spark.tvm.ed25519 import verify as _ed_verify
+            vm.sig_verifier = _ed_verify
         if sub == 0x10:
             if not isinstance(data, int):
                 raise VmError(EXC_TYPE_CHECK, "chksignu hash")

@@ -245,6 +245,34 @@ def build_internal_message(
     return b.end_cell()
 
 
+def build_external_message(
+    *,
+    dest: str | None,
+    body: Cell | None = None,
+    init: Cell | None = None,
+    import_fee: int = 0,
+) -> Cell:
+    """Assemble an inbound EXTERNAL message cell (block.tlb
+    ext_in_msg_info$10 src:MsgAddressExt dest:MsgAddressInt
+    import_fee:Grams) + Maybe init + Either body — what recv_external
+    sees as ``in_msg_full`` when a signed wallet message is replayed."""
+    b = Builder()
+    b.store_uint(2, 2)                      # ext_in_msg_info$10
+    b.store_address(None)                   # src: addr_none
+    b.store_address(dest)
+    b.store_coins(import_fee)
+    if init is None:
+        b.store_bit(0)
+    else:
+        b.store_bit(1).store_bit(1)         # just (right ^StateInit)
+        b.store_ref(init)
+    if body is None:
+        body = Cell()
+    b.store_bit(1)                          # body: right ^X
+    b.store_ref(body)
+    return b.end_cell()
+
+
 @dataclass
 class ComputePhaseResult:
     exit_code: int
@@ -359,6 +387,7 @@ def run_compute_phase(
     block_lt: int = 0,
     config_root: Cell | None = None,
     gas_limit: int = 10_000_000,
+    selector: int = 0,
 ) -> ComputePhaseResult:
     """Replay an ordinary transaction's compute phase: run the account
     code with the standard internal-message stack
@@ -381,7 +410,7 @@ def run_compute_phase(
         from ton_indexer_spark.tvm.config import default_config_root
 
         config_root = default_config_root()
-    stack = [balance, msg_value, in_msg, Slice(body), 0]
+    stack = [balance, msg_value, in_msg, Slice(body), selector]
     vm = VM(
         code,
         stack,
@@ -401,3 +430,29 @@ def run_compute_phase(
     return ComputePhaseResult(
         exit_code=exit_code, gas_used=vm.gas_used, stack=vm.stack,
         c4=vm.regs.get("c4"), c5=c5, actions=actions)
+
+
+def run_compute_phase_external(
+    code: Cell | bytes | str,
+    data: Cell | bytes | str | None,
+    *,
+    my_address: str | None,
+    in_msg: Cell,
+    body: Cell,
+    balance: int,
+    unixtime: int = 1_700_000_000,
+    block_lt: int = 0,
+    config_root: Cell | None = None,
+    gas_limit: int = 10_000_000,
+) -> ComputePhaseResult:
+    """Replay the compute phase of an EXTERNAL-in transaction: selector
+    -1 (recv_external), message value 0 — the path a signed wallet
+    message takes.  With the in-engine RFC 8032 verifier behind
+    CHKSIGNU/CHKSIGNS this executes the wallet's real signature check
+    against the real captured signature (see
+    tests/test_tvm.py::test_signed_external_replay)."""
+    return run_compute_phase(
+        code, data, my_address=my_address, in_msg=in_msg, body=body,
+        msg_value=0, balance=balance, unixtime=unixtime,
+        block_lt=block_lt, config_root=config_root,
+        gas_limit=gas_limit, selector=-1)
