@@ -90,6 +90,9 @@ HEADLINE = [
     # (fixture-sized fixed-cost gates, like the codecs)
     "tvm_get_method",
     "tvm_compute_replay",
+    # round 11: chained replay (c4 + set_code + balance/fee phases
+    # propagated across whole per-account tx sequences)
+    "tvm_chained_replay",
 ]
 
 

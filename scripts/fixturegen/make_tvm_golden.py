@@ -294,6 +294,92 @@ def make_replay_golden() -> int:
     return 0
 
 
+def make_chained_golden() -> int:
+    """Extract CHAINED replay fixtures: whole per-account transaction
+    sequences (deployment + follow-ups) whose chained replay — c4,
+    set_code and balance propagated hop to hop — exactly reproduces
+    the chain's captured outcomes.  Only chains with known pre-state
+    (orig_status nonexist/uninit at the deployment) qualify; the gate
+    pins continued agreement, the live test covers the population with
+    floors.  Each golden carries everything a self-contained replay
+    needs (all in-message BOCs + timing), so the driver gate never
+    touches the reference tree."""
+    from ton_indexer_spark.tvm.chain_replay import (
+        extract_chains,
+        replay_chain,
+        _in_msg,
+    )
+
+    out_path = os.path.join(REPO, "ton_indexer_spark", "tvm", "golden",
+                            "chained_replay.json")
+    goldens = []
+    skipped = []
+    for chain in extract_chains():
+        if not chain["pre_state_known"]:
+            continue
+        rows = replay_chain(chain)
+        if not rows:
+            continue
+        if not all(r["exit_match"] and r["out_match"] for r in rows):
+            skipped.append({"account": chain["account"],
+                            "trace": chain["trace"]})
+            continue
+        def msg_fields(tx):
+            inm = _in_msg(tx)
+            mcc = inm.get("message_content") or {}
+            return {
+                "tx_hash": tx["hash"],
+                "src": inm.get("source"),
+                "value": int(inm.get("value") or 0),
+                "body_boc": mcc.get("body"),
+                "init_state_boc": (inm.get("init_state") or {}).get("body"),
+                "bounce": bool(inm.get("bounce")),
+                "bounced": bool(inm.get("bounced")),
+                "fwd_fee": int(inm.get("fwd_fee") or 0),
+                "ihr_fee": int(inm.get("ihr_fee") or 0),
+                "created_lt": int(inm.get("created_lt") or 0),
+                "created_at": int(inm.get("created_at") or 0),
+                "now": tx["now"],
+                "lt": tx["lt"],
+                "credit_first": bool(tx.get("credit_first")),
+                "descr": tx.get("descr"),
+            }
+        followups = []
+        for hop, tx in enumerate(chain["followups"]):
+            fu = msg_fields(tx)
+            fu["expected_exit_code"] = tx.get("compute_exit_code")
+            fu["expected_out"] = sorted(
+                (str(m["destination"]), str(m.get("opcode")))
+                for m in tx["messages"] if m["direction"] == "out")
+            followups.append(fu)
+        goldens.append({
+            "trace": chain["trace"],
+            "account": chain["account"],
+            "deploy": msg_fields(chain["deploy"]),
+            "followups": followups,
+        })
+    # prefer chains that exercise depth: most follow-ups first; cap to
+    # keep the committed file small but keep >= 2 multi-hop chains
+    goldens.sort(key=lambda g: -len(g["followups"]))
+    goldens = goldens[:6]
+    n_hops = sum(len(g["followups"]) for g in goldens)
+    n_second = sum(1 for g in goldens if len(g["followups"]) >= 2)
+    with open(out_path, "w") as fh:
+        json.dump({"provenance":
+                   "reference golden traces: whole per-account tx "
+                   "sequences with known pre-state; expected values "
+                   "are the CAPTURED on-chain outcomes per hop",
+                   "skipped_for_disagreement": skipped,
+                   "rows": goldens}, fh, indent=1)
+    print(f"wrote {len(goldens)} chains ({n_hops} follow-up txs, "
+          f"{n_second} chains with 2+ hops, {len(skipped)} skipped) "
+          f"-> {out_path}")
+    return 0
+
+
+
 if __name__ == "__main__":
+    if "--chained" in sys.argv:
+        raise SystemExit(make_chained_golden())
     raise SystemExit(make_replay_golden() if "--replay" in sys.argv
                      else main())

@@ -178,3 +178,68 @@ def replay_compute_batch(txs: DataFrame, *, gas_limit: int = 10_000_000
                         "created_lt", "created_at", "now", "lt")
             if c in txs.columns]
     return txs.select(*cols).mapInPandas(_run, schema=_REPLAY_SCHEMA)
+
+
+_CHAIN_SCHEMA = (
+    "account string, tx_hash string, hop int, exit_code int, "
+    "out_msgs string, value_delta_max long, exec_error string"
+)
+
+
+def replay_chain_batch(chains: DataFrame, *, gas_limit: int = 10_000_000
+                       ) -> DataFrame:
+    """Replay whole per-account transaction CHAINS (deployment +
+    follow-ups), propagating c4, set_code and balance hop to hop with
+    the published fee phases (tvm/phases.py) — one output row per
+    follow-up transaction.
+
+    Input columns: account, chain_json — the chain serialized as JSON
+    ({"deploy": {...msg fields...}, "followups": [...]}, the shape the
+    golden fixture and tvm/chain_replay.py share).  Chains are
+    independent → narrow map, embarrassingly parallel; hops inside one
+    chain are inherently sequential state propagation (the same
+    dependency the streaming trace assembler honors per trace).
+    Reference analog: ton-index-worker/ton-trace-emulator applies full
+    phases through the real emulator between hops.
+    """
+    import pandas as pd
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ton_indexer_spark.tvm.chain_replay import (
+            replay_chain_msgs,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in ("account", "tx_hash", "hop",
+                                   "exit_code", "out_msgs",
+                                   "value_delta_max", "exec_error")}
+            for rec in pdf.to_dict("records"):
+                acct = rec.get("account")
+                try:
+                    chain = json.loads(rec["chain_json"])
+                    rows = replay_chain_msgs(
+                        acct, chain["deploy"], chain["followups"],
+                        gas_limit=gas_limit)
+                    for r in rows:
+                        out["account"].append(acct)
+                        out["tx_hash"].append(r["tx_hash"])
+                        out["hop"].append(r["hop"])
+                        out["exit_code"].append(r["exit_code"])
+                        out["out_msgs"].append(
+                            ",".join(r["out_msgs"]))
+                        out["value_delta_max"].append(
+                            r["value_delta_max"])
+                        out["exec_error"].append(None)
+                except Exception as e:  # quarantine, never fail the stage
+                    out["account"].append(acct)
+                    out["tx_hash"].append(None)
+                    out["hop"].append(None)
+                    out["exit_code"].append(None)
+                    out["out_msgs"].append(None)
+                    out["value_delta_max"].append(None)
+                    out["exec_error"].append(
+                        f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(out)
+
+    return chains.select("account", "chain_json").mapInPandas(
+        _run, schema=_CHAIN_SCHEMA)

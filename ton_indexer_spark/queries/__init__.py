@@ -66,75 +66,68 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # Round-10 window (COVERAGE.md pre-committed r10 plan, amended
-    # mid-round — see COVERAGE.md): the in-engine TVM gate, built this
-    # round, inserted at the head per the never-sampled-first rule; the
-    # displaced 50th slots move to the r11 plan
-    "tvm_get_method",
-    "tvm_compute_replay",
-    # then the rest of the pre-committed window: the three codec gates
-    # added late in r9 (now re-pinned against the EXTERNALLY-generated
-    # ImageIO golden fixtures) and the two gates new in r10 (the
-    # incremental trace assembler with restart + the tonco
-    # deferred-resolver miss branch)
-    "gif_decode",
-    "jpeg_decode",
-    "wav_decode",
-    "trace_assembly_incremental",
-    "classify_tonco_unresolved",
-    # then every r7-stale spec that did NOT make the r9 window
-    # (34 specs, reference-surface plans first, then text / quality /
-    # dedup / embedding families in registry order)
-    "doc_fingerprint",
-    "classify_stonfi_swap",
-    "classify_nft_sale",
-    "classify_multisig",
-    "integrity_audit",
-    "image_header_meta",
-    "tfidf_topk",
-    "doc_chunks",
-    "text_repetition",
-    "pii_detect",
-    "char_lm_quality",
-    "common_ngrams",
-    "bpe_pair_counts",
-    "bpe_encode_sample",
-    "bpe_train",
-    "quality_nb_train",
-    "quality_nb_score",
-    "quality_nb_auc",
-    "wordpiece_segment",
-    "curriculum_order",
-    "vocab_spectrum",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "decontaminate",
-    "dedup_cluster_canonical",
-    "bloom_membership",
-    "repeated_spans",
-    "cross_source_overlap",
-    "embed_cosine_topk",
-    "embed_lsh_topk",
-    "embed_ivf_topk",
-    # finally the 11 oldest r8-attested reference-surface specs
-    "inout_pivot",
-    "self_join_adjacent",
-    "union_meta",
-    "array_membership_join",
-    "top_k",
-    "coalesce_filter",
-    "distinct_pairs",
-    "scalar_agg",
-    "offset_page",
+    # Round-11 window (executes the COVERAGE.md pre-committed r11 plan,
+    # amended per the never-sampled-first doctrine for the gate built
+    # this round): the chained-replay gate first, then the two slots
+    # displaced from r10 by the TVM-gate insertions, then the 39
+    # r8-attested specs that did not make the r10 window, then the
+    # oldest r9-attested core specs to fill 50.
+    "tvm_chained_replay",
     "rollup_agg",
     "set_ops",
-    # (3 codec + 2 new-r10 + 34 r7-stale + 11 r8-attested = the 50-slot
-    # driver window.  Every spec stays hash-verified locally each test
-    # run regardless via tests/test_oracle_parity.py; rotation changes
-    # external attestation only.)
+    # 39 r8-attested specs (COVERAGE.md r11 plan order)
+    "first_per_group",
+    "latest_state",
+    "word_lm_score",
+    "quality_score_hashed",
+    "line_dedup",
+    "hard_negatives",
+    "embed_pq_topk",
+    "mmr_select",
+    "semdedup",
+    "embed_kmeans",
+    "json_extract",
+    "base64_roundtrip",
+    "opcode_conversion",
+    "multimodal_metadata",
+    "multimodal_frames",
+    "keyset_pagination",
+    "tumbling_window",
+    "approx_distinct",
+    "dedup_embedding_cosine",
+    "percentile_summary",
+    "stratified_sample",
+    "sequence_pack",
+    "source_mixture",
+    "dataset_split",
+    "group_sample",
+    "shard_assign",
+    "dsir_weight",
+    "corpus_profile",
+    "classify_actions",
+    "classify_states",
+    "classify_failed_external",
+    "classify_action_accounts",
+    "pending_transactions_route",
+    "pending_traces_route",
+    "classify_dedust_swap",
+    "classify_tonstakers",
+    "classify_evaa",
+    "classify_dns",
+    "classify_fragment_auction",
+    # oldest r9-attested core specs to fill the 50-slot window
+    "filter_sort_page",
+    "group_agg",
+    "join_enrich",
+    "semi_join",
+    "anti_join",
+    "prev_pointer",
+    "ordered_collect",
+    "sessionize",
+    # (1 new gate + 2 displaced + 39 r8-attested + 8 oldest-r9 = the
+    # 50-slot driver window.  Every spec stays hash-verified locally
+    # each test run regardless via tests/test_oracle_parity.py;
+    # rotation changes external attestation only.)
 ]
 
 

@@ -171,3 +171,63 @@ def tvm_compute_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exit_code").cast("int").alias("exit_code"),
         "out_msgs",
     ).orderBy("tx_hash")
+
+
+_CHAINED_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tvm", "golden", "chained_replay.json")
+
+
+def _chained_rows() -> list[dict]:
+    with open(_CHAINED_GOLDEN) as fh:
+        return json.load(fh)["rows"]
+
+
+def _chained_oracle() -> str:
+    vals = []
+    for chain in _chained_rows():
+        for hop, fu in enumerate(f for f in chain["followups"]
+                                 if f.get("body_boc")):
+            out = ",".join(sorted(f"{d}:{o}"
+                                  for d, o in fu["expected_out"]))
+            vals.append(
+                f"  ('{fu['tx_hash']}', '{chain['account']}', {hop}, "
+                f"{fu['expected_exit_code']}, '{out}')")
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(vals) + "\n"
+        ") AS t(tx_hash, account, hop, exit_code, out_msgs)\n"
+        "ORDER BY tx_hash"
+    )
+
+
+@register(
+    "tvm_chained_replay",
+    oracle=_chained_oracle(),
+    survey_ops=("C8", "T6"),
+    description="CHAINED compute replay of whole per-account "
+    "transaction sequences from the golden traces: the in-engine TVM "
+    "replays the deployment and every follow-up transaction on the "
+    "same account, propagating contract data (c4), installed code "
+    "(set_code actions — the lazy-deployment pattern) and balance "
+    "(published storage/gas/forward fee formulas, tvm/phases.py) "
+    "between hops; every hop must reproduce the CHAIN's captured "
+    "exit code and exact out-message (dest, opcode) set",
+)
+def tvm_chained_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.tvm_exec import replay_chain_batch
+
+    chains = _chained_rows()
+    df = spark.createDataFrame(
+        [(c["account"],
+          json.dumps({"deploy": c["deploy"],
+                      "followups": c["followups"]}))
+         for c in chains],
+        "account string, chain_json string",
+    )
+    out = replay_chain_batch(df)
+    return out.select(
+        "tx_hash", "account",
+        F.col("hop").cast("int").alias("hop"),
+        F.col("exit_code").cast("int").alias("exit_code"),
+        "out_msgs",
+    ).orderBy("tx_hash")

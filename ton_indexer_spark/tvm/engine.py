@@ -2149,6 +2149,30 @@ def _d7_family(vm, b):
         s = vm.pop_slice()
         vm.push(s.remaining_bits)
         vm.push(s.remaining_refs)
+    elif sub in (0x60, 0x61, 0x62):  # LDZEROES / LDONES / LDSAME
+        want = (vm.pop_smallint(0, 1) if sub == 0x62
+                else (0 if sub == 0x60 else 1))
+        s = vm.pop_slice()
+        n = 0
+        while s.remaining_bits and peek_bit_at(s, 0) == want:
+            s.load_bit()
+            n += 1
+        vm.push(n)
+        vm.push(s)
+    elif sub == 0x64:  # SDEPTH: depth over the slice's remaining refs
+        from ton_indexer_spark.functions.boc import cell_depth
+        s = vm.pop_slice()
+        refs = list(s._refs[s._ref_pos:])
+        vm.push(max((cell_depth(r) + 1 for r in refs), default=0))
+    elif sub == 0x65:  # CDEPTH: (c -- x), null counts as depth 0
+        from ton_indexer_spark.functions.boc import cell_depth
+        c = vm.pop()
+        if c is None:
+            vm.push(0)
+        elif isinstance(c, Cell):
+            vm.push(cell_depth(c))
+        else:
+            raise VmError(EXC_TYPE_CHECK, "cdepth expects cell")
     else:
         raise VmError(EXC_INVALID_OPCODE, f"d7{sub:02x}")
 
