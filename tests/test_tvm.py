@@ -620,7 +620,10 @@ def test_compute_replay_population_agreement():
                 if sorted(got) == want:
                     out_ok += 1
     assert n >= 100, f"only {n} replayable txs"
-    assert exit_ok / n >= 0.85, f"exit agreement {exit_ok}/{n}"
+    # r11: the two exit-40 divergences were an engine bug (c7
+    # INCOMINGVALUE hardcoded 0) — fixed; only the two jetton-bridge
+    # config throws remain (test_known_replay_residuals) -> 129/131
+    assert exit_ok / n >= 0.95, f"exit agreement {exit_ok}/{n}"
     assert out_ok / out_total >= 0.80, \
         f"out-msg agreement {out_ok}/{out_total}"
 
@@ -1310,3 +1313,58 @@ def test_action_phase_values_vs_chain():
     assert explicit_cmp >= 10
     assert explicit_exact == explicit_cmp, \
         f"explicit values {explicit_exact}/{explicit_cmp}"
+
+
+@needs_reference
+def test_known_replay_residuals():
+    """The residual single-hop exit divergences, pinned BY NAME with
+    their verified cause (r10 ask #7 — and another corrected r10
+    diagnosis: these are NOT historical-price fee thresholds).
+
+    The two ww5gZmgo transactions are bridged-jetton wallets following
+    the public token-bridge pattern: read config_param(79) (mainnet
+    JettonBridgeParams), fall back to config_param(-79), throw 666
+    when both are null.  The synthesized config (tvm/config.py)
+    supplies only the price params 18/20/21/24/25; the bridge params'
+    real contents (oracle addresses, bridge fees) are chain state, not
+    schema, so synthesizing them would be fabrication.  Documented
+    contract: these two replay as exit 666 until a captured config
+    cell is available.  The prior exit-40 residuals (c7 INCOMINGVALUE
+    hardcoded to 0 — an engine bug, fixed in r11) must stay green."""
+    from ton_indexer_spark.functions.fixture_codec import load_lz4_msgpack
+    from ton_indexer_spark.tvm.run import (
+        build_internal_message,
+        run_compute_phase,
+    )
+
+    expected = {
+        "AWHhhBGXarvozpiF": 666,   # bridge config param 79/-79 null
+        "l8aDr7uvH+qE8oZ6": 666,
+        "iSEohswSof8V+eSw": 0,     # was exit 40 before the c7 fix
+        "ASxwSeYAcYl26hVs": 0,
+    }
+    seen = {}
+    for f in sorted(glob.glob(os.path.join(TRACES, "*.lz4"))):
+        d = load_lz4_msgpack(f)
+        for tx in d["transactions"]:
+            key = next((k for k in expected
+                        if tx["hash"].startswith(k)), None)
+            if key is None:
+                continue
+            inm = next(m for m in tx["messages"]
+                       if m["direction"] == "in")
+            code, data = state_init(inm["init_state"]["body"])
+            body = parse_boc(inm["message_content"]["body"])
+            value = int(inm.get("value") or 0)
+            msg = build_internal_message(
+                src=inm.get("source"), dest=inm["destination"],
+                value=value, body=body,
+                init=parse_boc(inm["init_state"]["body"]),
+                bounce=bool(inm.get("bounce")),
+                fwd_fee=int(inm.get("fwd_fee") or 0))
+            res = run_compute_phase(
+                code, data, my_address=inm["destination"], in_msg=msg,
+                body=body, msg_value=value, balance=value,
+                unixtime=tx["now"], block_lt=tx["lt"])
+            seen[key] = res.exit_code
+    assert seen == expected, seen

@@ -318,10 +318,14 @@ def make_tvm_emulator(
 
     What stays modeled, and why, is explicit:
 
-    * action-phase value routing: send modes +64/+128 substitute the
-      incoming value / are left at the literal amount; fees are not
-      deducted.  Classification keys on opcodes/accounts/bodies, which
-      are exact.
+    * child-message values run through the calibrated action phase
+      (round 11, tvm/phases.py): +64/+128 carry arithmetic, RAWRESERVE
+      and forward-fee deduction with the published formulas, validated
+      against captured chain values (fwd_fee exact 105/116, explicit
+      sends 100%).  Residual value drift is the declared gas-schedule
+      approximation (<0.022 TON on the measured population) — exit
+      codes, opcodes, accounts and bodies, which classification keys
+      on, are exact; set_code actions now propagate within the trace.
     * a hop whose account does not resolve (or whose execution fails)
       becomes a LEAF — the trace truncates visibly instead of
       fabricating downstream behavior.
@@ -333,6 +337,7 @@ def make_tvm_emulator(
         cell_to_b64_boc,
         parse_boc,
     )
+    from ton_indexer_spark.tvm.phases import apply_action_phase, gas_fee
     from ton_indexer_spark.tvm.run import (
         build_external_message,
         build_internal_message,
@@ -343,6 +348,12 @@ def make_tvm_emulator(
     def emulator(ext: dict) -> list[dict]:
         budget = [max_hops]
         data_overrides: dict[str, object] = {}
+        # set_code propagation within the trace: lazy-deployment
+        # contracts install their REAL code from the first message's
+        # handler; a second hop on the same account must run the
+        # installed code, not the bootstrap (the round-11 chained-replay
+        # finding, tvm/chain_replay.py)
+        code_overrides: dict[str, object] = {}
 
         def exec_internal(account, in_source, opcode, value, body_b64,
                           ) -> dict:
@@ -362,18 +373,21 @@ def make_tvm_emulator(
             budget[0] -= 1
             try:
                 body = parse_boc(body_b64) if body_b64 else Cell()
-                code = parse_boc(st["code_boc"])
+                code = code_overrides.get(account)
+                if code is None:
+                    code = parse_boc(st["code_boc"])
                 data = data_overrides.get(account)
                 if data is None and st.get("data_boc"):
                     data = parse_boc(st["data_boc"])
                 msg = build_internal_message(
                     src=in_source, dest=account,
                     value=int(value or 0), body=body)
+                balance = int(value or 0) + int(st.get("balance") or 0)
                 res = run_compute_phase(
                     code, data, my_address=account, in_msg=msg,
                     body=body, msg_value=int(value or 0),
-                    balance=int(value or 0) + int(st.get("balance") or 0),
-                    unixtime=unixtime, gas_limit=gas_limit)
+                    balance=balance, unixtime=unixtime,
+                    gas_limit=gas_limit)
             except Exception:
                 return node  # leaf: truncate visibly, never fabricate
             if not res.success:
@@ -381,18 +395,29 @@ def make_tvm_emulator(
             if res.c4 is not None:
                 data_overrides[account] = res.c4
             for a in res.actions:
-                if a.get("type") != "send_msg" or a.get("dest") is None:
-                    continue
-                mode = a.get("mode") or 0
-                child_value = a.get("value")
-                if mode & 64:
-                    child_value = value
-                child_body = a.get("body")
+                if a.get("type") == "set_code":
+                    code_overrides[account] = a["code"]
+            # child values via the calibrated action phase
+            # (tvm/phases.py): mode +64/+128 carry arithmetic and
+            # forward-fee deduction validated against captured chain
+            # values instead of the r10 approximation
+            gf = gas_fee(res.gas_used)
+            ap = apply_action_phase(
+                res.actions, balance=max(0, balance - gf),
+                msg_balance_remaining=max(
+                    0, min(int(value or 0) - gf, balance - gf)),
+                original_balance=int(st.get("balance") or 0))
+            sends = (ap.out_msgs if ap.success else
+                     [a for a in res.actions
+                      if a.get("type") == "send_msg"
+                      and a.get("dest") is not None])
+            for a in sends:
                 child_op = a.get("opcode")
                 if child_op is not None and child_op >= (1 << 31):
                     child_op -= 1 << 32
+                child_body = a.get("body")
                 node["out"].append(exec_internal(
-                    a["dest"], account, child_op, child_value,
+                    a["dest"], account, child_op, a.get("value"),
                     cell_to_b64_boc(child_body)
                     if child_body is not None else None))
             return node
@@ -423,6 +448,9 @@ def make_tvm_emulator(
             budget[0] -= 1
             if res.c4 is not None:
                 data_overrides[account] = res.c4
+            for a in res.actions:
+                if a.get("type") == "set_code":
+                    code_overrides[account] = a["code"]
             node = {
                 "account": account,
                 "in_source": None,

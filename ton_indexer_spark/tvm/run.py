@@ -54,6 +54,8 @@ def smart_contract_info(
     rand_seed: int = 0,
     config_root: Cell | None = None,
     my_code: Cell | None = None,
+    msg_value: int = 0,
+    storage_fees: int = 0,
 ) -> VmTuple:
     """c7 := [SmartContractInfo] — the whitepaper's 10-component tuple
     (A.11.4) plus the post-2023 TVM extensions (docs.ton.org TVM
@@ -74,8 +76,8 @@ def smart_contract_info(
         Slice(addr_cell),                # MYADDR
         config_root,                     # CONFIGROOT
         my_code,                         # MYCODE
-        VmTuple([0, None]),              # INCOMINGVALUE
-        0,                               # STORAGEFEES
+        VmTuple([msg_value, None]),      # INCOMINGVALUE
+        storage_fees,                    # STORAGEFEES
         VmTuple(),                       # PREVBLOCKSINFO
         None,                            # UNPACKEDCONFIG
         0,                               # DUEPAYMENT
@@ -388,6 +390,7 @@ def run_compute_phase(
     config_root: Cell | None = None,
     gas_limit: int = 10_000_000,
     selector: int = 0,
+    storage_fees: int = 0,
 ) -> ComputePhaseResult:
     """Replay an ordinary transaction's compute phase: run the account
     code with the standard internal-message stack
@@ -418,7 +421,8 @@ def run_compute_phase(
         c7=smart_contract_info(
             my_address=my_address, balance=balance, unixtime=unixtime,
             block_lt=block_lt, trans_lt=block_lt,
-            config_root=config_root, my_code=code),
+            config_root=config_root, my_code=code,
+            msg_value=msg_value, storage_fees=storage_fees),
         gas_limit=gas_limit,
     )
     exit_code = vm.run()
