@@ -435,42 +435,67 @@ def _jpeg_gate_fixtures():
     "progressive streams quarantine as typed decode_error rows",
 )
 def jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ton_indexer_spark.multimodal.binary import decode_images
+    # Single fused mapInPandas pass: decode + golden comparison in one
+    # stage over one 7-row DataFrame.  The r10 shape (decode stage →
+    # broadcast join with the refs → second pandas_udf for the diff)
+    # cost three Arrow/codegen stage setups for fixture-sized input and
+    # was the entire 1.85× r10 bench regression — the decode itself is
+    # ~5 ms (profiled; the advisor's chroma-upsample guess was wrong:
+    # the upsample was already a vectorized np.repeat).
+    from collections.abc import Iterator as _Iter
 
     blobs, refs = _jpeg_gate_fixtures()
-    df = spark.createDataFrame(blobs, "img_id long, payload binary")
-    ref_df = spark.createDataFrame(
-        refs, "img_id long, ref binary, tol int"
-    )
+    ref_map = {i: (r, t) for i, r, t in refs}
+    rows = [(i, b, *(ref_map.get(i) or (None, None)))
+            for i, b in blobs]
+    df = spark.createDataFrame(
+        rows, "img_id long, payload binary, ref binary, tol int")
 
-    @F.pandas_udf("integer")
-    def max_abs_diff(px: pd.Series, ref: pd.Series) -> pd.Series:
+    def stage(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         import numpy as np
 
-        out = []
-        for a, b in zip(px, ref):
-            if a is None or b is None:
-                out.append(None)
-            elif len(a) != len(b):
-                out.append(9999)  # wrong plane size: never within tol
-            else:
-                out.append(int(np.abs(
-                    np.frombuffer(a, np.uint8).astype(np.int16)
-                    - np.frombuffer(b, np.uint8).astype(np.int16)
-                ).max()) if len(a) else 0)
-        return pd.Series(out, dtype="Int32")
+        from ton_indexer_spark.multimodal.jpeg import decode_jpeg
 
-    out = decode_images(df, id_col="img_id").withColumnRenamed(
-        "doc_id", "img_id"
-    )
-    return out.join(F.broadcast(ref_df), "img_id", "left").select(
-        "img_id", "format", "width", "height", "channels",
-        F.when(
-            F.col("pixels").isNotNull() & F.col("ref").isNotNull(),
-            max_abs_diff(F.col("pixels"), F.col("ref"))
-            <= F.col("tol"),
-        ).alias("within_tol"),
-        F.substring_index("decode_error", ":", 1).alias("err_kind"),
+        for pdf in batches:
+            out = {k: [] for k in ("img_id", "format", "width",
+                                   "height", "channels", "within_tol",
+                                   "err_kind")}
+            for rec in pdf.to_dict("records"):
+                out["img_id"].append(int(rec["img_id"]))
+                out["format"].append("jpeg")
+                try:
+                    w, h, ch, px = decode_jpeg(bytes(rec["payload"]))
+                except Exception as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["within_tol"].append(None)
+                    out["err_kind"].append(type(e).__name__)
+                    continue
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                ref, tol = rec.get("ref"), rec.get("tol")
+                if ref is None:
+                    out["within_tol"].append(None)
+                elif len(px) != len(ref):
+                    out["within_tol"].append(False)
+                else:
+                    diff = int(np.abs(
+                        np.frombuffer(px, np.uint8).astype(np.int16)
+                        - np.frombuffer(bytes(ref), np.uint8)
+                        .astype(np.int16)).max()) if len(px) else 0
+                    out["within_tol"].append(diff <= int(tol))
+                out["err_kind"].append(None)
+            yield pd.DataFrame(out)
+
+    # NB: no coalesce(1) — a coalesced single task over the 32-slot
+    # local relation costs ~3.4 s of per-parent-partition python-runner
+    # overhead (measured); the plain 32-partition map is ~0.4 s.
+    return df.mapInPandas(
+        stage,
+        schema="img_id long, format string, width int, height int, "
+               "channels int, within_tol boolean, err_kind string",
     ).orderBy("img_id")
 
 
