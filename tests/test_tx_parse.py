@@ -596,3 +596,50 @@ def test_nft_auction_state_decode_roundtrip(spark):
     assert not good["is_end"] and not good["is_canceled"]
     bad = rows["0:" + "DD" * 32]
     assert bad["decode_error"] is not None
+
+
+def test_jetton_wallets_dimension_router(spark):
+    """The production dimension router: canonical-code accounts take the
+    layout fast path, non-canonical accounts EXECUTE get_wallet_data on
+    the real TVM — both produce the same dimension fields, and the
+    `path` column carries the split for hit-rate accounting."""
+    import json as _json
+    import os as _os
+
+    from ton_indexer_spark.functions.boc import encode_jetton_wallet_data
+    from ton_indexer_spark.functions.interfaces import (
+        CANONICAL_JETTON_WALLET_HASHES,
+    )
+    from ton_indexer_spark.sources.tx_ingest import (
+        jetton_wallets_dimension,
+    )
+
+    OWNER = "0:" + "AB" * 32
+    MASTER = "0:" + "CD" * 32
+    fast_raw = encode_jetton_wallet_data(
+        balance=42, owner=OWNER, jetton=MASTER)
+    golden = _json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "ton_indexer_spark", "tvm", "golden", "get_methods.json")))
+    gw = next(r for r in golden["rows"]
+              if r["kind"] == "JettonWallet" and r["exit_code"] == 0
+              and r["code_hash"]
+              not in CANONICAL_JETTON_WALLET_HASHES)
+    df = spark.createDataFrame(
+        [("0:FAST" + "0" * 58, CANONICAL_JETTON_WALLET_HASHES[0],
+          fast_raw, None),
+         (gw["account"], gw["code_hash"], gw["data_boc"],
+          gw["code_boc"])],
+        "address string, code_hash string, data_boc string, "
+        "code_boc string",
+    )
+    rows = {r["address"]: r
+            for r in jetton_wallets_dimension(df).collect()}
+    fast = rows["0:FAST" + "0" * 58]
+    assert fast["path"] == "layout" and fast["error"] is None
+    assert int(fast["balance"]) == 42
+    assert fast["owner"] == OWNER and fast["jetton"] == MASTER
+    slow = rows[gw["account"]]
+    assert slow["path"] == "tvm" and slow["error"] is None
+    assert slow["owner"] == gw["expected"]["owner"]
+    assert slow["jetton"] == gw["expected"]["jetton"]

@@ -165,6 +165,15 @@ INTERFACES: dict[str, tuple[int, ...]] = {
 
 # code hash -> interface name, first occurrence wins (the reference
 # returns on the first CodeHashes hit in registry order)
+# canonical jetton-wallet code hashes: accounts on these codes use the
+# published TEP-74 data layout, so dimension builds may take the direct
+# data-cell decode FAST PATH instead of TVM execution
+# (sources/tx_ingest.py::jetton_wallets_dimension)
+CANONICAL_JETTON_WALLET_HASHES: tuple[str, ...] = tuple(
+    h for name, _m, hs in _REGISTRY
+    if name.startswith("jetton_wallet") for h in hs
+)
+
 CODE_HASH_INTERFACES: dict[str, str] = {}
 for _name, _methods, _hashes in _REGISTRY:
     for _h in _hashes:

@@ -707,3 +707,67 @@ def nft_items_via_tvm(
             yield out
 
     return df.mapInPandas(run, schema=NFT_ITEM_TVM_SCHEMA)
+
+
+JETTON_WALLET_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("balance", T.DecimalType(38, 0)),
+        T.StructField("owner", T.StringType()),
+        T.StructField("jetton", T.StringType()),
+        T.StructField("path", T.StringType()),     # layout | tvm
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def jetton_wallets_dimension(
+    df: DataFrame,
+    canonical_hashes: list[str] | None = None,
+) -> DataFrame:
+    """PRODUCTION jetton-wallet dimension build: route each account by
+    code hash — canonical TEP-74 wallets take the layout FAST PATH
+    (direct data-cell decode, no execution), everything else takes the
+    real-TVM path (``jetton_wallets_via_tvm`` executes
+    ``get_wallet_data`` on the account's actual code).  The reference
+    TVM-executes every account (tondb-scanner smc-interfaces/
+    Tokens.cpp); the split reproduces identical rows at a fraction of
+    the cost because the canonical code's data layout is published
+    (TEP-74) — correctness of the fast path against execution is
+    pinned by the tvm_get_method golden population.
+
+    Both branches are narrow Arrow-batched maps over the same
+    partitioning — the filter splits, the union re-interleaves, no
+    shuffle is introduced (the union is a plan-level concatenation of
+    two column-pruned scans of the same source).
+
+    Columns needed: address, code_hash, data_boc, code_boc.
+    Output adds ``path`` = layout|tvm for hit-rate accounting.
+    """
+    if canonical_hashes is None:
+        from ton_indexer_spark.functions.interfaces import (
+            CANONICAL_JETTON_WALLET_HASHES,
+        )
+
+        canonical_hashes = list(CANONICAL_JETTON_WALLET_HASHES)
+    is_fast = F.col("code_hash").isin(canonical_hashes)
+    fast = jetton_wallets_from_states(df.filter(is_fast)).select(
+        "address",
+        F.col("balance").cast("decimal(38,0)").alias("balance"),
+        "owner", "jetton",
+        F.lit("layout").alias("path"),
+        F.col("decode_error").alias("error"),
+    )
+    slow = jetton_wallets_via_tvm(df.filter(~is_fast)).select(
+        "address",
+        F.col("balance").cast("decimal(38,0)").alias("balance"),
+        "owner", "jetton",
+        F.lit("tvm").alias("path"),
+        F.coalesce(
+            F.col("exec_error"),
+            F.when(F.col("exit_code") != 0,
+                   F.concat(F.lit("exit:"),
+                            F.col("exit_code").cast("string"))),
+        ).alias("error"),
+    )
+    return fast.unionByName(slow)
