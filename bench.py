@@ -93,6 +93,7 @@ HEADLINE = [
     # round 11: chained replay (c4 + set_code + balance/fee phases
     # propagated across whole per-account tx sequences)
     "tvm_chained_replay",
+    "tvm_signed_external",
 ]
 
 

@@ -378,7 +378,88 @@ def make_chained_golden() -> int:
 
 
 
+
+def make_signed_golden() -> int:
+    """Extract SIGNED-EXTERNAL replay fixtures: every external-in
+    transaction in the golden traces carrying BOTH a StateInit and a
+    signed body.  recv_external must verify the captured ed25519
+    signature for real (tvm/ed25519.py); expected values are the
+    chain's captured outcomes.  The one stale-state retransmit (message
+    seqno != state seqno) is pinned with its rejection exit 33."""
+    import glob
+
+    from ton_indexer_spark.functions.fixture_codec import load_lz4_msgpack
+
+    out_path = os.path.join(REPO, "ton_indexer_spark", "tvm", "golden",
+                            "signed_externals.json")
+    rows = []
+    for f in sorted(glob.glob(os.path.join(TRACES, "*.lz4"))):
+        d = load_lz4_msgpack(f)
+        for tx in d["transactions"]:
+            inm = next((m for m in tx["messages"]
+                        if m["direction"] == "in"), None)
+            if not inm or inm.get("source") is not None:
+                continue
+            ist = inm.get("init_state")
+            mcc = inm.get("message_content") or {}
+            if not (ist and ist.get("body") and mcc.get("body")):
+                continue
+            # stale-state retransmit detection: wallet v3/v4 body
+            # seqno vs the INIT data's seqno — when they differ the
+            # chain ran on real (newer) state the fixture lacks, and
+            # the correct replay answer from the GIVEN state is the
+            # wallet's own seqno rejection (exit 33, no sends)
+            from ton_indexer_spark.functions.boc import parse_boc
+            stale = False
+            try:
+                body_cell = parse_boc(mcc["body"])
+                bs = body_cell.begin_parse()
+                bs.load_uint(512), bs.load_uint(32), bs.load_uint(32)
+                msg_seqno = bs.load_uint(32)
+                si = parse_boc(ist["body"]).begin_parse()
+                if si.load_bit():
+                    si.load_uint(5)
+                if si.load_bit():
+                    si.load_uint(2)
+                si.load_maybe_ref()
+                data = si.load_maybe_ref()
+                stale = msg_seqno != data.begin_parse().load_uint(32)
+            except Exception:
+                pass
+            chain_out = sorted(
+                (str(m["destination"]), str(m.get("opcode")))
+                for m in tx["messages"] if m["direction"] == "out")
+            rows.append({
+                "account": inm["destination"],
+                "tx_hash": tx["hash"],
+                "source_trace": os.path.basename(f),
+                "init_state_boc": ist["body"],
+                "body_boc": mcc["body"],
+                "import_fee": int(inm.get("import_fee") or 0),
+                "now": tx["now"],
+                "lt": tx["lt"],
+                "stale_state": stale,
+                "chain_exit_code": tx.get("compute_exit_code"),
+                "chain_out": chain_out,
+                "expected_replay_exit_code":
+                    33 if stale else tx.get("compute_exit_code"),
+                "expected_replay_out": [] if stale else chain_out,
+            })
+    with open(out_path, "w") as fh:
+        json.dump({"provenance":
+                   "reference golden traces: real SIGNED external-in "
+                   "deployments; expected values are the CAPTURED "
+                   "on-chain outcomes (incl. one stale-seqno "
+                   "retransmit the wallet must REJECT with exit 33)",
+                   "rows": rows}, fh, indent=1)
+    print(f"wrote {len(rows)} signed-external rows -> {out_path}")
+    return 0
+
+
+
 if __name__ == "__main__":
+    if "--signed" in sys.argv:
+        raise SystemExit(make_signed_golden())
     if "--chained" in sys.argv:
         raise SystemExit(make_chained_golden())
     raise SystemExit(make_replay_golden() if "--replay" in sys.argv

@@ -243,3 +243,81 @@ def replay_chain_batch(chains: DataFrame, *, gas_limit: int = 10_000_000
 
     return chains.select("account", "chain_json").mapInPandas(
         _run, schema=_CHAIN_SCHEMA)
+
+
+_EXT_SCHEMA = (
+    "account string, tx_hash string, exit_code int, out_msgs string, "
+    "accepted boolean, exec_error string"
+)
+
+
+def replay_external_batch(txs: DataFrame, *, gas_limit: int = 10_000_000
+                          ) -> DataFrame:
+    """Replay SIGNED external-in transactions: recv_external (selector
+    -1) on the deployment state, with CHKSIGNU verifying the captured
+    ed25519 signature through the clean-room RFC 8032 implementation
+    (tvm/ed25519.py).  Input columns: account, tx_hash, init_state_boc,
+    body_boc, import_fee, now, lt.  Same narrow-map / typed-quarantine
+    shape as the other replay operators; reference analog: the real
+    emulator executing a signed external end to end
+    (ton-emulate-go/main.go)."""
+    import pandas as pd
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ton_indexer_spark.functions.boc import parse_boc
+        from ton_indexer_spark.tvm.run import (
+            build_external_message,
+            run_compute_phase_external,
+        )
+
+        def state_init_cells(b64):
+            s = parse_boc(b64).begin_parse()
+            if s.load_bit():
+                s.load_uint(5)
+            if s.load_bit():
+                s.load_uint(2)
+            return s.load_maybe_ref(), s.load_maybe_ref()
+
+        for pdf in batches:
+            out = {k: [] for k in ("account", "tx_hash", "exit_code",
+                                   "out_msgs", "accepted", "exec_error")}
+            for rec in pdf.to_dict("records"):
+                out["account"].append(rec.get("account"))
+                out["tx_hash"].append(rec.get("tx_hash"))
+                try:
+                    code, data = state_init_cells(rec["init_state_boc"])
+                    body = parse_boc(rec["body_boc"])
+                    msg = build_external_message(
+                        dest=rec.get("account"), body=body,
+                        init=parse_boc(rec["init_state_boc"]),
+                        import_fee=int(rec.get("import_fee") or 0))
+                    res = run_compute_phase_external(
+                        code, data, my_address=rec.get("account"),
+                        in_msg=msg, body=body, balance=10**9,
+                        unixtime=int(rec.get("now") or 0),
+                        block_lt=int(rec.get("lt") or 0),
+                        gas_limit=gas_limit)
+                    sends = []
+                    for a in res.actions:
+                        if a["type"] != "send_msg":
+                            continue
+                        op = a.get("opcode")
+                        if op is not None and op >= (1 << 31):
+                            op -= 1 << 32
+                        sends.append(f"{a.get('dest')}#{op}")
+                    out["exit_code"].append(res.exit_code)
+                    out["out_msgs"].append(",".join(sorted(sends)))
+                    out["accepted"].append(res.success)
+                    out["exec_error"].append(None)
+                except Exception as e:  # quarantine, never fail the stage
+                    out["exit_code"].append(None)
+                    out["out_msgs"].append(None)
+                    out["accepted"].append(None)
+                    out["exec_error"].append(
+                        f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(out)
+
+    cols = [c for c in ("account", "tx_hash", "init_state_boc",
+                        "body_boc", "import_fee", "now", "lt")
+            if c in txs.columns]
+    return txs.select(*cols).mapInPandas(_run, schema=_EXT_SCHEMA)

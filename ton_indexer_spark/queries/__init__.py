@@ -72,6 +72,7 @@ _EXPOSURE_FIRST = [
     # displaced from r10 by the TVM-gate insertions, then the 39
     # r8-attested specs that did not make the r10 window, then the
     # oldest r9-attested core specs to fill 50.
+    "tvm_signed_external",
     "tvm_chained_replay",
     "rollup_agg",
     "set_ops",
@@ -123,8 +124,7 @@ _EXPOSURE_FIRST = [
     "anti_join",
     "prev_pointer",
     "ordered_collect",
-    "sessionize",
-    # (1 new gate + 2 displaced + 39 r8-attested + 8 oldest-r9 = the
+    # (2 new gates + 2 displaced + 39 r8-attested + 7 oldest-r9 = the
     # 50-slot driver window.  Every spec stays hash-verified locally
     # each test run regardless via tests/test_oracle_parity.py;
     # rotation changes external attestation only.)

@@ -231,3 +231,63 @@ def tvm_chained_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exit_code").cast("int").alias("exit_code"),
         "out_msgs",
     ).orderBy("tx_hash")
+
+
+_SIGNED_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tvm", "golden", "signed_externals.json")
+
+
+def _signed_rows() -> list[dict]:
+    with open(_SIGNED_GOLDEN) as fh:
+        return json.load(fh)["rows"]
+
+
+def _signed_oracle() -> str:
+    vals = []
+    for r in sorted(_signed_rows(), key=lambda r: r["tx_hash"]):
+        out = ",".join(sorted(f"{d}#{o}"
+                              for d, o in r["expected_replay_out"]))
+        acc = "TRUE" if r["expected_replay_exit_code"] in (0, 1) \
+            else "FALSE"
+        vals.append(
+            f"  ('{r['tx_hash']}', '{r['account']}', "
+            f"{r['expected_replay_exit_code']}, '{out}', {acc})")
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(vals) + "\n"
+        ") AS t(tx_hash, account, exit_code, out_msgs, accepted)\n"
+        "ORDER BY tx_hash"
+    )
+
+
+@register(
+    "tvm_signed_external",
+    oracle=_signed_oracle(),
+    survey_ops=("C8", "T6"),
+    description="replay of REAL signed wallet externals: recv_external "
+    "executes CHKSIGNU over the chain-captured ed25519 signature "
+    "through the clean-room RFC 8032 verifier (tvm/ed25519.py); true "
+    "deployments must accept (exit 0) and reproduce the captured "
+    "out-message set, and the one stale-seqno retransmit must be "
+    "REJECTED with the wallet's own exit 33 — proving the engine "
+    "answers from the state it is given, not from the captured outcome",
+)
+def tvm_signed_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.tvm_exec import (
+        replay_external_batch,
+    )
+
+    rows = _signed_rows()
+    df = spark.createDataFrame(
+        [(r["account"], r["tx_hash"], r["init_state_boc"],
+          r["body_boc"], r["import_fee"], r["now"], r["lt"])
+         for r in rows],
+        "account string, tx_hash string, init_state_boc string, "
+        "body_boc string, import_fee long, now long, lt long",
+    )
+    out = replay_external_batch(df)
+    return out.select(
+        "tx_hash", "account",
+        F.col("exit_code").cast("int").alias("exit_code"),
+        "out_msgs", "accepted",
+    ).orderBy("tx_hash")
