@@ -1368,3 +1368,74 @@ def test_known_replay_residuals():
                 unixtime=tx["now"], block_lt=tx["lt"])
             seen[key] = res.exit_code
     assert seen == expected, seen
+
+
+@needs_reference
+def test_gas_schedule_population_envelope():
+    """The gas schedule is whitepaper-base, NOT C++-table exact — but it
+    must stay CLOSE: on fresh-deploy transactions the chain's own gas
+    is derivable from captured total_fees minus the action-phase
+    forward-fee cuts (first_frac = 1/3 of the total, and the message
+    field carries the remaining 2/3, so cut = field/2).  Measured r11:
+    median chain/ours 0.96, p10-p90 [0.76, 1.17] over 53 txs.  Pinned:
+    median within [0.85, 1.15] and at least 80%% of the population
+    within [0.6, 1.7] — a drifting schedule (or a gas-charging
+    regression) fails loudly here while exact equality stays
+    explicitly out of contract."""
+    import statistics
+
+    from ton_indexer_spark.functions.fixture_codec import load_lz4_msgpack
+    from ton_indexer_spark.tvm.run import (
+        build_internal_message,
+        run_compute_phase,
+    )
+
+    ratios = []
+    for f in sorted(glob.glob(os.path.join(TRACES, "*.lz4"))):
+        d = load_lz4_msgpack(f)
+        for tx in d["transactions"]:
+            if tx.get("descr") != "ord":
+                continue
+            if tx.get("orig_status") not in ("nonexist", "uninit"):
+                continue
+            inm = next((m for m in tx["messages"]
+                        if m["direction"] == "in"), None)
+            if (not inm or inm.get("source") is None
+                    or not (inm.get("init_state") or {}).get("body")):
+                continue
+            try:
+                code, data = state_init(inm["init_state"]["body"])
+            except Exception:
+                continue
+            if (code is None or data is None or code.exotic
+                    or code.bits == 264):
+                continue
+            mcc = inm.get("message_content") or {}
+            if not mcc.get("body"):
+                continue
+            body = parse_boc(mcc["body"])
+            value = int(inm.get("value") or 0)
+            msg = build_internal_message(
+                src=inm.get("source"), dest=inm["destination"],
+                value=value, body=body,
+                init=parse_boc(inm["init_state"]["body"]),
+                bounce=bool(inm.get("bounce")),
+                fwd_fee=int(inm.get("fwd_fee") or 0))
+            res = run_compute_phase(
+                code, data, my_address=inm["destination"], in_msg=msg,
+                body=body, msg_value=value, balance=value,
+                unixtime=tx["now"], block_lt=tx["lt"])
+            if not res.success:
+                continue
+            cuts = sum(int(m.get("fwd_fee") or 0)
+                       for m in tx["messages"]
+                       if m["direction"] == "out") // 2
+            gas_fee_chain = int(tx.get("total_fees") or 0) - cuts
+            g_chain = (gas_fee_chain - 40_000) / 400 + 100
+            if g_chain > 0 and res.gas_used > 0:
+                ratios.append(g_chain / res.gas_used)
+    assert len(ratios) >= 40
+    med = statistics.median(ratios)
+    assert 0.85 <= med <= 1.15, med
+    inside = sum(0.6 <= r <= 1.7 for r in ratios)
+    assert inside / len(ratios) >= 0.8, (inside, len(ratios))
