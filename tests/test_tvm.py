@@ -1439,3 +1439,53 @@ def test_gas_schedule_population_envelope():
     assert 0.85 <= med <= 1.15, med
     inside = sum(0.6 <= r <= 1.7 for r in ratios)
     assert inside / len(ratios) >= 0.8, (inside, len(ratios))
+
+
+def test_bounce_phase_shape():
+    """A failed compute on a bounceable inbound message emits the
+    block.tlb bounce: dest = sender, opcode 0xFFFFFFFF, body =
+    0xFFFFFFFF ++ first 256 bits of the original body, value = inbound
+    minus gas and the bounce's forward fee — the shape of the one
+    captured bounce in the traces.  A bounced or non-bounceable
+    message must NOT bounce."""
+    from ton_indexer_spark.tvm.chain_replay import _replay_msg_fields
+
+    failing = asm(0xF2, 0x2A)  # THROW 42
+    from ton_indexer_spark.functions.boc import (
+        cell_to_b64_boc,
+        serialize_boc,
+    )
+    import base64 as _b64
+
+    body = Builder().store_uint(0xDEADBEEF, 32).store_uint(7, 64).end_cell()
+    m = {
+        "dest": "0:" + "22" * 32,
+        "src": "0:" + "11" * 32,
+        "value": 10**9,
+        "body_boc": _b64.b64encode(serialize_boc(body)).decode(),
+        "bounce": True,
+        "bounced": False,
+        "now": 1_700_000_000,
+        "lt": 5,
+    }
+    res, ap, bal, _ = _replay_msg_fields(
+        failing, Cell(), m, 0, None, 10_000_000)
+    assert res.exit_code == 42
+    assert ap is not None and ap.success and len(ap.out_msgs) == 1
+    o = ap.out_msgs[0]
+    assert o["dest"] == "0:" + "11" * 32
+    assert o["opcode"] == -1 and o.get("bounced")
+    bs = o["body"].begin_parse()
+    assert bs.load_uint(32) == 0xFFFFFFFF
+    assert bs.load_uint(32) == 0xDEADBEEF  # original body echoed
+    assert 0 < o["value"] < 10**9
+    # already-bounced inbound: no bounce-of-bounce
+    m2 = dict(m, bounced=True)
+    res, ap, bal, _ = _replay_msg_fields(
+        failing, Cell(), m2, 0, None, 10_000_000)
+    assert ap is None
+    # non-bounceable: dropped
+    m3 = dict(m, bounce=False)
+    res, ap, bal, _ = _replay_msg_fields(
+        failing, Cell(), m3, 0, None, 10_000_000)
+    assert ap is None

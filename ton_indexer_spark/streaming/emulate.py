@@ -326,9 +326,12 @@ def make_tvm_emulator(
       approximation (<0.022 TON on the measured population) — exit
       codes, opcodes, accounts and bodies, which classification keys
       on, are exact; set_code actions now propagate within the trace.
-    * a hop whose account does not resolve (or whose execution fails)
-      becomes a LEAF — the trace truncates visibly instead of
-      fabricating downstream behavior.
+    * a failed BOUNCEABLE hop emits the block.tlb bounce
+      (0xFFFFFFFF ++ first 256 body bits back to the sender) and the
+      parent's bounce handler executes — what finalization will show
+      (round 11); a hop whose account does not resolve (or a failed
+      non-bounceable one) becomes a LEAF — the trace truncates visibly
+      instead of fabricating downstream behavior.
     """
     import base64 as _b64
 
@@ -337,7 +340,11 @@ def make_tvm_emulator(
         cell_to_b64_boc,
         parse_boc,
     )
-    from ton_indexer_spark.tvm.phases import apply_action_phase, gas_fee
+    from ton_indexer_spark.tvm.phases import (
+        apply_action_phase,
+        build_bounce,
+        gas_fee,
+    )
     from ton_indexer_spark.tvm.run import (
         build_external_message,
         build_internal_message,
@@ -356,7 +363,7 @@ def make_tvm_emulator(
         code_overrides: dict[str, object] = {}
 
         def exec_internal(account, in_source, opcode, value, body_b64,
-                          ) -> dict:
+                          bounce=True, bounced=False) -> dict:
             node = {
                 "account": account,
                 "in_source": in_source,
@@ -381,7 +388,8 @@ def make_tvm_emulator(
                     data = parse_boc(st["data_boc"])
                 msg = build_internal_message(
                     src=in_source, dest=account,
-                    value=int(value or 0), body=body)
+                    value=int(value or 0), body=body,
+                    bounce=bool(bounce), bounced=bool(bounced))
                 balance = int(value or 0) + int(st.get("balance") or 0)
                 res = run_compute_phase(
                     code, data, my_address=account, in_msg=msg,
@@ -391,6 +399,20 @@ def make_tvm_emulator(
             except Exception:
                 return node  # leaf: truncate visibly, never fabricate
             if not res.success:
+                # bounce phase (round 11): a failed bounceable hop sends
+                # the 0xFFFFFFFF bounce back, and the PARENT's bounce
+                # handler runs — what finalization will show, instead of
+                # a silent truncation
+                if bounce and not bounced and in_source is not None:
+                    bo = build_bounce(
+                        src=in_source, dest=account,
+                        msg_value=int(value or 0),
+                        gas_fee_paid=gas_fee(res.gas_used), body=body)
+                    if bo is not None:
+                        node["out"].append(exec_internal(
+                            in_source, account, -1, bo["value"],
+                            cell_to_b64_boc(bo["body"]),
+                            bounce=False, bounced=True))
                 return node
             if res.c4 is not None:
                 data_overrides[account] = res.c4
@@ -419,7 +441,9 @@ def make_tvm_emulator(
                 node["out"].append(exec_internal(
                     a["dest"], account, child_op, a.get("value"),
                     cell_to_b64_boc(child_body)
-                    if child_body is not None else None))
+                    if child_body is not None else None,
+                    bounce=a.get("bounce", True),
+                    bounced=bool(a.get("bounced"))))
             return node
 
         def exec_external_real(account, body_b64) -> dict | None:

@@ -135,7 +135,8 @@ def _replay_one(code, data, tx, bal_before, prev_now):
         msg_value=value, balance=bal, unixtime=tx["now"],
         block_lt=tx["lt"])
     if not res.success:
-        return res, None, bal, tx["now"]
+        ap = _bounce_phase(inm, res, value, bal)
+        return res, ap, (ap.balance_after if ap else bal), tx["now"]
     gf = gas_fee(res.gas_used)
     bal_pc = max(0, bal - gf)
     ap = apply_action_phase(
@@ -144,6 +145,45 @@ def _replay_one(code, data, tx, bal_before, prev_now):
         original_balance=max(0, bal - value))
     return res, ap, (ap.balance_after if ap.success else bal_pc), \
         tx["now"]
+
+
+def _bounce_phase(inm, res, value, bal, *, body=None, src=None,
+                  dest=None, bounce=None, bounced=None):
+    """Bounce phase for a failed compute: emit the 0xFFFFFFFF bounce
+    back to the sender when the inbound message was bounceable and not
+    itself bounced (block.tlb bounce semantics; SHAPE matched against
+    the one captured bounce in the traces — dest = sender, opcode
+    0xFFFFFFFF, body = 0xFFFFFFFF ++ first 256 bits of the original
+    body — whose own replay is excluded because its code is a
+    masterchain library stub).  Returns an ActionPhaseResult carrying
+    the bounce as its only out message, or None when no bounce
+    applies."""
+    from ton_indexer_spark.tvm.phases import (
+        ActionPhaseResult,
+        build_bounce,
+    )
+
+    if isinstance(inm, dict) and "messages" not in inm and body is None:
+        # trace-shaped in-message dict
+        mcc = inm.get("message_content") or {}
+        body = parse_boc(mcc["body"]) if mcc.get("body") else None
+        src = inm.get("source")
+        dest = inm.get("destination")
+        bounce = bool(inm.get("bounce"))
+        bounced = bool(inm.get("bounced"))
+    if not bounce or bounced:
+        return None
+    gf = gas_fee(res.gas_used)
+    out = build_bounce(src=src, dest=dest, msg_value=value,
+                       gas_fee_paid=gf, body=body)
+    if out is None:
+        return None
+    # balance after: gas paid, then the bounce carries value + its
+    # full forward fee out of the account
+    fwd_total = (out["fwd_fee"] * 3 + 1) // 2
+    return ActionPhaseResult(
+        True, 0, [out],
+        max(0, bal - gf - out["value"] - fwd_total), 0, 0)
 
 
 def _captured_out(tx: dict) -> list[tuple[str, str]]:
@@ -253,7 +293,11 @@ def _replay_msg_fields(code, data, m: dict, bal_before: int,
         msg_value=value, balance=bal, unixtime=int(m["now"]),
         block_lt=int(m["lt"]), gas_limit=gas_limit)
     if not res.success:
-        return res, None, bal, int(m["now"])
+        ap = _bounce_phase(m, res, value, bal, body=body,
+                           src=m.get("src"), dest=m.get("dest"),
+                           bounce=bool(m.get("bounce")),
+                           bounced=bool(m.get("bounced")))
+        return res, ap, (ap.balance_after if ap else bal), int(m["now"])
     gf = gas_fee(res.gas_used)
     bal_pc = max(0, bal - gf)
     ap = apply_action_phase(

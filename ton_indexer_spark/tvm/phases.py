@@ -214,3 +214,48 @@ def apply_action_phase(
         # set_code and unknown actions have no balance effect here
     return ActionPhaseResult(True, 0, out, avail + reserved,
                              act_fees, fwd_total_sum)
+
+
+def build_bounce(
+    *,
+    src: str | None,
+    dest: str | None,
+    msg_value: int,
+    gas_fee_paid: int,
+    body: Cell | None,
+    mc: bool = False,
+) -> dict | None:
+    """The bounce-phase message for a FAILED compute on a bounceable
+    inbound message (block.tlb: bounced:1, body = 0xFFFFFFFF ++ first
+    256 bits of the original body; value = inbound remainder minus the
+    compute gas and the bounce's own forward fee).  Returns an
+    action-phase-shaped out row ({dest, opcode, value, fwd_fee,
+    bounced}) or None when the remainder cannot cover the fee (the
+    real transaction then just drops the message)."""
+    from ton_indexer_spark.functions.boc import Builder
+
+    b = Builder().store_uint(0xFFFFFFFF, 32)
+    if body is not None:
+        s = body.begin_parse()
+        n = min(256, s.remaining_bits)
+        for _ in range(n):
+            b.store_bit(s.load_bit())
+    bounce_body = b.end_cell()
+    # fee over a root header + the body as a ref (how the bounce is
+    # actually packed when the body exceeds the root's spare bits)
+    fee_cell = Builder().store_ref(bounce_body).end_cell()
+    fee = fwd_fee_total(fee_cell, mc=mc)
+    value = msg_value - gas_fee_paid - fee
+    if value < 0:
+        return None
+    return {
+        "dest": src,
+        "opcode": -1,  # 0xFFFFFFFF as signed int32
+        "value": value,
+        "fwd_fee": fwd_fee_carried(fee),
+        "mode": 0,
+        "body": bounce_body,
+        "message": fee_cell,
+        "bounce": False,
+        "bounced": True,
+    }
