@@ -1489,3 +1489,45 @@ def test_bounce_phase_shape():
     res, ap, bal, _ = _replay_msg_fields(
         failing, Cell(), m3, 0, None, 10_000_000)
     assert ap is None
+
+
+@needs_reference
+def test_fee_estimator_matches_chain_fees():
+    """estimateFee's default path now EXECUTES the message on the real
+    code and prices components with the published formulas: on a
+    captured signed wallet deployment the estimated out fwd_fee must
+    land within rounding of the chain's own (captured field * 3/2),
+    and gas/in_fwd must come from real execution, not the size
+    heuristic."""
+    from ton_indexer_spark.functions.fixture_codec import load_lz4_msgpack
+    from ton_indexer_spark.functions.getmethod import tvm_fee_estimator
+
+    f = next(iter(sorted(glob.glob(
+        os.path.join(TRACES, "013-itRDy37A*.lz4")))))
+    d = load_lz4_msgpack(f)
+    for tx in d["transactions"]:
+        inm = next((m for m in tx["messages"]
+                    if m["direction"] == "in"), None)
+        if not (inm and inm.get("source") is None
+                and (inm.get("init_state") or {}).get("body")):
+            continue
+        code, data = state_init(inm["init_state"]["body"])
+        state = {
+            "account": inm["destination"],
+            "code_boc": cell_to_b64_boc(code),
+            "data_boc": cell_to_b64_boc(data),
+            "balance": 10**9,
+            "now": tx["now"],
+        }
+        body_b64 = (inm.get("message_content") or {}).get("body")
+        fees = tvm_fee_estimator(state, body_b64)
+        out = next(m for m in tx["messages"] if m["direction"] == "out")
+        chain_fwd_total = int(out["fwd_fee"]) * 3 // 2
+        assert abs(fees["fwd_fee"] - chain_fwd_total) <= 1000, fees
+        assert fees["gas_fee"] > 100_000       # real execution, not 0
+        assert fees["in_fwd_fee"] > 400_000    # lump + body bits
+        # unsigned what-if (ignore_chksig default) equals the signed run
+        fees2 = tvm_fee_estimator(state, body_b64, ignore_chksig=False)
+        assert fees2 == fees                   # real signature verifies
+        return
+    raise AssertionError("fixture tx not found")

@@ -363,6 +363,73 @@ _FEE_PER_BYTE = 1000
 _FEE_BASE = 10_000_000
 
 
+def tvm_fee_estimator(state: dict, body_b64: str,
+                      *, ignore_chksig: bool = True,
+                      now: int | None = None) -> dict:
+    """REAL fee estimate: execute recv_external on the account's actual
+    code (in-engine TVM) and price every component with the published
+    formulas (tvm/phases.py) — the same accounting the reference's
+    emulator performs (ton-index-go main.go:363-420 estimateFee through
+    the real emulator):
+
+    * in_fwd_fee — forward/import fee of the inbound external message;
+    * gas_fee    — from the gas the contract ACTUALLY consumes;
+    * fwd_fee    — sum of forward fees of the c5 out-messages;
+    * storage_fee — accrued since the state's own timestamp when the
+      row carries one (else 0).
+
+    ``ignore_chksig`` mirrors the v2 flag: the what-if body is usually
+    not signed yet, so CHKSIGN is stubbed to accept; pass False to
+    verify a real signature.  Raises GetMethodContractError when the
+    state has no code (the caller falls back to the size heuristic).
+    """
+    import base64 as _b64
+
+    from ton_indexer_spark.functions.boc import Cell, parse_boc
+    from ton_indexer_spark.tvm.phases import (
+        fwd_fee_total,
+        gas_fee,
+        storage_fee,
+    )
+    from ton_indexer_spark.tvm.run import (
+        build_external_message,
+        run_compute_phase_external,
+    )
+
+    code_boc = state.get("code_boc")
+    if not code_boc:
+        raise GetMethodContractError("no code for fee estimation")
+    code = parse_boc(code_boc)
+    data = parse_boc(state["data_boc"]) if state.get("data_boc") else None
+    body = parse_boc(_b64.b64decode(body_b64)) if body_b64 else Cell()
+    msg = build_external_message(dest=state.get("account"), body=body)
+    if now is None:
+        # wall-clock of the what-if: wallet validity windows reject a
+        # stale NOW, so prefer the state's own capture time
+        now = int(state.get("now") or state.get("timestamp")
+                  or 1_700_000_000)
+    res = run_compute_phase_external(
+        code, data, my_address=state.get("account"), in_msg=msg,
+        body=body, balance=int(state.get("balance") or 10**9),
+        unixtime=now,
+        sig_verifier=(lambda *_a: True) if ignore_chksig else None)
+    out_fwd = 0
+    for a in res.actions:
+        if a.get("type") == "send_msg" and a.get("message") is not None \
+                and not a.get("external"):
+            out_fwd += fwd_fee_total(a["message"])
+    dt = 0
+    ts = state.get("timestamp")
+    if isinstance(ts, int) and ts > 0:
+        dt = max(0, int(state.get("now") or ts) - ts)
+    return {
+        "in_fwd_fee": fwd_fee_total(msg),
+        "storage_fee": storage_fee(code, data, dt),
+        "gas_fee": gas_fee(res.gas_used),
+        "fwd_fee": out_fwd,
+    }
+
+
 def estimate_fee(
     cat,
     address: str,
@@ -370,7 +437,13 @@ def estimate_fee(
     executor: Callable[[dict, str], dict] | None = None,
 ) -> dict:
     """/api/v3/estimateFee: fee quadruple for sending `body` to the
-    account (v2 shape: in_fwd_fee / storage_fee / gas_fee / fwd_fee)."""
+    account (v2 shape: in_fwd_fee / storage_fee / gas_fee / fwd_fee).
+
+    Layered like runGetMethod: when the state carries code, the
+    quadruple comes from ACTUALLY EXECUTING the message on the
+    in-engine TVM with the published fee formulas
+    (:func:`tvm_fee_estimator`); the size heuristic remains only as
+    the no-code fallback."""
     rows = (
         cat.latest_account_states
         .filter(F.col("account") == address)
@@ -382,13 +455,16 @@ def estimate_fee(
     if executor is not None:
         res = executor(rows[0].asDict(), body_b64)
     else:
-        size = len(body_b64 or "")
-        res = {
-            "in_fwd_fee": _FEE_BASE + size * _FEE_PER_BYTE,
-            "storage_fee": 0,
-            "gas_fee": _FEE_BASE,
-            "fwd_fee": size * _FEE_PER_BYTE,
-        }
+        try:
+            res = tvm_fee_estimator(rows[0].asDict(), body_b64)
+        except Exception:
+            size = len(body_b64 or "")
+            res = {
+                "in_fwd_fee": _FEE_BASE + size * _FEE_PER_BYTE,
+                "storage_fee": 0,
+                "gas_fee": _FEE_BASE,
+                "fwd_fee": size * _FEE_PER_BYTE,
+            }
     missing = {"in_fwd_fee", "storage_fee", "gas_fee", "fwd_fee"} - set(res)
     if missing or any(not isinstance(v, int) for v in res.values()):
         raise GetMethodContractError(f"bad fee estimate shape: {res!r}")

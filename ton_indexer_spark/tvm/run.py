@@ -391,6 +391,7 @@ def run_compute_phase(
     gas_limit: int = 10_000_000,
     selector: int = 0,
     storage_fees: int = 0,
+    sig_verifier=None,
 ) -> ComputePhaseResult:
     """Replay an ordinary transaction's compute phase: run the account
     code with the standard internal-message stack
@@ -424,6 +425,7 @@ def run_compute_phase(
             config_root=config_root, my_code=code,
             msg_value=msg_value, storage_fees=storage_fees),
         gas_limit=gas_limit,
+        sig_verifier=sig_verifier,
     )
     exit_code = vm.run()
     c5 = vm.regs.get("c5")
@@ -448,6 +450,7 @@ def run_compute_phase_external(
     block_lt: int = 0,
     config_root: Cell | None = None,
     gas_limit: int = 10_000_000,
+    sig_verifier=None,
 ) -> ComputePhaseResult:
     """Replay the compute phase of an EXTERNAL-in transaction: selector
     -1 (recv_external), message value 0 — the path a signed wallet
@@ -459,4 +462,4 @@ def run_compute_phase_external(
         code, data, my_address=my_address, in_msg=in_msg, body=body,
         msg_value=0, balance=balance, unixtime=unixtime,
         block_lt=block_lt, config_root=config_root,
-        gas_limit=gas_limit, selector=-1)
+        gas_limit=gas_limit, selector=-1, sig_verifier=sig_verifier)
