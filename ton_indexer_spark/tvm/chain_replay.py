@@ -108,74 +108,61 @@ def extract_chains(trace_dir: str = TRACES) -> list[dict]:
     return chains
 
 
-def _replay_one(code, data, tx, bal_before, prev_now):
-    """Full-phase replay of one tx: storage fee → credit → compute →
-    gas fee → action phase.  Returns (compute_result, action_result,
-    balance_after, now)."""
+def msg_fields_of_tx(tx: dict) -> dict:
+    """Trace-shaped transaction → the flat msg-field dict the replay
+    core and the golden fixtures share (one replay code path for both
+    shapes)."""
     inm = _in_msg(tx)
     mcc = inm.get("message_content") or {}
-    body = parse_boc(mcc["body"]) if mcc.get("body") else Cell()
-    init_b = (inm.get("init_state") or {}).get("body")
-    value = int(inm.get("value") or 0)
-    dt = max(0, tx["now"] - prev_now) if prev_now else 0
-    sf = storage_fee(code, data, dt)
-    bal = max(0, bal_before - sf) + value
-    if tx.get("credit_first"):
-        bal = max(0, bal_before + value - sf)
-    msg = build_internal_message(
-        src=inm.get("source"), dest=tx["account"], value=value,
-        body=body, init=parse_boc(init_b) if init_b else None,
-        bounce=bool(inm.get("bounce")), bounced=bool(inm.get("bounced")),
-        fwd_fee=int(inm.get("fwd_fee") or 0),
-        ihr_fee=int(inm.get("ihr_fee") or 0),
-        created_lt=int(inm.get("created_lt") or 0),
-        created_at=int(inm.get("created_at") or 0))
-    res = run_compute_phase(
-        code, data, my_address=tx["account"], in_msg=msg, body=body,
-        msg_value=value, balance=bal, unixtime=tx["now"],
-        block_lt=tx["lt"])
-    if not res.success:
-        ap = _bounce_phase(inm, res, value, bal)
-        return res, ap, (ap.balance_after if ap else bal), tx["now"]
-    gf = gas_fee(res.gas_used)
-    bal_pc = max(0, bal - gf)
-    ap = apply_action_phase(
-        res.actions, balance=bal_pc,
-        msg_balance_remaining=max(0, min(value - gf, bal_pc)),
-        original_balance=max(0, bal - value))
-    return res, ap, (ap.balance_after if ap.success else bal_pc), \
-        tx["now"]
+    return {
+        "tx_hash": tx.get("hash"),
+        "dest": tx["account"],
+        "src": inm.get("source"),
+        "value": int(inm.get("value") or 0),
+        "body_boc": mcc.get("body"),
+        "init_state_boc": (inm.get("init_state") or {}).get("body"),
+        "bounce": bool(inm.get("bounce")),
+        "bounced": bool(inm.get("bounced")),
+        "fwd_fee": int(inm.get("fwd_fee") or 0),
+        "ihr_fee": int(inm.get("ihr_fee") or 0),
+        "created_lt": int(inm.get("created_lt") or 0),
+        "created_at": int(inm.get("created_at") or 0),
+        "now": tx["now"],
+        "lt": tx["lt"],
+        "credit_first": bool(tx.get("credit_first")),
+        "descr": tx.get("descr"),
+    }
 
 
-def _bounce_phase(inm, res, value, bal, *, body=None, src=None,
-                  dest=None, bounce=None, bounced=None):
+def _replay_one(code, data, tx, bal_before, prev_now):
+    """Full-phase replay of one trace-shaped tx (storage fee → credit
+    → compute → gas fee → action/bounce phase) — delegates to the
+    msg-field core."""
+    return _replay_msg_fields(code, data, msg_fields_of_tx(tx),
+                              bal_before, prev_now, 10_000_000)
+
+
+def _bounce_phase(m, res, value, bal):
     """Bounce phase for a failed compute: emit the 0xFFFFFFFF bounce
     back to the sender when the inbound message was bounceable and not
     itself bounced (block.tlb bounce semantics; SHAPE matched against
     the one captured bounce in the traces — dest = sender, opcode
     0xFFFFFFFF, body = 0xFFFFFFFF ++ first 256 bits of the original
     body — whose own replay is excluded because its code is a
-    masterchain library stub).  Returns an ActionPhaseResult carrying
-    the bounce as its only out message, or None when no bounce
-    applies."""
+    masterchain library stub).  ``m`` is the flat msg-field dict.
+    Returns an ActionPhaseResult carrying the bounce as its only out
+    message, or None when no bounce applies."""
     from ton_indexer_spark.tvm.phases import (
         ActionPhaseResult,
         build_bounce,
     )
 
-    if isinstance(inm, dict) and "messages" not in inm and body is None:
-        # trace-shaped in-message dict
-        mcc = inm.get("message_content") or {}
-        body = parse_boc(mcc["body"]) if mcc.get("body") else None
-        src = inm.get("source")
-        dest = inm.get("destination")
-        bounce = bool(inm.get("bounce"))
-        bounced = bool(inm.get("bounced"))
-    if not bounce or bounced:
+    if not m.get("bounce") or m.get("bounced"):
         return None
+    body = parse_boc(m["body_boc"]) if m.get("body_boc") else None
     gf = gas_fee(res.gas_used)
-    out = build_bounce(src=src, dest=dest, msg_value=value,
-                       gas_fee_paid=gf, body=body)
+    out = build_bounce(src=m.get("src"), dest=m.get("dest"),
+                       msg_value=value, gas_fee_paid=gf, body=body)
     if out is None:
         return None
     # balance after: gas paid, then the bounce carries value + its
@@ -293,10 +280,7 @@ def _replay_msg_fields(code, data, m: dict, bal_before: int,
         msg_value=value, balance=bal, unixtime=int(m["now"]),
         block_lt=int(m["lt"]), gas_limit=gas_limit)
     if not res.success:
-        ap = _bounce_phase(m, res, value, bal, body=body,
-                           src=m.get("src"), dest=m.get("dest"),
-                           bounce=bool(m.get("bounce")),
-                           bounced=bool(m.get("bounced")))
+        ap = _bounce_phase(m, res, value, bal)
         return res, ap, (ap.balance_after if ap else bal), int(m["now"])
     gf = gas_fee(res.gas_used)
     bal_pc = max(0, bal - gf)
