@@ -351,6 +351,10 @@ def make_chained_golden() -> int:
             fu["expected_out"] = sorted(
                 (str(m["destination"]), str(m.get("opcode")))
                 for m in tx["messages"] if m["direction"] == "out")
+            fu["expected_out_values"] = {
+                f"{m['destination']}:{m.get('opcode')}":
+                    int(m.get("value") or 0)
+                for m in tx["messages"] if m["direction"] == "out"}
             followups.append(fu)
         goldens.append({
             "trace": chain["trace"],

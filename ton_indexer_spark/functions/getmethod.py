@@ -421,7 +421,7 @@ def tvm_fee_estimator(state: dict, body_b64: str,
     dt = 0
     ts = state.get("timestamp")
     if isinstance(ts, int) and ts > 0:
-        dt = max(0, int(state.get("now") or ts) - ts)
+        dt = max(0, now - ts)
     return {
         "in_fwd_fee": fwd_fee_total(msg),
         "storage_fee": storage_fee(code, data, dt),

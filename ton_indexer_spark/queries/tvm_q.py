@@ -184,10 +184,15 @@ def _chained_rows() -> list[dict]:
 
 
 def _chained_oracle() -> str:
+    # hop numbering and row filter MUST mirror replay_chain_msgs:
+    # enumerate the FULL follow-up list (original indices), skip
+    # non-ord or body-less rows without renumbering
     vals = []
     for chain in _chained_rows():
-        for hop, fu in enumerate(f for f in chain["followups"]
-                                 if f.get("body_boc")):
+        for hop, fu in enumerate(chain["followups"]):
+            if fu.get("descr") not in (None, "ord") \
+                    or not fu.get("body_boc"):
+                continue
             out = ",".join(sorted(f"{d}:{o}"
                                   for d, o in fu["expected_out"]))
             vals.append(

@@ -750,7 +750,11 @@ def jetton_wallets_dimension(
         )
 
         canonical_hashes = list(CANONICAL_JETTON_WALLET_HASHES)
-    is_fast = F.col("code_hash").isin(canonical_hashes)
+    # NULL-safe split: a row with no code_hash must take the TVM path
+    # (isin yields NULL for NULL input, which would drop the row from
+    # BOTH branches)
+    is_fast = F.coalesce(
+        F.col("code_hash").isin(canonical_hashes), F.lit(False))
     fast = jetton_wallets_from_states(df.filter(is_fast)).select(
         "address",
         F.col("balance").cast("decimal(38,0)").alias("balance"),
@@ -765,7 +769,7 @@ def jetton_wallets_dimension(
         F.lit("tvm").alias("path"),
         F.coalesce(
             F.col("exec_error"),
-            F.when(F.col("exit_code") != 0,
+            F.when(~F.col("exit_code").isin(0, 1),  # 0 AND 1 = success
                    F.concat(F.lit("exit:"),
                             F.col("exit_code").cast("string"))),
         ).alias("error"),

@@ -483,9 +483,22 @@ def make_tvm_emulator(
                 "body": body_b64,
                 "out": [],
             }
-            for a in res.actions:
-                if a.get("type") != "send_msg" or a.get("dest") is None:
-                    continue
+            # same calibrated action phase as the internal hops: an
+            # external carries no value, so the +64 carry source is 0
+            # and +128 resolves against the account balance.  A state
+            # with no balance column is treated as funded (1 TON) — the
+            # what-if convention; a literal 0 would silently skip every
+            # fee-paying send
+            st_bal = int(st.get("balance") or 10**9)
+            gf = gas_fee(res.gas_used)
+            ap = apply_action_phase(
+                res.actions, balance=max(0, st_bal - gf),
+                msg_balance_remaining=0, original_balance=st_bal)
+            sends = (ap.out_msgs if ap.success else
+                     [a for a in res.actions
+                      if a.get("type") == "send_msg"
+                      and a.get("dest") is not None])
+            for a in sends:
                 child_op = a.get("opcode")
                 if child_op is not None and child_op >= (1 << 31):
                     child_op -= 1 << 32
@@ -493,7 +506,9 @@ def make_tvm_emulator(
                 node["out"].append(exec_internal(
                     a["dest"], account, child_op, a.get("value"),
                     cell_to_b64_boc(child_body)
-                    if child_body is not None else None))
+                    if child_body is not None else None,
+                    bounce=a.get("bounce", True),
+                    bounced=bool(a.get("bounced"))))
             return node
 
         dest = ext["destination"]

@@ -142,7 +142,12 @@ def _replay_one(code, data, tx, bal_before, prev_now):
                               bal_before, prev_now, 10_000_000)
 
 
-def _bounce_phase(m, res, value, bal):
+def _is_mc(account: str | None) -> bool:
+    """Masterchain accounts price with the -1 workchain fee tuples."""
+    return bool(account) and str(account).startswith("-1:")
+
+
+def _bounce_phase(m, res, value, bal, *, mc: bool = False):
     """Bounce phase for a failed compute: emit the 0xFFFFFFFF bounce
     back to the sender when the inbound message was bounceable and not
     itself bounced (block.tlb bounce semantics; SHAPE matched against
@@ -160,17 +165,17 @@ def _bounce_phase(m, res, value, bal):
     if not m.get("bounce") or m.get("bounced"):
         return None
     body = parse_boc(m["body_boc"]) if m.get("body_boc") else None
-    gf = gas_fee(res.gas_used)
+    gf = gas_fee(res.gas_used, mc=mc)
     out = build_bounce(src=m.get("src"), dest=m.get("dest"),
-                       msg_value=value, gas_fee_paid=gf, body=body)
+                       msg_value=value, gas_fee_paid=gf, body=body,
+                       mc=mc)
     if out is None:
         return None
     # balance after: gas paid, then the bounce carries value + its
-    # full forward fee out of the account
-    fwd_total = (out["fwd_fee"] * 3 + 1) // 2
+    # full (exact, not field-reconstructed) forward fee out
     return ActionPhaseResult(
         True, 0, [out],
-        max(0, bal - gf - out["value"] - fwd_total), 0, 0)
+        max(0, bal - gf - out["value"] - out["fwd_fee_total"]), 0, 0)
 
 
 def _captured_out(tx: dict) -> list[tuple[str, str]]:
@@ -262,7 +267,7 @@ def _replay_msg_fields(code, data, m: dict, bal_before: int,
     body = parse_boc(m["body_boc"]) if m.get("body_boc") else Cell()
     value = int(m.get("value") or 0)
     dt = max(0, int(m["now"]) - prev_now) if prev_now else 0
-    sf = storage_fee(code, data, dt)
+    sf = storage_fee(code, data, dt, mc=_is_mc(m.get("dest")))
     bal = max(0, bal_before - sf) + value
     if m.get("credit_first"):
         bal = max(0, bal_before + value - sf)
@@ -279,15 +284,19 @@ def _replay_msg_fields(code, data, m: dict, bal_before: int,
         code, data, my_address=m.get("dest"), in_msg=msg, body=body,
         msg_value=value, balance=bal, unixtime=int(m["now"]),
         block_lt=int(m["lt"]), gas_limit=gas_limit)
+    mc = _is_mc(m.get("dest"))
+    gf = gas_fee(res.gas_used, mc=mc)
     if not res.success:
-        ap = _bounce_phase(m, res, value, bal)
-        return res, ap, (ap.balance_after if ap else bal), int(m["now"])
-    gf = gas_fee(res.gas_used)
+        # gas is charged on a FAILED compute too; the bounce phase (if
+        # any) accounts for it itself
+        ap = _bounce_phase(m, res, value, bal, mc=mc)
+        return res, ap, \
+            (ap.balance_after if ap else max(0, bal - gf)), int(m["now"])
     bal_pc = max(0, bal - gf)
     ap = apply_action_phase(
         res.actions, balance=bal_pc,
         msg_balance_remaining=max(0, min(value - gf, bal_pc)),
-        original_balance=max(0, bal - value))
+        original_balance=max(0, bal - value), mc=mc)
     return res, ap, (ap.balance_after if ap.success else bal_pc), \
         int(m["now"])
 
@@ -324,6 +333,14 @@ def replay_chain_msgs(account: str, deploy: dict, followups: list[dict],
         if ap2 is not None and ap2.success:
             got = sorted((str(o["dest"]), str(o["opcode"]))
                          for o in ap2.out_msgs)
+            want_vals = fu.get("expected_out_values") or {}
+            deltas = [
+                abs(int(o["value"]) - want_vals[k])
+                for o in ap2.out_msgs
+                if (k := f"{o['dest']}:{o['opcode']}") in want_vals
+                and o.get("value") is not None
+            ]
+            vmax = max(deltas) if deltas else None
         rows.append({
             "tx_hash": fu.get("tx_hash"),
             "hop": hop,

@@ -173,7 +173,17 @@ def apply_action_phase(
             mode = int(a.get("mode") or 0)
             msg = a.get("message")
             if a.get("dest") is None or a.get("external"):
-                # external-out (log) message: lump fee only
+                # external-out (log) message: charge its forward fee
+                # (all of it is an action fee — there is no next hop),
+                # skip unless the balance cannot cover it
+                fee = fwd_fee_total(msg, mc=mc) if msg is not None else 0
+                if fee > avail:
+                    if mode & 2:
+                        continue
+                    return ActionPhaseResult(
+                        False, 37, [], balance, act_fees, fwd_total_sum)
+                avail -= fee
+                act_fees += fee
                 continue
             fee = fwd_fee_total(msg, mc=mc) if msg is not None else 0
             v = int(a.get("value") or 0)
@@ -253,6 +263,7 @@ def build_bounce(
         "opcode": -1,  # 0xFFFFFFFF as signed int32
         "value": value,
         "fwd_fee": fwd_fee_carried(fee),
+        "fwd_fee_total": fee,
         "mode": 0,
         "body": bounce_body,
         "message": fee_cell,
