@@ -1531,3 +1531,99 @@ def test_fee_estimator_matches_chain_fees():
         assert fees2 == fees                   # real signature verifies
         return
     raise AssertionError("fixture tx not found")
+
+
+def test_dict_canonical_order_invariance():
+    """Canonical serialization property: building the SAME key→value
+    map by dict_set in ANY insertion order — including via intermediate
+    deletes — must produce hash-identical cells (the property the real
+    TVM guarantees and DICTSET-built c4 comparisons rely on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ton_indexer_spark.functions.boc import cell_hash
+    from ton_indexer_spark.tvm import hashmap as hm
+
+    def build(items, order):
+        root = None
+        for i in order:
+            k, v = items[i]
+            kb = hm.int_key_bits(k, 16, signed=False)
+            val = Builder().store_uint(v, 32).end_cell().begin_parse()
+            root = hm.dict_set(root, kb, val)
+        return root
+
+    @given(st.dictionaries(st.integers(0, 2**16 - 1),
+                           st.integers(0, 2**32 - 1),
+                           min_size=1, max_size=24),
+           st.randoms(use_true_random=False))
+    @settings(max_examples=60, deadline=None)
+    def check(mapping, rnd):
+        items = list(mapping.items())
+        order_a = list(range(len(items)))
+        order_b = order_a[:]
+        rnd.shuffle(order_b)
+        ha = cell_hash(build(items, order_a))
+        hb = cell_hash(build(items, order_b))
+        assert ha == hb
+        # delete-then-reinsert must also converge to the same cell
+        root = build(items, order_a)
+        k0, v0 = items[0]
+        kb = hm.int_key_bits(k0, 16, signed=False)
+        root, _ = hm.dict_delete(root, kb)
+        val = Builder().store_uint(v0, 32).end_cell().begin_parse()
+        root = hm.dict_set(root, kb, val)
+        assert cell_hash(root) == ha
+
+    check()
+
+
+def test_action_phase_conservation():
+    """Money-conservation property across random action lists: the
+    pre-phase balance equals balance_after + Σ(child credited values)
+    + Σ(forward fees, both the first-transit cuts and the carried
+    fields) whenever the phase succeeds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ton_indexer_spark.tvm.phases import (
+        apply_action_phase,
+        fwd_fee_total,
+    )
+
+    msg = Builder().store_uint(0xAB, 8).end_cell()
+    fee = fwd_fee_total(msg)
+
+    action = st.one_of(
+        st.builds(
+            lambda mode, value: {
+                "type": "send_msg", "mode": mode, "value": value,
+                "message": msg, "dest": "0:" + "33" * 32,
+                "opcode": 1, "body": None, "bounce": False},
+            st.sampled_from([0, 1, 2, 3, 64, 65, 128, 130, 160]),
+            st.integers(0, 2 * 10**9)),
+        st.builds(
+            lambda mode, amount: {
+                "type": "reserve", "mode": mode, "amount": amount},
+            st.sampled_from([0, 1, 2, 3, 4]),
+            st.integers(0, 10**9)),
+    )
+
+    @given(st.lists(action, max_size=6),
+           st.integers(0, 3 * 10**9), st.integers(0, 10**9))
+    @settings(max_examples=120, deadline=None)
+    def check(actions, balance, rem):
+        rem = min(rem, balance)
+        ap = apply_action_phase(
+            actions, balance=balance, msg_balance_remaining=rem)
+        if not ap.success:
+            assert ap.result_code == 37
+            return
+        spent = sum(o["value"] for o in ap.out_msgs)
+        fees = ap.total_fwd_fees
+        assert ap.balance_after + spent + fees == balance, \
+            (ap.balance_after, spent, fees, balance)
+        for o in ap.out_msgs:
+            assert o["value"] >= 0
+
+    check()
