@@ -80,6 +80,13 @@ def main() -> None:
     scored = docs.join(
         char_lm_score(docs, model).select("doc_id", "nll_per_char"), "doc_id"
     ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    # Materialize BEFORE filtering on the derived columns: nll_per_char is
+    # a 37-term sum-of-products expression, and a Filter/Join above that
+    # alias sends Catalyst's constraint propagation into a canonicalization
+    # storm (minutes of driver CPU in getAllValidConstraints/
+    # orderCommutative at 500 rows — measured).  Once the column is
+    # materialized the filter compares a plain long.
+    scored = scored.localCheckpoint(eager=True)
     kept = scored.filter(
         (F.col("n_tokens") >= 5)
         & F.col("nll_per_char").isNotNull()
@@ -87,6 +94,15 @@ def main() -> None:
         # fixed threshold; production computes it from percentile_summary)
         & (F.col("nll_per_char") < 2_940_000)
     )
+    # Stage discipline: each funnel stage below both (a) derives from the
+    # previous stage's survivors and (b) is counted for the ledger.  An
+    # unbroken lineage makes stage k's count re-execute stages 1..k-1
+    # (quadratic total work) and grows the physical plan until AQE's
+    # per-stage re-validation (outputPartitioning over alias chains)
+    # dominates wall-clock on the DRIVER.  localCheckpoint at each stage
+    # boundary truncates the plan and pins the survivors, so every stage
+    # executes exactly once — the walkthrough's equivalent of writing each
+    # stage's output to the lake.
     n = stage("quality gates", kept, n0)
 
     # ---- 1b. hashed linear quality score (fastText-style, still map-only;
@@ -118,6 +134,7 @@ def main() -> None:
             wscores.select("doc_id"), "doc_id", "left_anti"
         )
         kept = kept.join(scored_ok.union(unscored), "doc_id")
+    kept = kept.localCheckpoint(eager=True)
     n = stage("word-LM filter", kept, n)
 
     # ---- 1d. distill the heuristic gates into a trained classifier: the
@@ -165,6 +182,7 @@ def main() -> None:
         ),
         "doc_id",
     )
+    kept = kept.localCheckpoint(eager=True)
     n = stage("line dedup (C4)", kept.filter(F.length("text") > 0), n)
 
     # ---- 3. benchmark decontamination (broadcast the benchmark side) ------
@@ -173,7 +191,7 @@ def main() -> None:
     decon = decontaminate(train_side, bench, k=5)
     kept = train_side.join(
         decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     n = stage("decontaminate", kept, n)
 
     # ---- 3b. DSIR domain selection (importance weights vs a target) -------
@@ -186,13 +204,14 @@ def main() -> None:
     cut = w.approxQuantile("logw_scaled", [0.2], 0.01)[0]
     kept = kept.join(
         w.filter(F.col("logw_scaled") >= cut).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     n = stage("domain selection (DSIR)", kept, n)
 
     # ---- 4. exact dedup (keep smallest doc_id per fingerprint) ------------
     kept = kept.withColumn("fp", fingerprint(F.col("text")))
     keep_ids = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = kept.join(keep_ids.select("doc_id"), "doc_id").drop("fp")
+    kept = kept.localCheckpoint(eager=True)
     n = stage("exact dedup", kept, n)
 
     # ---- 5. near dedup: MinHash+LSH pairs -> CC -> drop non-canonical -----
@@ -214,7 +233,7 @@ def main() -> None:
     dupes = clusters.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    kept = kept.join(dupes, "doc_id", "left_anti")
+    kept = kept.join(dupes, "doc_id", "left_anti").localCheckpoint(eager=True)
     n = stage("near dedup (MinHash+CC)", kept, n)
 
     # ---- 6. semantic dedup over embeddings (SemDeDup) ---------------------
@@ -223,14 +242,16 @@ def main() -> None:
         .filter(F.col("is_duplicate"))
         .select(F.col("vec_id").alias("doc_id"))
     )
-    kept = kept.join(sem_dupes, "doc_id", "left_anti")
+    kept = kept.join(sem_dupes, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     n = stage("semantic dedup (SemDeDup)", kept, n)
 
     # ---- 7. source mixture + train/val/test split (map-side) --------------
     weights = {f"src{i}": (i % 5) + 1 for i in range(20)}
     mixed = source_mixture(kept, "doc_id", "source", weights)
     n = stage("source mixture", mixed, n)
-    split = dataset_split(mixed, "doc_id")
+    split = dataset_split(mixed, "doc_id").localCheckpoint(eager=True)
     print(
         "  split sizes              ",
         {
@@ -267,7 +288,7 @@ def main() -> None:
     )
     packed = sequence_pack(
         chunks, order_col="chunk_id", tokens_col="chunk_tokens", budget=2048
-    )
+    ).localCheckpoint(eager=True)
     n_chunks = packed.count()
     n_bins = packed.agg(F.countDistinct("bin_id")).collect()[0][0]
     print(f"  chunk+pack                {n_chunks} chunks -> {n_bins} "
