@@ -10,11 +10,13 @@ Scale shape (100 TB):
 * the global frequency table groups on the line's md5 digest, NOT the
   line text — the shuffle carries (32-hex, doc_id) pairs with full
   map-side combine, never megabyte lines;
-* removal is a broadcast-averse LEFT ANTI join against only the frequent
-  digests (HAVING >= min_docs keeps that side tiny relative to the
-  corpus — boilerplate vocabulary, not corpus volume);
-* reassembly is one groupBy(doc_id) with an ordered array rebuild — the
-  same single shuffle a per-document ``collect_list`` always costs.
+* removal is a LEFT join marking lines whose digest is in the frequent
+  set (HAVING >= min_docs keeps that side tiny relative to the corpus —
+  boilerplate vocabulary, not corpus volume — so it broadcasts);
+* reassembly and BOTH counters come from one groupBy(doc_id) over the
+  marked rows — the same single shuffle a per-document ``collect_list``
+  always costs, and the only corpus-wide shuffle after the frequency
+  table.
 
 Short lines (< ``min_chars`` after trim) are never candidates for removal
 (the C4 rule's guard against killing every blank/bullet line).
@@ -69,29 +71,31 @@ def remove_repeated_lines(
     """
     lines = split_lines(docs, id_col, text_col)
     frequent = repeated_line_digests(lines, id_col, min_docs, min_chars)
-    kept = lines.join(
-        frequent.select("line_digest"),
+    # ONE pass over the line rows: a (broadcast-sized) left join against
+    # the frequent digests marks removals, and a single per-doc
+    # aggregation rebuilds the text and produces both counters.  The old
+    # shape ran the line explode three times (frequency, anti-join,
+    # totals) and joined two per-doc aggregates back together — two
+    # corpus-wide shuffles and an outer join more than this plan.
+    marked = lines.join(
+        frequent.select("line_digest").withColumn("_rm", F.lit(True)),
         F.md5(F.trim(lines["line"])) == frequent["line_digest"],
-        "left_anti",
+        "left",
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    return marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        # collect_list drops nulls: removed lines stay out
+                        F.when(F.col("_rm").isNull(),
+                               F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .alias("n_removed"),
-        )
-    )
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("_rm").alias("n_removed"),
+    ).select(id_col, "clean_text", "n_lines", "n_removed")

@@ -18,14 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ton_indexer_spark.dedup.shingles import shingles
+from ton_indexer_spark.dedup.shingles import shingle_array
 
 N_HASHES = 16
 N_BANDS = 4
 
 
-def _h(i: int) -> F.Column:
-    return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+def _h(i: int, shingle: F.Column | None = None) -> F.Column:
+    s = F.col("shingle") if shingle is None else shingle
+    return F.md5(F.concat(F.lit(f"{i}:"), s))
 
 
 def minhash_signatures(
@@ -35,10 +36,41 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — min of each hash function over the doc's shingles."""
-    sh = shingles(docs, id_col, text_col, k)
-    aggs = [F.min(_h(i)).alias(f"h{i}") for i in range(n_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    """(id, h0..h{n-1}) — min of each hash function over the doc's shingles.
+
+    Computed ENTIRELY map-side: the per-doc shingle array feeds
+    ``array_min(transform(...))`` per hash function, so the signature
+    stage has no explode, no aggregation and no shuffle (the old
+    explode → groupBy formulation planned a SortAggregate pair around a
+    corpus-wide exchange).  ``array_min`` and ``F.min`` share the same
+    UTF8 binary string ordering, so signatures are bit-identical.
+    Docs with fewer than k tokens have no shingles and produce no row
+    (same as the groupBy form).
+    """
+    # Drop sub-k-token docs BEFORE shingling with a filter over the raw
+    # token count — exactly the rows whose shingle array is empty.  A
+    # post-hoc ``filter(size(sharr) > 0)`` is semantically identical but
+    # catastrophically slower: predicate pushdown inlines the whole
+    # array_distinct(transform(...)) expression into the Filter
+    # condition and Catalyst's constraint propagation then re-
+    # canonicalizes that tree repeatedly (measured: 0.6 s → 7.6 s at
+    # sf0.1, almost all driver CPU).
+    docs = docs.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= k
+    )
+    arr = shingle_array(docs, id_col, text_col, k)
+    sharr = F.col("sharr")
+
+    def _hash_with(i: int):
+        # single-arg closure: a 2-parameter lambda would be taken by the
+        # HOF machinery as the (element, index) form
+        return lambda s: _h(i, s)
+
+    sigs = [
+        F.array_min(F.transform(sharr, _hash_with(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return arr.select(F.col(id_col), *sigs)
 
 
 def band_buckets(

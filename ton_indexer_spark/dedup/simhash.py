@@ -27,19 +27,54 @@ def simhash_signature(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, simhash) where simhash is an n_bits '0'/'1' string (bit 0 first)."""
-    toks = docs.select(
+    """(id, simhash) where simhash is an n_bits '0'/'1' string (bit 0 first).
+
+    Computed ENTIRELY map-side: the token array is hashed once per token
+    (``transform`` to md5), and bit j's vote sum is derived as
+    ``2·|odd-parity tokens| − |tokens|`` via ``filter``+``size`` over the
+    bound hash array — no explode, no groupBy, no shuffle (the old
+    explode → groupBy(doc) formulation shuffled every token row).  Same
+    integers: Σ±1 ≡ 2·(#+1 votes) − n.  Docs with no tokens produce no
+    row (same as the explode form).
+    """
+    from ton_indexer_spark.operators.spread import spread_small
+
+    toks_arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    # Drop token-less docs BEFORE the hash projection, on the raw text
+    # expression: filtering the bound n_tok alias afterwards makes
+    # predicate pushdown inline the array pipeline into the Filter
+    # condition and re-plan it through constraint propagation (measured
+    # 2× slower at sf0.1).
+    docs = docs.filter(F.size(toks_arr) > 0)
+    # CPU-heavy narrow map: spread a small (single-split) input across
+    # the cores — identity at scale (see operators/spread.py)
+    docs_t = spread_small(docs).select(F.col(id_col), toks_arr.alias("toks"))
+    # bind the hash array once; each bit's filter() re-reads the bound
+    # column (CollapseProject keeps multi-use non-cheap aliases bound)
+    hashed = docs_t.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-    ).filter(F.length("token") > 0)
-    toks = toks.withColumn("th", F.md5(F.col("token")))
+        F.size("toks").alias("n_tok"),
+        F.transform("toks", F.md5).alias("th"),
+    )
+    odd = F.array(*[F.lit(c) for c in _ODD_HEX])
+
+    def _is_odd_at(j: int):
+        # single-arg closure: a 2-parameter lambda would be taken by the
+        # HOF machinery as the (element, index) form, binding j to the
+        # array index instead of the bit position
+        return lambda h: F.array_contains(odd, F.substring(h, j + 1, 1))
+
     votes = [
-        F.sum(
-            F.when(F.substring("th", j + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+        (
+            F.lit(2) * F.size(F.filter("th", _is_odd_at(j)))
+            - F.col("n_tok")
         ).alias(f"v{j}")
         for j in range(n_bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = hashed.select(F.col(id_col), *votes)
     bits = F.concat(
         *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_bits)]
     )

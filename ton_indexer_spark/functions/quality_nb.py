@@ -39,8 +39,6 @@ token array, no explode, no join.
 
 from __future__ import annotations
 
-from itertools import chain
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,7 +68,11 @@ def nb_bucket_counts(
     ``label`` is a boolean column (True = positive class).  Output:
     (bucket, pos_cnt, neg_cnt) — at most ``n_buckets`` rows.
     """
-    e = docs.select(
+    from ton_indexer_spark.operators.spread import spread_small
+
+    # CPU-heavy narrow map (tokenize + explode + md5 bucket per token):
+    # spread a small single-split input across cores — identity at scale
+    e = spread_small(docs).select(
         label.alias("y"),
         F.explode(tokens_lower(F.col(text_col))).alias("tok"),
     )
@@ -124,14 +126,25 @@ def nb_prior_q(docs: DataFrame, label: Column) -> int:
     )
 
 
-def nb_weight_map(weights: DataFrame) -> Column:
-    """Collect the trained table (<= n_buckets rows) into a map literal.
-    Bounded collect: the model, not the data."""
+def nb_weight_map(
+    weights: DataFrame, n_buckets: int = N_BUCKETS
+) -> Column:
+    """Collect the trained table (<= n_buckets rows) into a DENSE
+    bucket-indexed array literal (missing buckets = 0, the same value
+    ``nb_score`` coalesced for map misses).  Bounded collect: the model,
+    not the data.
+
+    Array, not ``create_map``: ``element_at`` on a map literal is a
+    linear scan of all n_buckets entries PER TOKEN (measured as the
+    dominant cost of the scoring stage); on an array it is an O(1)
+    index."""
     rows = weights.select("bucket", "w_q").collect()
-    pairs = list(chain.from_iterable(
-        (F.lit(int(r["bucket"])), F.lit(int(r["w_q"]))) for r in rows
-    ))
-    return F.create_map(*pairs)
+    by_bucket = {int(r["bucket"]): int(r["w_q"]) for r in rows}
+    # one expression string → ONE py4j round trip; building n_buckets
+    # F.lit() Columns costs 2·n_buckets gateway calls (~seconds of pure
+    # driver latency, measured)
+    vals = ",".join(f"{by_bucket.get(b, 0)}L" for b in range(n_buckets))
+    return F.expr(f"array({vals})")
 
 
 def nb_score(
@@ -142,15 +155,17 @@ def nb_score(
 ) -> Column:
     """Map-only integer score: prior + sum of per-token quantized
     log-odds.  Unseen buckets contribute 0 (they were smoothed into the
-    totals at train time).  Same zero-shuffle plan shape as
-    ``quality_model.hashed_linear_raw``."""
+    totals at train time; the dense weight vector stores the 0
+    explicitly).  Same zero-shuffle plan shape as
+    ``quality_model.hashed_linear_raw``.  ``weight_map`` is the dense
+    array from ``nb_weight_map`` — ``element_at`` is 1-based, hence the
+    ``+ 1``."""
     per_tok = F.aggregate(
         tokens_lower(text),
         F.lit(0).cast("long"),
         lambda acc, t: acc
-        + F.coalesce(
-            F.element_at(weight_map, token_bucket(t, n_buckets)),
-            F.lit(0).cast("long"),
+        + F.element_at(
+            weight_map, (token_bucket(t, n_buckets) + F.lit(1)).cast("int")
         ),
     )
     return per_tok + F.lit(prior_q)
