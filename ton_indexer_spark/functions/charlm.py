@@ -48,7 +48,12 @@ def train_char_lm(reference: DataFrame, text_col: str = "text") -> dict[str, int
     One aggregation pass; the returned model is ``{char: q_scaled}`` with
     ``q = round_half_away(-ln((n_c + 1) / (N + |A|)) * SCALE)``.
     """
+    from ton_indexer_spark.operators.spread import spread_small
+
     lowered = F.lower(F.col(text_col))
+    # 37 replace() scans per row is CPU-heavy map work: spread a small
+    # single-split input so the partial aggregation uses every core
+    reference = spread_small(reference)
     counts_row = reference.agg(
         *[
             F.sum(_char_count(lowered, c)).alias(f"c{i}")
@@ -80,7 +85,12 @@ def char_lm_score(
     # bound columns: inlining the count expressions into n_scored AND the
     # weighted sum would evaluate every replace() twice per row and blow
     # the whole-stage-codegen 64 KB method limit
+    from ton_indexer_spark.operators.spread import spread_small
+
     lowered = F.lower(F.col(text_col))
+    # same reasoning as train: the 37-replace count projection is the
+    # dominant per-row cost — use every core on small inputs
+    docs = spread_small(docs)
     counted = docs.select(
         F.col(id_col),
         *[

@@ -22,10 +22,11 @@ Execution shape (the point at 100 TB):
    engines agree whenever they share a libm ``log``; a cross-platform
    last-ulp ``.5``-boundary flip is the one residual risk, accepted for
    a driver that runs both engines on one host;
-3. score pass — per-doc bucket counts joined against the broadcast
-   ratio table, one integer weighted sum per doc.  The corpus shuffles
-   only on (doc, bucket) for its own aggregation; nothing corpus-sized
-   ever reaches the driver.
+3. score pass — per-doc bucket counts weighted through the ratio
+   vector, carried as a dense bucket-indexed array literal (O(1)
+   ``element_at`` per row — no model join stage at all).  The corpus
+   shuffles only on (doc, bucket) for its own aggregation; nothing
+   corpus-sized ever reaches the driver.
 
 Raw-only buckets (never seen in target) still get a finite smoothed
 ratio; docs with fewer than 2 tokens have no features and are absent
@@ -48,8 +49,12 @@ def _bigram_buckets(
     """(id, bucket) — one row per word-bigram occurrence (not distinct:
     DSIR weights are count-weighted, unlike decontamination's set
     semantics)."""
+    from ton_indexer_spark.operators.spread import spread_small
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    t = docs.select(F.col(id_col), toks.alias("t")).filter(
+    # CPU-heavy narrow map (tokenize + bigram explode + md5 bucket):
+    # spread a small single-split input across cores — identity at scale
+    t = spread_small(docs).select(F.col(id_col), toks.alias("t")).filter(
         (F.length(F.trim(F.col(text_col))) > 0) & (F.size(toks) >= 2)
     )
     grams = t.select(
@@ -88,7 +93,7 @@ def dsir_weights(
     smoothed).  Resample by keeping the top weights (or Gumbel-top-k on
     ``logw_scaled`` for the paper's sampled variant).
     """
-    spark = raw.sparkSession
+
     rg = _bigram_buckets(raw, id_col, text_col, n_buckets)
     tg = _bigram_buckets(target, id_col, text_col, n_buckets)
 
@@ -112,29 +117,35 @@ def dsir_weights(
     }
     t_total = sum(tc.values()) + n_buckets
     r_total = sum(rc.values()) + n_buckets
-    ratios = [
-        (
-            b,
-            int(
-                math.floor(
-                    (
-                        math.log((tc.get(b, 0) + 1) / t_total)
-                        - math.log((c + 1) / r_total)
-                    )
-                    * SCALE
-                    + 0.5
+    ratios = {
+        b: int(
+            math.floor(
+                (
+                    math.log((tc.get(b, 0) + 1) / t_total)
+                    - math.log((c + 1) / r_total)
                 )
-            ),
+                * SCALE
+                + 0.5
+            )
         )
         for b, c in rc.items()
-    ]
-    lr = spark.createDataFrame(ratios, "bucket long, lr long")
+    }
+    # dense bucket-indexed ratio vector as ONE expression literal: the
+    # former createDataFrame + broadcast-join cost a table build and a
+    # join stage for a model that is n_buckets ints; element_at on the
+    # folded array is an O(1) per-row lookup.  Buckets absent from rc
+    # never occur in k (k's buckets ARE rc's domain), so the 0 filler is
+    # unreachable.
+    vals = ",".join(f"{ratios.get(b, 0)}L" for b in range(n_buckets))
+    lr_arr = F.expr(f"array({vals})")
 
     return (
-        k.join(F.broadcast(lr), "bucket")
-        .groupBy(id_col)
+        k.groupBy(id_col)
         .agg(
             F.sum("k").alias("n_grams"),
-            F.sum(F.col("k") * F.col("lr")).alias("logw_scaled"),
+            F.sum(
+                F.col("k")
+                * F.element_at(lr_arr, (F.col("bucket") + 1).cast("int"))
+            ).alias("logw_scaled"),
         )
     )

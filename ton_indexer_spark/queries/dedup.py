@@ -470,9 +470,14 @@ _SPAN_K = 10  # tokens per span; spans repeated across >= 2 docs flag
     "bounded by corpus size, not span pairs",
 )
 def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ton_indexer_spark.operators.spread import spread_small
+
     d = Catalog(spark, sf_dir).documents
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    t = d.select("doc_id", toks.alias("t")).filter(
+    # the positional 10-gram explode (md5 over ~70-char spans, twice —
+    # frequency branch + semi-join branch) is the dominant map cost:
+    # spread a small single-split input across cores, identity at scale
+    t = spread_small(d).select("doc_id", toks.alias("t")).filter(
         F.length(F.trim(F.col("text"))) > 0
     )
     k = _SPAN_K

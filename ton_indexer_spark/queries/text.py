@@ -719,17 +719,27 @@ def quality_score_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_lower,
     )
 
+    from ton_indexer_spark.operators.spread import spread_small
+
     docs = Catalog(spark, sf_dir).documents
     t = F.col("text")
-    return docs.select(
+    # bind n_tokens and the hashed aggregate ONCE: the inline form
+    # evaluated tokens_lower 3× and the per-token md5 aggregate 2× per
+    # row (multi-use non-cheap aliases stay bound through CollapseProject)
+    scored = spread_small(docs).select(
         "doc_id",
         F.size(tokens_lower(t)).alias("n_tokens"),
         hashed_linear_raw(t).alias("raw_weight"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "raw_weight",
         (
             F.when(
-                F.size(tokens_lower(t)) > 0,
-                hashed_linear_raw(t)
-                / (F.size(tokens_lower(t)).cast("double") * 1024.0),
+                F.col("n_tokens") > 0,
+                F.col("raw_weight")
+                / (F.col("n_tokens").cast("double") * 1024.0),
             ).otherwise(F.lit(0.0))
         ).alias("score"),
     ).orderBy("doc_id")
