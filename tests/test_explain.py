@@ -371,10 +371,13 @@ def test_shard_assign_single_shuffle_parallel_windows(spark, specs):
 
 
 def test_dsir_ratio_table_broadcast(spark, specs):
-    """dsir_weight: the per-bucket log-ratio table joins broadcast; the
-    corpus side never sort-merge-joins, and no Python touches the plan."""
+    """dsir_weight: the per-bucket log-ratio model is a dense array
+    literal consumed via element_at — NO model join stage at all (the
+    r11-opt upgrade from the broadcast-join model table); the corpus
+    side never sort-merge-joins, and no Python touches the plan."""
     plan = plan_of(specs["dsir_weight"].builder(spark, SF_SMALL))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "element_at" in plan, plan
+    assert "Join" not in plan, plan  # model rides the expression, not a join
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -394,12 +397,21 @@ def test_shard_state_broadcasts_tips(spark, fixture_dir):
 
 def test_line_dedup_groups_on_digest_not_line(spark, specs):
     """The frequency shuffle must key on the md5 digest (bounded width),
-    and removal must be an anti-join."""
+    and removal must be a single marking pass: one LEFT join against the
+    frequent digests feeding ONE per-doc aggregation (the r11-opt
+    upgrade from anti-join + totals outer-join, which aggregated the
+    corpus lines twice)."""
     plan = plan_of(specs["line_dedup"].builder(spark, SF_SMALL))
-    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan, plan
     assert "md5" in plan
     # partial aggregation on the digest before the exchange
     assert "partial_count" in plan or "count(distinct" in plan.lower()
+    # the marking pass replaced the anti-join, and the totals branch
+    # (a second corpus-wide aggregate + outer join of two per-doc
+    # tables) is gone: one ObjectHashAggregate partial/final pair
+    # (collect_list appears once per side in the formatted details)
+    assert "LeftAnti" not in plan, plan
+    assert plan.count("collect_list") <= 4, plan
 
 
 def test_pending_scope_broadcasts_ids(spark, fixture_dir):

@@ -57,8 +57,15 @@ def doc_bigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id_col, w1, w2) — one row per adjacent token pair occurrence.
-    One explode over per-doc positions; no self-join."""
-    w = docs.select(
+    One explode over per-doc positions; no self-join.
+
+    Shape note (measured): building (w1, w2) structs inside the explode
+    via transform() is SLOWER here (2.26 vs 0.83 s at sf0.1) — the HOF
+    interpretation overhead exceeds the cost of carrying the short token
+    array through the Generate; the position-explode stays."""
+    from ton_indexer_spark.operators.spread import spread_small
+
+    w = spread_small(docs).select(
         F.col(id_col), _tokens(F.col(text_col)).alias("w")
     ).filter(F.size("w") >= 2)
     return w.select(

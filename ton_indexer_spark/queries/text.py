@@ -113,7 +113,10 @@ def _langid_oracle() -> str:
     "alphabetical tiebreak)",
 )
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).documents
+    from ton_indexer_spark.operators.spread import spread_small
+
+    # per-language marker scans over the text are the dominant map cost
+    d = spread_small(Catalog(spark, sf_dir).documents)
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
