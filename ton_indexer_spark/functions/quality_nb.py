@@ -126,6 +126,14 @@ def nb_prior_q(docs: DataFrame, label: Column) -> int:
     )
 
 
+# Dense-literal guard: the model travels inlined in every aggregate
+# expression (partial AND final), so its size is a codegen/plan-size
+# hazard past a few thousand entries.  Larger models must go back to
+# the broadcast-join table path (see git history of dsir_weights for
+# the join formulation).
+MAX_DENSE_BUCKETS = 4096
+
+
 def nb_weight_map(
     weights: DataFrame, n_buckets: int = N_BUCKETS
 ) -> Column:
@@ -137,14 +145,109 @@ def nb_weight_map(
     Array, not ``create_map``: ``element_at`` on a map literal is a
     linear scan of all n_buckets entries PER TOKEN (measured as the
     dominant cost of the scoring stage); on an array it is an O(1)
-    index."""
+    index.
+
+    ``nb_score``'s ``n_buckets`` must equal the array length built here:
+    a trained bucket outside [0, n_buckets) would silently vanish from
+    the dense vector, so it is asserted instead."""
+    assert n_buckets <= MAX_DENSE_BUCKETS, (
+        f"n_buckets={n_buckets} exceeds the dense-literal budget "
+        f"({MAX_DENSE_BUCKETS}); use a broadcast-join model table instead")
     rows = weights.select("bucket", "w_q").collect()
     by_bucket = {int(r["bucket"]): int(r["w_q"]) for r in rows}
+    assert not by_bucket or (
+        0 <= min(by_bucket) and max(by_bucket) < n_buckets
+    ), f"trained bucket outside [0, {n_buckets}) — n_buckets mismatch"
     # one expression string → ONE py4j round trip; building n_buckets
     # F.lit() Columns costs 2·n_buckets gateway calls (~seconds of pure
     # driver latency, measured)
     vals = ",".join(f"{by_bucket.get(b, 0)}L" for b in range(n_buckets))
     return F.expr(f"array({vals})")
+
+
+def nb_model(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> tuple[Column, int]:
+    """(dense weight-array Column, prior_q) for scoring — the fused
+    model build.
+
+    Computes exactly what ``nb_weight_map(nb_train(...))`` +
+    ``nb_prior_q(...)`` compute, in ONE corpus job instead of ~9: the
+    per-bucket token counts and the per-doc label counts ride the same
+    aggregation (the doc counts as a synthetic ``bucket = -1`` row per
+    document, unioned below the groupBy), the totals are exact integer
+    sums done in Python, and the log-odds quantization is evaluated
+    engine-side in a single jobless OneRowRelation SELECT that replays
+    the training expression double-for-double (same JVM ``Math.log``,
+    same operation order), so the resulting weights are bit-identical
+    to the unfused path."""
+    assert n_buckets <= MAX_DENSE_BUCKETS, (
+        f"n_buckets={n_buckets} exceeds the dense-literal budget "
+        f"({MAX_DENSE_BUCKETS}); use a broadcast-join model table instead")
+    from ton_indexer_spark.operators.spread import spread_small
+
+    spark = docs.sparkSession
+    tok = (
+        spread_small(docs)
+        .select(
+            label.alias("y"),
+            F.explode(tokens_lower(F.col(text_col))).alias("tok"),
+        )
+        .select(
+            "y", token_bucket(F.col("tok"), n_buckets).alias("bucket")
+        )
+    )
+    doc_rows = docs.select(
+        label.alias("y"), F.lit(-1).cast("long").alias("bucket")
+    )
+    rows = (
+        tok.unionByName(doc_rows)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos_cnt"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg_cnt"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, tuple[int, int]] = {}
+    p_docs = n_docs = 0
+    for r in rows:
+        b = int(r["bucket"])
+        if b < 0:
+            p_docs, n_docs = int(r["pos_cnt"]), int(r["neg_cnt"])
+        else:
+            by_bucket[b] = (int(r["pos_cnt"]), int(r["neg_cnt"]))
+    pos_tot = sum(p for p, _ in by_bucket.values())
+    neg_tot = sum(n for _, n in by_bucket.values())
+
+    # replay nb_train's arithmetic exactly: ((ln(p+1) - ln(pt+B)) -
+    # ln(n+1)) + ln(nt+B), then floor(x*1e6 + 0.5) — every operand cast
+    # long→double the same way Catalyst casts the column path
+    def _w_expr(p: int, n: int) -> str:
+        return (
+            f"CAST(FLOOR((((LN(CAST({p} AS DOUBLE) + 1.0D)"
+            f" - LN(CAST({pos_tot} AS DOUBLE) + CAST({n_buckets} AS DOUBLE)))"
+            f" - LN(CAST({n} AS DOUBLE) + 1.0D))"
+            f" + LN(CAST({neg_tot} AS DOUBLE) + CAST({n_buckets} AS DOUBLE)))"
+            f" * CAST(1000000 AS DOUBLE) + 0.5D) AS BIGINT)"
+        )
+
+    prior_expr = (
+        f"CAST(FLOOR((LN(CAST({p_docs + 1} AS DOUBLE))"
+        f" - LN(CAST({n_docs + 1} AS DOUBLE)))"
+        f" * CAST(1000000 AS DOUBLE) + 0.5D) AS BIGINT)"
+    )
+    order = sorted(by_bucket)
+    w_terms = ",".join(_w_expr(*by_bucket[b]) for b in order)
+    w_select = f"array({w_terms}) AS w, " if order else ""
+    out = spark.sql(f"SELECT {w_select}{prior_expr} AS p").first()
+    prior_q = int(out["p"])
+    wq = dict(zip(order, (int(v) for v in out["w"]))) if order else {}
+    vals = ",".join(f"{wq.get(b, 0)}L" for b in range(n_buckets))
+    return F.expr(f"array({vals})"), prior_q
 
 
 def nb_score(

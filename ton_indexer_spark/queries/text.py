@@ -904,18 +904,14 @@ def quality_nb_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer score sums, exact across engines",
 )
 def quality_nb_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ton_indexer_spark.functions.quality_nb import (
-        nb_prior_q,
-        nb_score,
-        nb_train,
-        nb_weight_map,
-    )
+    from ton_indexer_spark.functions.quality_nb import nb_model, nb_score
     from ton_indexer_spark.functions.quality_model import tokens_lower
 
     d = Catalog(spark, sf_dir).documents
     label = F.col("lang") == F.lit("en")
-    wmap = nb_weight_map(nb_train(d, label))
-    prior = nb_prior_q(d, label)
+    # fused model build: ONE corpus job for bucket counts + doc priors
+    # (was: train collect + totals broadcast + two prior jobs ≈ 9 jobs)
+    wmap, prior = nb_model(d, label)
     t = F.col("text")
     score = nb_score(t, wmap, prior)
     return d.select(
@@ -979,18 +975,13 @@ def quality_nb_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and U is doubled so tie handling stays exact int64",
 )
 def quality_nb_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ton_indexer_spark.functions.quality_nb import (
-        nb_prior_q,
-        nb_score,
-        nb_train,
-        nb_weight_map,
-    )
+    from ton_indexer_spark.functions.quality_nb import nb_model, nb_score
     from ton_indexer_spark.operators.evaluation import binary_auc
 
     d = Catalog(spark, sf_dir).documents
     label = F.col("lang") == F.lit("en")
-    wmap = nb_weight_map(nb_train(d, label))
-    prior = nb_prior_q(d, label)
+    # fused model build: ONE corpus job for bucket counts + doc priors
+    wmap, prior = nb_model(d, label)
     scored = d.select(
         nb_score(F.col("text"), wmap, prior).alias("score_q"),
         label.alias("y"),
