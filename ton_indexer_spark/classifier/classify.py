@@ -588,7 +588,14 @@ def classify_traces(
     auctions: DataFrame | None = None,
     nft_sales: DataFrame | None = None,
     big_trace_cutoff: int = BIG_TRACE_CUTOFF,
+    n_partitions: int | None = None,
 ) -> ClassifiedActions:
+    """``n_partitions`` sets the classify shuffle's partition count for
+    callers that know their batch size (micro-batches / fixtures pass a
+    small number so the persisted classify output is not fanned over
+    shuffle.partitions near-empty tasks in every downstream consumer);
+    default derives it from the optimizer's input-size estimate, which
+    keeps full parallelism at scale."""
     # transaction-driven row build: a LEFT join keeps messageless
     # transactions (tick-tock system txs) in their trace's group
     tx_attrs = transactions.select(
@@ -729,9 +736,18 @@ def classify_traces(
     # shuffle+sort groupBy/applyInPandas would run), then stream whole
     # Arrow batches — _classify_stream's python-side grouping replaces the
     # per-trace pandas frame machinery that dominated the profile
+    from ton_indexer_spark.operators.spread import adaptive_partitions
+
+    rows = rows.select(*_ROW_COLS)
     raw = (
-        rows.select(*_ROW_COLS)
-        .repartition(F.col("trace_id"))
+        # explicit scale-adaptive partition count: a micro-batch/fixture
+        # input collapses to a few tasks instead of fanning
+        # shuffle.partitions near-empty tasks through the classify stage
+        # and every downstream consumer of the persisted output; a real
+        # batch keeps full parallelism (the estimate only rounds up)
+        rows.repartition(
+            n_partitions or adaptive_partitions(rows), F.col("trace_id")
+        )
         .sortWithinPartitions("trace_id")
         .mapInPandas(
             _classify_stream(big_trace_cutoff, dims_present),

@@ -76,63 +76,82 @@ def wordpiece_segment(
     """(word, n_tokens, segmented) — greedy longest-match-first walk.
 
     ``words`` must have a unique ``word`` column; ``vocab`` a ``token``
-    column containing at least every character of every word.  The
-    driver loop runs ≤ ceil(max_word_len) rounds; state is one row per
-    UNFINISHED word (bounded by |words|), checkpointed per round so the
-    lineage does not grow quadratically.
+    column containing at least every character of every word.
+
+    Single-pass formulation: every (position, length) slice of every
+    word is enumerated map-side (≤ len·max_token_len rows per word —
+    words are natural-language-bounded) and equi-joined ONCE against
+    the broadcast vocabulary, so vocabulary membership of *all* cursor
+    candidates is known up front; the greedy cursor walk then replays
+    inside one ``aggregate`` expression over the collected per-word
+    match list.  This replaces the former driver loop — one
+    nested-loop broadcast join + frontier checkpoint + convergence
+    count per round, ≈22 jobs at 8 rounds — with one hash join and one
+    aggregation (the groupBy reuses the word partitioning most callers
+    already have from the word-frequency aggregation).  Greedy
+    semantics are unchanged: at each cursor the longest vocabulary
+    match wins (equal-length matches at one cursor are the same
+    string, so the tiebreak stays vacuous), and single-character
+    coverage guarantees the cursor always advances.
     """
-    spark = words.sparkSession
-    # materialize the vocab ONCE: it joins into every round, and a
-    # broadcast hint alone would re-execute its (possibly long) upstream
-    # lineage per round — measured as a hang when the vocabulary derives
-    # from a full curation pipeline rather than a bare scan
-    vocab = F.broadcast(
-        vocab.select("token", F.length("token").alias("_tl"))
-        .localCheckpoint(eager=True)
-    )
-    state = words.select(
-        "word", F.lit(1).alias("pos"),
-        F.array().cast("array<string>").alias("toks"),
-    ).localCheckpoint(eager=True)
-    done_parts = [state.filter(F.lit(False))]  # schema anchor (empty input)
-    # bound from the checkpointed state, not the raw input lineage
-    max_rounds = int(
-        state.agg(F.max(F.length("word"))).first()[0] or 0
-    )
-    for _ in range(max_rounds):
-        done_parts.append(state.filter(F.col("pos") > F.length("word")))
-        live = state.filter(F.col("pos") <= F.length("word"))
-        if live.limit(1).count() == 0:
-            state = None
-            break
-        # expression join against the broadcast vocab: a match is any
-        # vocab token equal to the same-length slice at the cursor
-        matched = live.join(
-            vocab, F.expr("token = substring(word, pos, _tl)"), "inner"
+    w = F.col("word")
+    n = F.length(w)
+    # all (pos, len) slices with len ≤ max_token_len, inside codegen
+    slices = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_token_len), n - s + 1)
+                ),
+                lambda ln: F.struct(
+                    s.cast("int").alias("pos"),
+                    ln.cast("int").alias("tl"),
+                    F.substring(w, s.cast("int"), ln.cast("int")).alias(
+                        "token"
+                    ),
+                ),
+            ),
         )
-        # longest match wins; the tiebreak is vacuous (equal-length
-        # matches at one cursor are the same string)
-        state = (
-            matched.groupBy("word")
-            .agg(
-                F.max(F.struct(F.col("_tl"), F.col("token"))).alias("b"),
-                F.first("pos").alias("pos"),
-                F.first("toks").alias("toks"),
+    )
+    cand = words.select("word", F.explode(slices).alias("c")).select(
+        "word", F.col("c.pos").alias("pos"), F.col("c.tl").alias("tl"),
+        F.col("c.token").alias("token"),
+    )
+    matched = cand.join(F.broadcast(vocab.select("token")), "token")
+    per_word = matched.groupBy("word").agg(
+        F.collect_list(F.struct("pos", "tl")).alias("_ms")
+    )
+
+    def _best_tl(pos):  # longest vocab match at this cursor
+        return F.array_max(
+            F.transform(
+                F.filter(F.col("_ms"), lambda m: m["pos"] == pos),
+                lambda m: m["tl"],
             )
-            .select(
-                "word",
-                (F.col("pos") + F.col("b._tl")).alias("pos"),
-                F.array_append("toks", F.col("b.token")).alias("toks"),
-            )
-            .localCheckpoint(eager=True)
         )
-    if state is not None:
-        done_parts.append(state.filter(F.col("pos") > F.length("word")))
-    out = done_parts[0]
-    for p in done_parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("toks"),
+        ),
+        lambda acc, i: F.when(
+            i == acc["pos"],
+            F.struct(
+                (acc["pos"] + _best_tl(acc["pos"])).cast("int").alias("pos"),
+                F.array_append(
+                    acc["toks"],
+                    F.substring(w, acc["pos"], _best_tl(acc["pos"])),
+                ).alias("toks"),
+            ),
+        ).otherwise(acc),
+    )
+    # bind the walk once: inlining it into both outputs would run the
+    # whole aggregate expression twice per row
+    return per_word.select("word", walk["toks"].alias("_toks")).select(
         "word",
-        F.size("toks").alias("n_tokens"),
-        F.array_join("toks", " ").alias("segmented"),
+        F.size("_toks").alias("n_tokens"),
+        F.array_join("_toks", " ").alias("segmented"),
     )

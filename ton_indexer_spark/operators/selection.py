@@ -94,27 +94,32 @@ def dsir_weights(
     ``logw_scaled`` for the paper's sampled variant).
     """
 
+    from ton_indexer_spark.functions.quality_nb import MAX_DENSE_BUCKETS
+
+    assert n_buckets <= MAX_DENSE_BUCKETS, (
+        f"n_buckets={n_buckets} exceeds the dense-literal budget "
+        f"({MAX_DENSE_BUCKETS}); use a broadcast-join model table instead")
     rg = _bigram_buckets(raw, id_col, text_col, n_buckets)
     tg = _bigram_buckets(target, id_col, text_col, n_buckets)
 
-    # materialize the per-doc bucket counts ONCE: they feed the raw
-    # bucket totals (rolled up below — no second pass over the gram
-    # explode) and the final weighted join
-    k = (
-        rg.groupBy(id_col, "bucket")
+    # materialize the per-doc bucket counts of BOTH corpora in ONE job
+    # (a flag column keeps them apart): they feed the raw and target
+    # bucket totals (one rolled-up collect below — no second pass over
+    # either gram explode) and the final weighted aggregation
+    kk = (
+        rg.withColumn("_tgt", F.lit(False))
+        .unionByName(tg.withColumn("_tgt", F.lit(True)))
+        .groupBy("_tgt", id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("k"))
         .localCheckpoint(eager=True)
     )
-    tc = {
-        r["bucket"]: r["c"]
-        for r in tg.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("c")).collect()
-    }
-    rc = {
-        r["bucket"]: r["c"]
-        for r in k.groupBy("bucket").agg(
-            F.sum("k").alias("c")).collect()
-    }
+    k = kk.filter(~F.col("_tgt")).drop("_tgt")
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for r in (
+        kk.groupBy("_tgt", "bucket").agg(F.sum("k").alias("c")).collect()
+    ):
+        (tc if r["_tgt"] else rc)[r["bucket"]] = r["c"]
     t_total = sum(tc.values()) + n_buckets
     r_total = sum(rc.values()) + n_buckets
     ratios = {

@@ -30,6 +30,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def adaptive_partitions(
+    df: DataFrame,
+    per_partition_bytes: int = 64 * 1024 * 1024,
+    max_parts: int | None = None,
+) -> int:
+    """Scale-adaptive shuffle-partition count for an explicit
+    ``repartition(n, key)``: ceil(plan-estimated bytes / target bytes),
+    clamped to [1, session shuffle partitions].
+
+    Derived from the optimizer's size estimate (file sizes for scans,
+    actual bytes for local relations) — no job runs, and join-stat
+    overestimates only ever round the answer UP toward the session
+    default, never down, so a 100 TB input keeps full parallelism while
+    a fixture-sized one stops fanning 32 near-empty tasks through every
+    downstream stage."""
+    sess = df.sparkSession
+    cap = max_parts or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable: keep the session default
+        return cap
+    if size <= 0:
+        return cap
+    return max(1, min(cap, -(-size // per_partition_bytes)))
+
+
 def spread_small(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition ``df`` up to the session default parallelism iff it
     currently has fewer partitions; identity otherwise.

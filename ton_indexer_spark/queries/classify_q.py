@@ -139,15 +139,25 @@ def _classified(spark: SparkSession):
     from ton_indexer_spark.classifier import classify_traces
 
     txs, msgs, bodies = _fixture_rows()
-    txs_df = spark.createDataFrame(txs, _TX_SCHEMA)
-    msgs_df = spark.createDataFrame(msgs, _MSG_SCHEMA)
-    bodies_df = spark.createDataFrame(bodies, "hash string, body string")
+    # the fixture is a handful of rows, but a bare createDataFrame
+    # parallelizes it over defaultParallelism slices, so every scan of
+    # it pays 32 near-empty Python-RDD tasks per downstream stage (and a
+    # coalesce(1) is WORSE: the single task then walks all 32 parent
+    # slices through sequential Python-worker handshakes — measured 14 s
+    # vs 2.5 s).  One slice at creation + a 1-partition classify shuffle
+    # makes every fixture stage a single task end to end.
+    sc = spark.sparkContext
+    txs_df = spark.createDataFrame(sc.parallelize(txs, 1), _TX_SCHEMA)
+    msgs_df = spark.createDataFrame(sc.parallelize(msgs, 1), _MSG_SCHEMA)
+    bodies_df = spark.createDataFrame(
+        sc.parallelize(bodies, 1), "hash string, body string")
     jw = spark.createDataFrame(
-        [(W1, ACC[0], JETTON), (W2, ACC[1], JETTON)],
+        sc.parallelize([(W1, ACC[0], JETTON), (W2, ACC[1], JETTON)], 1),
         "address string, owner string, jetton string",
     )
     return classify_traces(
-        txs_df, msgs_df, bodies_df, jetton_wallets=jw, big_trace_cutoff=5
+        txs_df, msgs_df, bodies_df, jetton_wallets=jw, big_trace_cutoff=5,
+        n_partitions=1,
     )
 
 

@@ -1061,6 +1061,9 @@ def wordpiece_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = Catalog(spark, sf_dir).documents
-    wf = word_frequencies(d)
+    # materialize the word-frequency table once: it feeds BOTH the vocab
+    # derivation (broadcast side) and the segmentation probe side, and
+    # without the checkpoint the corpus tokenize+groupBy runs twice
+    wf = word_frequencies(d).localCheckpoint(eager=True)
     vocab = wordpiece_vocab(wf, min_freq=4)
     return wordpiece_segment(wf.select("word"), vocab).orderBy("word")
