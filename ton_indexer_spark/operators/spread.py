@@ -27,7 +27,48 @@ tuned for either local mode or the cluster).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
+
+# sizeInBytes for relations without statistics (LogicalRDD etc.) is
+# Long.MaxValue — anything this large means "unknown", not "big"
+_UNKNOWN_SIZE = 1 << 62
+
+
+def _est_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the scan task count from optimizer statistics — no
+    physical planning, no RDD conversion (the former probe compiled the
+    full physical plan per call, ~30-60 ms of pure driver latency on
+    every builder invocation).
+
+    Replays Spark's own file-split sizing (FilePartition.maxSplitBytes):
+    ``maxSplit = min(maxPartitionBytes, max(openCost, bytes/minParts))``
+    so the answer tracks what the scan would actually do: tiny inputs
+    estimate 1, and anything past ~minParts*openCost estimates >= the
+    session parallelism.  Returns None when statistics are unavailable
+    (non-file sources), so the caller can fall back."""
+    try:
+        sess = df.sparkSession
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size <= 0 or size >= _UNKNOWN_SIZE:
+            return None
+        conf = sess._jsparkSession.sessionState().conf()
+        max_pb = int(conf.filesMaxPartitionBytes())
+        open_cost = int(conf.filesOpenCostInBytes())
+        min_pn = sess.sparkContext.defaultParallelism
+        opt = conf.filesMinPartitionNum()
+        if opt.isDefined():
+            min_pn = int(opt.get())
+        max_split = min(max_pb, max(open_cost, size // max(min_pn, 1)))
+        return max(1, -(-size // max(max_split, 1)))
+    except Exception as exc:  # noqa: BLE001 — internal-API probe
+        logger.debug("stats partition estimate unavailable: %s", exc)
+        return None
 
 
 def adaptive_partitions(
@@ -63,15 +104,20 @@ def spread_small(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     currently has fewer partitions; identity otherwise.
 
     ``min_parts`` overrides the target (tests / callers that know the
-    downstream fan-out).  Uses the physical plan's partition count —
-    computing it compiles the plan but runs no job.
+    downstream fan-out).  The partition count comes from optimizer
+    statistics (``_est_scan_partitions`` — no plan compile, no job);
+    sources without statistics fall back to the physical plan's count.
     """
     sess = df.sparkSession
     target = min_parts or sess.sparkContext.defaultParallelism
-    try:
-        current = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — never let the guard break a plan
-        return df
+    current = _est_scan_partitions(df)
+    if current is None:
+        try:
+            current = df.rdd.getNumPartitions()
+        except Exception as exc:  # noqa: BLE001 — never break a plan
+            logger.warning("spread_small probe failed, passing through: %s",
+                           exc)
+            return df
     if current >= target:
         return df
     return df.repartition(target)
