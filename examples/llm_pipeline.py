@@ -101,8 +101,12 @@ def main() -> None:
     # per-stage re-validation (outputPartitioning over alias chains)
     # dominates wall-clock on the DRIVER.  localCheckpoint at each stage
     # boundary truncates the plan and pins the survivors, so every stage
-    # executes exactly once — the walkthrough's equivalent of writing each
-    # stage's output to the lake.
+    # executes exactly once — the local-demo STAND-IN for writing each
+    # stage's output to the lake.  Caveat: localCheckpoint stores blocks
+    # on executors WITHOUT fault tolerance — at the 100 TB design point
+    # an executor loss/decommission invalidates the pipeline, so
+    # production uses a persisted write (or reliable checkpoint) between
+    # stages, not this.
     n = stage("quality gates", kept, n0)
 
     # ---- 1b. hashed linear quality score (fastText-style, still map-only;

@@ -66,65 +66,63 @@ def register(
 # r3) plus the classifier gates, ahead of the long-green core.  History in
 # COVERAGE.md.
 _EXPOSURE_FIRST = [
-    # Round-11 window (executes the COVERAGE.md pre-committed r11 plan,
-    # amended per the never-sampled-first doctrine for the gate built
-    # this round): the chained-replay gate first, then the two slots
-    # displaced from r10 by the TVM-gate insertions, then the 39
-    # r8-attested specs that did not make the r10 window, then the
-    # oldest r9-attested core specs to fill 50.
-    "tvm_signed_external",
-    "tvm_chained_replay",
-    "rollup_agg",
-    "set_ops",
-    # 39 r8-attested specs (COVERAGE.md r11 plan order)
-    "first_per_group",
-    "latest_state",
-    "word_lm_score",
-    "quality_score_hashed",
-    "line_dedup",
-    "hard_negatives",
-    "embed_pq_topk",
-    "mmr_select",
-    "semdedup",
-    "embed_kmeans",
-    "json_extract",
-    "base64_roundtrip",
-    "opcode_conversion",
-    "multimodal_metadata",
-    "multimodal_frames",
-    "keyset_pagination",
-    "tumbling_window",
-    "approx_distinct",
-    "dedup_embedding_cosine",
-    "percentile_summary",
-    "stratified_sample",
-    "sequence_pack",
-    "source_mixture",
-    "dataset_split",
-    "group_sample",
-    "shard_assign",
-    "dsir_weight",
-    "corpus_profile",
-    "classify_actions",
-    "classify_states",
-    "classify_failed_external",
-    "classify_action_accounts",
-    "pending_transactions_route",
-    "pending_traces_route",
-    "classify_dedust_swap",
-    "classify_tonstakers",
-    "classify_evaa",
-    "classify_dns",
-    "classify_fragment_auction",
-    # oldest r9-attested core specs to fill the 50-slot window
-    "filter_sort_page",
-    "group_agg",
-    "join_enrich",
-    "semi_join",
-    "anti_join",
-    "prev_pointer",
-    "ordered_collect",
-    # (2 new gates + 2 displaced + 39 r8-attested + 7 oldest-r9 = the
+    # Round-12 window (executes the COVERAGE.md pre-committed r12 plan;
+    # this optimization round adds no new gates): the 9 r9-attested core
+    # specs displaced from the r11 tail, then the r9-attested
+    # protocol/state gates not sampled since r9 in registration order,
+    # then the oldest r10-attested specs in registration order to fill
+    # the 50 slots.
+    "sessionize",
+    "asof_join",
+    "funnel_steps",
+    "cohort_retention",
+    "group_topk",
+    "connected_components",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "classify_ethena",
+    "classify_coffee_swap",
+    "classify_stonfi_v2_swap",
+    "classify_jvault",
+    "classify_layerzero",
+    "classify_tgbtc",
+    "classify_tonco_swap",
+    "classify_nominator_pool",
+    "classify_cocoon",
+    "classify_dedust_liquidity",
+    "classify_coffee_staking",
+    "classify_evaa_liquidate",
+    "classify_ethena_withdrawal",
+    "classify_tonco_liquidity",
+    "classify_stonfi_v2_withdraw",
+    "classify_lz_send_tokens",
+    "classify_coffee_liquidity",
+    "classify_vesting",
+    "classify_pton_outbid_dns",
+    "classify_deploy_verify",
+    "classify_cocoon_extras",
+    "classify_coffee_factory",
+    "classify_stonfi_v2_provide",
+    "classify_remaining_arms",
+    "classify_cocoon_admin",
+    "classify_final_arms",
+    "classify_subscription",
+    "classify_base_types",
+    "trace_balance_changes",
+    "address_book",
+    "nft_sale_state_dims",
+    "nft_auction_state_dims",
+    "nft_collection_state_dims",
+    "inout_pivot",
+    "self_join_adjacent",
+    "union_meta",
+    "array_membership_join",
+    "top_k",
+    "coalesce_filter",
+    "distinct_pairs",
+    "scalar_agg",
+    # (9 displaced core + 33 protocol/state gates + 8 oldest-r10 = the
     # 50-slot driver window.  Every spec stays hash-verified locally
     # each test run regardless via tests/test_oracle_parity.py;
     # rotation changes external attestation only.)
