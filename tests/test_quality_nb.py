@@ -105,3 +105,52 @@ def test_nb_prior_empty_input(spark):
     # empty corpus: sums coalesce to 0, Laplace gives ln(1)-ln(1) = 0
     d = spark.createDataFrame([], "doc_id long, text string, y boolean")
     assert nb_prior_q(d, F.col("y")) == 0
+
+
+def test_nb_model_fused_matches_unfused(spark):
+    """nb_model (the one-job fused build) must be bit-identical to
+    nb_weight_map(nb_train(...)) + nb_prior_q(...)."""
+    from ton_indexer_spark.functions.quality_nb import nb_model
+
+    d = _mk(spark)
+    label = F.col("y")
+    old_w = spark.range(1).select(
+        nb_weight_map(nb_train(d, label)).alias("w")).first()["w"]
+    old_p = nb_prior_q(d, label)
+    new_wcol, new_p = nb_model(d, label)
+    new_w = spark.range(1).select(new_wcol.alias("w")).first()["w"]
+    assert list(old_w) == list(new_w)
+    assert old_p == new_p
+
+
+def test_nb_model_empty_input(spark):
+    from ton_indexer_spark.functions.quality_nb import nb_model
+
+    d = spark.createDataFrame([], "doc_id long, text string, y boolean")
+    wcol, prior = nb_model(d, F.col("y"))
+    assert prior == 0
+    w = spark.range(1).select(wcol.alias("w")).first()["w"]
+    assert len(w) == N_BUCKETS and all(v == 0 for v in w)
+
+
+def test_dense_model_literal_guard(spark):
+    """The dense bucket-indexed model literal is inlined into aggregate
+    expressions, so its size must stay bounded; past MAX_DENSE_BUCKETS
+    the builders refuse (callers switch to a broadcast-join table)."""
+    import pytest
+
+    from ton_indexer_spark.functions.quality_nb import (
+        MAX_DENSE_BUCKETS,
+        nb_model,
+    )
+
+    d = _mk(spark)
+    with pytest.raises(AssertionError, match="dense-literal budget"):
+        nb_weight_map(nb_train(d, F.col("y")), n_buckets=MAX_DENSE_BUCKETS + 1)
+    with pytest.raises(AssertionError, match="dense-literal budget"):
+        nb_model(d, F.col("y"), n_buckets=MAX_DENSE_BUCKETS + 1)
+    with pytest.raises(AssertionError, match="dense-literal budget"):
+        from ton_indexer_spark.operators.selection import dsir_weights
+
+        dsir_weights(d, d, id_col="doc_id",
+                     n_buckets=MAX_DENSE_BUCKETS + 1)

@@ -69,7 +69,12 @@ def remove_repeated_lines(
     Line order is preserved; a document whose every line is boilerplate
     survives with clean_text = ''.
     """
-    lines = split_lines(docs, id_col, text_col)
+    from ton_indexer_spark.operators.spread import spread_small
+
+    # the line explode + trim/md5 is CPU-heavy map work off the document
+    # scan, and BOTH passes below (frequency, marking) read it: spread a
+    # small single-split input across cores — identity at scale
+    lines = split_lines(spread_small(docs), id_col, text_col)
     frequent = repeated_line_digests(lines, id_col, min_docs, min_chars)
     # ONE pass over the line rows: a (broadcast-sized) left join against
     # the frequent digests marks removals, and a single per-doc
