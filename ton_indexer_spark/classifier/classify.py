@@ -25,8 +25,8 @@ into a ``classification_states`` output.
 
 from __future__ import annotations
 
+import functools
 import hashlib
-from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -562,14 +562,36 @@ def _classify_stream(big_trace_cutoff: int, dims_present: frozenset[str]):
     return gen
 
 
-@dataclass
 class ClassifiedActions:
-    actions: DataFrame
-    action_accounts: DataFrame
-    classification_states: DataFrame  # (trace_id, classification_state)
-    # the persisted classify-stage output; batch owners release it once
-    # all three outputs are materialized
-    _cached: DataFrame | None = None
+    """Classify-stage outputs, constructed LAZILY on first attribute
+    access.  Most consumers (the ~40 classify query gates, the pending
+    overlay) read only ``actions``, and each output's plan construction
+    costs hundreds of driver py4j round-trips (the builder profile is
+    ~entirely socket wait on the JVM) — so the states rollup and the
+    accounts explode are built only for callers that touch them.
+    Attribute semantics are unchanged from the eager dataclass: the same
+    DataFrame comes back on every access."""
+
+    def __init__(self, actions_fn, states_fn, accounts_fn, cached=None):
+        self._actions_fn = actions_fn
+        self._states_fn = states_fn
+        self._accounts_fn = accounts_fn
+        # the persisted classify-stage output; batch owners release it
+        # once all the outputs they use are materialized
+        self._cached: DataFrame | None = cached
+
+    @functools.cached_property
+    def actions(self) -> DataFrame:
+        return self._actions_fn()
+
+    @functools.cached_property
+    def classification_states(self) -> DataFrame:
+        # (trace_id, classification_state, failure_reason)
+        return self._states_fn()
+
+    @functools.cached_property
+    def action_accounts(self) -> DataFrame:
+        return self._accounts_fn(self.actions)
 
     def unpersist(self) -> None:
         if self._cached is not None:
@@ -605,17 +627,24 @@ def classify_traces(
         F.col("now").alias("tx_now"),
         "account", "aborted", "orig_status", "end_status",
     )
-    if "created_at" not in messages.columns:
-        # minimal synthetic inputs may omit it; _node_utime falls back to
-        # the consuming tx's `now`
-        messages = messages.withColumn(
-            "created_at", F.lit(None).cast("long")
-        )
     msg_cols = messages.select(
         "tx_hash", "msg_hash", "direction", "source", "destination",
-        "value", "opcode", "created_lt", "created_at", "body_hash",
+        "value", "opcode", "created_lt",
+        # minimal synthetic inputs may omit created_at; _node_utime falls
+        # back to the consuming tx's `now`
+        F.col("created_at") if "created_at" in messages.columns
+        else F.lit(None).cast("long").alias("created_at"),
+        "body_hash",
     )
     rows = tx_attrs.join(msg_cols, "tx_hash", "left")
+
+    # §7 driver overhead: every withColumn is a full DataFrame round-trip
+    # (the classify builder profile is ~entirely py4j socket wait), so
+    # null defaults and null-fill coalesces for the dimension columns
+    # accumulate in `final` and ride the ONE projection ahead of the
+    # classify shuffle instead of a per-dim withColumn chain.  Each
+    # present dimension contributes exactly one join.
+    final: dict[str, object] = {}
 
     if message_contents is not None:
         rows = rows.join(
@@ -626,7 +655,7 @@ def classify_traces(
             "left",
         )
     else:
-        rows = rows.withColumn("body", F.lit(None).cast("string"))
+        final["body"] = F.lit(None).cast("string")
 
     # C6: interface repository as account-scoped dimension joins.  The
     # Spark analog of the reference's 5000-account IN-list batches
@@ -648,53 +677,34 @@ def classify_traces(
         )
         rows = rows.join(scoped(jw), "account", "left")
     else:
-        rows = rows.withColumn("acc_jw_owner", F.lit(None).cast("string"))
-        rows = rows.withColumn("acc_jw_jetton", F.lit(None).cast("string"))
-    if nft_items is not None:
-        ni = nft_items.select(F.col("address").alias("account")).withColumn(
-            "acc_is_nft", F.lit(True)
-        )
-        rows = rows.join(scoped(ni), "account", "left")
-        rows = rows.withColumn("acc_is_nft", F.coalesce("acc_is_nft", F.lit(False)))
-    else:
-        rows = rows.withColumn("acc_is_nft", F.lit(False))
-    if dns_items is not None:
-        di = dns_items.select(F.col("address").alias("account")).withColumn(
-            "acc_is_dns", F.lit(True)
-        )
-        rows = rows.join(scoped(di), "account", "left")
-        rows = rows.withColumn(
-            "acc_is_dns", F.coalesce("acc_is_dns", F.lit(False))
-        )
-    else:
-        rows = rows.withColumn("acc_is_dns", F.lit(False))
+        final["acc_jw_owner"] = F.lit(None).cast("string")
+        final["acc_jw_jetton"] = F.lit(None).cast("string")
+    # flag dims: a left join against the scoped membership set yields
+    # true-or-null, null-filled to false in the final projection
+    for flag_col, dim in (("acc_is_nft", nft_items),
+                          ("acc_is_dns", dns_items),
+                          ("acc_is_multisig", multisig),
+                          ("acc_is_auction", auctions)):
+        if dim is not None:
+            fd = dim.select(
+                F.col("address").alias("account"),
+                F.lit(True).alias(flag_col),
+            )
+            rows = rows.join(scoped(fd), "account", "left")
+            final[flag_col] = F.coalesce(flag_col, F.lit(False))
+        else:
+            final[flag_col] = F.lit(False)
     if dex_pools is not None:
         dp = dex_pools.select(
             F.col("address").alias("account"), F.col("dex").alias("acc_pool_dex")
         )
         rows = rows.join(scoped(dp), "account", "left")
     else:
-        rows = rows.withColumn("acc_pool_dex", F.lit(None).cast("string"))
-    if multisig is not None:
-        ms = multisig.select(F.col("address").alias("account")).withColumn(
-            "acc_is_multisig", F.lit(True)
-        )
-        rows = rows.join(scoped(ms), "account", "left")
-        rows = rows.withColumn(
-            "acc_is_multisig", F.coalesce("acc_is_multisig", F.lit(False))
-        )
-    else:
-        rows = rows.withColumn("acc_is_multisig", F.lit(False))
-    if auctions is not None:
-        au = auctions.select(F.col("address").alias("account")).withColumn(
-            "acc_is_auction", F.lit(True)
-        )
-        rows = rows.join(scoped(au), "account", "left")
-        rows = rows.withColumn(
-            "acc_is_auction", F.coalesce("acc_is_auction", F.lit(False))
-        )
-    else:
-        rows = rows.withColumn("acc_is_auction", F.lit(False))
+        final["acc_pool_dex"] = F.lit(None).cast("string")
+    # sale columns that neither the dimension nor its optional listing
+    # record supplies default to null in the final projection
+    sale_defaults = {"acc_sale_price": "long", "acc_sale_owner": "string",
+                     "acc_sale_marketplace": "string"}
     if nft_sales is not None:
         # the sale dimension optionally carries the full listing record
         # (the reference interface repo's get_nft_sale fields,
@@ -704,20 +714,19 @@ def classify_traces(
             F.col("address").alias("account"),
             F.col("nft_address").alias("acc_sale_nft"),
         ]
+        ns_present = nft_sales.columns
         for src, dst in (("full_price", "acc_sale_price"),
                          ("owner", "acc_sale_owner"),
                          ("marketplace_address", "acc_sale_marketplace")):
-            if src in nft_sales.columns:
+            if src in ns_present:
                 ns_cols.append(F.col(src).alias(dst))
+                del sale_defaults[dst]
         ns = nft_sales.select(*ns_cols)
         rows = rows.join(scoped(ns), "account", "left")
     else:
-        rows = rows.withColumn("acc_sale_nft", F.lit(None).cast("string"))
-    for col, typ in (("acc_sale_price", "long"),
-                     ("acc_sale_owner", "string"),
-                     ("acc_sale_marketplace", "string")):
-        if col not in rows.columns:
-            rows = rows.withColumn(col, F.lit(None).cast(typ))
+        final["acc_sale_nft"] = F.lit(None).cast("string")
+    for col, typ in sale_defaults.items():
+        final[col] = F.lit(None).cast(typ)
 
     dims_present = frozenset(
         name
@@ -738,7 +747,9 @@ def classify_traces(
     # per-trace pandas frame machinery that dominated the profile
     from ton_indexer_spark.operators.spread import adaptive_partitions
 
-    rows = rows.select(*_ROW_COLS)
+    rows = rows.select(
+        *[final[c].alias(c) if c in final else c for c in _ROW_COLS]
+    )
     raw = (
         # explicit scale-adaptive partition count: a micro-batch/fixture
         # input collapses to a few tasks instead of fanning
@@ -764,129 +775,142 @@ def classify_traces(
 
     raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
 
-    actions = raw.filter(F.col("action_id").isNotNull()).drop(
-        "classification_state", "failure_reason"
-    )
-    # Deferred dimension point lookups (the reference's
-    # interface_repository.get_jetton_wallet awaits, swaps.py:1164-1180):
-    # a matcher may reference a jetton wallet that never transacts in its
-    # trace (a FAILED swap's intended target), which the trace-scoped
-    # context can't resolve.  Resolve here on the (rare) flagged subset:
-    # broadcast the distinct unresolved keys, prune the dimension
-    # map-side (same discipline as scoped() above — the full dim is never
-    # shuffled), then broadcast-join the pruned rows back.
-    if jetton_wallets is not None:
-        from ton_indexer_spark.classifier.base import PTON_MASTERS
+    # the three outputs below are handed to ClassifiedActions as thunks:
+    # their plan construction (more driver py4j round-trips) runs only
+    # for the outputs a caller actually reads
 
-        # flag format "<field>|<wallet>": a2 = top-level asset2 (failed
-        # tonco swap target), dep1/dep2 = the deposit payload's
-        # target_asset_1/_2 (the pair's other wallet)
-        flag = F.col("asset2_wallet_unresolved")
-        # decoded payload addresses render uppercase hex while the
-        # dimension's case is caller-defined — join case-insensitively
-        wallet_of = F.when(
-            flag.isNotNull(), F.upper(F.substring_index(flag, "|", -1))
+    def _build_actions() -> DataFrame:
+        actions = raw.filter(F.col("action_id").isNotNull()).drop(
+            "classification_state", "failure_reason"
         )
-        field_of = F.substring_index(flag, "|", 1)
-        keys = (
-            actions.filter(flag.isNotNull())
-            .select(F.upper(F.substring_index(flag, "|", -1))
-                    .alias("_deferred_wallet"))
-            .distinct()
-        )
-        dim = (
-            jetton_wallets
-            .select(F.upper(F.col("address")).alias("_deferred_wallet"),
-                    F.col("jetton").alias("_deferred_jetton"))
-            .join(F.broadcast(keys), "_deferred_wallet", "left_semi")
-            # the uppercased key must stay unique on the build side: two
-            # dim rows differing only in address case (or plain dup rows)
-            # would otherwise fan each flagged action out into duplicates
-            .dropDuplicates(["_deferred_wallet"])
-        )
-        # pTON-family wallets resolve to TON = NULL asset, the
-        # _wallet_asset lookup discipline
-        fill = F.when(
-            ~F.col("_deferred_jetton").isin(*PTON_MASTERS),
-            F.col("_deferred_jetton"),
-        )
-        dep = F.col("dex_deposit_liquidity_data")
-        # ONE left join over all actions — no filter/union split, so the
-        # classify UDF is not re-executed per branch (and the `keys`
-        # broadcast materializes from the persisted stage, not a rerun).
-        # The build side is
-        # pruned to the flagged keys (usually empty), AQE picks the
-        # strategy (no forced broadcast — the plan keeps the "no forced
-        # dim broadcast" invariant, tests/test_explain.py), and unflagged
-        # rows carry a NULL join key that simply misses.
-        actions = (
-            actions.withColumn("_deferred_wallet", wallet_of)
-            .withColumn("_deferred_field", field_of)
-            .join(dim, "_deferred_wallet", "left")
-            .withColumn(
-                # a2 rows carry the refund-leg asset as a fallback; a
-                # RESOLVED lookup (dim row matched) overwrites it — to the
-                # wallet's jetton, or to TON (NULL) for pTON-family
-                # wallets — while a miss keeps the fallback, matching the
-                # reference's `if target_asset:` guard (swaps.py:1187-1190)
-                "asset2",
-                F.when((F.col("_deferred_field") == "a2")
-                       & F.col("_deferred_jetton").isNotNull(), fill)
-                .otherwise(F.col("asset2")),
+        # Deferred dimension point lookups (the reference's
+        # interface_repository.get_jetton_wallet awaits,
+        # swaps.py:1164-1180): a matcher may reference a jetton wallet
+        # that never transacts in its trace (a FAILED swap's intended
+        # target), which the trace-scoped context can't resolve.  Resolve
+        # here on the (rare) flagged subset: broadcast the distinct
+        # unresolved keys, prune the dimension map-side (same discipline
+        # as scoped() above — the full dim is never shuffled), then
+        # broadcast-join the pruned rows back.
+        if jetton_wallets is not None:
+            from ton_indexer_spark.classifier.base import PTON_MASTERS
+
+            # flag format "<field>|<wallet>": a2 = top-level asset2
+            # (failed tonco swap target), dep1/dep2 = the deposit
+            # payload's target_asset_1/_2 (the pair's other wallet)
+            flag = F.col("asset2_wallet_unresolved")
+            # decoded payload addresses render uppercase hex while the
+            # dimension's case is caller-defined — join case-insensitively
+            wallet_of = F.when(
+                flag.isNotNull(), F.upper(F.substring_index(flag, "|", -1))
             )
-            .withColumn(
-                "dex_deposit_liquidity_data",
-                F.when(
-                    F.col("_deferred_field") == "dep1",
-                    dep.withField(
-                        "target_asset_1",
-                        F.coalesce(dep["target_asset_1"], fill)),
-                ).when(
-                    F.col("_deferred_field") == "dep2",
-                    dep.withField(
-                        "target_asset_2",
-                        F.coalesce(dep["target_asset_2"], fill)),
-                ).otherwise(dep),
+            field_of = F.substring_index(flag, "|", 1)
+            keys = (
+                actions.filter(flag.isNotNull())
+                .select(F.upper(F.substring_index(flag, "|", -1))
+                        .alias("_deferred_wallet"))
+                .distinct()
             )
-            .drop("_deferred_wallet", "_deferred_field", "_deferred_jetton")
-        )
-    actions = actions.drop("asset2_wallet_unresolved")
-    states = (
-        raw.select("trace_id", "classification_state", "failure_reason")
-        .groupBy("trace_id")
-        .agg(
-            F.min("classification_state").alias("classification_state"),
-            # min: failed < ok < skipped alphabetically — failed/skipped
-            # dominate; max skips nulls so any recorded reason survives
-            F.max("failure_reason").alias("failure_reason"),
-        )
-    )
-    action_accounts = (
-        actions.select(
-            "action_id", "trace_id", "end_lt", "end_utime",
-            # `accounts` already folds claimed tx accounts + endpoint
-            # columns + matcher extras (signers); fall back to the endpoint
-            # columns for action rows built outside the matcher library
-            F.explode(
-                F.coalesce(
-                    F.col("accounts"),
-                    F.array_distinct(
-                        F.filter(
-                            F.array("source", "destination",
-                                    "source_secondary",
-                                    "destination_secondary"),
-                            lambda c: c.isNotNull(),
-                        )
-                    ),
+            dim = (
+                jetton_wallets
+                .select(F.upper(F.col("address")).alias("_deferred_wallet"),
+                        F.col("jetton").alias("_deferred_jetton"))
+                .join(F.broadcast(keys), "_deferred_wallet", "left_semi")
+                # the uppercased key must stay unique on the build side:
+                # two dim rows differing only in address case (or plain
+                # dup rows) would otherwise fan each flagged action out
+                # into duplicates
+                .dropDuplicates(["_deferred_wallet"])
+            )
+            # pTON-family wallets resolve to TON = NULL asset, the
+            # _wallet_asset lookup discipline
+            fill = F.when(
+                ~F.col("_deferred_jetton").isin(*PTON_MASTERS),
+                F.col("_deferred_jetton"),
+            )
+            dep = F.col("dex_deposit_liquidity_data")
+            # ONE left join over all actions — no filter/union split, so
+            # the classify UDF is not re-executed per branch (and the
+            # `keys` broadcast materializes from the persisted stage, not
+            # a rerun).  The build side is pruned to the flagged keys
+            # (usually empty), AQE picks the strategy (no forced
+            # broadcast — the plan keeps the "no forced dim broadcast"
+            # invariant, tests/test_explain.py), and unflagged rows carry
+            # a NULL join key that simply misses.
+            actions = (
+                actions.withColumn("_deferred_wallet", wallet_of)
+                .withColumn("_deferred_field", field_of)
+                .join(dim, "_deferred_wallet", "left")
+                .withColumn(
+                    # a2 rows carry the refund-leg asset as a fallback; a
+                    # RESOLVED lookup (dim row matched) overwrites it — to
+                    # the wallet's jetton, or to TON (NULL) for
+                    # pTON-family wallets — while a miss keeps the
+                    # fallback, matching the reference's
+                    # `if target_asset:` guard (swaps.py:1187-1190)
+                    "asset2",
+                    F.when((F.col("_deferred_field") == "a2")
+                           & F.col("_deferred_jetton").isNotNull(), fill)
+                    .otherwise(F.col("asset2")),
                 )
-            ).alias("account"),
+                .withColumn(
+                    "dex_deposit_liquidity_data",
+                    F.when(
+                        F.col("_deferred_field") == "dep1",
+                        dep.withField(
+                            "target_asset_1",
+                            F.coalesce(dep["target_asset_1"], fill)),
+                    ).when(
+                        F.col("_deferred_field") == "dep2",
+                        dep.withField(
+                            "target_asset_2",
+                            F.coalesce(dep["target_asset_2"], fill)),
+                    ).otherwise(dep),
+                )
+                .drop("_deferred_wallet", "_deferred_field",
+                      "_deferred_jetton")
+            )
+        return actions.drop("asset2_wallet_unresolved")
+
+    def _build_states() -> DataFrame:
+        return (
+            raw.select("trace_id", "classification_state", "failure_reason")
+            .groupBy("trace_id")
+            .agg(
+                F.min("classification_state").alias("classification_state"),
+                # min: failed < ok < skipped alphabetically —
+                # failed/skipped dominate; max skips nulls so any
+                # recorded reason survives
+                F.max("failure_reason").alias("failure_reason"),
+            )
         )
-        .withColumnRenamed("end_lt", "action_end_lt")
-        .withColumnRenamed("end_utime", "action_end_utime")
-    )
+
+    def _build_accounts(actions: DataFrame) -> DataFrame:
+        return (
+            actions.select(
+                "action_id", "trace_id", "end_lt", "end_utime",
+                # `accounts` already folds claimed tx accounts + endpoint
+                # columns + matcher extras (signers); fall back to the
+                # endpoint columns for action rows built outside the
+                # matcher library
+                F.explode(
+                    F.coalesce(
+                        F.col("accounts"),
+                        F.array_distinct(
+                            F.filter(
+                                F.array("source", "destination",
+                                        "source_secondary",
+                                        "destination_secondary"),
+                                lambda c: c.isNotNull(),
+                            )
+                        ),
+                    )
+                ).alias("account"),
+            )
+            .withColumnRenamed("end_lt", "action_end_lt")
+            .withColumnRenamed("end_utime", "action_end_utime")
+        )
+
     return ClassifiedActions(
-        actions=actions,
-        action_accounts=action_accounts,
-        classification_states=states,
-        _cached=raw,
+        _build_actions, _build_states, _build_accounts, cached=raw
     )
