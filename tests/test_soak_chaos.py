@@ -61,13 +61,37 @@ def test_sigkill_restore_converges(spark, soak_root):
     assert a.returncode == -signal.SIGKILL, (
         f"child A exited {a.returncode}, expected SIGKILL"
     )
+    # The kill is a wall-clock timer (last_wall/2 into batch KILL_AT), so
+    # under ambient load it races the batch commit: the torn batch is
+    # USUALLY KILL_AT but can be a later one if KILL_AT committed fast.
+    # The exact resume point the restart protocol dictates is derived
+    # from child A's torn on-disk state — min(last committed snapshot+1,
+    # first batch whose sinks are not both committed) — and the restored
+    # child must start exactly there, never from scratch.
+    state = os.path.join(soak_root, "chaos", "state")
+    snaps = [
+        int(d.split("=", 1)[1]) for d in os.listdir(state)
+        if d.startswith("snap=") and all(
+            os.path.exists(os.path.join(state, d, t, "_SUCCESS"))
+            for t in ("txs", "msgs"))
+    ]
+    delivered = 0
+    while all(
+        os.path.exists(os.path.join(soak_root, "chaos", "out",
+                                    f"batch={delivered}", t, "_SUCCESS"))
+        for t in ("traces", "actions")
+    ):
+        delivered += 1
+    expected = min(max(snaps) + 1 if snaps else 0, delivered)
+    assert expected < N_BATCHES, "kill landed after the final batch"
+
     b = _child(soak_root, "chaos", None)
     assert b.returncode == 0, b.stderr[-2000:]
-    # resume must start from a batch <= KILL_AT (the torn batch or the
-    # one after the last committed snapshot), not from scratch
     first = next(json.loads(x)["batch"] for x in b.stdout.splitlines()
                  if x.startswith('{"batch"'))
-    assert 0 < first <= KILL_AT
+    # everything before the kill batch was delivered pre-kill, so the
+    # resume point sits at KILL_AT or later — but exactly at `expected`
+    assert KILL_AT <= first == expected
 
     h_ref = soak.output_hash(spark, os.path.join(soak_root, "ref"))
     h_chaos = soak.output_hash(spark, os.path.join(soak_root, "chaos"))
